@@ -1,0 +1,75 @@
+"""Tokenization / normalization operators (reference P1–P4).
+
+The reference tokenizes per-document on single spaces and normalizes by
+stripping non-``[a-zA-Z]`` and lowercasing (Main.java:84-86,
+DocInfo.java:26,33-34 in /root/reference). Here the whole corpus is one
+DataFrame; tokenization is ``explode(split(...))`` so it pipelines inside
+whole-stage codegen with no Python in the loop.
+
+Also provided: the pseudo-XML wiki-line parser (P1, DocInfo.java:23-26)
+for ingesting the reference's raw source format
+``<doc id=".." url="..">body</doc>`` from plain text files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Single-space split — same delimiter the reference uses (Main.java:84).
+TOKEN_DELIMITER = " "
+NORMALIZE_PATTERN = "[^a-zA-Z]"
+
+
+def normalize_word(col: Column) -> Column:
+    """lower(strip non-alpha) — reference P3 (Main.java:85)."""
+    return F.lower(F.regexp_replace(col, NORMALIZE_PATTERN, ""))
+
+
+def with_raw_token_count(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``raw_token_count`` = whitespace-token count BEFORE normalization.
+
+    This is the reference's TF denominator (DocInfo.java:26,89): tokens
+    that normalize to empty still inflate it.
+    """
+    return documents.withColumn(
+        "raw_token_count", F.size(F.split(F.col(text_col), TOKEN_DELIMITER)).cast("long")
+    )
+
+
+def tokenize(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """corpus → one row per (doc_id, word), normalized, empties dropped.
+
+    Reference P2–P4. Narrow transformation: no shuffle; the explode stays
+    inside the scan stage.
+    """
+    return (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), TOKEN_DELIMITER)).alias("raw_word"),
+        )
+        .select("doc_id", normalize_word(F.col("raw_word")).alias("word"))
+        .filter(F.length("word") > 0)
+    )
+
+
+def parse_wiki_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """Parse the reference's raw corpus format: one pseudo-XML doc per line.
+
+    ``<doc id="429180" url="..." title="...">body text</doc>`` →
+    ``(doc_id STRING, text STRING)``. Mirrors DocInfo.java:23-26 semantics
+    (substring id extraction; residual-tag strip) but with a clean regex
+    so the closing ``</doc>`` never leaks into the last token (the
+    reference's ``includedoc`` artifact, SURVEY.md §1.1).
+    """
+    c = F.col(value_col)
+    return lines.select(
+        F.regexp_extract(c, r'<doc id="([^"]*)"', 1).alias("doc_id"),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_extract(c, r">(.*)$", 1),
+                r"<[^>]*>?",
+                "",
+            )
+        ).alias("text"),
+    ).filter(F.length("doc_id") > 0)

@@ -1,0 +1,73 @@
+"""Query registry: every implemented operator as a (Spark callable,
+DuckDB oracle SQL) pair, keyed by name — the source of truth behind
+``__spark_entry__.queries()`` / ``oracle_sql()``.
+
+Conventions (driver compare is row-count + schema + order-insensitive
+value hash):
+  * every computed column is aliased identically in Spark and SQL;
+  * counts/ranks are BIGINT on both sides (Spark row_number is INT —
+    cast it);
+  * double aggregates that are sensitive to summation order are summed
+    as DECIMAL and cast back to DOUBLE, so both engines produce
+    bit-identical values regardless of parallel reduction order;
+  * top-k queries carry a total (deterministic) sort order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+Query = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, Query] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[Query], Query]:
+    def deco(fn: Query) -> Query:
+        if name in _QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def spark_queries() -> dict[str, Query]:
+    _load_all()
+    return dict(_QUERIES)
+
+
+def oracle_queries() -> dict[str, str]:
+    _load_all()
+    return dict(_ORACLES)
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _load_all()
+    return _QUERIES["tfidf_full"](spark, sf_dir)
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import all query-definition modules (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from wikipedia_data_pipeline_spark.queries import (  # noqa: F401
+        dedup_queries,
+        multimodal_queries,
+        relational_queries,
+        similarity_queries,
+        streaming_queries,
+        text_queries,
+        tfidf_queries,
+    )
+
+    _LOADED = True
