@@ -1,1 +1,836 @@
-"""Placeholder — filled in as operators land."""
+"""Relational breadth on the star schema (SURVEY.md §7 step 2).
+
+Covers the operator categories the reference lacks but a general engine
+needs (SURVEY.md §2.3-2.7 "absent but in-scope"): join variants
+(broadcast/semi/anti/outer/theta), aggregation suite (incl. rollup/cube,
+filtered aggs, percentiles), window functions (rank/lag/lead/frames),
+set operations, and the scalar function families (string/math/datetime/
+JSON). All pure DataFrame built-ins — Catalyst plans them; nothing here
+needs custom execution code.
+
+Determinism rules (see registry docstring): decimal-routed sums, int64
+time arithmetic for events, total sort orders on every top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from wikipedia_data_pipeline_spark.functions import (
+    dec_avg,
+    dec_sum,
+    sql_dec_avg,
+    sql_dec_sum,
+    ts_us,
+)
+from wikipedia_data_pipeline_spark.registry import register
+from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+# ---------------------------------------------------------------------------
+# aggregation suite
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dec_sum('l_quantity', 'sum_qty')},
+       {sql_dec_sum('l_extendedprice', 'sum_base_price')},
+       {sql_dec_sum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {sql_dec_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+       {sql_dec_avg('l_quantity', 'avg_qty')},
+       {sql_dec_avg('l_extendedprice', 'avg_price')},
+       {sql_dec_avg('l_discount', 'avg_disc')},
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: filter → partial+final hash agg, no join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            dec_sum(disc_price, "sum_disc_price"),
+            dec_sum(disc_price * (1 + F.col("l_tax")), "sum_charge"),
+            dec_avg("l_quantity", "avg_qty"),
+            dec_avg("l_extendedprice", "avg_price"),
+            dec_avg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_stats_suite",
+    oracle=f"""
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       count(DISTINCT l_partkey) AS n_parts,
+       min(l_quantity) AS min_qty,
+       max(l_quantity) AS max_qty,
+       {sql_dec_sum('l_quantity', 'sum_qty')},
+       count(*) FILTER (WHERE l_discount > 0.05) AS n_high_disc,
+       CAST(sqrt((sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6)))::DOUBLE
+             - (sum(CAST(l_quantity AS DECIMAL(18,6)))::DOUBLE)
+               * (sum(CAST(l_quantity AS DECIMAL(18,6)))::DOUBLE) / count(*))
+            / (count(*) - 1)) AS DOUBLE) AS stddev_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_stats_suite(spark, sf_dir):
+    """min/max/count-distinct/filtered-count + deterministic stddev
+    (computed from exact decimal sums so partitioning can't change it)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    sum_q = F.sum(q.cast("decimal(18,6)")).cast("double")
+    sum_q2 = F.sum((q * q).cast("decimal(18,6)")).cast("double")
+    n = F.count("*")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.min(q).alias("min_qty"),
+        F.max(q).alias("max_qty"),
+        dec_sum(q, "sum_qty"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_high_disc"),
+        F.sqrt((sum_q2 - sum_q * sum_q / n) / (n - 1)).alias("stddev_qty"),
+    )
+
+
+@register(
+    "agg_rollup_acctbal",
+    oracle=f"""
+SELECT r_name, n_name, count(*) AS n_customers,
+       {sql_dec_sum('c_acctbal', 'total_acctbal')}
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+""",
+)
+def agg_rollup_acctbal(spark, sf_dir):
+    """ROLLUP over the region→nation dim hierarchy; dims broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        dec_sum("c_acctbal", "total_acctbal"),
+    )
+
+
+@register(
+    "agg_cube_flags",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       {sql_dec_sum('l_quantity', 'sum_qty')}
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+""",
+)
+def agg_cube_flags(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"), dec_sum("l_quantity", "sum_qty")
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS median_value,
+       percentile_cont(0.9) WITHIN GROUP (ORDER BY value) AS p90_value
+FROM events GROUP BY event_type
+""",
+)
+def agg_percentiles(spark, sf_dir):
+    """Exact percentiles (sort-based); interpolation arithmetic is the
+    same a+(b-a)*frac on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.percentile("value", F.lit(0.5)).alias("median_value"),
+        F.percentile("value", F.lit(0.9)).alias("p90_value"),
+    )
+
+
+@register("agg_approx_distinct")  # no oracle: HLL estimates are engine-specific
+def agg_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HLL++) — the 100 TB path for cardinality;
+    rows-only check (DuckDB's approx sketch differs by design)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+SELECT o_orderkey,
+       {sql_dec_sum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY o_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+""",
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → fact join → agg → top-k.
+    customer (filtered) broadcasts; orderkey agg reuses the join key."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1997-01-01"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle=f"""
+SELECT r_name, n_name,
+       {sql_dec_sum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY r_name, n_name
+""",
+)
+def q5_region_revenue(spark, sf_dir):
+    """Multi-way star join: dims broadcast, facts join on their keys."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "join_semi_big_orders",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_quantity >= 49
+)
+""",
+)
+def join_semi_big_orders(spark, sf_dir):
+    """LEFT SEMI join (EXISTS): emits left rows once, never duplicates."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return o.join(
+        li, o.o_orderkey == li.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "join_anti_idle_customers",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def join_anti_idle_customers(spark, sf_dir):
+    """LEFT ANTI join (NOT EXISTS) — the Spark-native form of the
+    reference's resume-manifest check (SURVEY.md §2.1 S7/J3)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_left_outer_order_stats",
+    oracle=f"""
+SELECT c_custkey, count(o_orderkey) AS n_orders,
+       CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,6))), 0) AS DOUBLE)
+         AS total_spend
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+""",
+)
+def join_left_outer_order_stats(spark, sf_dir):
+    """LEFT OUTER join preserving customers with zero orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")), F.lit(0)
+            )
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "join_full_outer_nations",
+    oracle="""
+WITH cu AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+            FROM customer GROUP BY c_nationkey),
+su AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+       FROM supplier GROUP BY s_nationkey)
+SELECT coalesce(cu.nationkey, su.nationkey) AS nationkey,
+       coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+FROM cu FULL OUTER JOIN su ON cu.nationkey = su.nationkey
+""",
+)
+def join_full_outer_nations(spark, sf_dir):
+    """FULL OUTER join of two pre-aggregated sides."""
+    cu = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    su = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        cu.join(su, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "join_theta_acctbal_band",
+    oracle="""
+SELECT s_suppkey, count(c_custkey) AS n_band_customers
+FROM supplier LEFT JOIN customer
+  ON c_acctbal BETWEEN s_acctbal - 10 AND s_acctbal + 10
+GROUP BY s_suppkey
+""",
+)
+def join_theta_acctbal_band(spark, sf_dir):
+    """Theta (band) join — broadcast nested-loop; supplier side is tiny
+    at every SF, so the NL stays cheap and fully parallel."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    cond = (F.col("c_acctbal") >= F.col("s_acctbal") - 10) & (
+        F.col("c_acctbal") <= F.col("s_acctbal") + 10
+    )
+    # RIGHT outer with supplier broadcast on the build-able side: Spark
+    # can't broadcast the preserved side of an outer join.
+    return (
+        c.join(F.broadcast(s), cond, "right")
+        .groupBy("s_suppkey")
+        .agg(F.count("c_custkey").alias("n_band_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_orders",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(rank() OVER w AS BIGINT) AS rnk,
+         CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+         CAST(row_number() OVER w AS BIGINT) AS rn
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+) WHERE rn <= 5
+""",
+)
+def window_rank_orders(spark, sf_dir):
+    """rank/dense_rank/row_number + per-group top-k filter (W2 shape)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+SELECT event_id, user_id, value,
+       lag(value) OVER w AS prev_value,
+       lead(value) OVER w AS next_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+""",
+)
+def window_lag_lead(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(ts_us().alias("ts_us"), "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_value,
+       CAST(count(*) OVER w AS BIGINT) AS running_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def window_running_sum(spark, sf_dir):
+    """Cumulative frame — decimal-routed so the prefix sums are exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us().alias("ts_us"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+        F.count("*").over(w).cast("long").alias("running_n"),
+    )
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         / count(*) OVER w AS moving_avg_4
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+""",
+)
+def window_moving_avg(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us().alias("ts_us"), "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count("*").over(w)
+        ).alias("moving_avg_4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations / distinct
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "setops_nation_presence",
+    oracle="""
+SELECT 'cust_only' AS op, n FROM (
+  SELECT DISTINCT c_nationkey AS n FROM customer
+  EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'both' AS op, n FROM (
+  SELECT DISTINCT c_nationkey AS n FROM customer
+  INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'either' AS op, n FROM (
+  SELECT DISTINCT c_nationkey AS n FROM customer
+  UNION SELECT DISTINCT s_nationkey FROM supplier)
+""",
+)
+def setops_nation_presence(spark, sf_dir):
+    """EXCEPT / INTERSECT / UNION in one tagged relation."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n")
+    ).distinct()
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("n")
+    ).distinct()
+    tag = lambda df, t: df.select(F.lit(t).alias("op"), "n")  # noqa: E731
+    return (
+        tag(c.exceptAll(s).distinct(), "cust_only")
+        .unionByName(tag(c.intersect(s), "both"))
+        .unionByName(tag(c.union(s).distinct(), "either"))
+    )
+
+
+@register(
+    "pivot_status_counts",
+    oracle="""
+SELECT l_returnflag,
+       count(*) FILTER (WHERE l_linestatus = 'F') AS "F",
+       count(*) FILTER (WHERE l_linestatus = 'O') AS "O"
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def pivot_status_counts(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce("F", F.lit(0)).alias("F"),
+        F.coalesce("O", F.lit(0)).alias("O"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar function families
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       length(p_name) AS name_len,
+       upper(p_brand) AS brand_up,
+       lower(p_type) AS type_lo,
+       substring(p_name, 1, 6) AS name_pfx,
+       strpos(p_name, 'a') AS a_pos,
+       replace(p_name, 'a', '@') AS name_repl,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+       split_part(p_type, ' ', 1) AS type_first,
+       concat(p_brand, ':', p_type) AS brand_type,
+       trim(p_name) AS name_trim,
+       reverse(p_brand) AS brand_rev,
+       CAST(starts_with(p_name, 'a') AS BOOLEAN) AS starts_a
+FROM part
+""",
+)
+def scalar_string_funcs(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.length("p_name").cast("long").alias("name_len"),
+        F.upper("p_brand").alias("brand_up"),
+        F.lower("p_type").alias("type_lo"),
+        F.substring("p_name", 1, 6).alias("name_pfx"),
+        F.instr(F.col("p_name"), "a").cast("long").alias("a_pos"),
+        F.expr("replace(p_name, 'a', '@')").alias("name_repl"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.expr("split_part(p_type, ' ', 1)").alias("type_first"),
+        F.concat_ws("", F.col("p_brand"), F.lit(":"), F.col("p_type")).alias(
+            "brand_type"
+        ),
+        F.trim("p_name").alias("name_trim"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.col("p_name").startswith("a").alias("starts_a"),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       abs(l_discount - 0.05) AS abs_disc_delta,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       sqrt(l_quantity) AS qty_sqrt,
+       round(ln(l_extendedprice), 6) AS price_ln,
+       round(log10(l_extendedprice), 6) AS price_log10,
+       l_quantity * l_quantity AS qty_sq,
+       CAST(l_orderkey % 7 AS BIGINT) AS key_mod7,
+       CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+       greatest(l_tax, l_discount) AS max_rate,
+       least(l_tax, l_discount) AS min_rate
+FROM lineitem
+""",
+)
+def scalar_math_funcs(spark, sf_dir):
+    """Math family. ln/log10 are rounded to 6 dp — libm implementations
+    may differ in the last ulp between JVM and C; everything else is
+    IEEE-exact and left unrounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc_delta"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        (F.col("l_orderkey") % 7).cast("long").alias("key_mod7"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    )
+
+
+@register(
+    "scalar_datetime_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS odate,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+       CAST(day(o_orderdate) AS BIGINT) AS o_day,
+       CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS o_dow,
+       CAST(weekofyear(o_orderdate) AS BIGINT) AS o_week,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS o_month_start,
+       CAST(o_orderdate AS DATE) + 30 AS due_date,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+            AS BIGINT) AS days_since_95,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end
+FROM orders
+""",
+)
+def scalar_datetime_funcs(spark, sf_dir):
+    """Datetime family (DuckDB dayofweek is 0-based Sunday; Spark is
+    1-based — oracle shifts by one)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.to_date(d).alias("odate"),
+        F.year(d).cast("long").alias("o_year"),
+        F.month(d).cast("long").alias("o_month"),
+        F.dayofmonth(d).cast("long").alias("o_day"),
+        F.quarter(d).cast("long").alias("o_quarter"),
+        F.dayofweek(d).cast("long").alias("o_dow"),
+        F.weekofyear(d).cast("long").alias("o_week"),
+        F.date_trunc("month", d).cast("date").alias("o_month_start"),
+        F.date_add(F.to_date(d), 30).alias("due_date"),
+        F.datediff(F.to_date(d), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_95"),
+        F.last_day(F.to_date(d)).alias("month_end"),
+    )
+
+
+@register(
+    "scalar_json_funcs",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+       CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_missing
+FROM events
+""",
+)
+def scalar_json_funcs(spark, sf_dir):
+    """JSON access over events.props both via path extraction and via a
+    typed from_json parse (same value, two engine paths)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        F.get_json_object("props", "$.missing").cast("long").alias("k_missing"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# event-time operators (batch forms; streaming twins in streaming/)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly_rollup",
+    oracle=f"""
+SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_s, event_type,
+       count(*) AS n_events,
+       {sql_dec_sum('value', 'total_value')},
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+""",
+)
+def events_hourly_rollup(spark, sf_dir):
+    """Tumbling 1-hour windows in the exact integer µs domain (the batch
+    twin of the streaming windowed agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (ts_us().cast("long") - (ts_us().cast("long") % 3_600_000_000)) / 1_000_000
+    return (
+        ev.withColumn("bucket_s", bucket.cast("long"))
+        .groupBy("bucket_s", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum("value", "total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "asof_join_last_view",
+    oracle="""
+SELECT event_id, user_id, value,
+       last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         AS last_view_value
+FROM events QUALIFY event_type = 'purchase'
+""",
+)
+def asof_join_last_view(spark, sf_dir):
+    """As-of join expressed as union + ordered last-ignorenulls window:
+    each purchase picks up the most recent earlier 'view' value of the
+    same user. One shuffle on user_id; no per-row probing."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us().alias("ts_us"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    view_val = F.when(F.col("event_type") == "view", F.col("value"))
+    return (
+        ev.withColumn("last_view_value", F.last(view_val, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value", "last_view_value")
+    )
+
+
+@register(
+    "sessionization",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS prev_t
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, t,
+         CASE WHEN prev_t IS NULL OR t - prev_t > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, event_id, t,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events, max(t) - min(t) AS duration_us
+FROM sessions GROUP BY user_id, session_id
+""",
+)
+def sessionization(spark, sf_dir):
+    """Gaps-and-islands sessionization (30-min inactivity gap) — the
+    batch twin of streaming session_window."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", ts_us().alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("t").over(w).isNull()
+            | (F.col("t") - F.lag("t").over(w) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("t") - F.min("t")).alias("duration_us"),
+    )

@@ -28,6 +28,7 @@ def get_spark(app_name: str = "wikipedia-data-pipeline-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("WDP_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         # dims (region/nation/customer/supplier/part, idf vocab) stay well
         # under this at every SF we target — prefer broadcast joins.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
