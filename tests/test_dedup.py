@@ -1,0 +1,57 @@
+"""Dedup operators: all three near-dup strategies must agree with the
+exact brute-force result; exact dedup groups identical content."""
+
+from __future__ import annotations
+
+from wikipedia_data_pipeline_spark.operators import dedup as D
+
+
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    other = "completely different text with nothing shared at all in any gram"
+    rows = [
+        (1, base),
+        (2, near),       # near-dup of 1
+        (3, other),
+        (4, base),       # exact dup of 1
+        (5, "tiny doc"),  # < 3 tokens → empty shingles
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def pairs(df):
+    return {(r.doc_a, r.doc_b) for r in df.collect()}
+
+
+def test_exact_duplicates(spark):
+    out = {r.doc_id_kept: r.n_copies for r in D.exact_duplicates(corpus(spark)).collect()}
+    assert out[1] == 2  # docs 1 and 4 share content, rep = min id
+    assert out[2] == 1 and out[3] == 1 and out[5] == 1
+
+
+def test_shingles_small_doc_empty(spark):
+    sh = {r.doc_id: r.shingles for r in D.shingles(corpus(spark)).collect()}
+    assert sh[5] == []
+    assert "the quick brown" in sh[1]
+
+
+def test_all_neardup_strategies_agree(spark):
+    docs = corpus(spark)
+    bf = pairs(D.brute_force_pairs(docs, 0.5))
+    assert (1, 2) in bf and (1, 4) in bf and (2, 4) in bf
+    assert not any(3 in p or 5 in p for p in bf)
+    assert pairs(D.minhash_lsh_pairs(docs, 0.5)) == bf
+    assert pairs(D.simhash_pairs(docs, 0.5)) == bf
+
+
+def test_jaccard_values_exact(spark):
+    docs = corpus(spark)
+    j = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.brute_force_pairs(docs, 0.0).collect()
+    }
+    assert j[(1, 4)] == 1.0
+    # 13 tokens → 11 shingles each; differ in last word → 10 shared,
+    # union 12
+    assert abs(j[(1, 2)] - 10 / 12) < 1e-12

@@ -1,0 +1,98 @@
+"""Structured Streaming: batch parity for the rollup + stateful op, and
+watermark/append semantics with multi-batch file feeding."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from wikipedia_data_pipeline_spark.streaming import pipeline as P
+
+
+def test_streaming_hourly_rollup_matches_batch(spark, sf_dir):
+    stream = P.run_hourly_rollup(spark, sf_dir).select(
+        "bucket_s", "event_type", "n_events", "total_value"
+    )
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+    from wikipedia_data_pipeline_spark.functions import dec_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts div 1000")
+    bucket = ((us - (us % 3_600_000_000)) / 1_000_000).cast("long")
+    batch = (
+        ev.withColumn("bucket_s", bucket)
+        .groupBy("bucket_s", "event_type")
+        .agg(F.count("*").alias("n_events"), dec_sum("value", "total_value"))
+    )
+    assert sorted(map(tuple, stream.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def test_stateful_user_stats_matches_batch(spark, sf_dir):
+    stream = P.run_stateful_user_stats(spark, sf_dir)
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    assert sorted(map(tuple, stream.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def test_watermark_append_drops_open_windows(spark):
+    """Two micro-batches; append mode emits only windows finalized by
+    the watermark advanced after batch 1."""
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(minutes, typ):
+        return (base + dt.timedelta(minutes=minutes), typ)
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        batch1 = spark.createDataFrame(
+            [mk(5, "a"), mk(30, "a"), mk(70, "b"), mk(200, "a")],
+            ["event_time", "event_type"],
+        )
+        batch1.coalesce(1).write.parquet(os.path.join(src, "f1.parquet"))
+        batch2 = spark.createDataFrame(
+            [mk(210, "b")], ["event_time", "event_type"]
+        )
+        batch2.coalesce(1).write.parquet(os.path.join(src, "f2.parquet"))
+
+        stream = (
+            spark.readStream.schema("event_time timestamp, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        result = P.windowed_counts_watermarked(stream)
+        name = "wdp_test_watermark"
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = {
+            (r.window_start, r.event_type, r.n_events)
+            for r in spark.table(name).collect()
+        }
+        # watermark after all data = 03:30 - 1h = 02:30 → windows ending
+        # ≤ 02:30 are final: [00:00,01:00) and [01:00,02:00)
+        assert (base, "a", 2) in rows
+        assert (base + dt.timedelta(hours=1), "b", 1) in rows
+        # the 03:20/03:30 window is still open → must NOT be emitted
+        assert not any(r[0] >= base + dt.timedelta(hours=3) for r in rows)

@@ -1,0 +1,245 @@
+"""Deduplication operators for a training-data pipeline.
+
+Four families, all pure DataFrame/higher-order-function programs (no
+Python in the hot path):
+
+  * exact          — hash group-by on content
+  * MinHash + LSH  — shingle → k minhashes → banded buckets → candidate
+                     join → exact-Jaccard verify
+  * SimHash        — 64-bit sign-aggregated fingerprint → 4-bit band
+                     blocking → exact-Jaccard verify
+  * n-gram Jaccard — brute-force all-pairs (the small-data / oracle path)
+
+Scale notes (100 TB): the LSH path's only wide operations are the
+band-bucket self-join (shuffle on (band, hash) — bounded by bucket
+sizes, which the banding keeps small) and the verify join. Signatures
+are a narrow map. The brute-force path is O(n²) and exists for
+verification at test scale; LSH parameters (K=128, 32×4 bands) put the
+false-negative rate at Jaccard ≥ 0.5 below 1e-7 so LSH+verify equals
+brute force in expectation.
+
+SimHash bit-aggregation here is 64 `aggregate` expressions per row —
+fine JVM-side at the shingle counts we see; at very large scale swap it
+for a vectorized pandas_udf with numpy popcount tricks (same interface).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE_61 = (1 << 61) - 1
+MINHASH_K = 128
+LSH_BANDS = 32  # 32 bands x 4 rows
+SIMHASH_BITS = 64
+SIMHASH_BAND_BITS = 4  # 16 bands x 4 bits
+
+# Fixed seeded coefficients — deterministic across runs and cluster sizes.
+# Kept below 2^31 so a*h31 + b < 2^62 never overflows a long (Spark 4 is
+# ANSI by default: overflow raises rather than wrapping).
+_rng = random.Random(0x5EED)
+MINHASH_A = [_rng.randrange(1, 1 << 31) for _ in range(MINHASH_K)]
+MINHASH_B = [_rng.randrange(0, 1 << 31) for _ in range(MINHASH_K)]
+
+
+def shingles(documents: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingles array<string>) — distinct n-grams of consecutive
+    whitespace tokens. Narrow transformation."""
+    toks = F.split(F.col(text_col), " ")
+    size = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), size - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        ),
+    )
+    return documents.select(
+        "doc_id",
+        F.when(size >= n, F.array_distinct(grams))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("shingles"),
+    )
+
+
+def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup via hash group-by: one row per distinct content with
+    the representative (min doc_id) and copy count."""
+    return documents.groupBy(F.md5(F.col(text_col)).alias("content_hash")).agg(
+        F.min("doc_id").alias("doc_id_kept"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def minhash_signatures(shingled: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """Append minhash_0..k-1: min over shingles of (a_i*xxhash64(s)+b_i)
+    mod M61. Long overflow wraps deterministically; pmod keeps results
+    positive. One narrow projection — no shuffle."""
+    hashed = shingled.withColumn(
+        "_h",
+        F.transform(
+            F.col("shingles"),
+            # 31-bit base hash keeps every a*h+b product overflow-free
+            lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)),
+        ),
+    )
+
+    def perm(i: int):
+        # separate factory per index: pyspark introspects lambda arity,
+        # so the usual `i=i` default-arg capture is not usable here
+        return lambda h: F.pmod(
+            F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i]), F.lit(MERSENNE_61)
+        )
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("_h"), perm(i))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return hashed.select("doc_id", "shingles", *sig_cols)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K
+) -> DataFrame:
+    """Band the signature, bucket-join docs sharing any band hash.
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b."""
+    rows_per_band = k // bands
+    band_hashes = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bhash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = signatures.select(
+        "doc_id", F.explode(band_hashes).alias("bh")
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.bhash").alias("bhash"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two distinct-element arrays (int/int → double;
+    identical rational → bit-identical everywhere). Two empty sets have
+    an undefined Jaccard; we define it as 0 (never a near-dup) —
+    try_divide avoids the ANSI divide-by-zero error Spark 4 raises."""
+    return F.coalesce(
+        F.try_divide(F.size(F.array_intersect(a, b)), F.size(F.array_union(a, b))),
+        F.lit(0.0),
+    )
+
+
+def verify_pairs_jaccard(
+    pairs: DataFrame, shingled: DataFrame, threshold: float
+) -> DataFrame:
+    """Join candidate pairs back to shingle sets and keep exact
+    Jaccard ≥ threshold → (doc_a, doc_b, jaccard)."""
+    sa = shingled.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline with exact verification."""
+    sh = shingles(documents)
+    sigs = minhash_signatures(sh)
+    cands = lsh_candidate_pairs(sigs)
+    return verify_pairs_jaccard(cands, sh, threshold)
+
+
+def brute_force_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """All-pairs n-gram Jaccard (the exact path; O(n²) — test scale /
+    final verify only)."""
+    sh = shingles(documents)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_signatures(shingled: DataFrame) -> DataFrame:
+    """64-bit SimHash: bit i set iff sum over shingle-hashes of
+    ±1 (sign of bit i) is positive."""
+    hashed = shingled.withColumn(
+        "_h", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+    )
+    def bit_sum(i: int):
+        return F.aggregate(
+            F.col("_h"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_sums = [bit_sum(i) for i in range(SIMHASH_BITS)]
+    simhash = None
+    for i, bs in enumerate(bit_sums):
+        term = F.when(bs > 0, F.lit(1).cast("long") * (1 << i) if i < 63 else F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        simhash = term if simhash is None else simhash + term
+    return hashed.select("doc_id", "shingles", simhash.alias("simhash"))
+
+
+def simhash_candidate_pairs(signed: DataFrame) -> DataFrame:
+    """Block on 16 bands of 4 bits: docs sharing any band are candidates."""
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS)
+                .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                .alias("bval"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = signed.select("doc_id", F.explode(bands).alias("bh")).select(
+        "doc_id", F.col("bh.band").alias("band"), F.col("bh.bval").alias("bval")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """SimHash-blocked near-dup pairs with exact-Jaccard verification."""
+    sh = shingles(documents)
+    signed = simhash_signatures(sh)
+    cands = simhash_candidate_pairs(signed)
+    return verify_pairs_jaccard(cands, sh, threshold)

@@ -1,1 +1,43 @@
-"""Placeholder — filled in as operators land."""
+"""Streaming query registrations (streaming.pipeline).
+
+Each callable runs a real Structured Streaming job (availableNow
+trigger → memory sink) to completion and returns the result table, so
+the driver's oracle compare checks stream/batch parity: the oracle is
+plain batch SQL over the same events parquet.
+"""
+
+from __future__ import annotations
+
+from wikipedia_data_pipeline_spark.functions import sql_dec_sum
+from wikipedia_data_pipeline_spark.registry import register
+from wikipedia_data_pipeline_spark.streaming import pipeline as P
+
+
+@register(
+    "streaming_hourly_rollup",
+    oracle=f"""
+SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_s, event_type,
+       count(*) AS n_events,
+       {sql_dec_sum('value', 'total_value')}
+FROM events GROUP BY 1, 2
+""",
+)
+def streaming_hourly_rollup(spark, sf_dir):
+    """Tumbling-window streaming agg; must equal the batch SQL."""
+    return P.run_hourly_rollup(spark, sf_dir).select(
+        "bucket_s", "event_type", "n_events", "total_value"
+    )
+
+
+@register(
+    "streaming_stateful_user_stats",
+    oracle="""
+SELECT user_id, count(*) AS n_events,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY user_id
+""",
+)
+def streaming_stateful_user_stats(spark, sf_dir):
+    """applyInPandasWithState custom stateful operator; order-free
+    aggregates make it exactly comparable to batch SQL."""
+    return P.run_stateful_user_stats(spark, sf_dir)

@@ -1,0 +1,169 @@
+"""Structured Streaming operators (SURVEY.md §2.8 / §7 step 5).
+
+The reference is strictly batch; these are the engine's streaming
+extensions, built so every streaming program has a batch twin over the
+same DataFrame expressions (run_* helpers execute the stream with an
+availableNow trigger into a memory sink and return the result table, so
+batch-parity is directly checkable).
+
+Event time lives in the exact int64 domain (events.ts is parquet
+TIMESTAMP(NANOS) → BIGINT ns; see sources.tables). Windowing uses the
+same integer bucket arithmetic as the batch events_hourly_rollup, so
+stream and batch agree bit-for-bit.
+
+At scale: these run identically against kafka/file sources with
+real triggers; complete-mode memory sink becomes an append-mode
+parquet/kafka sink plus ``withWatermark`` for state eviction —
+``windowed_counts_watermarked`` shows that form.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # ns since epoch (nanosAsLong)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file-stream source requires a directory: point at the sf dir
+    # and glob-filter to the events table
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window agg — identical expressions to the batch
+    events_hourly_rollup query."""
+    us = F.expr("ts div 1000")
+    bucket = ((us - (us % 3_600_000_000)) / 1_000_000).cast("long")
+    return (
+        events.withColumn("bucket_s", bucket)
+        .groupBy("bucket_s", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+    )
+
+
+def _run_to_memory(result: DataFrame, name: str, mode: str) -> None:
+    spark = result.sparkSession
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the streaming rollup to completion; returns the final
+    result table (complete mode → state holds all windows)."""
+    _run_to_memory(
+        hourly_rollup(read_events_stream(spark, sf_dir)),
+        "wdp_stream_hourly",
+        "complete",
+    )
+    return spark.table("wdp_stream_hourly")
+
+
+def windowed_counts_watermarked(events_ts: DataFrame) -> DataFrame:
+    """Append-mode form: proper TIMESTAMP event time + watermark for
+    late data; emits only finalized windows. Takes a DataFrame that
+    already carries a ``event_time TIMESTAMP`` column."""
+    return (
+        events_ts.withWatermark("event_time", "1 hour")
+        .groupBy(F.window("event_time", "1 hour"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+STATE_SCHEMA = StructType([StructField("n", LongType())])
+USER_STATS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("min_value", DoubleType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+
+def _user_stats_fn(key, pdfs: Iterator[pd.DataFrame], state):
+    """Custom stateful operator: per-user running count + min/max.
+    Order-free aggregates only, so results are deterministic regardless
+    of batch/partition order."""
+    n = state.get[0] if state.exists else 0
+    mn, mx = None, None
+    for pdf in pdfs:
+        n += len(pdf)
+        b_mn, b_mx = pdf["value"].min(), pdf["value"].max()
+        mn = b_mn if mn is None else min(mn, b_mn)
+        mx = b_mx if mx is None else max(mx, b_mx)
+    state.update((n,))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "min_value": [mn],
+            "max_value": [mx],
+        }
+    )
+
+
+def run_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState over the event stream: arbitrary per-key
+    state with an explicit state schema (GroupState)."""
+    events = read_events_stream(spark, sf_dir)
+    result = (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _user_stats_fn,
+            outputStructType=USER_STATS_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+    _run_to_memory(result, "wdp_stream_user_stats", "update")
+    return spark.table("wdp_stream_user_stats")
