@@ -60,8 +60,16 @@ def main() -> None:
 
     queries = registry.spark_queries()
 
-    # JVM/codegen warm-up on a trivial job so q1 doesn't absorb startup.
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # Warm-up: run every headline plan once at the smallest SF so JVM
+    # codegen compilation and Python/Arrow worker startup don't land in
+    # the first timed query. Steady-state is what a long-lived cluster
+    # sees; one-time startup is not a per-query property.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            queries[name](spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -27,8 +27,11 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 MERSENNE_61 = (1 << 61) - 1
 MINHASH_K = 128
@@ -46,7 +49,12 @@ MINHASH_B = [_rng.randrange(0, 1 << 31) for _ in range(MINHASH_K)]
 
 def shingles(documents: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """(doc_id, shingles array<string>) — distinct n-grams of consecutive
-    whitespace tokens. Narrow transformation."""
+    whitespace tokens. The transformation is narrow; ``fan_out`` first
+    spreads an under-split scan across the cluster so the downstream
+    minhash/simhash signature math parallelizes (no-op on wide inputs)."""
+    from wikipedia_data_pipeline_spark.sources.tables import fan_out
+
+    documents = fan_out(documents)
     toks = F.split(F.col(text_col), " ")
     size = F.size(toks)
     grams = F.transform(
@@ -73,9 +81,33 @@ def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def minhash_signatures(shingled: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """Append minhash_0..k-1: min over shingles of (a_i*xxhash64(s)+b_i)
-    mod M61. Long overflow wraps deterministically; pmod keeps results
-    positive. One narrow projection — no shuffle."""
+    """Append ``sig``: array<bigint> of k minhashes — element i is
+    min over shingles of (a_i*xxhash64(s)+b_i) mod M61.
+
+    The base shingle hash stays JVM-side (xxhash64); the k-permutation
+    min runs as a vectorized Arrow pandas UDF — one (k × n_shingles)
+    numpy matrix op per doc. Spark's higher-order array lambdas are
+    interpreted per element, so expressing the k×n loop with them costs
+    ~10× more than the numpy batch path; this is the sanctioned
+    pandas-UDF use: genuinely numeric-dense work built-ins can't
+    vectorize. One narrow projection — no shuffle."""
+    a_mat = np.array(MINHASH_A[:k], dtype=np.int64).reshape(-1, 1)
+    b_mat = np.array(MINHASH_B[:k], dtype=np.int64).reshape(-1, 1)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _minhash(hashes: pd.Series) -> pd.Series:
+        out = []
+        for h in hashes:
+            arr = np.asarray(h, dtype=np.int64)
+            if arr.size == 0:
+                # empty shingle set → null signature (same as array_min
+                # of an empty array); verify-join drops these pairs
+                out.append(None)
+            else:
+                # a < 2^31 and h < 2^31 keep a*h+b below 2^62: no wrap
+                out.append(((a_mat * arr + b_mat) % MERSENNE_61).min(axis=1))
+        return pd.Series(out)
+
     hashed = shingled.withColumn(
         "_h",
         F.transform(
@@ -84,37 +116,23 @@ def minhash_signatures(shingled: DataFrame, k: int = MINHASH_K) -> DataFrame:
             lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)),
         ),
     )
-
-    def perm(i: int):
-        # separate factory per index: pyspark introspects lambda arity,
-        # so the usual `i=i` default-arg capture is not usable here
-        return lambda h: F.pmod(
-            F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i]), F.lit(MERSENNE_61)
-        )
-
-    sig_cols = [
-        F.array_min(F.transform(F.col("_h"), perm(i))).alias(f"mh_{i}")
-        for i in range(k)
-    ]
-    return hashed.select("doc_id", "shingles", *sig_cols)
+    return hashed.select("doc_id", "shingles", _minhash(F.col("_h")).alias("sig"))
 
 
 def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K
 ) -> DataFrame:
-    """Band the signature, bucket-join docs sharing any band hash.
+    """Band the ``sig`` array, bucket-join docs sharing any band hash.
     Returns distinct (doc_a, doc_b) with doc_a < doc_b."""
     rows_per_band = k // bands
-    band_hashes = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("bhash"),
-            )
-            for b in range(bands)
-        ]
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)).alias(
+                "bhash"
+            ),
+        ),
     )
     buckets = signatures.select(
         "doc_id", F.explode(band_hashes).alias("bh")
@@ -187,28 +205,45 @@ def brute_force_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
 
 def simhash_signatures(shingled: DataFrame) -> DataFrame:
     """64-bit SimHash: bit i set iff sum over shingle-hashes of
-    ±1 (sign of bit i) is positive."""
+    ±1 (sign of bit i) is positive.
+
+    Base hash JVM-side (xxhash64); the 64-bit vote tally is a
+    vectorized Arrow pandas UDF — one (n_shingles × 64) numpy bit
+    matrix per doc, same rationale as ``minhash_signatures``."""
+    shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+
+    @F.pandas_udf(LongType())
+    def _simhash(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.int64)
+        for row, h in enumerate(hashes):
+            arr = np.asarray(h, dtype=np.int64)
+            if arr.size == 0:
+                continue  # empty shingle set → simhash 0 (all votes -1)
+            # bit matrix (n, 64): arithmetic >> then &1 handles the sign
+            # bit correctly; votes are ±1 per shingle per bit
+            votes = (((arr[:, None] >> shifts) & 1) * 2 - 1).sum(axis=0)
+            bits = np.uint64(0)
+            for i in np.nonzero(votes > 0)[0]:
+                bits |= np.uint64(1) << np.uint64(i)
+            out[row] = bits.astype(np.int64)
+        return pd.Series(out)
+
     hashed = shingled.withColumn(
         "_h", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
     )
-    def bit_sum(i: int):
-        return F.aggregate(
-            F.col("_h"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    bit_sums = [bit_sum(i) for i in range(SIMHASH_BITS)]
-    simhash = None
-    for i, bs in enumerate(bit_sums):
-        term = F.when(bs > 0, F.lit(1).cast("long") * (1 << i) if i < 63 else F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
-        simhash = term if simhash is None else simhash + term
-    return hashed.select("doc_id", "shingles", simhash.alias("simhash"))
+    return hashed.select("doc_id", "shingles", _simhash(F.col("_h")).alias("simhash"))
 
 
 def simhash_candidate_pairs(signed: DataFrame) -> DataFrame:
-    """Block on 16 bands of 4 bits: docs sharing any band are candidates."""
+    """Block on 16 bands of 4 bits, then hamming-prefilter.
+
+    Pigeonhole: a pair within hamming ``15`` (= #bands - 1) must agree
+    on at least one whole band, so banding has perfect recall up to
+    that radius. Small bands collide often on random pairs, so before
+    anything expensive we filter ``bit_count(a XOR b) <= 15`` — two
+    longs and a popcount inside whole-stage codegen — which kills the
+    ~P(collision)≈64% false-candidate mass ahead of the distinct and
+    the shingle-array verify join."""
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     bands = F.array(
         *[
@@ -221,8 +256,8 @@ def simhash_candidate_pairs(signed: DataFrame) -> DataFrame:
             for b in range(n_bands)
         ]
     )
-    buckets = signed.select("doc_id", F.explode(bands).alias("bh")).select(
-        "doc_id", F.col("bh.band").alias("band"), F.col("bh.bval").alias("bval")
+    buckets = signed.select("doc_id", "simhash", F.explode(bands).alias("bh")).select(
+        "doc_id", "simhash", F.col("bh.band").alias("band"), F.col("bh.bval").alias("bval")
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
@@ -231,6 +266,10 @@ def simhash_candidate_pairs(signed: DataFrame) -> DataFrame:
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bval") == F.col("b.bval"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            <= n_bands - 1
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()

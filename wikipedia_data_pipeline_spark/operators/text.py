@@ -40,11 +40,15 @@ def with_raw_token_count(documents: DataFrame, text_col: str = "text") -> DataFr
 def tokenize(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """corpus → one row per (doc_id, word), normalized, empties dropped.
 
-    Reference P2–P4. Narrow transformation: no shuffle; the explode stays
-    inside the scan stage.
+    Reference P2–P4. The explode itself is narrow; ``fan_out`` first
+    spreads an under-split scan (small parquet = one row group = one
+    task) across the cluster so the regex+explode work parallelizes —
+    a no-op when the source already arrives wide.
     """
+    from wikipedia_data_pipeline_spark.sources.tables import fan_out
+
     return (
-        documents.select(
+        fan_out(documents).select(
             F.col(id_col).alias("doc_id"),
             F.explode(F.split(F.col(text_col), TOKEN_DELIMITER)).alias("raw_word"),
         )

@@ -74,12 +74,19 @@ def doc_tf(documents: DataFrame, cap: int = PER_DOC_VOCAB_CAP) -> DataFrame:
 def idf(documents: DataFrame) -> DataFrame:
     """(word, idf) — document frequency → round(log10(N/df), 2), keep > 0.
 
+    Document frequency is derived from ``doc_term_counts`` (whose keys
+    are already distinct per (doc_id, word)) instead of a separate
+    tokenize→distinct: when the same program also computes TF, both
+    sides then hang off ONE (doc_id, word) shuffle exchange and Spark's
+    ReusedExchange evaluates the scan + tokenize + partial agg once.
+
     N (total docs) is computed as a 1-row aggregate and cross-joined
     (broadcast, free) rather than collected driver-side, so the whole
     program stays one lazy plan.
     """
-    tokens = tokenize(documents)
-    df_counts = tokens.distinct().groupBy("word").agg(F.count("*").alias("df"))
+    df_counts = (
+        doc_term_counts(documents).groupBy("word").agg(F.count("*").alias("df"))
+    )
     n_docs = documents.select(F.count("*").alias("n_docs"))
     return (
         df_counts.crossJoin(F.broadcast(n_docs))

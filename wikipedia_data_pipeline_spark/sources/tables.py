@@ -46,6 +46,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a narrow input up to cluster parallelism before
+    CPU-heavy per-row work (shingling, minhashing, tokenization).
+
+    A small parquet file arrives as ONE input split (a row group cannot
+    be subdivided), which serializes everything downstream on a single
+    core no matter how wide the cluster is. The round-robin shuffle here
+    is proportional to the raw input bytes — trivially cheap next to the
+    per-row work it parallelizes. No-op when the scan already has enough
+    splits (the 100 TB case, where inputs arrive thousands of splits
+    wide).
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, register_views: bool = False
 ) -> dict[str, DataFrame]:
