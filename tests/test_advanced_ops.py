@@ -1,0 +1,113 @@
+"""Unit tests for the advanced-operator additions: n-grams, IVF ANN,
+multimodal audio/video stubs, sliding windows, range join, and the
+streaming dedup-within-watermark."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikipedia_data_pipeline_spark.operators import multimodal as MM
+from wikipedia_data_pipeline_spark.operators import similarity as S
+from wikipedia_data_pipeline_spark.operators.text import ngrams
+from wikipedia_data_pipeline_spark.queries.advanced_queries import (
+    events_sliding_window,
+    join_range_periods,
+)
+from wikipedia_data_pipeline_spark.streaming import pipeline as P
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_ngrams_order_and_normalization(spark):
+    df = _docs(spark, [(1, "The quick, brown FOX jumps")])
+    out = [r.ngram for r in ngrams(df, n=3).collect()]
+    assert out == ["the quick brown", "quick brown fox", "brown fox jumps"]
+
+
+def test_ngrams_short_doc_empty(spark):
+    df = _docs(spark, [(1, "two words"), (2, "a b c")])
+    out = ngrams(df, n=3).collect()
+    assert [(r.doc_id, r.ngram) for r in out] == [(2, "a b c")]
+
+
+def test_ngrams_skips_empty_tokens(spark):
+    # "..." normalizes to empty and must not break adjacency
+    df = _docs(spark, [(1, "alpha ... beta gamma")])
+    out = [r.ngram for r in ngrams(df, n=3).collect()]
+    assert out == ["alpha beta gamma"]
+
+
+def test_ivf_returns_exact_cosines_over_subset(spark, sf_dir):
+    """IVF candidates are a subset of the corpus; scores must equal the
+    brute-force cosine for the same (query, candidate) pairs."""
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.query_id, r.vec_id): r.cos
+        for r in S.cosine_topk(emb, [0, 1], k=10_000).collect()
+    }
+    approx = S.ann_ivf_topk(emb, [0, 1], k=5).collect()
+    assert len(approx) > 0
+    for r in approx:
+        assert abs(exact[(r.query_id, r.vec_id)] - r.cos) < 1e-12
+
+
+def test_audio_meta_deterministic(spark):
+    docs = _docs(spark, [(7, "abcdef")])  # 6 bytes
+    row = MM.decode_audio_meta(MM.attach_binary_payload(docs)).first()
+    assert row.n_bytes == 6
+    assert row.sample_rate == 8000  # 6 % 3 == 0
+    assert row.n_samples == 24
+    assert row.duration_us == 24 * 1_000_000 // 8000
+
+
+def test_video_framesample_expansion(spark):
+    docs = _docs(spark, [(7, "x" * 9)])  # 9 bytes → n_frames = 10
+    rows = (
+        MM.sample_video_frames(MM.attach_binary_payload(docs))
+        .orderBy("frame_idx")
+        .collect()
+    )
+    assert [r.frame_idx for r in rows] == [0, 4, 8]
+    assert all(r.n_frames == 10 for r in rows)
+    assert rows[1].frame_offset == 4 * (9 // 10)
+
+
+def test_sliding_window_double_counts(spark, sf_dir):
+    """Every event lands in exactly 2 overlapping 1h/30min windows."""
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    n_events = load_table(spark, sf_dir, "events").count()
+    total = (
+        events_sliding_window(spark, sf_dir)
+        .agg(F.sum("n_events").alias("s"))
+        .first()
+        .s
+    )
+    assert total == 2 * n_events
+
+
+def test_range_join_covers_window(spark, sf_dir):
+    """Period counts must sum to the orders inside the covered range."""
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    in_range = o.filter(
+        (F.col("o_orderdate") >= "1995-07-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    ).count()
+    per_period = join_range_periods(spark, sf_dir)
+    assert per_period.agg(F.sum("n_orders").alias("s")).first().s == in_range
+
+
+def test_streaming_dedup_watermark_roundtrip(spark, sf_dir):
+    """Self-unioned stream deduped on event_id == the original table."""
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    out = P.run_dedup_within_watermark(spark, sf_dir)
+    n = load_table(spark, sf_dir, "events").count()
+    assert out.count() == n
+    assert out.select("event_id").distinct().count() == n

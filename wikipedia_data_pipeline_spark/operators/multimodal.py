@@ -73,6 +73,73 @@ def decode_image_meta(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode, schema=IMAGE_META_SCHEMA)
 
 
+AUDIO_META_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, sample_rate bigint, n_samples bigint, "
+    "duration_us bigint"
+)
+
+VIDEO_FRAMES_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, n_frames bigint, frame_idx bigint, "
+    "frame_offset bigint"
+)
+
+FRAME_SAMPLE_STRIDE = 4
+
+
+def decode_audio_meta(media: DataFrame) -> DataFrame:
+    """mapInPandas audio 'decode' stub: deterministic sample-rate /
+    sample-count / duration metadata derived from payload length only
+    (integer arithmetic → exactly oracle-checkable). Swapping in a real
+    codec (soundfile/ffmpeg) changes only the inner function body."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len).astype("int64")
+            sample_rate = 8000 * (1 + (n_bytes % 3))
+            n_samples = n_bytes * 4
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes,
+                    "sample_rate": sample_rate,
+                    "n_samples": n_samples,
+                    "duration_us": n_samples * 1_000_000 // sample_rate,
+                }
+            )
+
+    return media.mapInPandas(decode, schema=AUDIO_META_SCHEMA)
+
+
+def sample_video_frames(media: DataFrame) -> DataFrame:
+    """Frame sampling: one output row per sampled frame (every
+    ``FRAME_SAMPLE_STRIDE``-th of a stubbed ``n_frames`` count) — the
+    1→N row-expansion shape a real keyframe extractor has. mapInPandas
+    so the expansion happens inside the Arrow batch, never on the
+    driver; output partitioning inherits the input split layout."""
+
+    stride = FRAME_SAMPLE_STRIDE
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len).astype("int64")
+            n_frames = 1 + (n_bytes % 24)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes,
+                    "n_frames": n_frames,
+                }
+            )
+            out = out.loc[out.index.repeat((n_frames + stride - 1) // stride)]
+            out["frame_idx"] = out.groupby(level=0).cumcount() * stride
+            out["frame_offset"] = out["frame_idx"] * (
+                out["n_bytes"] // out["n_frames"]
+            )
+            yield out.reset_index(drop=True)
+
+    return media.mapInPandas(sample, schema=VIDEO_FRAMES_SCHEMA)
+
+
 def decode_image_real(media: DataFrame) -> DataFrame:
     """Real decoder slot — requires an image codec (PIL etc.), which
     this container does not ship."""

@@ -110,6 +110,70 @@ def ann_lsh_topk(
     )
 
 
+IVF_CENTROID_MOD = 37  # ~n/37 coarse centroids; tune to sqrt(n) at scale
+IVF_NPROBE = 2
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus to its nearest centroid
+    (centroids = a deterministic hash-sample of the corpus itself), then
+    answer each query by exact rerank inside its ``IVF_NPROBE`` closest
+    centroid cells.
+
+    Plan shape at scale: the centroid table is tiny and broadcast twice
+    (assignment pass + query probe); the corpus is scanned once to build
+    the cell assignment, and the candidate join is an equi-join on
+    centroid_id — no cross product against the corpus. Recall < 1 by
+    construction → rows-only correctness check, like the LSH variant.
+    """
+    centroids = embeddings.filter(
+        F.col("vec_id") % IVF_CENTROID_MOD == 0
+    ).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+
+    def assign(df: DataFrame, id_out: str, keep_rank: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(centroids)).select(
+            df["*"],
+            "centroid_id",
+            cosine_similarity(F.col("embedding"), F.col("c_emb")).alias("c_cos"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("c_cos"), F.asc("centroid_id")
+        )
+        return (
+            scored.withColumn("c_rnk", F.row_number().over(w))
+            .filter(F.col("c_rnk") <= keep_rank)
+            .select(df["*"], F.col("centroid_id").alias(id_out))
+        )
+
+    corpus = assign(embeddings, "cell", 1)
+    queries = assign(
+        embeddings.filter(F.col("vec_id").isin(query_ids)), "cell", IVF_NPROBE
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "cell",
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cos", "rnk")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.45
 ) -> DataFrame:

@@ -57,6 +57,43 @@ def tokenize(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+def ngrams(
+    documents: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Word n-grams per document: (doc_id, ngram) with document order
+    preserved inside each gram.
+
+    Pure higher-order functions — build the normalized token array once,
+    then ``transform(sequence(...))`` materializes each window as a
+    space-joined string; no UDF, no shuffle until whatever aggregation
+    follows. Documents with fewer than ``n`` tokens produce no rows.
+    """
+    from wikipedia_data_pipeline_spark.sources.tables import fan_out
+
+    toks = F.filter(
+        F.transform(
+            F.split(F.col(text_col), TOKEN_DELIMITER),
+            lambda w: F.lower(F.regexp_replace(w, NORMALIZE_PATTERN, "")),
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("toks")) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("toks"), i + j) for j in range(n)]
+        ),
+    )
+    return (
+        fan_out(documents)
+        .select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+        .filter(F.size("toks") >= n)
+        .select("doc_id", F.explode(grams).alias("ngram"))
+    )
+
+
 def parse_wiki_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
     """Parse the reference's raw corpus format: one pseudo-XML doc per line.
 

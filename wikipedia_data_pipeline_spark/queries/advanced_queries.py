@@ -1,0 +1,337 @@
+"""Advanced relational operators (SURVEY.md §2.3-2.7 "absent but
+in-scope" completion): range/interval join, collect_list/collect_set,
+GROUPING SETS, distribution window functions, correlated scalar
+subquery, HAVING + IN-subquery, sliding event-time windows, and the
+higher-order array-function family over embeddings.
+
+Everything is DataFrame/SQL built-ins — Catalyst plans it all. The
+determinism conventions from the registry docstring apply (decimal-
+routed double sums, total sort orders, BIGINT counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from wikipedia_data_pipeline_spark.functions import dec_sum, sql_dec_sum, ts_us
+from wikipedia_data_pipeline_spark.registry import register
+from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# range / interval join
+# ---------------------------------------------------------------------------
+
+# Literal calendar periods — a tiny interval dimension; half-open ranges.
+PERIODS = [
+    ("1995H2", "1995-07-01", "1996-01-01"),
+    ("1996H1", "1996-01-01", "1996-07-01"),
+    ("1996H2", "1996-07-01", "1997-01-01"),
+    ("1997H1", "1997-01-01", "1997-07-01"),
+    ("1997H2", "1997-07-01", "1998-01-01"),
+]
+
+_PERIODS_SQL = ",\n  ".join(
+    f"('{p}', TIMESTAMP '{s}', TIMESTAMP '{e}')" for p, s, e in PERIODS
+)
+
+
+@register(
+    "join_range_periods",
+    oracle=f"""
+WITH periods(period, p_start, p_end) AS (VALUES
+  {_PERIODS_SQL})
+SELECT period, count(*) AS n_orders,
+       {sql_dec_sum('o_totalprice', 'total_price')}
+FROM orders JOIN periods
+  ON o_orderdate >= p_start AND o_orderdate < p_end
+GROUP BY period
+""",
+)
+def join_range_periods(spark, sf_dir):
+    """Range (interval containment) join: orders against a calendar-period
+    dimension via non-equi BETWEEN predicates. The period side is tiny at
+    any scale, so this broadcasts to a nested-loop probe that is O(rows ×
+    periods) and fully parallel — no shuffle of the fact side at all."""
+    o = load_table(spark, sf_dir, "orders")
+    periods = spark.createDataFrame(
+        [(p, f"{s} 00:00:00", f"{e} 00:00:00") for p, s, e in PERIODS],
+        "period string, p_start string, p_end string",
+    ).select(
+        "period",
+        F.col("p_start").cast("timestamp").alias("p_start"),
+        F.col("p_end").cast("timestamp").alias("p_end"),
+    )
+    cond = (F.col("o_orderdate") >= F.col("p_start")) & (
+        F.col("o_orderdate") < F.col("p_end")
+    )
+    return (
+        o.join(F.broadcast(periods), cond)
+        .groupBy("period")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dec_sum("o_totalprice", "total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# collect_list / collect_set
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_collect_sets",
+    oracle="""
+SELECT c_nationkey,
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+       CAST(len(list(DISTINCT c_mktsegment)) AS BIGINT) AS n_segments,
+       array_to_string(list_sort(list(c_mktsegment)), ',') AS segment_events
+FROM customer GROUP BY c_nationkey
+""",
+)
+def agg_collect_sets(spark, sf_dir):
+    """collect_set / collect_list group aggregates. Both are unordered in
+    both engines, so results are sorted before render and serialized to
+    strings for an exact cross-engine compare."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias(
+            "segments"
+        ),
+        F.size(F.collect_set("c_mktsegment")).cast("long").alias("n_segments"),
+        F.array_join(F.array_sort(F.collect_list("c_mktsegment")), ",").alias(
+            "segment_events"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       {sql_dec_sum('l_quantity', 'sum_qty')},
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+         AS grouping_id
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (not derivable from rollup/cube alone) with
+    grouping_id disambiguation of the NULL produced by each set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("wdp_gs_lineitem")
+    return spark.sql(
+        """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+         AS grouping_id
+FROM wdp_gs_lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# distribution window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_ntile_dist",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       first_value(c_acctbal) OVER w AS seg_min_bal,
+       nth_value(c_acctbal, 2) OVER
+         (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS seg_second_bal
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+)
+def window_ntile_dist(spark, sf_dir):
+    """ntile / percent_rank / cume_dist / first_value / nth_value with an
+    explicit full-partition frame for nth_value (default frame would stop
+    at CURRENT ROW). Total order (acctbal, custkey) makes ntile's
+    positional bucketing deterministic."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("c_acctbal").over(w).alias("seg_min_bal"),
+        F.nth_value("c_acctbal", 2).over(w_full).alias("seg_second_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# subqueries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "subquery_above_brand_avg",
+    oracle="""
+SELECT p_partkey, p_brand, p_retailprice FROM part p
+WHERE p_retailprice > (
+  SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,6))) AS DOUBLE)
+           / count(*)
+  FROM part p2 WHERE p2.p_brand = p.p_brand)
+""",
+)
+def subquery_above_brand_avg(spark, sf_dir):
+    """Correlated scalar subquery: parts priced above their brand's
+    average. Catalyst decorrelates this to an aggregate + join — the plan
+    has no per-row re-execution (unlike the reference's per-row idf.csv
+    re-scan, TF_IDFWorker.java:32)."""
+    p = load_table(spark, sf_dir, "part")
+    p.createOrReplaceTempView("wdp_sq_part")
+    return spark.sql(
+        """
+SELECT p_partkey, p_brand, p_retailprice FROM wdp_sq_part p
+WHERE p_retailprice > (
+  SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,6))) AS DOUBLE)
+           / count(*)
+  FROM wdp_sq_part p2 WHERE p2.p_brand = p.p_brand)
+"""
+    )
+
+
+@register(
+    "having_in_subquery",
+    oracle="""
+SELECT c_name, o_orderkey, o_totalprice
+FROM customer JOIN orders ON c_custkey = o_custkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 150)
+""",
+)
+def having_in_subquery(spark, sf_dir):
+    """TPC-H Q18 shape: grouped HAVING filter feeding an IN-subquery
+    (planned as a left-semi join on the aggregated side)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dec_sum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sliding event-time windows (batch twin of streaming sliding agg)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_sliding_window",
+    oracle=f"""
+SELECT ws, event_type, count(*) AS n_events,
+       {sql_dec_sum('value', 'total_value')}
+FROM (
+  SELECT (epoch_us(ts) // 1800000000) * 1800 AS ws, event_type, value
+  FROM events
+  UNION ALL
+  SELECT ((epoch_us(ts) // 1800000000) - 1) * 1800 AS ws, event_type, value
+  FROM events
+) GROUP BY ws, event_type
+""",
+)
+def events_sliding_window(spark, sf_dir):
+    """Sliding windows (1 h size, 30 min slide) via F.window — each event
+    lands in exactly 2 overlapping windows. The oracle states the same
+    semantics as a 2-way self-union on aligned bucket starts."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("event_time", F.timestamp_micros(ts_us()))
+        .groupBy(
+            F.window("event_time", "1 hour", "30 minutes").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum("value", "total_value"),
+        )
+        .select(
+            F.col("win.start").cast("long").alias("ws"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# higher-order array functions over embeddings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_array_funcs",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       CAST(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+            AS DOUBLE) AS max_v,
+       CAST(list_min(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+            AS DOUBLE) AS min_v,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+       list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS sum_v,
+       list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sum_sq,
+       CAST(embedding[1] AS DOUBLE) AS first_v,
+       list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)))
+         AS head_sum
+FROM embeddings
+""",
+)
+def scalar_array_funcs(spark, sf_dir):
+    """Higher-order array family over array<float>: transform, filter,
+    aggregate (fold), element_at, slice, array_min/max, size — all
+    JVM-side expressions, no UDF. Array folds are per-row with a fixed
+    left-to-right order in both engines (unlike cross-row double sums),
+    so plain double accumulation is bit-identical to DuckDB's
+    list_sum — same property the cosine queries rely on."""
+    emb = F.col("embedding")
+    as_double = F.transform(emb, lambda x: x.cast("double"))
+
+    def fold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size(emb).cast("long").alias("dim"),
+        F.array_max(as_double).alias("max_v"),
+        F.array_min(as_double).alias("min_v"),
+        F.size(F.filter(emb, lambda x: x > 0)).cast("long").alias("n_pos"),
+        fold(as_double).alias("sum_v"),
+        fold(F.transform(as_double, lambda x: x * x)).alias("sum_sq"),
+        F.element_at(emb, 1).cast("double").alias("first_v"),
+        fold(F.transform(F.slice(emb, 1, 8), lambda x: x.cast("double"))).alias(
+            "head_sum"
+        ),
+    )

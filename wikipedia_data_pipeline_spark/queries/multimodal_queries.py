@@ -31,6 +31,45 @@ def multimodal_image_meta(spark, sf_dir):
 
 
 @register(
+    "multimodal_audio_meta",
+    oracle="""
+WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents)
+SELECT doc_id, n_bytes,
+       8000 * (1 + (n_bytes % 3)) AS sample_rate,
+       n_bytes * 4 AS n_samples,
+       (n_bytes * 4 * 1000000) // (8000 * (1 + (n_bytes % 3))) AS duration_us
+FROM m
+""",
+)
+def multimodal_audio_meta(spark, sf_dir):
+    """Audio decode stub via mapInPandas: deterministic sample-rate /
+    duration metadata from the payload bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.decode_audio_meta(MM.attach_binary_payload(docs))
+
+
+@register(
+    "multimodal_video_framesample",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+         1 + (octet_length(encode(text)) % 24) AS n_frames
+  FROM documents
+)
+SELECT doc_id, n_bytes, n_frames,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(f AS BIGINT) * (n_bytes // n_frames) AS frame_offset
+FROM m, unnest(generate_series(0, n_frames - 1, {MM.FRAME_SAMPLE_STRIDE})) AS u(f)
+""",
+)
+def multimodal_video_framesample(spark, sf_dir):
+    """Video frame sampling stub: 1→N row expansion inside mapInPandas
+    (every 4th frame), exact-checkable against generate_series."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.sample_video_frames(MM.attach_binary_payload(docs))
+
+
+@register(
     "udf_pandas_token_count",
     oracle="SELECT doc_id, len(string_split(text, ' '))::BIGINT AS ws_tokens FROM documents",
 )

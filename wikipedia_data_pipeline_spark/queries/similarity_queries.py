@@ -60,6 +60,14 @@ def ann_cosine_topk_lsh(spark, sf_dir):
     )
 
 
+@register("ann_cosine_topk_ivf")  # approximate → rows-only check
+def ann_cosine_topk_ivf(spark, sf_dir):
+    """IVF-bucketed ANN: nearest-centroid cells + nprobe=2 exact rerank."""
+    return S.ann_ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), QUERY_IDS, TOP_K
+    )
+
+
 @register(
     "embedding_near_dup",
     oracle=f"""

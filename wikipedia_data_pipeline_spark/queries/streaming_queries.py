@@ -30,6 +30,16 @@ def streaming_hourly_rollup(spark, sf_dir):
 
 
 @register(
+    "streaming_dedup_watermark",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+)
+def streaming_dedup_watermark(spark, sf_dir):
+    """dropDuplicatesWithinWatermark over a self-unioned stream (every
+    event duplicated) — must reproduce the original table exactly."""
+    return P.run_dedup_within_watermark(spark, sf_dir)
+
+
+@register(
     "streaming_stateful_user_stats",
     oracle="""
 SELECT user_id, count(*) AS n_events,

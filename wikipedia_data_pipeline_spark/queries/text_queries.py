@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
+from wikipedia_data_pipeline_spark.operators import text as T
 from wikipedia_data_pipeline_spark.operators import textstats as TS
 from wikipedia_data_pipeline_spark.registry import register
 from wikipedia_data_pipeline_spark.sources.tables import load_table
@@ -94,4 +97,33 @@ def text_fingerprints(spark, sf_dir):
     """Order-sensitive positional fingerprint (mod 2^31-1)."""
     return TS.fingerprints(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "fingerprint"
+    )
+
+
+@register(
+    "text_trigram_counts",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, ' '),
+                     x -> lower(regexp_replace(x, '[^a-zA-Z]', '', 'g'))),
+                     w -> length(w) > 0) AS ws
+  FROM documents
+)
+SELECT doc_id, ngram, count(*) AS n
+FROM (
+  SELECT doc_id, concat_ws(' ', ws[g], ws[g+1], ws[g+2]) AS ngram
+  FROM t, unnest(generate_series(1, len(ws) - 2)) AS u(g)
+  WHERE len(ws) >= 3
+) GROUP BY doc_id, ngram
+""",
+)
+def text_trigram_counts(spark, sf_dir):
+    """Word 3-gram generation (order-preserving, pure higher-order
+    functions) + per-doc gram counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        T.ngrams(docs, n=3)
+        .groupBy("doc_id", "ngram")
+        .agg(F.count("*").alias("n"))
     )

@@ -61,6 +61,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from wikipedia_data_pipeline_spark.queries import (  # noqa: F401
+        advanced_queries,
         dedup_queries,
         multimodal_queries,
         relational_queries,

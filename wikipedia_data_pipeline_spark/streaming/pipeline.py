@@ -118,6 +118,27 @@ def windowed_counts_watermarked(events_ts: DataFrame) -> DataFrame:
     )
 
 
+def run_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: the event stream unioned with itself (every row
+    arrives exactly twice) then ``dropDuplicatesWithinWatermark`` on
+    event_id — the scale-path dedup that keeps only a watermark-bounded
+    window of keys in state instead of all keys ever seen. Output must
+    equal the original table exactly (each duplicate pair lands well
+    inside the 1-hour watermark), so the batch oracle is just SELECT *.
+    """
+    events = read_events_stream(spark, sf_dir)
+    doubled = events.union(events).withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    deduped = (
+        doubled.withWatermark("event_time", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    _run_to_memory(deduped, "wdp_stream_dedup", "append")
+    return spark.table("wdp_stream_dedup")
+
+
 STATE_SCHEMA = StructType([StructField("n", LongType())])
 USER_STATS_SCHEMA = StructType(
     [
