@@ -60,16 +60,14 @@ def main() -> None:
 
     queries = registry.spark_queries()
 
-    # Warm-up: run every headline plan once at the smallest SF so JVM
-    # codegen compilation and Python/Arrow worker startup don't land in
-    # the first timed query. Steady-state is what a long-lived cluster
-    # sees; one-time startup is not a per-query property.
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
-        for name in HEADLINE:
-            queries[name](spark, warm_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+    # Warm-up: run every headline plan once at the TARGET SF so JVM/JIT
+    # codegen compilation, Python/Arrow worker startup, and page cache
+    # don't land in the timed run. Steady-state is what a long-lived
+    # cluster sees; one-time startup is not a per-query property.
+    for name in HEADLINE:
+        queries[name](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -182,9 +182,17 @@ def verify_pairs_jaccard(
 
 
 def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline with exact verification."""
-    sh = shingles(documents)
-    sigs = minhash_signatures(sh)
+    """Full MinHash-LSH near-dup pipeline with exact verification.
+
+    ``sh`` and ``sigs`` are persisted: the plan references the shingle
+    set three times (signature input + both sides of the verify join)
+    and the signatures twice (both sides of the bucket self-join), and
+    Spark does no cross-subtree CSE — uncached, the pandas-UDF minhash
+    would run twice and the shingling three times. At cluster scale the
+    same role is played by checkpointing signatures to parquet between
+    the signature and join stages."""
+    sh = shingles(documents).persist()
+    sigs = minhash_signatures(sh).persist()
     cands = lsh_candidate_pairs(sigs)
     return verify_pairs_jaccard(cands, sh, threshold)
 
@@ -192,7 +200,7 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
 def brute_force_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
     """All-pairs n-gram Jaccard (the exact path; O(n²) — test scale /
     final verify only)."""
-    sh = shingles(documents)
+    sh = shingles(documents).persist()  # referenced by both join sides
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     return (
@@ -277,8 +285,10 @@ def simhash_candidate_pairs(signed: DataFrame) -> DataFrame:
 
 
 def simhash_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """SimHash-blocked near-dup pairs with exact-Jaccard verification."""
-    sh = shingles(documents)
-    signed = simhash_signatures(sh)
+    """SimHash-blocked near-dup pairs with exact-Jaccard verification.
+    Persisted intermediates for the same multi-reference reason as
+    ``minhash_lsh_pairs``."""
+    sh = shingles(documents).persist()
+    signed = simhash_signatures(sh).persist()
     cands = simhash_candidate_pairs(signed)
     return verify_pairs_jaccard(cands, sh, threshold)

@@ -49,15 +49,21 @@ def doc_term_counts(documents: DataFrame) -> DataFrame:
     )
 
 
-def doc_tf(documents: DataFrame, cap: int = PER_DOC_VOCAB_CAP) -> DataFrame:
+def doc_tf(
+    documents: DataFrame,
+    cap: int = PER_DOC_VOCAB_CAP,
+    counts: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, word, count, tf) with the per-doc top-K cap and TF>0 filter.
 
     The raw-token denominator joins back onto the counts by doc_id; Spark
     plans this doc_id-keyed join alongside the agg shuffle, and at scale
     both sides are co-partitioned on doc_id so the join is shuffle-free
-    after the agg.
+    after the agg. ``counts`` lets a caller share one (possibly persisted)
+    ``doc_term_counts`` relation across the TF and IDF branches.
     """
-    counts = doc_term_counts(documents)
+    if counts is None:
+        counts = doc_term_counts(documents)
     denom = with_raw_token_count(documents).select("doc_id", "raw_token_count")
     w = Window.partitionBy("doc_id").orderBy(F.desc("count"), F.asc("word"))
     return (
@@ -71,22 +77,21 @@ def doc_tf(documents: DataFrame, cap: int = PER_DOC_VOCAB_CAP) -> DataFrame:
     )
 
 
-def idf(documents: DataFrame) -> DataFrame:
+def idf(documents: DataFrame, counts: DataFrame | None = None) -> DataFrame:
     """(word, idf) — document frequency → round(log10(N/df), 2), keep > 0.
 
     Document frequency is derived from ``doc_term_counts`` (whose keys
     are already distinct per (doc_id, word)) instead of a separate
-    tokenize→distinct: when the same program also computes TF, both
-    sides then hang off ONE (doc_id, word) shuffle exchange and Spark's
-    ReusedExchange evaluates the scan + tokenize + partial agg once.
+    tokenize→distinct. ``counts`` lets ``tfidf`` pass one persisted
+    relation so the tokenize+agg runs once for both TF and IDF.
 
     N (total docs) is computed as a 1-row aggregate and cross-joined
     (broadcast, free) rather than collected driver-side, so the whole
     program stays one lazy plan.
     """
-    df_counts = (
-        doc_term_counts(documents).groupBy("word").agg(F.count("*").alias("df"))
-    )
+    if counts is None:
+        counts = doc_term_counts(documents)
+    df_counts = counts.groupBy("word").agg(F.count("*").alias("df"))
     n_docs = documents.select(F.count("*").alias("n_docs"))
     return (
         df_counts.crossJoin(F.broadcast(n_docs))
@@ -103,10 +108,17 @@ def tfidf(documents: DataFrame) -> DataFrame:
 
     Broadcast inner join on word (J1): doc words whose IDF rounds to ≤ 0
     drop out, exactly as in the reference's inner nested-loop join.
+
+    The (doc_id, word) counts feed both the TF branch and the IDF
+    branch; a pushed-down join-key null filter makes the two subtrees
+    non-identical, so Spark's ReusedExchange does NOT unify them —
+    persist the counts once instead (the cluster-scale equivalent is
+    checkpointing the term-count relation between stages).
     """
+    counts = doc_term_counts(documents).persist()
     return (
-        doc_tf(documents)
-        .join(F.broadcast(idf(documents)), "word", "inner")
+        doc_tf(documents, counts=counts)
+        .join(F.broadcast(idf(documents, counts=counts)), "word", "inner")
         .withColumn("tf_idf", F.round(F.col("tf") * F.col("idf"), 2))
         .select("doc_id", "word", "count", "tf", "tf_idf")
     )
