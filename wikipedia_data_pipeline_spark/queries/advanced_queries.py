@@ -15,6 +15,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from wikipedia_data_pipeline_spark.functions import dec_sum, sql_dec_sum, ts_us
+from wikipedia_data_pipeline_spark.queries.relational_queries import SESSION_GAP_US
 from wikipedia_data_pipeline_spark.registry import register
 from wikipedia_data_pipeline_spark.sources.tables import load_table
 
@@ -280,6 +281,57 @@ def events_sliding_window(spark, sf_dir):
             "event_type",
             "n_events",
             "total_value",
+        )
+    )
+
+
+@register(
+    "events_session_window",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts)) AS prev_t
+  FROM events
+),
+flagged AS (
+  SELECT user_id, t,
+         CASE WHEN prev_t IS NULL OR t - prev_t >= {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, t,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, min(t) AS session_start_us,
+       max(t) + {SESSION_GAP_US} AS session_end_us,
+       count(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+""",
+)
+def events_session_window(spark, sf_dir):
+    """Native session_window (gap-merged event-time sessions) in batch
+    mode. Spark starts a NEW session when the inter-event gap is >= the
+    window gap (windows merge only on strict overlap), and a session's
+    end is last-event + gap — the oracle restates exactly that as
+    gaps-and-islands SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("event_time", F.timestamp_micros(ts_us()))
+        .groupBy(
+            "user_id",
+            F.session_window("event_time", "30 minutes").alias("sw"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            F.unix_micros("sw.end").alias("session_end_us"),
+            "n_events",
         )
     )
 

@@ -30,6 +30,25 @@ def streaming_hourly_rollup(spark, sf_dir):
 
 
 @register(
+    "streaming_sliding_rollup",
+    oracle=f"""
+SELECT ws, event_type, count(*) AS n_events,
+       {sql_dec_sum('value', 'total_value')}
+FROM (
+  SELECT (epoch_us(ts) // 1800000000) * 1800 AS ws, event_type, value
+  FROM events
+  UNION ALL
+  SELECT ((epoch_us(ts) // 1800000000) - 1) * 1800 AS ws, event_type, value
+  FROM events
+) GROUP BY ws, event_type
+""",
+)
+def streaming_sliding_rollup(spark, sf_dir):
+    """Sliding-window (1h/30min) streaming agg; equals the batch twin."""
+    return P.run_sliding_rollup(spark, sf_dir)
+
+
+@register(
     "streaming_dedup_watermark",
     oracle="SELECT event_id, user_id, event_type, value FROM events",
 )

@@ -118,6 +118,36 @@ def windowed_counts_watermarked(events_ts: DataFrame) -> DataFrame:
     )
 
 
+def run_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming agg (1 h window, 30 min slide): each
+    event contributes to 2 overlapping windows. Complete-mode memory
+    sink; must equal the batch events_sliding_window query."""
+    events = read_events_stream(spark, sf_dir)
+    result = (
+        events.withColumn(
+            "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+        .groupBy(
+            F.window("event_time", "1 hour", "30 minutes").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("win.start").cast("long").alias("ws"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    _run_to_memory(result, "wdp_stream_sliding", "complete")
+    return spark.table("wdp_stream_sliding")
+
+
 def run_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup: the event stream unioned with itself (every row
     arrives exactly twice) then ``dropDuplicatesWithinWatermark`` on
