@@ -1,5 +1,7 @@
 """Streaming query registrations (streaming.pipeline).
 
+Session-gap constant mirrors queries.relational_queries.SESSION_GAP_US.
+
 Each callable runs a real Structured Streaming job (availableNow
 trigger → memory sink) to completion and returns the result table, so
 the driver's oracle compare checks stream/batch parity: the oracle is
@@ -46,6 +48,40 @@ FROM (
 def streaming_sliding_rollup(spark, sf_dir):
     """Sliding-window (1h/30min) streaming agg; equals the batch twin."""
     return P.run_sliding_rollup(spark, sf_dir)
+
+
+@register(
+    "streaming_session_window",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts)) AS prev_t
+  FROM events
+),
+flagged AS (
+  SELECT user_id, t,
+         CASE WHEN prev_t IS NULL OR t - prev_t >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, t,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, min(t) AS session_start_us,
+       max(t) + 1800000000 AS session_end_us,
+       count(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+""",
+)
+def streaming_session_window(spark, sf_dir):
+    """Streaming session_window (complete mode); equals the batch
+    gaps-and-islands sessionization exactly."""
+    return P.run_session_window(spark, sf_dir)
 
 
 @register(

@@ -148,6 +148,32 @@ def run_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("wdp_stream_sliding")
 
 
+def run_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-merged session windows (30 min inactivity), complete
+    mode — session state merges across micro-batches; with an
+    availableNow run the final table equals the batch session_window
+    query exactly, so the same gaps-and-islands SQL oracle applies."""
+    events = read_events_stream(spark, sf_dir)
+    result = (
+        events.withColumn(
+            "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+        .groupBy(
+            "user_id",
+            F.session_window("event_time", "30 minutes").alias("sw"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            F.unix_micros("sw.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+    _run_to_memory(result, "wdp_stream_sessions", "complete")
+    return spark.table("wdp_stream_sessions")
+
+
 def run_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup: the event stream unioned with itself (every row
     arrives exactly twice) then ``dropDuplicatesWithinWatermark`` on
