@@ -1,0 +1,5 @@
+from wikipedia_data_pipeline_spark.plans.inspect import (  # noqa: F401
+    PlanSummary,
+    executed_plan,
+    plan_summary,
+)

@@ -336,6 +336,48 @@ def events_session_window(spark, sf_dir):
     )
 
 
+@register(
+    "scalar_map_struct_funcs",
+    oracle="""
+SELECT event_id,
+       event_type AS et_from_map,
+       CAST(user_id AS VARCHAR) AS uid_from_map,
+       2 AS n_entries,
+       'et,uid' AS map_keys_sorted,
+       event_type AS et_from_struct,
+       value AS value_from_struct,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed
+FROM events
+""",
+)
+def scalar_map_struct_funcs(spark, sf_dir):
+    """Map/struct construction + field access and a typed from_json
+    parse. The oracle states the identities the round-trips must
+    satisfy (build map/struct → extract == original column), which
+    DuckDB can assert without sharing Spark's container types."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("et"),
+        F.col("event_type"),
+        F.lit("uid"),
+        F.col("user_id").cast("string"),
+    )
+    s = F.struct(
+        F.col("event_type").alias("et"), F.col("value").alias("v")
+    )
+    parsed = F.from_json(F.col("props"), "k bigint")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "et").alias("et_from_map"),
+        F.element_at(m, "uid").alias("uid_from_map"),
+        F.size(m).alias("n_entries"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("map_keys_sorted"),
+        s.getField("et").alias("et_from_struct"),
+        s.getField("v").alias("value_from_struct"),
+        parsed.getField("k").alias("k_typed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # higher-order array functions over embeddings
 # ---------------------------------------------------------------------------
