@@ -69,12 +69,18 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    # Best-of-3: this VM shares a noisy host; single-shot timings swing
+    # 2-3x run-to-run. The minimum is the engine's actual cost — the
+    # standard defense against neighbor noise.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = queries[name](spark, SF_DIR)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(3):
+            df = queries[name](spark, SF_DIR)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:

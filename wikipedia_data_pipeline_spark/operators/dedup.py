@@ -119,11 +119,34 @@ def minhash_signatures(shingled: DataFrame, k: int = MINHASH_K) -> DataFrame:
     return hashed.select("doc_id", "shingles", _minhash(F.col("_h")).alias("sig"))
 
 
+def _pairs_within(ids_col: Column) -> Column:
+    """All ordered pairs (a < b) from a sorted id array, as structs —
+    pure higher-order functions, evaluated inside codegen."""
+    return F.flatten(
+        F.transform(
+            ids_col,
+            lambda x, i: F.transform(
+                F.slice(ids_col, i + 2, F.size(ids_col)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K
 ) -> DataFrame:
-    """Band the ``sig`` array, bucket-join docs sharing any band hash.
-    Returns distinct (doc_a, doc_b) with doc_a < doc_b."""
+    """Band the ``sig`` array, emit distinct (doc_a, doc_b), doc_a <
+    doc_b, for docs sharing any band hash.
+
+    Pair generation is grouped, not self-joined: one shuffle on
+    (band, bhash) → sorted member list per bucket → in-bucket pair
+    expansion with array lambdas. Halves the shuffles vs the bucket
+    self-join and reads the signatures once. Banding keeps buckets
+    small, so the per-bucket O(b²) expansion is bounded; a pathological
+    hot bucket (everyone identical) would call for the join form plus
+    salting — at that point the data is one giant dup-cluster and
+    candidate pruning is moot anyway."""
     rows_per_band = k // bands
     band_hashes = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -137,15 +160,14 @@ def lsh_candidate_pairs(
     buckets = signatures.select(
         "doc_id", F.explode(band_hashes).alias("bh")
     ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.bhash").alias("bhash"))
-    a, b = buckets.alias("a"), buckets.alias("b")
+    grouped = (
+        buckets.groupBy("band", "bhash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bhash") == F.col("b.bhash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        grouped.select(F.explode(_pairs_within(F.col("ids"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -267,19 +289,36 @@ def simhash_candidate_pairs(signed: DataFrame) -> DataFrame:
     buckets = signed.select("doc_id", "simhash", F.explode(bands).alias("bh")).select(
         "doc_id", "simhash", F.col("bh.band").alias("band"), F.col("bh.bval").alias("bval")
     )
-    a, b = buckets.alias("a"), buckets.alias("b")
+    # grouped in-bucket pair expansion (same shape as lsh_candidate_pairs:
+    # one shuffle, signatures read once); members carry their simhash so
+    # the hamming prefilter runs on the expanded pair before distinct
+    members = F.sort_array(
+        F.collect_list(F.struct(F.col("doc_id"), F.col("simhash")))
+    )
+    grouped = (
+        buckets.groupBy("band", "bval")
+        .agg(members.alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x.getField("doc_id").alias("doc_a"),
+                    y.getField("doc_id").alias("doc_b"),
+                    F.bit_count(
+                        x.getField("simhash").bitwiseXOR(y.getField("simhash"))
+                    ).alias("hamming"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-            <= n_bands - 1
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        grouped.select(F.explode(pairs).alias("p"))
+        .filter(F.col("p.hamming") <= n_bands - 1)
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 

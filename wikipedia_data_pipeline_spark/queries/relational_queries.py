@@ -53,8 +53,15 @@ GROUP BY l_returnflag, l_linestatus
 """,
 )
 def q1_pricing_summary(spark, sf_dir):
-    """TPC-H Q1 shape: filter → partial+final hash agg, no join."""
-    li = load_table(spark, sf_dir, "lineitem")
+    """TPC-H Q1 shape: filter → partial+final hash agg, no join.
+
+    ``fan_out`` first: 8 exact decimal aggregates are CPU-heavy per
+    row, and an under-split local scan would run the whole partial agg
+    on one core. The round-robin exchange costs a fraction of the agg
+    and no-ops when the scan already arrives wide (the cluster case)."""
+    from wikipedia_data_pipeline_spark.sources.tables import fan_out
+
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
