@@ -103,6 +103,20 @@ def test_range_join_covers_window(spark, sf_dir):
     assert per_period.agg(F.sum("n_orders").alias("s")).first().s == in_range
 
 
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting must be a pure physical rewrite: identical rows out."""
+    from wikipedia_data_pipeline_spark.operators.skew import salted_join
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    salted = salted_join(o, c, "o_custkey", "c_custkey", num_salts=8)
+    plain = o.join(c, o.o_custkey == c.c_custkey)
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
 def test_streaming_dedup_watermark_roundtrip(spark, sf_dir):
     """Self-unioned stream deduped on event_id == the original table."""
     from wikipedia_data_pipeline_spark.sources.tables import load_table

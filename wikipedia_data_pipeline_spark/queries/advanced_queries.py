@@ -242,6 +242,123 @@ def having_in_subquery(spark, sf_dir):
     )
 
 
+@register(
+    "q7_nation_volume",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       {sql_dec_sum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+""",
+)
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: two aliases of the same dim (nation) with a
+    disjunctive cross-dim predicate; both alias sides broadcast."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(month(l_shipdate) AS BIGINT) AS l_month,
+       CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                ELSE 0 END) AS DOUBLE) AS promo_revenue,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY year(l_shipdate), month(l_shipdate)
+""",
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional (CASE-guarded) aggregation over a
+    broadcast fact-dim join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            F.month("l_shipdate").cast("long").alias("l_month"),
+        )
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(disc).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q16_brand_supplier_cnt",
+    oracle="""
+SELECT p_brand, p_size, count(DISTINCT s_suppkey) AS supplier_cnt
+FROM part
+JOIN supplier ON s_nationkey = p_partkey % 25
+WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'
+GROUP BY p_brand, p_size
+""",
+)
+def q16_brand_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape (adapted: the testdata has no partsupp table, so
+    the part→supplier association goes through a derived key): <> and
+    NOT-LIKE anti-predicates + grouped count(DISTINCT)."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45") & ~F.col("p_type").like("MEDIUM%")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        p.join(F.broadcast(s), (p.p_partkey % 25) == s.s_nationkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("s_suppkey").alias("supplier_cnt"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # sliding event-time windows (batch twin of streaming sliding agg)
 # ---------------------------------------------------------------------------
@@ -375,6 +492,34 @@ def scalar_map_struct_funcs(spark, sf_dir):
         s.getField("et").alias("et_from_struct"),
         s.getField("v").alias("value_from_struct"),
         parsed.getField("k").alias("k_typed"),
+    )
+
+
+@register(
+    "scalar_variant_funcs",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_variant,
+       CAST(json_extract(props, '$.k') AS DOUBLE) AS k_as_double,
+       CAST(json_extract(props, '$.missing') AS BIGINT) AS k_missing,
+       json_valid(props) AS is_valid_json
+FROM events
+""",
+)
+def scalar_variant_funcs(spark, sf_dir):
+    """Spark 4 VARIANT path for semi-structured data: parse_json once,
+    then typed variant_get extraction — the open-schema alternative to
+    from_json when the shape isn't known up front. At scale variant
+    columns shred into parquet natively, unlike repeated JSON string
+    parsing."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_variant"),
+        F.variant_get(v, "$.k", "double").alias("k_as_double"),
+        F.variant_get(v, "$.missing", "bigint").alias("k_missing"),
+        F.try_parse_json(F.col("props")).isNotNull().alias("is_valid_json"),
     )
 
 
