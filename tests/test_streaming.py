@@ -96,3 +96,31 @@ def test_watermark_append_drops_open_windows(spark):
         assert (base + dt.timedelta(hours=1), "b", 1) in rows
         # the 03:20/03:30 window is still open → must NOT be emitted
         assert not any(r[0] >= base + dt.timedelta(hours=3) for r in rows)
+
+
+def test_foreach_batch_parquet_sink(spark, sf_dir):
+    """Production sink path: foreachBatch lands each micro-batch in a
+    parquet dir (transactional per batch via the file committer); the
+    landed table must equal the source."""
+    from wikipedia_data_pipeline_spark.streaming.pipeline import (
+        read_events_stream,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "landed")
+
+        def land(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            read_events_stream(spark, sf_dir)
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        landed = spark.read.parquet(out)
+        src = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        assert landed.count() == src.count()
+        assert sorted(landed.columns) == sorted(src.columns)

@@ -181,6 +181,75 @@ def window_ntile_dist(spark, sf_dir):
     )
 
 
+@register(
+    "window_range_frame",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_15min,
+       CAST(count(*) OVER w AS BIGINT) AS n_15min
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 900000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE frame (value-based, not row-based): per user, the rolling
+    15-minute event-time window ending at each event. Unlike ROWS
+    frames, ties on the sort key are peers and always share a frame —
+    identical semantics in both engines, so exact-checkable."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us())
+        .rangeBetween(-900_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_15min"),
+        F.count("*").over(w).cast("long").alias("n_15min"),
+    )
+
+
+@register(
+    "scalar_try_funcs",
+    oracle="""
+SELECT p_partkey,
+       TRY_CAST(p_name AS DOUBLE) AS name_as_num,
+       CASE WHEN p_size = 0 THEN NULL ELSE p_retailprice / p_size END
+         AS price_per_size,
+       nullif(p_brand, 'Brand#45') AS brand_nullif,
+       coalesce(TRY_CAST(p_name AS BIGINT), -1) AS name_num_or_default,
+       TRY_CAST(substring(p_name, 1, 2) AS BIGINT) AS pfx_num
+FROM part
+""",
+)
+def scalar_try_funcs(spark, sf_dir):
+    """Null-safe error handling: try_cast / try_divide / nullif /
+    coalesce. Spark 4 runs ANSI mode by default — a malformed cast or
+    zero divide in a 100 TB scan must degrade to NULL, not kill the
+    job; the try_* family is that contract."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr("try_cast(p_name AS DOUBLE)").alias("name_as_num"),
+        F.try_divide(
+            F.col("p_retailprice"),
+            F.when(F.col("p_size") == 0, F.lit(0.0)).otherwise(
+                F.col("p_size").cast("double")
+            ),
+        ).alias("price_per_size"),
+        F.nullif(F.col("p_brand"), F.lit("Brand#45")).alias("brand_nullif"),
+        F.coalesce(
+            F.expr("try_cast(p_name AS BIGINT)"), F.lit(-1).cast("long")
+        ).alias("name_num_or_default"),
+        F.expr("try_cast(substring(p_name, 1, 2) AS BIGINT)").alias("pfx_num"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # subqueries
 # ---------------------------------------------------------------------------
