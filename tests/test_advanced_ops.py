@@ -103,6 +103,20 @@ def test_range_join_covers_window(spark, sf_dir):
     assert per_period.agg(F.sum("n_orders").alias("s")).first().s == in_range
 
 
+def test_merge_upsert_updates_and_inserts(spark):
+    """Update-wins on matched keys, plain insert on unmatched ones."""
+    from wikipedia_data_pipeline_spark.operators.upsert import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, val string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B"), (3, "C")], "id bigint, val string"
+    )
+    got = sorted(map(tuple, merge_upsert(base, updates, ["id"]).collect()))
+    assert got == [(1, "a"), (2, "B"), (3, "C")]
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     """Salting must be a pure physical rewrite: identical rows out."""
     from wikipedia_data_pipeline_spark.operators.skew import salted_join

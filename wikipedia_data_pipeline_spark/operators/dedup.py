@@ -11,12 +11,14 @@ Python in the hot path):
   * n-gram Jaccard — brute-force all-pairs (the small-data / oracle path)
 
 Scale notes (100 TB): the LSH path's only wide operations are the
-band-bucket self-join (shuffle on (band, hash) — bounded by bucket
-sizes, which the banding keeps small) and the verify join. Signatures
-are a narrow map. The brute-force path is O(n²) and exists for
-verification at test scale; LSH parameters (K=128, 32×4 bands) put the
-false-negative rate at Jaccard ≥ 0.5 below 1e-7 so LSH+verify equals
-brute force in expectation.
+band-bucket grouping (one shuffle on (band, hash) — bucket sizes
+bounded by the banding) and the verify join. Signatures are a narrow
+map. The brute-force path is O(n²) and exists for verification at test
+scale. LSH parameters (K=128, 32 bands × 4 rows) put the S-curve
+midpoint at (1/32)^(1/4) ≈ 0.42: pair-miss probability is ~13% at
+Jaccard exactly 0.5, ~1% at 0.6, < 1e-7 at 0.8+ — so LSH+verify equals
+brute force whenever real near-dups are strongly similar (the testdata
+dups are); for a tight decision boundary at 0.5, raise the band count.
 
 SimHash bit-aggregation here is 64 `aggregate` expressions per row —
 fine JVM-side at the shingle counts we see; at very large scale swap it

@@ -428,6 +428,39 @@ def q16_brand_supplier_cnt(spark, sf_dir):
     )
 
 
+@register(
+    "merge_upsert_orders",
+    oracle="""
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice * 2 AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 0
+)
+SELECT o.o_orderkey, o.o_custkey, CAST(o.o_orderdate AS DATE) AS odate,
+       coalesce(u.o_totalprice, o.o_totalprice) AS o_totalprice
+FROM orders o LEFT JOIN updates u ON o.o_orderkey = u.o_orderkey
+""",
+)
+def merge_upsert_orders(spark, sf_dir):
+    """MERGE INTO emulation (operators.upsert): a CDC batch (every 10th
+    order re-priced) applied update-wins onto the base table. The
+    oracle states the same result as a LEFT JOIN + coalesce — a
+    different formulation, so the check is formulation-independent."""
+    from wikipedia_data_pipeline_spark.operators.upsert import merge_upsert
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    return merge_upsert(o, updates, ["o_orderkey"]).select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("o_orderdate").alias("odate"),
+        "o_totalprice",
+    )
+
+
 # ---------------------------------------------------------------------------
 # sliding event-time windows (batch twin of streaming sliding agg)
 # ---------------------------------------------------------------------------
