@@ -38,6 +38,9 @@ from wikipedia_data_pipeline_spark.operators.text import tokenize, with_raw_toke
 PER_DOC_VOCAB_CAP = 20000  # DocInfo.java:39
 DICTIONARY_CAP = 5000  # Main.java:92
 TASK1_PROBE_WORDS = ["during", "and", "time", "protein", "car"]  # Main.java:99-103
+# Probe words guaranteed present in the driver testdata vocabulary, so the
+# probe query exercises a non-empty IN-set path (reference list stays above).
+CORPUS_PROBE_WORDS = ["join", "hash", "stream", "window", "dup"]
 
 
 def doc_term_counts(documents: DataFrame) -> DataFrame:

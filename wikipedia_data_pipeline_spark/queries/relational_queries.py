@@ -304,14 +304,23 @@ def join_semi_big_orders(spark, sf_dir):
     "join_anti_idle_customers",
     oracle="""
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
 """,
 )
 def join_anti_idle_customers(spark, sf_dir):
     """LEFT ANTI join (NOT EXISTS) — the Spark-native form of the
-    reference's resume-manifest check (SURVEY.md §2.1 S7/J3)."""
+    reference's resume-manifest check (SURVEY.md §2.1 S7/J3).
+
+    The probed side is restricted to URGENT orders so the result is
+    non-empty on the testdata (every customer has *some* order, so an
+    unfiltered anti-join would pass vacuously at 0 = 0 rows —
+    VERDICT.md round-1 item 3)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )

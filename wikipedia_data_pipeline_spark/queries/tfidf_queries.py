@@ -158,11 +158,40 @@ ranked AS (
 SELECT upper(word) AS word, rank, count
 FROM ranked
 WHERE rank < {T.DICTIONARY_CAP}
-  AND upper(word) IN ('DURING', 'AND', 'TIME', 'PROTEIN', 'CAR')
+  AND upper(word) IN ('JOIN', 'HASH', 'STREAM', 'WINDOW', 'DUP')
 """,
 )
 def task1_probe(spark, sf_dir):
-    """P8/J2: literal IN-set probe filter on the dictionary."""
+    """P8/J2: literal IN-set probe filter on the dictionary.
+
+    Probe words are drawn from the testdata vocabulary so the check is
+    non-vacuous (>0 rows); the reference's own literal list
+    (Main.java:99-103) is registered separately as
+    ``task1_probe_reference``."""
+    return T.task1_probe(
+        load_table(spark, sf_dir, "documents"), probe_words=T.CORPUS_PROBE_WORDS
+    )
+
+
+@register(
+    "task1_probe_reference",
+    oracle=f"""
+WITH {TOKS_CTE},
+counts AS (SELECT word, count(*) AS count FROM toks GROUP BY word),
+ranked AS (
+    SELECT word, count,
+           row_number() OVER (ORDER BY count DESC, word ASC) - 1 AS rank
+    FROM counts
+)
+SELECT upper(word) AS word, rank, count
+FROM ranked
+WHERE rank < {T.DICTIONARY_CAP}
+  AND upper(word) IN ('DURING', 'AND', 'TIME', 'PROTEIN', 'CAR')
+""",
+)
+def task1_probe_reference(spark, sf_dir):
+    """The reference's exact 5-word probe list (Main.java:99-103) —
+    empty on the synthetic corpus, kept for surface parity."""
     return T.task1_probe(load_table(spark, sf_dir, "documents"))
 
 
