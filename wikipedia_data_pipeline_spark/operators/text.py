@@ -114,3 +114,24 @@ def parse_wiki_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
             )
         ).alias("text"),
     ).filter(F.length("doc_id") > 0)
+
+
+def parse_wiki_lines_compat(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """Bit-compatible replay of the reference's parser (DocInfo.java:22-26).
+
+    ``line.split(">")[1]`` keeps everything between the first and second
+    ``>`` — i.e. the body with a dangling ``</doc`` glued to the last
+    token — then strips only COMPLETE tags (``<[^>]+>``) and trims.
+    The dangling fragment therefore survives into tokenization, which is
+    what produces the golden corpus's merged-last-token artifact
+    (``include`` + ``</doc`` → ``includedoc``, SURVEY.md §1.1,
+    TF-IDF-Docs/418298.csv:5). Use :func:`parse_wiki_lines` for clean
+    ingestion; use this only to replay golden outputs bit-for-bit.
+    """
+    c = F.col(value_col)
+    return lines.select(
+        F.regexp_extract(c, r'<doc id="([^"]*)" url="', 1).alias("doc_id"),
+        F.trim(
+            F.regexp_replace(F.split(c, ">").getItem(1), r"<[^>]+>", "")
+        ).alias("text"),
+    ).filter(F.length("doc_id") > 0)

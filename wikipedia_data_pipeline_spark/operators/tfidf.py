@@ -106,6 +106,20 @@ def idf(documents: DataFrame, counts: DataFrame | None = None) -> DataFrame:
     )
 
 
+def tfidf_join(doc_tf_rel: DataFrame, idf_rel: DataFrame) -> DataFrame:
+    """Stage C (J1): broadcast inner join + TF-IDF formula.
+
+    Factored out of :func:`tfidf` so the golden-corpus replay test can
+    drive the exact production join/formula path on reconstructed
+    ``(doc_tf, idf)`` inputs (TF_IDFWorker.java:29-46).
+    """
+    return (
+        doc_tf_rel.join(F.broadcast(idf_rel), "word", "inner")
+        .withColumn("tf_idf", F.round(F.col("tf") * F.col("idf"), 2))
+        .select("doc_id", "word", "count", "tf", "tf_idf")
+    )
+
+
 def tfidf(documents: DataFrame) -> DataFrame:
     """(doc_id, word, count, tf, tf_idf) — the golden-corpus relation.
 
@@ -119,11 +133,8 @@ def tfidf(documents: DataFrame) -> DataFrame:
     checkpointing the term-count relation between stages).
     """
     counts = doc_term_counts(documents).persist()
-    return (
-        doc_tf(documents, counts=counts)
-        .join(F.broadcast(idf(documents, counts=counts)), "word", "inner")
-        .withColumn("tf_idf", F.round(F.col("tf") * F.col("idf"), 2))
-        .select("doc_id", "word", "count", "tf", "tf_idf")
+    return tfidf_join(
+        doc_tf(documents, counts=counts), idf(documents, counts=counts)
     )
 
 
