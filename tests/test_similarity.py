@@ -73,3 +73,57 @@ def test_embedding_near_dup_threshold(spark):
         for r in S.embedding_near_dup_pairs(embeddings(spark), 0.99).collect()
     }
     assert out == {(0, 1)}
+
+
+def clustered_embeddings(spark, n_clusters=16, per_cluster=40, dim=64):
+    """Synthetic corpus with REAL neighborhood structure (driver testdata
+    embeddings are near-uniform random — median pair cos ≈ 0 — so no
+    sublinear ANN can score high recall there; see ann_recall_report).
+    Each cluster is a distinct hash-derived unit center plus small
+    deterministic jitter → within-cluster cos ≈ 0.95+."""
+    import math as m
+    import random
+
+    rng = random.Random(7)
+    centers = [
+        [rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    rows = []
+    for c, center in enumerate(centers):
+        norm = m.sqrt(sum(x * x for x in center))
+        center = [x / norm for x in center]
+        for i in range(per_cluster):
+            vec = [x + rng.gauss(0, 0.06) for x in center]
+            rows.append((c * per_cluster + i, [float(v) for v in vec], c))
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _mean_recall(df):
+    rows = df.collect()
+    return sum(r.recall for r in rows) / len(rows)
+
+
+def test_ann_recall_on_clustered_corpus(spark):
+    """VERDICT.md round-1 item 4: bucketed ANN paths must reach >= 0.9
+    recall@10 vs brute force when the corpus has neighborhood structure."""
+    emb = clustered_embeddings(spark).cache()
+    qids = [0, 45, 123, 301, 555]
+    exact = S.cosine_topk(emb, qids, 10).cache()
+    lsh = S.ann_recall(exact, S.ann_lsh_topk(emb, qids, 10, planes=4, probe_radius=2))
+    ivf = S.ann_recall(
+        exact, S.ann_ivf_topk(emb, qids, 10, centroid_mod=11, nprobe=5)
+    )
+    lsh_r, ivf_r = _mean_recall(lsh), _mean_recall(ivf)
+    assert lsh_r >= 0.9, f"LSH recall {lsh_r}"
+    assert ivf_r >= 0.9, f"IVF recall {ivf_r}"
+
+
+def test_ann_recall_counts_shape(spark):
+    """ann_recall emits one row per query with hits <= k_possible."""
+    emb = embeddings(spark)
+    exact = S.cosine_topk(emb, [0, 2], 2)
+    rep = S.ann_recall(exact, S.ann_lsh_topk(emb, [0, 2], 2, dim=3))
+    rows = {r.query_id: r for r in rep.collect()}
+    assert set(rows) == {0, 2}
+    for r in rows.values():
+        assert 0 <= r.hits <= r.k_possible

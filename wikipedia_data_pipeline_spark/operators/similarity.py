@@ -77,19 +77,42 @@ def _bucket_expr(emb_col, dim: int, planes: int = ANN_PLANES):
     return bucket
 
 
+def _probe_masks(planes: int, radius: int) -> list[int]:
+    """All XOR masks over ``planes`` bits with popcount <= radius."""
+    return [m for m in range(1 << planes) if bin(m).count("1") <= radius]
+
+
 def ann_lsh_topk(
-    embeddings: DataFrame, query_ids: list[int], k: int = 10, dim: int = 64
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    dim: int = 64,
+    planes: int = ANN_PLANES,
+    probe_radius: int = 1,
 ) -> DataFrame:
     """Approximate top-k: exact rerank restricted to the query's LSH
-    bucket. Recall < 1 by design (rows-only check); the point is the
-    plan shape — bucket equi-join instead of full cross product."""
+    bucket neighborhood. Recall < 1 by design (rows-only check); the
+    point is the plan shape — bucket equi-join instead of full cross
+    product.
+
+    Multi-probe: each query probes every bucket within Hamming distance
+    ``probe_radius`` of its own sign pattern (the classic multi-probe
+    LSH recall lever) — the query side explodes by ``C(planes, <=r)``
+    rows, still broadcast-tiny, while the corpus side stays one bucket
+    per vector."""
     with_bucket = embeddings.withColumn(
-        "bucket", _bucket_expr(F.col("embedding"), dim)
+        "bucket", _bucket_expr(F.col("embedding"), dim, planes)
     )
-    q = with_bucket.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("bucket").alias("q_bucket"),
+    masks = F.array(*[F.lit(m) for m in _probe_masks(planes, probe_radius)])
+    q = (
+        with_bucket.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(
+                F.transform(masks, lambda m: F.col("bucket").bitwiseXOR(m))
+            ).alias("q_bucket"),
+        )
     )
     scored = (
         with_bucket.join(
@@ -115,7 +138,11 @@ IVF_NPROBE = 2
 
 
 def ann_ivf_topk(
-    embeddings: DataFrame, query_ids: list[int], k: int = 10
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    centroid_mod: int = IVF_CENTROID_MOD,
+    nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus to its nearest centroid
     (centroids = a deterministic hash-sample of the corpus itself), then
@@ -129,7 +156,7 @@ def ann_ivf_topk(
     construction → rows-only correctness check, like the LSH variant.
     """
     centroids = embeddings.filter(
-        F.col("vec_id") % IVF_CENTROID_MOD == 0
+        F.col("vec_id") % centroid_mod == 0
     ).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
     )
@@ -151,7 +178,7 @@ def ann_ivf_topk(
 
     corpus = assign(embeddings, "cell", 1)
     queries = assign(
-        embeddings.filter(F.col("vec_id").isin(query_ids)), "cell", IVF_NPROBE
+        embeddings.filter(F.col("vec_id").isin(query_ids)), "cell", nprobe
     ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -171,6 +198,35 @@ def ann_ivf_topk(
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
         .select("query_id", "vec_id", "cos", "rnk")
+    )
+
+
+def ann_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query recall@k of an ANN result against the exact top-k.
+
+    Pure DataFrame join of the two result sets (VERDICT.md round-1
+    item 4): hits = |approx ∩ exact| per query via a broadcast-size
+    semi-join on (query_id, vec_id); recall = hits / |exact top-k|.
+    Both inputs are tiny (|queries| × k rows), so this is driver-cheap
+    at any corpus scale.
+    """
+    e = exact.select("query_id", "vec_id")
+    hits = (
+        e.join(approx.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    possible = e.groupBy("query_id").agg(F.count("*").alias("k_possible"))
+    return (
+        possible.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.col("k_possible").cast("long").alias("k_possible"),
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)) / F.col("k_possible"), 4
+            ).alias("recall"),
+        )
     )
 
 

@@ -8,6 +8,8 @@ The LSH-bucketed ANN is approximate by construction → rows-only.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from wikipedia_data_pipeline_spark.operators import similarity as S
 from wikipedia_data_pipeline_spark.registry import register
 from wikipedia_data_pipeline_spark.sources.tables import load_table
@@ -65,6 +67,100 @@ def ann_cosine_topk_ivf(spark, sf_dir):
     """IVF-bucketed ANN: nearest-centroid cells + nprobe=2 exact rerank."""
     return S.ann_ivf_topk(
         load_table(spark, sf_dir, "embeddings"), QUERY_IDS, TOP_K
+    )
+
+
+BRUTE_CTES = f"""
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+brute AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, vec_id) AS rnk
+    FROM (
+      SELECT query_id, e.vec_id,
+             {COS_SQL.format(a='q.q_emb', b='e.embedding')} AS cos
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id
+    )
+  ) WHERE rnk <= {TOP_K}
+)
+"""
+
+IVF_CTES = f"""
+centroids AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id % {37} = 0
+),
+cells AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {COS_SQL.format(a='e.embedding', b='c.c_emb')} DESC,
+                                       c.centroid_id) AS c_rnk
+    FROM embeddings e CROSS JOIN centroids c
+  ) WHERE c_rnk = 1
+),
+qcells AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, centroid_id AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {COS_SQL.format(a='e.embedding', b='c.c_emb')} DESC,
+                                       c.centroid_id) AS c_rnk
+    FROM embeddings e CROSS JOIN centroids c
+    WHERE e.vec_id IN (0, 1, 2, 3, 4)
+  ) WHERE c_rnk <= 2
+),
+ivf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT qc.query_id, cl.vec_id,
+           row_number() OVER (PARTITION BY qc.query_id
+                              ORDER BY {COS_SQL.format(a='qc.q_emb', b='cl.embedding')} DESC,
+                                       cl.vec_id) AS rnk
+    FROM cells cl JOIN qcells qc ON cl.cell = qc.cell
+    WHERE cl.vec_id != qc.query_id
+  ) WHERE rnk <= {TOP_K}
+)
+"""
+
+
+@register(
+    "ann_ivf_recall",
+    oracle=f"""
+WITH {BRUTE_CTES.strip().rstrip()},
+{IVF_CTES.strip().lstrip()}
+SELECT b.query_id,
+       CAST(count(i.vec_id) AS BIGINT) AS hits,
+       CAST(count(*) AS BIGINT) AS k_possible,
+       round(count(i.vec_id) / count(*), 4) AS recall
+FROM brute b
+LEFT JOIN ivf i ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+GROUP BY b.query_id
+""",
+)
+def ann_ivf_recall(spark, sf_dir):
+    """Recall@10 of the IVF ANN path vs the exact brute-force top-k —
+    the IVF pipeline is hash-free (modulo centroid sample + cosine
+    ranks), so the WHOLE recall computation has an exact DuckDB twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_recall(
+        S.cosine_topk(emb, QUERY_IDS, TOP_K),
+        S.ann_ivf_topk(emb, QUERY_IDS, TOP_K),
+    )
+
+
+@register("ann_recall_report")  # LSH bucket ids use xxhash64 → rows-only
+def ann_recall_report(spark, sf_dir):
+    """Recall@10 of each approximate ANN path (lsh, ivf) vs brute force,
+    one row per (method, query)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = S.cosine_topk(emb, QUERY_IDS, TOP_K)
+    lsh = S.ann_recall(exact, S.ann_lsh_topk(emb, QUERY_IDS, TOP_K))
+    ivf = S.ann_recall(exact, S.ann_ivf_topk(emb, QUERY_IDS, TOP_K))
+    return lsh.select(F.lit("lsh").alias("method"), "*").unionByName(
+        ivf.select(F.lit("ivf").alias("method"), "*")
     )
 
 
