@@ -4,6 +4,7 @@ streaming dedup-within-watermark."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from wikipedia_data_pipeline_spark.operators import multimodal as MM
@@ -139,3 +140,60 @@ def test_streaming_dedup_watermark_roundtrip(spark, sf_dir):
     n = load_table(spark, sf_dir, "events").count()
     assert out.count() == n
     assert out.select("event_id").distinct().count() == n
+
+
+def test_salted_join_rejects_small_side_preserving_hows(spark):
+    from wikipedia_data_pipeline_spark.operators.skew import salted_join
+
+    a = spark.range(10).withColumnRenamed("id", "k")
+    b = spark.range(3).withColumnRenamed("id", "j")
+    for how in ("right", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(a, b, "k", "j", how=how)
+
+
+def test_salted_join_left_preserves_unmatched_and_matches_plain(spark):
+    from wikipedia_data_pipeline_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(i % 3, f"p{i}") for i in range(60)], "k long, payload string"
+    )
+    small = spark.createDataFrame([(0, "x"), (1, "y")], "j long, dim string")
+    salted = salted_join(big, small, "k", "j", num_salts=8, how="left")
+    plain = big.join(small, big.k == small.j, "left")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_salt_assignment_is_stable(spark):
+    """Salt derives from row content (xxhash64 of all columns), so two
+    independent evaluations assign identical salts (ADVICE round-1)."""
+    from pyspark.sql import functions as F
+
+    big = spark.createDataFrame(
+        [(i % 3, f"p{i}") for i in range(40)], "k long, payload string"
+    )
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(8)).cast("int")
+    run1 = sorted(map(tuple, big.withColumn("_salt", salt).collect()))
+    run2 = sorted(map(tuple, big.repartition(7).withColumn("_salt", salt).collect()))
+    assert run1 == run2
+
+
+def test_merge_upsert_duplicate_update_keys_deterministic(spark):
+    """Dup-key CDC batch: order_by picks the latest change; without it a
+    stable content hash still makes the winner run-independent."""
+    from wikipedia_data_pipeline_spark.operators.upsert import merge_upsert
+
+    base = spark.createDataFrame([(1, "old", 0)], "k long, v string, seq long")
+    ups = spark.createDataFrame(
+        [(1, "first", 1), (1, "second", 2), (2, "ins", 9)],
+        "k long, v string, seq long",
+    )
+    with_seq = {
+        (r.k, r.v) for r in merge_upsert(base, ups, ["k"], order_by=["seq"]).collect()
+    }
+    assert with_seq == {(1, "second"), (2, "ins")}
+    no_seq_1 = sorted(map(tuple, merge_upsert(base, ups, ["k"]).collect()))
+    no_seq_2 = sorted(
+        map(tuple, merge_upsert(base.repartition(5), ups.repartition(3), ["k"]).collect())
+    )
+    assert no_seq_1 == no_seq_2

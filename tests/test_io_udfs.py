@@ -80,3 +80,21 @@ def test_multimodal_stub_plumbing(spark, sf_dir):
 
     with pytest.raises(NotImplementedError):
         MM.decode_image_real(media)
+
+
+def test_file_uri_roundtrip_with_options(spark, tmp_path):
+    """S6's object-store claim is a path swap: the same write_table/
+    read_table code path against a file:// URI with format options
+    (VERDICT.md round-1 item 7). s3a:// differs only in scheme+creds."""
+    from wikipedia_data_pipeline_spark.sources.io import read_table, write_table
+
+    df = spark.createDataFrame(
+        [(1, "a|x"), (2, "b|y")], "id long, payload string"
+    )
+    dest = f"file://{tmp_path}/csvsink"
+    write_table(df, dest, fmt="csv", mode="overwrite", header="true", sep=";")
+    back = read_table(
+        spark, dest, fmt="csv", schema="id long, payload string",
+        header="true", sep=";",
+    )
+    assert sorted(map(tuple, back.collect())) == [(1, "a|x"), (2, "b|y")]

@@ -208,15 +208,16 @@ def verify_pairs_jaccard(
 def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline with exact verification.
 
-    ``sh`` and ``sigs`` are persisted: the plan references the shingle
-    set three times (signature input + both sides of the verify join)
-    and the signatures twice (both sides of the bucket self-join), and
-    Spark does no cross-subtree CSE — uncached, the pandas-UDF minhash
-    would run twice and the shingling three times. At cluster scale the
-    same role is played by checkpointing signatures to parquet between
-    the signature and join stages."""
+    Only ``sh`` is persisted: the plan references the shingle set three
+    times (signature input + both sides of the verify join) and Spark
+    does no cross-subtree CSE — uncached, the shingling would run three
+    times. The signatures feed exactly one consumer (the grouped pair
+    expansion replaced the old bucket self-join), so persisting them
+    would be pure overhead. At cluster scale the persist's role is
+    played by checkpointing the shingle relation to parquet between
+    stages."""
     sh = shingles(documents).persist()
-    sigs = minhash_signatures(sh).persist()
+    sigs = minhash_signatures(sh)
     cands = lsh_candidate_pairs(sigs)
     return verify_pairs_jaccard(cands, sh, threshold)
 

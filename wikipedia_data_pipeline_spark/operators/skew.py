@@ -20,6 +20,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Join types where the replicated small side can never emit an unmatched
+# row: right/full would surface each unmatched small row num_salts times.
+SAFE_SALTED_HOWS = {"inner", "left", "left_outer", "leftouter", "left_semi",
+                    "leftsemi", "left_anti", "leftanti"}
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -33,15 +39,30 @@ def salted_join(
     replicated to match. Output columns = both inputs' columns (salt
     columns are internal).
 
-    The big side's salt is derived from a hash of the whole row's
-    partition id surrogate — ``rand`` would also be correct (any
-    assignment is), but a hash keeps the operator deterministic."""
+    Only big-side-preserving join types are allowed (``inner``, ``left``,
+    ``left_semi``, ``left_anti``): a right/full outer would emit every
+    unmatched small-side row once per salt replica. Raises ValueError
+    otherwise.
+
+    The salt is ``xxhash64`` of ALL big-side columns — stable row
+    content, so the assignment is identical across runs and task
+    retries (``monotonically_increasing_id``/``rand`` would not be;
+    any assignment yields the same join *result*, but a content hash
+    makes the intermediate state reproducible too). Rows that are
+    full duplicates share a salt; hot keys whose rows are literal
+    copies of one row don't spread — real skew (same key, varying
+    payload) does."""
+    if how not in SAFE_SALTED_HOWS:
+        raise ValueError(
+            f"salted_join supports big-side-preserving joins only, not {how!r}: "
+            "the replicated small side would duplicate unmatched rows "
+            f"{num_salts}x under right/full outer semantics"
+        )
     big_salted = big.withColumn(
         "_salt",
-        F.pmod(
-            F.xxhash64(F.col(big_key), F.monotonically_increasing_id()),
-            F.lit(num_salts),
-        ).cast("int"),
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(num_salts)).cast(
+            "int"
+        ),
     )
     small_replicated = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))

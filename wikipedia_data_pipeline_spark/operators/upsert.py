@@ -16,15 +16,28 @@ from pyspark.sql import functions as F
 
 
 def merge_upsert(
-    base: DataFrame, updates: DataFrame, keys: list[str]
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    order_by: list[str] | None = None,
 ) -> DataFrame:
     """Update-wins upsert: rows from ``updates`` replace base rows with
     the same key; unmatched update rows are inserted. Schemas must
-    match. Deterministic: priority is explicit, not arrival order."""
+    match.
+
+    Fully deterministic, including when one CDC batch carries several
+    updates to the same key (real MERGE INTO errors on duplicate source
+    keys; CDC streams routinely produce them): ties inside a priority
+    class break first by ``order_by`` columns DESC (pass the batch's
+    sequence/timestamp column — latest change wins), then by a stable
+    content hash of the whole row, so the winner never depends on
+    partition layout or task retries."""
     tagged = updates.withColumn("_prio", F.lit(0)).unionByName(
         base.withColumn("_prio", F.lit(1))
     )
-    w = Window.partitionBy(*keys).orderBy("_prio")
+    tie = [F.desc(c) for c in (order_by or [])]
+    content_hash = F.xxhash64(*[F.col(c) for c in updates.columns])
+    w = Window.partitionBy(*keys).orderBy("_prio", *tie, content_hash)
     return (
         tagged.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -32,6 +32,11 @@ def get_spark(app_name: str = "wikipedia-data-pipeline-spark") -> SparkSession:
         # dims (region/nation/customer/supplier/part, idf vocab) stay well
         # under this at every SF we target — prefer broadcast joins.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Engine-wide type policy: parquet TIMESTAMP(NANOS) (which Spark
+        # cannot map to a timestamp) reads as BIGINT nanoseconds; time
+        # arithmetic happens in the exact integer domain (functions.ts_us).
+        # Declared here, once — not as a per-read side effect.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -37,11 +37,13 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot map to a
-        # timestamp type (PARQUET_TYPE_ILLEGAL); read it as BIGINT
-        # nanoseconds instead and do time arithmetic in the exact integer
-        # domain (functions.ts_us).
+    # Engine type policy (set at session build in session.get_spark):
+    # TIMESTAMP(NANOS) parquet columns read as BIGINT nanoseconds
+    # (events.ts is the one such column; Spark raises
+    # PARQUET_TYPE_ILLEGAL otherwise). The driver brings its OWN
+    # SparkSession, so ensure the policy holds here too — idempotent,
+    # session-wide by design, not a per-table toggle.
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
