@@ -55,3 +55,17 @@ def test_jaccard_values_exact(spark):
     # 13 tokens → 11 shingles each; differ in last word → 10 shared,
     # union 12
     assert abs(j[(1, 2)] - 10 / 12) < 1e-12
+
+
+def test_near_dup_clusters_chain_and_singleton(spark):
+    """Min-label propagation crosses multi-hop chains (a-b, b-c one
+    cluster) and leaves singletons as their own representative."""
+    from wikipedia_data_pipeline_spark.operators.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 9)], "doc_id long")
+    pairs = spark.createDataFrame([(2, 3), (3, 4), (1, 9)], "doc_a long, doc_b long")
+    got = {r.doc_id: (r.cluster_id, r.keep) for r in near_dup_clusters(docs, pairs).collect()}
+    assert got == {
+        1: (1, True), 9: (1, False),
+        2: (2, True), 3: (2, False), 4: (2, False),
+    }

@@ -334,3 +334,62 @@ def simhash_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
     signed = simhash_signatures(sh).persist()
     cands = simhash_candidate_pairs(signed)
     return verify_pairs_jaccard(cands, sh, threshold)
+
+
+def near_dup_clusters(
+    documents: DataFrame, pairs: DataFrame, max_iters: int = 15
+) -> DataFrame:
+    """Connected components over the near-dup pair graph → dedup
+    selection: ``(doc_id, cluster_id, keep)`` where ``cluster_id`` is
+    the minimum doc_id reachable through near-dup edges and ``keep``
+    marks the one representative per cluster. This is the operator a
+    training pipeline actually runs — pair listing tells you WHAT
+    matched; this decides WHICH copy survives.
+
+    Iterative min-label propagation: each round every doc takes the min
+    of its own label and its neighbors' labels (edges materialized both
+    directions), until a fixpoint — O(cluster diameter) rounds, and
+    verified near-dup clusters are near-cliques (diameter ≤ ~2), so the
+    loop terminates in 2-3 rounds in practice with ``max_iters`` as a
+    pathological-chain backstop. Each round is one shuffle (the
+    groupBy-min); ``localCheckpoint`` truncates the growing lineage so
+    round N's plan does not replay rounds 1..N-1 — on a cluster this is
+    the standard checkpoint-per-iteration shape for iterative graph
+    algorithms (GraphX/GraphFrames do the same internally).
+    """
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = (
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .persist()
+    )
+    labels = documents.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint(eager=False)
+    for _ in range(max_iters):
+        prop = labels.join(edges, labels["doc_id"] == edges["src"]).select(
+            edges["dst"].alias("doc_id"), F.col("cluster_id")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )

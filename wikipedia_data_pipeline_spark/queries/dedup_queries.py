@@ -72,3 +72,45 @@ def dedup_simhash(spark, sf_dir):
     return D.simhash_pairs(
         load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD
     )
+
+
+@register(
+    "dedup_cluster_select",
+    oracle="""
+WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                 FOR i IN generate_series(1, len(t) - 2)])
+              ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM tok
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(doc_id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+)
+SELECT doc_id, min(label) AS cluster_id, doc_id = min(label) AS keep
+FROM reach GROUP BY doc_id
+""",
+)
+def dedup_cluster_select(spark, sf_dir):
+    """Connected components over verified MinHash-LSH near-dup pairs →
+    one kept representative (min doc_id) per duplicate cluster. The
+    oracle recomputes components from the brute-force pair set with a
+    recursive CTE — Spark's iterative min-label propagation must agree
+    exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.near_dup_clusters(docs, D.minhash_lsh_pairs(docs, JACCARD_THRESHOLD))
