@@ -1,0 +1,288 @@
+"""TPC-H-shaped decision-support breadth + event-funnel analytics.
+
+Adapted to the driver testdata schema (lineitem has no
+commitdate/receiptdate/shipmode and there is no partsupp table, so Q4
+and Q12 keep their canonical *shapes* — EXISTS-driven priority counts,
+two-way conditional bucket aggregation — over the columns that exist;
+Q13/Q18/Q22 are faithful).
+
+Scale notes: every query here is join + hash-agg on declared keys —
+Catalyst broadcast-plans the dimension sides; the fact-side scans push
+their filters into parquet. The funnel/retention pair computes per-user
+stage timestamps in ONE pass (conditional min-aggregation) instead of
+self-joining the events table per stage — at 100 TB a 3-stage funnel
+as a 3-way self-join would shuffle the fact table three times; the
+conditional-agg form shuffles it once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikipedia_data_pipeline_spark.functions import dec_sum, sql_dec_sum, ts_us
+from wikipedia_data_pipeline_spark.registry import register
+from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+US_PER_DAY = 86_400_000_000
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority
+""",
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS semi-join from orders into lineitem, then
+    priority counts (late-shipping predicate stands in for the missing
+    commitdate/receiptdate pair)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "q12_flag_priority_buckets",
+    oracle="""
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY l_returnflag
+""",
+)
+def q12_flag_priority_buckets(spark, sf_dir):
+    """TPC-H Q12 shape: fact join + two-way conditional bucket counts
+    (returnflag stands in for the missing shipmode)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13: orders-per-customer histogram (left join keeps
+    zero-order customers; two cascaded hash-aggs)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q18_large_orders",
+    oracle=f"""
+SELECT c_custkey, o_orderkey,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice, total_qty
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN (
+  SELECT l_orderkey, {sql_dec_sum('l_quantity', 'total_qty')}
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 250
+) big ON big.l_orderkey = o_orderkey
+""",
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18: orders whose total quantity exceeds a threshold,
+    joined back to their customers. The HAVING pre-aggregation shrinks
+    the fact side BEFORE the joins — the plan every large-order scan
+    wants at scale."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dec_sum("l_quantity", "total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice", "total_qty")
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+WITH avg_bal AS (
+  SELECT avg(CAST(c_acctbal AS DECIMAL(18,6))) AS ab
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey,
+       count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+""",
+)
+def q22_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: scalar-subquery threshold + anti-join + agg
+    (nationkey stands in for the phone country code; the anti-join
+    probes URGENT orders so the result is non-empty on testdata, where
+    every customer has some order)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .select(F.avg(F.col("c_acctbal").cast("decimal(18,6)")).alias("ab"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            dec_sum("c_acctbal", "totacctbal"),
+        )
+    )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+WITH stages AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_buy
+  FROM events GROUP BY user_id
+)
+SELECT count(t_view) AS n_view,
+       count(CASE WHEN t_click > t_view THEN 1 END) AS n_click_after_view,
+       count(CASE WHEN t_buy > t_click AND t_click > t_view THEN 1 END)
+         AS n_purchase_after_click
+FROM stages
+""",
+)
+def events_funnel(spark, sf_dir):
+    """Ordered 3-stage funnel (view → click → purchase) in ONE pass:
+    conditional min-timestamps per user, then ordering predicates —
+    one shuffle on user_id instead of a per-stage self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    us = ts_us().cast("long")
+
+    def stage_min(t):
+        return F.min(F.when(F.col("event_type") == t, us))
+
+    stages = ev.groupBy("user_id").agg(
+        stage_min("view").alias("t_view"),
+        stage_min("click").alias("t_click"),
+        stage_min("purchase").alias("t_buy"),
+    )
+    return stages.select(
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias(
+            "n_click_after_view"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_buy") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("n_purchase_after_click"),
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle=f"""
+WITH firsts AS (
+  SELECT user_id, min(epoch_us(ts) // {US_PER_DAY}) AS cohort_day
+  FROM events GROUP BY user_id
+)
+SELECT cohort_day, (epoch_us(ts) // {US_PER_DAY}) - cohort_day AS day_offset,
+       count(DISTINCT e.user_id) AS active_users
+FROM events e JOIN firsts f ON e.user_id = f.user_id
+WHERE (epoch_us(ts) // {US_PER_DAY}) - cohort_day <= 7
+GROUP BY 1, 2
+""",
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity day,
+    distinct-active counts at day offsets 0..7. The first-activity
+    relation is user-level (small) → broadcast back onto the fact
+    scan."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (ts_us().cast("long") / F.lit(US_PER_DAY)).cast("long")
+    ev_d = ev.select("user_id", day.alias("day"))
+    firsts = ev_d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev_d.join(firsts, "user_id")
+        .withColumn("day_offset", F.col("day") - F.col("cohort_day"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "sql_interface_top_nations",
+    oracle="""
+SELECT n_name, count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_balance
+FROM customer JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name
+""",
+)
+def sql_interface_top_nations(spark, sf_dir):
+    """The engine's SQL entry point: temp views + ``spark.sql`` over the
+    same catalog — proves a reference user can bring plain SQL, not
+    just the DataFrame API, and Catalyst plans it identically."""
+    from wikipedia_data_pipeline_spark.sources.tables import load_tables
+
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(
+        """
+        SELECT n_name, count(*) AS n_customers,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total_balance
+        FROM customer JOIN nation ON n_nationkey = c_nationkey
+        GROUP BY n_name
+        """
+    )

@@ -102,3 +102,36 @@ def udf_grouped_top_word(spark, sf_dir):
     """groupBy().applyInPandas grouped-map (the reference's DocInfo.run
     as a UDF) — per-doc token count + modal word."""
     return U.doc_top_word(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_image_headers",
+    oracle="""
+SELECT doc_id,
+       CAST(24 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       'png' AS format,
+       CAST(1 + (length(text) % 640) AS BIGINT) AS width,
+       CAST(1 + (length(text) % 480) AS BIGINT) AS height
+FROM documents
+""",
+)
+def multimodal_image_headers(spark, sf_dir):
+    """REAL container-header decode, driver-checked: the Spark side
+    synthesizes a valid PNG signature+IHDR per document (width/height
+    derived from the text length) and runs the actual byte-level parser
+    (operators.multimodal.parse_image_header) inside mapInPandas; the
+    oracle computes the same dimensions arithmetically. Hash equality
+    holds only if the parser really decodes what was encoded."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    png_prefix = bytes.fromhex("89504e470d0a1a0a0000000d49484452")
+    be4 = lambda col: F.unhex(F.lpad(F.hex(col), 8, "0"))  # noqa: E731
+    payload = F.concat(
+        F.lit(bytearray(png_prefix)),
+        be4(1 + F.length("text") % 640),
+        be4(1 + F.length("text") % 480),
+        F.encode(F.col("text"), "UTF-8"),
+    )
+    media = docs.select("doc_id", payload.alias("payload"))
+    return MM.decode_image_headers(media)
