@@ -131,3 +131,44 @@ def test_tfidf_two_data_shuffles(spark, sf_dir):
     ps = plan_summary(df)
     assert ps.n_shuffles <= 3
     assert ps.n_broadcast_joins >= 1
+
+def test_q18_preaggregates_before_joins(spark, sf_dir):
+    """Q18's big-order filter must reduce lineitem BEFORE the customer/
+    orders joins: the plan aggregates lineitem first (shuffle on
+    l_orderkey), then broadcast-joins the shrunken set — never the raw
+    fact table through the dimension joins."""
+    from wikipedia_data_pipeline_spark.queries.analytics_queries import (
+        q18_large_orders,
+    )
+
+    ps = plan_summary(q18_large_orders(spark, sf_dir))
+    # lineitem scan reads only the agg inputs, not the full 11 columns
+    li_scan = ps.scan_for("lineitem")
+    assert "l_orderkey" in li_scan["read_schema"]
+    assert "l_extendedprice" not in li_scan["read_schema"]
+    assert ps.n_broadcast_joins >= 1
+
+
+def test_events_funnel_single_shuffle(spark, sf_dir):
+    """The conditional-agg funnel shuffles events exactly once (user_id
+    grouping) plus a 1-row final agg — no per-stage self-joins."""
+    from wikipedia_data_pipeline_spark.queries.analytics_queries import (
+        events_funnel,
+    )
+
+    ps = plan_summary(events_funnel(spark, sf_dir))
+    assert ps.n_shuffles <= 1
+    ev_scan = ps.scan_for("events")
+    assert "props" not in ev_scan["read_schema"]  # column pruning holds
+
+
+def test_retention_prunes_event_columns(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.analytics_queries import (
+        events_retention_cohorts,
+    )
+
+    ps = plan_summary(events_retention_cohorts(spark, sf_dir))
+    ev_scan = ps.scan_for("events")
+    assert "user_id" in ev_scan["read_schema"]
+    assert "props" not in ev_scan["read_schema"]
+    assert "event_type" not in ev_scan["read_schema"]
