@@ -20,3 +20,8 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+import pytest
+
+@pytest.fixture(scope="session")
+def spark_session_holder(spark):
+    return spark

@@ -1,0 +1,90 @@
+"""Curation operator tests: PII scrub rule ordering, the end-to-end
+pipeline on a corpus with actual duplicates (driver testdata has no
+byte-identical dups, so the keep-step is exercised here), and a
+hypothesis property check of merge_upsert against a dict model."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from wikipedia_data_pipeline_spark.operators.curation import curate, scrub_pii
+
+
+def test_scrub_pii_rule_order_and_coverage(spark):
+    rows = [
+        (1, "mail me at jane.doe+x@sub.example.org today"),
+        (2, "server 192.168.001.1 then call +44 (0) 1234-567890 now"),
+        (3, "a1234567890@x.com is an email not a phone"),
+        (4, "clean text stays clean"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.c for r in df.select("doc_id", scrub_pii(F.col("text")).alias("c")).collect()}
+    assert got[1] == "mail me at <EMAIL> today"
+    assert got[2] == "server <IP> then call <PHONE> now"
+    assert got[3] == "<EMAIL> is an email not a phone"
+    assert got[4] == "clean text stays clean"
+
+
+def test_curate_gates_dedups_and_scrubs(spark):
+    long_txt = "the same long duplicate text contact bob@x.io ok"
+    rows = [
+        (1, long_txt, "en"),
+        (2, long_txt, "en"),            # exact dup → dropped (keep doc 1)
+        (3, "short", "en"),             # length gate
+        (4, long_txt, "zh"),            # language gate
+        (5, "another unique en doc with no pii", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: r for r in curate(docs, languages=["en"]).collect()}
+    assert set(got) == {1, 5}
+    assert got[1].text_clean == "the same long duplicate text contact <EMAIL> ok"
+    assert got[1].n_chars == len(long_txt)
+
+
+@st.composite
+def cdc_case(draw):
+    keys = st.integers(0, 5)
+    vals = st.integers(0, 100)
+    base = draw(st.dictionaries(keys, vals, max_size=6))
+    ups = draw(st.lists(st.tuples(keys, vals, st.integers(0, 50)), max_size=8))
+    return base, ups
+
+
+@given(cdc_case())
+@settings(max_examples=12, deadline=None)
+def test_merge_upsert_matches_dict_model(spark_session_holder, case):
+    """merge_upsert(order_by=[seq]) ≡ apply updates in seq order (max
+    seq wins; among equal seqs the winner is stable but unspecified —
+    model only checks keys where seqs are unambiguous)."""
+    from wikipedia_data_pipeline_spark.operators.upsert import merge_upsert
+
+    spark = spark_session_holder
+    base, ups = case
+    base_df = spark.createDataFrame(
+        [(k, v, -1) for k, v in base.items()] or [(99, 0, -1)],
+        "k long, v long, seq long",
+    )
+    if not base:
+        base_df = base_df.filter("k < 0")
+    ups_df = spark.createDataFrame(
+        ups or [(99, 0, 0)], "k long, v long, seq long"
+    )
+    if not ups:
+        ups_df = ups_df.filter("k < 0")
+    got = {r.k: r.v for r in merge_upsert(base_df, ups_df, ["k"], order_by=["seq"]).collect()}
+    model = dict(base)
+    best_seq: dict[int, int] = {}
+    ambiguous = set()
+    for k, v, seq in ups:
+        if k in best_seq and seq == best_seq[k]:
+            ambiguous.add(k)
+        if k not in best_seq or seq > best_seq[k]:
+            best_seq[k] = seq
+            model[k] = v
+            ambiguous.discard(k)
+    assert set(got) == set(model)
+    for k, v in model.items():
+        if k not in ambiguous:
+            assert got[k] == v

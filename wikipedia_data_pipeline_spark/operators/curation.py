@@ -1,0 +1,79 @@
+"""Training-corpus curation: PII scrubbing + the end-to-end filter
+pipeline (the query an LLM data team actually ships).
+
+All pure ``pyspark.sql.functions`` regex/column expressions — narrow
+maps, whole-stage codegen, zero Python in the hot path. The composite
+pipeline stacks: language gate → quality gates → exact-dedup keep →
+PII scrub. Every stage is individually oracle-checked elsewhere; the
+composite is registered with its own end-to-end oracle
+(queries.text_queries.documents_curation_pipeline).
+
+Scale: the only wide operation in the composite is the dedup keep
+(hash agg on content hash); everything else pipelines in one scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deliberately simple, deterministic patterns — the point is the
+# operator shape (ordered regex rewrite chain), not NLP-grade recall.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"
+IPV4_RE = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+PII_RULES: list[tuple[str, str]] = [
+    (EMAIL_RE, "<EMAIL>"),
+    (IPV4_RE, "<IP>"),
+    (PHONE_RE, "<PHONE>"),
+]
+
+
+def scrub_pii(col: Column) -> Column:
+    """Ordered regex rewrite chain. Email before phone: an address like
+    ``a1234567890@x.com`` must become one ``<EMAIL>``, not a ``<PHONE>``
+    inside an address."""
+    out = col
+    for pattern, token in PII_RULES:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def curate(
+    documents: DataFrame,
+    languages: list[str] | None = None,
+    min_chars: int = 20,
+    max_chars: int = 1_000_000,
+) -> DataFrame:
+    """The end-to-end curation pipeline:
+
+    1. language gate (metadata column — swap in ``textstats.language_id``
+       when labels are absent);
+    2. length gates (junk / pathological documents);
+    3. exact-dedup keep: one representative (min doc_id) per distinct
+       content — the composite's single shuffle;
+    4. PII scrub on the surviving text.
+
+    Output: ``(doc_id, lang, text_clean, n_chars)`` — the training
+    corpus relation.
+    """
+    from pyspark.sql import Window
+
+    langs = languages or ["en"]
+    gated = documents.filter(
+        F.col("lang").isin(langs)
+        & (F.length("text") >= min_chars)
+        & (F.length("text") <= max_chars)
+    )
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    return (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            scrub_pii(F.col("text")).alias("text_clean"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+    )

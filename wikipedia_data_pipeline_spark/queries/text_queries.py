@@ -127,3 +127,74 @@ def text_trigram_counts(spark, sf_dir):
         .groupBy("doc_id", "ngram")
         .agg(F.count("*").alias("n"))
     )
+
+
+# PII patterns restated for DuckDB (same regex dialect subset; 'g' flag
+# because DuckDB's regexp_replace is first-match-only by default while
+# Spark's replaces all).
+_PII_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace({col},"
+    " '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),"
+    " '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b', '<IP>', 'g'),"
+    " '\\+?[0-9][0-9()\\-. ]{{7,}}[0-9]', '<PHONE>', 'g')"
+)
+
+_WITH_PII = (
+    "text || ' contact user' || doc_id || '@example.com at 10.0.'"
+    " || (doc_id % 256) || '.1 or +1 (555) 000-' || (1000 + doc_id % 9000)"
+)
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+SELECT doc_id, {_PII_SQL.format(col=_WITH_PII)} AS text_clean
+FROM documents
+""",
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII scrubbing, driver-checked for real: both engines append a
+    synthetic email/IP/phone (derived from doc_id) to every document,
+    then the Spark side runs the production regex chain
+    (operators.curation.scrub_pii) — hash equality fails unless every
+    injected token is actually rewritten."""
+    from wikipedia_data_pipeline_spark.operators.curation import scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1 or +1 (555) 000-"),
+        (1000 + F.col("doc_id") % 9000).cast("string"),
+    )
+    return docs.select("doc_id", scrub_pii(with_pii).alias("text_clean"))
+
+
+@register(
+    "documents_curation_pipeline",
+    oracle=f"""
+WITH gated AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE lang IN ('en', 'es') AND length(text) BETWEEN 20 AND 1000000
+),
+kept AS (
+  SELECT doc_id, lang, text,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM gated
+)
+SELECT doc_id, lang, {_PII_SQL.format(col='text')} AS text_clean,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM kept WHERE rn = 1
+""",
+)
+def documents_curation_pipeline(spark, sf_dir):
+    """End-to-end curation: language gate → length gates → exact-dedup
+    keep (one shuffle) → PII scrub. The relation an LLM training run
+    would consume."""
+    from wikipedia_data_pipeline_spark.operators.curation import curate
+
+    return curate(
+        load_table(spark, sf_dir, "documents"), languages=["en", "es"]
+    )
