@@ -178,3 +178,39 @@ def embedding_near_dup(spark, sf_dir):
     return S.embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), 0.45
     )
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+SELECT label, pos,
+       CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_x,
+       count(*) AS n
+FROM (
+  SELECT label, g - 1 AS pos, CAST(embedding[g] AS DOUBLE) AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(g)
+)
+GROUP BY label, pos
+""",
+)
+def embedding_label_centroids(spark, sf_dir):
+    """Per-label centroid components: posexplode the embedding array and
+    mean each dimension — the aggregation pattern behind k-means /
+    cluster-quality jobs. Sums route through DECIMAL so the result is
+    bit-identical under any partitioning (same convention as dec_sum);
+    one shuffle on (label, pos)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .withColumn("pos", F.col("pos").cast("long"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("mean_x"),
+            F.count("*").alias("n"),
+        )
+    )
