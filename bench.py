@@ -60,22 +60,25 @@ def main() -> None:
 
     queries = registry.spark_queries()
 
-    # Warm-up: run every headline plan once at the TARGET SF so JVM/JIT
-    # codegen compilation, Python/Arrow worker startup, and page cache
-    # don't land in the timed run. Steady-state is what a long-lived
-    # cluster sees; one-time startup is not a per-query property.
-    for name in HEADLINE:
-        queries[name](spark, SF_DIR).write.format("noop").mode(
-            "overwrite"
-        ).save()
+    # Warm-up: run every headline plan twice at the TARGET SF so JVM/JIT
+    # codegen compilation (C2 needs repeat executions, not one), Python/
+    # Arrow worker startup, and page cache don't land in the timed run.
+    # Steady-state is what a long-lived cluster sees; one-time startup is
+    # not a per-query property.
+    for _ in range(2):
+        for name in HEADLINE:
+            queries[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
-    # Best-of-3: this VM shares a noisy host; single-shot timings swing
-    # 2-3x run-to-run. The minimum is the engine's actual cost — the
-    # standard defense against neighbor noise.
+    # Best-of-5: this VM shares a noisy host (loadavg from neighbors
+    # alone routinely > 5); single-shot timings swing 2-3x run-to-run.
+    # The minimum is the engine's actual cost — the standard defense
+    # against neighbor noise.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             df = queries[name](spark, SF_DIR)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
