@@ -172,3 +172,19 @@ def test_retention_prunes_event_columns(spark, sf_dir):
     assert "user_id" in ev_scan["read_schema"]
     assert "props" not in ev_scan["read_schema"]
     assert "event_type" not in ev_scan["read_schema"]
+
+
+def test_q6_filters_push_to_parquet_scan(spark, sf_dir):
+    """Q6 is the canonical pushdown check: all four predicates must
+    reach the lineitem scan as PushedFilters, and the scan must read
+    only the four referenced columns."""
+    from wikipedia_data_pipeline_spark.queries.analytics_queries import (
+        q6_forecast_revenue,
+    )
+
+    ps = plan_summary(q6_forecast_revenue(spark, sf_dir))
+    scan = ps.scan_for("lineitem")
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in scan["pushed_filters"], scan["pushed_filters"]
+    assert "l_returnflag" not in scan["read_schema"]
+    assert "l_tax" not in scan["read_schema"]
