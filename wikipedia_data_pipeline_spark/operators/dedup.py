@@ -364,9 +364,16 @@ def near_dup_clusters(
         )
         .persist()
     )
-    labels = documents.select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
-    ).localCheckpoint(eager=False)
+    # Iterate ONLY over docs that appear in some edge: duplicate clusters
+    # are a small fraction of any real corpus, so the per-round shuffles
+    # run on |touched docs| rows, not |corpus| — untouched docs join back
+    # as their own singleton cluster at the end, costless.
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("doc_id"), F.col("src").alias("cluster_id"))
+        .localCheckpoint(eager=False)
+    )
     for _ in range(max_iters):
         prop = labels.join(edges, labels["doc_id"] == edges["src"]).select(
             edges["dst"].alias("doc_id"), F.col("cluster_id")
@@ -388,8 +395,12 @@ def near_dup_clusters(
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(
-        "doc_id",
-        "cluster_id",
-        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    return (
+        documents.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
     )

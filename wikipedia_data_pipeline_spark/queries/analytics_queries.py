@@ -360,3 +360,36 @@ def q10_returned_items(spark, sf_dir):
             .alias("revenue")
         )
     )
+
+
+@register(
+    "task1_probe_reference",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id,
+           lower(regexp_replace(tok, '[^a-zA-Z]', '', 'g')) AS word
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    WHERE length(lower(regexp_replace(tok, '[^a-zA-Z]', '', 'g'))) > 0
+),
+counts AS (SELECT word, count(*) AS count FROM toks GROUP BY word),
+ranked AS (
+    SELECT word, count,
+           row_number() OVER (ORDER BY count DESC, word ASC) - 1 AS rank
+    FROM counts
+)
+SELECT upper(word) AS word, rank, count
+FROM ranked
+WHERE rank < 5000
+  AND upper(word) IN ('DURING', 'AND', 'TIME', 'PROTEIN', 'CAR')
+""",
+)
+def task1_probe_reference(spark, sf_dir):
+    """The reference's exact 5-word probe list (Main.java:99-103) —
+    empty on the synthetic corpus (its words aren't in the testdata
+    vocabulary), kept for surface parity; registered tail-side so the
+    known-empty check never displaces a meaningful query from the
+    driver's bounded correctness window. The non-vacuous corpus-word
+    variant is ``task1_probe``."""
+    from wikipedia_data_pipeline_spark.operators import tfidf as T
+
+    return T.task1_probe(load_table(spark, sf_dir, "documents"))

@@ -173,26 +173,9 @@ def task1_probe(spark, sf_dir):
     )
 
 
-@register(
-    "task1_probe_reference",
-    oracle=f"""
-WITH {TOKS_CTE},
-counts AS (SELECT word, count(*) AS count FROM toks GROUP BY word),
-ranked AS (
-    SELECT word, count,
-           row_number() OVER (ORDER BY count DESC, word ASC) - 1 AS rank
-    FROM counts
-)
-SELECT upper(word) AS word, rank, count
-FROM ranked
-WHERE rank < {T.DICTIONARY_CAP}
-  AND upper(word) IN ('DURING', 'AND', 'TIME', 'PROTEIN', 'CAR')
-""",
-)
-def task1_probe_reference(spark, sf_dir):
-    """The reference's exact 5-word probe list (Main.java:99-103) —
-    empty on the synthetic corpus, kept for surface parity."""
-    return T.task1_probe(load_table(spark, sf_dir, "documents"))
+# task1_probe_reference (the reference's literal 5-word list) registers
+# in queries.analytics_queries so its inherently-empty result does not
+# occupy a slot in the driver's bounded correctness window.
 
 
 @register(
