@@ -78,6 +78,7 @@ def _load_all() -> None:
         streaming_queries,
         relational_queries,
         advanced_queries,
+        tpch_queries,
         analytics_queries,
     )
 
