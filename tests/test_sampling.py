@@ -1,0 +1,110 @@
+"""Unit tests for training-data sampling / packing / decontamination /
+repetition operators (operators.sampling, operators.textstats)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from wikipedia_data_pipeline_spark.operators import sampling as S
+from wikipedia_data_pipeline_spark.operators import textstats as TS
+
+
+def docs(spark, n=40):
+    rows = [
+        (i, f"w{i % 7} common text tail {'x ' * (i % 5)}".strip(),
+         ["en", "es", "de"][i % 3], f"src{i % 4}")
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+
+def test_split_assignment_deterministic_and_partition_invariant(spark):
+    d = docs(spark)
+    a = {r.doc_id: r.split for r in S.assign_splits(d).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in S.assign_splits(d.repartition(13, "lang")).collect()
+    }
+    assert a == b  # hash-derived: layout must not change the split
+    assert set(a.values()) <= {"train", "val", "test"}
+
+
+def test_stratified_sample_exact_quotas(spark):
+    d = docs(spark, n=60)
+    out = S.stratified_sample(d, group_col="lang", fraction=0.25).collect()
+    sizes = d.groupBy("lang").count().collect()
+    want = {r.lang: math.ceil(r["count"] * 0.25) for r in sizes}
+    got: dict[str, int] = {}
+    for r in out:
+        got[r.lang] = got.get(r.lang, 0) + 1
+    assert got == want
+
+
+def test_weighted_mixture_quotas(spark):
+    d = docs(spark, n=80)
+    out = S.weighted_mixture(
+        d, weights={"src0": 0.5, "src1": 0.25}, default_weight=0.1
+    )
+    sizes = {r.source: r["count"] for r in d.groupBy("source").count().collect()}
+    got: dict[str, int] = {}
+    for r in out.collect():
+        got[r.source] = got.get(r.source, 0) + 1
+    assert got["src0"] == math.ceil(sizes["src0"] * 0.5)
+    assert got["src1"] == math.ceil(sizes["src1"] * 0.25)
+    assert got["src2"] == math.ceil(sizes["src2"] * 0.1)
+
+
+def test_pack_sequences_boundary_semantics(spark):
+    # 3 docs of 4 tokens each, budget 6: doc B starts at cumsum 4 (<6)
+    # so it straddles the boundary and stays in pack 0; doc C starts
+    # at 8 -> pack 1.
+    rows = [
+        (1, "a b c d", "en"),
+        (2, "e f g h", "en"),
+        (3, "i j k l", "en"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r.doc_id: r.pack_id for r in S.pack_sequences(d, token_budget=6).collect()}
+    assert out == {1: 0, 2: 0, 3: 1}
+
+
+def test_repetition_stats_known_values(spark):
+    rows = [
+        # tokens: the the the cat -> top frac 3/4; trigrams:
+        # "the the the", "the the cat" -> all unique -> dup 0
+        (1, "the the the cat", "en"),
+        # tokens: a b a b a b -> top 3/6; trigrams: "a b a" x2,
+        # "b a b" x2 -> 4 occurrences, 0 singles -> dup 1.0
+        (2, "a b a b a b", "en"),
+        # under 3 tokens -> no trigrams -> dup NULL
+        (3, "xy zq", "en"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r.doc_id: r for r in TS.repetition_stats(d).collect()}
+    assert out[1].top_token_frac == 3 / 4
+    assert out[1].dup_trigram_frac == 0.0
+    assert out[2].top_token_frac == 3 / 6
+    assert out[2].dup_trigram_frac == 1.0
+    assert out[3].dup_trigram_frac is None
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    rows = [
+        (0, "alpha beta gamma delta tail zero", "en"),   # benchmark (id%97==0)
+        (5, "alpha beta gamma delta other words", "en"),  # shares 4-gram
+        (6, "no overlap here at all folks", "en"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r.doc_id: r.n_hit_grams for r in TS.decontaminate(d, 97, n=4).collect()}
+    assert out == {5: 1}
+
+
+def test_det_hash_matches_sql_twin(spark):
+    d = docs(spark, n=25)
+    sql = S.SQL_DET_HASH.format(col="doc_id")
+    got = d.select("doc_id", S.det_hash("doc_id").alias("h")).collect()
+    want = {r.doc_id: r.h for r in d.select("doc_id", F.expr(sql).alias("h")).collect()}
+    for r in got:
+        assert want[r.doc_id] == r.h

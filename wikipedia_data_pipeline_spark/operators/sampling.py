@@ -1,0 +1,159 @@
+"""Deterministic sampling / split-assignment / sequence-packing
+operators for training-data preparation.
+
+Everything here is a pure narrow map or a single window pass — no
+Python, no randomness. Randomness is the enemy of reproducible data
+pipelines at 100 TB: ``rand()`` re-draws on task retry and is
+partitioning-dependent, so a retried stage silently changes the
+training set. Instead every decision derives from a *portable
+arithmetic hash* of the stable row key (Knuth multiplicative hashing),
+which (a) is reproducible under any partitioning, task retry, or
+cluster size, (b) is computable bit-identically by any SQL engine
+(unlike xxhash64/murmur, whose seeds differ across engines), and
+(c) makes samples *consistent across runs and tables* — the same
+doc_id always lands in the same split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Knuth's multiplicative constant (golden-ratio * 2^32) and a Mersenne
+# prime modulus. doc_id is first reduced mod 1e6+3 so the product stays
+# far below 2^63 on any engine (DuckDB raises on BIGINT overflow rather
+# than wrapping, so staying in-range is a portability requirement, not
+# just hygiene).
+KNUTH = 2654435761
+PRE_MOD = 1_000_003
+HASH_MOD = (1 << 31) - 1
+
+# DuckDB twin of det_hash() — keep the two expressions in lockstep.
+SQL_DET_HASH = f"((({{col}} % {PRE_MOD}) * {KNUTH} + 12345) % {HASH_MOD})"
+
+
+def det_hash(col: Column | str) -> Column:
+    """Portable deterministic hash of an integer key → [0, 2^31-1)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        (c.cast("long") % PRE_MOD) * F.lit(KNUTH) + F.lit(12345)
+    ) % F.lit(HASH_MOD)
+
+
+def assign_splits(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Hash-bucket train/val/test assignment (train_pct/val_pct/rest).
+
+    One narrow projection — the split column costs nothing at any
+    scale and is stable against re-partitioning and retries.
+    """
+    h = det_hash(id_col)
+    bucket = h % 100
+    return documents.select(
+        id_col,
+        "lang",
+        "source",
+        h.alias("sample_hash"),
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def stratified_sample(
+    documents: DataFrame,
+    group_col: str = "lang",
+    fraction: float = 0.2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep ceil(fraction × group size) docs per group, chosen by hash
+    order (deterministic, uniform within the group).
+
+    One shuffle on the group key. The per-group count rides the same
+    window partition as the rank — no second aggregation pass. Group
+    cardinality is small (languages/sources), so skew is bounded by
+    group size; for a heavy group the window sort is the cost, which
+    is the floor for exact per-group quotas.
+    """
+    h = det_hash(id_col)
+    w = Window.partitionBy(group_col)
+    ranked = documents.select(
+        id_col,
+        group_col,
+        h.alias("sample_hash"),
+    ).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy(group_col).orderBy("sample_hash", id_col)
+        ).cast("long"),
+    ).withColumn("group_n", F.count("*").over(w))
+    return ranked.filter(
+        F.col("rnk") <= F.ceil(F.col("group_n") * F.lit(fraction))
+    ).select(id_col, group_col, "sample_hash", "rnk")
+
+
+def weighted_mixture(
+    documents: DataFrame,
+    weights: dict[str, float],
+    default_weight: float,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source sampling quota — the "data mixture" step of a
+    training pipeline: each source keeps ceil(weight × source size)
+    docs, selected by hash order. Same single-window plan as
+    stratified_sample, with a per-group fraction."""
+    frac = F.lit(default_weight)
+    for src, wgt in sorted(weights.items()):
+        frac = F.when(F.col(group_col) == src, F.lit(wgt)).otherwise(frac)
+    w = Window.partitionBy(group_col)
+    ranked = documents.select(
+        id_col,
+        group_col,
+        det_hash(id_col).alias("sample_hash"),
+        frac.alias("keep_frac"),
+    ).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy(group_col).orderBy("sample_hash", id_col)
+        ).cast("long"),
+    ).withColumn("group_n", F.count("*").over(w))
+    return ranked.filter(
+        F.col("rnk") <= F.ceil(F.col("group_n") * F.col("keep_frac"))
+    ).select(id_col, group_col, "sample_hash", "rnk")
+
+
+def pack_sequences(
+    documents: DataFrame,
+    token_budget: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequential sequence packing: within each language, walk
+    documents in doc_id order and cut a new pack every time the
+    running token total passes the budget — the standard
+    concat-and-chunk step that turns variable-length documents into
+    fixed-budget training sequences.
+
+    pack_id = (running total BEFORE this doc) // budget, so a doc
+    whose tokens straddle a boundary belongs to the pack it started
+    in. One window pass per language partition; the running sum is a
+    cumulative frame over the already-sorted partition, so cost is
+    the partition sort — the minimum for order-dependent packing.
+    (Docs longer than the budget span packs; real pipelines split
+    those upstream — see documents_curation_pipeline's length gate.)
+    """
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    return documents.select(
+        id_col, "lang", n_tok.alias("n_tok")
+    ).withColumn(
+        "pack_id",
+        F.expr(f"(sum(n_tok) over (partition by lang order by {id_col} "
+               f"rows between unbounded preceding and current row) - n_tok) "
+               f"div {token_budget}"),
+    )

@@ -103,6 +103,146 @@ def token_counts(documents: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    tokens taken by the single most-frequent token, and the fraction of
+    trigram occurrences whose trigram repeats within the document.
+
+    Scale posture: both signals are computed WITHOUT a shuffle — the
+    naive plan (explode tokens → groupBy(doc_id, word)) shuffles the
+    whole token table; here each document's stats come from a sorted
+    in-row array walked once with ``aggregate`` (run-length encoding),
+    so cost is O(n log n) per doc inside a narrow map and the corpus
+    scan stays embarrassingly parallel at any size.
+    """
+    from wikipedia_data_pipeline_spark.operators.text import (
+        NORMALIZE_PATTERN,
+        TOKEN_DELIMITER,
+    )
+
+    toks = F.filter(
+        F.transform(
+            F.split(F.col("text"), TOKEN_DELIMITER),
+            lambda w: F.lower(F.regexp_replace(w, NORMALIZE_PATTERN, "")),
+        ),
+        lambda w: F.length(w) > 0,
+    )
+
+    def max_run(sorted_arr):
+        """Longest run of equal adjacent values in a sorted array."""
+        init = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        )
+
+        def step(acc, x):
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+    def singleton_count(sorted_arr):
+        """Number of values appearing exactly once in a sorted array."""
+        init = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("singles"),
+        )
+
+        def step(acc, x):
+            is_new = x != acc["prev"]
+            closed_single = is_new & (acc["run"] == 1)
+            return F.struct(
+                x.alias("prev"),
+                F.when(is_new, F.lit(1).cast("long"))
+                .otherwise(acc["run"] + 1)
+                .alias("run"),
+                F.when(closed_single, acc["singles"] + 1)
+                .otherwise(acc["singles"])
+                .alias("singles"),
+            )
+
+        return F.aggregate(
+            sorted_arr,
+            init,
+            step,
+            lambda acc: F.when(acc["run"] == 1, acc["singles"] + 1).otherwise(
+                acc["singles"]
+            ),
+        )
+
+    # Guard: Spark's sequence(1, stop) DESCENDS when stop < 1, so short
+    # docs must short-circuit to an empty gram array.
+    grams = F.when(
+        F.size(F.col("toks")) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("toks")) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i),
+                F.element_at(F.col("toks"), i + 1),
+                F.element_at(F.col("toks"), i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        documents.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.array_sort("toks").alias("stoks"),
+            F.array_sort(grams).alias("grams"),
+        )
+        .select(
+            "doc_id",
+            F.size("stoks").cast("long").alias("n_tokens"),
+            (max_run(F.col("stoks")) / F.size("stoks")).alias("top_token_frac"),
+            F.when(
+                F.size("grams") > 0,
+                (F.size("grams").cast("long") - singleton_count(F.col("grams")))
+                / F.size("grams"),
+            ).alias("dup_trigram_frac"),
+        )
+    )
+
+
+def decontaminate(
+    documents: DataFrame,
+    benchmark_mod: int = 97,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: find corpus documents sharing any
+    word n-gram with a held-out benchmark set (here: docs whose id is
+    divisible by ``benchmark_mod`` stand in for the benchmark corpus).
+
+    Returns (doc_id, n_hit_grams) for contaminated corpus docs — the
+    relation a curation pipeline anti-joins against before training.
+
+    Scale posture: the benchmark gram set is distinct-reduced BEFORE
+    the join (benchmarks are thousands of docs — it broadcasts), so
+    the corpus side streams through a broadcast semi-probe with no
+    corpus-wide shuffle of gram strings; only the surviving hits
+    shuffle for the per-doc count. For a benchmark too large to
+    broadcast, hash grams to int64 (xxhash64) and shuffle-join on the
+    hash — same plan shape, 8× narrower rows.
+    """
+    from wikipedia_data_pipeline_spark.operators.text import ngrams
+
+    grams = ngrams(documents, n=n)
+    is_bench = F.col("doc_id") % benchmark_mod == 0
+    bench = grams.filter(is_bench).select("ngram").distinct()
+    corpus = grams.filter(~is_bench)
+    return (
+        corpus.join(F.broadcast(bench), "ngram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("ngram").alias("n_hit_grams"))
+    )
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Order-sensitive document fingerprint, SQL-portable: per token at
     1-based position i, contribute i * (131*len(tok) + ascii(first

