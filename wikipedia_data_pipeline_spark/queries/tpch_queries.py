@@ -28,10 +28,13 @@ from wikipedia_data_pipeline_spark.functions import dec_sum, sql_dec_sum
 from wikipedia_data_pipeline_spark.registry import register
 from wikipedia_data_pipeline_spark.sources.tables import load_table
 
-REVENUE = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-    "decimal(18,6)"
-)
-SQL_REVENUE = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
+def _revenue():
+    """Line revenue as DECIMAL(18,6). A function, not a module constant:
+    pyspark Column construction needs an active SparkContext, and query
+    modules must import cleanly before the driver has built its session."""
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
 
 
 @register(
@@ -147,7 +150,7 @@ def q8_market_share(spark, sf_dir):
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
-            REVENUE.alias("volume"),
+            _revenue().alias("volume"),
             F.col("n2.n_name").alias("supp_nation"),
         )
     )
@@ -237,7 +240,7 @@ def q11_important_value(spark, sf_dir):
     natval = (
         li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .select(F.col("l_partkey").alias("partkey"), REVENUE.alias("value"))
+        .select(F.col("l_partkey").alias("partkey"), _revenue().alias("value"))
     )
     per_part = natval.groupBy("partkey").agg(
         F.sum("value").cast("double").alias("part_value")
@@ -372,7 +375,7 @@ def q19_disjunctive_predicates(spark, sf_dir):
         & F.col("l_quantity").between(20, 40)
     )
     return j.filter(b).agg(
-        F.sum(REVENUE).cast("double").alias("revenue"),
+        F.sum(_revenue()).cast("double").alias("revenue"),
         F.count("*").alias("n_lines"),
     )
 
