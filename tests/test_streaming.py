@@ -124,3 +124,16 @@ def test_foreach_batch_parquet_sink(spark, sf_dir):
         src = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         assert landed.count() == src.count()
         assert sorted(landed.columns) == sorted(src.columns)
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.streaming_queries import (
+        events_view_click_join,
+    )
+
+    stream = {
+        tuple(r)
+        for r in P.run_view_click_join(spark, sf_dir).collect()
+    }
+    batch = {tuple(r) for r in events_view_click_join(spark, sf_dir).collect()}
+    assert stream == batch

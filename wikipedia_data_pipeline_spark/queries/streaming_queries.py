@@ -94,6 +94,62 @@ def streaming_dedup_watermark(spark, sf_dir):
     return P.run_dedup_within_watermark(spark, sf_dir)
 
 
+_VC_ORACLE = """
+SELECT v.event_id AS view_id, c.event_id AS click_id,
+       v.user_id AS user_id,
+       epoch_us(v.ts) AS view_us, epoch_us(c.ts) AS click_us
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts BETWEEN v.ts AND v.ts + INTERVAL 1 HOUR
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+"""
+
+
+@register("events_view_click_join", oracle=_VC_ORACLE)
+def events_view_click_join(spark, sf_dir):
+    """Batch twin of the stream-stream interval join: views matched to
+    same-user clicks within the following hour. The range predicate
+    rides a user_id equi-join, so Catalyst hash-joins on user and
+    evaluates the interval as a residual — no broadcast-NL blowup."""
+    from pyspark.sql import functions as F
+
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.expr("ts div 1000").alias("view_us"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.expr("ts div 1000").alias("click_us"),
+    )
+    return (
+        v.join(
+            c,
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("click_us") >= F.col("view_us"))
+            & (F.col("click_us") <= F.col("view_us") + 3_600_000_000),
+        )
+        .select(
+            "view_id",
+            "click_id",
+            F.col("v_user").alias("user_id"),
+            "view_us",
+            "click_us",
+        )
+    )
+
+
+@register("streaming_view_click_join", oracle=_VC_ORACLE)
+def streaming_view_click_join(spark, sf_dir):
+    """Stream-stream watermarked interval join; availableNow emission
+    equals the batch twin exactly, so both share one oracle."""
+    return P.run_view_click_join(spark, sf_dir)
+
+
 @register(
     "streaming_stateful_user_stats",
     oracle="""

@@ -195,6 +195,57 @@ def run_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("wdp_stream_dedup")
 
 
+def run_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval inner join: each view joined to the same
+    user's clicks within the following hour, both sides watermarked.
+
+    The watermarks bound the join state: Spark retains only 2 hours of
+    each stream (watermark + interval span) instead of the full history
+    — the property that makes a stream-stream join runnable forever at
+    production event rates. With an availableNow run the emitted pairs
+    equal the batch interval self-join exactly, so the same SQL oracle
+    checks both.
+    """
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.timestamp_micros(F.expr("ts div 1000")).alias("view_time"),
+        )
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.timestamp_micros(F.expr("ts div 1000")).alias("click_time"),
+        )
+    )
+    joined = (
+        views.withWatermark("view_time", "2 hours")
+        .join(
+            clicks.withWatermark("click_time", "2 hours"),
+            F.expr(
+                "v_user = c_user AND click_time BETWEEN view_time "
+                "AND view_time + interval 1 hour"
+            ),
+            "inner",
+        )
+        .select(
+            "view_id",
+            "click_id",
+            F.col("v_user").alias("user_id"),
+            F.unix_micros("view_time").alias("view_us"),
+            F.unix_micros("click_time").alias("click_us"),
+        )
+    )
+    _run_to_memory(joined, "wdp_stream_vc_join", "append")
+    return spark.table("wdp_stream_vc_join")
+
+
 STATE_SCHEMA = StructType([StructField("n", LongType())])
 USER_STATS_SCHEMA = StructType(
     [
