@@ -116,6 +116,15 @@ def test_ann_recall_on_clustered_corpus(spark):
     lsh_r, ivf_r = _mean_recall(lsh), _mean_recall(ivf)
     assert lsh_r >= 0.9, f"LSH recall {lsh_r}"
     assert ivf_r >= 0.9, f"IVF recall {ivf_r}"
+    # Trained quantizer: k-means cells on a 16-cluster corpus should
+    # recover the clusters, so recall must hold at a LOWER nprobe than
+    # the hash-sampled variant needed above.
+    km = S.kmeans_centroids(emb, k=16, iters=3)
+    ivf_km = S.ann_recall(
+        exact, S.ann_ivf_topk(emb, qids, 10, nprobe=2, centroids=km)
+    )
+    km_r = _mean_recall(ivf_km)
+    assert km_r >= 0.9, f"IVF-kmeans recall {km_r}"
 
 
 def test_ann_recall_counts_shape(spark):

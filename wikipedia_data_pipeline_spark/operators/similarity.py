@@ -137,17 +137,110 @@ IVF_CENTROID_MOD = 37  # ~n/37 coarse centroids; tune to sqrt(n) at scale
 IVF_NPROBE = 2
 
 
+def _nearest_centroids(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    keep_rank: int,
+    id_out: str,
+) -> DataFrame:
+    """Assign each vector to its ``keep_rank`` nearest centroids by
+    cosine (broadcast centroid table × corpus scan)."""
+    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+        embeddings["*"],
+        "centroid_id",
+        cosine_similarity(F.col("embedding"), F.col("c_emb")).alias("c_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("c_rnk", F.row_number().over(w))
+        .filter(F.col("c_rnk") <= keep_rank)
+        .select(embeddings["*"], F.col("centroid_id").alias(id_out))
+    )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame, k: int = 16, iters: int = 3
+) -> DataFrame:
+    """Trained IVF coarse quantizer: k-means via Lloyd iterations,
+    expressed as a bounded DataFrame loop (the iterative-algorithm
+    pattern — same shape as dedup_cluster_select's label propagation).
+
+    Seeds are a deterministic hash-ordered sample (xxhash64 of vec_id —
+    reproducible under any partitioning). Each iteration is one corpus
+    scan: assign to nearest broadcast centroid (crossJoin is
+    broadcast-bounded, k rows), then recompute cluster means with an
+    Arrow-vectorized grouped-map (numpy column mean per cell — the
+    elementwise array average has no builtin aggregate, so this is the
+    documented pandas-UDF escape hatch; one shuffle on centroid_id per
+    iteration). Training cost is iters × (scan + tiny shuffle), run
+    once and amortized over every subsequent query — at 100 TB you
+    train on a sample and assign the full corpus once.
+
+    Empty cells vanish after their iteration (standard Lloyd behavior),
+    so the result may have < k rows.
+    """
+    import pandas as pd  # noqa: F401 — applyInPandas payload
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    centroid_schema = StructType(
+        [
+            StructField("centroid_id", LongType()),
+            StructField("c_emb", ArrayType(DoubleType())),
+        ]
+    )
+
+    def _cluster_mean(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        m = np.stack(pdf["embedding"].to_numpy()).astype("float64").mean(axis=0)
+        return pd.DataFrame({"centroid_id": [key[0]], "c_emb": [m.tolist()]})
+
+    w_seed = Window.orderBy("h", "vec_id")
+    centroids = (
+        embeddings.withColumn("h", F.xxhash64(F.col("vec_id")))
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w_seed) - 1).cast("long").alias("centroid_id"),
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                "c_emb"
+            ),
+        )
+    )
+    for _ in range(iters):
+        assigned = _nearest_centroids(embeddings, centroids, 1, "centroid_id")
+        centroids = (
+            assigned.select("centroid_id", "embedding")
+            .groupBy("centroid_id")
+            .applyInPandas(_cluster_mean, centroid_schema)
+        )
+    return centroids
+
+
 def ann_ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 10,
     centroid_mod: int = IVF_CENTROID_MOD,
     nprobe: int = IVF_NPROBE,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: coarse-quantize the corpus to its nearest centroid
-    (centroids = a deterministic hash-sample of the corpus itself), then
-    answer each query by exact rerank inside its ``IVF_NPROBE`` closest
+    """IVF-style ANN: coarse-quantize the corpus to its nearest centroid,
+    then answer each query by exact rerank inside its ``nprobe`` closest
     centroid cells.
+
+    ``centroids`` defaults to a deterministic hash-sample of the corpus
+    itself (zero training cost); pass ``kmeans_centroids(...)`` for the
+    trained quantizer (tighter cells → higher recall at the same
+    nprobe).
 
     Plan shape at scale: the centroid table is tiny and broadcast twice
     (assignment pass + query probe); the corpus is scanned once to build
@@ -155,30 +248,17 @@ def ann_ivf_topk(
     centroid_id — no cross product against the corpus. Recall < 1 by
     construction → rows-only correctness check, like the LSH variant.
     """
-    centroids = embeddings.filter(
-        F.col("vec_id") % centroid_mod == 0
-    ).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
-    )
-
-    def assign(df: DataFrame, id_out: str, keep_rank: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(centroids)).select(
-            df["*"],
-            "centroid_id",
-            cosine_similarity(F.col("embedding"), F.col("c_emb")).alias("c_cos"),
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.desc("c_cos"), F.asc("centroid_id")
-        )
-        return (
-            scored.withColumn("c_rnk", F.row_number().over(w))
-            .filter(F.col("c_rnk") <= keep_rank)
-            .select(df["*"], F.col("centroid_id").alias(id_out))
+    if centroids is None:
+        centroids = embeddings.filter(
+            F.col("vec_id") % centroid_mod == 0
+        ).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("c_emb"),
         )
 
-    corpus = assign(embeddings, "cell", 1)
-    queries = assign(
-        embeddings.filter(F.col("vec_id").isin(query_ids)), "cell", nprobe
+    corpus = _nearest_centroids(embeddings, centroids, 1, "cell")
+    queries = _nearest_centroids(
+        embeddings.filter(F.col("vec_id").isin(query_ids)), centroids, nprobe, "cell"
     ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

@@ -70,6 +70,17 @@ def ann_cosine_topk_ivf(spark, sf_dir):
     )
 
 
+@register("ann_cosine_topk_ivf_kmeans")  # approximate → rows-only check
+def ann_cosine_topk_ivf_kmeans(spark, sf_dir):
+    """IVF with a TRAINED coarse quantizer: k-means centroids from 3
+    Lloyd iterations (operators.similarity.kmeans_centroids), then the
+    same cell equi-join + nprobe rerank as the hash-sampled variant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_ivf_topk(
+        emb, QUERY_IDS, TOP_K, centroids=S.kmeans_centroids(emb, k=16, iters=3)
+    )
+
+
 BRUTE_CTES = f"""
 q AS (
   SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
