@@ -676,3 +676,31 @@ def scalar_array_funcs(spark, sf_dir):
             "head_sum"
         ),
     )
+
+
+@register(
+    "unpivot_part_measures",
+    oracle="""
+SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS value
+FROM part
+UNION ALL
+SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
+FROM part
+""",
+)
+def unpivot_part_measures(spark, sf_dir):
+    """Wide→long reshape: ``DataFrame.unpivot`` (ANSI UNPIVOT / melt)
+    over the part measures — the inverse of pivot_status_counts.
+    Narrow 1→N row expansion, no shuffle; the oracle states it as the
+    portable UNION ALL form."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double"),
+        F.col("p_size").cast("double"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_retailprice", "p_size"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )

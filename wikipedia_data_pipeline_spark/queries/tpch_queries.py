@@ -456,3 +456,87 @@ def q21_waiting_supplier(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@register(
+    "q20_potential_promotion",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         sum(l_quantity) AS ps_availqty
+  FROM lineitem GROUP BY 1, 2
+),
+recent AS (
+  SELECT l_partkey, l_suppkey, 0.5 * sum(l_quantity) AS half_qty
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+  GROUP BY 1, 2
+)
+SELECT s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT ps_suppkey FROM ps
+    JOIN recent ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND ps_availqty > half_qty
+  )
+""",
+)
+def q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers in one nation whose stocked quantity of
+    'small%' parts exceeds half of what shipped recently (Main-inventory
+    vs demand-window comparison; nested IN + correlated-sum in the
+    spec).
+
+    The pseudo-partsupp availqty is total ``sum(l_quantity)`` per
+    (part, supplier) pair; the correlated demand sum is the same pairs
+    restricted to shipdate >= 1999-01-01. Instead of the oracle's two
+    lineitem scans joined on the pair key, ONE scan + ONE shuffle
+    computes both sums as a conditional aggregate — at 100 TB that
+    halves the largest-table IO and removes a pair-keyed shuffle join
+    entirely. The existence requirement of the inner join (pairs with
+    zero recent shipments never qualify) is kept via recent_cnt > 0.
+    Part and nation dims broadcast; the final probe is a semi join
+    against a distinct-suppkey set that is tiny by construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_small = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+
+    cutoff = F.to_timestamp(F.lit("1999-01-01"))
+    recent = F.col("l_shipdate") >= cutoff
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.sum("l_quantity").alias("ps_availqty"),
+        F.sum(F.when(recent, F.col("l_quantity"))).alias("recent_qty"),
+        F.count(F.when(recent, 1)).alias("recent_cnt"),
+    )
+    qualified = (
+        ps.join(
+            F.broadcast(part_small),
+            ps.ps_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .filter(
+            (F.col("recent_cnt") > 0)
+            & (F.col("ps_availqty") > 0.5 * F.col("recent_qty"))
+        )
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        sup.join(
+            F.broadcast(qualified),
+            sup.s_suppkey == F.col("ps_suppkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select("s_name", F.col("s_nationkey").cast("long").alias("s_nationkey"))
+    )
