@@ -77,3 +77,65 @@ def curate(
             F.length("text").cast("long").alias("n_chars"),
         )
     )
+
+
+def segment_dedup(
+    documents: DataFrame, seg_words: int = 10
+) -> DataFrame:
+    """Segment-level (line-level) dedup, the C4/RefinedWeb shape: split
+    each document into fixed ``seg_words``-word segments, drop every
+    segment whose exact text already occurred earlier in the corpus
+    (first occurrence by ``(doc_id, seg_idx)`` wins), and reassemble the
+    surviving segments in document order.
+
+    Output: ``(doc_id, n_segs, n_kept, text_clean)``.
+
+    Scale shape: segmentation is a narrow higher-order-function map
+    (``split``/``sequence``/``transform``/``slice`` — no Python, stays
+    in whole-stage codegen) followed by ``posexplode``; the global
+    first-occurrence decision is ONE shuffle partitioned by segment
+    text (at 100 TB you would shuffle ``xxhash64(seg)`` + a sample
+    verify instead of the raw string to keep shuffle rows narrow — same
+    plan, narrower key); reassembly is one shuffle back on doc_id with
+    ``sort_array(collect_list(struct(idx, seg)))`` restoring order
+    without a per-group sort.
+    """
+    words = F.split(F.col("text"), " ")
+    n_segs = F.ceil(F.size(words) / F.lit(float(seg_words)))
+    segs = F.transform(
+        F.sequence(F.lit(0), (n_segs - 1).cast("int")),
+        lambda i: F.array_join(
+            F.slice(words, i * seg_words + 1, seg_words), " "
+        ),
+    )
+    exploded = documents.select(
+        "doc_id", F.posexplode(segs).alias("seg_idx", "seg_text")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("seg_text").orderBy("doc_id", "seg_idx")
+    kept = exploded.withColumn("_rn", F.row_number().over(w))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segs"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rn") == 1,
+                                F.struct(
+                                    F.col("seg_idx"), F.col("seg_text")
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s.seg_text,
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+        .select("doc_id", "n_segs", "n_kept", "text_clean")
+    )

@@ -198,3 +198,37 @@ def documents_curation_pipeline(spark, sf_dir):
     return curate(
         load_table(spark, sf_dir, "documents"), languages=["en", "es"]
     )
+
+
+@register(
+    "text_segment_dedup",
+    oracle="""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(list_slice(w, i * 10 + 1, i * 10 + 10), ' ') AS seg_text
+  FROM words,
+       unnest(generate_series(0, CAST(ceil(len(w) / 10.0) AS BIGINT) - 1)) AS t(i)
+),
+kept AS (
+  SELECT doc_id, seg_idx, seg_text,
+         row_number() OVER (PARTITION BY seg_text ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_segs,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(
+         array_to_string(list(seg_text ORDER BY seg_idx) FILTER (WHERE rn = 1), ' '),
+         '') AS text_clean
+FROM kept GROUP BY doc_id
+""",
+)
+def text_segment_dedup(spark, sf_dir):
+    """C4-style segment-level dedup: drop exact-duplicate 10-word
+    segments corpus-wide (first occurrence wins), reassemble documents
+    from the survivors. See operators.curation.segment_dedup for the
+    scale discussion."""
+    from wikipedia_data_pipeline_spark.operators.curation import segment_dedup
+
+    return segment_dedup(load_table(spark, sf_dir, "documents"), seg_words=10)
