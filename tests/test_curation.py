@@ -88,3 +88,27 @@ def test_merge_upsert_matches_dict_model(spark_session_holder, case):
     for k, v in model.items():
         if k not in ambiguous:
             assert got[k] == v
+
+
+def test_segment_dedup_drops_repeats_and_reassembles(spark):
+    from wikipedia_data_pipeline_spark.operators.curation import segment_dedup
+
+    seg_a = "a b c"          # 3-word segments
+    seg_b = "d e f"
+    seg_c = "g h i"
+    rows = [
+        (1, f"{seg_a} {seg_b}"),          # both segments first seen here
+        (2, f"{seg_a} {seg_c}"),          # seg_a is a repeat → dropped
+        (3, f"{seg_c} {seg_c}"),          # repeat of doc2's seg + self-repeat
+        (4, "j k"),                       # short doc, single partial segment
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in segment_dedup(docs, seg_words=3).collect()}
+    assert got[1].text_clean == f"{seg_a} {seg_b}"
+    assert (got[1].n_segs, got[1].n_kept) == (2, 2)
+    assert got[2].text_clean == seg_c       # seg_a deduped away
+    assert (got[2].n_segs, got[2].n_kept) == (2, 1)
+    assert got[3].text_clean == ""          # every segment already seen
+    assert (got[3].n_segs, got[3].n_kept) == (2, 0)
+    assert got[4].text_clean == "j k"
+    assert (got[4].n_segs, got[4].n_kept) == (1, 1)

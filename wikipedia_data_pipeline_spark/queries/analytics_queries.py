@@ -393,3 +393,88 @@ def task1_probe_reference(spark, sf_dir):
     from wikipedia_data_pipeline_spark.operators import tfidf as T
 
     return T.task1_probe(load_table(spark, sf_dir, "documents"))
+
+
+_RECURSIVE_CHAIN_SQL = """
+WITH RECURSIVE paths(root, node, depth) AS (
+  SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT),
+         CAST(0 AS BIGINT)
+  FROM nation
+  UNION ALL
+  SELECT p.root, CAST(n.n_nationkey AS BIGINT), p.depth + 1
+  FROM paths p JOIN nation n ON n.n_nationkey = p.node + 7
+)
+SELECT root, count(*) AS n_reachable, max(depth) AS max_depth
+FROM paths GROUP BY root
+"""
+
+
+@register("sql_recursive_chain", oracle=_RECURSIVE_CHAIN_SQL)
+def sql_recursive_chain(spark, sf_dir):
+    """Recursive CTE (Spark 4's WITH RECURSIVE): transitive reachability
+    over the acyclic key chain n -> n+7 within nation, counting each
+    root's reachable set and chain depth. The IDENTICAL SQL text runs on
+    both engines — the oracle is the same string — so this checks
+    Spark's native recursive-query execution, the declarative twin of
+    the iterative min-label loop in operators.dedup.near_dup_clusters.
+    The recursion depth is bounded by the key domain (<=4 here); each
+    iteration is one small broadcast join, and Spark materializes the
+    working set per step exactly like the hand-rolled loop does with
+    localCheckpoint."""
+    from wikipedia_data_pipeline_spark.sources.tables import load_tables
+
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(_RECURSIVE_CHAIN_SQL)
+
+
+@register(
+    "events_daily_gapfill",
+    oracle=f"""
+WITH daily AS (
+  SELECT (epoch_us(ts) // 86400000000) * 86400 AS day_s,
+         count(*) AS n_events,
+         {sql_dec_sum('value', 'total_value')}
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT min(day_s) AS lo, max(day_s) AS hi FROM daily),
+spine AS (SELECT unnest(generate_series(lo, hi, 86400)) AS day_s FROM bounds)
+SELECT spine.day_s,
+       CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+       CAST(coalesce(total_value, 0.0) AS DOUBLE) AS total_value
+FROM spine LEFT JOIN daily ON spine.day_s = daily.day_s
+""",
+)
+def events_daily_gapfill(spark, sf_dir):
+    """Time-series gap fill: daily rollup joined against a generated
+    date spine (``sequence`` + ``explode``) so days with zero events
+    appear as explicit zero rows — the calendar-fill operator every
+    monitoring/forecasting pipeline needs before windowed models.
+
+    Scale shape: the heavy side is ONE hash-agg scan of events (same as
+    the hourly rollup); the spine derives from a 1-row min/max agg and
+    explodes to one row per day (~3k rows for a decade), so the final
+    left join broadcasts the daily agg against the spine — no extra
+    shuffle of the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    day_s = ((ts_us().cast("long") - ts_us().cast("long") % US_PER_DAY)
+             / 1_000_000).cast("long")
+    daily = (
+        ev.withColumn("day_s", day_s)
+        .groupBy("day_s")
+        .agg(F.count("*").alias("n_events"), dec_sum("value", "total_value"))
+    )
+    spine = (
+        daily.agg(F.min("day_s").alias("lo"), F.max("day_s").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(86400).cast("long"))
+            ).alias("day_s")
+        )
+    )
+    return spine.join(daily, "day_s", "left").select(
+        "day_s",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce(F.col("total_value"), F.lit(0.0)).cast("double").alias(
+            "total_value"
+        ),
+    )
