@@ -136,3 +136,26 @@ def test_ann_recall_counts_shape(spark):
     assert set(rows) == {0, 2}
     for r in rows.values():
         assert 0 <= r.hits <= r.k_possible
+
+
+def test_pq_recall_on_clustered_corpus(spark):
+    """PQ ADC + exact rerank must reach >= 0.9 recall@10 on the
+    clustered corpus (quantization error is small next to cluster
+    separation, and the 4x shortlist absorbs ranking jitter)."""
+    emb = clustered_embeddings(spark).cache()
+    qids = [0, 45, 123, 301, 555]
+    exact = S.cosine_topk(emb, qids, 10).cache()
+    pq = S.ann_recall(exact, S.ann_pq_topk(emb, qids, 10))
+    pq_r = _mean_recall(pq)
+    assert pq_r >= 0.9, f"PQ recall {pq_r}"
+
+
+def test_pq_encode_shape(spark):
+    """Every vector gets exactly m codes, each within [0, kcode)."""
+    emb = clustered_embeddings(spark, n_clusters=4, per_cluster=10)
+    cb = S.pq_codebooks(emb, dim=64, m=8, k=4, iters=1)
+    codes = S.pq_encode(emb, cb, dim=64, m=8).collect()
+    assert len(codes) == 40
+    for r in codes:
+        assert len(r.codes) == 8
+        assert all(0 <= c < 4 for c in r.codes)

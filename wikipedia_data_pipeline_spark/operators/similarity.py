@@ -327,3 +327,256 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
+
+
+# --- Product quantization (PQ) -------------------------------------------
+#
+# The 100 TB ANN path: a 64-dim float32 vector is 256 bytes; its PQ code
+# is PQ_M bytes + the shared codebook. The ADC scan never touches raw
+# vectors — it reads the code table (32-64x smaller than the corpus) and
+# sums per-subspace distances out of a broadcast lookup table.
+
+PQ_M = 16       # subspaces (code bytes per vector); d_sub = dim/m = 4
+PQ_K = 32       # codewords per subspace
+PQ_ITERS = 3    # Lloyd iterations per subspace codebook
+PQ_RERANK = 4   # ADC shortlist = PQ_RERANK × k, then exact rerank
+
+
+def _sq_dist(a, b):
+    """Squared euclidean distance of two double arrays (sequential fold
+    — deterministic)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _subspace_rows(embeddings: DataFrame, dim: int, m: int) -> DataFrame:
+    """(vec_id, subspace, sub): each vector L2-normalized then split into
+    m contiguous sub-vectors — a narrow 1→m explode, no shuffle.
+
+    Normalization makes squared-euclidean ADC ordering equal cosine
+    ordering (||a-b||² = 2-2·cos for unit vectors), so the PQ path
+    answers the same nearest-by-cosine question as the brute baseline."""
+    d_sub = dim // m
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    unit = F.transform(
+        F.col("embedding"),
+        lambda x: F.coalesce(F.try_divide(x.cast("double"), norm), F.lit(0.0)),
+    )
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.struct(
+            s.cast("int").alias("subspace"),
+            F.slice(unit, s * d_sub + 1, d_sub).alias("sub"),
+        ),
+    )
+    return embeddings.select("vec_id", F.explode(subs).alias("e")).select(
+        "vec_id",
+        F.col("e.subspace").alias("subspace"),
+        F.col("e.sub").alias("sub"),
+    )
+
+
+def _nearest_code(sub_rows: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Assign every (vec_id, subspace) sub-vector to its nearest codeword
+    (broadcast codebook, squared-euclidean, deterministic tie on code)."""
+    scored = sub_rows.join(F.broadcast(codebooks), "subspace").withColumn(
+        "d", _sq_dist(F.col("sub"), F.col("c_sub"))
+    )
+    w = Window.partitionBy("vec_id", "subspace").orderBy("d", "code")
+    return (
+        scored.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") == 1)
+        .select("vec_id", "subspace", "code", "sub")
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    dim: int = 64,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """Train per-subspace codebooks: independent k-means in each of the
+    m sub-vector spaces (classic PQ, Jégou et al. 2011), as a bounded
+    Lloyd loop like kmeans_centroids.
+
+    Seeds are hash-ordered samples per subspace (deterministic under any
+    partitioning). Each iteration: one broadcast-join assignment pass
+    over the (corpus × m) sub-vector rows + an Arrow grouped-map mean
+    per (subspace, code) cell — m×k tiny groups, one shuffle. At 100 TB
+    you train on a driver-bounded sample; the loop shape is identical.
+    Returns (subspace int, code int, c_sub array<double>); empty cells
+    may vanish (standard Lloyd), callers must not assume k codes.
+    """
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("subspace", IntegerType()),
+            StructField("code", IntegerType()),
+            StructField("c_sub", ArrayType(DoubleType())),
+        ]
+    )
+
+    def _cell_mean(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        mean = np.stack(pdf["sub"].to_numpy()).astype("float64").mean(axis=0)
+        return pd.DataFrame(
+            {"subspace": [key[0]], "code": [key[1]], "c_sub": [mean.tolist()]}
+        )
+
+    sub_rows = _subspace_rows(embeddings, dim, m).persist()
+    w_seed = Window.partitionBy("subspace").orderBy("h", "vec_id")
+    cb = (
+        sub_rows.withColumn("h", F.xxhash64("vec_id", "subspace"))
+        .withColumn("rn", F.row_number().over(w_seed))
+        .filter(F.col("rn") <= k)
+        .select(
+            "subspace",
+            (F.col("rn") - 1).cast("int").alias("code"),
+            F.col("sub").alias("c_sub"),
+        )
+    )
+    for _ in range(iters):
+        assigned = _nearest_code(sub_rows, cb)
+        cb = assigned.groupBy("subspace", "code").applyInPandas(
+            _cell_mean, schema
+        )
+    return cb
+
+
+def pq_encode(
+    embeddings: DataFrame, codebooks: DataFrame, dim: int = 64, m: int = PQ_M
+) -> DataFrame:
+    """(vec_id, codes array<int>): the PQ compressed corpus — m bytes of
+    payload per vector. One broadcast assignment scan + one shuffle back
+    on vec_id (index build cost, amortized over every query)."""
+    assigned = _nearest_code(_subspace_rows(embeddings, dim, m), codebooks)
+    return assigned.groupBy("vec_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("subspace", "code"))),
+            lambda s: s.code,
+        ).alias("codes")
+    )
+
+
+def ann_pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    dim: int = 64,
+    m: int = PQ_M,
+    kcode: int = PQ_K,
+    iters: int = PQ_ITERS,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """PQ ANN via asymmetric distance computation (ADC) + exact rerank:
+    per query, precompute an m×kcode lookup table of squared distances
+    from the query sub-vectors to every codeword, score the whole corpus
+    by summing m table lookups per vector — the scan reads ONLY the code
+    table (no raw vectors) and runs as pure higher-order expressions
+    inside codegen against a broadcast of the per-query tables — then
+    fetch raw vectors for just the ``rerank × k`` ADC shortlist and
+    rank those exactly by cosine (the standard IVF-PQ serving shape:
+    quantized scan over everything, exact math over a shortlist).
+    Shuffle budget: the one-off encode shuffle + two tiny per-query
+    top-k windows; raw embeddings are touched only via a broadcast
+    semi-probe of shortlist ids.
+
+    Approximate by construction (quantization error can push a true
+    neighbor out of the shortlist) → rows-only check; recall is measured
+    in ann_recall_report and asserted in tests.
+    Output: (query_id, vec_id, cos, rnk) — same interface as the other
+    ANN paths.
+    """
+    cb = pq_codebooks(embeddings, dim, m, kcode, iters).persist()
+    codes = pq_encode(embeddings, cb, dim, m)
+    qsubs = _subspace_rows(
+        embeddings.filter(F.col("vec_id").isin(query_ids)), dim, m
+    ).select(F.col("vec_id").alias("query_id"), "subspace", "sub")
+    dtab = qsubs.join(F.broadcast(cb), "subspace").select(
+        "query_id",
+        "subspace",
+        "code",
+        _sq_dist(F.col("sub"), F.col("c_sub")).alias("d"),
+    )
+    # Flat lookup keyed s*kcode+code; a map (not array) so codewords
+    # dropped as empty Lloyd cells cannot shift positions.
+    dt = dtab.groupBy("query_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("subspace") * kcode + F.col("code"))
+                    .cast("int")
+                    .alias("key"),
+                    F.col("d").alias("value"),
+                )
+            )
+        ).alias("dt")
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(dt))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "adist",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, s: acc
+                + F.element_at(
+                    F.col("dt"),
+                    (s * kcode + F.element_at(F.col("codes"), (s + 1).cast("int")))
+                    .cast("int"),
+                ),
+            ),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("adist", F.asc("vec_id"))
+    shortlist = (
+        scored.withColumn("_arnk", F.row_number().over(w_adc))
+        .filter(F.col("_arnk") <= rerank * k)
+        .select("query_id", "vec_id")
+    )
+    q_raw = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = (
+        shortlist.join(embeddings, "vec_id")
+        .join(F.broadcast(q_raw), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cos", "rnk")
+    )

@@ -162,16 +162,29 @@ def ann_ivf_recall(spark, sf_dir):
     )
 
 
+@register("ann_cosine_topk_pq")  # approximate (quantization) → rows-only
+def ann_cosine_topk_pq(spark, sf_dir):
+    """Product-quantization ANN: per-subspace codebooks + asymmetric
+    distance scan over the compressed code table (the path whose scan
+    cost at 100 TB is m bytes/vector, not the raw embeddings)."""
+    return S.ann_pq_topk(
+        load_table(spark, sf_dir, "embeddings"), QUERY_IDS, TOP_K
+    )
+
+
 @register("ann_recall_report")  # LSH bucket ids use xxhash64 → rows-only
 def ann_recall_report(spark, sf_dir):
-    """Recall@10 of each approximate ANN path (lsh, ivf) vs brute force,
-    one row per (method, query)."""
+    """Recall@10 of each approximate ANN path (lsh, ivf, pq) vs brute
+    force, one row per (method, query)."""
     emb = load_table(spark, sf_dir, "embeddings")
     exact = S.cosine_topk(emb, QUERY_IDS, TOP_K)
     lsh = S.ann_recall(exact, S.ann_lsh_topk(emb, QUERY_IDS, TOP_K))
     ivf = S.ann_recall(exact, S.ann_ivf_topk(emb, QUERY_IDS, TOP_K))
-    return lsh.select(F.lit("lsh").alias("method"), "*").unionByName(
-        ivf.select(F.lit("ivf").alias("method"), "*")
+    pq = S.ann_recall(exact, S.ann_pq_topk(emb, QUERY_IDS, TOP_K))
+    return (
+        lsh.select(F.lit("lsh").alias("method"), "*")
+        .unionByName(ivf.select(F.lit("ivf").alias("method"), "*"))
+        .unionByName(pq.select(F.lit("pq").alias("method"), "*"))
     )
 
 
