@@ -162,3 +162,23 @@ def streaming_stateful_user_stats(spark, sf_dir):
     """applyInPandasWithState custom stateful operator; order-free
     aggregates make it exactly comparable to batch SQL."""
     return P.run_stateful_user_stats(spark, sf_dir)
+
+
+@register(
+    "streaming_static_enrich",
+    oracle=f"""
+SELECT n_name, count(*) AS n_events,
+       {sql_dec_sum('value', 'total_value')}
+FROM events
+JOIN customer ON user_id = c_custkey
+JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name
+""",
+)
+def streaming_static_enrich(spark, sf_dir):
+    """Stream-static broadcast enrichment (events stream × customer and
+    nation dims) with a windowless global agg; must equal the batch
+    3-way-join SQL exactly."""
+    return P.run_static_enrich(spark, sf_dir).select(
+        "n_name", "n_events", "total_value"
+    )

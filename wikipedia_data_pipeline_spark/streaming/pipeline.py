@@ -295,3 +295,38 @@ def run_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(result, "wdp_stream_user_stats", "update")
     return spark.table("wdp_stream_user_stats")
+
+
+def static_enrich(
+    events: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Stream-static enrichment join + agg: the remaining streaming join
+    class (stream-stream is streaming_view_click_join). The static dim
+    side is re-planned and broadcast per micro-batch — no watermark and
+    no join state needed, which is why production enrichment against a
+    slowly-changing dim prefers this over a stream-stream join."""
+    enriched = events.join(
+        F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        F.col("user_id") == F.col("c_custkey"),
+    ).join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    return enriched.groupBy("n_name").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+def run_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    result = static_enrich(
+        read_events_stream(spark, sf_dir),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+    _run_to_memory(result, "wdp_stream_enrich", "complete")
+    return spark.table("wdp_stream_enrich")
