@@ -188,3 +188,30 @@ def test_q6_filters_push_to_parquet_scan(spark, sf_dir):
         assert col in scan["pushed_filters"], scan["pushed_filters"]
     assert "l_returnflag" not in scan["read_schema"]
     assert "l_tax" not in scan["read_schema"]
+
+
+def test_q20_single_lineitem_scan(spark, sf_dir):
+    """Q20's conditional aggregation must keep ONE lineitem scan (the
+    spec form needs two scans joined on the pair key) and broadcast the
+    part/nation dims; the docstring's 100 TB claim, frozen as a plan
+    regression."""
+    from wikipedia_data_pipeline_spark import registry
+
+    df = registry.spark_queries()["q20_potential_promotion"](spark, sf_dir)
+    ps = plan_summary(df)
+    li_scans = [s for s in ps.scans if "lineitem" in s["location"]]
+    assert len(li_scans) == 1, ps.scans
+    assert ps.n_broadcast_joins >= 2
+    assert ps.n_shuffles <= 2  # pair agg + distinct suppkey set
+
+
+def test_segment_dedup_shuffle_budget(spark, sf_dir):
+    """Segment dedup is exactly two wide ops: the global first-occurrence
+    window on seg_text and the reassembly groupBy on doc_id."""
+    from wikipedia_data_pipeline_spark import registry
+
+    df = registry.spark_queries()["text_segment_dedup"](spark, sf_dir)
+    ps = plan_summary(df)
+    assert ps.n_shuffles <= 2, ps.n_shuffles
+    doc_scans = [s for s in ps.scans if "documents" in s["location"]]
+    assert len(doc_scans) == 1
