@@ -144,3 +144,57 @@ def test_pil_decode_real_when_codec_present(spark):
     media = spark.createDataFrame([(1, bytearray(PNG_1x1))], "doc_id long, payload binary")
     r = MM.decode_image_real(media).first()
     assert (r.format, r.width, r.height) == ("png", 1, 1)
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    """S3/S4 format breadth: the same declarative write/read path speaks
+    ORC (columnar alternative some lakes standardize on)."""
+    from wikipedia_data_pipeline_spark.sources.io import read_table, write_table
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    nat = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    write_table(nat, path, fmt="orc")
+    back = read_table(spark, path, fmt="orc")
+    assert sorted(r.n_nationkey for r in back.collect()) == sorted(
+        r.n_nationkey for r in nat.collect()
+    )
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution: a later batch adds a column; mergeSchema reads
+    the union schema with nulls for the old files (how a 100 TB lake
+    absorbs producer-side schema change without rewrites)."""
+    from wikipedia_data_pipeline_spark.sources.io import read_table
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(p)
+    merged = read_table(spark, p, mergeSchema="true")
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """INSERT OVERWRITE semantics per partition: dynamic mode replaces
+    only partitions present in the incoming batch — the idempotent
+    daily-reload pattern (static mode would wipe every other day)."""
+    from wikipedia_data_pipeline_spark.sources.io import read_table, write_table
+
+    p = str(tmp_path / "by_day")
+    base = spark.createDataFrame(
+        [("d1", 1), ("d1", 2), ("d2", 3)], "day string, v int"
+    )
+    write_table(base, p, partition_by=["day"])
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        redo = spark.createDataFrame([("d2", 99)], "day string, v int")
+        write_table(redo, p, mode="overwrite", partition_by=["day"])
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    got = {(r.day, r.v) for r in read_table(spark, p).collect()}
+    assert got == {("d1", 1), ("d1", 2), ("d2", 99)}

@@ -137,3 +137,41 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     }
     batch = {tuple(r) for r in events_view_click_join(spark, sf_dir).collect()}
     assert stream == batch
+
+
+def test_streaming_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Checkpointed file-source resume: a restarted query (same
+    checkpointLocation) processes ONLY files that arrived since the last
+    commit — no reprocessing, no loss. This is the recovery contract a
+    production pipeline leans on; availableNow makes each run drain and
+    stop."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    spark.createDataFrame([(1,), (2,)], "v long").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def drain():
+        q = (
+            spark.readStream.schema("v long")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert sorted(r.v for r in spark.read.parquet(out).collect()) == [1, 2]
+    # second batch of source files arrives after the first run committed
+    spark.createDataFrame([(3,)], "v long").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    got = sorted(r.v for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3], f"duplicated or lost rows: {got}"
