@@ -45,3 +45,37 @@ def test_fingerprint_order_sensitive(spark):
     fp = {r.doc_id: r.fingerprint for r in TS.fingerprints(df).collect()}
     assert fp[1] == fp[3]
     assert fp[1] != fp[2]  # same bag of words, different order
+
+
+def test_bpe_learns_classic_merges(spark):
+    """The canonical BPE example: corpus 'low low low lower' must merge
+    ('l','o') then ('lo','w') first — and encoding with those merges
+    compresses 'low' to one token ['low'] after 3 merges."""
+    from wikipedia_data_pipeline_spark.operators.textstats import (
+        bpe_encode,
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low low"), (2, "low lower")], "doc_id long, text string"
+    )
+    merges = bpe_train_merges(docs, n_merges=3)
+    assert merges[0] == ("l", "o")
+    assert merges[1] == ("lo", "w")
+    # third round ties (low,e) with (e,r) at count 1; the deterministic
+    # lexicographic tie-break picks ('e','r')
+    assert merges[2] == ("e", "r")
+    enc = {r.doc_id: r for r in bpe_encode(docs, merges).collect()}
+    # doc 1: three 'low' words, each a single merged token
+    assert enc[1].n_bpe_tokens == 3 and enc[1].n_words == 3
+    assert enc[1].tokens_per_word == 1.0
+    # doc 2: 'low' (1 token) + 'lower' -> ['low','er'] (2 tokens)
+    assert enc[2].n_bpe_tokens == 3 and enc[2].n_words == 2
+
+
+def test_bpe_encode_zero_merges_is_char_count(spark):
+    from wikipedia_data_pipeline_spark.operators.textstats import bpe_encode
+
+    docs = spark.createDataFrame([(1, "ab cde")], "doc_id long, text string")
+    r = bpe_encode(docs, []).first()
+    assert r.n_bpe_tokens == 5 and r.n_words == 2

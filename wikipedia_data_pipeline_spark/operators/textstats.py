@@ -8,6 +8,8 @@ at any corpus size.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -261,4 +263,97 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         "doc_id",
         F.pmod(total, F.lit(FINGERPRINT_MOD)).alias("fingerprint"),
         F.xxhash64(F.col("text")).alias("content_hash64"),
+    )
+
+
+# --- Mini-BPE ------------------------------------------------------------
+
+def bpe_train_merges(documents, n_merges: int = 8) -> list[tuple[str, str]]:
+    """Learn byte-pair-encoding merges from the corpus (Sennrich et al.
+    2016): split every word into characters, repeatedly merge the most
+    frequent adjacent symbol pair.
+
+    The Spark-first split: pair statistics come from the DISTRIBUTED
+    word-frequency aggregate (one shuffle over the corpus — the only
+    part that scales with data volume); the merge loop itself runs on
+    the collected word-count dictionary, which is bounded by vocabulary
+    size, not corpus size (a 100 TB corpus still has a ~10M-entry word
+    dict — BPE trainers aggregate distributed counts then train
+    centrally for exactly this reason). Ties break lexicographically so
+    the learned merges are deterministic.
+    """
+    from pyspark.sql import functions as F
+
+    word_counts = (
+        documents.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    vocab = {tuple(r.w): int(r.n) for r in word_counts}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged: dict[tuple[str, ...], int] = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            merged[key] = merged.get(key, 0) + n
+        vocab = merged
+    return merges
+
+
+def bpe_encode(documents, merges: list[tuple[str, str]]):
+    """Tokenize with learned merges, distributed: the merge table rides
+    to executors inside the UDF closure (broadcast-by-serialization —
+    it is vocabulary-bounded), and each Arrow batch of documents is
+    encoded in Python with zero shuffles. Output: (doc_id, n_bpe_tokens,
+    n_words, tokens_per_word)."""
+    from pyspark.sql.types import LongType
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @F.pandas_udf(LongType())
+    def _count_tokens(texts: pd.Series) -> pd.Series:
+        def encode_word(word: str) -> int:
+            syms = list(word)
+            while len(syms) > 1:
+                best_i, best_rank = -1, len(ranks)
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]), len(ranks))
+                    if r < best_rank:
+                        best_i, best_rank = i, r
+                if best_i < 0:
+                    break
+                syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+            return len(syms)
+
+        return texts.map(
+            lambda t: sum(encode_word(w) for w in t.split(" ") if w)
+        )
+
+    return documents.select(
+        "doc_id",
+        _count_tokens(F.col("text")).alias("n_bpe_tokens"),
+        F.size(F.filter(F.split("text", " "), lambda w: F.length(w) > 0))
+        .cast("long")
+        .alias("n_words"),
+    ).withColumn(
+        "tokens_per_word",
+        F.round(F.col("n_bpe_tokens") / F.col("n_words"), 4),
     )

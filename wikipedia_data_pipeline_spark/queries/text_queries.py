@@ -232,3 +232,15 @@ def text_segment_dedup(spark, sf_dir):
     from wikipedia_data_pipeline_spark.operators.curation import segment_dedup
 
     return segment_dedup(load_table(spark, sf_dir, "documents"), seg_words=10)
+
+
+@register("text_bpe_tokenize")  # learned merges: no SQL twin → rows-only
+def text_bpe_tokenize(spark, sf_dir):
+    """Train 8 BPE merges on the corpus (distributed word-count agg +
+    central merge loop on the bounded dictionary), then encode every
+    document distributed. Deterministic (lexicographic tie-break) but
+    not SQL-expressible — semantics are pinned by the hand-computed
+    example in tests/test_textstats.py instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = TS.bpe_train_merges(docs, n_merges=8)
+    return TS.bpe_encode(docs, merges)
