@@ -86,6 +86,32 @@ def main():
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+            # pandas-path dtype audit: the driver compares via DataFrames,
+            # where DuckDB HUGEINT/DECIMAL columns silently become float64
+            # and hash differently from Spark's integers even when fetchall
+            # values are identical (bit us in round 3: sample_pack_sequences).
+            odtypes = {k: str(v) for k, v in con.execute(oracles[name]).fetchdf().dtypes.items()}
+            stypes = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+            drift = None
+            for ci, c in enumerate(ocols):
+                sk, ok = stypes.get(c, ""), odtypes.get(c, "")
+                s_int = sk in ("tinyint", "smallint", "int", "bigint")
+                s_flt = sk in ("float", "double")
+                o_int = ok.startswith(("int", "uint"))
+                o_flt = ok.startswith("float")
+                # NULLs legitimately float64 an integer column through
+                # pandas on BOTH engines — only a null-free int column
+                # arriving as float64 (HUGEINT/DECIMAL widening) drifts.
+                has_null = any(r[ci] is None for r in orows)
+                if (s_int and o_flt and len(orows) and not has_null) or (
+                    s_flt and o_int and len(srows)
+                ):
+                    drift = (c, sk, ok)
+                    break
+            if drift:
+                print(f"FAIL  {name}: pandas dtype drift on '{drift[0]}': spark={drift[1]} duckdb-pandas={drift[2]}")
+                failures.append(name)
+                continue
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)

@@ -149,19 +149,7 @@ def lsh_candidate_pairs(
     hot bucket (everyone identical) would call for the join form plus
     salting — at that point the data is one giant dup-cluster and
     candidate pruning is moot anyway."""
-    rows_per_band = k // bands
-    band_hashes = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.xxhash64(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)).alias(
-                "bhash"
-            ),
-        ),
-    )
-    buckets = signatures.select(
-        "doc_id", F.explode(band_hashes).alias("bh")
-    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.bhash").alias("bhash"))
+    buckets = _band_buckets(signatures, bands, k)
     grouped = (
         buckets.groupBy("band", "bhash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -220,6 +208,64 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
     sigs = minhash_signatures(sh)
     cands = lsh_candidate_pairs(sigs)
     return verify_pairs_jaccard(cands, sh, threshold)
+
+
+def incremental_lsh_pairs(
+    corpus: DataFrame, batch: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Incremental near-dup check: which NEW documents near-duplicate an
+    EXISTING corpus document — the shape a continuously-ingesting
+    training pipeline runs per batch (new crawl vs. everything already
+    kept), where re-deduping the whole corpus per batch would be
+    O(corpus) instead of O(batch).
+
+    Bipartite LSH: band signatures on both sides, equi-join the batch's
+    buckets against the corpus's buckets on (band, bhash), verify exact
+    Jaccard. Cost is one shuffle of each side keyed by bucket; the
+    corpus side's bucket table is exactly the artifact a production
+    pipeline would persist between runs (append-only parquet keyed by
+    (band, bhash)), so per-batch cost is batch-sized, not corpus-sized.
+    Returns (doc_new, doc_old, jaccard).
+    """
+    sh_new = shingles(batch).persist()
+    sh_old = shingles(corpus).persist()
+    b_new = _band_buckets(minhash_signatures(sh_new)).select(
+        F.col("doc_id").alias("doc_new"), "band", "bhash"
+    )
+    b_old = _band_buckets(minhash_signatures(sh_old)).select(
+        F.col("doc_id").alias("doc_old"), "band", "bhash"
+    )
+    cands = b_new.join(b_old, ["band", "bhash"]).select("doc_new", "doc_old").distinct()
+    sa = sh_new.select(F.col("doc_id").alias("doc_new"), F.col("shingles").alias("sh_a"))
+    sb = sh_old.select(F.col("doc_id").alias("doc_old"), F.col("shingles").alias("sh_b"))
+    return (
+        cands.join(sa, "doc_new")
+        .join(sb, "doc_old")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_new", "doc_old", "jaccard")
+    )
+
+
+def _band_buckets(
+    signatures: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K
+) -> DataFrame:
+    """(doc_id, band, bhash) bucket table from minhash signatures —
+    shared by the self-dedup grouped expansion and the incremental
+    bipartite join."""
+    rows_per_band = k // bands
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+            ).alias("bhash"),
+        ),
+    )
+    return signatures.select("doc_id", F.explode(band_hashes).alias("bh")).select(
+        "doc_id", F.col("bh.band").alias("band"), F.col("bh.bhash").alias("bhash")
+    )
 
 
 def brute_force_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:

@@ -57,9 +57,9 @@ def q4_order_priority(spark, sf_dir):
     oracle="""
 SELECT l_returnflag,
        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
        sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY l_returnflag
 """,

@@ -107,10 +107,10 @@ def sample_weighted_mixture(spark, sf_dir):
     oracle="""
 SELECT doc_id, lang,
        len(string_split(text, ' '))::BIGINT AS n_tok,
-       (sum(len(string_split(text, ' '))::BIGINT)
+       ((sum(len(string_split(text, ' '))::BIGINT)
           OVER (PARTITION BY lang ORDER BY doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        - len(string_split(text, ' '))::BIGINT) // 512 AS pack_id
+        - len(string_split(text, ' '))::BIGINT) // 512)::BIGINT AS pack_id
 FROM documents
 """,
 )
