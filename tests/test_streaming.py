@@ -20,7 +20,7 @@ def test_streaming_hourly_rollup_matches_batch(spark, sf_dir):
     from wikipedia_data_pipeline_spark.functions import dec_sum
 
     ev = load_table(spark, sf_dir, "events")
-    us = F.expr("ts div 1000")
+    us = F.col("ts")  # load_table normalizes events.ts to BIGINT µs
     bucket = ((us - (us % 3_600_000_000)) / 1_000_000).cast("long")
     batch = (
         ev.withColumn("bucket_s", bucket)

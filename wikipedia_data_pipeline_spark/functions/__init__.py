@@ -41,12 +41,14 @@ def sql_dec_avg(expr: str, alias: str) -> str:
     )
 
 
-def ts_us(ns_col: str = "ts") -> Column:
-    """events.ts arrives as BIGINT nanoseconds (parquet TIMESTAMP(NANOS)
-    via ``spark.sql.legacy.parquet.nanosAsLong``); truncate to the µs
-    domain shared with the oracle (DuckDB reads the same column at µs
-    precision). Must be int64 ``div`` — epoch-ns exceeds double's 2^53."""
-    return F.expr(f"{ns_col} div 1000")
+def ts_us(col: str = "ts") -> Column:
+    """events.ts in the engine's event-time domain: BIGINT µs since the
+    epoch. ``sources.tables.load_table`` / ``streaming.pipeline.read_events_stream``
+    normalize the parquet column (whatever its physical encoding — BIGINT
+    ns, TIMESTAMP, TIMESTAMP_NTZ) to that domain at scan time, so this is
+    a plain column reference. Kept as the single named accessor so the
+    domain can move again without touching 17 call sites."""
+    return F.col(col)
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:

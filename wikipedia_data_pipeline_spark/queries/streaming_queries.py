@@ -119,12 +119,12 @@ def events_view_click_join(spark, sf_dir):
     v = ev.filter(F.col("event_type") == "view").select(
         F.col("event_id").alias("view_id"),
         F.col("user_id").alias("v_user"),
-        F.expr("ts div 1000").alias("view_us"),
+        F.col("ts").alias("view_us"),
     )
     c = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
         F.col("user_id").alias("c_user"),
-        F.expr("ts div 1000").alias("click_us"),
+        F.col("ts").alias("click_us"),
     )
     return (
         v.join(

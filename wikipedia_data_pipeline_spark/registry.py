@@ -37,14 +37,38 @@ def register(name: str, oracle: str | None = None) -> Callable[[Query], Query]:
     return deco
 
 
+# The driver's correctness gate walks a bounded prefix (~50 entries) of
+# queries(). Those slots are only useful for oracle-checkable queries, so
+# the exported order is: (1) a promoted set — the event-time family that
+# broke in round 4 and now needs hard driver evidence; (2) every other
+# oracle-bearing query in registration order (reference surface first);
+# (3) the no-oracle approximate/streaming-only entries, which the driver
+# can only rows-check anyway, at the very end.
+_WINDOW_PROMOTED = [
+    "events_funnel",
+    "window_lag_lead",
+    "window_running_sum",
+    "asof_join_last_view",
+    "sessionization",
+    "streaming_static_enrich",
+]
+
+
+def _ordered_names() -> list[str]:
+    promoted = [n for n in _WINDOW_PROMOTED if n in _QUERIES]
+    rest = [n for n in _QUERIES if n in _ORACLES and n not in _WINDOW_PROMOTED]
+    no_oracle = [n for n in _QUERIES if n not in _ORACLES]
+    return promoted + rest + no_oracle
+
+
 def spark_queries() -> dict[str, Query]:
     _load_all()
-    return dict(_QUERIES)
+    return {n: _QUERIES[n] for n in _ordered_names()}
 
 
 def oracle_queries() -> dict[str, str]:
     _load_all()
-    return dict(_ORACLES)
+    return {n: _ORACLES[n] for n in _ordered_names() if n in _ORACLES}
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -13,6 +13,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLE_NAMES = [
     "region",
@@ -34,18 +36,58 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", default)
 
 
+# Event time is normalized to ONE engine-wide domain at scan time:
+# BIGINT microseconds since the epoch. Everything downstream (window
+# frames, sessionization, streaming buckets, as-of joins) does exact
+# integer arithmetic in that domain — no float rounding, no timezone
+# dependence, and bit-identical to the DuckDB oracles' epoch_us(ts).
+# The parquet encoding of events.ts has drifted across testdata
+# generations (TIMESTAMP(NANOS) → BIGINT ns via nanosAsLong, then plain
+# TIMESTAMP µs); dispatching on the loaded dtype here makes every query
+# immune to the next drift.
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def event_time_us(df: DataFrame, col: str = "ts") -> F.Column:
+    """Column expression converting ``col`` to BIGINT epoch-µs, keyed on
+    the column's loaded dtype. timestampdiff on NTZ operands is
+    timezone-independent (verified vs DuckDB epoch_us under a non-UTC
+    session timezone)."""
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, T.LongType):
+        # parquet TIMESTAMP(NANOS) read as BIGINT ns (nanosAsLong).
+        # Must be int64 div — epoch-ns exceeds double's 2^53.
+        return F.expr(f"{col} div 1000")
+    if isinstance(dtype, T.TimestampNTZType):
+        return F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, {col})")
+    if isinstance(dtype, T.TimestampType):
+        return F.unix_micros(F.col(col))
+    raise TypeError(f"cannot normalize event time column {col!r} of type {dtype}")
+
+
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Replace ``col`` with its BIGINT epoch-µs form (position kept)."""
+    return df.withColumn(col, event_time_us(df, col).cast("long"))
+
+
+def _ensure_nanos_as_long(spark: SparkSession) -> None:
+    # Engine type policy (also set at session build in session.get_spark):
+    # parquet TIMESTAMP(NANOS) columns — which Spark cannot map to a
+    # timestamp type — read as BIGINT nanoseconds instead of erroring.
+    # The driver brings its OWN SparkSession, so ensure the policy holds
+    # here too — idempotent, session-wide by design.
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    # Engine type policy (set at session build in session.get_spark):
-    # TIMESTAMP(NANOS) parquet columns read as BIGINT nanoseconds
-    # (events.ts is the one such column; Spark raises
-    # PARQUET_TYPE_ILLEGAL otherwise). The driver brings its OWN
-    # SparkSession, so ensure the policy holds here too — idempotent,
-    # session-wide by design, not a per-table toggle.
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    _ensure_nanos_as_long(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = normalize_event_time(df)
+    return df
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -61,7 +103,13 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     wide).
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # Gate on the scan's file count instead of df.rdd.getNumPartitions():
+    # the .rdd accessor forces a plan→RDD conversion on every call. File
+    # count underestimates splits for multi-row-group files, but the
+    # callers sit directly on parquet scans where small inputs mean few
+    # files; at 100 TB the scan arrives thousands of files wide and this
+    # is a guaranteed no-op.
+    if len(df.inputFiles()) >= target:
         return df
     return df.repartition(target)
 

@@ -6,10 +6,12 @@ same DataFrame expressions (run_* helpers execute the stream with an
 availableNow trigger into a memory sink and return the result table, so
 batch-parity is directly checkable).
 
-Event time lives in the exact int64 domain (events.ts is parquet
-TIMESTAMP(NANOS) → BIGINT ns; see sources.tables). Windowing uses the
-same integer bucket arithmetic as the batch events_hourly_rollup, so
-stream and batch agree bit-for-bit.
+Event time lives in the exact int64 domain: ``read_events_stream``
+normalizes events.ts to BIGINT µs at the source (same dtype dispatch as
+sources.tables.load_table, so batch and stream share one point of truth
+for the time domain regardless of the parquet physical encoding).
+Windowing uses the same integer bucket arithmetic as the batch
+events_hourly_rollup, so stream and batch agree bit-for-bit.
 
 At scale: these run identically against kafka/file sources with
 real triggers; complete-mode memory sink becomes an append-mode
@@ -28,39 +30,41 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
-    StringType,
     StructField,
     StructType,
 )
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # ns since epoch (nanosAsLong)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the file-stream source requires a directory: point at the sf dir
-    # and glob-filter to the events table
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    """Event stream with ``ts`` normalized to BIGINT epoch-µs.
+
+    The file-stream source requires an explicit schema; deriving it from
+    the parquet footer (a metadata-only batch read) instead of
+    hard-coding one means a testdata regeneration that changes the ts
+    encoding cannot silently shift the time domain — the dtype dispatch
+    in normalize_event_time handles ns-int64 / TIMESTAMP / TIMESTAMP_NTZ
+    alike."""
+    import os
+
+    from wikipedia_data_pipeline_spark.sources.tables import (
+        _ensure_nanos_as_long,
+        normalize_event_time,
+    )
+
+    _ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    raw = (
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
+    return normalize_event_time(raw)
 
 
 def hourly_rollup(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour window agg — identical expressions to the batch
     events_hourly_rollup query."""
-    us = F.expr("ts div 1000")
+    us = F.col("ts")  # already BIGINT µs (normalized at the source)
     bucket = ((us - (us % 3_600_000_000)) / 1_000_000).cast("long")
     return (
         events.withColumn("bucket_s", bucket)
@@ -125,7 +129,7 @@ def run_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     result = (
         events.withColumn(
-            "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+            "event_time", F.timestamp_micros(F.col("ts"))
         )
         .groupBy(
             F.window("event_time", "1 hour", "30 minutes").alias("win"),
@@ -156,7 +160,7 @@ def run_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     result = (
         events.withColumn(
-            "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+            "event_time", F.timestamp_micros(F.col("ts"))
         )
         .groupBy(
             "user_id",
@@ -184,7 +188,7 @@ def run_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = read_events_stream(spark, sf_dir)
     doubled = events.union(events).withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+        "event_time", F.timestamp_micros(F.col("ts"))
     )
     deduped = (
         doubled.withWatermark("event_time", "1 hour")
@@ -212,7 +216,7 @@ def run_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("event_id").alias("view_id"),
             F.col("user_id").alias("v_user"),
-            F.timestamp_micros(F.expr("ts div 1000")).alias("view_time"),
+            F.timestamp_micros(F.col("ts")).alias("view_time"),
         )
     )
     clicks = (
@@ -221,7 +225,7 @@ def run_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("event_id").alias("click_id"),
             F.col("user_id").alias("c_user"),
-            F.timestamp_micros(F.expr("ts div 1000")).alias("click_time"),
+            F.timestamp_micros(F.col("ts")).alias("click_time"),
         )
     )
     joined = (
