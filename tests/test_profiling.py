@@ -1,0 +1,90 @@
+"""operators.profiling: Z-order key/layout, column profile null
+handling, incremental LSH semantics on constructed inputs. (The exact
+oracles for profile/skew/incremental-LSH run in the registry gate; these
+cover what SQL comparison can't — physical layout and null paths.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from wikipedia_data_pipeline_spark.operators import dedup as D
+from wikipedia_data_pipeline_spark.operators import profiling as P
+
+
+def _morton(vals: list[int], bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        for j, v in enumerate(vals):
+            z |= ((v >> i) & 1) << (i * len(vals) + j)
+    return z
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn(
+            "z", P.zorder_key([F.col("x"), F.col("y")], bits=8)
+        ).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == _morton([x, y], 8), (x, y)
+
+
+def test_zorder_layout_partitions_cover_disjoint_zranges(spark):
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    laid = P.zorder_layout(df, P.zorder_key([F.col("x"), F.col("y")], bits=8), n_files=8)
+    ranges = (
+        laid.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.min("zval").alias("lo"), F.max("zval").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(ranges) > 1
+    # range partitioning => consecutive partitions hold disjoint,
+    # ordered z-ranges, i.e. every output file is a tight z-interval
+    for a, b in zip(ranges, ranges[1:]):
+        assert a.hi <= b.lo, (a, b)
+
+
+def test_profile_columns_counts_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "a")],
+        T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("v", T.StringType()),
+            ]
+        ),
+    )
+    out = {r.col_name: r for r in P.profile_columns(df, ["k", "v"]).collect()}
+    assert out["k"].n_rows == 3 and out["k"].n_nulls == 1
+    assert out["k"].n_distinct == 2
+    assert out["v"].n_nulls == 1 and out["v"].n_distinct == 1
+    assert out["v"].min_val == "a" and out["v"].max_val == "a"
+
+
+def test_key_skew_report_shares_sum_and_order(spark):
+    df = spark.createDataFrame(
+        [(k,) for k in [1] * 6 + [2] * 3 + [3]], "key_col long"
+    )
+    rows = P.key_skew_report(df, "key_col", top_n=2).collect()
+    assert [(r.key, r.n) for r in rows] == [(1, 6), (2, 3)]
+    assert abs(rows[0].share - 0.6) < 1e-12
+
+
+def test_incremental_lsh_finds_cross_pair_only(spark):
+    text = "the quick brown fox jumps over the lazy dog " * 5
+    corpus = spark.createDataFrame(
+        [(1, text), (2, "completely different words here entirely " * 5)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame([(10, text)], "doc_id long, text string")
+    pairs = D.incremental_lsh_pairs(corpus, batch, 0.5).collect()
+    assert [(p.doc_new, p.doc_old) for p in pairs] == [(10, 1)]
+    assert pairs[0].jaccard == 1.0

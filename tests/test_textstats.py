@@ -79,3 +79,23 @@ def test_bpe_encode_zero_merges_is_char_count(spark):
     docs = spark.createDataFrame([(1, "ab cde")], "doc_id long, text string")
     r = bpe_encode(docs, []).first()
     assert r.n_bpe_tokens == 5 and r.n_words == 2
+
+
+def test_bpe_vocab_cap_bounds_driver_dict(spark):
+    """Adversarial corpus: many unique junk tokens + a frequent real
+    word. With max_vocab smaller than the junk vocabulary, training
+    still learns the frequent word's merges — the cap keeps the
+    collected dict bounded without distorting head statistics."""
+    from wikipedia_data_pipeline_spark.operators.textstats import (
+        bpe_train_merges,
+    )
+
+    junk = " ".join(f"zz{i}q" for i in range(500))
+    docs = spark.createDataFrame(
+        [(1, "low " * 20), (2, junk)], "doc_id long, text string"
+    )
+    merges = bpe_train_merges(docs, n_merges=2, max_vocab=10)
+    # top-10 cut = 'low' (count 20) + 9 junk singletons; 'low' pairs
+    # (count 20) dominate the junk's (z,z) pairs (count 9)
+    assert merges[0] == ("l", "o")
+    assert merges[1] == ("lo", "w")

@@ -268,7 +268,9 @@ def fingerprints(documents: DataFrame) -> DataFrame:
 
 # --- Mini-BPE ------------------------------------------------------------
 
-def bpe_train_merges(documents, n_merges: int = 8) -> list[tuple[str, str]]:
+def bpe_train_merges(
+    documents, n_merges: int = 8, max_vocab: int = 1_000_000
+) -> list[tuple[str, str]]:
     """Learn byte-pair-encoding merges from the corpus (Sennrich et al.
     2016): split every word into characters, repeatedly merge the most
     frequent adjacent symbol pair.
@@ -281,6 +283,13 @@ def bpe_train_merges(documents, n_merges: int = 8) -> list[tuple[str, str]]:
     dict — BPE trainers aggregate distributed counts then train
     centrally for exactly this reason). Ties break lexicographically so
     the learned merges are deterministic.
+
+    ``max_vocab`` bounds the collected dictionary: only the top-N words
+    by (count desc, word asc) reach the driver, so a pathological corpus
+    (unique-token spam, binary junk) cannot OOM it. Truncation drops
+    only tail words whose pair contributions are dominated by the head —
+    standard practice in BPE trainers. The cut is a TakeOrdered (no full
+    sort) and deterministic via the word tiebreak.
     """
     from pyspark.sql import functions as F
 
@@ -289,6 +298,8 @@ def bpe_train_merges(documents, n_merges: int = 8) -> list[tuple[str, str]]:
         .filter(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(max_vocab)
         .collect()
     )
     vocab = {tuple(r.w): int(r.n) for r in word_counts}

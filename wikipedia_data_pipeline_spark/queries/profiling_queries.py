@@ -1,0 +1,93 @@
+"""Profiling / layout / incremental-dedup query registrations
+(operators.profiling, operators.dedup.incremental_lsh_pairs).
+
+The profile and skew reports are plain SQL aggregates, so their oracles
+are exact. The incremental LSH oracle is the brute-force bipartite
+shingle-Jaccard (same construction as the self-dedup oracles in
+dedup_queries): LSH candidate generation at these parameters has
+false-negative probability < 1e-7 at the 0.5 threshold, and the exact
+verify join makes the output a precise subset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikipedia_data_pipeline_spark.operators import dedup as D
+from wikipedia_data_pipeline_spark.operators import profiling as P
+from wikipedia_data_pipeline_spark.registry import register
+from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+_PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
+
+
+def _profile_col_sql(col: str) -> str:
+    return f"""
+SELECT '{col}' AS col_name,
+       (SELECT count(*) FROM documents) AS n_rows,
+       count({col}) AS n_non_null,
+       (SELECT count(*) FROM documents) - count({col}) AS n_nulls,
+       count(DISTINCT {col}) AS n_distinct,
+       CAST(min({col}) AS VARCHAR) AS min_val,
+       CAST(max({col}) AS VARCHAR) AS max_val
+FROM documents
+"""
+
+
+@register(
+    "profile_documents",
+    oracle=" UNION ALL ".join(_profile_col_sql(c) for c in _PROFILE_COLS),
+)
+def profile_documents(spark, sf_dir):
+    """ANALYZE-style column profile of the documents table: one wide
+    aggregation pass (nulls, exact distincts, stringified min/max per
+    column), unpivoted to a row per column."""
+    return P.profile_columns(
+        load_table(spark, sf_dir, "documents"), _PROFILE_COLS
+    )
+
+
+@register(
+    "key_skew_events",
+    oracle="""
+SELECT user_id AS key, count(*) AS n,
+       CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS share
+FROM events GROUP BY user_id ORDER BY n DESC, key ASC LIMIT 20
+""",
+)
+def key_skew_events(spark, sf_dir):
+    """Hottest event keys and their table share — the pre-shuffle skew
+    diagnostic. One hash agg; the total rides a window over the tiny
+    aggregated relation."""
+    return P.key_skew_report(load_table(spark, sf_dir, "events"), "user_id", 20)
+
+
+@register(
+    "dedup_incremental_lsh",
+    oracle="""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                 FOR i IN generate_series(1, len(t) - 2)])
+              ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM tok
+)
+SELECT a.doc_id AS doc_new, b.doc_id AS doc_old,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+""",
+)
+def dedup_incremental_lsh(spark, sf_dir):
+    """Per-batch incremental near-dup: new docs (doc_id % 10 = 0) vs the
+    standing corpus (the rest) through the bipartite LSH bucket join —
+    per-batch cost is batch-sized, not corpus-sized. Must equal the
+    brute-force bipartite Jaccard oracle exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return D.incremental_lsh_pairs(corpus, batch, 0.5)

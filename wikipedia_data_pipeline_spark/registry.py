@@ -105,6 +105,7 @@ def _load_all() -> None:
         advanced_queries,
         tpch_queries,
         analytics_queries,
+        profiling_queries,
     )
 
     _LOADED = True
