@@ -69,3 +69,28 @@ def test_near_dup_clusters_chain_and_singleton(spark):
         1: (1, True), 9: (1, False),
         2: (2, True), 3: (2, False), 4: (2, False),
     }
+
+
+def test_duplicate_span_stats_flags_cross_doc_spans_only(spark):
+    from wikipedia_data_pipeline_spark.operators.dedup import (
+        duplicate_span_stats,
+    )
+
+    shared = "one two three four five six seven eight"  # exactly 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail1 tail2"),
+            (2, "prefix " + shared),
+            (3, "totally unrelated words in this other document here now"),
+            (4, "short text"),  # < 8 tokens: no spans, excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in duplicate_span_stats(docs, 8).collect()}
+    assert set(out) == {1, 2, 3}
+    # doc1: 3 spans (10 tokens), exactly one (the shared 8-gram) is dup
+    assert out[1].n_spans == 3 and out[1].n_dup_spans == 1
+    # doc2: 2 spans, the shared one is dup
+    assert out[2].n_spans == 2 and out[2].n_dup_spans == 1
+    assert out[3].n_dup_spans == 0 and out[3].dup_ratio == 0.0
+    assert abs(out[2].dup_ratio - 0.5) < 1e-15

@@ -215,3 +215,17 @@ def test_segment_dedup_shuffle_budget(spark, sf_dir):
     assert ps.n_shuffles <= 2, ps.n_shuffles
     doc_scans = [s for s in ps.scans if "documents" in s["location"]]
     assert len(doc_scans) == 1
+
+
+def test_minhash_lsh_shuffle_budget(spark, sf_dir):
+    """The LSH near-dup pipeline's shuffle budget, frozen: fan_out of the
+    under-split scan, the (band,bhash) bucket grouping, and the
+    candidate-pair distinct — 3 data shuffles total. The verify joins
+    must broadcast (candidate pairs are banding-bounded), never shuffle
+    the shingle relation."""
+    from wikipedia_data_pipeline_spark.queries.dedup_queries import (
+        dedup_minhash_lsh,
+    )
+
+    ps = plan_summary(dedup_minhash_lsh(spark, sf_dir))
+    assert ps.n_shuffles <= 3, ps.n_shuffles

