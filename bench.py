@@ -45,11 +45,19 @@ HEADLINE = [
 def main() -> None:
     from pyspark.sql import SparkSession
 
+    # Same engine configs as session.get_spark: the bench must measure
+    # the plans the engine actually ships (notably the 64 MB broadcast
+    # threshold — the default 10 MB would silently shuffle-join mid-size
+    # dims at sf>=0.1 and bench a plan no user of the engine would run).
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("wikipedia-data-pipeline-spark-bench")
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .getOrCreate()

@@ -82,17 +82,50 @@ def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def minhash_signatures(shingled: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """Append ``sig``: array<bigint> of k minhashes — element i is
-    min over shingles of (a_i*xxhash64(s)+b_i) mod M61.
+def hashed_shingles(
+    documents: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, hsh array<bigint>) — the distinct n-gram shingle set as
+    64-bit xxhash64 fingerprints of the token-array slices.
 
-    The base shingle hash stays JVM-side (xxhash64); the k-permutation
-    min runs as a vectorized Arrow pandas UDF — one (k × n_shingles)
-    numpy matrix op per doc. Spark's higher-order array lambdas are
-    interpreted per element, so expressing the k×n loop with them costs
-    ~10× more than the numpy batch path; this is the sanctioned
-    pandas-UDF use: genuinely numeric-dense work built-ins can't
-    vectorize. One narrow projection — no shuffle."""
+    This is the relation the LSH pipelines persist and join on: an
+    8-byte long per shingle instead of a ~25-byte string cuts the
+    persisted footprint and makes the verify join's array_intersect
+    integer comparisons. Hashing the token slice directly (no string
+    re-concatenation) is bijective with the joined-string shingle —
+    tokens cannot contain the delimiter — and 64-bit collisions are
+    vanishing (~1e-9 over 10⁵ shingles), so set sizes, intersections,
+    and exact Jaccard are unchanged."""
+    from wikipedia_data_pipeline_spark.sources.tables import fan_out
+
+    documents = fan_out(documents)
+    toks = F.split(F.col(text_col), " ")
+    size = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), size - n + 1),
+        lambda i: F.xxhash64(F.slice(toks, i, n)),
+    )
+    return documents.select(
+        "doc_id",
+        F.when(size >= n, F.array_distinct(grams))
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("hsh"),
+    )
+
+
+def minhash_signatures(hashed: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """Append ``sig``: array<bigint> of k minhashes — element i is
+    min over shingle hashes h of (a_i*(h mod 2³¹)+b_i) mod M61.
+
+    Input is the ``hashed_shingles`` relation. The 31-bit fold keeps
+    every a*h+b product below 2⁶² (Spark 4 is ANSI: long overflow
+    raises); the k-permutation min runs as a vectorized Arrow pandas
+    UDF — one (k × n_shingles) numpy matrix op per doc. Spark's
+    higher-order array lambdas are interpreted per element, so
+    expressing the k×n loop with them costs ~10× more than the numpy
+    batch path; this is the sanctioned pandas-UDF use: genuinely
+    numeric-dense work built-ins can't vectorize. One narrow
+    projection — no shuffle."""
     a_mat = np.array(MINHASH_A[:k], dtype=np.int64).reshape(-1, 1)
     b_mat = np.array(MINHASH_B[:k], dtype=np.int64).reshape(-1, 1)
 
@@ -110,15 +143,11 @@ def minhash_signatures(shingled: DataFrame, k: int = MINHASH_K) -> DataFrame:
                 out.append(((a_mat * arr + b_mat) % MERSENNE_61).min(axis=1))
         return pd.Series(out)
 
-    hashed = shingled.withColumn(
+    folded = hashed.withColumn(
         "_h",
-        F.transform(
-            F.col("shingles"),
-            # 31-bit base hash keeps every a*h+b product overflow-free
-            lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)),
-        ),
+        F.transform(F.col("hsh"), lambda h: F.pmod(h, F.lit(1 << 31))),
     )
-    return hashed.select("doc_id", "shingles", _minhash(F.col("_h")).alias("sig"))
+    return folded.select("doc_id", _minhash(F.col("_h")).alias("sig"))
 
 
 def _pairs_within(ids_col: Column) -> Column:
@@ -174,15 +203,17 @@ def jaccard(a: Column, b: Column) -> Column:
 
 
 def verify_pairs_jaccard(
-    pairs: DataFrame, shingled: DataFrame, threshold: float
+    pairs: DataFrame, hashed: DataFrame, threshold: float
 ) -> DataFrame:
-    """Join candidate pairs back to shingle sets and keep exact
-    Jaccard ≥ threshold → (doc_a, doc_b, jaccard)."""
-    sa = shingled.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    """Join candidate pairs back to the hashed shingle sets and keep
+    exact Jaccard ≥ threshold → (doc_a, doc_b, jaccard). Jaccard over
+    the 64-bit fingerprint sets equals Jaccard over the string shingle
+    sets (injective modulo ~1e-9 collisions)."""
+    sa = hashed.select(
+        F.col("doc_id").alias("doc_a"), F.col("hsh").alias("sh_a")
     )
-    sb = shingled.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    sb = hashed.select(
+        F.col("doc_id").alias("doc_b"), F.col("hsh").alias("sh_b")
     )
     return (
         pairs.join(sa, "doc_a")
@@ -196,15 +227,15 @@ def verify_pairs_jaccard(
 def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline with exact verification.
 
-    Only ``sh`` is persisted: the plan references the shingle set three
-    times (signature input + both sides of the verify join) and Spark
-    does no cross-subtree CSE — uncached, the shingling would run three
-    times. The signatures feed exactly one consumer (the grouped pair
-    expansion replaced the old bucket self-join), so persisting them
-    would be pure overhead. At cluster scale the persist's role is
-    played by checkpointing the shingle relation to parquet between
-    stages."""
-    sh = shingles(documents).persist()
+    Only the hashed shingle relation is persisted: the plan references
+    it three times (signature input + both sides of the verify join)
+    and Spark does no cross-subtree CSE — uncached, the shingling would
+    run three times. The signatures feed exactly one consumer (the
+    grouped pair expansion replaced the old bucket self-join), so
+    persisting them would be pure overhead. At cluster scale the
+    persist's role is played by checkpointing the shingle relation to
+    parquet between stages."""
+    sh = hashed_shingles(documents).persist()
     sigs = minhash_signatures(sh)
     cands = lsh_candidate_pairs(sigs)
     return verify_pairs_jaccard(cands, sh, threshold)
@@ -227,8 +258,8 @@ def incremental_lsh_pairs(
     (band, bhash)), so per-batch cost is batch-sized, not corpus-sized.
     Returns (doc_new, doc_old, jaccard).
     """
-    sh_new = shingles(batch).persist()
-    sh_old = shingles(corpus).persist()
+    sh_new = hashed_shingles(batch).persist()
+    sh_old = hashed_shingles(corpus).persist()
     b_new = _band_buckets(minhash_signatures(sh_new)).select(
         F.col("doc_id").alias("doc_new"), "band", "bhash"
     )
@@ -236,8 +267,8 @@ def incremental_lsh_pairs(
         F.col("doc_id").alias("doc_old"), "band", "bhash"
     )
     cands = b_new.join(b_old, ["band", "bhash"]).select("doc_new", "doc_old").distinct()
-    sa = sh_new.select(F.col("doc_id").alias("doc_new"), F.col("shingles").alias("sh_a"))
-    sb = sh_old.select(F.col("doc_id").alias("doc_old"), F.col("shingles").alias("sh_b"))
+    sa = sh_new.select(F.col("doc_id").alias("doc_new"), F.col("hsh").alias("sh_a"))
+    sb = sh_old.select(F.col("doc_id").alias("doc_old"), F.col("hsh").alias("sh_b"))
     return (
         cands.join(sa, "doc_new")
         .join(sb, "doc_old")
@@ -282,11 +313,12 @@ def brute_force_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
     )
 
 
-def simhash_signatures(shingled: DataFrame) -> DataFrame:
+def simhash_signatures(hashed: DataFrame) -> DataFrame:
     """64-bit SimHash: bit i set iff sum over shingle-hashes of
     ±1 (sign of bit i) is positive.
 
-    Base hash JVM-side (xxhash64); the 64-bit vote tally is a
+    Input is the ``hashed_shingles`` relation — its 64-bit fingerprints
+    are used as the simhash base hashes directly; the vote tally is a
     vectorized Arrow pandas UDF — one (n_shingles × 64) numpy bit
     matrix per doc, same rationale as ``minhash_signatures``."""
     shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
@@ -307,10 +339,7 @@ def simhash_signatures(shingled: DataFrame) -> DataFrame:
             out[row] = bits.astype(np.int64)
         return pd.Series(out)
 
-    hashed = shingled.withColumn(
-        "_h", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
-    )
-    return hashed.select("doc_id", "shingles", _simhash(F.col("_h")).alias("simhash"))
+    return hashed.select("doc_id", _simhash(F.col("hsh")).alias("simhash"))
 
 
 def simhash_candidate_pairs(signed: DataFrame) -> DataFrame:
@@ -376,7 +405,7 @@ def simhash_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
     """SimHash-blocked near-dup pairs with exact-Jaccard verification.
     Persisted intermediates for the same multi-reference reason as
     ``minhash_lsh_pairs``."""
-    sh = shingles(documents).persist()
+    sh = hashed_shingles(documents).persist()
     signed = simhash_signatures(sh).persist()
     cands = simhash_candidate_pairs(signed)
     return verify_pairs_jaccard(cands, sh, threshold)
