@@ -108,3 +108,23 @@ def test_det_hash_matches_sql_twin(spark):
     want = {r.doc_id: r.h for r in d.select("doc_id", F.expr(sql).alias("h")).collect()}
     for r in got:
         assert want[r.doc_id] == r.h
+
+
+def test_shuffle_order_is_seeded_permutation(spark):
+    from wikipedia_data_pipeline_spark.operators.sampling import shuffle_order
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = shuffle_order(docs, seed=0).collect()
+    # every (shard, shard_pos) is unique and positions are 1..n per shard
+    assert len({(r.shard, r.shard_pos) for r in a}) == 200
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # deterministic across runs, different under a different seed
+    b = shuffle_order(docs, seed=0).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = {r.doc_id: (r.shard, r.shard_pos) for r in shuffle_order(docs, seed=1).collect()}
+    a_map = {r.doc_id: (r.shard, r.shard_pos) for r in a}
+    assert any(a_map[d] != c[d] for d in a_map)  # order actually moved

@@ -157,3 +157,34 @@ def pack_sequences(
                f"rows between unbounded preceding and current row) - n_tok) "
                f"div {token_budget}"),
     )
+
+
+def shuffle_order(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    shards: int = 64,
+) -> DataFrame:
+    """Deterministic global training shuffle, sharded so it scales.
+
+    Every example gets a pseudo-random sort key md5(seed ":" id) — a
+    seeded, engine-portable permutation (training reproducibility:
+    rerunning the pipeline yields byte-identical epoch order). A single
+    global rank would serialize on one task, so the order is expressed
+    as (shard, shard_pos): shard from the portable affine hash, rank
+    within shard from a window partitioned by shard — every shard ranks
+    in parallel, and a consumer reading shards in index order sees the
+    full shuffled sequence. At cluster scale the writer pairs this with
+    repartitionByRange(shard) + sortWithinPartitions(shard_pos), making
+    each output file one contiguous slice of the epoch.
+    """
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    shard = det_hash(id_col) % F.lit(shards)
+    w = Window.partitionBy("shard").orderBy("skey", id_col)
+    return (
+        documents.select(
+            F.col(id_col), shard.alias("shard"), key.alias("skey")
+        )
+        .withColumn("shard_pos", F.row_number().over(w).cast("bigint"))
+        .select(id_col, "shard", "shard_pos")
+    )

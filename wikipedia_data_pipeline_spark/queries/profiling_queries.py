@@ -123,3 +123,26 @@ def text_span_dedup_stats(spark, sf_dir):
     strings — agreement also demonstrates the fingerprint path is
     collision-clean on this corpus."""
     return D.duplicate_span_stats(load_table(spark, sf_dir, "documents"), 8)
+
+
+@register(
+    "sample_shuffle_order",
+    oracle="""
+SELECT doc_id,
+       (((doc_id % 1000003) * 2654435761 + 12345) % 2147483647) % 64 AS shard,
+       CAST(row_number() OVER (
+            PARTITION BY (((doc_id % 1000003) * 2654435761 + 12345)
+                          % 2147483647) % 64
+            ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id)
+        AS BIGINT) AS shard_pos
+FROM documents
+""",
+)
+def sample_shuffle_order(spark, sf_dir):
+    """Seeded deterministic training shuffle as (shard, shard_pos):
+    md5-keyed pseudo-random order, ranked per shard so no single task
+    ever holds a global sort. Byte-identical epoch order across engines
+    and reruns."""
+    from wikipedia_data_pipeline_spark.operators.sampling import shuffle_order
+
+    return shuffle_order(load_table(spark, sf_dir, "documents"))
