@@ -112,3 +112,26 @@ def test_segment_dedup_drops_repeats_and_reassembles(spark):
     assert (got[3].n_segs, got[3].n_kept) == (2, 0)
     assert got[4].text_clean == "j k"
     assert (got[4].n_segs, got[4].n_kept) == (1, 1)
+
+
+def test_quality_percentile_gate_drops_bottom_decile_per_lang(spark):
+    from wikipedia_data_pipeline_spark.operators.curation import (
+        quality_percentile_gate,
+    )
+
+    rows = []
+    # lang 'aa': 10 docs with increasing TTR (repetition decreasing)
+    for i in range(10):
+        uniq = ["w%d" % j for j in range(i + 1)]
+        text = " ".join((uniq * 10)[:10])  # 10 tokens, i+1 distinct
+        rows.append((i, "aa", text))
+    # lang 'bb': uniform high quality, nothing should drop but rank 0
+    for i in range(10, 15):
+        rows.append((i, "bb", "all distinct tokens here %d ok fine" % i))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    kept = quality_percentile_gate(docs, 0.1).collect()
+    kept_aa = {r.doc_id for r in kept if r.lang == "aa"}
+    # doc 0 (lowest ttr, percent_rank 0) is the only aa casualty
+    assert kept_aa == set(range(1, 10))
+    for r in kept:
+        assert 0.0 <= r.pctl <= 1.0

@@ -139,3 +139,31 @@ def segment_dedup(
         )
         .select("doc_id", "n_segs", "n_kept", "text_clean")
     )
+
+
+def quality_percentile_gate(
+    documents: DataFrame, drop_below: float = 0.1
+) -> DataFrame:
+    """Relative quality gate: drop each language's bottom ``drop_below``
+    fraction by type-token ratio (absolute thresholds misfire across
+    languages; per-group percentile is the standard fix). Returns
+    ``(doc_id, lang, ttr, pctl)`` for survivors.
+
+    percent_rank over a (lang)-partitioned window — every language
+    ranks in parallel, and the rank arithmetic is integer-derived, so
+    the cut is bit-deterministic. At 100 TB a single giant language
+    would make its window partition hot; the scale variant computes the
+    per-lang ttr threshold with approx_percentile (one aggregation,
+    broadcast back) and filters — same selection within the sketch's
+    rank error, no per-group sort.
+    """
+    toks = F.split(F.col("text"), " ")
+    ttr = F.size(F.array_distinct(toks)) / F.size(toks)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("ttr", "doc_id")
+    return (
+        documents.select("doc_id", "lang", ttr.alias("ttr"))
+        .withColumn("pctl", F.percent_rank().over(w))
+        .filter(F.col("pctl") >= drop_below)
+    )

@@ -146,3 +146,31 @@ def sample_shuffle_order(spark, sf_dir):
     from wikipedia_data_pipeline_spark.operators.sampling import shuffle_order
 
     return shuffle_order(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality_percentile_gate",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(list_distinct(string_split(text, ' ')))
+           / len(string_split(text, ' ')) AS ttr
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, ttr,
+         percent_rank() OVER (PARTITION BY lang ORDER BY ttr, doc_id) AS pctl
+  FROM scored
+)
+SELECT doc_id, lang, ttr, pctl FROM ranked WHERE pctl >= 0.1
+""",
+)
+def text_quality_percentile_gate(spark, sf_dir):
+    """Per-language bottom-decile quality cut on type-token ratio —
+    the relative (percentile) curation gate; rank arithmetic is
+    integer-derived so the selection is bit-deterministic."""
+    from wikipedia_data_pipeline_spark.operators.curation import (
+        quality_percentile_gate,
+    )
+
+    return quality_percentile_gate(load_table(spark, sf_dir, "documents"), 0.1)
