@@ -174,3 +174,74 @@ def text_quality_percentile_gate(spark, sf_dir):
     )
 
     return quality_percentile_gate(load_table(spark, sf_dir, "documents"), 0.1)
+
+
+@register(
+    "scd2_customer_order_history",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS valid_from,
+       CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey)
+            AS DATE) AS valid_to,
+       lead(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) IS NULL
+         AS is_current
+FROM orders
+""",
+)
+def scd2_customer_order_history(spark, sf_dir):
+    """SCD2-style temporal build: each order's validity interval per
+    customer — [order date, next order date), open-ended for the
+    latest. One lead window partitioned by the key; the standard shape
+    for turning a change log into a point-in-time dimension."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F2.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F2.col("o_orderdate").cast("date").alias("valid_from"),
+        nxt.cast("date").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "events_latest_per_key",
+    oracle="""
+SELECT user_id, event_type, event_id AS last_event_id,
+       epoch_us(ts) AS last_ts, value AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def events_latest_per_key(spark, sf_dir):
+    """CDC latest-wins compaction: the newest event per (user, type) by
+    (ts, event_id) — the MERGE-free upsert shape a log-structured
+    ingest pipeline runs before serving. One row_number window on the
+    compaction key."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F2.desc("ts"), F2.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F2.row_number().over(w))
+        .filter(F2.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F2.col("event_id").alias("last_event_id"),
+            F2.col("ts").alias("last_ts"),
+            F2.col("value").alias("last_value"),
+        )
+    )
