@@ -159,3 +159,40 @@ def test_pq_encode_shape(spark):
     for r in codes:
         assert len(r.codes) == 8
         assert all(0 <= c < 4 for c in r.codes)
+
+
+def test_ivf_index_roundtrip_matches_in_memory_path(spark, sf_dir, tmp_path):
+    """Persisted-index serving path == in-memory IVF with the same
+    centroids, and the probe's cell filter prunes partitions on disk."""
+    from wikipedia_data_pipeline_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_ivf_topk_indexed,
+        build_ivf_index,
+        load_ivf_index,
+    )
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, k=8, iters=2)
+    cents, cells = load_ivf_index(spark, path)
+    qids = [r.vec_id for r in emb.limit(3).collect()]
+
+    served = ann_ivf_topk_indexed(
+        spark, path, emb.filter(F.col("vec_id").isin(qids)), k=5
+    )
+    direct = ann_ivf_topk(emb, qids, k=5, centroids=cents)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    # physical layout: one directory per cell; a literal cell filter
+    # must reach the scan as a partition filter (pruned read)
+    one_cell = cells.select("cell").first().cell
+    plan = (
+        cells.filter(F.col("cell") == one_cell)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:120]

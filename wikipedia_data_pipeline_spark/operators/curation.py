@@ -167,3 +167,27 @@ def quality_percentile_gate(
         .withColumn("pctl", F.percent_rank().over(w))
         .filter(F.col("pctl") >= drop_below)
     )
+
+
+def quality_threshold_gate(
+    documents: DataFrame, drop_below: float = 0.1, accuracy: int = 10000
+) -> DataFrame:
+    """Scale variant of ``quality_percentile_gate``: instead of ranking
+    inside each language (hot-language window partitions), compute each
+    language's ttr cut-point once with approx_percentile (t-digest
+    sketch, mergeable → one aggregation pass), broadcast the tiny
+    per-lang threshold table back, and filter. Selection agrees with the
+    exact gate within the sketch's rank error; at 100 TB this is the
+    form that runs, because no task ever sorts a whole language."""
+    toks = F.split(F.col("text"), " ")
+    scored = documents.select(
+        "doc_id", "lang", (F.size(F.array_distinct(toks)) / F.size(toks)).alias("ttr")
+    )
+    cuts = scored.groupBy("lang").agg(
+        F.percentile_approx("ttr", drop_below, accuracy).alias("ttr_cut")
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .filter(F.col("ttr") >= F.col("ttr_cut"))
+        .select("doc_id", "lang", "ttr")
+    )

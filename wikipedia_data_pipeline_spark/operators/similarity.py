@@ -580,3 +580,73 @@ def ann_pq_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "vec_id", "cos", "rnk")
     )
+
+
+def build_ivf_index(
+    embeddings: DataFrame, path: str, k: int = 16, iters: int = 3
+) -> None:
+    """Persist the IVF index as parquet artifacts: the trained centroid
+    table and the corpus laid out partitioned BY CELL — the
+    once-amortized train+assign job of a production vector index. With
+    the corpus physically clustered by cell, a probe that touches
+    ``nprobe`` cells reads only those directories (partition pruning),
+    which is the property that makes IVF sublinear on disk, not just in
+    compute."""
+    import os
+
+    cents = kmeans_centroids(embeddings, k, iters).persist()
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    assigned = _nearest_centroids(embeddings, cents, 1, "cell")
+    (
+        assigned.select("vec_id", "embedding", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "cells"))
+    )
+    cents.unpersist()
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(centroids, cell-partitioned corpus) back from ``build_ivf_index``
+    artifacts."""
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(path, "centroids")),
+        spark.read.parquet(os.path.join(path, "cells")),
+    )
+
+
+def ann_ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Answer ANN queries from the persisted index: probe the broadcast
+    centroid table for each query's ``nprobe`` cells, equi-join the
+    cell-partitioned corpus on cell, exact-rerank inside. No assignment
+    pass, no full-corpus scan — the query-time path a serving job runs.
+    ``queries``: (vec_id, embedding)."""
+    cents, cells = load_ivf_index(spark, path)
+    probes = _nearest_centroids(queries, cents, nprobe, "cell").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "cell",
+    )
+    scored = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cos", "rnk")
+    )
