@@ -88,3 +88,38 @@ def test_incremental_lsh_finds_cross_pair_only(spark):
     pairs = D.incremental_lsh_pairs(corpus, batch, 0.5).collect()
     assert [(p.doc_new, p.doc_old) for p in pairs] == [(10, 1)]
     assert pairs[0].jaccard == 1.0
+
+
+def test_exact_heavy_hitters_matches_full_histogram(spark):
+    # Adversarial mix: 3 true heavy hitters, a near-miss item just
+    # under threshold, and a long tail of singletons spread across
+    # many partitions (each partition's MG summary must not lose the
+    # global heavy hitters even when they are locally diluted).
+    rows = (
+        [("hot_a",)] * 400
+        + [("hot_b",)] * 150
+        + [("hot_c",)] * 100
+        + [("near",)] * 99
+        + [(f"tail_{i}",) for i in range(4000)]
+    )
+    df = spark.createDataFrame(rows, "word string").repartition(16)
+    n_total = len(rows)
+    got = {
+        r.word: r.n
+        for r in P.exact_heavy_hitters(df, "word", 1, 100).collect()
+    }
+    truth = {
+        w: c
+        for w, c in {"hot_a": 400, "hot_b": 150, "hot_c": 100, "near": 99}.items()
+        if c * 100 >= n_total
+    }
+    assert got == truth
+
+
+def test_exact_heavy_hitters_share_and_ties(spark):
+    # Exactly-at-threshold items must be kept (>= semantics).
+    rows = [("x",)] * 10 + [("y",)] * 10 + [(f"t{i}",) for i in range(80)]
+    df = spark.createDataFrame(rows, "word string").repartition(4)
+    out = {r.word: (r.n, r.share) for r in
+           P.exact_heavy_hitters(df, "word", 1, 10).collect()}
+    assert out == {"x": (10, 0.1), "y": (10, 0.1)}

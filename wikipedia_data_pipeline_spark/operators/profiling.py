@@ -112,3 +112,80 @@ def zorder_layout(
         .repartitionByRange(n_files, "zval")
         .sortWithinPartitions("zval")
     )
+
+
+def exact_heavy_hitters(
+    items: DataFrame,
+    item_col: str,
+    support_num: int,
+    support_den: int,
+) -> DataFrame:
+    """EXACT frequent items with global count >= N * support_num /
+    support_den, without shuffling the full distinct-item histogram.
+
+    Two passes. Pass 1 runs a batched Misra-Gries summary with
+    k = support_den // support_num counters inside each partition
+    (mapInPandas, no shuffle) and emits only the surviving candidate
+    items — at most k per partition. The MG guarantee (every
+    subtract-step removes equal mass from >= k+1 items, and total
+    removed mass <= partition rows) means any item with partition count
+    > n_p/(k+1) survives its partition; by pigeonhole a global heavy
+    hitter exceeds that fraction in at least one partition, so the
+    candidate set is a superset of the true answer. Pass 2 recounts the
+    candidates exactly with a broadcast semi join + one hash agg and
+    keeps rows passing the integer-exact test n * den >= N * num.
+
+    At 100 TB the shuffle carries only k * n_partitions candidate
+    tokens plus the per-candidate partial counts — not the full
+    token histogram (billions of distinct keys). The Python MG loop
+    runs per Arrow batch over value_counts output (O(batch distinct)),
+    not per row.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    k = support_den // support_num
+
+    def mg_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf[item_col].value_counts()
+            for item, c in vc.items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                # Subtract the (size-k)-th smallest count from every
+                # counter so at most k survive: one equal-mass
+                # subtraction step spread over >= k+1 items.
+                cuts = sorted(counters.values())
+                m = cuts[len(counters) - k - 1]
+                counters = {
+                    i: c - m for i, c in counters.items() if c > m
+                }
+        yield pd.DataFrame({item_col: list(counters.keys())})
+
+    candidates = (
+        items.select(item_col)
+        .mapInPandas(mg_candidates, schema=f"{item_col} {items.schema[item_col].dataType.simpleString()}")
+        .distinct()
+    )
+    n_total = items.select(
+        F.count(F.lit(1)).alias("_n_total")
+    )
+    counted = (
+        items.join(F.broadcast(candidates), on=item_col, how="left_semi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(n_total))
+        .where(
+            F.col("n") * F.lit(support_den)
+            >= F.col("_n_total") * F.lit(support_num)
+        )
+        .select(
+            item_col,
+            "n",
+            (F.col("n") / F.col("_n_total")).alias("share"),
+        )
+    )

@@ -245,3 +245,30 @@ def events_latest_per_key(spark, sf_dir):
             F2.col("value").alias("last_value"),
         )
     )
+
+
+@register(
+    "heavy_hitter_tokens",
+    oracle="""
+WITH w AS (
+  SELECT lower(regexp_replace(x, '[^a-zA-Z]', '', 'g')) AS word
+  FROM documents, unnest(string_split(text, ' ')) AS u(x)
+),
+f AS (SELECT word FROM w WHERE length(word) > 0),
+tot AS (SELECT count(*) AS n_total FROM f)
+SELECT word, count(*) AS n,
+       CAST(count(*) AS DOUBLE) / (SELECT CAST(n_total AS DOUBLE) FROM tot) AS share
+FROM f GROUP BY word
+HAVING count(*) * 200 >= (SELECT n_total FROM tot)
+""",
+)
+def heavy_hitter_tokens(spark, sf_dir):
+    """EXACT tokens covering >= 1/200 of all corpus token occurrences,
+    via per-partition Misra-Gries candidate generation (no full-histogram
+    shuffle) + broadcast-semi exact recount. Two scans; the shuffle
+    carries only candidates, not the distinct-token histogram."""
+    from wikipedia_data_pipeline_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokenize(docs).select(F.col("word"))
+    return P.exact_heavy_hitters(toks, "word", 1, 200)
