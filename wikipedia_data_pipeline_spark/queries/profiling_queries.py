@@ -272,3 +272,42 @@ def heavy_hitter_tokens(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     toks = T.tokenize(docs).select(F.col("word"))
     return P.exact_heavy_hitters(toks, "word", 1, 200)
+
+
+@register(
+    "bloom_prefilter_join_revenue",
+    oracle="""
+SELECT o.o_orderkey, count(*) AS n_items,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 450000
+GROUP BY o.o_orderkey
+""",
+)
+def bloom_prefilter_join_revenue(spark, sf_dir):
+    """Revenue of high-value orders via a Bloom-prefiltered join: the
+    dim side (filtered orders) builds an m-bit sketch in one tiny
+    aggregation, the fact side (lineitem) drops non-matching rows
+    before its shuffle, and the final exact join erases false
+    positives — same rows as the plain join, a fraction of the shuffle.
+    """
+    from wikipedia_data_pipeline_spark.functions import dec_sum
+    from wikipedia_data_pipeline_spark.operators import runtime_filters as RF
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    hi = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 450000
+    )
+    joined = RF.bloom_prefilter_join(
+        lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+        hi.select("o_orderkey"),
+        "l_orderkey",
+        "o_orderkey",
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dec_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+        ),
+    )
