@@ -99,3 +99,24 @@ def test_bpe_vocab_cap_bounds_driver_dict(spark):
     # (count 20) dominate the junk's (z,z) pairs (count 9)
     assert merges[0] == ("l", "o")
     assert merges[1] == ("lo", "w")
+
+
+def test_trigram_commonness_counts_and_ratios(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),       # trigrams: "a b c", "b c d"
+            (2, "a b c"),         # trigram:  "a b c"
+            (3, "x y z"),         # trigram:  "x y z" (unique)
+            (4, "ab"),            # too short: no trigrams, no row
+        ],
+        "doc_id long, text string",
+    )
+    from wikipedia_data_pipeline_spark.operators.textstats import trigram_commonness
+
+    got = {r.doc_id: r for r in trigram_commonness(docs, min_df=2).collect()}
+    assert set(got) == {1, 2, 3}
+    # "a b c" appears in docs 1 and 2 -> df=2 (common); "b c d", "x y z" df=1.
+    assert (got[1].n_trigrams, got[1].n_common) == (2, 1)
+    assert got[1].common_frac == 0.5 and got[1].avg_df == 1.5
+    assert (got[2].n_trigrams, got[2].n_common) == (1, 1)
+    assert (got[3].n_trigrams, got[3].n_common) == (1, 0)

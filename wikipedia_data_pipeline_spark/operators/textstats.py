@@ -368,3 +368,46 @@ def bpe_encode(documents, merges: list[tuple[str, str]]):
         "tokens_per_word",
         F.round(F.col("n_bpe_tokens") / F.col("n_words"), 4),
     )
+
+
+def trigram_commonness(documents: DataFrame, min_df: int = 2) -> DataFrame:
+    """Corpus-fit score per document: how common are its word trigrams
+    across the corpus (the cheap stand-in for an n-gram LM perplexity
+    gate a la CCNet — documents whose trigrams barely occur elsewhere
+    are outliers: boilerplate, garbled text, or contamination).
+
+    Two aggregations and one shuffle join, all on the trigram key:
+    (1) distinct (doc, trigram) -> document frequency per trigram;
+    (2) every trigram occurrence joins its df and re-aggregates per
+    doc. Integer sums only (exact under any partitioning); the two
+    ratios are single IEEE divisions per output row. At 100 TB both
+    aggs partial-combine map-side and the join shuffles on the same
+    trigram key Catalyst reuses across the two subtrees.
+
+    Output: doc_id, n_trigrams, n_common (occurrences whose trigram
+    appears in >= min_df docs), common_frac, avg_df.
+    """
+    from wikipedia_data_pipeline_spark.operators.text import ngrams
+
+    occ = ngrams(documents, n=3)
+    df_tbl = (
+        occ.distinct()
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        occ.join(df_tbl, "ngram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum((F.col("df") >= min_df).cast("long")).alias("n_common"),
+            F.sum("df").alias("_sum_df"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "n_common",
+            (F.col("n_common") / F.col("n_trigrams")).alias("common_frac"),
+            (F.col("_sum_df") / F.col("n_trigrams")).alias("avg_df"),
+        )
+    )

@@ -311,3 +311,39 @@ def bloom_prefilter_join_revenue(spark, sf_dir):
             F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
         ),
     )
+
+
+@register(
+    "text_trigram_commonness",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, ' '),
+                     x -> lower(regexp_replace(x, '[^a-zA-Z]', '', 'g'))),
+                     w -> length(w) > 0) AS ws
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, concat_ws(' ', ws[g], ws[g+1], ws[g+2]) AS ngram
+  FROM t, unnest(generate_series(1, len(ws) - 2)) AS u(g)
+),
+dfq AS (
+  SELECT ngram, count(*) AS df FROM (SELECT DISTINCT doc_id, ngram FROM occ)
+  GROUP BY ngram
+)
+SELECT occ.doc_id, count(*) AS n_trigrams,
+       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS common_frac,
+       CAST(sum(df) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_df
+FROM occ JOIN dfq ON occ.ngram = dfq.ngram
+GROUP BY occ.doc_id
+""",
+)
+def text_trigram_commonness(spark, sf_dir):
+    """CCNet-style LM-lite quality gate: per-doc corpus-fit from
+    trigram document frequencies (integer-exact aggregation, two
+    shuffles on the trigram key)."""
+    from wikipedia_data_pipeline_spark.operators import textstats as TS2
+
+    return TS2.trigram_commonness(load_table(spark, sf_dir, "documents"))
