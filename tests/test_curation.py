@@ -151,3 +151,18 @@ def test_quality_threshold_gate_agrees_with_exact_gate(spark, sf_dir):
     # symmetric difference bounded by the sketch's rank error (generous
     # 2% of corpus at accuracy 10k)
     assert len(exact ^ approx) <= max(2, int(0.02 * n)), len(exact ^ approx)
+
+
+def test_cap_per_group_keeps_top_rows_deterministically(spark):
+    rows = [("a", i, 100 - i) for i in range(10)] + [("b", 100, 5)]
+    df = spark.createDataFrame(rows, "grp string, doc_id long, score long")
+    from wikipedia_data_pipeline_spark.operators.curation import cap_per_group
+
+    got = cap_per_group(
+        df, "grp", [F.desc("score"), F.asc("doc_id")], 3
+    ).collect()
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r.grp, []).append((r.score, r.doc_id))
+    assert sorted(by_grp["a"], reverse=True) == [(100, 0), (99, 1), (98, 2)]
+    assert by_grp["b"] == [(5, 100)]  # under-cap group passes through

@@ -191,3 +191,29 @@ def quality_threshold_gate(
         .filter(F.col("ttr") >= F.col("ttr_cut"))
         .select("doc_id", "lang", "ttr")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[Column],
+    cap: int,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen by a deterministic
+    ranking — the per-domain/per-source document cap every crawl
+    curation pipeline applies so one host cannot dominate the corpus.
+
+    One row_number window per group key (a single shuffle on the group
+    column). At 100 TB this beats groupBy+collect_list by never
+    materializing a group in memory; skewed giant groups stream
+    through the window operator's external sort. The rank column is
+    dropped, so the output schema equals the input schema.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )

@@ -347,3 +347,28 @@ def text_trigram_commonness(spark, sf_dir):
     from wikipedia_data_pipeline_spark.operators import textstats as TS2
 
     return TS2.trigram_commonness(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "curation_source_cap",
+    oracle="""
+SELECT doc_id, lang, source, n_chars FROM (
+  SELECT doc_id, lang, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 10
+""",
+)
+def curation_source_cap(spark, sf_dir):
+    """Per-source document cap (crawl-curation anti-domination): keep
+    the 10 longest docs per source with a deterministic tiebreak. One
+    row_number window on the source key."""
+    from wikipedia_data_pipeline_spark.operators import curation as C
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return C.cap_per_group(
+        docs, "source", [F.desc("n_chars"), F.asc("doc_id")], 10
+    )
