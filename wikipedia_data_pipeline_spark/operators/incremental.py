@@ -1,0 +1,65 @@
+"""Incremental materialized-view maintenance: algebraic partial
+aggregates that merge with new data WITHOUT rescanning the base facts.
+
+The point at 100 TB: a daily rollup over an append-only fact table
+should cost O(delta), not O(history). sum/count/min/max are algebraic
+— their per-key partial states combine associatively — so the engine
+keeps the state table (one row per key), aggregates only the new
+partition into the same state shape, and merges the two small state
+tables. avg and other derived measures are finalized from the merged
+state. This is the same partial/final split Catalyst performs inside
+one job (partial_sum -> shuffle -> final_sum), lifted across jobs.
+
+Double measures are carried as DECIMAL(18,6) partial sums so the merge
+is order-independent (bit-exact under any partitioning), matching the
+engine-wide dec_sum convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,6)"
+
+
+def partial_aggregate(
+    df: DataFrame, keys: list[str], measure: Column
+) -> DataFrame:
+    """Fold a fact slice into the algebraic state shape: per key,
+    (n, sum_dec, min_m, max_m). One hash aggregation with map-side
+    partials; the output is |distinct keys| rows."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(measure.cast(DEC)).alias("sum_dec"),
+        F.min(measure).alias("min_m"),
+        F.max(measure).alias("max_m"),
+    )
+
+
+def merge_partials(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Combine state tables: union + one re-aggregation over the small
+    states (sum of counts, sum of sums, min of mins, max of maxes).
+    Never touches the base facts."""
+    unioned = states[0]
+    for s in states[1:]:
+        unioned = unioned.unionByName(s)
+    return unioned.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_dec").cast(DEC).alias("sum_dec"),
+        F.min("min_m").alias("min_m"),
+        F.max("max_m").alias("max_m"),
+    )
+
+
+def finalize(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Derive the served view from the merged state: total as DOUBLE,
+    avg as exact-sum / count (one IEEE division per row)."""
+    return state.select(
+        *keys,
+        "n",
+        F.col("sum_dec").cast("double").alias("total"),
+        (F.col("sum_dec").cast("double") / F.col("n")).alias("avg"),
+        F.col("min_m").alias("min_v"),
+        F.col("max_m").alias("max_v"),
+    )

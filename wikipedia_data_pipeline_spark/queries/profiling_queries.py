@@ -372,3 +372,40 @@ def curation_source_cap(spark, sf_dir):
     return C.cap_per_group(
         docs, "source", [F.desc("n_chars"), F.asc("doc_id")], 10
     )
+
+
+@register(
+    "incremental_mv_orders",
+    oracle="""
+SELECT o_orderstatus, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS avg,
+       min(o_totalprice) AS min_v,
+       max(o_totalprice) AS max_v
+FROM orders GROUP BY 1, 2
+""",
+)
+def incremental_mv_orders(spark, sf_dir):
+    """Incremental rollup maintenance: the monthly order summary is
+    built as base-state (orders before 1996-01-01) merged with a
+    delta-state (the rest) — the O(delta) refresh path — and must
+    equal the oracle's full recompute. Each state is one hash agg;
+    the merge re-aggregates only |keys| rows."""
+    from wikipedia_data_pipeline_spark.operators import incremental as I
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        "o_totalprice",
+    )
+    split = F.lit("1996-01-01").cast("date")
+    keys = ["o_orderstatus", "month"]
+    base = I.partial_aggregate(
+        orders.where(F.col("month") < split), keys, F.col("o_totalprice")
+    )
+    delta = I.partial_aggregate(
+        orders.where(F.col("month") >= split), keys, F.col("o_totalprice")
+    )
+    return I.finalize(I.merge_partials([base, delta], keys), keys)
