@@ -409,3 +409,97 @@ def incremental_mv_orders(spark, sf_dir):
         orders.where(F.col("month") >= split), keys, F.col("o_totalprice")
     )
     return I.finalize(I.merge_partials([base, delta], keys), keys)
+
+
+@register(
+    "events_multi_touch_attribution",
+    oracle="""
+WITH touches AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+  FROM events WHERE event_type IN ('view', 'click')
+),
+purchases AS (
+  SELECT event_id, user_id, value, epoch_us(ts) AS pus
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT t.event_id AS touch_event_id, p.event_id AS purchase_event_id,
+         p.user_id, t.event_type AS touch_type, t.tus AS touch_ts,
+         p.value
+  FROM touches t JOIN purchases p
+    ON t.user_id = p.user_id
+   AND t.tus < p.pus AND t.tus >= p.pus - 86400000000
+)
+SELECT touch_event_id, purchase_event_id, user_id, touch_type, touch_ts,
+       CAST(value AS DOUBLE)
+         / CAST(count(*) OVER (PARTITION BY purchase_event_id) AS DOUBLE)
+         AS credit
+FROM pairs
+""",
+)
+def events_multi_touch_attribution(spark, sf_dir):
+    """Linear multi-touch attribution: each purchase's value splits
+    equally across the user's view/click touches in the prior 24h.
+    One user_id-keyed range self-join (both sides shuffle on the same
+    key, AQE handles user skew) + a count window over the purchase id;
+    credit is a single IEEE division per pair, so the result is exact.
+    """
+    from pyspark.sql import Window
+    from wikipedia_data_pipeline_spark.functions import ts_us
+
+    ev = load_table(spark, sf_dir, "events")
+    touches = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_event_id"),
+        "user_id",
+        F.col("event_type").alias("touch_type"),
+        ts_us().alias("touch_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        "value",
+        ts_us().alias("purchase_ts"),
+    )
+    pairs = touches.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("touch_ts") < F.col("purchase_ts"))
+        & (F.col("touch_ts") >= F.col("purchase_ts") - 86_400_000_000),
+    )
+    n = F.count(F.lit(1)).over(
+        Window.partitionBy("purchase_event_id")
+    )
+    return pairs.select(
+        "touch_event_id",
+        "purchase_event_id",
+        "user_id",
+        "touch_type",
+        "touch_ts",
+        (F.col("value") / n.cast("double")).alias("credit"),
+    )
+
+
+@register(
+    "text_phrase_search",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, ' '),
+                     x -> lower(regexp_replace(x, '[^a-zA-Z]', '', 'g'))),
+                     w -> length(w) > 0) AS ws
+  FROM documents
+)
+SELECT doc_id, CAST(g - 1 AS BIGINT) AS start_pos
+FROM t, unnest(generate_series(1, len(ws) - 2)) AS u(g)
+WHERE ws[g] = 'slow' AND ws[g+1] = 'hash' AND ws[g+2] = 'batch'
+""",
+)
+def text_phrase_search(spark, sf_dir):
+    """Exact phrase lookup ('slow hash batch') over the positional
+    inverted index: per-term scans (word filter pushed down) joined on
+    (doc_id, pos - i). Returns one row per occurrence."""
+    from wikipedia_data_pipeline_spark.operators import index as IX
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings = IX.positional_postings(docs)
+    return IX.phrase_search(postings, ["slow", "hash", "batch"])
