@@ -175,3 +175,46 @@ def test_streaming_checkpoint_resume_exactly_once(spark, tmp_path):
     drain()
     got = sorted(r.v for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3], f"duplicated or lost rows: {got}"
+
+
+def test_foreach_batch_compaction_multibatch_and_replay(spark, tmp_path):
+    # Split events into 3 files so maxFilesPerTrigger=1 yields real
+    # multi-batch compaction, then replay a batch id to prove the sink
+    # is idempotent (exactly-once over at-least-once delivery).
+    import os
+
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+    from wikipedia_data_pipeline_spark.streaming import pipeline as SP
+
+    sf_dir = "/root/testdata/sf0.001"
+    src = str(tmp_path / "events_split")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(3).write.parquet(src)
+
+    store = str(tmp_path / "store")
+    stream = (
+        spark.readStream.schema(ev.schema).format("parquet")
+        .option("maxFilesPerTrigger", "1").load(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(SP.compaction_sink(store))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(store)
+        if d.startswith("v") and os.path.exists(os.path.join(store, d, "_SUCCESS"))
+    )
+    assert len(versions) == 3  # one committed version per micro-batch
+
+    final = os.path.join(store, f"v{versions[-1]}")
+    want = sorted(tuple(r) for r in SP._compact_latest(ev).collect())
+    got = sorted(tuple(r) for r in spark.read.parquet(final).collect())
+    assert got == want
+
+    # Replay batch 0 with different (stale) content: store must not change.
+    mtimes = {d: os.path.getmtime(os.path.join(store, d)) for d in os.listdir(store)}
+    SP.compaction_sink(store)(ev.limit(5), 0)
+    assert {d: os.path.getmtime(os.path.join(store, d)) for d in os.listdir(store)} == mtimes

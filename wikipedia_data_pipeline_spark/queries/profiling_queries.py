@@ -503,3 +503,27 @@ def text_phrase_search(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     postings = IX.positional_postings(docs)
     return IX.phrase_search(postings, ["slow", "hash", "batch"])
+
+
+@register(
+    "streaming_foreach_batch_compaction",
+    oracle="""
+SELECT user_id, event_type, event_id AS last_event_id,
+       epoch_us(ts) AS last_ts, value AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def streaming_foreach_batch_compaction(spark, sf_dir):
+    """foreachBatch exactly-once sink: the event stream merges into a
+    versioned latest-per-key store (immutable version per batch id,
+    replayed ids no-op), and the newest committed version must equal
+    the batch CDC compaction oracle."""
+    from wikipedia_data_pipeline_spark.streaming.pipeline import (
+        run_foreach_batch_compaction,
+    )
+
+    return run_foreach_batch_compaction(spark, sf_dir)

@@ -334,3 +334,99 @@ def run_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(result, "wdp_stream_enrich", "complete")
     return spark.table("wdp_stream_enrich")
+
+
+def _compact_latest(df: DataFrame) -> DataFrame:
+    """Latest event per (user_id, event_type) by (ts, event_id) — the
+    merge step of the foreachBatch compaction sink."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def compaction_sink(store_dir: str):
+    """foreachBatch sink that maintains a compacted latest-per-key
+    table with EXACTLY-ONCE semantics over at-least-once batch
+    delivery.
+
+    Each micro-batch merges into a new immutable version directory
+    ``v{batch_id}`` (read previous version, union the batch, compact,
+    write) — never overwriting the version being read. A replayed
+    batch id finds its version already committed (_SUCCESS) and
+    returns without touching the store: idempotent under the
+    re-delivery Structured Streaming promises after a failure. This is
+    the log-structured MERGE loop a lakehouse table format runs; state
+    lives entirely in object storage, so the writer is stateless and
+    any executor count works.
+    """
+    import os
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        version_dir = os.path.join(store_dir, f"v{batch_id}")
+        if os.path.exists(os.path.join(version_dir, "_SUCCESS")):
+            return  # replayed batch — already applied
+        committed = [
+            int(d[1:])
+            for d in os.listdir(store_dir)
+            if d.startswith("v")
+            and os.path.exists(os.path.join(store_dir, d, "_SUCCESS"))
+            and int(d[1:]) < batch_id
+        ] if os.path.isdir(store_dir) else []
+        cur = batch_df
+        if committed:
+            prev = os.path.join(store_dir, f"v{max(committed)}")
+            cur = spark.read.parquet(prev).unionByName(batch_df)
+        _compact_latest(cur).write.mode("overwrite").parquet(version_dir)
+
+    return apply_batch
+
+
+def run_foreach_batch_compaction(
+    spark: SparkSession, sf_dir: str, store_dir: str | None = None
+) -> DataFrame:
+    """Stream events through the foreachBatch compaction sink, then
+    serve the newest committed version. The batch twin (and oracle) is
+    events_latest_per_key."""
+    import os
+    import shutil
+    import tempfile
+
+    owned = store_dir is None
+    if owned:
+        store_dir = tempfile.mkdtemp(prefix="wdp_compact_")
+    ev = read_events_stream(spark, sf_dir)
+    q = (
+        ev.writeStream.foreachBatch(compaction_sink(store_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    versions = sorted(
+        int(d[1:])
+        for d in os.listdir(store_dir)
+        if d.startswith("v")
+        and os.path.exists(os.path.join(store_dir, d, "_SUCCESS"))
+    )
+    out = (
+        spark.read.parquet(os.path.join(store_dir, f"v{versions[-1]}"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+        .cache()
+    )
+    out.count()  # materialize before the temp store can be cleaned up
+    if owned:
+        shutil.rmtree(store_dir, ignore_errors=True)
+    return out
