@@ -45,3 +45,25 @@ def test_merge_handles_keys_missing_from_a_slice(spark):
     )
     got = {r.k: (r.n, r.total, r.avg, r.min_v, r.max_v) for r in merged.collect()}
     assert got == {"x": (2, 4.0, 2.0, 1.0, 3.0), "y": (1, 10.0, 10.0, 10.0, 10.0)}
+
+
+def test_distinct_state_merge_equals_global_distinct(spark):
+    facts = spark.range(0, 5000).select(
+        (F.col("id") % 4).alias("k"), (F.col("id") % 97).alias("m"), "id"
+    )
+    # Overlapping members across slices must not double-count.
+    slices = [
+        I.distinct_state(facts.where(F.col("id") % 2 == i), ["k"], "m")
+        for i in range(2)
+    ]
+    got = {
+        r.k: r.n_distinct
+        for r in I.merge_distinct_states(slices, ["k"], "m").collect()
+    }
+    want = {
+        r.k: r.n
+        for r in facts.groupBy("k")
+        .agg(F.countDistinct("m").alias("n"))
+        .collect()
+    }
+    assert got == want

@@ -63,3 +63,32 @@ def finalize(state: DataFrame, keys: list[str]) -> DataFrame:
         F.col("min_m").alias("min_v"),
         F.col("max_m").alias("max_v"),
     )
+
+
+def distinct_state(df: DataFrame, keys: list[str], member: str) -> DataFrame:
+    """State for EXACT incremental count-distinct: the distinct
+    (keys, member) pairs of a slice. count-distinct is NOT algebraic
+    over raw counts, but it IS over membership sets — and the set
+    union is just a distinct over unioned states. One shuffle on
+    (keys, member)."""
+    return df.select(*keys, member).distinct()
+
+
+def merge_distinct_states(
+    states: list[DataFrame], keys: list[str], member: str
+) -> DataFrame:
+    """Set-union of membership states (union + distinct), then the
+    per-key cardinality. The merge shuffles only state rows (already
+    deduplicated per slice), not base facts. At 100 TB the state can
+    be bucketed by member hash so the merge distinct is
+    shuffle-free on matching layouts; swap in HLL sketches
+    (approx_count_distinct) when a bounded error is acceptable and
+    the state itself is too large."""
+    unioned = states[0]
+    for s in states[1:]:
+        unioned = unioned.unionByName(s)
+    return (
+        unioned.distinct()
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )

@@ -160,3 +160,28 @@ def task1_probe(documents: DataFrame, probe_words: list[str] | None = None) -> D
     """Dictionary filtered to the reference's 5 probe words (P8/J2)."""
     words = [w.upper() for w in (probe_words or TASK1_PROBE_WORDS)]
     return task1_dictionary(documents).filter(F.col("word").isin(words))
+
+
+def tfidf_with_df(documents: DataFrame) -> DataFrame:
+    """tfidf() plus each word's document frequency — the extra column
+    downstream similarity joins need for prefix-filter pruning (cap the
+    posting-list length before a word-keyed self-join). Same persisted
+    single-scan shape as tfidf()."""
+    counts = doc_term_counts(documents).persist()
+    df_counts = counts.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = documents.select(F.count("*").alias("n_docs"))
+    idf_rel = (
+        df_counts.crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "idf",
+            F.round(F.log10(F.col("n_docs").cast("double") / F.col("df")), 2),
+        )
+        .where(F.col("idf") > 0)
+        .select("word", "idf", "df")
+    )
+    return (
+        doc_tf(documents, counts=counts)
+        .join(F.broadcast(idf_rel), "word", "inner")
+        .withColumn("tf_idf", F.round(F.col("tf") * F.col("idf"), 2))
+        .select("doc_id", "word", "count", "tf", "tf_idf", "df")
+    )

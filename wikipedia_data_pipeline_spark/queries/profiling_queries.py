@@ -527,3 +527,112 @@ def streaming_foreach_batch_compaction(spark, sf_dir):
     )
 
     return run_foreach_batch_compaction(spark, sf_dir)
+
+
+# ---- sparse TF-IDF document-similarity join ------------------------------
+
+from wikipedia_data_pipeline_spark.queries.tfidf_queries import DOC_TF_CTES
+
+_SIM_DF_CAP = 50
+
+
+@register(
+    "doc_similarity_tfidf",
+    oracle=f"""
+WITH {DOC_TF_CTES},
+dfreq AS (
+    SELECT word, count(*) AS df
+    FROM (SELECT DISTINCT doc_id, word FROM toks) GROUP BY word
+),
+ndocs AS (SELECT count(*) AS n_docs FROM documents),
+idf AS (
+    SELECT f.word, round(log10(CAST(n_docs AS DOUBLE) / df), 2) AS idf, f.df
+    FROM dfreq f, ndocs
+    WHERE round(log10(CAST(n_docs AS DOUBLE) / df), 2) > 0
+),
+vec AS (
+    SELECT t.doc_id, t.word, round(t.tf * i.idf, 2) AS tf_idf
+    FROM doc_tf t JOIN idf i ON t.word = i.word
+    WHERE i.df <= {_SIM_DF_CAP}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared,
+       CAST(sum(CAST(a.tf_idf * b.tf_idf AS DECIMAL(18,6))) AS DOUBLE) AS sim
+FROM vec a JOIN vec b ON a.word = b.word AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY sim DESC, doc_a ASC, doc_b ASC
+LIMIT 100
+""",
+)
+def doc_similarity_tfidf(spark, sf_dir):
+    """Sparse all-pairs document similarity over TF-IDF vectors: the
+    inverted-index dot-product join (pairs meet only on shared words),
+    with prefix-filter pruning — words with document frequency above
+    {cap} are dropped BEFORE the self-join, bounding the worst posting
+    list and hence the join's O(sum df^2) blowup; high-df words carry
+    near-zero idf weight, and the cap is part of the declared
+    semantics so the oracle applies it too. Decimal dot-product sums
+    keep the result bit-exact; top-100 pairs by similarity with a
+    total tiebreak order."""
+    from wikipedia_data_pipeline_spark.operators import tfidf as TT
+
+    docs = load_table(spark, sf_dir, "documents")
+    vec = TT.tfidf_with_df(docs).where(F.col("df") <= _SIM_DF_CAP).select(
+        "doc_id", "word", "tf_idf"
+    )
+    a = vec.alias("a")
+    b = vec.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.word") == F.col("b.word"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.sum(
+                (F.col("a.tf_idf") * F.col("b.tf_idf")).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(100)
+    )
+
+
+@register(
+    "incremental_distinct_users",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       count(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY 1
+""",
+)
+def incremental_distinct_users(spark, sf_dir):
+    """Exact incremental count-distinct: daily unique users built
+    from two membership states (events split at mid-January) merged by
+    set union — the non-algebraic aggregate made incremental by
+    keeping distinct pairs as state instead of counts."""
+    from wikipedia_data_pipeline_spark.operators import incremental as I
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc(
+            "day", F.timestamp_micros(F.col("ts"))
+        ).cast("date").alias("day"),
+        "user_id",
+        "ts",
+    )
+    split_us = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z in epoch-us
+    states = [
+        I.distinct_state(
+            ev.where(F.col("ts") < split_us), ["day"], "user_id"
+        ),
+        I.distinct_state(
+            ev.where(F.col("ts") >= split_us), ["day"], "user_id"
+        ),
+    ]
+    return I.merge_distinct_states(states, ["day"], "user_id")
