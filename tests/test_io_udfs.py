@@ -198,3 +198,25 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     got = {(r.day, r.v) for r in read_table(spark, p).collect()}
     assert got == {("d1", 1), ("d1", 2), ("d2", 99)}
+
+
+def test_udtf_sentence_split_rows_and_empties(spark):
+    from wikipedia_data_pipeline_spark.operators import udfs as U
+
+    docs = spark.createDataFrame(
+        [(1, "Hello world. Second sentence here. Third"), (2, ""), (3, ". .")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.sent_id, r.sentence, r.n_words)
+        for r in U.doc_sentences(docs).collect()
+    )
+    # doc 2 (empty) yields nothing; doc 3 splits to ["", "."] — the
+    # leading empty part is skipped but keeps its slot in sent_id,
+    # and the bare "." is a (degenerate) one-word sentence.
+    assert got == [
+        (1, 0, "Hello world", 2),
+        (1, 1, "Second sentence here", 3),
+        (1, 2, "Third", 1),
+        (3, 1, ".", 1),
+    ]

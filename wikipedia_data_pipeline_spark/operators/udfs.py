@@ -66,3 +66,44 @@ def doc_top_word(documents: DataFrame) -> DataFrame:
         _top_word,
         schema="doc_id bigint, n_tokens bigint, top_word string, top_count bigint",
     )
+
+
+def sentence_udtf():
+    """Python UDTF (table function, Spark 3.5+): one input row ->
+    variable output rows, the API class scalar/pandas/grouped UDFs
+    can't express (those are 1->1 or group->1). Splits a document into
+    sentences with per-sentence stats.
+
+    UDTFs are the slowest Python path (row-at-a-time, no Arrow
+    batching in the eval loop) — production splitting belongs in
+    built-ins (posexplode over split()); this exists to complete the
+    UDF API surface and as the template for logic that genuinely
+    cannot be a composition of built-ins."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_id bigint, sentence string, n_words bigint")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if not text:
+                return
+            for i, raw in enumerate(text.split(". ")):
+                s = raw.strip()
+                if s:
+                    yield i, s, len([w for w in s.split(" ") if w])
+
+    return SentenceSplit
+
+
+def doc_sentences(documents: DataFrame) -> DataFrame:
+    """(doc_id, sent_id, sentence, n_words) via the sentence UDTF in a
+    LATERAL join — each document row feeds the table function."""
+    SentenceSplit = sentence_udtf()
+    spark = documents.sparkSession
+    documents.select("doc_id", "text").createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("wdp_sentence_split", SentenceSplit)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_id, s.sentence, s.n_words
+        FROM _udtf_docs d, LATERAL wdp_sentence_split(d.text) s
+        """
+    )

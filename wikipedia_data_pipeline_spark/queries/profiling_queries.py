@@ -636,3 +636,23 @@ def incremental_distinct_users(spark, sf_dir):
         ),
     ]
     return I.merge_distinct_states(states, ["day"], "user_id")
+
+
+@register(
+    "udtf_doc_sentences",
+    oracle="""
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_id, trim(parts[i]) AS sentence,
+       CAST(len(list_filter(string_split(trim(parts[i]), ' '),
+                            w -> length(w) > 0)) AS BIGINT) AS n_words
+FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM documents),
+     unnest(generate_series(1, len(parts))) AS u(i)
+WHERE length(trim(parts[i])) > 0
+""",
+)
+def udtf_doc_sentences(spark, sf_dir):
+    """Python UDTF surface (§2.9 completion): per-document sentence
+    explosion through a LATERAL table function — 1 row in, N rows out,
+    the shape scalar/pandas UDFs cannot produce."""
+    from wikipedia_data_pipeline_spark.operators import udfs as U
+
+    return U.doc_sentences(load_table(spark, sf_dir, "documents"))
