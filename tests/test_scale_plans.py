@@ -229,3 +229,43 @@ def test_minhash_lsh_shuffle_budget(spark, sf_dir):
 
     ps = plan_summary(dedup_minhash_lsh(spark, sf_dir))
     assert ps.n_shuffles <= 3, ps.n_shuffles
+
+
+def test_bloom_prefilter_join_shuffle_budget(spark, sf_dir):
+    # One broadcast (the 1-row sketch) + the exact equi-join; the
+    # prefilter must not add data shuffles beyond the join's own.
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        bloom_prefilter_join_revenue,
+    )
+
+    ps = plan_summary(bloom_prefilter_join_revenue(spark, sf_dir))
+    assert ps.n_broadcast_joins >= 1
+    assert ps.n_shuffles <= 3  # join (2 sides at most) + final agg
+
+
+def test_heavy_hitter_recount_broadcasts_candidates(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        heavy_hitter_tokens,
+    )
+
+    ps = plan_summary(heavy_hitter_tokens(spark, sf_dir))
+    # Pass 2's semi join against the candidate set must be broadcast —
+    # the full-histogram shuffle is exactly what the operator avoids.
+    assert ps.n_broadcast_joins >= 1
+
+
+def test_doc_similarity_prunes_high_df_words_before_join(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        doc_similarity_tfidf,
+    )
+
+    plan = (
+        doc_similarity_tfidf(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # The df cap must appear as a filter in the plan (pre-join pruning),
+    # and the top-100 must be a TakeOrdered, not a global sort.
+    assert "df#" in plan and "<= 50" in plan
+    assert "TakeOrderedAndProject" in plan

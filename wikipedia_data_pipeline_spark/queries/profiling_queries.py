@@ -656,3 +656,41 @@ def udtf_doc_sentences(spark, sf_dir):
     from wikipedia_data_pipeline_spark.operators import udfs as U
 
     return U.doc_sentences(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "source_wikidoc_roundtrip",
+    oracle="SELECT doc_id, trim(text) AS text FROM documents",
+)
+def source_wikidoc_roundtrip(spark, sf_dir):
+    """Custom Python DataSource (Spark 4 API): documents rendered to
+    the reference's pseudo-XML corpus format, read back through the
+    pluggable `wikidoc` format (one partition per file), must
+    round-trip exactly. Covers §2.1's raw-corpus scan as a
+    first-class source instead of text-lines + parse."""
+    import shutil
+    import tempfile
+
+    from wikipedia_data_pipeline_spark.sources.wikidoc import register_wikidoc
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="wdp_wikidoc_")
+    out = f"{tmp}/corpus"
+    docs.select(
+        F.format_string(
+            '<doc id="%s" url="file://x" title="d%s">%s</doc>',
+            F.col("doc_id"),
+            F.col("doc_id"),
+            F.col("text"),
+        ).alias("value")
+    ).write.mode("overwrite").text(out)
+    register_wikidoc(spark)
+    parsed = (
+        spark.read.format("wikidoc")
+        .load(out)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .cache()
+    )
+    parsed.count()  # materialize before the temp dir is removed
+    shutil.rmtree(tmp, ignore_errors=True)
+    return parsed
