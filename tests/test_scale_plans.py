@@ -265,7 +265,8 @@ def test_doc_similarity_prunes_high_df_words_before_join(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    # The df cap must appear as a filter in the plan (pre-join pruning),
-    # and the top-100 must be a TakeOrdered, not a global sort.
-    assert "df#" in plan and "<= 50" in plan
+    # The scale-relative df cap must appear as a filter in the plan
+    # (pre-join pruning), and the top-100 must be a TakeOrdered, not a
+    # global sort.
+    assert "df#" in plan and "* 10)" in plan and "n_docs" in plan
     assert "TakeOrderedAndProject" in plan

@@ -162,11 +162,18 @@ def task1_probe(documents: DataFrame, probe_words: list[str] | None = None) -> D
     return task1_dictionary(documents).filter(F.col("word").isin(words))
 
 
-def tfidf_with_df(documents: DataFrame) -> DataFrame:
+def tfidf_with_df(
+    documents: DataFrame, df_times_le_ndocs: int | None = None
+) -> DataFrame:
     """tfidf() plus each word's document frequency — the extra column
     downstream similarity joins need for prefix-filter pruning (cap the
     posting-list length before a word-keyed self-join). Same persisted
-    single-scan shape as tfidf()."""
+    single-scan shape as tfidf().
+
+    ``df_times_le_ndocs=k`` applies the scale-relative cap
+    ``df * k <= n_docs`` (keep words in at most 1/k of documents) on
+    the WORD-level relation — |vocab| rows — so the cap costs nothing
+    and the big doc_tf side joins an already-pruned broadcast."""
     counts = doc_term_counts(documents).persist()
     df_counts = counts.groupBy("word").agg(F.count("*").alias("df"))
     n_docs = documents.select(F.count("*").alias("n_docs"))
@@ -177,8 +184,12 @@ def tfidf_with_df(documents: DataFrame) -> DataFrame:
             F.round(F.log10(F.col("n_docs").cast("double") / F.col("df")), 2),
         )
         .where(F.col("idf") > 0)
-        .select("word", "idf", "df")
     )
+    if df_times_le_ndocs is not None:
+        idf_rel = idf_rel.where(
+            F.col("df") * df_times_le_ndocs <= F.col("n_docs")
+        )
+    idf_rel = idf_rel.select("word", "idf", "df")
     return (
         doc_tf(documents, counts=counts)
         .join(F.broadcast(idf_rel), "word", "inner")

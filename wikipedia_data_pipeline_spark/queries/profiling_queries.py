@@ -533,7 +533,6 @@ def streaming_foreach_batch_compaction(spark, sf_dir):
 
 from wikipedia_data_pipeline_spark.queries.tfidf_queries import DOC_TF_CTES
 
-_SIM_DF_CAP = 50
 
 
 @register(
@@ -552,8 +551,8 @@ idf AS (
 ),
 vec AS (
     SELECT t.doc_id, t.word, round(t.tf * i.idf, 2) AS tf_idf
-    FROM doc_tf t JOIN idf i ON t.word = i.word
-    WHERE i.df <= {_SIM_DF_CAP}
+    FROM doc_tf t JOIN idf i ON t.word = i.word, ndocs
+    WHERE i.df * 10 <= n_docs
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(count(*) AS BIGINT) AS n_shared,
@@ -567,9 +566,10 @@ LIMIT 100
 def doc_similarity_tfidf(spark, sf_dir):
     """Sparse all-pairs document similarity over TF-IDF vectors: the
     inverted-index dot-product join (pairs meet only on shared words),
-    with prefix-filter pruning — words with document frequency above
-    {cap} are dropped BEFORE the self-join, bounding the worst posting
-    list and hence the join's O(sum df^2) blowup; high-df words carry
+    with prefix-filter pruning — words present in more than 10% of
+    documents are dropped BEFORE the self-join (a scale-relative cap:
+    it bounds the worst posting list, and hence the join's
+    O(sum df^2) blowup, at every corpus size); high-df words carry
     near-zero idf weight, and the cap is part of the declared
     semantics so the oracle applies it too. Decimal dot-product sums
     keep the result bit-exact; top-100 pairs by similarity with a
@@ -577,8 +577,16 @@ def doc_similarity_tfidf(spark, sf_dir):
     from wikipedia_data_pipeline_spark.operators import tfidf as TT
 
     docs = load_table(spark, sf_dir, "documents")
-    vec = TT.tfidf_with_df(docs).where(F.col("df") <= _SIM_DF_CAP).select(
-        "doc_id", "word", "tf_idf"
+    # Persist the pruned vectors: both self-join sides reference the
+    # same subtree and Spark does not CSE across join inputs, so
+    # without this the whole TF-IDF pipeline runs twice. Post-cap the
+    # relation is the rare-word postings only (corpus-proportional
+    # but a small fraction; the cluster equivalent is checkpointing
+    # the vector table between stages).
+    vec = (
+        TT.tfidf_with_df(docs, df_times_le_ndocs=10)
+        .select("doc_id", "word", "tf_idf")
+        .persist()
     )
     a = vec.alias("a")
     b = vec.alias("b")
