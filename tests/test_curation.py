@@ -166,3 +166,27 @@ def test_cap_per_group_keeps_top_rows_deterministically(spark):
         by_grp.setdefault(r.grp, []).append((r.score, r.doc_id))
     assert sorted(by_grp["a"], reverse=True) == [(100, 0), (99, 1), (98, 2)]
     assert by_grp["b"] == [(5, 100)]  # under-cap group passes through
+
+
+def test_curation_funnel_covers_every_gate(spark):
+    from wikipedia_data_pipeline_spark.operators.curation import curation_funnel
+
+    long_text = "x" * 30
+    docs = spark.createDataFrame(
+        [
+            (1, long_text, "en", 30),          # kept (dup representative)
+            (2, long_text, "en", 30),          # duplicate of 1
+            (3, "short", "en", 5),             # too_short
+            (4, "y" * 2_000_000, "en", 2_000_000),  # too_long
+            (5, long_text, "fr", 30),          # lang_rejected
+        ],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    got = {r.reason: (r.n_docs, r.n_chars_total) for r in curation_funnel(docs).collect()}
+    assert got == {
+        "kept": (1, 30),
+        "duplicate": (1, 30),
+        "too_short": (1, 5),
+        "too_long": (1, 2_000_000),
+        "lang_rejected": (1, 30),
+    }

@@ -128,3 +128,34 @@ def test_shuffle_order_is_seeded_permutation(spark):
     c = {r.doc_id: (r.shard, r.shard_pos) for r in shuffle_order(docs, seed=1).collect()}
     a_map = {r.doc_id: (r.shard, r.shard_pos) for r in a}
     assert any(a_map[d] != c[d] for d in a_map)  # order actually moved
+
+
+def test_token_budget_cut_matches_naive_global_prefix(spark):
+    from wikipedia_data_pipeline_spark.operators.sampling import (
+        shuffle_order,
+        token_budget_cut,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 17 + 1)) for i in range(300)],
+        "doc_id long, text string",
+    )
+    budget = 800
+    got = {
+        r.doc_id: r.cum_tokens
+        for r in token_budget_cut(docs, budget, shards=8).collect()
+    }
+    # Naive check: global order (shard_pos, shard), running sum, cut.
+    order = sorted(
+        (
+            (r.shard_pos, r.shard, r.doc_id)
+            for r in shuffle_order(docs, shards=8).collect()
+        )
+    )
+    toks = {i: i % 17 + 1 for i in range(300)}
+    want, cum = {}, 0
+    for _, _, doc_id in order:
+        cum += toks[doc_id]
+        if cum <= budget:
+            want[doc_id] = cum
+    assert got == want

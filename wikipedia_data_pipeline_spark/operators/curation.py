@@ -217,3 +217,49 @@ def cap_per_group(
         .where(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def curation_funnel(
+    documents: DataFrame,
+    languages: list[str] | None = None,
+    min_chars: int = 20,
+    max_chars: int = 1_000_000,
+) -> DataFrame:
+    """Rejection accounting for the curate() pipeline: every document
+    classified by the FIRST gate that drops it (language -> too_short
+    -> too_long -> duplicate) or 'kept' — the funnel report a curation
+    run publishes so corpus shrinkage is attributable.
+
+    Same gate predicates and dup-representative rule as curate()
+    (min doc_id per md5(text) among gate-passing docs). One window
+    over the gated subset + a left join back: the funnel costs one
+    extra broadcast-sized aggregation, not a second pipeline.
+    """
+    from pyspark.sql import Window
+
+    langs = languages or ["en"]
+    gated = documents.filter(
+        F.col("lang").isin(langs)
+        & (F.length("text") >= min_chars)
+        & (F.length("text") <= max_chars)
+    )
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    dup_rank = gated.select(
+        "doc_id", F.row_number().over(w).alias("_rn")
+    )
+    reason = (
+        F.when(~F.col("lang").isin(langs), "lang_rejected")
+        .when(F.length("text") < min_chars, "too_short")
+        .when(F.length("text") > max_chars, "too_long")
+        .when(F.col("_rn") > 1, "duplicate")
+        .otherwise("kept")
+    )
+    return (
+        documents.join(dup_rank, "doc_id", "left")
+        .select(reason.alias("reason"), F.col("n_chars"))
+        .groupBy("reason")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+        )
+    )

@@ -188,3 +188,62 @@ def shuffle_order(
         .withColumn("shard_pos", F.row_number().over(w).cast("bigint"))
         .select(id_col, "shard", "shard_pos")
     )
+
+
+def token_budget_cut(
+    documents: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+    shards: int = 64,
+) -> DataFrame:
+    """Prefix of the deterministic training shuffle holding at most
+    ``budget`` tokens — "assemble tonight's mix to N tokens" without a
+    global sort.
+
+    The epoch order is (shard_pos, shard) over shuffle_order's sharded
+    ranks. The running token total over that order is computed
+    HIERARCHICALLY: per-position block totals (|blocks| = max shard
+    rank, tiny) get a running sum on the driver-sized relation, and
+    each row adds its within-block prefix (window partitioned by
+    block, <= ``shards`` rows each, all parallel). No single task ever
+    sees more than a block — the standard distributed prefix-sum — and
+    every value is an integer, so the cut is exact and portable.
+    """
+    n_tokens = F.size(
+        F.filter(
+            F.split(F.col(text_col), " "), lambda w: F.length(w) > 0
+        )
+    ).cast("long")
+    t = shuffle_order(
+        documents, id_col=id_col, seed=seed, shards=shards
+    ).join(
+        documents.select(id_col, n_tokens.alias("n_tokens")), id_col
+    )
+    block_w = Window.orderBy("shard_pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    blocks = (
+        t.groupBy("shard_pos")
+        .agg(F.sum("n_tokens").alias("_block_total"))
+        .withColumn(
+            "_before_block",
+            F.coalesce(F.sum("_block_total").over(block_w), F.lit(0)),
+        )
+        .select("shard_pos", "_before_block")
+    )
+    in_block_w = (
+        Window.partitionBy("shard_pos")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        t.join(F.broadcast(blocks), "shard_pos")
+        .withColumn(
+            "cum_tokens",
+            F.col("_before_block") + F.sum("n_tokens").over(in_block_w),
+        )
+        .where(F.col("cum_tokens") <= budget)
+        .select(id_col, "shard", "shard_pos", "n_tokens", "cum_tokens")
+    )

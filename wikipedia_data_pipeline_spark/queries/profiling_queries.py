@@ -702,3 +702,78 @@ def source_wikidoc_roundtrip(spark, sf_dir):
     parsed.count()  # materialize before the temp dir is removed
     shutil.rmtree(tmp, ignore_errors=True)
     return parsed
+
+
+@register(
+    "sample_token_budget_cut",
+    oracle="""
+WITH o AS (
+  SELECT doc_id,
+         (((doc_id % 1000003) * 2654435761 + 12345) % 2147483647) % 64 AS shard,
+         CAST(row_number() OVER (
+              PARTITION BY (((doc_id % 1000003) * 2654435761 + 12345)
+                            % 2147483647) % 64
+              ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id)
+          AS BIGINT) AS shard_pos
+  FROM documents
+),
+t AS (
+  SELECT o.doc_id, o.shard, o.shard_pos,
+         CAST(len(list_filter(string_split(d.text, ' '),
+                              w -> length(w) > 0)) AS BIGINT) AS n_tokens
+  FROM o JOIN documents d ON o.doc_id = d.doc_id
+),
+c AS (
+  SELECT *, CAST(sum(n_tokens) OVER (
+        ORDER BY shard_pos, shard
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_tokens
+  FROM t
+)
+SELECT doc_id, shard, shard_pos, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= 25000
+""",
+)
+def sample_token_budget_cut(spark, sf_dir):
+    """Token-budget prefix of the deterministic epoch order, via a
+    hierarchical (block + within-block) distributed prefix sum — no
+    global sort; integer-exact, byte-identical across engines."""
+    from wikipedia_data_pipeline_spark.operators.sampling import (
+        token_budget_cut,
+    )
+
+    return token_budget_cut(
+        load_table(spark, sf_dir, "documents"), budget=25_000
+    )
+
+
+@register(
+    "curation_funnel_report",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, md5(text) AS h
+  FROM documents
+  WHERE lang = 'en' AND length(text) >= 20 AND length(text) <= 1000000
+),
+d AS (SELECT doc_id, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      FROM g),
+cls AS (
+  SELECT CASE WHEN doc.lang <> 'en' THEN 'lang_rejected'
+              WHEN length(doc.text) < 20 THEN 'too_short'
+              WHEN length(doc.text) > 1000000 THEN 'too_long'
+              WHEN d.rn > 1 THEN 'duplicate'
+              ELSE 'kept' END AS reason,
+         doc.n_chars
+  FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id
+)
+SELECT reason, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+FROM cls GROUP BY reason
+""",
+)
+def curation_funnel_report(spark, sf_dir):
+    """Attributable corpus shrinkage: per-gate rejection counts for
+    the curation pipeline (first-gate-wins classification, duplicate
+    = non-representative among gate survivors)."""
+    from wikipedia_data_pipeline_spark.operators import curation as C
+
+    return C.curation_funnel(load_table(spark, sf_dir, "documents"))
