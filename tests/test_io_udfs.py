@@ -220,3 +220,26 @@ def test_udtf_sentence_split_rows_and_empties(spark):
         (1, 2, "Third", 1),
         (3, 1, ".", 1),
     ]
+
+
+def test_grouped_agg_median_udf_odd_and_even_groups(spark):
+    from wikipedia_data_pipeline_spark.operators import udfs as U
+
+    ev = spark.createDataFrame(
+        [(1, 1.0), (1, 3.0), (1, 100.0),         # odd: middle value
+         (2, 1.0), (2, 2.0), (2, 3.0), (2, 10.0)],  # even: avg of middles
+        "user_id long, value double",
+    )
+    got = {r.user_id: r.median_value for r in U.user_value_medians(ev).collect()}
+    assert got == {1: 3.0, 2: 2.5}
+
+
+def test_arrow_udf_counts_long_words(spark):
+    from wikipedia_data_pipeline_spark.operators import udfs as U
+
+    docs = spark.createDataFrame(
+        [(1, "short toolongword another tiny"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_long_words for r in U.arrow_long_words(docs).collect()}
+    assert got == {1: 2, 2: 0}

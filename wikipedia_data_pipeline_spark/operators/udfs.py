@@ -14,7 +14,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import DoubleType, LongType
 
 
 @F.udf(returnType=LongType())
@@ -106,4 +106,42 @@ def doc_sentences(documents: DataFrame) -> DataFrame:
         SELECT d.doc_id, s.sent_id, s.sentence, s.n_words
         FROM _udtf_docs d, LATERAL wdp_sentence_split(d.text) s
         """
+    )
+
+
+@F.pandas_udf(DoubleType())
+def pd_median_value(v: pd.Series) -> float:
+    """GROUPED_AGG pandas UDF (Series -> scalar, the UDAF shape):
+    exact median. For even group sizes both numpy and standard SQL
+    median average the two middle elements with one IEEE add+halve, so
+    the result is engine-portable bit-for-bit on 2-decimal inputs."""
+    import numpy as np
+
+    return float(np.median(v.to_numpy()))
+
+
+def user_value_medians(events: DataFrame) -> DataFrame:
+    """Per-user median event value via the grouped-aggregate pandas
+    UDF — the custom-UDAF surface (built-in `median` exists since
+    Spark 3.4; the UDF form is the template for aggregates Spark
+    lacks). Executes as a real aggregate: partial batches stream per
+    group, one scalar out."""
+    return events.groupBy("user_id").agg(
+        pd_median_value(F.col("value")).alias("median_value")
+    )
+
+
+def arrow_long_words(documents: DataFrame) -> DataFrame:
+    """Arrow-optimized Python UDF (Spark 4 `useArrow=True`): scalar
+    Python semantics with Arrow-batched transport — the middle ground
+    between the pickled row-at-a-time UDF and a pandas UDF. Counts
+    words longer than 6 characters per document."""
+    @F.udf(returnType="long", useArrow=True)
+    def n_long(text: str) -> int:
+        if not text:
+            return 0
+        return sum(1 for w in text.split(" ") if len(w) > 6)
+
+    return documents.select(
+        "doc_id", n_long(F.col("text")).alias("n_long_words")
     )

@@ -777,3 +777,37 @@ def curation_funnel_report(spark, sf_dir):
     from wikipedia_data_pipeline_spark.operators import curation as C
 
     return C.curation_funnel(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "udf_grouped_agg_median",
+    oracle="""
+SELECT user_id, median(value) AS median_value
+FROM events GROUP BY user_id
+""",
+)
+def udf_grouped_agg_median(spark, sf_dir):
+    """GROUPED_AGG pandas UDF (the custom-UDAF surface): exact
+    per-user median; even-sized groups average the two middle
+    elements identically in numpy and SQL median."""
+    from wikipedia_data_pipeline_spark.operators import udfs as U
+
+    return U.user_value_medians(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "udf_arrow_long_words",
+    oracle="""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '),
+                            w -> length(w) > 6)) AS BIGINT) AS n_long_words
+FROM documents
+""",
+)
+def udf_arrow_long_words(spark, sf_dir):
+    """Arrow-optimized scalar Python UDF (useArrow=True) — completes
+    the UDF transport matrix (pickled row / Arrow scalar / pandas
+    batch / grouped map / grouped agg / UDTF)."""
+    from wikipedia_data_pipeline_spark.operators import udfs as U
+
+    return U.arrow_long_words(load_table(spark, sf_dir, "documents"))
