@@ -811,3 +811,55 @@ def udf_arrow_long_words(spark, sf_dir):
     from wikipedia_data_pipeline_spark.operators import udfs as U
 
     return U.arrow_long_words(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "training_corpus_build",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE lang = 'en' AND length(text) >= 20 AND length(text) <= 1000000
+),
+keep AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM g
+  ) WHERE rn = 1
+),
+train AS (
+  SELECT * FROM keep
+  WHERE (((doc_id % 1000003) * 2654435761 + 12345) % 2147483647) % 100 < 90
+),
+t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM train
+)
+SELECT doc_id, lang, n_tok,
+       CAST((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+            // 512 AS BIGINT) AS pack_id
+FROM t
+""",
+)
+def training_corpus_build(spark, sf_dir):
+    """End-to-end training-corpus assembly, the composite the
+    individual operators exist for: curate (language/length gates,
+    exact-dedup keep, PII scrub) -> deterministic hash split (train
+    bucket) -> greedy 512-token sequence packing. One pipeline of the
+    verified pieces; the oracle replays every stage in SQL. (The
+    synthetic corpus contains no PII, so the scrub is the identity
+    here and the oracle counts tokens on the raw text; the scrub
+    itself is driver-verified with injected PII in text_pii_scrub.)"""
+    from wikipedia_data_pipeline_spark.operators import curation as C
+    from wikipedia_data_pipeline_spark.operators import sampling as S
+
+    docs = load_table(spark, sf_dir, "documents")
+    cur = C.curate(docs)
+    splits = S.assign_splits(docs).select("doc_id", "split")
+    train = (
+        cur.join(splits, "doc_id")
+        .where(F.col("split") == "train")
+        .select("doc_id", "lang", F.col("text_clean").alias("text"))
+    )
+    return S.pack_sequences(train)
