@@ -123,3 +123,21 @@ def test_exact_heavy_hitters_share_and_ties(spark):
     out = {r.word: (r.n, r.share) for r in
            P.exact_heavy_hitters(df, "word", 1, 10).collect()}
     assert out == {"x": (10, 0.1), "y": (10, 0.1)}
+
+
+def test_observed_metrics_ride_the_single_action(spark):
+    df = spark.range(0, 1000).select(
+        "id", (F.col("id") % 10).alias("k")
+    )
+    got, obs = P.observed(
+        df,
+        "scan_stats",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("k").alias("k_sum"),
+        F.max("id").alias("max_id"),
+    )
+    # One action drives both the result and the metrics.
+    assert got.where(F.col("k") == 0).count() == 100
+    m = obs.get
+    assert m["n_rows"] == 1000 and m["max_id"] == 999
+    assert m["k_sum"] == sum(i % 10 for i in range(1000))

@@ -189,3 +189,17 @@ def exact_heavy_hitters(
             (F.col("n") / F.col("_n_total")).alias("share"),
         )
     )
+
+
+def observed(df: DataFrame, name: str, *metrics: Column):
+    """Attach an Observation to a DataFrame: the metrics accumulate on
+    the executors DURING whatever action consumes ``df`` — pipeline
+    health counters (rows in/out, null rate, value bounds) for free,
+    with NO second scan. This is how a 100 TB curation run reports its
+    funnel without re-reading the input: observe() on each stage, one
+    pass total. Returns (df, observation); read observation.get after
+    an action has run."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs
