@@ -240,3 +240,58 @@ def test_tws_user_totals_gated_on_protobuf(spark):
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     want = ev.groupBy("user_id").count()
     assert got.count() == want.count()
+
+
+def test_streaming_mv_multibatch_equals_batch_aggregate(spark, tmp_path):
+    # 3-file maxFilesPerTrigger=1 run: per-batch O(batch) state folds
+    # must reproduce the one-shot batch aggregate exactly.
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from wikipedia_data_pipeline_spark.operators import incremental as I
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+    from wikipedia_data_pipeline_spark.streaming import pipeline as SP
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_split")
+    ev.repartition(3).write.parquet(src)
+
+    keys = ["event_type"]
+
+    def merge(prev, batch):
+        state = I.partial_aggregate(batch, keys, F2.col("value"))
+        if prev is not None:
+            state = I.merge_partials([prev, state], keys)
+        return state
+
+    store = str(tmp_path / "mv_store")
+    stream = (
+        spark.readStream.schema(ev.schema).format("parquet")
+        .option("maxFilesPerTrigger", "1").load(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(SP.versioned_sink(store, merge))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(store)
+        if d.startswith("v") and os.path.exists(os.path.join(store, d, "_SUCCESS"))
+    )
+    assert len(versions) == 3
+    got = sorted(
+        tuple(r)
+        for r in I.finalize(
+            spark.read.parquet(os.path.join(store, f"v{versions[-1]}")), keys
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in I.finalize(
+            I.partial_aggregate(ev, keys, F2.col("value")), keys
+        ).collect()
+    )
+    assert got == want

@@ -863,3 +863,25 @@ def training_corpus_build(spark, sf_dir):
         .select("doc_id", "lang", F.col("text_clean").alias("text"))
     )
     return S.pack_sequences(train)
+
+
+@register(
+    "streaming_mv_maintenance",
+    oracle="""
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS avg,
+       min(value) AS min_v, max(value) AS max_v
+FROM events GROUP BY event_type
+""",
+)
+def streaming_mv_maintenance(spark, sf_dir):
+    """Streaming incremental MV: micro-batches fold into the algebraic
+    per-event-type state through the versioned exactly-once sink; the
+    served view must equal the batch full recompute."""
+    from wikipedia_data_pipeline_spark.streaming.pipeline import (
+        run_streaming_mv,
+    )
+
+    return run_streaming_mv(spark, sf_dir)

@@ -509,3 +509,81 @@ def run_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(result, "wdp_stream_tws_totals", "update")
     return spark.table("wdp_stream_tws_totals")
+
+
+def versioned_sink(store_dir: str, merge_fn):
+    """Generalized exactly-once foreachBatch sink: ``merge_fn(prev, batch)``
+    produces the next immutable version from the previous committed
+    version (None on the first batch) and the micro-batch; replayed
+    batch ids find their version committed and no-op. compaction_sink
+    and the MV sink are both instances of this shape."""
+    import os
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        version_dir = os.path.join(store_dir, f"v{batch_id}")
+        if os.path.exists(os.path.join(version_dir, "_SUCCESS")):
+            return
+        committed = [
+            int(d[1:])
+            for d in os.listdir(store_dir)
+            if d.startswith("v")
+            and os.path.exists(os.path.join(store_dir, d, "_SUCCESS"))
+            and int(d[1:]) < batch_id
+        ] if os.path.isdir(store_dir) else []
+        prev = (
+            spark.read.parquet(os.path.join(store_dir, f"v{max(committed)}"))
+            if committed
+            else None
+        )
+        merge_fn(prev, batch_df).write.mode("overwrite").parquet(version_dir)
+
+    return apply_batch
+
+
+def run_streaming_mv(
+    spark: SparkSession, sf_dir: str, store_dir: str | None = None
+) -> DataFrame:
+    """Streaming incremental materialized view: each micro-batch folds
+    into the algebraic per-event-type state (operators.incremental)
+    through the versioned exactly-once sink — the stream twin of
+    incremental_mv_orders, maintained at O(batch) instead of
+    O(history) per trigger. Serves finalize(newest state)."""
+    import os
+    import shutil
+    import tempfile
+
+    from wikipedia_data_pipeline_spark.operators import incremental as I
+
+    keys = ["event_type"]
+
+    def merge(prev: DataFrame | None, batch: DataFrame) -> DataFrame:
+        state = I.partial_aggregate(batch, keys, F.col("value"))
+        if prev is not None:
+            state = I.merge_partials([prev, state], keys)
+        return state
+
+    owned = store_dir is None
+    if owned:
+        store_dir = tempfile.mkdtemp(prefix="wdp_mv_")
+    ev = read_events_stream(spark, sf_dir)
+    q = (
+        ev.writeStream.foreachBatch(versioned_sink(store_dir, merge))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    versions = sorted(
+        int(d[1:])
+        for d in os.listdir(store_dir)
+        if d.startswith("v")
+        and os.path.exists(os.path.join(store_dir, d, "_SUCCESS"))
+    )
+    out = I.finalize(
+        spark.read.parquet(os.path.join(store_dir, f"v{versions[-1]}")),
+        keys,
+    ).cache()
+    out.count()
+    if owned:
+        shutil.rmtree(store_dir, ignore_errors=True)
+    return out
