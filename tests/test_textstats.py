@@ -120,3 +120,20 @@ def test_trigram_commonness_counts_and_ratios(spark):
     assert got[1].common_frac == 0.5 and got[1].avg_df == 1.5
     assert (got[2].n_trigrams, got[2].n_common) == (1, 1)
     assert (got[3].n_trigrams, got[3].n_common) == (1, 0)
+
+
+def test_collocations_lift_exact_on_constructed_corpus(spark):
+    from wikipedia_data_pipeline_spark.operators.textstats import collocations
+
+    # "strong tea" always co-occurs; "the cat"/"the dog" dilute "the".
+    docs = spark.createDataFrame(
+        [(1, "strong tea"), (2, "strong tea"), (3, "the cat"), (4, "the dog")],
+        "doc_id long, text string",
+    )
+    got = {r.ngram: r for r in collocations(docs, top_k=10).collect()}
+    # N=8 tokens; n(strong tea)=2, n(strong)=2, n(tea)=2 -> lift 2*8/4 = 4.
+    assert got["strong tea"].lift == 4.0
+    # n(the cat)=1, n(the)=2, n(cat)=1 -> lift 8/2 = 4. Tie broken by name.
+    assert got["the cat"].lift == 4.0
+    ordered = sorted(got.values(), key=lambda r: (-r.lift, r.ngram))
+    assert [r.ngram for r in ordered][:3] == ["strong tea", "the cat", "the dog"]

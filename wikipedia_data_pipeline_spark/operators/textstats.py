@@ -411,3 +411,51 @@ def trigram_commonness(documents: DataFrame, min_df: int = 2) -> DataFrame:
             (F.col("_sum_df") / F.col("n_trigrams")).alias("avg_df"),
         )
     )
+
+
+def collocations(documents: DataFrame, top_k: int = 100) -> DataFrame:
+    """Top-k word collocations by lift: score(a,b) =
+    n(ab) * N / (n(a) * n(b)) — pointwise mutual information WITHOUT
+    the log, so every factor is an integer count and the single
+    serve-time division is bit-portable across engines (log is not).
+
+    Three aggregations (bigram counts, unigram counts, total) and two
+    joins of the bigram relation against the unigram table — at corpus
+    scale the unigram side is vocabulary-sized and broadcasts, so the
+    bigram relation never shuffles for the joins; top-k rides
+    TakeOrdered with a total (score, bigram) order.
+    """
+    from wikipedia_data_pipeline_spark.operators.text import ngrams, tokenize
+
+    toks = tokenize(documents)
+    uni = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n_word"))
+    total = toks.select(F.count(F.lit(1)).alias("n_total"))
+    bi = (
+        ngrams(documents, n=2)
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .withColumn("w1", F.split("ngram", " ").getItem(0))
+        .withColumn("w2", F.split("ngram", " ").getItem(1))
+    )
+    scored = (
+        bi.join(
+            F.broadcast(uni.select(F.col("word").alias("w1"), F.col("n_word").alias("n_w1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("word").alias("w2"), F.col("n_word").alias("n_w2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "ngram",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            (
+                (F.col("n_pair") * F.col("n_total"))
+                / (F.col("n_w1") * F.col("n_w2"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), F.asc("ngram")).limit(top_k)

@@ -885,3 +885,41 @@ def streaming_mv_maintenance(spark, sf_dir):
     )
 
     return run_streaming_mv(spark, sf_dir)
+
+
+@register(
+    "text_collocations",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, ' '),
+                     x -> lower(regexp_replace(x, '[^a-zA-Z]', '', 'g'))),
+                     w -> length(w) > 0) AS ws
+  FROM documents
+),
+uni AS (
+  SELECT w AS word, count(*) AS n_word
+  FROM t, unnest(ws) AS u(w) GROUP BY w
+),
+tot AS (SELECT CAST(sum(n_word) AS BIGINT) AS n_total FROM uni),
+bi AS (
+  SELECT ws[g] AS w1, ws[g+1] AS w2,
+         ws[g] || ' ' || ws[g+1] AS ngram, count(*) AS n_pair
+  FROM t, unnest(generate_series(1, len(ws) - 1)) AS u(g)
+  GROUP BY 1, 2, 3
+)
+SELECT ngram, n_pair, u1.n_word AS n_w1, u2.n_word AS n_w2,
+       CAST(n_pair * (SELECT n_total FROM tot) AS DOUBLE)
+         / CAST(u1.n_word * u2.n_word AS DOUBLE) AS lift
+FROM bi JOIN uni u1 ON bi.w1 = u1.word JOIN uni u2 ON bi.w2 = u2.word
+ORDER BY lift DESC, ngram ASC
+LIMIT 100
+""",
+)
+def text_collocations(spark, sf_dir):
+    """Collocation extraction by integer-exact lift (PMI sans log):
+    bigram counts joined twice against the broadcast unigram table,
+    one portable division per row, TakeOrdered top-100."""
+    from wikipedia_data_pipeline_spark.operators import textstats as TS3
+
+    return TS3.collocations(load_table(spark, sf_dir, "documents"))
