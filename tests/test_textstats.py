@@ -137,3 +137,23 @@ def test_collocations_lift_exact_on_constructed_corpus(spark):
     assert got["the cat"].lift == 4.0
     ordered = sorted(got.values(), key=lambda r: (-r.lift, r.ngram))
     assert [r.ngram for r in ordered][:3] == ["strong tea", "the cat", "the dog"]
+
+
+def test_compression_ratio_separates_repetitive_text(spark):
+    from wikipedia_data_pipeline_spark.operators.textstats import (
+        compression_ratio,
+    )
+    import zlib
+
+    repetitive = "spam " * 200
+    varied = " ".join(f"w{i}x{i*7%13}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, repetitive), (2, varied), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    # Exact: the UDF must equal a direct zlib call at the same level.
+    assert got[1].n_compressed == len(zlib.compress(repetitive.encode(), 6))
+    assert got[2].n_compressed == len(zlib.compress(varied.encode(), 6))
+    assert got[1].compression_ratio < 0.05 < got[2].compression_ratio
+    assert got[3].compression_ratio is None

@@ -263,3 +263,32 @@ def curation_funnel(
             F.sum("n_chars").alias("n_chars_total"),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two corpus snapshots: 'added', 'removed',
+    or 'changed' per key (unchanged rows are dropped — at release
+    scale the diff is the small output, never the tables). One full
+    outer join on the key; change detection compares md5 over the
+    concatenated compare columns so arbitrarily wide rows reduce to
+    one string equality."""
+    def fp(df: DataFrame) -> Column:
+        return F.md5(F.concat_ws("\x1f", *[F.col(c) for c in compare_cols]))
+
+    o = old.select(F.col(key_col).alias("k"), fp(old).alias("old_fp"))
+    n = new.select(F.col(key_col).alias("k"), fp(new).alias("new_fp"))
+    joined = o.join(n, "k", "full_outer")
+    change = (
+        F.when(F.col("old_fp").isNull(), "added")
+        .when(F.col("new_fp").isNull(), "removed")
+        .when(F.col("old_fp") != F.col("new_fp"), "changed")
+    )
+    return (
+        joined.select(F.col("k").alias(key_col), change.alias("change"))
+        .where(F.col("change").isNotNull())
+    )

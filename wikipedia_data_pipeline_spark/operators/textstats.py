@@ -459,3 +459,34 @@ def collocations(documents: DataFrame, top_k: int = 100) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("lift"), F.asc("ngram")).limit(top_k)
+
+
+def compression_ratio(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetitiveness signal: zlib-compressed size over
+    raw UTF-8 size per document. Highly repetitive (template/boiler-
+    plate) text compresses far below normal prose, making this one of
+    the cheapest high-signal quality gates. zlib at a fixed level is
+    deterministic, but no SQL engine exposes it, so this operator is
+    pytest-verified (known plaintexts) rather than oracle-compared.
+    Arrow-batched pandas UDF — one narrow map, no shuffle."""
+    import zlib
+
+    import pandas as pd
+
+    @F.pandas_udf("long")
+    def zsize(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6)) if t else 0
+        ).astype("int64")
+
+    raw_len = F.length(F.col("text")).cast("long")
+    return documents.select(
+        "doc_id",
+        raw_len.alias("n_bytes"),
+        zsize(F.col("text")).alias("n_compressed"),
+    ).withColumn(
+        "compression_ratio",
+        F.when(
+            F.col("n_bytes") > 0, F.col("n_compressed") / F.col("n_bytes")
+        ).otherwise(F.lit(None).cast("double")),
+    )

@@ -923,3 +923,53 @@ def text_collocations(spark, sf_dir):
     from wikipedia_data_pipeline_spark.operators import textstats as TS3
 
     return TS3.collocations(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 <> 0
+),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS fp
+  FROM documents WHERE doc_id % 9 <> 0
+)
+SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old.fp IS NULL THEN 'added'
+            WHEN new.fp IS NULL THEN 'removed'
+            WHEN old.fp <> new.fp THEN 'changed' END AS change
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+WHERE (CASE WHEN old.fp IS NULL THEN 'added'
+            WHEN new.fp IS NULL THEN 'removed'
+            WHEN old.fp <> new.fp THEN 'changed' END) IS NOT NULL
+""",
+)
+def corpus_snapshot_diff(spark, sf_dir):
+    """Release-to-release corpus diff: two snapshots derived
+    deterministically from the documents table (v1 drops doc_id%10=0,
+    v2 drops doc_id%9=0 and edits doc_id%7=0), classified
+    added/removed/changed by one full outer join on md5 row
+    fingerprints."""
+    from wikipedia_data_pipeline_spark.operators import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.where(F.col("doc_id") % 10 != 0)
+    v2 = docs.where(F.col("doc_id") % 9 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return C.snapshot_diff(v1, v2, "doc_id", ["text"])
+
+
+@register("text_compression_ratio")  # no SQL oracle: zlib is not SQL-expressible
+def text_compression_ratio(spark, sf_dir):
+    """zlib compression-ratio quality signal (repetitive text
+    compresses suspiciously well). Deterministic but not
+    SQL-expressible, so pytest-verified; the driver rows-checks it."""
+    from wikipedia_data_pipeline_spark.operators import textstats as TS4
+
+    return TS4.compression_ratio(load_table(spark, sf_dir, "documents"))
