@@ -31,3 +31,36 @@ def test_wikidoc_source_reads_files_as_partitions(spark, tmp_path):
     rows = sorted((r.doc_id, r.text) for r in df.collect())
     assert rows == [("0", "doc number 0"), ("1", "doc number 1"), ("2", "doc number 2")]
     assert df.rdd.getNumPartitions() == 3
+
+
+def test_wikidoc_stream_incremental_with_checkpoint(spark, tmp_path):
+    # File-watch streaming through the Python streaming source API:
+    # run 1 ingests the initial files, run 2 (same checkpoint) picks up
+    # ONLY the file added in between - exactly-once across restarts.
+    import os
+
+    src = tmp_path / "corpus"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    for i in range(2):
+        (src / f"f{i}.txt").write_text(
+            f'<doc id="{i}" url="u" title="t">doc {i}</doc>\n'
+        )
+    register_wikidoc(spark)
+    sdf = spark.readStream.format("wikidoc").option("path", str(src)).load()
+
+    def run_once():
+        q = (
+            sdf.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck).outputMode("append")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(out).count() == 2
+    (src / "f2.txt").write_text('<doc id="2" url="u" title="t">doc 2</doc>\n')
+    run_once()
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == ["0", "1", "2"]  # no duplicates, new file ingested

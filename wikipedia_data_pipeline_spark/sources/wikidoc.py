@@ -87,3 +87,74 @@ def register_wikidoc(spark) -> None:
         spark.dataSource.register(WikiDocDataSource)
     except Exception:
         pass  # already registered
+
+
+class WikiDocStreamReader:
+    """SimpleDataSourceStreamReader for the corpus directory: the
+    offset is the sorted list of consumed file names, so each
+    micro-batch reads exactly the files that appeared since the last
+    committed offset — the usual file-watch ingest, expressed through
+    the Python streaming source API. readBetweenOffsets makes replay
+    deterministic (exactly the files in end minus start), which is
+    what gives the source exactly-once semantics under checkpoint
+    recovery."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("wikidoc stream requires a path")
+
+    def initialOffset(self):
+        return {"files": []}
+
+    def _read_files(self, names):
+        # Materialized list, not a generator: the runner caches the
+        # batch and copy.copy()s the iterator for partition planning,
+        # which only list/tuple iterators support.
+        rows = []
+        for f in names:
+            with open(os.path.join(self.path, f), encoding="utf-8") as fh:
+                for line in fh:
+                    row = parse_wikidoc_line(line.rstrip("\n"))
+                    if row is not None:
+                        rows.append(row)
+        return iter(rows)
+
+    def read(self, start):
+        seen = set(start["files"])
+        files = sorted(
+            f
+            for f in os.listdir(self.path)
+            if not f.startswith(("_", "."))
+        )
+        new = [f for f in files if f not in seen]
+        return self._read_files(new), {"files": files}
+
+    def readBetweenOffsets(self, start, end):
+        seen = set(start["files"])
+        return self._read_files(
+            [f for f in end["files"] if f not in seen]
+        )
+
+
+# Subclass lazily so importing this module does not require the
+# pyspark streaming datasource machinery at import time.
+def _stream_reader(options):
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    # WikiDocStreamReader first in the MRO so its implementations
+    # override the base class's raising stubs.
+    class _Reader(WikiDocStreamReader, SimpleDataSourceStreamReader):
+        def __init__(self):
+            WikiDocStreamReader.__init__(self, options)
+
+    return _Reader()
+
+
+def _attach_stream_reader():
+    WikiDocDataSource.simpleStreamReader = (
+        lambda self, schema: _stream_reader(self.options)
+    )
+
+
+_attach_stream_reader()
