@@ -157,3 +157,25 @@ def test_compression_ratio_separates_repetitive_text(spark):
     assert got[2].n_compressed == len(zlib.compress(varied.encode(), 6))
     assert got[1].compression_ratio < 0.05 < got[2].compression_ratio
     assert got[3].compression_ratio is None
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from wikipedia_data_pipeline_spark.operators.text import chunk_documents
+
+    # 10 tokens, chunk=4, stride=3 -> starts 0,3,6,9 (letter-only
+    # words: the chunker normalizes tokens like the rest of the
+    # pipeline, stripping digits).
+    words = [chr(ord("a") + i) * 2 for i in range(10)]  # aa bb cc ...
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "")], "doc_id long, text string"
+    )
+    got = {
+        r.chunk_id: (r.chunk_start, r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(docs, chunk_tokens=4, stride=3).collect()
+    }
+    assert got == {
+        0: (0, 4, "aa bb cc dd"),
+        1: (3, 4, "dd ee ff gg"),     # overlaps dd
+        2: (6, 4, "gg hh ii jj"),
+        3: (9, 1, "jj"),               # short tail chunk
+    }

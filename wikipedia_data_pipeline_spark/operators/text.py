@@ -135,3 +135,57 @@ def parse_wiki_lines_compat(lines: DataFrame, value_col: str = "value") -> DataF
             F.regexp_replace(F.split(c, ">").getItem(1), r"<[^>]+>", "")
         ).alias("text"),
     ).filter(F.length("doc_id") > 0)
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size token chunking with overlap (stride < chunk_tokens)
+    — the RAG-indexing / long-document-training split. One narrow
+    sequence+explode+slice projection, no UDF, no shuffle: chunk
+    starts are sequence(0, n-1, stride), each chunk is
+    slice(tokens, start+1, chunk_tokens) rejoined with spaces.
+
+    Output: (doc_id, chunk_id, chunk_start, n_chunk_tokens, chunk_text).
+    Chunks preserve document order; the final chunk may be short.
+    Empty documents produce no chunks.
+    """
+    toks = F.filter(
+        F.transform(
+            F.split(F.col(text_col), TOKEN_DELIMITER),
+            lambda w: F.lower(F.regexp_replace(w, NORMALIZE_PATTERN, "")),
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    from wikipedia_data_pipeline_spark.sources.tables import fan_out
+
+    with_toks = fan_out(documents).select(
+        F.col(id_col).alias("doc_id"), toks.alias("_toks")
+    ).where(F.size("_toks") > 0)
+    starts = F.sequence(
+        F.lit(0), F.size("_toks") - 1, F.lit(stride)
+    )
+    return (
+        with_toks.select(
+            "doc_id", "_toks", F.explode(starts).alias("chunk_start")
+        )
+        .select(
+            "doc_id",
+            (F.col("chunk_start") / stride).cast("long").alias("chunk_id"),
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.slice(
+                F.col("_toks"), F.col("chunk_start") + 1, chunk_tokens
+            ).alias("_chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "chunk_start",
+            F.size("_chunk").cast("long").alias("n_chunk_tokens"),
+            F.array_join("_chunk", " ").alias("chunk_text"),
+        )
+    )

@@ -973,3 +973,32 @@ def text_compression_ratio(spark, sf_dir):
     from wikipedia_data_pipeline_spark.operators import textstats as TS4
 
     return TS4.compression_ratio(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_chunk_documents",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, ' '),
+                     x -> lower(regexp_replace(x, '[^a-zA-Z]', '', 'g'))),
+                     w -> length(w) > 0) AS ws
+  FROM documents
+)
+SELECT doc_id,
+       CAST(s // 48 AS BIGINT) AS chunk_id,
+       CAST(s AS BIGINT) AS chunk_start,
+       CAST(len(ws[s+1 : least(s + 64, len(ws))]) AS BIGINT)
+         AS n_chunk_tokens,
+       array_to_string(ws[s+1 : least(s + 64, len(ws))], ' ') AS chunk_text
+FROM t, unnest(generate_series(0, len(ws) - 1, 48)) AS u(s)
+WHERE len(ws) > 0
+""",
+)
+def text_chunk_documents(spark, sf_dir):
+    """Overlapping token chunking (64-token chunks, stride 48) for RAG
+    indexing / long-doc training — pure sequence/explode/slice, no
+    UDF, no shuffle."""
+    from wikipedia_data_pipeline_spark.operators import text as T2
+
+    return T2.chunk_documents(load_table(spark, sf_dir, "documents"))
