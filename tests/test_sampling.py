@@ -159,3 +159,32 @@ def test_token_budget_cut_matches_naive_global_prefix(spark):
         if cum <= budget:
             want[doc_id] = cum
     assert got == want
+
+
+def test_token_mask_deterministic_and_consistent(spark):
+    from wikipedia_data_pipeline_spark.operators.sampling import (
+        HASH_MOD,
+        KNUTH,
+        PRE_MOD,
+        token_mask,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, "aa bb cc dd ee ff gg hh ii jj")], "doc_id long, text string"
+    )
+    r = token_mask(docs, rate_den=3).collect()[0]
+    words = "aa bb cc dd ee ff gg hh ii jj".split()
+    expect_mask = [
+        ((((7 % PRE_MOD) + i) % PRE_MOD) * KNUTH + 12345) % HASH_MOD % 3 == 0
+        for i in range(10)
+    ]
+    want_text = " ".join(
+        "<MASK>" if m else w for w, m in zip(words, expect_mask)
+    )
+    want_targets = " ".join(w for w, m in zip(words, expect_mask) if m)
+    assert r.masked_text == want_text
+    assert r.targets == want_targets
+    assert r.n_masked == sum(expect_mask) and r.n_tokens == 10
+    # Re-running under a different partitioning reproduces the mask.
+    r2 = token_mask(docs.repartition(8), rate_den=3).collect()[0]
+    assert (r2.masked_text, r2.targets) == (r.masked_text, r.targets)

@@ -247,3 +247,63 @@ def token_budget_cut(
         .where(F.col("cum_tokens") <= budget)
         .select(id_col, "shard", "shard_pos", "n_tokens", "cum_tokens")
     )
+
+
+def token_mask(
+    documents: DataFrame,
+    rate_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic MLM-style token masking: position i of document d
+    is masked iff det_hash(d + i) % rate_den == 0 (expected rate
+    1/rate_den). The mask pattern derives from the portable arithmetic
+    hash, NOT rand() — a retried task or a different partitioning
+    reproduces the identical corruption, which is what makes masked
+    pretraining data regenerable and auditable.
+
+    Pure narrow map: transform-with-index builds the masked token
+    array and the target list in one pass; no UDF, no shuffle.
+    Output: (doc_id, n_tokens, n_masked, masked_text, targets).
+    """
+    from wikipedia_data_pipeline_spark.operators.text import (
+        NORMALIZE_PATTERN,
+        TOKEN_DELIMITER,
+    )
+
+    toks = F.filter(
+        F.transform(
+            F.split(F.col(text_col), TOKEN_DELIMITER),
+            lambda w: F.lower(F.regexp_replace(w, NORMALIZE_PATTERN, "")),
+        ),
+        lambda w: F.length(w) > 0,
+    )
+
+    def masked(doc_id: Column, i: Column) -> Column:
+        h = (
+            ((doc_id % PRE_MOD) + i) % PRE_MOD
+        ) * F.lit(KNUTH) + F.lit(12345)
+        return (h % F.lit(HASH_MOD)) % rate_den == 0
+
+    d = F.col(id_col).cast("long")
+    out = F.transform(
+        F.col("_toks"),
+        lambda w, i: F.when(masked(d, i), F.lit("<MASK>")).otherwise(w),
+    )
+    targets = F.filter(
+        F.transform(
+            F.col("_toks"), lambda w, i: F.when(masked(d, i), w)
+        ),
+        lambda w: w.isNotNull(),
+    )
+    return (
+        documents.select(F.col(id_col), toks.alias("_toks"))
+        .where(F.size("_toks") > 0)
+        .select(
+            id_col,
+            F.size("_toks").cast("long").alias("n_tokens"),
+            F.size(targets).cast("long").alias("n_masked"),
+            F.array_join(out, " ").alias("masked_text"),
+            F.array_join(targets, " ").alias("targets"),
+        )
+    )

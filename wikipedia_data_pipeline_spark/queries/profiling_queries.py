@@ -1002,3 +1002,43 @@ def text_chunk_documents(spark, sf_dir):
     from wikipedia_data_pipeline_spark.operators import text as T2
 
     return T2.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "sample_token_mask",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, ' '),
+                     x -> lower(regexp_replace(x, '[^a-zA-Z]', '', 'g'))),
+                     w -> length(w) > 0) AS ws
+  FROM documents
+),
+p AS (
+  SELECT doc_id, g AS pos, ws[g] AS w
+  FROM t, unnest(generate_series(1, len(ws))) AS u(g)
+),
+m AS (
+  SELECT doc_id, pos, w,
+         (((((doc_id % 1000003) + (pos - 1)) % 1000003) * 2654435761
+           + 12345) % 2147483647) % 5 = 0 AS is_masked
+  FROM p
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN is_masked THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_masked,
+       string_agg(CASE WHEN is_masked THEN '<MASK>' ELSE w END, ' '
+                  ORDER BY pos) AS masked_text,
+       COALESCE(string_agg(CASE WHEN is_masked THEN w END, ' '
+                           ORDER BY pos), '') AS targets
+FROM m GROUP BY doc_id
+""",
+)
+def sample_token_mask(spark, sf_dir):
+    """Deterministic MLM corruption (1/5 positional mask rate from the
+    portable hash, not rand()): identical masks under any partitioning
+    or retry — regenerable pretraining data. Narrow map, no shuffle."""
+    from wikipedia_data_pipeline_spark.operators.sampling import token_mask
+
+    return token_mask(load_table(spark, sf_dir, "documents"))
