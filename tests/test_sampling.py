@@ -188,3 +188,22 @@ def test_token_mask_deterministic_and_consistent(spark):
     # Re-running under a different partitioning reproduces the mask.
     r2 = token_mask(docs.repartition(8), rate_den=3).collect()[0]
     assert (r2.masked_text, r2.targets) == (r.masked_text, r.targets)
+
+
+def test_negative_samples_valid_and_reproducible(spark):
+    from wikipedia_data_pipeline_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    # Sparse ids (gaps) + small table: negatives must all be existing
+    # ids, never the anchor, and identical across partitionings.
+    docs = spark.createDataFrame(
+        [(i,) for i in [0, 3, 5, 9, 12, 20]], "doc_id long"
+    )
+    a = sorted(map(tuple, negative_samples(docs, k=3).collect()))
+    ids = {0, 3, 5, 9, 12, 20}
+    assert a, "expected some negatives"
+    for anchor, j, neg in a:
+        assert neg in ids and neg != anchor and 0 <= j < 3
+    b = sorted(map(tuple, negative_samples(docs.repartition(7), k=3).collect()))
+    assert a == b

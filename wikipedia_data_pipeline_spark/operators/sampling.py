@@ -307,3 +307,47 @@ def token_mask(
             F.array_join(targets, " ").alias("targets"),
         )
     )
+
+
+def negative_samples(
+    documents: DataFrame, k: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic contrastive negatives: candidate j for anchor d is
+    det_hash(d * 31 + j) % (max_id + 1), kept only if that id exists
+    and differs from the anchor — so pairs are reproducible under any
+    partitioning (rand() negatives are not), and the op needs NO
+    global rank (a row_number over all docs would serialize on one
+    task at corpus scale). One explode (k candidates per anchor) + one
+    equi-join against the id set; expected yield is slightly under k
+    per anchor (self-hits and id gaps drop out), which contrastive
+    training tolerates by design.
+    """
+    ids = documents.select(F.col(id_col).cast("long").alias("_nid"))
+    max_id = documents.select(
+        F.max(F.col(id_col)).cast("long").alias("_max_id")
+    )
+    cand = (
+        documents.select(F.col(id_col).cast("long").alias("anchor_id"))
+        .crossJoin(F.broadcast(max_id))
+        .select(
+            "anchor_id",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(k)])
+            ).alias("j"),
+            "_max_id",
+        )
+        .select(
+            "anchor_id",
+            F.col("j").cast("long").alias("j"),
+            (
+                det_hash(
+                    F.col("anchor_id") * 31 + F.col("j")
+                ) % (F.col("_max_id") + 1)
+            ).alias("_nid"),
+        )
+    )
+    return (
+        cand.join(ids, "_nid")
+        .where(F.col("_nid") != F.col("anchor_id"))
+        .select("anchor_id", "j", F.col("_nid").alias("neg_doc_id"))
+    )

@@ -1042,3 +1042,30 @@ def sample_token_mask(spark, sf_dir):
     from wikipedia_data_pipeline_spark.operators.sampling import token_mask
 
     return token_mask(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "sample_contrastive_negatives",
+    oracle="""
+WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+cand AS (
+  SELECT d.doc_id AS anchor_id, CAST(j AS BIGINT) AS j,
+         ((((d.doc_id * 31 + j) % 1000003) * 2654435761 + 12345)
+          % 2147483647) % ((SELECT max_id FROM mx) + 1) AS nid
+  FROM documents d, unnest(generate_series(0, 3)) AS u(j)
+)
+SELECT anchor_id, j, nid AS neg_doc_id
+FROM cand
+WHERE nid IN (SELECT doc_id FROM documents) AND nid <> anchor_id
+""",
+)
+def sample_contrastive_negatives(spark, sf_dir):
+    """Deterministic contrastive negative pairs (4 hash-derived
+    candidates per anchor, self-hits and id gaps dropped) — the
+    reproducible alternative to rand() negatives, with no global
+    rank."""
+    from wikipedia_data_pipeline_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    return negative_samples(load_table(spark, sf_dir, "documents"), k=4)
