@@ -1,8 +1,10 @@
-"""Profiling / layout / incremental-dedup / span-dedup query
-registrations (operators.profiling, operators.dedup round-5 additions).
-Registered from the last-imported query module so new entries append
-AFTER the driver's ~50-slot correctness window instead of displacing
-queries already inside it.
+"""Append-only registration tail: every query added from round 5
+onward (profiling/layout, runtime filters, incremental maintenance,
+text relevance & search, curation & attribution, streaming sinks,
+UDF-matrix completion, corpus assembly). This module is imported LAST
+by registry._load_all, so new entries append AFTER the driver's
+~50-slot correctness window instead of displacing queries that already
+carry driver evidence — add new registrations here, at the end.
 
 The profile and skew reports are plain SQL aggregates, so their oracles
 are exact. The incremental LSH oracle is the brute-force bipartite
