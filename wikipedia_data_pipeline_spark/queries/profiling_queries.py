@@ -1071,3 +1071,32 @@ def sample_contrastive_negatives(spark, sf_dir):
     )
 
     return negative_samples(load_table(spark, sf_dir, "documents"), k=4)
+
+
+@register(
+    "histogram_event_values",
+    oracle="""
+SELECT CAST(least(floor(value / 5), 19) AS BIGINT) AS bucket,
+       CAST(least(floor(value / 5), 19) * 5 AS DOUBLE) AS bucket_lo,
+       count(*) AS n,
+       min(value) AS min_v, max(value) AS max_v
+FROM events GROUP BY 1, 2
+""",
+)
+def histogram_event_values(spark, sf_dir):
+    """Fixed-width value histogram (20 buckets of width 5, top bucket
+    clamped) — the numeric-distribution profile a pipeline inspects
+    before choosing salting/partition bounds. One hash agg; the bucket
+    arithmetic is a single exact IEEE division per row."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 5), F.lit(19)).cast("long")
+    return (
+        ev.withColumn("bucket", bucket)
+        .withColumn("bucket_lo", (F.col("bucket") * 5).cast("double"))
+        .groupBy("bucket", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+    )
