@@ -1100,3 +1100,96 @@ def histogram_event_values(spark, sf_dir):
             F.max("value").alias("max_v"),
         )
     )
+
+
+@register(
+    "events_winsorized",
+    oracle="""
+WITH ranked AS (
+  SELECT event_id, event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id)
+           AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM events
+),
+p99 AS (
+  SELECT event_type, min(value) AS p99_v
+  FROM ranked WHERE rn >= CAST(ceil(0.99 * cnt) AS BIGINT)
+  GROUP BY event_type
+)
+SELECT r.event_id, r.event_type, r.value,
+       least(r.value, p.p99_v) AS value_capped
+FROM ranked r JOIN p99 p ON r.event_type = p.event_type
+""",
+)
+def events_winsorized(spark, sf_dir):
+    """Outlier capping at the DISCRETE per-type p99 — the percentile is
+    an actual data value picked by rank (ceil(0.99 * n)-th in value
+    order), not an interpolation, so it is bit-portable where
+    interpolated quantiles are not. One window pass + a broadcast of
+    the tiny per-type threshold table."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cw = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("cnt"),
+    )
+    p99 = (
+        ranked.where(
+            F.col("rn") >= F.ceil(0.99 * F.col("cnt")).cast("long")
+        )
+        .groupBy("event_type")
+        .agg(F.min("value").alias("p99_v"))
+    )
+    return (
+        ranked.join(F.broadcast(p99), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.least(F.col("value"), F.col("p99_v")).alias("value_capped"),
+        )
+    )
+
+
+@register(
+    "events_value_normalized",
+    oracle="""
+WITH b AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       CASE WHEN b.hi > b.lo
+            THEN (e.value - b.lo) / (b.hi - b.lo) END AS value_norm
+FROM events e JOIN b ON e.event_type = b.event_type
+""",
+)
+def events_value_normalized(spark, sf_dir):
+    """Per-type min-max feature scaling: two IEEE subtractions and one
+    division per row over broadcast group bounds — bit-portable
+    (unlike mean/std scaling, whose cross-row float sums are not).
+    Degenerate groups (hi == lo) yield NULL."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.when(
+                F.col("hi") > F.col("lo"),
+                (F.col("value") - F.col("lo"))
+                / (F.col("hi") - F.col("lo")),
+            ).alias("value_norm"),
+        )
+    )
