@@ -1193,3 +1193,79 @@ def events_value_normalized(spark, sf_dir):
             ).alias("value_norm"),
         )
     )
+
+
+# ---- eval & sequence analytics --------------------------------------------
+
+from wikipedia_data_pipeline_spark.queries.text_queries import _SCORES
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, lang, {_SCORES} FROM t),
+p AS (
+  SELECT lang,
+         CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+              WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+              WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+              WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+              ELSE 'fr' END AS predicted_lang
+  FROM s
+)
+SELECT lang, predicted_lang, count(*) AS n
+FROM p GROUP BY lang, predicted_lang
+""",
+)
+def text_langid_confusion(spark, sf_dir):
+    """Classifier-eval confusion matrix: metadata language label vs
+    the stopword-overlap language-ID prediction, counted per (label,
+    prediction) cell — the accuracy report a pipeline runs on every
+    heuristic gate. One narrow scoring map + one hash agg."""
+    from wikipedia_data_pipeline_spark.operators import textstats as TS5
+
+    return (
+        TS5.language_id(load_table(spark, sf_dir, "documents"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "orders_priority_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT o_custkey, o_orderpriority,
+         lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey)
+           AS prev_priority
+  FROM orders
+)
+SELECT prev_priority, o_orderpriority AS next_priority, count(*) AS n
+FROM seq WHERE prev_priority IS NOT NULL
+GROUP BY prev_priority, next_priority
+""",
+)
+def orders_priority_transitions(spark, sf_dir):
+    """First-order transition matrix over each customer's order
+    priority sequence (lag window per customer + pair counts) — the
+    Markov-style sequence profile behind churn/behavior models. One
+    window shuffle on the customer key, one hash agg."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderpriority",
+            F.lag("o_orderpriority").over(w).alias("prev_priority"),
+        )
+        .where(F.col("prev_priority").isNotNull())
+        .groupBy(
+            "prev_priority",
+            F.col("o_orderpriority").alias("next_priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
