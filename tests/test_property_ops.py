@@ -77,3 +77,33 @@ def test_token_budget_cut_equals_global_walk(spark, n_docs, budget):
         if cum <= budget:
             want[doc_id] = cum
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1,
+        max_size=300,
+        unique=True,
+    ),
+    n_hashes=st.sampled_from([1, 3, 5]),
+)
+def test_bloom_never_drops_a_build_key(spark, keys, n_hashes):
+    from wikipedia_data_pipeline_spark.operators import runtime_filters as RF
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long").repartition(4)
+    bits = RF.build_bloom_bits(df, "k", n_bits=1 << 14, n_hashes=n_hashes)
+    bloom = spark.createDataFrame([(bits,)], "b array<bigint>")
+    missed = (
+        df.crossJoin(F.broadcast(bloom))
+        .where(
+            ~RF.bloom_might_contain(F.col("k"), F.col("b"), 1 << 14, n_hashes)
+        )
+        .count()
+    )
+    assert missed == 0
