@@ -1269,3 +1269,96 @@ def orders_priority_transitions(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "text_word_cooccurrence",
+    oracle="""
+WITH dw AS (
+  SELECT DISTINCT doc_id,
+         lower(regexp_replace(x, '[^a-zA-Z]', '', 'g')) AS word
+  FROM documents, unnest(string_split(text, ' ')) AS u(x)
+  WHERE length(lower(regexp_replace(x, '[^a-zA-Z]', '', 'g'))) > 0
+)
+SELECT a.word AS w1, b.word AS w2, count(*) AS n_docs
+FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.word < b.word
+GROUP BY a.word, b.word
+""",
+)
+def text_word_cooccurrence(spark, sf_dir):
+    """Document-level word co-occurrence counts (the raw relation
+    under PMI embeddings / distributional semantics): distinct
+    (doc, word) pairs self-joined on doc_id with w1 < w2. The join
+    shuffles on doc_id — bounded per-doc fan-out of |vocab_doc|^2;
+    at open-vocabulary scale the same query composes with the df cap
+    (prefix filter) the similarity join uses."""
+    from wikipedia_data_pipeline_spark.operators import text as T3
+
+    dw = (
+        T3.tokenize(load_table(spark, sf_dir, "documents"))
+        .distinct()
+        .persist()
+    )
+    a = dw.alias("a")
+    b = dw.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.word") < F.col("b.word")),
+        )
+        .groupBy(
+            F.col("a.word").alias("w1"), F.col("b.word").alias("w2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+WITH agg AS (
+  SELECT o_custkey,
+         max(CAST(o_orderdate AS DATE)) AS last_order,
+         count(*) AS frequency,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+           AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, last_order, frequency, monetary,
+       CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS BIGINT)
+         AS r_quartile,
+       CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT)
+         AS f_quartile,
+       CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT)
+         AS m_quartile
+FROM agg
+""",
+)
+def customer_rfm_segments(spark, sf_dir):
+    """RFM customer scoring: recency/frequency/monetary per customer,
+    quartiled by three ntile windows with customer-key tiebreaks (total
+    orders -> deterministic quartiles). One hash agg over orders; the
+    windows run over the customer-sized aggregate, not the fact table.
+    """
+    from pyspark.sql import Window
+    from wikipedia_data_pipeline_spark.functions import dec_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dec_sum("o_totalprice", "monetary"),
+    )
+    r_w = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    return agg.select(
+        "o_custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(r_w).cast("long").alias("r_quartile"),
+        F.ntile(4).over(f_w).cast("long").alias("f_quartile"),
+        F.ntile(4).over(m_w).cast("long").alias("m_quartile"),
+    )
