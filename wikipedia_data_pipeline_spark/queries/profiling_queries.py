@@ -1362,3 +1362,56 @@ def customer_rfm_segments(spark, sf_dir):
         F.ntile(4).over(f_w).cast("long").alias("f_quartile"),
         F.ntile(4).over(m_w).cast("long").alias("m_quartile"),
     )
+
+
+@register(
+    "events_rolling_active_users",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM du)
+SELECT d.day,
+       count(DISTINCT u.user_id) AS wau,
+       CAST(count(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END)
+            AS BIGINT) AS dau
+FROM days d JOIN du u
+  ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+GROUP BY d.day
+""",
+)
+def events_rolling_active_users(spark, sf_dir):
+    """DAU and rolling 7-day WAU per day — rolling DISTINCT counts,
+    which no window frame can express exactly. Scale shape: collapse
+    the fact table to the tiny distinct (day, user) state first, then
+    a bounded 7-day range join against the day spine re-counts
+    distinct users per window. The range join fans each state row out
+    at most 7x; the fact table is scanned once."""
+    ev = load_table(spark, sf_dir, "events")
+    du = (
+        ev.select(
+            F.date_trunc("day", F.timestamp_micros(F.col("ts")))
+            .cast("date")
+            .alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .persist()
+    )
+    days = du.select("day").distinct()
+    u = du.select(F.col("day").alias("u_day"), "user_id")
+    return (
+        days.join(
+            u,
+            (F.col("u_day") <= F.col("day"))
+            & (F.col("u_day") >= F.date_sub(F.col("day"), 6)),
+        )
+        .groupBy("day")
+        .agg(
+            F.countDistinct("user_id").alias("wau"),
+            F.countDistinct(
+                F.when(F.col("u_day") == F.col("day"), F.col("user_id"))
+            ).cast("long").alias("dau"),
+        )
+    )
