@@ -1415,3 +1415,89 @@ def events_rolling_active_users(spark, sf_dir):
             ).cast("long").alias("dau"),
         )
     )
+
+
+@register(
+    "order_ship_delay_histogram",
+    oracle="""
+SELECT l.l_returnflag,
+       CAST(least(greatest(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                     CAST(l.l_shipdate AS DATE)), 0) // 7, 20)
+            AS BIGINT) AS delay_weeks_bucket,
+       count(*) AS n
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+""",
+)
+def order_ship_delay_histogram(spark, sf_dir):
+    """Order-to-ship latency distribution: integer day difference
+    bucketed by week (top bucket clamped), grouped by return flag —
+    the fulfillment-latency profile over the big fact join. Integer
+    arithmetic end-to-end; the join shuffles on the order key with
+    map-side partial aggregation after."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", F.col("l_shipdate").cast("date").alias("ship_d")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("order_d")
+    )
+    # Negative delays (data glitches) clamp to bucket 0 — also keeps
+    # the bucket arithmetic on non-negative ints, where floor and
+    # truncating division agree across engines.
+    bucket = F.least(
+        F.floor(
+            F.greatest(
+                F.datediff(F.col("ship_d"), F.col("order_d")), F.lit(0)
+            )
+            / 7
+        ),
+        F.lit(20),
+    ).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("l_returnflag", bucket.alias("delay_weeks_bucket"))
+        .groupBy("l_returnflag", "delay_weeks_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "events_interarrival_histogram",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS tus,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_tus
+  FROM events
+)
+SELECT CAST(least((tus - prev_tus) // 60000000 // 10, 20) AS BIGINT)
+         AS gap_10min_bucket,
+       count(*) AS n
+FROM seq WHERE prev_tus IS NOT NULL
+GROUP BY 1
+""",
+)
+def events_interarrival_histogram(spark, sf_dir):
+    """Inter-event gap distribution per user (lag over the user
+    window, gaps bucketed in 10-minute bins, clamped) — the traffic
+    profile that calibrates sessionization gaps and state TTLs.
+    Integer µs arithmetic; one window shuffle on user_id, one hash
+    agg."""
+    from pyspark.sql import Window
+    from wikipedia_data_pipeline_spark.functions import ts_us
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        ts_us().alias("tus"),
+        F.lag(ts_us()).over(w).alias("prev_tus"),
+    ).where(F.col("prev_tus").isNotNull())
+    gap_bucket = F.least(
+        F.floor(F.floor((F.col("tus") - F.col("prev_tus")) / 60_000_000) / 10),
+        F.lit(20),
+    ).cast("long")
+    return (
+        seq.select(gap_bucket.alias("gap_10min_bucket"))
+        .groupBy("gap_10min_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
