@@ -1501,3 +1501,84 @@ def events_interarrival_histogram(spark, sf_dir):
         .groupBy("gap_10min_bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "events_peak_event_per_user",
+    oracle="""
+SELECT user_id, event_id AS peak_event_id, value AS peak_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY value DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def events_peak_event_per_user(spark, sf_dir):
+    """Per-user argmax via max_by aggregation — ONE hash agg with
+    map-side partials, the scale-preferred shape for 'row with the
+    max' (a row_number window would sort every user's events; max_by
+    keeps a single running champion per key). Composite (value,
+    event_id) order makes ties deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    ord_key = F.struct(
+        F.col("value"), F.col("event_id").cast("double")
+    )
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", ord_key).alias("peak_event_id"),
+        F.max_by("value", ord_key).alias("peak_value"),
+    )
+
+
+@register(
+    "events_path_signatures",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+),
+paths AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM seq WHERE rn <= 10 GROUP BY user_id
+)
+SELECT path, count(*) AS n_users
+FROM paths GROUP BY path
+""",
+)
+def events_path_signatures(spark, sf_dir):
+    """Behavioral path signatures: each user's first 10 events as an
+    ordered type string, counted across users — the journey-mining
+    aggregation behind funnel discovery. One window shuffle on
+    user_id (rank + truncate), then per-user ordered array_join and a
+    signature count; the concat order is declared, so the signature is
+    deterministic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 10)
+    )
+    paths = (
+        seq.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
