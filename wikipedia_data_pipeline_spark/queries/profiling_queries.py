@@ -1582,3 +1582,174 @@ def events_path_signatures(spark, sf_dir):
         )
     )
     return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "lineitem_point_in_time_join",
+    oracle="""
+WITH iv AS (
+  SELECT o_custkey, o_orderkey AS era_orderkey,
+         CAST(o_orderdate AS DATE) AS valid_from,
+         CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey)
+              AS DATE) AS valid_to
+  FROM orders
+),
+fact AS (
+  SELECT l.l_orderkey, l.l_linenumber, o.o_custkey,
+         CAST(l.l_shipdate AS DATE) AS ship_d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT f.l_orderkey, f.l_linenumber, f.o_custkey, f.ship_d,
+       iv.era_orderkey
+FROM fact f JOIN iv
+  ON f.o_custkey = iv.o_custkey
+ AND f.ship_d >= iv.valid_from
+ AND (iv.valid_to IS NULL OR f.ship_d < iv.valid_to)
+""",
+)
+def lineitem_point_in_time_join(spark, sf_dir):
+    """Point-in-time (AS OF) join against the SCD2 dimension: each
+    shipped line item matched to the order-era its customer was in at
+    ship time (intervals from the lead-window SCD2 build; a late
+    shipment can land in a LATER era than its own order). The interval
+    predicate joins on the customer key plus a range — per-key
+    interval lists are small, so the shuffle equi-part dominates and
+    the range check is a post-filter, the standard warehouse PIT
+    shape."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    iv = orders.select(
+        F.col("o_custkey").alias("iv_custkey"),
+        F.col("o_orderkey").alias("era_orderkey"),
+        F.col("o_orderdate").cast("date").alias("valid_from"),
+        F.lead("o_orderdate").over(w).cast("date").alias("valid_to"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("ship_d"),
+    )
+    fact = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select("l_orderkey", "l_linenumber", "o_custkey", "ship_d")
+    return fact.join(
+        iv,
+        (F.col("o_custkey") == F.col("iv_custkey"))
+        & (F.col("ship_d") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ship_d") < F.col("valid_to"))),
+    ).select("l_orderkey", "l_linenumber", "o_custkey", "ship_d", "era_orderkey")
+
+
+@register(
+    "data_quality_report",
+    oracle="""
+SELECT 'orphan_lineitems' AS check_name,
+       count(*) AS n_violations
+FROM lineitem l WHERE NOT EXISTS
+  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orphan_orders_customer', count(*)
+FROM orders o WHERE NOT EXISTS
+  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'nonpositive_extendedprice', count(*)
+FROM lineitem WHERE l_extendedprice <= 0
+UNION ALL
+SELECT 'null_shipdate', count(*)
+FROM lineitem WHERE l_shipdate IS NULL
+UNION ALL
+SELECT 'discount_out_of_range', count(*)
+FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+""",
+)
+def data_quality_report(spark, sf_dir):
+    """Data-contract validation: referential integrity (anti joins)
+    and range checks, one row per check with its violation count —
+    the report a pipeline publishes before promoting a batch. Anti
+    joins broadcast the key side where small; each check is a
+    count-only aggregate so the union is five tiny rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def count_df(name, df):
+        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    checks = [
+        count_df(
+            "orphan_lineitems",
+            li.join(
+                orders.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"),
+                "left_anti",
+            ),
+        ),
+        count_df(
+            "orphan_orders_customer",
+            orders.join(
+                customer.select("c_custkey"),
+                orders.o_custkey == F.col("c_custkey"),
+                "left_anti",
+            ),
+        ),
+        count_df(
+            "nonpositive_extendedprice",
+            li.where(F.col("l_extendedprice") <= 0),
+        ),
+        count_df("null_shipdate", li.where(F.col("l_shipdate").isNull())),
+        count_df(
+            "discount_out_of_range",
+            li.where((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+@register(
+    "revenue_mom_change",
+    oracle="""
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+       lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+       CASE WHEN lag(revenue) OVER (ORDER BY month) IS NOT NULL
+            THEN (revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month) END AS mom_change
+FROM m
+""",
+)
+def revenue_mom_change(spark, sf_dir):
+    """Month-over-month revenue delta: decimal-exact monthly sums,
+    then a lag window over the month-sized aggregate with one IEEE
+    subtraction and division per row — period-over-period reporting
+    with engine-portable numbers."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    from wikipedia_data_pipeline_spark.functions import dec_sum
+
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(dec_sum("o_totalprice", "revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.when(
+            prev.isNotNull(), (F.col("revenue") - prev) / prev
+        ).alias("mom_change"),
+    )
