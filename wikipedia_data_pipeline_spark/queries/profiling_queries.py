@@ -1753,3 +1753,114 @@ def revenue_mom_change(spark, sf_dir):
             prev.isNotNull(), (F.col("revenue") - prev) / prev
         ).alias("mom_change"),
     )
+
+
+@register(
+    "market_basket_pairs",
+    oracle="""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(*) AS n_orders
+FROM op a JOIN op b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT 100
+""",
+)
+def market_basket_pairs(spark, sf_dir):
+    """Frequent co-purchased part pairs (the candidate-generation step
+    of market-basket/apriori mining): distinct (order, part) self-join
+    on the order key with an ordered-pair predicate — per-order
+    fan-out is bounded by basket size squared, so the join scales with
+    orders, not parts. Top-100 by support via TakeOrdered."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist()
+    )
+    a = op.alias("a")
+    b = op.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(100)
+    )
+
+
+@register(
+    "revenue_concentration_deciles",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+           AS revenue
+  FROM orders GROUP BY o_custkey
+),
+dec AS (
+  SELECT o_custkey, revenue,
+         CAST(ntile(10) OVER (ORDER BY revenue DESC, o_custkey)
+              AS BIGINT) AS decile
+  FROM cust
+),
+tot AS (
+  SELECT CAST(sum(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE) AS total
+  FROM dec
+)
+SELECT decile, count(*) AS n_customers,
+       CAST(sum(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE)
+         AS revenue_total,
+       CAST(sum(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE)
+         / (SELECT total FROM tot) AS revenue_share
+FROM dec GROUP BY decile
+""",
+)
+def revenue_concentration_deciles(spark, sf_dir):
+    """Revenue concentration (whale curve): customers ranked into
+    revenue deciles, each decile's share of total — decimal-routed
+    sums at every level so the shares are bit-portable; the ntile runs
+    over the customer-sized aggregate, not the fact table."""
+    from pyspark.sql import Window
+    from wikipedia_data_pipeline_spark.functions import dec_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        dec_sum("o_totalprice", "revenue")
+    )
+    dec = cust.select(
+        "o_custkey",
+        "revenue",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("revenue"), F.asc("o_custkey")))
+        .cast("long")
+        .alias("decile"),
+    )
+    total = dec.agg(
+        F.sum(F.col("revenue").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total")
+    )
+    return (
+        dec.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dec_sum("revenue", "revenue_total"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            "revenue_total",
+            (F.col("revenue_total") / F.col("total")).alias("revenue_share"),
+        )
+    )
