@@ -1864,3 +1864,109 @@ def revenue_concentration_deciles(spark, sf_dir):
             (F.col("revenue_total") / F.col("total")).alias("revenue_share"),
         )
     )
+
+
+@register(
+    "events_burst_users",
+    oracle="""
+WITH mb AS (
+  SELECT user_id, epoch_us(ts) // 60000000 AS minute_bucket,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, CAST(max(n) AS BIGINT) AS peak_per_minute,
+       CAST(count(*) AS BIGINT) AS n_active_minutes
+FROM mb GROUP BY user_id
+HAVING max(n) >= 2
+""",
+)
+def events_burst_users(spark, sf_dir):
+    """Bot/abuse heuristic: users whose peak per-minute event rate
+    crosses a threshold — two stacked integer aggregations (user ×
+    minute counts, then per-user peak), both with map-side partials;
+    the rate-limit screen an event pipeline runs before modeling."""
+    from wikipedia_data_pipeline_spark.functions import ts_us
+
+    ev = load_table(spark, sf_dir, "events")
+    mb = (
+        ev.select(
+            "user_id",
+            F.floor(ts_us() / 60_000_000).alias("minute_bucket"),
+        )
+        .groupBy("user_id", "minute_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        mb.groupBy("user_id")
+        .agg(
+            F.max("n").alias("peak_per_minute"),
+            F.count(F.lit(1)).alias("n_active_minutes"),
+        )
+        .where(F.col("peak_per_minute") >= 2)
+    )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle="""
+WITH g AS (SELECT md5(text) AS h, count(*) AS sz FROM documents GROUP BY 1)
+SELECT CAST(least(sz, 10) AS BIGINT) AS cluster_size, count(*) AS n_clusters
+FROM g GROUP BY 1
+""",
+)
+def dedup_cluster_size_histogram(spark, sf_dir):
+    """Exact-duplicate cluster-size distribution (clamped at 10+) —
+    the dedup health metric that says whether duplication is a few
+    giant clusters (boilerplate) or a long tail (mirrors). Two stacked
+    hash aggs over content fingerprints."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        g.select(F.least(F.col("sz"), F.lit(10)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+@register(
+    "part_brand_return_rates",
+    oracle="""
+SELECT p.p_brand,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_returned,
+       CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS return_rate
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+)
+def part_brand_return_rates(spark, sf_dir):
+    """Return rate per part brand: the fact table joins the broadcast
+    part dimension, one hash agg, a single IEEE division per brand —
+    the product-quality report over the biggest join in the schema."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum((F.col("l_returnflag") == "R").cast("long")).alias(
+                "n_returned"
+            ),
+        )
+        .select(
+            "p_brand",
+            "n_lines",
+            "n_returned",
+            (
+                F.col("n_returned").cast("double")
+                / F.col("n_lines").cast("double")
+            ).alias("return_rate"),
+        )
+    )
