@@ -1970,3 +1970,78 @@ def part_brand_return_rates(spark, sf_dir):
             ).alias("return_rate"),
         )
     )
+
+
+@register(
+    "window_rank_variants",
+    oracle="""
+SELECT c_custkey, c_nationkey, c_acctbal,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       percent_rank() OVER w AS prnk,
+       cume_dist() OVER w AS cdist
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+""",
+)
+def window_rank_variants(spark, sf_dir):
+    """The full ranking-function family in one pass: rank, dense_rank,
+    percent_rank, cume_dist per nation (total order via the key
+    tiebreak; the two ratio functions are integer-over-integer
+    divisions, so they compare bit-exactly). One window shuffle."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@register(
+    "window_value_picks",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS last_price,
+       nth_value(o_totalprice, 2) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def window_value_picks(spark, sf_dir):
+    """first_value / last_value / nth_value with explicit full-frame
+    bounds (the default frame silently truncates last/nth at the
+    current row — the classic window gotcha, stated explicitly here
+    and in the oracle). One window shuffle on the customer key."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    full = base.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(base).alias("first_price"),
+        F.last("o_totalprice").over(full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
+    )
