@@ -270,3 +270,48 @@ def test_doc_similarity_prunes_high_df_words_before_join(spark, sf_dir):
     # global sort.
     assert "df#" in plan and "* 10)" in plan and "n_docs" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_market_basket_topk_avoids_full_sort(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        market_basket_pairs,
+    )
+
+    plan = (
+        market_basket_pairs(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # top-100, not a global sort
+
+
+def test_brand_return_rates_broadcasts_dimension(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        part_brand_return_rates,
+    )
+
+    ps = plan_summary(part_brand_return_rates(spark, sf_dir))
+    assert ps.n_broadcast_joins >= 1
+    assert ps.n_sort_merge_joins == 0  # fact side never shuffles for the join
+
+
+def test_rolling_active_users_collapses_before_range_join(spark, sf_dir):
+    # The fact table must aggregate to the distinct (day, user) state
+    # BEFORE the 7-day range join: the join inputs are aggregates, not
+    # the raw events scan.
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        events_rolling_active_users,
+    )
+
+    plan = (
+        events_rolling_active_users(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # The distinct (day, user) state is persisted and both join inputs
+    # read the cached relation — the raw events scan feeds the join
+    # exactly once, through the aggregation.
+    assert "InMemoryTableScan" in plan
+    assert "Join" in plan and "HashAggregate" in plan
