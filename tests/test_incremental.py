@@ -67,3 +67,25 @@ def test_distinct_state_merge_equals_global_distinct(spark):
         .collect()
     }
     assert got == want
+
+
+def test_hll_state_merge_tracks_exact_within_tolerance(spark):
+    facts = spark.range(0, 20000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") % 1777).alias("m"), "id"
+    )
+    slices = [
+        I.hll_distinct_state(facts.where(F.col("id") % 2 == i), ["k"], "m")
+        for i in range(2)
+    ]
+    approx = {
+        r.k: r.n_distinct_approx
+        for r in I.merge_hll_states(slices, ["k"]).collect()
+    }
+    exact = {
+        r.k: r.n
+        for r in facts.groupBy("k")
+        .agg(F.countDistinct("m").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n < 0.05, (k, approx[k], n)

@@ -92,3 +92,30 @@ def merge_distinct_states(
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("n_distinct"))
     )
+
+
+def hll_distinct_state(
+    df: DataFrame, keys: list[str], member: str, lg_k: int = 14
+) -> DataFrame:
+    """Mergeable approximate-distinct state: a DataSketches HLL sketch
+    per key (hll_sketch_agg). Unlike the exact membership-set state,
+    the sketch is O(2^lg_k) bytes per key REGARDLESS of cardinality —
+    the representation that keeps incremental count-distinct viable at
+    100 TB when the exact state itself would be the big table."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(member, F.lit(lg_k)).alias("hll_state")
+    )
+
+
+def merge_hll_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Union sketches across slices (hll_union_agg) and serve the
+    estimate — the O(slices x keys x sketch_size) merge, never
+    touching base facts."""
+    unioned = states[0]
+    for s in states[1:]:
+        unioned = unioned.unionByName(s)
+    return unioned.groupBy(*keys).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll_state")).alias(
+            "n_distinct_approx"
+        )
+    )

@@ -2045,3 +2045,32 @@ def window_value_picks(spark, sf_dir):
         F.last("o_totalprice").over(full).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
     )
+
+
+@register("incremental_distinct_users_hll")  # approximate by design: no oracle
+def incremental_distinct_users_hll(spark, sf_dir):
+    """HLL-sketch twin of incremental_distinct_users: per-day sketches
+    built on two event slices, union-merged, estimate served. The
+    sketch state is bounded-size per key at any cardinality — the
+    100 TB path where the exact membership state outgrows the data.
+    Approximate, so driver rows-checks it; pytest bounds the error
+    against the exact path."""
+    from wikipedia_data_pipeline_spark.operators import incremental as I
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.timestamp_micros(F.col("ts")))
+        .cast("date")
+        .alias("day"),
+        "user_id",
+        "ts",
+    )
+    split_us = 1_705_276_800_000_000
+    states = [
+        I.hll_distinct_state(
+            ev.where(F.col("ts") < split_us), ["day"], "user_id"
+        ),
+        I.hll_distinct_state(
+            ev.where(F.col("ts") >= split_us), ["day"], "user_id"
+        ),
+    ]
+    return I.merge_hll_states(states, ["day"])
