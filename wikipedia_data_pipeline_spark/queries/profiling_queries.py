@@ -2074,3 +2074,67 @@ def incremental_distinct_users_hll(spark, sf_dir):
         ),
     ]
     return I.merge_hll_states(states, ["day"])
+
+
+from wikipedia_data_pipeline_spark.queries.similarity_queries import COS_SQL
+
+
+@register(
+    "embedding_centroid_distances",
+    oracle=f"""
+WITH comp AS (
+  SELECT label, g - 1 AS pos,
+         CAST(sum(CAST(CAST(embedding[g] AS DOUBLE) AS DECIMAL(18,6)))
+              AS DOUBLE) / count(*) AS mean_x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(g)
+  GROUP BY label, pos
+),
+cent AS (
+  SELECT label, list(mean_x ORDER BY pos) AS c FROM comp GROUP BY label
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       {COS_SQL.format(a='a.c', b='b.c')} AS cos
+FROM cent a JOIN cent b ON a.label < b.label
+""",
+)
+def embedding_centroid_distances(spark, sf_dir):
+    """Label-centroid separation matrix: decimal-exact centroid
+    components (the label_centroids construction) assembled into
+    ordered arrays, then pairwise cosine via the deterministic
+    sequential fold — the cluster-separability report behind embedding
+    QA. The pair join runs over |labels| rows; everything heavy is the
+    one component aggregation."""
+    from wikipedia_data_pipeline_spark.functions import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(18,6)"))
+                .cast("double")
+                / F.count("*")
+            ).alias("mean_x")
+        )
+    )
+    cent = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_x"))),
+            lambda s: s["mean_x"],
+        ).alias("c")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), F.col("c").alias("cb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            cosine_similarity(F.col("ca"), F.col("cb")).alias("cos"),
+        )
+    )
