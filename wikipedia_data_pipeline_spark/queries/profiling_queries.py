@@ -2138,3 +2138,93 @@ def embedding_centroid_distances(spark, sf_dir):
             cosine_similarity(F.col("ca"), F.col("cb")).alias("cos"),
         )
     )
+
+
+# --- Graph family (round 5): fixed-point PageRank + degree profile ------
+
+_PR_EDGES_SQL = """
+  SELECT DISTINCT 'p:' || CAST(l_partkey AS VARCHAR) AS src,
+                  's:' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM lineitem
+"""
+
+
+def _pagerank_oracle(iterations: int = 3) -> str:
+    """Unrolled-CTE DuckDB twin of operators.graph.pagerank_fixed_point
+    (scale 1e6, damping 85%). Kept programmatic so the Spark loop and
+    the SQL unrolling can't drift on iteration count."""
+    ctes = [
+        f"edges AS ({_PR_EDGES_SQL})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         CAST(150000 + COALESCE((85 * s.mass) // 100, 0) AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum(r.pr // o.outdeg) AS BIGINT) AS mass
+    FROM edges e
+    JOIN r{i - 1} r ON e.src = r.node
+    JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst
+  ) s ON n.node = s.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, pr AS pr_rank FROM r{iterations}"
+        "\nORDER BY pr_rank DESC, node ASC"
+    )
+
+
+@register("graph_pagerank_partsupp", oracle=_pagerank_oracle(3))
+def graph_pagerank_partsupp(spark, sf_dir):
+    """Fixed-point PageRank (3 iterations, damping 0.85) over the
+    directed part→supplier purchase graph distilled from lineitem.
+    Integer-scaled ranks make the iteration bit-reproducible under any
+    partitioning — the property that lets an iterative graph algorithm
+    carry an exact SQL oracle at all. Edges are shuffled on src once
+    and persisted; each iteration joins the node-sized rank relation
+    against that layout (see operators/graph.py for the cost model)."""
+    from wikipedia_data_pipeline_spark.operators import graph as G
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    ranks = G.pagerank_fixed_point(edges, iterations=3)
+    return ranks.select("node", F.col("rank").alias("pr_rank")).orderBy(
+        F.desc("pr_rank"), F.asc("node")
+    )
+
+
+@register(
+    "graph_degree_profile",
+    oracle=f"""
+WITH edges AS ({_PR_EDGES_SQL}),
+o AS (SELECT src AS node, count(*) AS out_degree FROM edges GROUP BY src),
+i AS (SELECT dst AS node, count(*) AS in_degree FROM edges GROUP BY dst)
+SELECT COALESCE(o.node, i.node) AS node,
+       COALESCE(out_degree, 0) AS out_degree,
+       COALESCE(in_degree, 0) AS in_degree
+FROM o FULL OUTER JOIN i ON o.node = i.node
+ORDER BY node
+""",
+)
+def graph_degree_profile(spark, sf_dir):
+    """Per-node in/out degree of the part→supplier graph — the skew
+    diagnostic run before any iterative graph job (a hot dst node
+    predicts a hot reducer in every PageRank aggregate)."""
+    from wikipedia_data_pipeline_spark.operators import graph as G
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    return G.degree_profile(edges).orderBy("node")
