@@ -490,3 +490,50 @@ def compression_ratio(documents: DataFrame) -> DataFrame:
             F.col("n_bytes") > 0, F.col("n_compressed") / F.col("n_bytes")
         ).otherwise(F.lit(None).cast("double")),
     )
+
+
+def unigram_surprisal(documents: DataFrame) -> DataFrame:
+    """Per-document mean unigram surprisal (bits/token) under the
+    corpus's own unigram LM — the cheapest member of the
+    perplexity-gate family used to screen training corpora (high
+    bits/token ⇒ rare-word soup; near-zero ⇒ degenerate repetition).
+
+    Shape: one token explode, one vocab aggregate (vocab-sized, tiny
+    relative to the corpus), a 1-row total broadcast onto it, then the
+    word→surprisal table broadcast back onto the token stream — the
+    token-side join is broadcast, so the whole query costs the
+    tokenize scan plus one vocab shuffle at any corpus size.
+    Determinism: the per-word log2 is computed ONCE per vocab entry and
+    rounded to 6 decimals, and the per-doc sum runs over those rounded
+    values as DECIMAL — associative, so bit-identical under any
+    partitioning (and exactly SQL-checkable).
+    """
+    from wikipedia_data_pipeline_spark.operators.text import tokenize
+
+    toks = tokenize(documents)
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    wsurp = vocab.crossJoin(F.broadcast(total)).select(
+        "word",
+        F.round(
+            F.log2(F.col("total").cast("double") / F.col("cnt").cast("double")),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("surp"),
+    )
+    return (
+        toks.join(F.broadcast(wsurp), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("surp").alias("surp_dec"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("surp_dec").cast("double") / F.col("n_tokens"), 6
+            ).alias("bits_per_token"),
+        )
+    )

@@ -2228,3 +2228,112 @@ def graph_degree_profile(spark, sf_dir):
         F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
     ).distinct()
     return G.degree_profile(edges).orderBy("node")
+
+
+# --- LM-quality scoring, temporal split, outlier screen (round 5) -------
+
+@register(
+    "text_unigram_surprisal",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(list_transform(string_split(text, ' '),
+           x -> lower(regexp_replace(x, '[^a-zA-Z]', '', 'g'))),
+           w -> length(w) > 0)) AS word
+  FROM documents
+),
+vocab AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+ws AS (
+  SELECT word,
+         CAST(round(log2(CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS surp
+  FROM vocab, tot
+)
+SELECT t.doc_id, count(*) AS n_tokens,
+       round(CAST(sum(surp) AS DOUBLE) / count(*), 6) AS bits_per_token
+FROM toks t JOIN ws USING (word)
+GROUP BY t.doc_id
+""",
+)
+def text_unigram_surprisal(spark, sf_dir):
+    """Mean unigram surprisal per document (bits/token) under the
+    corpus unigram LM — the perplexity-lite corpus quality gate. See
+    operators/textstats.py:unigram_surprisal for the cost model."""
+    from wikipedia_data_pipeline_spark.operators import textstats as TS2
+
+    return TS2.unigram_surprisal(load_table(spark, sf_dir, "documents"))
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+@register(
+    "sample_time_split_events",
+    oracle=f"""
+WITH t0 AS (SELECT min(epoch_us(ts)) AS ts0 FROM events)
+SELECT event_id, user_id,
+       (epoch_us(ts) - ts0) // {_US_PER_DAY} AS day_idx,
+       CASE WHEN (epoch_us(ts) - ts0) // {_US_PER_DAY} < 24 THEN 'train'
+            WHEN (epoch_us(ts) - ts0) // {_US_PER_DAY} < 27 THEN 'val'
+            ELSE 'test' END AS split
+FROM events, t0
+""",
+)
+def sample_time_split_events(spark, sf_dir):
+    """Temporal train/val/test split of the event stream: day index
+    from the stream's own epoch start, first 24 days train / next 3
+    val / rest test. For forecasting-style models a HASH split leaks
+    the future into training — the cut must be on time. The global min
+    is a 1-row aggregate broadcast onto a narrow map; integer-µs
+    arithmetic keeps the assignment exact and engine-portable."""
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min("ts").alias("ts0"))
+    day_idx = F.expr(f"(ts - ts0) div {_US_PER_DAY}")
+    return ev.crossJoin(F.broadcast(t0)).select(
+        "event_id",
+        "user_id",
+        day_idx.alias("day_idx"),
+        F.when(day_idx < 24, "train")
+        .when(day_idx < 27, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "events_user_value_outliers",
+    oracle="""
+WITH s AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+              AS DOUBLE) AS s2
+  FROM events GROUP BY user_id
+)
+SELECT event_id, e.user_id, value, n
+FROM events e JOIN s ON e.user_id = s.user_id
+WHERE 100 * (value * n - s1) * (value * n - s1) > 625 * (n * s2 - s1 * s1)
+""",
+)
+def events_user_value_outliers(spark, sf_dir):
+    """Per-user z-score outlier screen (|x − μ| > 2.5σ) without ever
+    computing μ or σ: the predicate is cross-multiplied to
+    (x·n − Σx)² · 100 > 625 · (n·Σx² − (Σx)²), so the only aggregates
+    are decimal-exact (Σx, Σx², n) and every remaining operation is a
+    single deterministic IEEE op on identical scalars in both engines
+    — sqrt-free variance screening that is also bit-reproducible
+    across cluster sizes. One shuffle for the per-user moments (tiny),
+    then a broadcast join back onto the stream."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,6)")
+    s = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("s1"),
+        F.sum(v * v).cast("double").alias("s2"),
+    )
+    j = ev.join(F.broadcast(s), "user_id")
+    dev = F.col("value") * F.col("n") - F.col("s1")
+    return j.filter(
+        100 * dev * dev
+        > 625 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+    ).select("event_id", "user_id", "value", "n")
