@@ -2337,3 +2337,40 @@ def events_user_value_outliers(spark, sf_dir):
         100 * dev * dev
         > 625 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
     ).select("event_id", "user_id", "value", "n")
+
+
+@register(
+    "streaming_view_click_left_join",
+    oracle="""
+WITH v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS view_us
+           FROM events WHERE event_type = 'view'),
+c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
+      FROM events WHERE event_type = 'click'),
+wm AS (SELECT least((SELECT max(view_us) FROM v),
+                    (SELECT max(click_us) FROM c)) - 7200000000 AS w),
+pairs AS (
+  SELECT v.view_id, c.click_id, v.user_id, v.view_us, c.click_us
+  FROM v JOIN c ON v.user_id = c.user_id
+   AND c.click_us BETWEEN v.view_us AND v.view_us + 3600000000
+)
+SELECT * FROM pairs
+UNION ALL
+SELECT v.view_id, NULL::BIGINT AS click_id, v.user_id, v.view_us,
+       NULL::BIGINT AS click_us
+FROM v, wm
+WHERE v.view_id NOT IN (SELECT view_id FROM pairs)
+  AND v.view_us + 3600000000 < wm.w
+""",
+)
+def streaming_view_click_left_join(spark, sf_dir):
+    """Watermarked stream-stream LEFT OUTER interval join (views that
+    did or did not convert within the hour). The oracle replays
+    Structured Streaming's exact emission rule: matched pairs always;
+    null-extended views only once their join window has aged below the
+    final global watermark, which is min(max event time per input
+    stream) − the 2h delay — the multiple-watermark min policy. Views
+    still inside that horizon at end-of-stream are withheld, exactly as
+    a live stream would withhold them for the next trigger."""
+    from wikipedia_data_pipeline_spark.streaming import pipeline as SP
+
+    return SP.run_view_click_left_join(spark, sf_dir)

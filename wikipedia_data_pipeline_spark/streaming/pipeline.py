@@ -587,3 +587,56 @@ def run_streaming_mv(
     if owned:
         shutil.rmtree(store_dir, ignore_errors=True)
     return out
+
+
+def run_view_click_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every view emits — with
+    its click ids when a click follows within the hour, null-extended
+    otherwise. The outer variant is the one production funnels need
+    ("views that did NOT convert") and the harder one operationally:
+    the null-extended row can only be emitted once the watermark proves
+    no matching click can still arrive, i.e. when the view's join
+    window has aged out of state (view_time + 1h below the watermark).
+    Views younger than that at end-of-stream remain unresolved — they
+    are NOT emitted (they would be in the next trigger of a live
+    stream), which is exactly the semantics the batch oracle encodes
+    via the final-watermark predicate.
+    """
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.timestamp_micros(F.col("ts")).alias("view_time"),
+        )
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.timestamp_micros(F.col("ts")).alias("click_time"),
+        )
+    )
+    joined = (
+        views.withWatermark("view_time", "2 hours")
+        .join(
+            clicks.withWatermark("click_time", "2 hours"),
+            F.expr(
+                "v_user = c_user AND click_time BETWEEN view_time "
+                "AND view_time + interval 1 hour"
+            ),
+            "left_outer",
+        )
+        .select(
+            "view_id",
+            F.col("click_id"),
+            F.col("v_user").alias("user_id"),
+            F.unix_micros("view_time").alias("view_us"),
+            F.unix_micros("click_time").alias("click_us"),
+        )
+    )
+    _run_to_memory(joined, "wdp_stream_vc_left_join", "append")
+    return spark.table("wdp_stream_vc_left_join")
