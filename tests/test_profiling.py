@@ -141,3 +141,45 @@ def test_observed_metrics_ride_the_single_action(spark):
     m = obs.get
     assert m["n_rows"] == 1000 and m["max_id"] == 999
     assert m["k_sum"] == sum(i % 10 for i in range(1000))
+
+
+def _vocab_df(spark, counts):
+    return spark.createDataFrame(
+        [(w, c) for w, c in counts.items()], "word string, cnt long"
+    )
+
+
+def test_cms_estimates_never_underestimate(spark):
+    counts = {f"w{i}": i + 1 for i in range(40)}  # 40 words >> 8 cells
+    got = {
+        r.word: (r.n_exact, r.n_cms)
+        for r in P.cms_estimates(_vocab_df(spark, counts), width=8).collect()
+    }
+    assert set(got) == set(counts)
+    for w, (exact, est) in got.items():
+        assert exact == counts[w]
+        assert est >= exact  # the CMS one-sided error guarantee
+    # With 40 keys in 8 cells per row, collisions are certain somewhere.
+    assert any(est > exact for exact, est in got.values())
+
+
+def test_cms_sketch_is_mergeable(spark):
+    # sketch(A ⊎ B) == cellwise sum — the property that lets partial
+    # aggregation build the sketch distributed. Estimating the merged
+    # counts from the two halves must equal estimating from the union.
+    a = {"x": 5, "y": 3, "z": 2}
+    b = {"x": 7, "q": 4}
+    union = {"x": 12, "y": 3, "z": 2, "q": 4}
+    est_union = {
+        r.word: r.n_cms
+        for r in P.cms_estimates(_vocab_df(spark, union), width=4).collect()
+    }
+    # Rebuild by summing the two halves' vocab relations first — same
+    # cells, same sums, by associativity of +.
+    merged = _vocab_df(spark, a).union(_vocab_df(spark, b)).groupBy(
+        "word"
+    ).agg(F.sum("cnt").alias("cnt"))
+    est_merged = {
+        r.word: r.n_cms for r in P.cms_estimates(merged, width=4).collect()
+    }
+    assert est_union == est_merged

@@ -203,3 +203,107 @@ def observed(df: DataFrame, name: str, *metrics: Column):
 
     obs = Observation(name)
     return df.observe(obs, *metrics), obs
+
+
+# --- Count-Min sketch ----------------------------------------------------
+
+# Four independent affine hash rows (multiplier, addend). Multipliers are
+# the Knuth/xxhash mixing primes; the affine step runs on the word key
+# reduced mod CMS_PRE_MOD so products stay far below 2^63 on any engine
+# (DuckDB raises on BIGINT overflow rather than wrapping).
+CMS_SEEDS = [
+    (2654435761, 7),
+    (2246822519, 1013),
+    (3266489917, 2027),
+    (668265263, 3041),
+]
+CMS_PRE_MOD = 1_000_003
+CMS_HASH_MOD = (1 << 31) - 1
+CMS_KEY_CHARS = 8  # polynomial key over the first 8 chars
+
+
+def cms_word_key(col: Column) -> Column:
+    """Engine-portable integer key of a word: Σ ascii(char_i)·31^(i-1)
+    over the first CMS_KEY_CHARS characters (ascii of a past-the-end
+    substring is 0 on both engines, so short words need no special
+    case)."""
+    out = F.lit(0).cast("long")
+    for i in range(1, CMS_KEY_CHARS + 1):
+        out = out + F.ascii(F.substring(col, i, 1)).cast("long") * F.lit(
+            31 ** (i - 1)
+        )
+    return out
+
+
+def sql_cms_word_key(expr: str) -> str:
+    """DuckDB twin of cms_word_key — same terms, same constants."""
+    terms = [
+        f"CAST(ascii(substring({expr}, {i}, 1)) AS BIGINT) * {31 ** (i - 1)}"
+        for i in range(1, CMS_KEY_CHARS + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def cms_estimates(word_counts: DataFrame, width: int = 16) -> DataFrame:
+    """Count-Min sketch over a (word, cnt) relation → per-word
+    (word, n_exact, n_cms) with the CMS guarantee n_cms ≥ n_exact.
+
+    The sketch is the d×w cell table built by hashing every word into
+    one cell per row and SUMMING counts — sums are associative, so the
+    sketch of a union of corpora is the cell-wise sum of their
+    sketches (the mergeability that makes CMS the streaming/partitioned
+    frequency sketch: each partition builds a d×w array, the combiner
+    adds them, memory is O(d·w) at any corpus size and the shuffle
+    carries ≤ d·w rows per partition). Estimates take the MIN cell per
+    word — an upper bound on the true count, tight when w exceeds the
+    hot-key count. Here the cell table stays a relation and the probe
+    set is the vocabulary itself, so the whole construction is exactly
+    checkable in SQL; the engine-native variant of the same idea is
+    ``F.count_min_sketch``, whose binary output no oracle can replay.
+    """
+    keyed = word_counts.select(
+        "word", "cnt", cms_word_key(F.col("word")).alias("wkey")
+    )
+    idx_cols = [
+        (
+            ((F.col("wkey") % CMS_PRE_MOD) * F.lit(mult) + F.lit(add))
+            % CMS_HASH_MOD
+            % width
+        ).cast("long")
+        for mult, add in CMS_SEEDS
+    ]
+    probes = keyed.select(
+        "word",
+        "cnt",
+        F.posexplode(F.array(*idx_cols)).alias("r", "idx"),
+    )
+    cells = probes.groupBy("r", "idx").agg(F.sum("cnt").alias("cell"))
+    return (
+        probes.join(cells, ["r", "idx"])
+        .groupBy("word", F.col("cnt").alias("n_exact"))
+        .agg(F.min("cell").alias("n_cms"))
+        .select("word", "n_exact", "n_cms")
+    )
+
+
+def sql_cms_estimates(toks_rel: str, width: int = 16) -> str:
+    """DuckDB twin of cms_estimates over a (doc_id, word) relation."""
+    case = " ".join(
+        f"WHEN {r} THEN ((wkey % {CMS_PRE_MOD}) * {mult} + {add})"
+        f" % {CMS_HASH_MOD} % {width}"
+        for r, (mult, add) in enumerate(CMS_SEEDS)
+    )
+    return f"""
+vocab AS (SELECT word, count(*) AS cnt FROM {toks_rel} GROUP BY word),
+keyed AS (SELECT word, cnt, {sql_cms_word_key('word')} AS wkey FROM vocab),
+probes AS (
+  SELECT word, cnt, r, CAST(CASE r {case} END AS BIGINT) AS idx
+  FROM keyed, unnest([0, 1, 2, 3]) AS t(r)
+),
+cells AS (SELECT r, idx, CAST(sum(cnt) AS BIGINT) AS cell
+          FROM probes GROUP BY r, idx),
+cms AS (
+  SELECT p.word, p.cnt AS n_exact, CAST(min(c.cell) AS BIGINT) AS n_cms
+  FROM probes p JOIN cells c ON p.r = c.r AND p.idx = c.idx
+  GROUP BY p.word, p.cnt
+)"""

@@ -2374,3 +2374,91 @@ def streaming_view_click_left_join(spark, sf_dir):
     from wikipedia_data_pipeline_spark.streaming import pipeline as SP
 
     return SP.run_view_click_left_join(spark, sf_dir)
+
+
+# --- Count-Min sketch + TF-IDF text search (round 5) --------------------
+
+from wikipedia_data_pipeline_spark.queries.tfidf_queries import (  # noqa: E402
+    DOC_TF_CTES,
+    TOKS_CTE,
+)
+
+
+@register(
+    "sketch_count_min_words",
+    oracle=f"""
+WITH {TOKS_CTE},
+{P.sql_cms_estimates('toks', width=16)}
+SELECT word, n_exact, n_cms FROM cms
+ORDER BY n_exact DESC, word ASC
+""",
+)
+def sketch_count_min_words(spark, sf_dir):
+    """Count-Min sketch (d=4, w=16) of corpus word frequencies probed
+    with the vocabulary itself: (word, exact count, CMS estimate). The
+    deliberately narrow width forces collisions so the report SHOWS the
+    CMS property (n_cms ≥ n_exact, equality where no collision) —
+    operators/profiling.py:cms_estimates documents the mergeable d×w
+    construction that makes this the bounded-memory frequency sketch
+    for streams and shuffles at any corpus size."""
+    from wikipedia_data_pipeline_spark.operators.text import tokenize
+
+    toks = tokenize(load_table(spark, sf_dir, "documents"))
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    return P.cms_estimates(vocab, width=16).orderBy(
+        F.desc("n_exact"), F.asc("word")
+    )
+
+
+_SEARCH_TERMS = ["hash", "join", "spark", "dup"]
+
+
+@register(
+    "text_search_tfidf",
+    oracle=f"""
+WITH {DOC_TF_CTES},
+dfreq AS (
+    SELECT word, count(*) AS df
+    FROM (SELECT DISTINCT doc_id, word FROM toks) GROUP BY word
+),
+ndocs AS (SELECT count(*) AS n_docs FROM documents),
+idf AS (
+    SELECT word, round(log10(CAST(n_docs AS DOUBLE) / df), 2) AS idf
+    FROM dfreq, ndocs
+    WHERE round(log10(CAST(n_docs AS DOUBLE) / df), 2) > 0
+),
+tfidf AS (
+    SELECT t.doc_id, t.word, round(t.tf * i.idf, 2) AS tf_idf
+    FROM doc_tf t JOIN idf i ON t.word = i.word
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms_hit,
+       CAST(sum(CAST(tf_idf AS DECIMAL(18,6))) AS DOUBLE) AS score
+FROM tfidf
+WHERE word IN ({", ".join(f"'{w}'" for w in _SEARCH_TERMS)})
+GROUP BY doc_id
+ORDER BY score DESC, n_terms_hit DESC, doc_id ASC
+LIMIT 20
+""",
+)
+def text_search_tfidf(spark, sf_dir):
+    """Ranked keyword search over the TF-IDF index: score(doc) =
+    Σ tf_idf of the query terms it contains, top-20 by score. The
+    query-term filter is a constant IN-set pushed below the index join,
+    so the scan touches only the postings of the query's words — the
+    searcher's cost is proportional to posting-list length, not corpus
+    size (and the final top-k is a TakeOrdered, no global sort)."""
+    from wikipedia_data_pipeline_spark.functions import dec_sum
+    from wikipedia_data_pipeline_spark.operators import tfidf as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = T.tfidf(docs).filter(F.col("word").isin(_SEARCH_TERMS))
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            dec_sum("tf_idf", "score"),
+        )
+        .orderBy(F.desc("score"), F.desc("n_terms_hit"), F.asc("doc_id"))
+        .limit(20)
+    )
