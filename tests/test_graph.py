@@ -63,3 +63,38 @@ def test_degree_profile(spark):
         for r in G.degree_profile(df).collect()
     }
     assert got == {"a": (2, 1), "b": (1, 1), "c": (1, 3), "d": (1, 0)}
+
+
+def _reference_lpa(edges, iterations):
+    und = set()
+    for s, d in edges:
+        und.add((s, d))
+        und.add((d, s))
+    nodes = {n for e in und for n in e}
+    label = {n: n for n in nodes}
+    for _ in range(iterations):
+        new = {}
+        for v in nodes:
+            counts = {}
+            for s, d in und:
+                if s == v:
+                    counts[label[d]] = counts.get(label[d], 0) + 1
+            best = min(counts, key=lambda l: (-counts[l], l))
+            new[v] = best
+        label = new
+    return label
+
+
+def test_label_propagation_matches_reference(spark):
+    # Two 3-cliques bridged by one edge: communities should stay local.
+    edges = [
+        ("a", "b"), ("b", "c"), ("a", "c"),
+        ("x", "y"), ("y", "z"), ("x", "z"),
+        ("c", "x"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["label"]
+        for r in G.label_propagation(df, iterations=3).collect()
+    }
+    assert got == _reference_lpa(edges, 3)

@@ -118,3 +118,52 @@ def degree_profile(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+) -> DataFrame:
+    """Synchronous majority-label propagation (community detection) on
+    the undirected view of an edge list, with a fully deterministic
+    spec: every node starts labeled with its own id; each round it
+    adopts the most frequent label among its neighbors, ties broken by
+    the smallest label. Deterministic tie-breaks are what make a graph
+    heuristic exactly reproducible (and SQL-checkable) — the classic
+    async LPA is run-order-dependent by construction.
+
+    Per round: one join of the node-sized label relation onto the
+    (undirected, so 2×) edge relation, one count aggregate on
+    (node, label), one per-node top-1 window. The edge relation is
+    shuffled on the neighbor key once and persisted; rounds reuse it.
+    Fixed iteration counts (not convergence loops) are the production
+    norm — synchronous LPA can oscillate on bipartite structure, so
+    you bound rounds and take the snapshot.
+    """
+    from pyspark.sql import Window
+
+    und = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+        .distinct()
+        .repartition("nbr")
+        .persist()
+    )
+    nodes = und.select("node").distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
+    for _ in range(iterations):
+        nbr_labels = und.join(
+            labels.withColumnRenamed("node", "nbr"), "nbr"
+        ).select("node", "label")
+        counted = nbr_labels.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        labels = (
+            counted.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels

@@ -2462,3 +2462,51 @@ def text_search_tfidf(spark, sf_dir):
         .orderBy(F.desc("score"), F.desc("n_terms_hit"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+def _lpa_oracle(iterations: int = 2) -> str:
+    """Unrolled-CTE twin of operators.graph.label_propagation."""
+    ctes = [
+        f"edges AS ({_PR_EDGES_SQL})",
+        """und AS (
+  SELECT src AS node, dst AS nbr FROM edges
+  UNION
+  SELECT dst AS node, src AS nbr FROM edges
+)""",
+        "l0 AS (SELECT DISTINCT node, node AS label FROM und)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""l{i} AS (
+  SELECT node, label FROM (
+    SELECT u.node, l.label, count(*) AS n,
+           row_number() OVER (PARTITION BY u.node
+                              ORDER BY count(*) DESC, l.label ASC) AS rn
+    FROM und u JOIN l{i - 1} l ON u.nbr = l.node
+    GROUP BY u.node, l.label
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, label FROM l{iterations} ORDER BY node"
+    )
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle(2))
+def graph_label_propagation(spark, sf_dir):
+    """Deterministic majority-label propagation (2 synchronous rounds,
+    smallest-label tie-break) over the undirected part–supplier graph —
+    the community-detection companion to PageRank. See
+    operators/graph.py:label_propagation for why the tie-break and the
+    fixed round count are what make a graph heuristic reproducible at
+    cluster scale."""
+    from wikipedia_data_pipeline_spark.operators import graph as G
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    return G.label_propagation(edges, iterations=2).orderBy("node")
