@@ -43,6 +43,12 @@ def test_all_neardup_strategies_agree(spark):
     assert not any(3 in p or 5 in p for p in bf)
     assert pairs(D.minhash_lsh_pairs(docs, 0.5)) == bf
     assert pairs(D.simhash_pairs(docs, 0.5)) == bf
+    # Prefix filtering is lossless by theorem, not probability: exact
+    # agreement, including at a higher threshold.
+    assert pairs(D.prefix_filter_pairs(docs, 0.5)) == bf
+    assert pairs(D.prefix_filter_pairs(docs, 0.9)) == pairs(
+        D.brute_force_pairs(docs, 0.9)
+    )
 
 
 def test_jaccard_values_exact(spark):

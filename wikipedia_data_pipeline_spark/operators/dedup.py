@@ -533,3 +533,65 @@ def duplicate_span_stats(documents: DataFrame, n: int = 8) -> DataFrame:
             ),
         )
     )
+
+
+def prefix_filter_pairs(
+    documents: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (the AllPairs /
+    PPJoin family, Bayardo et al. 2007) — the deterministic complement
+    to MinHash-LSH: same output as the all-pairs Jaccard join, but the
+    candidate set is generated from token *prefixes* instead of
+    probabilistic bucketing, so there is no false-negative probability
+    at all.
+
+    The filter: order every shingle by global rarity (df asc, then
+    hash for a total order); for Jaccard ≥ t, two sets must share at
+    least one of each other's first |x| − ⌈t·|x|⌉ + 1 rarest shingles
+    — so only the prefix tokens enter the self-join. Rarity ordering
+    makes the join keys the LEAST frequent shingles, which is what
+    bounds the per-key fan-out: the hot (stop-phrase) shingles that
+    would square the candidate count never become join keys.
+
+    Plan shape: shingle df aggregate (one shuffle, vocab-sized) is
+    broadcast back onto the exploded shingles; the per-doc prefix is a
+    doc-partitioned window (no global sort anywhere); candidates come
+    from one self-join on the prefix token plus the size-compatibility
+    filter t·|a| ≤ |b| ≤ |a|/t; the exact-Jaccard verify touches only
+    candidates. All shuffles are key-partitioned — the construction
+    scales with prefix-token postings, not corpus².
+    """
+    from pyspark.sql import Window
+
+    sh = hashed_shingles(documents).persist()
+    toks = sh.select(
+        "doc_id", F.size("hsh").alias("sz"), F.explode("hsh").alias("h")
+    )
+    dfreq = toks.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = toks.join(dfreq, "h")
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("h"))
+    prefix_len = (
+        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).cast("int")
+    prefix = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "sz", "h")
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "h"
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "h"
+    )
+    cands = (
+        a.join(b, "h")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("sz_b") >= threshold * F.col("sz_a"))
+            & (F.col("sz_a") >= threshold * F.col("sz_b"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return verify_pairs_jaccard(cands, sh, threshold)

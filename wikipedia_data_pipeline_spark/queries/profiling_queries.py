@@ -2510,3 +2510,22 @@ def graph_label_propagation(spark, sf_dir):
         F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
     ).distinct()
     return G.label_propagation(edges, iterations=2).orderBy("node")
+
+
+# --- Exact prefix-filter similarity join (round 5) ----------------------
+
+from wikipedia_data_pipeline_spark.queries.dedup_queries import (  # noqa: E402
+    SHINGLE_PAIRS_SQL,
+)
+
+
+@register("dedup_prefix_filter", oracle=SHINGLE_PAIRS_SQL)
+def dedup_prefix_filter(spark, sf_dir):
+    """AllPairs/PPJoin prefix-filtered EXACT Jaccard ≥ 0.5 join — zero
+    false negatives by construction (unlike LSH's probabilistic
+    guarantee), candidates bounded by rare-shingle postings. Shares the
+    brute-force oracle with dedup_minhash_lsh: all three near-dup paths
+    must produce the identical pair set."""
+    return D.prefix_filter_pairs(
+        load_table(spark, sf_dir, "documents"), 0.5
+    )
