@@ -2529,3 +2529,122 @@ def dedup_prefix_filter(spark, sf_dir):
     return D.prefix_filter_pairs(
         load_table(spark, sf_dir, "documents"), 0.5
     )
+
+
+# --- ML feature prep + privacy screen (round 5) -------------------------
+
+_FH_DIM = 64
+
+
+@register(
+    "features_hash_encoded",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id, 'lang:' || lang AS f FROM documents
+  UNION ALL
+  SELECT doc_id, 'source:' || source AS f FROM documents
+)
+SELECT doc_id,
+       CAST((({P.sql_cms_word_key('f')} % {P.CMS_PRE_MOD})
+             * {P.CMS_SEEDS[0][0]} + {P.CMS_SEEDS[0][1]})
+            % {P.CMS_HASH_MOD} % {_FH_DIM} AS BIGINT) AS feature_idx,
+       CAST(count(*) AS BIGINT) AS feature_val
+FROM feats
+GROUP BY 1, 2
+""",
+)
+def features_hash_encoded(spark, sf_dir):
+    """The hashing trick (Weinberger et al. 2009): categorical columns
+    → a fixed-width sparse feature space via a portable hash of
+    'column:value', collisions summing — the encoder that needs NO
+    vocabulary pass, no fit/transform state, and no driver-side
+    dictionary, which is why it's the default categorical encoder at
+    100 TB (a one-pass narrow map; new category values never change
+    the schema). Output is the sparse (row, feature_idx, value)
+    relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id", F.concat(F.lit("lang:"), F.col("lang")).alias("f")
+    ).unionAll(
+        docs.select(
+            "doc_id", F.concat(F.lit("source:"), F.col("source")).alias("f")
+        )
+    )
+    mult, add = P.CMS_SEEDS[0]
+    idx = (
+        (P.cms_word_key(F.col("f")) % P.CMS_PRE_MOD) * F.lit(mult) + F.lit(add)
+    ) % P.CMS_HASH_MOD % _FH_DIM
+    return (
+        feats.select("doc_id", idx.cast("long").alias("feature_idx"))
+        .groupBy("doc_id", "feature_idx")
+        .agg(F.count(F.lit(1)).alias("feature_val"))
+    )
+
+
+@register(
+    "features_target_encode_loo",
+    oracle="""
+WITH s AS (
+  SELECT o_orderpriority,
+         count(*) AS n,
+         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS tot
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderkey, o.o_orderpriority,
+       CASE WHEN n > 1
+            THEN CAST(tot - CAST(o_totalprice AS DECIMAL(18,6)) AS DOUBLE)
+                 / (n - 1) END AS loo_target_mean
+FROM orders o JOIN s ON o.o_orderpriority = s.o_orderpriority
+""",
+)
+def features_target_encode_loo(spark, sf_dir):
+    """Leave-one-out target encoding of a categorical column (category
+    → mean target over the OTHER rows of the category — the standard
+    leakage guard for target encoding). (Σ−y)/(n−1) needs only the
+    per-category decimal-exact (n, Σ) broadcast back onto the fact
+    rows: no window, no per-row re-aggregation, bit-reproducible."""
+    orders = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,6)")
+    s = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(dec).alias("tot")
+    )
+    return orders.join(F.broadcast(s), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(
+            F.col("n") > 1,
+            (F.col("tot") - dec).cast("double") / (F.col("n") - 1),
+        ).alias("loo_target_mean"),
+    )
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle="""
+SELECT lang, source, n_chars // 100 AS len_bucket,
+       count(*) AS group_size,
+       count(*) < 5 AS reidentification_risk
+FROM documents
+GROUP BY 1, 2, 3
+ORDER BY group_size ASC, lang, source, len_bucket
+""",
+)
+def privacy_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the quasi-identifier tuple (lang, source,
+    length bucket): any equivalence class smaller than k=5 is a
+    re-identification risk the release pipeline must generalize or
+    suppress. One hash aggregate over the quasi-identifiers — the
+    audit costs one scan at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            "lang",
+            "source",
+            F.expr("n_chars div 100").alias("len_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .withColumn("reidentification_risk", F.col("group_size") < 5)
+        .orderBy(
+            F.asc("group_size"), F.asc("lang"), F.asc("source"), F.asc("len_bucket")
+        )
+    )
