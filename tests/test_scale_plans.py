@@ -315,3 +315,55 @@ def test_rolling_active_users_collapses_before_range_join(spark, sf_dir):
     # exactly once, through the aggregation.
     assert "InMemoryTableScan" in plan
     assert "Join" in plan and "HashAggregate" in plan
+
+
+def test_prefix_filter_join_is_all_equi(spark, sf_dir):
+    """The point of prefix filtering: candidate generation is an
+    EQUI-join on the prefix token — no cartesian/nested-loop node may
+    appear anywhere (the brute-force twin is exactly one)."""
+    from wikipedia_data_pipeline_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+    from wikipedia_data_pipeline_spark.plans.inspect import executed_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = prefix_filter_pairs(docs, 0.5)
+    ps = plan_summary(df)
+    assert ps.n_nested_loop_joins == 0
+    assert "CartesianProduct" not in executed_plan(df, run=False)
+
+
+def test_text_search_topk_avoids_full_sort(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        text_search_tfidf,
+    )
+
+    ps = plan_summary(text_search_tfidf(spark, sf_dir))
+    assert ps.has_take_ordered  # top-20 must be TakeOrdered, not Sort
+    assert ps.n_broadcast_joins >= 1  # idf side stays broadcast
+
+
+def test_pagerank_reuses_persisted_edges(spark, sf_dir):
+    """Each iteration must read the persisted edge relation (one
+    InMemoryTableScan per iteration), not recompute the lineitem
+    distinct — the property that keeps iteration cost proportional to
+    cached edges."""
+    from wikipedia_data_pipeline_spark.plans.inspect import executed_plan
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        graph_pagerank_partsupp,
+    )
+
+    plan = executed_plan(graph_pagerank_partsupp(spark, sf_dir))
+    assert plan.count("TableCacheQueryStage") + plan.count(
+        "InMemoryTableScan"
+    ) >= 3
+
+
+def test_target_encode_broadcasts_category_stats(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        features_target_encode_loo,
+    )
+
+    ps = plan_summary(features_target_encode_loo(spark, sf_dir))
+    assert ps.n_broadcast_joins >= 1
+    assert ps.n_shuffles <= 1  # the category aggregate only
