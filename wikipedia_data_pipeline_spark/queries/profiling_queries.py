@@ -2648,3 +2648,120 @@ def privacy_k_anonymity(spark, sf_dir):
             F.asc("group_size"), F.asc("lang"), F.asc("source"), F.asc("len_bucket")
         )
     )
+
+
+# --- Salted-join evidence + exact quantile table (round 5) --------------
+
+@register(
+    "join_salted_user_enrich",
+    oracle="""
+WITH s AS (
+  SELECT user_id,
+         count(*) AS n_user_events,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS user_total
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, e.event_type, s.n_user_events, s.user_total
+FROM events e JOIN s ON e.user_id = s.user_id
+""",
+)
+def join_salted_user_enrich(spark, sf_dir):
+    """The skew-salting recipe carried end-to-end as a query: the event
+    stream (hot user keys — see key_skew_events) joined to its per-user
+    stats through operators.skew.salted_join, which scatters each hot
+    key over 16 content-hash salts so no single reducer owns a hot
+    user. Salting must be result-invariant — the oracle is the PLAIN
+    join, which is the whole point."""
+    from wikipedia_data_pipeline_spark.functions import dec_sum
+    from wikipedia_data_pipeline_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy(F.col("user_id").alias("s_user")).agg(
+        F.count(F.lit(1)).alias("n_user_events"),
+        dec_sum("value", "user_total"),
+    )
+    out = salted_join(
+        ev.select("event_id", "user_id", "event_type"),
+        stats,
+        "user_id",
+        "s_user",
+        num_salts=16,
+    )
+    return out.select(
+        "event_id", "user_id", "event_type", "n_user_events", "user_total"
+    )
+
+
+@register(
+    "events_quantile_table",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+qs AS (
+  SELECT event_type, q,
+         CASE q WHEN 'p50' THEN (n + 1) // 2
+                WHEN 'p90' THEN (9 * n + 9) // 10
+                ELSE (99 * n + 99) // 100 END AS pos,
+         rn, value
+  FROM ranked, unnest(['p50', 'p90', 'p99']) AS t(q)
+)
+SELECT event_type, q, value AS quantile_value
+FROM qs WHERE rn = pos
+ORDER BY event_type, q
+""",
+)
+def events_quantile_table(spark, sf_dir):
+    """Exact per-group quantile table (p50/p90/p99) by discrete rank
+    selection — percentile_disc semantics, integer-exact positions
+    (ceil(q·n) = (q·n + denom−1) div denom), no interpolation, so the
+    report is a row VALUE that exists in the data and is bit-portable
+    across engines. One window pass per group partition; groups are
+    event types, so the sort is per-type and parallel."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("value"), F.asc("event_id")
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    qs = ranked.select(
+        "event_type",
+        "value",
+        "rn",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("p50").alias("q"),
+                    F.expr("(n + 1) div 2").alias("pos"),
+                ),
+                F.struct(
+                    F.lit("p90").alias("q"),
+                    F.expr("(9 * n + 9) div 10").alias("pos"),
+                ),
+                F.struct(
+                    F.lit("p99").alias("q"),
+                    F.expr("(99 * n + 99) div 100").alias("pos"),
+                ),
+            )
+        ).alias("qp"),
+    )
+    return (
+        qs.filter(F.col("rn") == F.col("qp.pos"))
+        .select(
+            "event_type",
+            F.col("qp.q").alias("q"),
+            F.col("value").alias("quantile_value"),
+        )
+        .orderBy("event_type", "q")
+    )
