@@ -100,3 +100,22 @@ def test_duplicate_span_stats_flags_cross_doc_spans_only(spark):
     assert out[2].n_spans == 2 and out[2].n_dup_spans == 1
     assert out[3].n_dup_spans == 0 and out[3].dup_ratio == 0.0
     assert abs(out[2].dup_ratio - 0.5) < 1e-15
+
+
+def test_containment_catches_subset_docs(spark):
+    host = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    quoted = "gamma delta epsilon zeta eta"  # fully inside host
+    rows = [(1, host), (2, quoted), (3, "unrelated words only here now")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_sub, r.doc_super): r.containment
+        for r in D.containment_pairs(df, 0.9).collect()
+    }
+    # quoted ⊂ host: containment(2→1) = 1.0; the reverse direction is
+    # small (host is much bigger) and must NOT appear.
+    assert got == {(2, 1): 1.0}
+    # Symmetric Jaccard at the same strictness misses it entirely.
+    assert not {
+        (r.doc_a, r.doc_b)
+        for r in D.brute_force_pairs(df, 0.9).collect()
+    }

@@ -595,3 +595,70 @@ def prefix_filter_pairs(
         .distinct()
     )
     return verify_pairs_jaccard(cands, sh, threshold)
+
+
+def containment_pairs(
+    documents: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Directed shingle-containment join: (doc_sub, doc_super) where
+    |A∩B|/|A| ≥ t — the asymmetric cousin of the Jaccard join, and the
+    one that catches SUBSET duplication (a doc quoted or embedded
+    wholesale inside a larger one), which symmetric Jaccard misses
+    whenever the host document is much bigger than the quoted one.
+
+    Same prefix-filter construction as ``prefix_filter_pairs`` but
+    one-sided: containment ≥ t forces A to share at least one of its
+    |A| − ⌈t·|A|⌉ + 1 globally-rarest shingles with B, so only A-side
+    PREFIX tokens join — against B's full postings — and the per-key
+    fan-out is bounded by rare-shingle document frequency. The |B| ≥
+    t·|A| size bound (|A∩B| ≤ |B|) prunes before verification.
+    """
+    from pyspark.sql import Window
+
+    sh = hashed_shingles(documents).persist()
+    toks = sh.select(
+        "doc_id", F.size("hsh").alias("sz"), F.explode("hsh").alias("h")
+    )
+    dfreq = toks.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = toks.join(dfreq, "h")
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("h"))
+    prefix_len = (
+        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).cast("int")
+    a = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select(F.col("doc_id").alias("doc_sub"), F.col("sz").alias("sz_a"), "h")
+    )
+    b = toks.select(
+        F.col("doc_id").alias("doc_super"), F.col("sz").alias("sz_b"), "h"
+    )
+    cands = (
+        a.join(b, "h")
+        .filter(
+            (F.col("doc_sub") != F.col("doc_super"))
+            & (F.col("sz_b") >= threshold * F.col("sz_a"))
+        )
+        .select("doc_sub", "doc_super")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_sub"), F.col("hsh").alias("sh_a"))
+    sb = sh.select(
+        F.col("doc_id").alias("doc_super"), F.col("hsh").alias("sh_b")
+    )
+    return (
+        cands.join(sa, "doc_sub")
+        .join(sb, "doc_super")
+        .withColumn(
+            "containment",
+            F.coalesce(
+                F.try_divide(
+                    F.size(F.array_intersect("sh_a", "sh_b")),
+                    F.size("sh_a"),
+                ),
+                F.lit(0.0),
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_sub", "doc_super", "containment")
+    )

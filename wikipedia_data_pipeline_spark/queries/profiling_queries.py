@@ -2765,3 +2765,74 @@ def events_quantile_table(spark, sf_dir):
         )
         .orderBy("event_type", "q")
     )
+
+
+@register(
+    "embedding_int8_quantize",
+    oracle="""
+WITH s AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS qscale,
+         embedding
+  FROM embeddings
+)
+SELECT vec_id, qscale,
+       CASE WHEN qscale > 0
+            THEN list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 127 / qscale, 0)
+                             AS INTEGER))
+            ELSE list_transform(embedding, x -> 0) END AS qvec
+FROM s ORDER BY vec_id
+""",
+)
+def embedding_int8_quantize(spark, sf_dir):
+    """Per-vector symmetric int8 quantization (qᵢ = round(127·xᵢ/max|x|)
+    plus the one float scale) — the 4× compression applied to embedding
+    corpora before ANN serving. A narrow higher-order-function map, no
+    shuffle, no UDF: at 100 TB this halves-twice the bytes every
+    downstream similarity scan reads, which is usually worth more than
+    any CPU optimization. Zero vectors quantize to zeros (guarded
+    division)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    qscale = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(xd(x))))
+    s = emb.select("vec_id", qscale.alias("qscale"), "embedding")
+    qvec = F.when(
+        F.col("qscale") > 0,
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(xd(x) * 127 / F.col("qscale"), 0).cast("int"),
+        ),
+    ).otherwise(F.transform(F.col("embedding"), lambda x: F.lit(0)))
+    return s.select("vec_id", "qscale", qvec.alias("qvec")).orderBy("vec_id")
+
+
+@register(
+    "dedup_containment",
+    oracle="""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                 FOR i IN generate_series(1, len(t) - 2)])
+              ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM tok
+)
+SELECT a.doc_id AS doc_sub, b.doc_id AS doc_super,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
+         AS containment
+FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+WHERE len(a.s) > 0
+  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.8
+""",
+)
+def dedup_containment(spark, sf_dir):
+    """Directed shingle containment ≥ 0.8 — subset-duplication
+    detection (a doc embedded inside a larger host), which symmetric
+    Jaccard structurally misses. One-sided prefix filtering keeps the
+    candidate join bounded by rare-shingle postings; the oracle is the
+    exact all-pairs restatement, so the filter must be lossless. See
+    operators/dedup.py:containment_pairs."""
+    return D.containment_pairs(load_table(spark, sf_dir, "documents"), 0.8)
