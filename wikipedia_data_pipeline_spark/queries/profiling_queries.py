@@ -2836,3 +2836,45 @@ def dedup_containment(spark, sf_dir):
     exact all-pairs restatement, so the filter must be lossless. See
     operators/dedup.py:containment_pairs."""
     return D.containment_pairs(load_table(spark, sf_dir, "documents"), 0.8)
+
+
+@register(
+    "text_infer_stopwords",
+    oracle=f"""
+WITH {TOKS_CTE},
+dfreq AS (
+  SELECT word, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, word FROM toks) GROUP BY word
+),
+nd AS (SELECT count(*) AS n_docs FROM documents)
+SELECT word, df, CAST(df AS DOUBLE) / n_docs AS df_frac
+FROM dfreq, nd
+WHERE CAST(df AS DOUBLE) / n_docs >= 0.8
+ORDER BY df DESC, word ASC
+""",
+)
+def text_infer_stopwords(spark, sf_dir):
+    """Corpus-driven stopword inference: words whose document frequency
+    covers ≥ 80% of the corpus. Curated stopword lists don't transfer
+    across domains or languages — at corpus scale you infer the list
+    from the data itself (one distinct + one vocab-sized aggregate) and
+    feed it to the tokenizer, the inverted index's posting pruning, and
+    the quality gates."""
+    from wikipedia_data_pipeline_spark.operators.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = (
+        tokenize(docs)
+        .select("doc_id", "word")
+        .distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .withColumn("df_frac", F.col("df").cast("double") / F.col("n_docs"))
+        .filter(F.col("df_frac") >= 0.8)
+        .select("word", "df", "df_frac")
+        .orderBy(F.desc("df"), F.asc("word"))
+    )
