@@ -2878,3 +2878,165 @@ def text_infer_stopwords(spark, sf_dir):
         .select("word", "df", "df_frac")
         .orderBy(F.desc("df"), F.asc("word"))
     )
+
+
+# --- Bigram LM scoring + robust MAD outliers (round 5) ------------------
+
+@register(
+    "text_bigram_surprisal",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, ' '),
+                     x -> lower(regexp_replace(x, '[^a-zA-Z]', '', 'g'))),
+                     w -> length(w) > 0) AS ws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, ws[g] AS w1, ws[g+1] AS w2
+  FROM t, unnest(generate_series(1, len(ws) - 1)) AS u(g)
+  WHERE len(ws) >= 2
+),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+uc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+vsz AS (SELECT count(DISTINCT w2) AS v FROM bc),
+probs AS (
+  SELECT bc.w1, bc.w2,
+         CAST(round(log2(CAST(c1 + v AS DOUBLE) / (c12 + 1)), 6)
+              AS DECIMAL(18,6)) AS surp
+  FROM bc JOIN uc ON bc.w1 = uc.w1, vsz
+)
+SELECT bg.doc_id, count(*) AS n_bigrams,
+       round(CAST(sum(surp) AS DOUBLE) / count(*), 6) AS bits_per_bigram
+FROM bg JOIN probs ON bg.w1 = probs.w1 AND bg.w2 = probs.w2
+GROUP BY bg.doc_id
+""",
+)
+def text_bigram_surprisal(spark, sf_dir):
+    """Per-doc mean surprisal under an add-one-smoothed BIGRAM LM
+    trained on the corpus itself — one step up the n-gram-LM ladder
+    from text_unigram_surprisal, and the score that actually separates
+    scrambled text from fluent text (unigram surprisal is identical
+    under any token permutation; bigram surprisal is exactly the
+    word-order signal). Same determinism recipe: probabilities are
+    integer ratios, log2 is taken ONCE per bigram type and rounded,
+    per-doc sums ride DECIMAL. The bigram table is vocab²-bounded and
+    the doc-side join hits it on (w1, w2) — one shuffle each side."""
+    from wikipedia_data_pipeline_spark.operators.text import ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = ngrams(docs, n=2).select(
+        "doc_id",
+        F.split_part(F.col("ngram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("ngram"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uc = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vsz = bc.agg(F.countDistinct("w2").alias("v"))
+    probs = (
+        bc.join(uc, "w1")
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log2(
+                    (F.col("c1") + F.col("v")).cast("double")
+                    / (F.col("c12") + 1)
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("surp"),
+        )
+    )
+    return (
+        bg.join(probs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("surp").alias("surp_dec"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("surp_dec").cast("double") / F.col("n_bigrams"), 6
+            ).alias("bits_per_bigram"),
+        )
+    )
+
+
+@register(
+    "events_mad_outliers",
+    oracle="""
+WITH r1 AS (
+  SELECT event_id, event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (SELECT event_type, value AS med FROM r1 WHERE rn = (n + 1) // 2),
+d AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         abs(e.value - m.med) AS dev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+r2 AS (
+  SELECT event_type, dev,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY dev ASC, event_id ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+),
+mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+SELECT d.event_id, d.event_type, d.value, d.med, mad.mad
+FROM d JOIN mad ON d.event_type = mad.event_type
+WHERE d.dev > 3 * mad.mad
+""",
+)
+def events_mad_outliers(spark, sf_dir):
+    """Robust outlier screen: |x − median| > 3·MAD per event type. The
+    z-score screen (events_user_value_outliers) breaks down exactly
+    when outliers are present — they inflate the σ they are judged
+    against; median/MAD have a 50% breakdown point. Both statistics
+    are discrete rank selections (median = value at rank ⌈n/2⌉), so
+    every number in the predicate is an actual data value and the
+    whole screen is bit-portable — no mean, no sqrt, no interpolation.
+    Two window passes partitioned by event type plus two broadcast
+    joins of the 5-row statistics."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def rank_select(df, order_col, out_name):
+        w = Window.partitionBy("event_type").orderBy(
+            F.asc(order_col), F.asc("event_id")
+        )
+        wn = Window.partitionBy("event_type")
+        return (
+            df.select(
+                "event_type",
+                F.col(order_col),
+                F.row_number().over(w).alias("rn"),
+                F.count(F.lit(1)).over(wn).alias("n"),
+            )
+            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select("event_type", F.col(order_col).alias(out_name))
+        )
+
+    med = rank_select(ev, "value", "med")
+    d = ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    )
+    mad = rank_select(d, "dev", "mad")
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .filter(F.col("dev") > 3 * F.col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad")
+    )
