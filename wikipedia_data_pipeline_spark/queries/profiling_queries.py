@@ -3040,3 +3040,56 @@ def events_mad_outliers(spark, sf_dir):
         .filter(F.col("dev") > 3 * F.col("mad"))
         .select("event_id", "event_type", "value", "med", "mad")
     )
+
+
+@register(
+    "graph_triangle_census",
+    oracle="""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM op x JOIN op y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+  ) GROUP BY node
+),
+c AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       3 * CAST(n_triangles AS DOUBLE) / n_wedges AS clustering_coeff
+FROM c, t, ne
+""",
+)
+def graph_triangle_census(spark, sf_dir):
+    """Triangle count + global clustering coefficient of the part
+    co-purchase graph (parts sharing an order). Oriented two-hop join
+    counts each triangle once; wedges come from the degree aggregate,
+    never enumerated — see operators/graph.py:triangle_stats for the
+    degree-orientation note that keeps this O(m^1.5) at web scale."""
+    from wikipedia_data_pipeline_spark.operators import graph as G
+
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x = op.alias("x")
+    y = op.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return G.triangle_stats(edges)
