@@ -40,6 +40,7 @@ def pagerank_fixed_point(
     iterations: int = 3,
     scale: int = DEFAULT_SCALE,
     damping_pct: int = DEFAULT_DAMPING_PCT,
+    weight: str | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list.
 
@@ -51,6 +52,12 @@ def pagerank_fixed_point(
     in-edges hold the base rank; dangling nodes (no out-edges) simply
     contribute nothing (their mass is not redistributed — the bounded
     "leaky" variant, standard when ranks need not sum to N).
+
+    With ``weight`` (an integer edge-weight column), the contribution
+    becomes (rank_t(u) · w_uv) div Σ_u w — mass splits proportionally
+    to weight instead of uniformly, still in exact integer arithmetic
+    (multiply BEFORE the floor division, so precision loss is one unit
+    per edge, not per weight share).
 
     Cost model: iterations × (1 join shuffle on ``src`` side reuse +
     1 aggregate shuffle on ``dst``); the rank relation is node-sized,
@@ -65,13 +72,21 @@ def pagerank_fixed_point(
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
     )
-    outdeg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
+    w_expr = (
+        F.col(weight).cast("long") if weight is not None else F.lit(1).cast("long")
+    )
+    outdeg = edges.groupBy(src).agg(F.sum(w_expr).alias("outdeg"))
     # One shuffle up front: co-locate edges with their out-degree and
     # keep them partitioned by src so every iteration's rank join is a
     # local (no re-shuffle of the big side) hash join under AQE.
     e = (
         edges.join(outdeg, src)
-        .select(F.col(src).alias("src"), F.col(dst).alias("dst"), "outdeg")
+        .select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            w_expr.alias("w"),
+            "outdeg",
+        )
         .repartition("src")
         .persist()
     )
@@ -82,7 +97,7 @@ def pagerank_fixed_point(
             ranks, e["src"] == ranks["node"]
         ).select(
             F.col("dst").alias("node"),
-            F.expr("rank div outdeg").alias("contrib"),
+            F.expr("(rank * w) div outdeg").alias("contrib"),
         )
         incoming = contrib.groupBy("node").agg(
             F.sum("contrib").alias("mass")

@@ -3093,3 +3093,173 @@ def graph_triangle_census(spark, sf_dir):
         .distinct()
     )
     return G.triangle_stats(edges)
+
+
+# --- Interval sweep, growth accounting, weighted PageRank (round 5) -----
+
+@register(
+    "orders_open_backlog_daily",
+    oracle="""
+WITH iv AS (
+  SELECT o.o_orderkey,
+         CAST(o.o_orderdate AS DATE) AS d0,
+         CAST(max(l.l_shipdate) AS DATE) AS d1
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+),
+deltas AS (
+  SELECT d0 AS day, 1 AS delta FROM iv
+  UNION ALL
+  SELECT d1 + 1 AS day, -1 AS delta FROM iv
+),
+byday AS (SELECT day, CAST(sum(delta) AS BIGINT) AS delta FROM deltas GROUP BY day),
+bounds AS (SELECT min(d0) AS lo, max(d1) AS hi FROM iv),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds)
+SELECT s.day,
+       CAST(sum(COALESCE(b.delta, 0))
+            OVER (ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS BIGINT) AS open_orders
+FROM spine s LEFT JOIN byday b ON s.day = b.day
+ORDER BY s.day
+""",
+)
+def orders_open_backlog_daily(spark, sf_dir):
+    """Daily open-order backlog (orders placed but not fully shipped)
+    by INTERVAL SWEEP: each order contributes +1 at its start day and
+    −1 after its last ship day; the daily curve is the running sum over
+    the calendar spine. This is the scale pattern for "how many
+    intervals cover each point" — the naive day×order range join is
+    O(days·orders), the sweep is one aggregate over 2 deltas per order
+    plus a window over the day-sized spine (the only single-partition
+    step, bounded by calendar length, not data volume)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("ship_ts"))
+        .select(
+            F.col("o_orderdate").cast("date").alias("d0"),
+            F.col("ship_ts").cast("date").alias("d1"),
+        )
+    )
+    deltas = iv.select(F.col("d0").alias("day"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.date_add("d1", 1).alias("day"), F.lit(-1).alias("delta"))
+    )
+    byday = deltas.groupBy("day").agg(F.sum("delta").alias("delta"))
+    bounds = iv.agg(F.min("d0").alias("lo"), F.max("d1").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(byday, "day", "left")
+        .select("day", F.coalesce("delta", F.lit(0)).alias("delta"))
+        .select(
+            "day", F.sum("delta").over(w).cast("long").alias("open_orders")
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "events_cumulative_new_users",
+    oracle=f"""
+WITH t0 AS (SELECT min(epoch_us(ts)) AS ts0 FROM events),
+first_seen AS (
+  SELECT user_id,
+         min((epoch_us(ts) - ts0) // {_US_PER_DAY}) AS day_idx
+  FROM events, t0 GROUP BY user_id
+),
+byday AS (SELECT day_idx, count(*) AS n_new_users FROM first_seen GROUP BY day_idx)
+SELECT day_idx, n_new_users,
+       CAST(sum(n_new_users) OVER (ORDER BY day_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM byday ORDER BY day_idx
+""",
+)
+def events_cumulative_new_users(spark, sf_dir):
+    """Growth accounting: users by FIRST-seen day and the cumulative
+    acquisition curve. First-seen is one min-aggregate on the user key
+    (the only data-sized shuffle); the running sum rides the day-sized
+    relation — integer-µs day arithmetic, engine-portable."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min("ts").alias("ts0"))
+    first_seen = (
+        ev.crossJoin(F.broadcast(t0))
+        .groupBy("user_id")
+        .agg(F.min(F.expr(f"(ts - ts0) div {_US_PER_DAY}")).alias("day_idx"))
+    )
+    byday = first_seen.groupBy("day_idx").agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    w = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, 0)
+    return byday.select(
+        "day_idx",
+        "n_new_users",
+        F.sum("n_new_users").over(w).cast("long").alias("cum_users"),
+    ).orderBy("day_idx")
+
+
+_PR_WEDGES_SQL = """
+  SELECT 'p:' || CAST(l_partkey AS VARCHAR) AS src,
+         's:' || CAST(l_suppkey AS VARCHAR) AS dst,
+         count(*) AS w
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _pagerank_weighted_oracle(iterations: int = 3) -> str:
+    """Unrolled-CTE twin of the weighted fixed-point PageRank."""
+    ctes = [
+        f"edges AS ({_PR_WEDGES_SQL})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "outdeg AS (SELECT src, CAST(sum(w) AS BIGINT) AS outdeg"
+        " FROM edges GROUP BY src)",
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         CAST(150000 + COALESCE((85 * s.mass) // 100, 0) AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum((r.pr * e.w) // o.outdeg) AS BIGINT) AS mass
+    FROM edges e
+    JOIN r{i - 1} r ON e.src = r.node
+    JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst
+  ) s ON n.node = s.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, pr AS pr_rank FROM r{iterations}"
+        "\nORDER BY pr_rank DESC, node ASC"
+    )
+
+
+@register("graph_pagerank_weighted", oracle=_pagerank_weighted_oracle(3))
+def graph_pagerank_weighted(spark, sf_dir):
+    """Weighted fixed-point PageRank: mass splits proportionally to the
+    purchase count on each part→supplier edge ((rank·w) div Σw, still
+    exact integer arithmetic). The variant real link graphs need —
+    uniform splitting treats a one-off purchase like a thousand-unit
+    relationship."""
+    from wikipedia_data_pipeline_spark.operators import graph as G
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.groupBy(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).agg(F.count(F.lit(1)).alias("w"))
+    ranks = G.pagerank_fixed_point(edges, iterations=3, weight="w")
+    return ranks.select("node", F.col("rank").alias("pr_rank")).orderBy(
+        F.desc("pr_rank"), F.asc("node")
+    )
