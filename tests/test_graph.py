@@ -125,3 +125,40 @@ def test_triangle_stats_orientation_insensitive(spark):
     )
     r = G.triangle_stats(norm).collect()[0]
     assert (r.n_edges, r.n_triangles) == (5, 2)
+
+
+def test_pagerank_partitioning_invariant(spark):
+    # The fixed-point claim: identical ranks under any physical
+    # partitioning (the float variant would differ in low bits).
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 20}") for i in range(60)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    r1 = {
+        r["node"]: r["rank"]
+        for r in G.pagerank_fixed_point(df, iterations=3).collect()
+    }
+    r2 = {
+        r["node"]: r["rank"]
+        for r in G.pagerank_fixed_point(
+            df.repartition(7), iterations=3
+        ).collect()
+    }
+    assert r1 == r2
+
+
+def test_weighted_pagerank_uniform_weight_equals_unweighted(spark):
+    from pyspark.sql import functions as F
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    wdf = df.withColumn("w", F.lit(1))
+    plain = {
+        r["node"]: r["rank"]
+        for r in G.pagerank_fixed_point(df, iterations=3).collect()
+    }
+    weighted = {
+        r["node"]: r["rank"]
+        for r in G.pagerank_fixed_point(
+            wdf, iterations=3, weight="w"
+        ).collect()
+    }
+    assert plain == weighted

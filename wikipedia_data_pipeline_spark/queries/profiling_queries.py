@@ -3263,3 +3263,131 @@ def graph_pagerank_weighted(spark, sf_dir):
     return ranks.select("node", F.col("rank").alias("pr_rank")).orderBy(
         F.desc("pr_rank"), F.asc("node")
     )
+
+
+# --- Corpus-statistics diagnostics: Zipf fit, Heaps growth (round 5) ----
+
+@register(
+    "corpus_zipf_fit",
+    oracle=f"""
+WITH {TOKS_CTE},
+counts AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
+ranked AS (
+  SELECT word, n,
+         row_number() OVER (ORDER BY n DESC, word ASC) AS rnk
+  FROM counts
+),
+pts AS (
+  SELECT rnk, n,
+         CAST(round(log2(CAST(rnk AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+         CAST(round(log2(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+  FROM ranked
+),
+s AS (
+  SELECT count(*) AS m,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 6)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 6)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+  FROM pts
+)
+SELECT m AS n_vocab,
+       round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS zipf_slope
+FROM s
+""",
+)
+def corpus_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency diagnostic: least-squares slope of
+    log2(count) against log2(rank) over the vocabulary (natural text ≈
+    −1; token spam, boilerplate floods, and truncated corpora all bend
+    it — a one-number corpus health check). Determinism recipe as
+    everywhere: logs and products are computed once per VOCAB entry and
+    rounded, the regression moments are decimal sums, and the final
+    slope is one IEEE expression over exact moments. The ranking
+    window runs over the vocab relation (corpus-bounded dictionary),
+    not the corpus."""
+    from pyspark.sql import Window
+
+    from wikipedia_data_pipeline_spark.operators.text import tokenize
+
+    toks = tokenize(load_table(spark, sf_dir, "documents"))
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    ranked = counts.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.desc("n"), F.asc("word"))).cast("long"),
+    )
+    dec = "decimal(18,6)"
+    pts = ranked.select(
+        F.round(F.log2(F.col("rnk").cast("double")), 6).cast(dec).alias("x"),
+        F.round(F.log2(F.col("n").cast("double")), 6).cast(dec).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(
+            F.round(F.col("x").cast("double") * F.col("y").cast("double"), 6).cast(dec)
+        )
+        .cast("double")
+        .alias("sxy"),
+        F.sum(
+            F.round(F.col("x").cast("double") * F.col("x").cast("double"), 6).cast(dec)
+        )
+        .cast("double")
+        .alias("sxx"),
+    )
+    return s.select(
+        F.col("m").alias("n_vocab"),
+        F.round(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
+@register(
+    "corpus_heaps_growth",
+    oracle=f"""
+WITH {TOKS_CTE},
+first_doc AS (SELECT word, min(doc_id) AS doc_id FROM toks GROUP BY word),
+new_words AS (SELECT doc_id, count(*) AS n_new FROM first_doc GROUP BY doc_id),
+docs AS (SELECT DISTINCT doc_id FROM toks)
+SELECT d.doc_id, COALESCE(n_new, 0) AS n_new_words,
+       CAST(sum(COALESCE(n_new, 0)) OVER (ORDER BY d.doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab_size
+FROM docs d LEFT JOIN new_words n ON d.doc_id = n.doc_id
+ORDER BY d.doc_id
+""",
+)
+def corpus_heaps_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth: distinct-word count as the corpus
+    accumulates in doc_id order. Computed without any cumulative
+    distinct state: each word charges its FIRST document (a min
+    aggregate on the word key — the only data-sized shuffle), and the
+    curve is a running sum over the doc-sized relation. Sub-linear
+    growth is healthy text; near-linear growth means unique-token spam
+    (ids, hashes) inflating the vocabulary."""
+    from pyspark.sql import Window
+
+    from wikipedia_data_pipeline_spark.operators.text import tokenize
+
+    toks = tokenize(load_table(spark, sf_dir, "documents"))
+    first_doc = toks.groupBy("word").agg(F.min("doc_id").alias("doc_id"))
+    new_words = first_doc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    docs = toks.select("doc_id").distinct()
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        docs.join(new_words, "doc_id", "left")
+        .select("doc_id", F.coalesce("n_new", F.lit(0)).alias("n_new_words"))
+        .select(
+            "doc_id",
+            "n_new_words",
+            F.sum("n_new_words").over(w).cast("long").alias("vocab_size"),
+        )
+        .orderBy("doc_id")
+    )
