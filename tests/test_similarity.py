@@ -196,3 +196,30 @@ def test_ivf_index_roundtrip_matches_in_memory_path(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_pca_recovers_planted_direction(spark):
+    import numpy as np
+
+    from wikipedia_data_pipeline_spark.operators.similarity import pca_project
+
+    rng = np.random.RandomState(7)
+    d, n = 8, 300
+    u = np.zeros(d)
+    u[0], u[3] = 3.0, 4.0  # planted direction, |u| = 5
+    u /= np.linalg.norm(u)
+    t = rng.randn(n) * 10.0  # dominant variance along u
+    x = np.outer(t, u) + rng.randn(n, d) * 0.1 + 2.5  # + offset: mean-centering matters
+    rows = [(i, [float(v) for v in x[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pca_project(df, k=2).orderBy("vec_id").collect()
+    pc1 = np.array([r.pc1 for r in out])
+    pc2 = np.array([r.pc2 for r in out])
+    # pc1 must recover the planted coordinate (up to sign) ...
+    assert abs(np.corrcoef(pc1, t)[0, 1]) > 0.999
+    # ... and carry almost all the variance.
+    assert pc1.var() > 100 * pc2.var()
+    # Partitioning must not change the answer beyond float noise.
+    out2 = pca_project(df.repartition(5), k=2).orderBy("vec_id").collect()
+    pc1b = np.array([r.pc1 for r in out2])
+    assert np.allclose(pc1, pc1b, atol=1e-6)

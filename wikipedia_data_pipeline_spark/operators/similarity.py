@@ -650,3 +650,102 @@ def ann_ivf_topk_indexed(
         .filter(F.col("rnk") <= k)
         .select("query_id", "vec_id", "cos", "rnk")
     )
+
+
+# --- Distributed PCA -----------------------------------------------------
+
+def pca_project(
+    embeddings: DataFrame,
+    k: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Principal-component projection of an embedding corpus to k
+    dimensions — the embedding-QA / visualization reduction.
+
+    Distributed shape: the only data-sized work is accumulating the
+    d-vector of sums and the d×d Gram matrix, done as NumPy partials
+    per Arrow batch inside ``mapInPandas`` (each task emits at most
+    d² + d + 1 tiny rows regardless of how many vectors it saw), then
+    one d²-row aggregate. The eigendecomposition runs on the driver
+    over the d×d covariance — O(d³) on a matrix whose size is fixed by
+    the MODEL, not the corpus (the same boundary as BPE's vocab merge
+    loop or IVF's centroid training: distributed moments, central
+    solve, broadcast back). The projection itself is a narrow map with
+    the k×d component matrix as literals.
+
+    Eigenvector sign is normalized (largest-|coefficient| entry made
+    positive) so the output is deterministic across LAPACK builds.
+    Approximate by nature of float eigensolvers → no SQL oracle;
+    correctness is pytest-asserted on data with a planted principal
+    direction.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    d = len(embeddings.select(vec_col).first()[0])
+
+    part_schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+
+    def moments(batches):
+        for pdf in batches:
+            x = np.vstack(pdf[vec_col].to_numpy())
+            gram = x.T @ x  # d×d partial
+            sums = x.sum(axis=0)  # d partial
+            ii, jj = np.meshgrid(range(d), range(d), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([ii.ravel(), np.arange(d), [-1]]),
+                    "j": np.concatenate([jj.ravel(), np.full(d, -1), [-1]]),
+                    "v": np.concatenate(
+                        [gram.ravel(), sums, [float(len(pdf))]]
+                    ),
+                }
+            )
+
+    agg = (
+        embeddings.select(vec_col)
+        .mapInPandas(moments, part_schema)
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    n = next(r.v for r in agg if r.i == -1 and r.j == -1)
+    mu = np.zeros(d)
+    gram = np.zeros((d, d))
+    for r in agg:
+        if r.i == -1:
+            continue
+        if r.j == -1:
+            mu[r.i] = r.v / n
+        else:
+            gram[r.i, r.j] = r.v
+    cov = gram / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T  # k×d
+    for c in comps:  # sign normalization for determinism
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1
+
+    proj_cols = []
+    for ci, comp in enumerate(comps):
+        carr = F.array(*[F.lit(float(w)) for w in comp])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), carr, lambda x, w: x.cast("double") * w
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        mu_dot = float(np.dot(mu, comp))
+        proj_cols.append((dot - F.lit(mu_dot)).alias(f"pc{ci + 1}"))
+    return embeddings.select(id_col, *proj_cols)

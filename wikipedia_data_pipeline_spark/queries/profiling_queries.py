@@ -3391,3 +3391,71 @@ def corpus_heaps_growth(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_drift_tokens",
+    oracle=f"""
+WITH {TOKS_CTE},
+half AS (
+  SELECT word, CASE WHEN doc_id < 250 THEN 'a' ELSE 'b' END AS h FROM toks
+),
+c AS (
+  SELECT word,
+         CAST(sum(CASE WHEN h = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN h = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM half GROUP BY word
+),
+tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM c)
+SELECT word, n_a, n_b,
+       abs(CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb) AS share_gap
+FROM c, tot
+ORDER BY share_gap DESC, word ASC
+LIMIT 20
+""",
+)
+def corpus_drift_tokens(spark, sf_dir):
+    """Token-distribution drift between two corpus slices (here: first
+    vs second half of the doc_id range — in production, yesterday's
+    crawl vs today's): per-word share gap, top offenders first. The
+    drift monitor a continuously-fed training pipeline runs before a
+    new slice is admitted; one conditional aggregate over the token
+    stream plus a 1-row totals broadcast, TakeOrdered top-k. Counts are
+    integers and each share is a single IEEE division, so the report is
+    bit-portable."""
+    from wikipedia_data_pipeline_spark.operators.text import tokenize
+
+    toks = tokenize(load_table(spark, sf_dir, "documents"))
+    c = toks.groupBy("word").agg(
+        F.sum(F.when(F.col("doc_id") < 250, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("doc_id") >= 250, 1).otherwise(0)).alias("n_b"),
+    )
+    tot = c.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "word",
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("n_a").cast("double") / F.col("ta")
+                - F.col("n_b").cast("double") / F.col("tb")
+            ).alias("share_gap"),
+        )
+        .orderBy(F.desc("share_gap"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@register("embedding_pca_project")  # eigensolver output: no SQL oracle
+def embedding_pca_project(spark, sf_dir):
+    """Distributed PCA to 2 components: Arrow-batch NumPy partials →
+    d²-row aggregate → driver-side eigh on the model-sized covariance →
+    broadcast-literal projection map. See operators/similarity.py:
+    pca_project for the moments/solve/broadcast boundary."""
+    from wikipedia_data_pipeline_spark.operators.similarity import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_project(emb, k=2).orderBy("vec_id")
