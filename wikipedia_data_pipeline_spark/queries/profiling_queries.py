@@ -3459,3 +3459,118 @@ def embedding_pca_project(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_project(emb, k=2).orderBy("vec_id")
+
+
+# --- NULL-semantics certificate (round 5) -------------------------------
+
+@register(
+    "semantics_null_suite",
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'O' THEN NULL
+              ELSE o_totalprice END AS a,
+         CASE WHEN o_orderpriority LIKE '1%' THEN NULL
+              ELSE o_totalprice END AS b
+  FROM orders
+),
+eq AS (
+  SELECT count(*) AS n_rows,
+         CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_eq,
+         CAST(sum(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_eq_nullsafe,
+         CAST(count(a) AS BIGINT) AS n_a_nonnull
+  FROM t
+),
+probe AS (SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                      ELSE o_custkey END AS k FROM orders),
+complement AS (
+  SELECT
+    (SELECT count(*) FROM customer
+     WHERE c_custkey NOT IN (SELECT k FROM probe)) AS n_not_in,
+    (SELECT count(*) FROM customer c
+     WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = c.c_custkey))
+      AS n_not_exists
+)
+SELECT * FROM eq, complement
+""",
+)
+def semantics_null_suite(spark, sf_dir):
+    """One-row NULL-semantics certificate over derived nullable
+    columns: plain `=` vs null-safe `<=>` match counts, and the
+    NOT IN / NOT EXISTS divergence — `NOT IN` against a set containing
+    a NULL is three-valued-logic-empty (n_not_in = 0) while NOT EXISTS
+    counts the real complement. These are the semantics that silently
+    corrupt pipelines when an upstream column goes nullable; pinning
+    them against the oracle certifies the engine agrees with ANSI on
+    every branch."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    t = o.select(
+        F.when(F.col("o_orderstatus") == "O", None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("a"),
+        F.when(F.col("o_orderpriority").startswith("1"), None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("b"),
+    )
+    eq = t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0)).alias("n_eq"),
+        F.sum(F.when(F.expr("a <=> b"), 1).otherwise(0)).alias(
+            "n_eq_nullsafe"
+        ),
+        F.count("a").alias("n_a_nonnull"),
+    )
+    probe = o.select(
+        F.when(F.col("o_orderkey") % 2 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("k")
+    )
+    # NOT IN with a NULL in the probe set: ANSI three-valued logic makes
+    # the predicate never-true. Spark's left_anti join is NULL-AWARE
+    # only through the SQL NOT IN form, so express it as SQL.
+    o.createOrReplaceTempView("wdp_ns_orders")
+    probe.createOrReplaceTempView("wdp_ns_probe")
+    c.createOrReplaceTempView("wdp_ns_customer")
+    spark_ = o.sparkSession
+    n_not_in = spark_.sql(
+        "SELECT count(*) AS n_not_in FROM wdp_ns_customer "
+        "WHERE c_custkey NOT IN (SELECT k FROM wdp_ns_probe)"
+    )
+    n_not_exists = c.join(
+        probe, c["c_custkey"] == probe["k"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_not_exists"))
+    return eq.crossJoin(n_not_in).crossJoin(n_not_exists)
+
+
+@register(
+    "order_by_nulls_placement",
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'O' THEN NULL
+              ELSE o_totalprice END AS a
+  FROM orders
+)
+SELECT o_orderkey, a FROM t
+ORDER BY a ASC NULLS FIRST, o_orderkey ASC
+LIMIT 10
+""",
+)
+def order_by_nulls_placement(spark, sf_dir):
+    """Explicit NULLS FIRST ordering — pinned because the DEFAULTS
+    disagree across engines (Spark ascends nulls-first, DuckDB/ANSI
+    implementations commonly nulls-last): any ordered sink consumed by
+    another system must declare placement or the handoff is
+    nondeterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "O", None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("a"),
+    )
+    return t.orderBy(
+        F.col("a").asc_nulls_first(), F.col("o_orderkey").asc()
+    ).limit(10)
