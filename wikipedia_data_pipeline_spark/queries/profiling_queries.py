@@ -3574,3 +3574,113 @@ def order_by_nulls_placement(spark, sf_dir):
     return t.orderBy(
         F.col("a").asc_nulls_first(), F.col("o_orderkey").asc()
     ).limit(10)
+
+
+# --- Time-weighted windows: TWAP + drawdown (round 5) -------------------
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, value, epoch_us(ts) AS us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS next_us
+  FROM events
+),
+iv AS (SELECT user_id, value, next_us - us AS dur FROM seq WHERE next_us IS NOT NULL)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6)) * dur) AS DOUBLE)
+             / CAST(sum(dur) AS DOUBLE), 6) AS twap
+FROM iv GROUP BY user_id
+""",
+)
+def events_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average value per user (TWAP): each reading is
+    held until the next one, so it's weighted by its holding duration
+    — the correct average for irregularly-sampled series, where the
+    plain mean over-weights bursts. Duration from one lead() window in
+    the integer-µs domain; the weighted sum is DECIMAL×BIGINT, exact
+    under any partitioning. The final quotient is rounded to 6
+    decimals: the exact decimal sum exceeds 2^63 in raw units, and
+    int128-decimal→double conversion is double-rounded on some engines
+    — rounding absorbs that last-ulp platform difference."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        "ts",
+        F.lead("ts").over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    iv = seq.select(
+        "user_id", "value", (F.col("next_us") - F.col("ts")).alias("dur")
+    )
+    return iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)") * F.col("dur")).cast(
+                "double"
+            )
+            / F.sum("dur").cast("double"),
+            6,
+        ).alias("twap"),
+    )
+
+
+@register(
+    "events_user_max_drawdown",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_id,
+         sum(CAST(value AS DECIMAL(18,6)))
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM events
+),
+r AS (
+  SELECT user_id, cum,
+         max(cum) OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS runmax
+  FROM (SELECT * FROM c ORDER BY user_id, event_id)
+)
+SELECT user_id, CAST(max(runmax - cum) AS DOUBLE) AS max_drawdown
+FROM r GROUP BY user_id
+""",
+)
+def events_user_max_drawdown(spark, sf_dir):
+    """Maximum drawdown of each user's cumulative value series
+    (largest drop from a running peak) — the canonical
+    path-dependent window metric: running DECIMAL sum, running max
+    over it, max gap. Everything is exact decimal arithmetic until the
+    final cast, so the answer is identical under any partitioning —
+    a metric whose float version famously differs run-to-run on
+    parallel engines. Two stacked frames in ONE window pass per user
+    partition."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(wcum).alias("cum"),
+    )
+    wmax = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = c.select(
+        "user_id", "cum", F.max("cum").over(wmax).alias("runmax")
+    )
+    return r.groupBy("user_id").agg(
+        F.max(F.col("runmax") - F.col("cum")).cast("double").alias("max_drawdown")
+    )
