@@ -3684,3 +3684,120 @@ def events_user_max_drawdown(spark, sf_dir):
     return r.groupBy("user_id").agg(
         F.max(F.col("runmax") - F.col("cum")).cast("double").alias("max_drawdown")
     )
+
+
+# --- Fuzzy matching + ABC classification (round 5) ----------------------
+
+@register(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+WITH k AS (
+  SELECT doc_id,
+         string_split(text, ' ')[1] AS block_key,
+         substring(text, 1, 40) AS head
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+FROM k a JOIN k b
+  ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= 5
+""",
+)
+def dedup_fuzzy_levenshtein(spark, sf_dir):
+    """Fuzzy near-match detection by edit distance — the entity-
+    resolution primitive shingle methods miss (they need shared exact
+    n-grams; edit distance tolerates character-level noise like OCR
+    errors and typos). Levenshtein is O(len²) per PAIR, so the scale
+    discipline is all in candidate generation: block on a cheap exact
+    key (first token) and bound the compared prefix (40 chars), so
+    cost is Σ block² × 40², never corpus². Both engines implement
+    textbook Levenshtein — the distance is integer-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = docs.select(
+        "doc_id",
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("block_key"),
+        F.substring("text", 1, 40).alias("head"),
+    )
+    a = k.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("block_key"),
+        F.col("head").alias("head_a"),
+    )
+    b = k.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("block_key"),
+        F.col("head").alias("head_b"),
+    )
+    return (
+        a.join(b, "block_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("head_a", "head_b").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 5)
+    )
+
+
+@register(
+    "parts_abc_classification",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+  SELECT l_partkey, revenue,
+         sum(revenue) OVER (ORDER BY revenue DESC, l_partkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+         sum(revenue) OVER () AS total_rev
+  FROM rev
+)
+SELECT l_partkey, revenue,
+       CASE WHEN cum_rev <= 0.8 * total_rev THEN 'A'
+            WHEN cum_rev <= 0.95 * total_rev THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+""",
+)
+def parts_abc_classification(spark, sf_dir):
+    """ABC inventory classification: parts ranked by discounted
+    revenue; the running share cuts A (first 80% of revenue) / B (next
+    15%) / C (tail). Revenue sums are decimal-exact so the running sum
+    — and therefore every class boundary — is identical under any
+    partitioning; the window is part-keyed aggregate-sized, not
+    lineitem-sized. The whale-curve complement to
+    revenue_concentration_deciles."""
+    from pyspark.sql import Window
+
+    from wikipedia_data_pipeline_spark.functions import dec_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        dec_sum(
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
+            "revenue",
+        )
+    )
+    wcum = Window.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wtot = Window.partitionBy()
+    ranked = rev.select(
+        "l_partkey",
+        "revenue",
+        F.sum("revenue").over(wcum).alias("cum_rev"),
+        F.sum("revenue").over(wtot).alias("total_rev"),
+    )
+    return ranked.select(
+        "l_partkey",
+        "revenue",
+        F.when(F.col("cum_rev") <= 0.8 * F.col("total_rev"), "A")
+        .when(F.col("cum_rev") <= 0.95 * F.col("total_rev"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
