@@ -367,3 +367,44 @@ def test_target_encode_broadcasts_category_stats(spark, sf_dir):
     ps = plan_summary(features_target_encode_loo(spark, sf_dir))
     assert ps.n_broadcast_joins >= 1
     assert ps.n_shuffles <= 1  # the category aggregate only
+
+
+def test_containment_join_is_all_equi(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.operators.dedup import containment_pairs
+    from wikipedia_data_pipeline_spark.plans.inspect import executed_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = containment_pairs(docs, 0.8)
+    ps = plan_summary(df)
+    assert ps.n_nested_loop_joins == 0
+    assert "CartesianProduct" not in executed_plan(df, run=False)
+
+
+def test_fuzzy_levenshtein_blocks_before_comparing(spark, sf_dir):
+    """Edit distance may only run on blocked candidates: the join must
+    be an equi-join on the block key (no cartesian), and the scan must
+    prune to the 3 needed columns."""
+    from wikipedia_data_pipeline_spark.plans.inspect import executed_plan
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        dedup_fuzzy_levenshtein,
+    )
+
+    df = dedup_fuzzy_levenshtein(spark, sf_dir)
+    ps = plan_summary(df)
+    assert ps.n_nested_loop_joins == 0
+    assert "CartesianProduct" not in executed_plan(df, run=False)
+    scan = ps.scan_for("documents")
+    assert "text" in scan["read_schema"]
+    assert "lang" not in scan["read_schema"]
+
+
+def test_abc_classification_windows_over_aggregate(spark, sf_dir):
+    """The running-share windows must sit ABOVE the part-keyed
+    aggregate (2000 rows), not the lineitem scan: exactly one
+    data-sized shuffle (the groupBy)."""
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        parts_abc_classification,
+    )
+
+    ps = plan_summary(parts_abc_classification(spark, sf_dir))
+    assert ps.n_shuffles <= 2  # agg + the single-partition window repartition
