@@ -162,3 +162,21 @@ def test_weighted_pagerank_uniform_weight_equals_unweighted(spark):
         ).collect()
     }
     assert plain == weighted
+
+
+def test_kcore_peel_cascades(spark):
+    # Triangle a-b-c with a pendant chain c-d, d-e. k=2:
+    # round 1 kills e (deg 1); round 2 kills d (deg fell to 1);
+    # the triangle survives with all degrees 2.
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["degree"]
+        for r in G.kcore_peel(df, k=2, rounds=3).collect()
+    }
+    assert got == {"a": 2, "b": 2, "c": 2}
+    # One round is NOT enough: d still alive after round 1 (deg 2).
+    one = {
+        r["node"] for r in G.kcore_peel(df, k=2, rounds=1).collect()
+    }
+    assert one == {"a", "b", "c", "d"}

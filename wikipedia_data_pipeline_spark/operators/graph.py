@@ -239,3 +239,38 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             ).alias("clustering_coeff"),
         )
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling on the undirected view of an edge
+    list: each round drops every node whose CURRENT degree is below k,
+    along with its incident edges (which lowers its neighbors' degrees
+    — the cascade that defines the k-core). After enough rounds the
+    edge set is the exact k-core; a bounded round count is the
+    production form (full convergence is a loop-until-fixpoint over the
+    same plan, checkpointing every few rounds).
+
+    Per round: one degree aggregate + two semi-joins of the surviving
+    edge list against the (node-sized) survivor set. Returns the
+    surviving nodes with their end-of-peel degrees.
+    """
+    und = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+        .distinct()
+        .persist()
+    )
+    alive = und
+    for _ in range(rounds):
+        deg = alive.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        alive = alive.join(keep, "node", "left_semi").join(
+            keep.withColumnRenamed("node", "nbr"), "nbr", "left_semi"
+        )
+    return alive.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))

@@ -3801,3 +3801,51 @@ def parts_abc_classification(spark, sf_dir):
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled-CTE twin of operators.graph.kcore_peel."""
+    ctes = [
+        f"edges AS ({_PR_EDGES_SQL})",
+        """e0 AS (
+  SELECT src AS node, dst AS nbr FROM edges
+  UNION
+  SELECT dst AS node, src AS nbr FROM edges
+)""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""k{i} AS (
+  SELECT node FROM (SELECT node, count(*) AS deg FROM e{i - 1} GROUP BY node)
+  WHERE deg >= {k}
+),
+e{i} AS (
+  SELECT e.node, e.nbr FROM e{i - 1} e
+  JOIN k{i} a ON e.node = a.node
+  JOIN k{i} b ON e.nbr = b.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(count(*) AS BIGINT) AS degree"
+        f"\nFROM e{rounds} GROUP BY node ORDER BY node"
+    )
+
+
+@register("graph_kcore_peel", oracle=_kcore_oracle(25, 3))
+def graph_kcore_peel(spark, sf_dir):
+    """k-core peeling (k=25, 3 rounds) of the part–supplier graph:
+    nodes below degree 25 are dropped with their edges each round, and
+    the degree loss cascades to their neighbors — the density filter
+    used to find the engaged core of interaction graphs (and to prune
+    fringe vertices before expensive graph algorithms run). See
+    operators/graph.py:kcore_peel."""
+    from wikipedia_data_pipeline_spark.operators import graph as G
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    return G.kcore_peel(edges, k=25, rounds=3).orderBy("node")
