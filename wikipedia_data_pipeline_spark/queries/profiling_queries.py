@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from wikipedia_data_pipeline_spark.operators import dedup as D
 from wikipedia_data_pipeline_spark.operators import profiling as P
+from wikipedia_data_pipeline_spark.operators.sampling import SQL_DET_HASH
 from wikipedia_data_pipeline_spark.registry import register
 from wikipedia_data_pipeline_spark.sources.tables import load_table
 
@@ -3849,3 +3850,128 @@ def graph_kcore_peel(spark, sf_dir):
         F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
     ).distinct()
     return G.kcore_peel(edges, k=25, rounds=3).orderBy("node")
+
+
+# --- Experimentation + entity-level splits (round 5) --------------------
+
+@register(
+    "events_ab_test_lift",
+    oracle="""
+WITH u AS (
+  SELECT user_id, user_id % 2 AS variant,
+         CASE WHEN sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) >= 15
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT variant, count(*) AS n,
+         CAST(sum(converted) AS BIGINT) AS conv
+  FROM u GROUP BY variant
+),
+w AS (
+  SELECT
+    (SELECT n FROM s WHERE variant = 0) AS n_a,
+    (SELECT conv FROM s WHERE variant = 0) AS conv_a,
+    (SELECT n FROM s WHERE variant = 1) AS n_b,
+    (SELECT conv FROM s WHERE variant = 1) AS conv_b
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+       CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+       CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a AS lift,
+       (CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+         / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                * (1.0 / n_a + 1.0 / n_b)) AS z_score
+FROM w
+""",
+)
+def events_ab_test_lift(spark, sf_dir):
+    """Two-proportion A/B readout (variant = user parity, conversion =
+    ≥15 clicks — a non-saturated engagement bar on this stream): per-variant user counts, conversion rates, lift, and
+    the pooled z-statistic. Every input is an integer aggregate, and
+    the statistic uses only IEEE ops that are CORRECTLY-ROUNDED by the
+    standard (+ − × ÷ sqrt), so even the z-score is bit-identical
+    across engines with no rounding crutch. One user-keyed aggregate
+    (the only data shuffle), then arithmetic on a 2-row relation."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            >= 15,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).select((F.col("user_id") % 2).alias("variant"), "converted")
+    s = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    a = s.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = s.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    w = a.crossJoin(b)
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    return w.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        (rate_b - rate_a).alias("lift"),
+        (
+            (rate_b - rate_a)
+            / F.sqrt(
+                pooled
+                * (1 - pooled)
+                * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+            )
+        ).alias("z_score"),
+    )
+
+
+@register(
+    "sample_holdout_users",
+    oracle=f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+assign AS (
+  SELECT user_id,
+         {SQL_DET_HASH.format(col='user_id')} % 100 AS bucket
+  FROM u
+)
+SELECT e.event_id, e.user_id,
+       CASE WHEN bucket < 80 THEN 'train' ELSE 'holdout' END AS split
+FROM events e JOIN assign a ON e.user_id = a.user_id
+""",
+)
+def sample_holdout_users(spark, sf_dir):
+    """ENTITY-level holdout: the split key is the user, not the event —
+    splitting event rows directly leaks every held-out user's behavior
+    into training through their other events. Same portable arithmetic
+    hash as the document splits, assigned once per user and joined
+    back (broadcast: the user relation is cardinality-bounded)."""
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    assign = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id", (det_hash("user_id") % 100).alias("bucket")
+        )
+    )
+    return ev.join(F.broadcast(assign), "user_id").select(
+        "event_id",
+        "user_id",
+        F.when(F.col("bucket") < 80, "train")
+        .otherwise("holdout")
+        .alias("split"),
+    )
