@@ -180,3 +180,21 @@ def test_kcore_peel_cascades(spark):
         r["node"] for r in G.kcore_peel(df, k=2, rounds=1).collect()
     }
     assert one == {"a", "b", "c", "d"}
+
+
+def test_bfs_hops_min_distance(spark):
+    # Path a-b-c-d plus shortcut a-c: c is 1 hop (via shortcut), d is 2.
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("x", "y")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["hops"]
+        for r in G.bfs_hops(df, ["a"], max_hops=3).collect()
+    }
+    # x,y unreachable from a: absent entirely.
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+    # Depth bound respected.
+    got1 = {
+        r["node"]: r["hops"]
+        for r in G.bfs_hops(df, ["a"], max_hops=1).collect()
+    }
+    assert got1 == {"a": 0, "b": 1, "c": 1}

@@ -274,3 +274,47 @@ def kcore_peel(
             keep.withColumnRenamed("node", "nbr"), "nbr", "left_semi"
         )
     return alive.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: list,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-depth BFS on the undirected view: (node, hops) with the
+    MINIMUM hop distance from any seed, for hops ≤ max_hops.
+
+    Each level is one join of the (node-sized) frontier against the
+    edge relation plus an anti-join against the visited set — the
+    standard distributed BFS level-step. The edge relation is shuffled
+    on the join key once and persisted; levels reuse it. Fixed depth is
+    the production form for neighborhood queries (fraud rings, related
+    items, blast-radius analysis); full-graph shortest paths would
+    iterate the same step to fixpoint with checkpointing.
+    """
+    spark = edges.sparkSession
+    und = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+        .distinct()
+        .repartition("node")
+        .persist()
+    )
+    visited = spark.createDataFrame(
+        [(s, 0) for s in seeds], ["node", "hops"]
+    )
+    frontier = visited.select("node")
+    for level in range(1, max_hops + 1):
+        nxt = (
+            und.join(frontier, "node", "left_semi")
+            .select(F.col("nbr").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        visited = visited.union(
+            nxt.select("node", F.lit(level).alias("hops"))
+        )
+        frontier = nxt
+    return visited

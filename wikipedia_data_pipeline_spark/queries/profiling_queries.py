@@ -3975,3 +3975,167 @@ def sample_holdout_users(spark, sf_dir):
         .otherwise("holdout")
         .alias("split"),
     )
+
+
+# --- BM25 ranked search + fixed-depth BFS (round 5) ---------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "text_search_bm25",
+    oracle=f"""
+WITH {TOKS_CTE},
+tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),
+dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT CAST(sum(len) AS DOUBLE) / count(*) AS avglen,
+         count(*) AS n_docs
+  FROM dl
+),
+dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+widf AS (
+  SELECT word,
+         CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1), 6)
+              AS DECIMAL(18,6)) AS idf
+  FROM dfreq, stats
+),
+scored AS (
+  SELECT t.doc_id, t.word,
+         CAST(round(CAST(idf AS DOUBLE) * (t.tf * ({_BM25_K1} + 1))
+               / (t.tf + {_BM25_K1} * (1 - {_BM25_B}
+                  + {_BM25_B} * d.len / avglen)), 6)
+              AS DECIMAL(18,6)) AS s
+  FROM tf t
+  JOIN dl d ON t.doc_id = d.doc_id
+  JOIN widf ON t.word = widf.word, stats
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms_hit,
+       CAST(sum(s) AS DOUBLE) AS score
+FROM scored
+WHERE word IN ({", ".join(f"'{w}'" for w in _SEARCH_TERMS)})
+GROUP BY doc_id
+ORDER BY score DESC, n_terms_hit DESC, doc_id ASC
+LIMIT 20
+""",
+)
+def text_search_bm25(spark, sf_dir):
+    """BM25 ranked retrieval (k1=1.2, b=0.75, the Lucene-style
+    +1-inside-the-log idf so no term scores negative) — the standard
+    keyword-search ranking, with raw term frequency saturating and
+    document-length normalization, which plain TF-IDF summing lacks.
+    Determinism: idf is rounded once per VOCAB word, the per-posting
+    score once per (doc, word) — every input to those expressions
+    (tf, len ints; avglen one exact division) is identical on both
+    engines, and the doc-level sum rides DECIMAL. Same pushdown shape
+    as text_search_tfidf: the IN-set prunes postings before scoring at
+    the final filter, top-k is TakeOrdered."""
+    from wikipedia_data_pipeline_spark.operators.text import tokenize
+
+    toks = tokenize(load_table(spark, sf_dir, "documents"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(
+        (F.sum("len").cast("double") / F.count(F.lit(1))).alias("avglen"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    widf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "word",
+        F.round(
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("idf"),
+    )
+    scored = (
+        tf.filter(F.col("word").isin(_SEARCH_TERMS))
+        .join(dl, "doc_id")
+        .join(F.broadcast(widf), "word")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf").cast("double")
+                * (F.col("tf") * (_BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (
+                        1
+                        - _BM25_B
+                        + _BM25_B * F.col("len") / F.col("avglen")
+                    )
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.sum("s").cast("double").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.desc("n_terms_hit"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _bfs_oracle(seed: str, max_hops: int) -> str:
+    """Unrolled-CTE twin of operators.graph.bfs_hops."""
+    ctes = [
+        f"edges AS ({_PR_EDGES_SQL})",
+        """und AS (
+  SELECT src AS node, dst AS nbr FROM edges
+  UNION
+  SELECT dst AS node, src AS nbr FROM edges
+)""",
+        f"v0 AS (SELECT '{seed}' AS node, 0 AS hops)",
+    ]
+    for i in range(1, max_hops + 1):
+        ctes.append(
+            f"""v{i} AS (
+  SELECT * FROM v{i - 1}
+  UNION ALL
+  SELECT nxt.node, {i} AS hops FROM (
+    SELECT DISTINCT u.nbr AS node
+    FROM und u JOIN v{i - 1} f ON u.node = f.node
+  ) nxt
+  WHERE nxt.node NOT IN (SELECT node FROM v{i - 1})
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(hops AS BIGINT) AS hops FROM v{max_hops}"
+        "\nORDER BY hops, node"
+    )
+
+
+@register("graph_bfs_reachability", oracle=_bfs_oracle("p:1", 3))
+def graph_bfs_reachability(spark, sf_dir):
+    """3-hop BFS neighborhood of part p:1 in the part–supplier graph
+    with minimum hop distances — the related-items / blast-radius
+    traversal. Level-synchronous frontier expansion (join + anti-join
+    per level) against the once-shuffled edge relation; see
+    operators/graph.py:bfs_hops."""
+    from wikipedia_data_pipeline_spark.operators import graph as G
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    out = G.bfs_hops(edges, ["p:1"], max_hops=3)
+    return out.select("node", F.col("hops").cast("long").alias("hops")).orderBy(
+        "hops", "node"
+    )
