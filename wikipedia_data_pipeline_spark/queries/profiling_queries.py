@@ -4139,3 +4139,127 @@ def graph_bfs_reachability(spark, sf_dir):
     return out.select("node", F.col("hops").cast("long").alias("hops")).orderBy(
         "hops", "node"
     )
+
+
+# --- Recommendations + count anomalies (round 5) ------------------------
+
+@register(
+    "recs_item_item_cosine",
+    oracle="""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ic AS (SELECT l_partkey, count(*) AS n FROM op GROUP BY l_partkey),
+co AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS c
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT pa, pb, c AS n_co,
+       c / sqrt(CAST(ia.n AS DOUBLE) * ib.n) AS cosine
+FROM co JOIN ic ia ON co.pa = ia.l_partkey
+        JOIN ic ib ON co.pb = ib.l_partkey
+WHERE c >= 3
+ORDER BY cosine DESC, pa ASC, pb ASC
+LIMIT 100
+""",
+)
+def recs_item_item_cosine(spark, sf_dir):
+    """Item-item collaborative filtering: cosine similarity over
+    co-purchase incidence, sim(a,b) = |A∩B| / √(|A|·|B|) — the
+    classical neighborhood recommender (Amazon-style item-to-item CF).
+    Candidate pairs come from the per-basket self-join (bounded by
+    basket size², not catalog²); the support floor (co-count ≥ 3)
+    prunes noise pairs BEFORE ranking. Integer counts + one
+    correctly-rounded sqrt/divide ⇒ bit-portable scores; top-100 by
+    TakeOrdered."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist()
+    )
+    ic = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = op.alias("a")
+    b = op.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 3)
+    )
+    ia = ic.select(F.col("l_partkey").alias("pa"), F.col("n").alias("na"))
+    ib = ic.select(F.col("l_partkey").alias("pb"), F.col("n").alias("nb"))
+    return (
+        co.join(F.broadcast(ia), "pa")
+        .join(F.broadcast(ib), "pb")
+        .select(
+            "pa",
+            "pb",
+            F.col("c").alias("n_co"),
+            (
+                F.col("c")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb"))
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("pa"), F.asc("pb"))
+        .limit(100)
+    )
+
+
+@register(
+    "events_daily_count_anomalies",
+    oracle=f"""
+WITH t0 AS (SELECT min(epoch_us(ts)) AS ts0 FROM events),
+byday AS (
+  SELECT (epoch_us(ts) - ts0) // {_US_PER_DAY} AS day_idx,
+         count(*) AS n
+  FROM events, t0 GROUP BY 1
+),
+m AS (SELECT CAST(sum(n) AS DOUBLE) / count(*) AS mean_n FROM byday)
+SELECT day_idx, n, mean_n,
+       n > mean_n + 3 * sqrt(mean_n) AS is_spike,
+       n < mean_n - 3 * sqrt(mean_n) AS is_drop
+FROM byday, m
+ORDER BY day_idx
+""",
+)
+def events_daily_count_anomalies(spark, sf_dir):
+    """Day-level volume anomalies under the Poisson model: a day is a
+    spike/drop when its count leaves mean ± 3·√mean (the variance of a
+    Poisson IS its mean — no second moment needed, which is why this is
+    the standard first monitor on event volumes). The mean is one
+    exact division and sqrt is correctly-rounded IEEE, so flags are
+    bit-portable. Day counts: one aggregate in the integer-µs domain;
+    the stats ride a 1-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min("ts").alias("ts0"))
+    byday = (
+        ev.crossJoin(F.broadcast(t0))
+        .groupBy(F.expr(f"(ts - ts0) div {_US_PER_DAY}").alias("day_idx"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = byday.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mean_n")
+    )
+    return (
+        byday.crossJoin(F.broadcast(m))
+        .select(
+            "day_idx",
+            "n",
+            "mean_n",
+            (F.col("n") > F.col("mean_n") + 3 * F.sqrt("mean_n")).alias(
+                "is_spike"
+            ),
+            (F.col("n") < F.col("mean_n") - 3 * F.sqrt("mean_n")).alias(
+                "is_drop"
+            ),
+        )
+        .orderBy("day_idx")
+    )
