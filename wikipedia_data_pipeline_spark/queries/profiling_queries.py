@@ -4263,3 +4263,95 @@ def events_daily_count_anomalies(spark, sf_dir):
         )
         .orderBy("day_idx")
     )
+
+
+@register(
+    "events_user_entropy",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type
+),
+tot AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS nt FROM c GROUP BY user_id),
+terms AS (
+  SELECT c.user_id,
+         CAST(round(-(CAST(n AS DOUBLE) / nt)
+                    * log2(CAST(n AS DOUBLE) / nt), 9)
+              AS DECIMAL(18,9)) AS term
+  FROM c JOIN tot ON c.user_id = tot.user_id
+)
+SELECT user_id, CAST(sum(term) AS DOUBLE) AS entropy_bits
+FROM terms GROUP BY user_id
+""",
+)
+def events_user_entropy(spark, sf_dir):
+    """Per-user behavioral entropy over the event-type distribution
+    (H = −Σ p·log₂p): the diversity score that separates single-action
+    bots (H≈0) from organic users (H near log₂|types|) — a standard
+    bot/abuse screen. Each term is computed once per (user, type) and
+    rounded; the per-user sum rides DECIMAL so partial-aggregation
+    order can't flip bits."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = c.groupBy("user_id").agg(F.sum("n").alias("nt"))
+    p = F.col("n").cast("double") / F.col("nt")
+    terms = c.join(tot, "user_id").select(
+        "user_id",
+        F.round(-p * F.log2(p), 9).cast("decimal(18,9)").alias("term"),
+    )
+    return terms.groupBy("user_id").agg(
+        F.sum("term").cast("double").alias("entropy_bits")
+    )
+
+
+@register(
+    "text_readability_scores",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         greatest(len(regexp_split_to_array(text, '[.!?]+')) - 1, 1)
+           AS n_sentences,
+         len(regexp_split_to_array(lower(text), '[aeiouy]+')) - 1
+           AS n_vowel_groups
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_vowel_groups,
+       CAST(n_words AS DOUBLE) / n_sentences AS words_per_sentence,
+       CAST(n_vowel_groups AS DOUBLE) / n_words AS syllables_per_word
+FROM t
+""",
+)
+def text_readability_scores(spark, sf_dir):
+    """Flesch-style readability inputs: words per sentence and a
+    vowel-group syllable proxy per word — the complexity gate that
+    complements the length/stopword quality scores (legalese and
+    machine-generated run-ons fail words-per-sentence long before they
+    fail length filters). Pure regex counting, one narrow map; counts
+    are integers and each ratio one exact IEEE division."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    n_sentences = F.greatest(
+        F.size(F.split(F.col("text"), "[.!?]+")) - 1, F.lit(1)
+    )
+    n_vowels = F.size(F.split(F.lower(F.col("text")), "[aeiouy]+")) - 1
+    t = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sentences.cast("long").alias("n_sentences"),
+        n_vowels.cast("long").alias("n_vowel_groups"),
+    )
+    return t.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_vowel_groups",
+        (F.col("n_words").cast("double") / F.col("n_sentences")).alias(
+            "words_per_sentence"
+        ),
+        (F.col("n_vowel_groups").cast("double") / F.col("n_words")).alias(
+            "syllables_per_word"
+        ),
+    )
