@@ -1,0 +1,611 @@
+"""Time-series / sequence analytics + classic data-mining operators
+(round 5, session 2).
+
+Reference scope: the reference engine (Main.java's thread-pool stages)
+has no time-series surface at all — everything here is the extension
+family the brief asks for: operations a large-scale training-data /
+analytics pipeline needs beyond the reference's own operators.
+
+Determinism strategy (same contract as the rest of the registry):
+
+* Path-dependent recursions (EWMA, CUSUM) are re-expressed in closed
+  form so they become plain window aggregates: zero-padded EWMA as a
+  fixed left-to-right weighted sum of K lags, and the one-sided CUSUM
+  ``S_t = max(0, S_{t-1} + d_t)`` via the prefix-sum identity
+  ``S_t = C_t - min(0, min_{j<=t} C_j)`` — both exactly portable.
+* Float moments (autocorrelation) are computed from DECIMAL-exact sums
+  of integer-scaled values, so the parallel reduction order cannot
+  perturb a bit; the final Pearson formula is a fixed IEEE expression.
+* Log-probabilities (Naive Bayes) are quantized to BIGINT micro-nats
+  ONCE per (class, token); per-document scores are then integer sums —
+  associative, so the argmax is identical under any partitioning.
+
+Scale notes per query are in the docstrings; the common theme: each
+query is one or two shuffles on the natural key (user_id / lang /
+suppkey), no driver-side loops, windows always partitioned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikipedia_data_pipeline_spark.functions import dec_sum, sql_dec_sum
+from wikipedia_data_pipeline_spark.registry import register
+from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# EWMA — exponentially weighted moving average as a fixed-lag kernel
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+_EWMA_K = 8
+# Literal weights embedded as Python float repr → both engines parse the
+# identical double.
+_EWMA_W = [_EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** j for j in range(_EWMA_K)]
+
+
+def _ewma_expr(lag_fmt: str) -> str:
+    """Left-to-right weighted sum of the current value and K-1 lags.
+
+    ``lag_fmt`` renders the j-th lag (j=0 is the current row). Addition
+    associates left-to-right identically in Spark SQL and DuckDB, and
+    every weight is the same double literal, so the result is
+    bit-identical on both engines.
+    """
+    terms = [f"{w!r} * coalesce({lag_fmt.format(j=j)}, 0.0)" for j, w in enumerate(_EWMA_W)]
+    return " + ".join(terms)
+
+
+_EWMA_WIN = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+@register(
+    "events_ewma_value",
+    oracle=f"""
+SELECT user_id, event_id, value,
+       {_ewma_expr("lag(value, {j}) OVER (" + _EWMA_WIN + ")")} AS ewma
+FROM events
+""",
+)
+def events_ewma_value(spark, sf_dir):
+    """Per-user EWMA of event values (α=0.3, zero-padded 8-term kernel).
+
+    The textbook EWMA is the recursion s_t = αx_t + (1−α)s_{t−1} —
+    path-dependent, so a naive implementation is a sequential scan.
+    Truncating the kernel at K=8 terms (weight mass 1−0.7⁸ ≈ 94%, tail
+    < 2% of α) turns it into a *fixed window expression*: K−1 LAGs over
+    (user_id, event-time) summed left-to-right. That is one shuffle on
+    user_id and a single window pass — embarrassingly parallel across
+    users at 100 TB, and deterministic because no reduction order is
+    involved at all (pure per-row expression over already-sorted
+    frames). Ties on ts are broken by event_id so the lag sequence is a
+    total order.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    lag_fmt = "lag(value, {j}) OVER (" + _EWMA_WIN + ")"
+    return ev.selectExpr(
+        "user_id",
+        "event_id",
+        "value",
+        f"{_ewma_expr(lag_fmt)} AS ewma",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation — exact Pearson from integer-scaled moments
+# ---------------------------------------------------------------------------
+
+# events.value is a 2-decimal quantity ≤ ~1e4; scaled by 1e6 it fits
+# comfortably in BIGINT and every pairwise product in ~1e17 << 2^63.
+_ACF_SCALE = 1_000_000
+
+_ACF_ORACLE = f"""
+WITH p AS (
+  SELECT user_id,
+         CAST(round(value * {_ACF_SCALE}) AS BIGINT) AS a,
+         lag(CAST(round(value * {_ACF_SCALE}) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(a AS DECIMAL(38,0))) AS sa,
+         sum(CAST(b AS DECIMAL(38,0))) AS sb,
+         sum(CAST(a * b AS DECIMAL(38,0))) AS sab,
+         sum(CAST(a * a AS DECIMAL(38,0))) AS saa,
+         sum(CAST(b * b AS DECIMAL(38,0))) AS sbb
+  FROM p WHERE b IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n,
+       (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+        - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+               - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                 - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) AS acf1
+FROM s
+WHERE CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0
+  AND CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+      - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0
+"""
+
+
+@register("events_autocorr_lag1", oracle=_ACF_ORACLE)
+def events_autocorr_lag1(spark, sf_dir):
+    """Per-user lag-1 autocorrelation of event values — the standard
+    "is this metric mean-reverting or trending?" screen, and (near ±1)
+    a bot signature: scripted traffic emits near-deterministic value
+    sequences.
+
+    Pearson corr is a ratio of second moments, and float moment sums
+    are reduction-order-dependent — ``F.corr`` on a cluster is not
+    reproducible in the low bits. Here the values are scaled to BIGINT
+    (×1e6, exact for the 2-decimal domain), the five moment sums ride
+    DECIMAL(38,0) (associative → partitioning-independent), and only
+    the final Pearson ratio is IEEE double — a fixed scalar expression,
+    bit-identical on any engine. One shuffle (user_id) for the window
+    lag + one for the aggregate; AQE coalesces both at small SF.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    a = F.round(F.col("value") * _ACF_SCALE).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select(
+        "user_id",
+        a.alias("a"),
+        F.lag(a).over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    dec = "decimal(38,0)"
+    s = p.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("a").cast(dec)).alias("sa"),
+        F.sum(F.col("b").cast(dec)).alias("sb"),
+        F.sum((F.col("a") * F.col("b")).cast(dec)).alias("sab"),
+        F.sum((F.col("a") * F.col("a")).cast(dec)).alias("saa"),
+        F.sum((F.col("b") * F.col("b")).cast(dec)).alias("sbb"),
+    )
+    nd = F.col("n").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    sab = F.col("sab").cast("double")
+    saa, sbb = F.col("saa").cast("double"), F.col("sbb").cast("double")
+    var_a = nd * saa - sa * sa
+    var_b = nd * sbb - sb * sb
+    return (
+        s.filter((var_a > 0) & (var_b > 0))
+        .select(
+            "user_id",
+            "n",
+            ((nd * sab - sa * sb) / (F.sqrt(var_a) * F.sqrt(var_b))).alias(
+                "acf1"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection — closed-form one-sided cumulative sum
+# ---------------------------------------------------------------------------
+
+_CUSUM_H = 100 * _ACF_SCALE  # alarm when cumulative excess tops 100 value-units
+
+_CUSUM_ORACLE = f"""
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * {_ACF_SCALE}) AS BIGINT) AS a
+  FROM events
+),
+k AS (
+  SELECT user_id,
+         CAST(floor(CAST(sum(CAST(a AS DECIMAL(38,0))) AS DOUBLE)
+                    / count(*)) AS BIGINT) AS target
+  FROM v GROUP BY user_id
+),
+c AS (
+  SELECT v.user_id, ts, event_id,
+         CAST(sum(a - target) OVER (PARTITION BY v.user_id
+                                    ORDER BY ts, event_id) AS BIGINT) AS run
+  FROM v JOIN k ON v.user_id = k.user_id
+),
+s AS (
+  SELECT user_id,
+         run - least(min(run) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW), 0) AS cusum
+  FROM c
+)
+SELECT user_id, CAST(max(cusum) AS BIGINT) AS max_cusum,
+       CAST(sum(CASE WHEN cusum > {_CUSUM_H} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms
+FROM s GROUP BY user_id
+"""
+
+
+@register("events_cusum_drift", oracle=_CUSUM_ORACLE)
+def events_cusum_drift(spark, sf_dir):
+    """One-sided CUSUM drift screen per user: S_t = max(0, S_{t−1} +
+    (x_t − target)) with target = per-user mean — the classic
+    change-point / sustained-shift detector (Page 1954).
+
+    The recursion looks inherently sequential, but has an exact closed
+    form: with C_t the prefix sum of deviations, S_t = C_t − min(0,
+    min_{j≤t} C_j). Both the prefix sum and the running min are plain
+    partitioned window aggregates — one shuffle on user_id, then one
+    sorted pass per partition, fully parallel across users. All
+    arithmetic is BIGINT in the ×1e6 scaled domain (target uses an
+    explicit floor, since double→int casts round differently across
+    engines), so the alarm counts are exactly portable.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * _ACF_SCALE).cast("long").alias("a"),
+    )
+    k = v.groupBy("user_id").agg(
+        F.floor(
+            F.sum(F.col("a").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("target")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = v.join(k, "user_id").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(F.col("a") - F.col("target")).over(w).alias("run"),
+    )
+    s = c.select(
+        "user_id",
+        (
+            F.col("run")
+            - F.least(F.min("run").over(w), F.lit(0).cast("long"))
+        ).alias("cusum"),
+    )
+    return s.groupBy("user_id").agg(
+        F.max("cusum").alias("max_cusum"),
+        F.sum(F.when(F.col("cusum") > _CUSUM_H, 1).otherwise(0))
+        .cast("long")
+        .alias("n_alarms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality — calendar-portable dow via epoch-day arithmetic
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_dow_seasonality",
+    oracle=f"""
+WITH d AS (
+  SELECT (datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 4) % 7
+           AS dow_idx,
+         o_totalprice
+  FROM orders
+),
+byday AS (
+  SELECT dow_idx, CAST(count(*) AS BIGINT) AS n_orders,
+         {sql_dec_sum("o_totalprice", "revenue")}
+  FROM d GROUP BY dow_idx
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_tot,
+         {sql_dec_sum("o_totalprice", "rev_tot")}
+  FROM d
+)
+SELECT dow_idx, n_orders, revenue,
+       (revenue / n_orders) / (rev_tot / n_tot) AS seasonality_idx
+FROM byday, tot
+""",
+)
+def orders_dow_seasonality(spark, sf_dir):
+    """Day-of-week seasonality index: average order value per weekday
+    relative to the overall average — the additive-decomposition
+    building block for demand forecasting.
+
+    Day-of-week is computed as (epoch_days + 4) mod 7 (0 = Sunday;
+    1970-01-01 was a Thursday) instead of each engine's dayofweek()
+    — those disagree on numbering AND on locale, epoch-day arithmetic
+    never does. Two tiny aggregates; the totals row is a 1-row
+    broadcast cross join, so the whole query is one shuffle over 7
+    groups regardless of table size.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.pmod(
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")) + 4,
+            F.lit(7),
+        ).alias("dow_idx"),
+        "o_totalprice",
+    )
+    byday = d.groupBy("dow_idx").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice", "revenue"),
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).alias("n_tot"),
+        dec_sum("o_totalprice", "rev_tot"),
+    )
+    return byday.crossJoin(F.broadcast(tot)).select(
+        "dow_idx",
+        "n_orders",
+        "revenue",
+        (
+            (F.col("revenue") / F.col("n_orders"))
+            / (F.col("rev_tot") / F.col("n_tot"))
+        ).alias("seasonality_idx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery — per-customer top-N without a window
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+) t
+"""
+
+
+@register("lateral_top_orders_per_customer", oracle=_LATERAL_SQL)
+def lateral_top_orders_per_customer(spark, sf_dir):
+    """Per-customer top-3 orders via a LATERAL correlated subquery —
+    the SQL-surface feature (SQL:1999 LATERAL, supported by Spark 3.2+
+    and DuckDB with identical syntax) that expresses dependent joins
+    declaratively.
+
+    Catalyst decorrelates this into the same physical shape as the
+    window row_number() ≤ 3 formulation (DomainJoin → ranked filter):
+    ONE shuffle on the correlation key, no per-customer re-scan of
+    orders — which is exactly why the lateral form is safe at 100 TB
+    while a driver-side loop over customers never is. The identical
+    string runs on both engines.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes language classifier — training as pure aggregation
+# ---------------------------------------------------------------------------
+
+_NB_SCALE = 1_000_000  # BIGINT micro-nats: integer log-prob domain
+
+_NB_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+doc_tok AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY doc_id, token
+),
+train AS (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+  FROM tok GROUP BY lang, token
+),
+lang_tot AS (
+  SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot FROM train GROUP BY lang
+),
+vocab AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM train),
+doc_lang AS (SELECT doc_id, lang AS true_lang FROM documents),
+priors AS (
+  SELECT lang,
+         CAST(round({_NB_SCALE} * ln(CAST(count(*) AS DOUBLE)
+              / (SELECT count(*) FROM documents))) AS BIGINT) AS prior_l
+  FROM documents GROUP BY lang
+),
+model AS (
+  SELECT t.lang, t.token,
+         CAST(round({_NB_SCALE} * ln((CAST(cnt AS DOUBLE) + 1.0)
+              / (CAST(tot AS DOUBLE) + CAST(v AS DOUBLE)))) AS BIGINT) AS lp
+  FROM train t JOIN lang_tot lt ON t.lang = lt.lang CROSS JOIN vocab
+),
+unseen AS (
+  SELECT lt.lang,
+         CAST(round({_NB_SCALE} * ln(1.0
+              / (CAST(tot AS DOUBLE) + CAST(v AS DOUBLE)))) AS BIGINT) AS lp0
+  FROM lang_tot lt CROSS JOIN vocab
+),
+scores AS (
+  SELECT dt.doc_id, u.lang,
+         max(p.prior_l) + sum(dt.c * coalesce(m.lp, u.lp0)) AS score
+  FROM doc_tok dt
+  CROSS JOIN unseen u
+  LEFT JOIN model m ON m.lang = u.lang AND m.token = dt.token
+  JOIN priors p ON p.lang = u.lang
+  GROUP BY dt.doc_id, u.lang
+),
+ranked AS (
+  SELECT doc_id, lang AS pred_lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang ASC) AS rn
+  FROM scores
+)
+SELECT r.doc_id, r.pred_lang, d.true_lang,
+       r.pred_lang = d.true_lang AS correct
+FROM ranked r JOIN doc_lang d ON r.doc_id = d.doc_id
+WHERE rn = 1
+"""
+
+
+@register("text_naive_bayes_langid", oracle=_NB_ORACLE)
+def text_naive_bayes_langid(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier, trained AND scored
+    entirely as DataFrame aggregation — the canonical example of ML
+    training that needs no ML runtime: the model is a (class, token) →
+    count table plus Laplace smoothing.
+
+    Determinism: per-(lang, token) log-probs are quantized ONCE to
+    BIGINT micro-nats (round(1e6·ln p)); each document's score is then
+    an *integer* sum Σ c_t·lp_t + prior — associative, so the argmax
+    cannot be flipped by reduction order (float log-sums can, and at
+    1e-16 relative wobble, ties near decision boundaries would
+    otherwise make the prediction cluster-size-dependent).
+
+    Scale shape: training is one groupBy over (lang, token) — the
+    model table is vocabulary-sized, broadcastable; scoring is
+    doc_tokens × |langs| (a 5-row broadcast) left-joined against the
+    broadcast model. One shuffle over doc_id for the final score
+    aggregation. At 100 TB the model stays small (vocab × langs) while
+    the scoring pass is embarrassingly parallel.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    doc_tok = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    train = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    lang_tot = train.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    vocab = train.agg(F.countDistinct("token").alias("v"))
+
+    lp = (
+        F.round(
+            _NB_SCALE
+            * F.log(
+                (F.col("cnt").cast("double") + 1.0)
+                / (F.col("tot").cast("double") + F.col("v").cast("double"))
+            )
+        )
+        .cast("long")
+        .alias("lp")
+    )
+    model = (
+        train.join(lang_tot, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select("lang", "token", lp)
+    )
+    lp0 = (
+        F.round(
+            _NB_SCALE
+            * F.log(
+                1.0 / (F.col("tot").cast("double") + F.col("v").cast("double"))
+            )
+        )
+        .cast("long")
+        .alias("lp0")
+    )
+    unseen = lang_tot.crossJoin(F.broadcast(vocab)).select("lang", lp0)
+    priors = docs.groupBy("lang").agg(
+        F.round(
+            _NB_SCALE
+            * F.log(F.count(F.lit(1)).cast("double") / F.lit(float(n_docs)))
+        )
+        .cast("long")
+        .alias("prior_l")
+    )
+
+    scores = (
+        doc_tok.crossJoin(F.broadcast(unseen))
+        .join(F.broadcast(model), ["lang", "token"], "left")
+        .join(F.broadcast(priors), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            (
+                F.max("prior_l")
+                + F.sum(F.col("c") * F.coalesce(F.col("lp"), F.col("lp0")))
+            ).alias("score")
+        )
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.desc("score"), F.asc("lang")
+        )
+    )
+    ranked = scores.select(
+        "doc_id", F.col("lang").alias("pred_lang"), rn.alias("rn")
+    ).filter(F.col("rn") == 1)
+    truth = docs.select("doc_id", F.col("lang").alias("true_lang"))
+    return ranked.join(truth, "doc_id").select(
+        "doc_id",
+        "pred_lang",
+        "true_lang",
+        (F.col("pred_lang") == F.col("true_lang")).alias("correct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Neighborhood Jaccard — link-prediction similarity over the co-supply graph
+# ---------------------------------------------------------------------------
+
+_NJ_THRESHOLD = 0.15
+
+_NJ_ORACLE = f"""
+WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY s),
+common AS (
+  SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS n_common
+  FROM e a JOIN e b ON a.p = b.p AND a.s < b.s
+  GROUP BY a.s, b.s
+)
+SELECT s1, s2, n_common, d1.d AS deg1, d2.d AS deg2,
+       CAST(n_common AS DOUBLE) / (d1.d + d2.d - n_common) AS jaccard
+FROM common
+JOIN deg d1 ON d1.s = s1
+JOIN deg d2 ON d2.s = s2
+WHERE CAST(n_common AS DOUBLE) / (d1.d + d2.d - n_common) >= {_NJ_THRESHOLD}
+"""
+
+
+@register("graph_jaccard_suppliers", oracle=_NJ_ORACLE)
+def graph_jaccard_suppliers(spark, sf_dir):
+    """Neighborhood-Jaccard link prediction over the supplier–part
+    bipartite graph: suppliers whose part portfolios overlap ≥ 15% —
+    the set-similarity join that powers "related entities" and
+    substitute-vendor detection.
+
+    Candidate pairs are generated by the co-neighbor join (two
+    suppliers must share ≥1 part to score > 0 — no all-pairs blowup);
+    the per-part fan-out is Σ deg(p)², so at 100 TB the scale path is
+    the same prefix-filtering used in dedup_prefix_filter: drop the
+    highest-degree hub parts (they contribute candidates but almost
+    never decide the threshold) or process them with a dedicated
+    salted pass. Counts are exact integers; Jaccard is one IEEE
+    division per surviving pair.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a, b = e.alias("a"), e.alias("b")
+    common = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("deg1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("deg2"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("deg1") + F.col("deg2") - F.col("n_common")
+    )
+    return (
+        common.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .filter(jac >= _NJ_THRESHOLD)
+        .select("s1", "s2", "n_common", "deg1", "deg2", jac.alias("jaccard"))
+    )

@@ -106,6 +106,7 @@ def _load_all() -> None:
         tpch_queries,
         analytics_queries,
         profiling_queries,
+        timeseries_queries,
     )
 
     _LOADED = True
