@@ -1,0 +1,103 @@
+"""Semantic invariants of the sequence/ordering family
+(queries/sequence_queries.py) beyond the oracle equality gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikipedia_data_pipeline_spark.queries.sequence_queries import (
+    _TOL_US,
+    asof_join_next_click,
+    events_linear_trend,
+    events_markov_transitions,
+    events_mode_event_type,
+    orders_gaps_islands,
+    scalar_bitwise_funcs,
+)
+from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+
+def test_asof_forward_latency_bounds(spark, sf_dir):
+    """Every match is strictly forward-looking and inside tolerance."""
+    rows = asof_join_next_click(spark, sf_dir).collect()
+    assert rows, "expected at least one view->click match"
+    for r in rows:
+        assert 0 <= r.latency_us <= _TOL_US
+        assert r.click_ts_us == r.view_ts_us + r.latency_us
+
+
+def test_asof_forward_click_exists(spark, sf_dir):
+    """Each matched click_ts must belong to a real click by that user."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts_us")
+    )
+    out = asof_join_next_click(spark, sf_dir)
+    unmatched = out.join(
+        clicks, ["user_id", "click_ts_us"], "left_anti"
+    ).count()
+    assert unmatched == 0
+
+
+def test_linear_trend_one_row_per_type(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    n_types = ev.select("event_type").distinct().count()
+    rows = events_linear_trend(spark, sf_dir).collect()
+    assert len(rows) == n_types
+    # testdata values are bounded; a sane fit can't have astronomic slope
+    for r in rows:
+        assert abs(r.slope_scaled) < 1e12
+        assert r.n > 1
+
+
+def test_markov_rows_sum_to_one(spark, sf_dir):
+    rows = events_markov_transitions(spark, sf_dir).collect()
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        assert 0.0 < r.prob <= 1.0
+        by_prev[r.prev_type] = by_prev.get(r.prev_type, 0.0) + r.prob
+    for prev, total in by_prev.items():
+        assert abs(total - 1.0) < 1e-9, prev
+
+
+def test_islands_are_maximal_and_disjoint(spark, sf_dir):
+    """Islands of one customer never touch or overlap (else they would
+    have been merged), and length == end - start + 1."""
+    rows = orders_gaps_islands(spark, sf_dir).collect()
+    per_cust: dict[int, list] = {}
+    for r in rows:
+        assert r.n_months == r.end_month - r.start_month + 1
+        per_cust.setdefault(r.o_custkey, []).append(
+            (r.start_month, r.end_month)
+        )
+    for spans in per_cust.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 > e1 + 1  # a gap of >= 1 month separates islands
+
+
+def test_bitwise_roundtrip(spark, sf_dir):
+    rows = scalar_bitwise_funcs(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:100]:
+        k = r.o_orderkey
+        assert r.band == k & 255
+        assert r.bor == k | 4096
+        assert r.shl == k << 2
+        assert r.shr == k >> 3
+        assert r.popcnt == bin(k).count("1")
+
+
+def test_mode_is_true_argmax(spark, sf_dir):
+    """Spot-check: the reported mode count equals the max per-user
+    (user,type) count, and ties break alphabetically."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.groupBy("user_id", "event_type")
+        .count()
+        .groupBy("user_id")
+        .agg(F.max("count").alias("mx"))
+    )
+    out = events_mode_event_type(spark, sf_dir)
+    joined = out.join(c, "user_id")
+    assert joined.filter(F.col("mode_count") != F.col("mx")).count() == 0

@@ -1,0 +1,388 @@
+"""Sequence / ordering analytics (round 5, session 3): forward as-of
+join, OLS trend fitting, Markov transition matrices, gaps-and-islands,
+bitwise scalar surface, and deterministic per-group mode.
+
+Reference scope: none of this exists in the reference engine (its only
+ordering operators are the sorts W1–W4, SURVEY.md §2.5); this is the
+extension family — sequence analytics a training-data / product
+pipeline needs on the `events` and `orders` tables.
+
+Determinism strategy (registry contract):
+
+* Every window is totally ordered — ``(ts, event_id)`` for events,
+  month integers for orders — so frame contents are identical under any
+  partitioning.
+* Forward-looking "next match" scans are expressed as *running* frames
+  over a DESC ordering (O(n) per partition in both engines) instead of
+  UNBOUNDED FOLLOWING frames (which Spark evaluates O(n²) per
+  partition).
+* Float moments (OLS) ride integer-scaled DECIMAL(38,0) sums; only the
+  final slope/intercept formula is IEEE double — a fixed scalar
+  expression, bit-identical on both engines.
+* Ratios of counts (transition probabilities) divide two BIGINTs in a
+  single double division — reduction-order-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from wikipedia_data_pipeline_spark.registry import register
+from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Forward as-of join with tolerance — view → first click within 1 h
+# ---------------------------------------------------------------------------
+
+_TOL_US = 3_600_000_000  # 1 hour in µs
+
+_ASOF_FWD_ORACLE = f"""
+WITH tagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts) DESC, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS next_click_us
+  FROM events
+)
+SELECT user_id, event_id AS view_event_id, ts_us AS view_ts_us,
+       next_click_us AS click_ts_us,
+       next_click_us - ts_us AS latency_us
+FROM tagged
+WHERE event_type = 'view'
+  AND next_click_us IS NOT NULL
+  AND next_click_us - ts_us <= {_TOL_US}
+"""
+
+
+@register("asof_join_next_click", oracle=_ASOF_FWD_ORACLE)
+def asof_join_next_click(spark, sf_dir):
+    """Forward as-of join with tolerance: each view event matched to the
+    user's FIRST subsequent click within one hour (the mirror image of
+    `asof_join_last_view`, which looks backward).
+
+    Scale shape: the naive plan is a range self-join (every view ×
+    every later click) — quadratic in events-per-user. This is instead
+    ONE shuffle on user_id and ONE O(n) window pass: the "first click
+    after me" is a *running* min over a DESC (ts, event_id) ordering,
+    which both Spark and DuckDB evaluate incrementally (Spark's
+    UNBOUNDED FOLLOWING frames are re-scanned per row — O(n²) — so the
+    DESC-running formulation is the 100 TB-safe spelling). The
+    tolerance predicate is applied post-window, row-local.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("ts_us"),
+        "event_type",
+        F.min(click_ts).over(w).alias("next_click_us"),
+    )
+    return (
+        tagged.filter(
+            (F.col("event_type") == "view")
+            & F.col("next_click_us").isNotNull()
+            & (F.col("next_click_us") - F.col("ts_us") <= _TOL_US)
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts_us").alias("view_ts_us"),
+            F.col("next_click_us").alias("click_ts_us"),
+            (F.col("next_click_us") - F.col("ts_us")).alias("latency_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# OLS linear trend per event type — exact moments, fixed IEEE finale
+# ---------------------------------------------------------------------------
+
+_Y_SCALE = 1_000_000
+# 2024-01-01T00:00:00Z in epoch seconds: centering x keeps x² ≤ ~7e12
+# for the 30-day testdata window, far inside BIGINT for per-row products.
+_X_BASE = 1_704_067_200
+
+_TREND_ORACLE = f"""
+WITH p AS (
+  SELECT event_type,
+         epoch_us(ts) // 1000000 - {_X_BASE} AS x,
+         CAST(round(value * {_Y_SCALE}) AS BIGINT) AS y
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(x AS DECIMAL(38,0))) AS sx,
+         sum(CAST(y AS DECIMAL(38,0))) AS sy,
+         sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+         sum(CAST(x * x AS DECIMAL(38,0))) AS sxx
+  FROM p GROUP BY event_type
+)
+SELECT event_type, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_scaled,
+       (CAST(sy AS DOUBLE)
+        - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+          * CAST(sx AS DOUBLE))
+       / CAST(n AS DOUBLE) AS intercept_scaled
+FROM s
+WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+"""
+
+
+@register("events_linear_trend", oracle=_TREND_ORACLE)
+def events_linear_trend(spark, sf_dir):
+    """Per-event-type OLS fit of value against event time — "is this
+    metric drifting, and how fast?" as a closed-form regression, no
+    iteration.
+
+    The five moments (n, Σx, Σy, Σxy, Σx²) are integer-scaled and
+    summed as DECIMAL(38,0) — associative, so any partitioning/AQE
+    re-plan yields the same bits; x is centered on a fixed epoch so
+    per-row products stay far inside BIGINT. slope/intercept are then
+    one fixed double expression each. One shuffle (the groupBy) with
+    map-side partial aggregation — at 100 TB this is a full-scan,
+    5-counter-per-type reduction, the cheapest shape a regression can
+    have.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.col("ts") / F.lit(1_000_000)).cast("long") - _X_BASE
+    y = F.round(F.col("value") * _Y_SCALE).cast("long")
+    dec = "decimal(38,0)"
+    s = (
+        ev.select(x.alias("x"), y.alias("y"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast(dec)).alias("sx"),
+            F.sum(F.col("y").cast(dec)).alias("sy"),
+            F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+            F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    denom = nd * sxx - sx * sx
+    slope = (nd * sxy - sx * sy) / denom
+    return s.filter(denom > 0).select(
+        "event_type",
+        "n",
+        slope.alias("slope_scaled"),
+        ((sy - slope * sx) / nd).alias("intercept_scaled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over event types
+# ---------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type AS cur_type
+  FROM events
+),
+c AS (
+  SELECT prev_type, cur_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, cur_type
+)
+SELECT prev_type, cur_type, n,
+       CAST(n AS DOUBLE)
+       / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS prob
+FROM c
+"""
+
+
+@register("events_markov_transitions", oracle=_MARKOV_ORACLE)
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event-type
+    sequences: P(next = b | current = a), the standard behavioral-model
+    fingerprint (and the input to sequence-anomaly scoring).
+
+    One shuffle on user_id for the lag window, one tiny
+    (|types|² ≤ 25-row) aggregation, then a window over the grouped
+    result for row-normalization — the heavy lineage is the first two
+    steps, both linear scans; the normalizing window runs on a
+    25-row relation regardless of input scale. Probability is one
+    BIGINT÷BIGINT double division — deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("cur_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", "cur_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wn = Window.partitionBy("prev_type")
+    return c.select(
+        "prev_type",
+        "cur_type",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(wn).cast("double")
+        ).alias("prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands — consecutive order-months per customer
+# ---------------------------------------------------------------------------
+
+_ISLANDS_ORACLE = """
+WITH m AS (
+  SELECT DISTINCT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) AS mth
+  FROM orders
+),
+g AS (
+  SELECT o_custkey, mth,
+         mth - row_number() OVER (PARTITION BY o_custkey ORDER BY mth)
+           AS grp
+  FROM m
+)
+SELECT o_custkey,
+       CAST(min(mth) AS BIGINT) AS start_month,
+       CAST(max(mth) AS BIGINT) AS end_month,
+       CAST(count(*) AS BIGINT) AS n_months
+FROM g GROUP BY o_custkey, grp
+"""
+
+
+@register("orders_gaps_islands", oracle=_ISLANDS_ORACLE)
+def orders_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands: maximal runs of consecutive calendar months in
+    which each customer placed ≥1 order — the classic activity-streak /
+    churn-window primitive.
+
+    Months are collapsed to integers (year*12+month) so the
+    "consecutive" test is pure arithmetic; the island id is the
+    `mth − row_number()` invariant (constant within a run, strictly
+    decreasing across gaps). One shuffle on o_custkey serves both the
+    distinct and the window; the final groupBy reuses the same
+    partitioning, so Catalyst plans a single exchange at scale.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mth"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("mth")
+    g = m.select(
+        "o_custkey",
+        "mth",
+        (F.col("mth") - F.row_number().over(w)).alias("grp"),
+    )
+    return g.groupBy("o_custkey", "grp").agg(
+        F.min("mth").cast("long").alias("start_month"),
+        F.max("mth").cast("long").alias("end_month"),
+        F.count(F.lit(1)).alias("n_months"),
+    ).drop("grp")
+
+
+# ---------------------------------------------------------------------------
+# Bitwise scalar surface
+# ---------------------------------------------------------------------------
+
+_BITWISE_ORACLE = """
+SELECT o_orderkey,
+       o_orderkey & 255 AS band,
+       o_orderkey | 4096 AS bor,
+       xor(o_orderkey, o_custkey) AS bxor,
+       o_orderkey << 2 AS shl,
+       o_orderkey >> 3 AS shr,
+       CAST(bit_count(o_orderkey) AS BIGINT) AS popcnt
+FROM orders
+WHERE o_orderkey <= 1000
+"""
+
+
+@register("scalar_bitwise_funcs", oracle=_BITWISE_ORACLE)
+def scalar_bitwise_funcs(spark, sf_dir):
+    """Bitwise scalar-function surface (AND/OR/XOR/shifts/popcount) —
+    the primitives behind hash partitioners, bitmap flags, SimHash
+    banding, and bloom addressing elsewhere in the engine, exercised
+    here as a direct conformance suite.
+
+    All row-local integer ops inside whole-stage codegen; the
+    `o_orderkey <= 1000` predicate pushes to the parquet scan.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") <= 1000).select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").alias("band"),
+        F.expr("o_orderkey | 4096").alias("bor"),
+        F.expr("o_orderkey ^ o_custkey").alias("bxor"),
+        F.expr("shiftleft(o_orderkey, 2)").alias("shl"),
+        F.expr("shiftright(o_orderkey, 3)").alias("shr"),
+        F.expr("cast(bit_count(o_orderkey) as bigint)").alias("popcnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group mode
+# ---------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id, event_type
+),
+r AS (
+  SELECT user_id, event_type, cnt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY cnt DESC, event_type) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS mode_type, cnt AS mode_count
+FROM r WHERE rn = 1
+"""
+
+
+@register("events_mode_event_type", oracle=_MODE_ORACLE)
+def events_mode_event_type(spark, sf_dir):
+    """Deterministic per-user mode: the most frequent event type, ties
+    broken alphabetically. Built-in `F.mode` is tie-nondeterministic
+    (hash-order dependent — unreproducible across runs/engines), so the
+    engine spells mode as count + rank with a declared total tie-break.
+
+    Two stages that share the user_id partitioning: groupBy
+    (user, type) then a ≤5-row-per-user window — Catalyst reuses the
+    exchange, so this is one real shuffle at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_type"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )

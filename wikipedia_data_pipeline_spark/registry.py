@@ -107,6 +107,7 @@ def _load_all() -> None:
         analytics_queries,
         profiling_queries,
         timeseries_queries,
+        sequence_queries,
     )
 
     _LOADED = True
