@@ -101,3 +101,47 @@ def test_mode_is_true_argmax(spark, sf_dir):
     out = events_mode_event_type(spark, sf_dir)
     joined = out.join(c, "user_id")
     assert joined.filter(F.col("mode_count") != F.col("mx")).count() == 0
+
+
+def test_cdc_apply_respects_ops(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.relational_queries import (
+        cdc_apply_orders,
+    )
+
+    out = cdc_apply_orders(spark, sf_dir)
+    base = load_table(spark, sf_dir, "orders")
+    n_base = base.count()
+    n_del = base.filter("o_orderkey % 100 = 7").count()
+    n_ins = base.filter("o_orderkey % 100 = 50").count()
+    # deletes shrink, inserts grow, updates are cardinality-neutral
+    assert out.count() == n_base - n_del + n_ins
+    # no deleted key survives
+    assert out.filter("o_orderkey % 100 = 7 AND o_orderkey < 1000000").count() == 0
+    # every update really applied +10
+    upd = out.filter("op = 'updated'").select("o_orderkey", "o_totalprice")
+    chk = upd.join(
+        base.select("o_orderkey", F.col("o_totalprice").alias("orig")),
+        "o_orderkey",
+    )
+    assert chk.filter(F.col("o_totalprice") != F.col("orig") + 10.0).count() == 0
+
+
+def test_skew_kurtosis_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from wikipedia_data_pipeline_spark.queries.timeseries_queries import (
+        events_skew_kurtosis,
+    )
+
+    rows = {r.event_type: r for r in events_skew_kurtosis(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    by_type: dict[str, list[float]] = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(round(r.value * 100))
+    for t, vals in by_type.items():
+        a = np.array(vals, dtype=np.float64)
+        m2 = ((a - a.mean()) ** 2).mean()
+        m3 = ((a - a.mean()) ** 3).mean()
+        m4 = ((a - a.mean()) ** 4).mean()
+        assert abs(rows[t].skewness - m3 / m2**1.5) < 1e-6
+        assert abs(rows[t].excess_kurtosis - (m4 / m2**2 - 3)) < 1e-6

@@ -113,41 +113,50 @@ def hashed_shingles(
     )
 
 
-def minhash_signatures(hashed: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """Append ``sig``: array<bigint> of k minhashes — element i is
-    min over shingle hashes h of (a_i*(h mod 2³¹)+b_i) mod M61.
+def band_signatures(
+    hashed: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K
+) -> DataFrame:
+    """(doc_id, bh array<bigint> of length ``bands``) — the k minhashes
+    folded straight into per-band bucket keys inside one numpy batch.
 
-    Input is the ``hashed_shingles`` relation. The 31-bit fold keeps
-    every a*h+b product below 2⁶² (Spark 4 is ANSI: long overflow
-    raises); the k-permutation min runs as a vectorized Arrow pandas
-    UDF — one (k × n_shingles) numpy matrix op per doc. Spark's
-    higher-order array lambdas are interpreted per element, so
-    expressing the k×n loop with them costs ~10× more than the numpy
-    batch path; this is the sanctioned pandas-UDF use: genuinely
-    numeric-dense work built-ins can't vectorize. One narrow
-    projection — no shuffle."""
+    Fusing the banding into the signature UDF (instead of emitting the
+    k-length signature and re-slicing it with ``xxhash64(slice(sig))``
+    per band JVM-side) removes a k-long Arrow array per row, k element
+    inspections per row, and a whole projection from the lineage — the
+    banded key is all any LSH consumer ever reads. The fold is a fixed
+    polynomial accumulation over each band's rows (wrapping int64 —
+    deterministic on any platform), so bucket keys are stable across
+    runs and cluster sizes. Empty shingle sets get a null key array and
+    drop out at explode time: two empty docs have Jaccard 0 here (see
+    ``jaccard``), so they can never be near-dups and pruning them early
+    is semantics-preserving."""
+    rows_per_band = k // bands
     a_mat = np.array(MINHASH_A[:k], dtype=np.int64).reshape(-1, 1)
     b_mat = np.array(MINHASH_B[:k], dtype=np.int64).reshape(-1, 1)
+    mult = np.int64(1_000_003)
 
     @F.pandas_udf(ArrayType(LongType()))
-    def _minhash(hashes: pd.Series) -> pd.Series:
+    def _bandhash(hashes: pd.Series) -> pd.Series:
         out = []
         for h in hashes:
             arr = np.asarray(h, dtype=np.int64)
             if arr.size == 0:
-                # empty shingle set → null signature (same as array_min
-                # of an empty array); verify-join drops these pairs
                 out.append(None)
-            else:
-                # a < 2^31 and h < 2^31 keep a*h+b below 2^62: no wrap
-                out.append(((a_mat * arr + b_mat) % MERSENNE_61).min(axis=1))
+                continue
+            sig = ((a_mat * arr + b_mat) % MERSENNE_61).min(axis=1)
+            m = sig.reshape(bands, rows_per_band)
+            bh = m[:, 0].copy()
+            for j in range(1, rows_per_band):
+                # wrapping int64 polynomial fold — deterministic
+                bh = bh * mult + m[:, j]
+            out.append(bh)
         return pd.Series(out)
 
     folded = hashed.withColumn(
         "_h",
         F.transform(F.col("hsh"), lambda h: F.pmod(h, F.lit(1 << 31))),
     )
-    return folded.select("doc_id", _minhash(F.col("_h")).alias("sig"))
+    return folded.select("doc_id", _bandhash(F.col("_h")).alias("bh"))
 
 
 def _pairs_within(ids_col: Column) -> Column:
@@ -165,10 +174,10 @@ def _pairs_within(ids_col: Column) -> Column:
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K
+    hashed: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K
 ) -> DataFrame:
-    """Band the ``sig`` array, emit distinct (doc_a, doc_b), doc_a <
-    doc_b, for docs sharing any band hash.
+    """Band the minhash signatures, emit distinct (doc_a, doc_b),
+    doc_a < doc_b, for docs sharing any band hash.
 
     Pair generation is grouped, not self-joined: one shuffle on
     (band, bhash) → sorted member list per bucket → in-bucket pair
@@ -178,7 +187,7 @@ def lsh_candidate_pairs(
     hot bucket (everyone identical) would call for the join form plus
     salting — at that point the data is one giant dup-cluster and
     candidate pruning is moot anyway."""
-    buckets = _band_buckets(signatures, bands, k)
+    buckets = _band_buckets(hashed, bands, k)
     grouped = (
         buckets.groupBy("band", "bhash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -230,14 +239,13 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
     Only the hashed shingle relation is persisted: the plan references
     it three times (signature input + both sides of the verify join)
     and Spark does no cross-subtree CSE — uncached, the shingling would
-    run three times. The signatures feed exactly one consumer (the
-    grouped pair expansion replaced the old bucket self-join), so
+    run three times. The banded bucket keys feed exactly one consumer
+    (the grouped pair expansion replaced the old bucket self-join), so
     persisting them would be pure overhead. At cluster scale the
     persist's role is played by checkpointing the shingle relation to
     parquet between stages."""
     sh = hashed_shingles(documents).persist()
-    sigs = minhash_signatures(sh)
-    cands = lsh_candidate_pairs(sigs)
+    cands = lsh_candidate_pairs(sh)
     return verify_pairs_jaccard(cands, sh, threshold)
 
 
@@ -260,10 +268,10 @@ def incremental_lsh_pairs(
     """
     sh_new = hashed_shingles(batch).persist()
     sh_old = hashed_shingles(corpus).persist()
-    b_new = _band_buckets(minhash_signatures(sh_new)).select(
+    b_new = _band_buckets(sh_new).select(
         F.col("doc_id").alias("doc_new"), "band", "bhash"
     )
-    b_old = _band_buckets(minhash_signatures(sh_old)).select(
+    b_old = _band_buckets(sh_old).select(
         F.col("doc_id").alias("doc_old"), "band", "bhash"
     )
     cands = b_new.join(b_old, ["band", "bhash"]).select("doc_new", "doc_old").distinct()
@@ -279,23 +287,16 @@ def incremental_lsh_pairs(
 
 
 def _band_buckets(
-    signatures: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K
+    hashed: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K
 ) -> DataFrame:
-    """(doc_id, band, bhash) bucket table from minhash signatures —
-    shared by the self-dedup grouped expansion and the incremental
-    bipartite join."""
-    rows_per_band = k // bands
-    band_hashes = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.xxhash64(
-                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-            ).alias("bhash"),
-        ),
-    )
-    return signatures.select("doc_id", F.explode(band_hashes).alias("bh")).select(
-        "doc_id", F.col("bh.band").alias("band"), F.col("bh.bhash").alias("bhash")
+    """(doc_id, band, bhash) bucket table from hashed shingles (via the
+    fused ``band_signatures``) — shared by the self-dedup grouped
+    expansion and the incremental bipartite join. posexplode of a
+    ``bands``-length array: the band ordinal IS the position, so no
+    struct packing is needed."""
+    sigs = band_signatures(hashed, bands, k)
+    return sigs.select(
+        "doc_id", F.posexplode("bh").alias("band", "bhash")
     )
 
 

@@ -850,3 +850,72 @@ def sessionization(spark, sf_dir):
         F.count("*").alias("n_events"),
         (F.max("t") - F.min("t")).alias("duration_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply — inserts + updates + deletes in one pass
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, o_totalprice + 10.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 100 IN (11, 23)
+),
+ins AS (
+  SELECT o_orderkey + 1000000 AS o_orderkey, o_custkey,
+         100.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 100 = 50
+),
+kept AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+  WHERE o_orderkey % 100 <> 7 AND o_orderkey % 100 NOT IN (11, 23)
+)
+SELECT o_orderkey, o_custkey, o_totalprice, 'kept' AS op FROM kept
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice, 'updated' AS op FROM upd
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice, 'inserted' AS op FROM ins
+"""
+
+
+@register("cdc_apply_orders", oracle=_CDC_ORACLE)
+def cdc_apply_orders(spark, sf_dir):
+    """Apply a CDC changelog (inserts + updates + DELETE tombstones) to
+    a snapshot in one distributed pass — the general form of
+    `merge_upsert_orders`, which has no delete path. The changelog is
+    derived deterministically from the snapshot itself (keys ≡ 7 mod
+    100 deleted, ≡ 11/23 updated, ≡ 50 cloned to new keys) so the
+    oracle can state the result set-theoretically, while the Spark side
+    exercises the real mechanism: one left anti-join of the base
+    against ALL affected keys (deletes and updates alike — an update is
+    delete+reinsert), then a union of the upsert payloads.
+
+    Scale: the anti-join shuffles on the primary key — with the base
+    bucketed by key (sources/bucketing.py) it degrades to a co-located
+    join with no base-side shuffle; the changelog side is batch-sized.
+    One wide op total; the unions are free (no shuffle).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey") % 100
+
+    tombstones = o.filter(k == 7).select("o_orderkey")
+    updates = o.filter(k.isin(11, 23)).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+    )
+    inserts = o.filter(k == 50).select(
+        (F.col("o_orderkey") + F.lit(1_000_000)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit(100.0).alias("o_totalprice"),
+    )
+
+    affected = tombstones.unionByName(updates.select("o_orderkey"))
+    kept = (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .join(affected, "o_orderkey", "left_anti")
+        .withColumn("op", F.lit("kept"))
+    )
+    return kept.unionByName(
+        updates.withColumn("op", F.lit("updated"))
+    ).unionByName(inserts.withColumn("op", F.lit("inserted")))

@@ -609,3 +609,128 @@ def graph_jaccard_suppliers(spark, sf_dir):
         .filter(jac >= _NJ_THRESHOLD)
         .select("s1", "s2", "n_common", "deg1", "deg2", jac.alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Higher central moments — exact skewness / excess kurtosis
+# ---------------------------------------------------------------------------
+
+# value scaled by 100 keeps y^4 <= 5.8e18 < 2^63 for the testdata domain
+# (value <= ~5e2 per sf; headroom to ~9.6e3 before per-row overflow).
+_MOM_SCALE = 100
+
+# Shared expression fragments: the SAME strings are compiled by Spark and
+# DuckDB, so the IEEE evaluation trees are identical and the results
+# bit-equal. Central moments from raw moments, all over nd = n as double.
+_MOM_MEAN = "d1 / nd"
+_MOM_M2 = "d2 / nd - (d1 / nd) * (d1 / nd)"
+_MOM_M3 = (
+    "d3 / nd - 3.0 * (d1 / nd) * (d2 / nd)"
+    " + 2.0 * (d1 / nd) * (d1 / nd) * (d1 / nd)"
+)
+_MOM_M4 = (
+    "d4 / nd - 4.0 * (d1 / nd) * (d3 / nd)"
+    " + 6.0 * (d1 / nd) * (d1 / nd) * (d2 / nd)"
+    " - 3.0 * (d1 / nd) * (d1 / nd) * (d1 / nd) * (d1 / nd)"
+)
+
+_MOMENTS_ORACLE = f"""
+WITH p AS (
+  SELECT event_type,
+         CAST(round(value * {_MOM_SCALE}) AS BIGINT) AS y
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(y AS DECIMAL(38,0))) AS s1,
+         sum(CAST(y * y AS DECIMAL(38,0))) AS s2,
+         sum(CAST(y * y * y AS DECIMAL(38,0))) AS s3,
+         sum(CAST(y * y * y * y AS DECIMAL(38,0))) AS s4
+  FROM p GROUP BY event_type
+),
+d AS (
+  -- s4 can exceed 2^64: a direct decimal->double cast is 1-ULP
+  -- engine-dependent (DuckDB's hugeint path double-rounds). Split into
+  -- exactly-representable hi/lo words and recombine with a fixed IEEE
+  -- expression instead — bit-identical on any engine.
+  SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+         CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+         CAST(s3 AS DOUBLE) AS d3,
+         CAST(CAST(s4 AS HUGEINT) // 4294967296 AS DOUBLE) * 4294967296.0
+           + CAST(CAST(s4 AS HUGEINT) % 4294967296 AS DOUBLE) AS d4
+  FROM s
+),
+m AS (
+  SELECT event_type, n,
+         {_MOM_MEAN} AS mean_scaled, {_MOM_M2} AS m2,
+         {_MOM_M3} AS m3, {_MOM_M4} AS m4
+  FROM d
+)
+SELECT event_type, n, mean_scaled,
+       m3 / (m2 * sqrt(m2)) AS skewness,
+       m4 / (m2 * m2) - 3.0 AS excess_kurtosis
+FROM m WHERE m2 > 0
+"""
+
+
+@register("events_skew_kurtosis", oracle=_MOMENTS_ORACLE)
+def events_skew_kurtosis(spark, sf_dir):
+    """Exact per-type skewness and excess kurtosis — the distribution-
+    shape screen behind outlier policy (heavy tails → MAD fences, not
+    z-scores) and drift monitors.
+
+    Spark's builtin `skewness`/`kurtosis` stream float moments whose
+    low bits depend on partition merge order — unreproducible across
+    cluster sizes. Here the four raw moments are integer-scaled and
+    summed as DECIMAL(38,0) (associative → any partitioning yields the
+    same bits), and the central-moment formulas are *shared expression
+    strings* compiled by both engines — the whole query is one
+    map-side-combined shuffle of five counters per event type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    y = F.round(F.col("value") * _MOM_SCALE).cast("long")
+    dec = "decimal(38,0)"
+    s = (
+        ev.select("event_type", y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("y").cast(dec)).alias("s1"),
+            F.sum((F.col("y") * F.col("y")).cast(dec)).alias("s2"),
+            F.sum(
+                (F.col("y") * F.col("y") * F.col("y")).cast(dec)
+            ).alias("s3"),
+            F.sum(
+                (F.col("y") * F.col("y") * F.col("y") * F.col("y")).cast(dec)
+            ).alias("s4"),
+        )
+    )
+    # s4 > 2^64: split into exact hi/lo words, recombine with the same
+    # IEEE expression the oracle uses (direct decimal->double casts of
+    # >64-bit values differ by 1 ULP between engines).
+    d = s.selectExpr(
+        "event_type",
+        "n",
+        "cast(n as double) AS nd",
+        "cast(s1 as double) AS d1",
+        "cast(s2 as double) AS d2",
+        "cast(s3 as double) AS d3",
+        "cast(s4 div 4294967296 as double) * 4294967296.0"
+        " + cast(s4 % 4294967296 as double) AS d4",
+    )
+    m = d.selectExpr(
+        "event_type",
+        "n",
+        f"{_MOM_MEAN} AS mean_scaled",
+        f"{_MOM_M2} AS m2",
+        f"{_MOM_M3} AS m3",
+        f"{_MOM_M4} AS m4",
+    )
+    return m.filter("m2 > 0").selectExpr(
+        "event_type",
+        "n",
+        "mean_scaled",
+        "m3 / (m2 * sqrt(m2)) AS skewness",
+        "m4 / (m2 * m2) - 3.0 AS excess_kurtosis",
+    )
