@@ -145,3 +145,37 @@ def test_skew_kurtosis_matches_numpy(spark, sf_dir):
         m4 = ((a - a.mean()) ** 4).mean()
         assert abs(rows[t].skewness - m3 / m2**1.5) < 1e-6
         assert abs(rows[t].excess_kurtosis - (m4 / m2**2 - 3)) < 1e-6
+
+
+def test_cumulative_distinct_monotone_and_bounded(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.sequence_queries import (
+        events_cumulative_distinct_types,
+    )
+
+    out = events_cumulative_distinct_types(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    assert out.count() == ev.count()
+    # final per-user value == true distinct count
+    final = out.groupBy("user_id").agg(
+        F.max("cum_distinct_types").alias("got")
+    )
+    truth = ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("want")
+    )
+    assert final.join(truth, "user_id").filter("got <> want").count() == 0
+
+
+def test_share_of_parent_sums_to_one(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.sequence_queries import (
+        revenue_share_of_parent,
+    )
+
+    rows = revenue_share_of_parent(spark, sf_dir).collect()
+    by_region: dict[str, float] = {}
+    regions: dict[str, float] = {}
+    for r in rows:
+        by_region[r.r_name] = by_region.get(r.r_name, 0.0) + r.share_of_region
+        regions[r.r_name] = r.region_share_of_total
+    for total in by_region.values():
+        assert abs(total - 1.0) < 1e-9
+    assert abs(sum(regions.values()) - 1.0) < 1e-9

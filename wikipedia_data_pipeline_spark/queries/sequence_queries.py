@@ -386,3 +386,138 @@ def events_mode_event_type(spark, sf_dir):
             F.col("cnt").alias("mode_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct count over a window (COUNT(DISTINCT) OVER is
+# unsupported in both engines — first-occurrence-flag prefix sum instead)
+# ---------------------------------------------------------------------------
+
+_CUMDIST_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(sum(first_seen) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT)
+         AS cum_distinct_types
+FROM flagged
+"""
+
+
+@register("events_cumulative_distinct_types", oracle=_CUMDIST_ORACLE)
+def events_cumulative_distinct_types(spark, sf_dir):
+    """Running COUNT(DISTINCT event_type) per user — "how much of the
+    product surface has this user touched by event N?" (activation-
+    breadth curves). Neither Spark nor DuckDB supports DISTINCT
+    aggregates over running windows, so the engine spells it as the
+    standard two-pass identity: flag each (user, type)'s first
+    occurrence with row_number()=1, then prefix-sum the flags.
+
+    Two window passes over different partitionings — (user,type) then
+    (user) — so two shuffles; the second reuses nothing from the first
+    by key, which is inherent to the identity. Both frames are running
+    (O(n) per partition) and totally ordered by (ts, event_id).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w1 = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.row_number().over(w1) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(w2).cast("long").alias("cum_distinct_types"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Share-of-parent revenue hierarchy (nation -> region -> total)
+# ---------------------------------------------------------------------------
+
+_SHARE_ORACLE = """
+WITH rev AS (
+  SELECT r_name, n_name,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+           AS rev_dec
+  FROM region
+  JOIN nation ON n_regionkey = r_regionkey
+  JOIN customer ON c_nationkey = n_nationkey
+  JOIN orders ON o_custkey = c_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(rev_dec AS DOUBLE)
+         / CAST(sum(rev_dec) OVER (PARTITION BY r_name) AS DOUBLE)
+         AS share_of_region,
+       CAST(sum(rev_dec) OVER (PARTITION BY r_name) AS DOUBLE)
+         / CAST(sum(rev_dec) OVER () AS DOUBLE)
+         AS region_share_of_total
+FROM rev
+"""
+
+
+@register("revenue_share_of_parent", oracle=_SHARE_ORACLE)
+def revenue_share_of_parent(spark, sf_dir):
+    """Hierarchical share-of-parent readout: every nation's revenue, its
+    share within its region, and the region's share of world revenue —
+    the drill-down ratio panel behind every BI hierarchy.
+
+    The heavy lineage is the q5-shaped join tree (dims broadcast,
+    lineitem never shuffled until the 25-row nation aggregate); the
+    share ratios are windows over that 25-row relation — free at any
+    input scale. Exactness: per-(region,nation) revenue is summed as
+    DECIMAL (associative), the window sums stay DECIMAL, and only the
+    final ratios cast to double — both engines divide the identical
+    exact quantities.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("rev_dec")
+        )
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    reg_dec = F.sum("rev_dec").over(w_region)
+    tot_dec = F.sum("rev_dec").over(w_all)
+    return rev.select(
+        "r_name",
+        "n_name",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (F.col("rev_dec").cast("double") / reg_dec.cast("double")).alias(
+            "share_of_region"
+        ),
+        (reg_dec.cast("double") / tot_dec.cast("double")).alias(
+            "region_share_of_total"
+        ),
+    )
