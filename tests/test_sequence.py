@@ -179,3 +179,73 @@ def test_share_of_parent_sums_to_one(spark, sf_dir):
     for total in by_region.values():
         assert abs(total - 1.0) < 1e-9
     assert abs(sum(regions.values()) - 1.0) < 1e-9
+
+
+def test_interpolate_fills_between_neighbors(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.analytics_queries import (
+        events_daily_interpolate,
+    )
+
+    out = events_daily_interpolate(spark, sf_dir).collect()
+    assert {r.fill_kind for r in out} <= {"actual", "interpolated", "edge"}
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    n_interp = 0
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r.day_s)
+        for i, r in enumerate(rows):
+            if r.fill_kind == "interpolated":
+                n_interp += 1
+                # interpolated value lies between its two neighbors' values
+                prevs = [x for x in rows[:i] if x.fill_kind == "actual"]
+                nxts = [x for x in rows[i + 1:] if x.fill_kind == "actual"]
+                a, b = prevs[-1].filled_value, nxts[0].filled_value
+                assert min(a, b) - 1e-9 <= r.filled_value <= max(a, b) + 1e-9
+            if r.fill_kind == "edge":
+                assert r.filled_value is None
+    assert n_interp > 0, "testdata should contain interior gaps"
+
+
+def test_cohort_curves_cumulative_monotone(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.analytics_queries import (
+        cohort_value_curves,
+    )
+
+    rows = cohort_value_curves(spark, sf_dir).collect()
+    by_cohort: dict[int, list] = {}
+    for r in rows:
+        assert r.age_d >= 0
+        by_cohort.setdefault(r.cohort_d, []).append(r)
+    for curve in by_cohort.values():
+        curve.sort(key=lambda r: r.age_d)
+        assert curve[0].age_d == 0  # cohort day itself is always active
+        for a, b in zip(curve, curve[1:]):
+            assert b.cum_value >= a.cum_value - 1e-9
+        assert abs(curve[-1].cum_value
+                   - sum(r.day_value for r in curve)) < 1e-6
+
+
+def test_regex_funcs_match_python_re(spark, sf_dir):
+    import re
+
+    from wikipedia_data_pipeline_spark.queries.relational_queries import (
+        scalar_regex_funcs,
+    )
+
+    out = scalar_regex_funcs(spark, sf_dir).collect()
+    docs = dict(
+        load_table(spark, sf_dir, "documents")
+        .filter("doc_id % 10 = 0")
+        .select("doc_id", "text")
+        .collect()
+    )
+    assert out
+    for r in out[:50]:
+        t = docs[r.doc_id]
+        m = re.search(r"([a-z]+)", t)
+        assert r.first_word == (m.group(1) if m else "")
+        assert list(r.all_numbers) == re.findall(r"[0-9]+", t)
+        assert r.n_the == len(re.findall(r"(^| )the ", t))
+        assert r.starts_upper == bool(re.match(r"[A-Z]", t))
+        assert r.devoweled == re.sub(r"[aeiou]", "*", t)

@@ -478,3 +478,200 @@ def events_daily_gapfill(spark, sf_dir):
             "total_value"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear-interpolation gap fill (per-user daily value series)
+# ---------------------------------------------------------------------------
+
+_INTERP_ORACLE = f"""
+WITH daily AS (
+  SELECT user_id, (epoch_us(ts) // 86400000000) * 86400 AS day_s,
+         {sql_dec_sum('value', 'v')}
+  FROM events GROUP BY user_id, (epoch_us(ts) // 86400000000) * 86400
+),
+bounds AS (SELECT min(day_s) AS lo, max(day_s) AS hi FROM daily),
+spine AS (
+  SELECT user_id, day_s
+  FROM (SELECT DISTINCT user_id FROM daily),
+       (SELECT unnest(generate_series(lo, hi, 86400)) AS day_s FROM bounds)
+),
+joined AS (
+  SELECT spine.user_id, spine.day_s, daily.v
+  FROM spine LEFT JOIN daily
+    ON spine.user_id = daily.user_id AND spine.day_s = daily.day_s
+),
+ctx AS (
+  SELECT user_id, day_s, v,
+         last_value(v IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY day_s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN day_s END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY day_s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         last_value(v IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY day_s DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv,
+         last_value(CASE WHEN v IS NOT NULL THEN day_s END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY day_s DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nd
+  FROM joined
+)
+SELECT user_id, day_s,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NULL OR nv IS NULL THEN NULL
+            ELSE pv + (nv - pv)
+                 * (CAST(day_s - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+       END AS filled_value,
+       CASE WHEN v IS NOT NULL THEN 'actual'
+            WHEN pv IS NULL OR nv IS NULL THEN 'edge'
+            ELSE 'interpolated' END AS fill_kind
+FROM ctx
+"""
+
+
+@register("events_daily_interpolate", oracle=_INTERP_ORACLE)
+def events_daily_interpolate(spark, sf_dir):
+    """Per-user daily value series on a dense calendar spine, with
+    interior gaps LINEARLY INTERPOLATED between the neighboring
+    observed days (edges left null) — the standard pre-model fill for
+    time-series features, one step past zero-fill gapfill.
+
+    The neighbor scan uses IGNORE-NULLS *running* windows in both
+    directions — the forward neighbor via a DESC-ordered running frame,
+    O(n) per partition (Spark evaluates UNBOUNDED FOLLOWING frames
+    quadratically; the DESC spelling avoids that at scale). The daily
+    totals ride DECIMAL sums, day arithmetic is integer, and the lerp
+    is one fixed IEEE expression — bit-equal across engines. Heavy
+    lineage: one hash-agg of events + a spine broadcast; the windows
+    run over |users| × |days| rows, not raw events.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day_s = ((ts_us().cast("long") - ts_us().cast("long") % US_PER_DAY)
+             / 1_000_000).cast("long")
+    daily = (
+        ev.withColumn("day_s", day_s)
+        .groupBy("user_id", "day_s")
+        .agg(dec_sum("value", "v"))
+    )
+    bounds = daily.agg(F.min("day_s").alias("lo"), F.max("day_s").alias("hi"))
+    days = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(86400).cast("long"))
+        ).alias("day_s")
+    )
+    spine = daily.select("user_id").distinct().crossJoin(F.broadcast(days))
+    joined = spine.join(daily, ["user_id", "day_s"], "left")
+
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("day_s").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day_s"))
+    ctx = joined.select(
+        "user_id",
+        "day_s",
+        "v",
+        F.last("v", ignorenulls=True).over(fwd).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(fwd).alias("pd"),
+        F.last("v", ignorenulls=True).over(bwd).alias("nv"),
+        F.last(obs_day, ignorenulls=True).over(bwd).alias("nd"),
+    )
+    lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("day_s") - F.col("pd")).cast("double")
+        / (F.col("nd") - F.col("pd")).cast("double")
+    )
+    return ctx.select(
+        "user_id",
+        "day_s",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
+        .otherwise(lerp)
+        .alias("filled_value"),
+        F.when(F.col("v").isNotNull(), F.lit("actual"))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit("edge"))
+        .otherwise(F.lit("interpolated"))
+        .alias("fill_kind"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort cumulative-value (LTV) curves
+# ---------------------------------------------------------------------------
+
+_LTV_ORACLE = f"""
+WITH firsts AS (
+  SELECT user_id, min(epoch_us(ts) // 86400000000) AS cohort_d
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT e.user_id, f.cohort_d,
+         (epoch_us(e.ts) // 86400000000) - f.cohort_d AS age_d,
+         e.value
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+),
+agg AS (
+  SELECT cohort_d, age_d,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_active,
+         sum(CAST(value AS DECIMAL(18,6))) AS day_dec
+  FROM daily GROUP BY cohort_d, age_d
+)
+SELECT cohort_d, age_d, n_active,
+       CAST(day_dec AS DOUBLE) AS day_value,
+       CAST(sum(day_dec) OVER (PARTITION BY cohort_d ORDER BY age_d
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS DOUBLE)
+         AS cum_value
+FROM agg
+"""
+
+
+@register("cohort_value_curves", oracle=_LTV_ORACLE)
+def cohort_value_curves(spark, sf_dir):
+    """Cohort LTV curves: users grouped by first-seen day, their summed
+    event value by cohort age, and the running cumulative per cohort —
+    the completion of `events_retention_cohorts` (which counts users;
+    this accumulates value).
+
+    One shuffle computes per-user first days; the fact scan joins that
+    150-row relation broadcast, aggregates on (cohort, age), and the
+    cumulative window runs over the tiny aggregate. Value stays DECIMAL
+    through the window sum, cast to double only at output — exact under
+    any partitioning.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = (ts_us().cast("long") / US_PER_DAY).cast("long")
+    withday = ev.select("user_id", d.alias("d"), "value")
+    firsts = withday.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    daily = withday.join(F.broadcast(firsts), "user_id").select(
+        "user_id",
+        "cohort_d",
+        (F.col("d") - F.col("cohort_d")).alias("age_d"),
+        "value",
+    )
+    agg = daily.groupBy("cohort_d", "age_d").agg(
+        F.countDistinct("user_id").alias("n_active"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("day_dec"),
+    )
+    w = (
+        Window.partitionBy("cohort_d")
+        .orderBy("age_d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return agg.select(
+        "cohort_d",
+        "age_d",
+        "n_active",
+        F.col("day_dec").cast("double").alias("day_value"),
+        F.sum("day_dec").over(w).cast("double").alias("cum_value"),
+    )

@@ -919,3 +919,48 @@ def cdc_apply_orders(spark, sf_dir):
     return kept.unionByName(
         updates.withColumn("op", F.lit("updated"))
     ).unionByName(inserts.withColumn("op", F.lit("inserted")))
+
+
+# ---------------------------------------------------------------------------
+# Regex scalar-function surface
+# ---------------------------------------------------------------------------
+# Patterns are restricted to the syntax subset where Java regex (Spark)
+# and RE2 (DuckDB) agree: literal classes, +, anchors — no lookaround,
+# no \\d-style escapes (classes spelled explicitly).
+
+_REGEX_ORACLE = """
+SELECT doc_id,
+       regexp_extract(text, '([a-z]+)', 1) AS first_word,
+       regexp_extract_all(text, '[0-9]+') AS all_numbers,
+       CAST(len(regexp_extract_all(text, '(^| )the ')) AS BIGINT)
+         AS n_the,
+       regexp_matches(text, '^[A-Z]') AS starts_upper,
+       regexp_replace(text, '[aeiou]', '*', 'g') AS devoweled
+FROM documents
+WHERE doc_id % 10 = 0
+"""
+
+
+@register("scalar_regex_funcs", oracle=_REGEX_ORACLE)
+def scalar_regex_funcs(spark, sf_dir):
+    """Regex scalar surface: first-match group extraction, extract-all
+    to array, match counting, boolean match, global replace — the
+    string-mining primitives behind PII scrubbing and tokenization
+    elsewhere in the engine, exercised as a conformance suite.
+
+    All row-local, inside whole-stage codegen; the doc_id predicate
+    reaches the parquet scan. Engine-portability note: DuckDB's
+    regexp_replace is first-match-only without the 'g' flag while
+    Spark's is always global — the oracle says 'g' explicitly.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.expr("regexp_extract_all(text, '[0-9]+', 0)").alias("all_numbers"),
+        F.expr("cast(regexp_count(text, '(^| )the ') as bigint)").alias(
+            "n_the"
+        ),
+        F.col("text").rlike("^[A-Z]").alias("starts_upper"),
+        F.regexp_replace("text", "[aeiou]", "*").alias("devoweled"),
+    )
