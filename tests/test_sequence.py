@@ -249,3 +249,23 @@ def test_regex_funcs_match_python_re(spark, sf_dir):
         assert r.n_the == len(re.findall(r"(^| )the ", t))
         assert r.starts_upper == bool(re.match(r"[A-Z]", t))
         assert r.devoweled == re.sub(r"[aeiou]", "*", t)
+
+
+def test_yoy_growth_consistency(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.sequence_queries import (
+        orders_yoy_growth,
+    )
+
+    rows = sorted(orders_yoy_growth(spark, sf_dir).collect(),
+                  key=lambda r: r.mth)
+    by_mth = {r.mth: r for r in rows}
+    # first 12 months have no prior year
+    for r in rows[:12]:
+        assert r.revenue_ly is None and r.yoy_growth is None
+    n_checked = 0
+    for r in rows:
+        if r.revenue_ly is not None:
+            assert r.revenue_ly == by_mth[r.mth - 12].revenue
+            assert abs(r.yoy_growth - (r.revenue / r.revenue_ly - 1)) < 1e-12
+            n_checked += 1
+    assert n_checked > 0

@@ -521,3 +521,49 @@ def revenue_share_of_parent(spark, sf_dir):
             "region_share_of_total"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year growth (monthly revenue vs. same month last year)
+# ---------------------------------------------------------------------------
+
+_YOY_ORACLE = """
+WITH m AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mth,
+         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_dec
+  FROM orders GROUP BY year(o_orderdate) * 12 + month(o_orderdate)
+)
+SELECT mth,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(lag(rev_dec, 12) OVER (ORDER BY mth) AS DOUBLE) AS revenue_ly,
+       CAST(rev_dec AS DOUBLE)
+         / CAST(lag(rev_dec, 12) OVER (ORDER BY mth) AS DOUBLE) - 1.0
+         AS yoy_growth
+FROM m
+"""
+
+
+@register("orders_yoy_growth", oracle=_YOY_ORACLE)
+def orders_yoy_growth(spark, sf_dir):
+    """Year-over-year monthly revenue growth — the lag-12 companion to
+    `revenue_mom_change`. Calendar months collapse to integers so the
+    12-month offset is a plain LAG; revenue stays DECIMAL until the
+    final ratio. One shuffle for the monthly agg; the window runs over
+    ~one row per month regardless of input scale (single-partition
+    window on an already-tiny relation — not a bottleneck)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mth")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev_dec"))
+    w = Window.orderBy("mth")
+    ly = F.lag("rev_dec", 12).over(w)
+    return m.select(
+        "mth",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        ly.cast("double").alias("revenue_ly"),
+        (F.col("rev_dec").cast("double") / ly.cast("double") - 1.0).alias(
+            "yoy_growth"
+        ),
+    )
