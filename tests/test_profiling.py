@@ -183,3 +183,49 @@ def test_cms_sketch_is_mergeable(spark):
         r.word: r.n_cms for r in P.cms_estimates(merged, width=4).collect()
     }
     assert est_union == est_merged
+
+
+def test_psi_drift_nonnegative_and_totals(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        events_psi_drift,
+    )
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    rows = events_psi_drift(spark, sf_dir).collect()
+    ev_n = load_table(spark, sf_dir, "events").count()
+    assert rows
+    # PSI is a sum of (p-q)ln(p/q) terms, each >= 0
+    assert all(r.psi_nano >= 0 for r in rows)
+    assert sum(r.n_first_half + r.n_second_half for r in rows) == ev_n
+
+
+def test_benford_chi2_matches_python(spark, sf_dir):
+    import math
+
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        events_benford_screen,
+    )
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    rows = {r.event_type: r for r in
+            events_benford_screen(spark, sf_dir).collect()}
+    vals = (
+        load_table(spark, sf_dir, "events")
+        .filter("value > 0")
+        .select("event_type", "value")
+        .collect()
+    )
+    obs: dict[str, dict[int, int]] = {}
+    for r in vals:
+        d = int(r.value / 10 ** math.floor(math.log10(r.value)))
+        obs.setdefault(r.event_type, {}).setdefault(d, 0)
+        obs[r.event_type][d] += 1
+    for t, counts in obs.items():
+        n = sum(counts.values())
+        chi2 = sum(
+            (counts.get(d, 0) - n * math.log10(1 + 1 / d)) ** 2
+            / (n * math.log10(1 + 1 / d))
+            for d in range(1, 10)
+        )
+        assert rows[t].n_values == n
+        assert abs(rows[t].chi2_micro / 1e6 - chi2) < 1e-3

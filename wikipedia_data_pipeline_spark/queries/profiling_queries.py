@@ -4355,3 +4355,256 @@ def text_readability_scores(spark, sf_dir):
             "syllables_per_word"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index — distribution drift between period halves
+# ---------------------------------------------------------------------------
+# Term sums over buckets are quantized to BIGINT nano-units before the
+# final aggregate (same discipline as the Naive-Bayes micro-nat scores):
+# integer sums are associative, so the result is identical under any
+# partitioning; each term itself is a fixed IEEE expression of exact
+# Laplace-smoothed count ratios.
+
+_PSI_ORACLE = """
+WITH b AS (
+  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi,
+         max(value) AS vmax
+  FROM events
+),
+tagged AS (
+  SELECT event_type,
+         CASE WHEN epoch_us(ts) * 2 <= lo + hi THEN 0 ELSE 1 END AS half,
+         CAST(least(floor(value / (vmax / 10.0)), 9.0) AS BIGINT) AS bucket
+  FROM events, b
+),
+spine AS (
+  SELECT event_type, bucket
+  FROM (SELECT DISTINCT event_type FROM tagged),
+       (SELECT unnest(generate_series(0, 9)) AS bucket)
+),
+cnt AS (
+  SELECT spine.event_type, spine.bucket,
+         coalesce(sum(CASE WHEN half = 0 THEN 1 END), 0) AS ca,
+         coalesce(sum(CASE WHEN half = 1 THEN 1 END), 0) AS cb
+  FROM spine LEFT JOIN tagged
+    ON spine.event_type = tagged.event_type
+   AND spine.bucket = tagged.bucket
+  GROUP BY spine.event_type, spine.bucket
+),
+tot AS (
+  SELECT event_type, bucket, ca, cb,
+         sum(ca) OVER (PARTITION BY event_type) AS ta,
+         sum(cb) OVER (PARTITION BY event_type) AS tb
+  FROM cnt
+),
+terms AS (
+  SELECT event_type, ta, tb,
+         CAST(round(
+           ((CAST(ca + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE))
+            - (CAST(cb + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE)))
+           * ln((CAST(ca + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE))
+                / (CAST(cb + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE)))
+           * 1000000000.0
+         ) AS BIGINT) AS term_nano
+  FROM tot
+)
+SELECT event_type,
+       CAST(max(ta) AS BIGINT) AS n_first_half,
+       CAST(max(tb) AS BIGINT) AS n_second_half,
+       CAST(sum(term_nano) AS BIGINT) AS psi_nano
+FROM terms GROUP BY event_type
+"""
+
+
+@register("events_psi_drift", oracle=_PSI_ORACLE)
+def events_psi_drift(spark, sf_dir):
+    """Population Stability Index of the value distribution, first half
+    of the observation window vs. second, per event type — the standard
+    "did my feature distribution drift?" monitor (PSI > 0.2 = act).
+
+    10 equal-width value buckets (bounds derived from one 1-row min/max
+    agg, broadcast), Laplace-smoothed shares so empty buckets stay
+    finite, and per-bucket PSI terms quantized to BIGINT nano-units so
+    the cross-bucket sum is associative — reproducible on any cluster.
+    Heavy lineage: one scan + one (type, bucket) aggregate over a dense
+    10-row-per-type spine; everything after is window math on ≤ 50
+    rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    b = ev.agg(
+        F.min("ts").alias("lo"),
+        F.max("ts").alias("hi"),
+        F.max("value").alias("vmax"),
+    )
+    tagged = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.when(F.col("ts") * 2 <= F.col("lo") + F.col("hi"), 0)
+        .otherwise(1)
+        .alias("half"),
+        F.least(
+            F.floor(F.col("value") / (F.col("vmax") / 10.0)), F.lit(9.0)
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    spine = (
+        tagged.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                ev.sparkSession.range(0, 10).select(
+                    F.col("id").alias("bucket")
+                )
+            )
+        )
+    )
+    cnt = (
+        spine.join(tagged, ["event_type", "bucket"], "left")
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("half") == 0, 1)), F.lit(0)
+            ).alias("ca"),
+            F.coalesce(
+                F.sum(F.when(F.col("half") == 1, 1)), F.lit(0)
+            ).alias("cb"),
+        )
+    )
+    w = Window.partitionBy("event_type")
+    tot = cnt.select(
+        "event_type",
+        "ca",
+        "cb",
+        F.sum("ca").over(w).alias("ta"),
+        F.sum("cb").over(w).alias("tb"),
+    )
+    pa = (F.col("ca") + 1).cast("double") / (F.col("ta") + 10).cast("double")
+    pb = (F.col("cb") + 1).cast("double") / (F.col("tb") + 10).cast("double")
+    terms = tot.select(
+        "event_type",
+        "ta",
+        "tb",
+        F.round((pa - pb) * F.log(pa / pb) * 1_000_000_000.0)
+        .cast("long")
+        .alias("term_nano"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.max("ta").cast("long").alias("n_first_half"),
+        F.max("tb").cast("long").alias("n_second_half"),
+        F.sum("term_nano").cast("long").alias("psi_nano"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit screen
+# ---------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH digits AS (
+  SELECT event_type,
+         CAST(floor(value / power(10.0, floor(log10(value)))) AS BIGINT)
+           AS d
+  FROM events WHERE value > 0
+),
+spine AS (
+  SELECT event_type, d
+  FROM (SELECT DISTINCT event_type FROM digits),
+       (SELECT unnest(generate_series(1, 9)) AS d)
+),
+cnt AS (
+  SELECT spine.event_type, spine.d,
+         coalesce(count(digits.d), 0) AS obs
+  FROM spine LEFT JOIN digits
+    ON spine.event_type = digits.event_type AND spine.d = digits.d
+  GROUP BY spine.event_type, spine.d
+),
+tot AS (
+  SELECT event_type, d, obs,
+         sum(obs) OVER (PARTITION BY event_type) AS n
+  FROM cnt
+),
+terms AS (
+  SELECT event_type, n,
+         CAST(round(
+           (CAST(obs AS DOUBLE)
+            - CAST(n AS DOUBLE) * log10(1.0 + 1.0 / CAST(d AS DOUBLE)))
+           * (CAST(obs AS DOUBLE)
+              - CAST(n AS DOUBLE) * log10(1.0 + 1.0 / CAST(d AS DOUBLE)))
+           / (CAST(n AS DOUBLE) * log10(1.0 + 1.0 / CAST(d AS DOUBLE)))
+           * 1000000.0
+         ) AS BIGINT) AS term_micro
+  FROM tot
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_values,
+       CAST(sum(term_micro) AS BIGINT) AS chi2_micro
+FROM terms GROUP BY event_type
+"""
+
+
+@register("events_benford_screen", oracle=_BENFORD_ORACLE)
+def events_benford_screen(spark, sf_dir):
+    """Benford's-law first-digit screen: χ² distance between the
+    observed leading-digit distribution of event values and the Benford
+    expectation log10(1+1/d) — the classic fabricated-data / broken-
+    instrumentation detector.
+
+    The digit extraction is a fixed double expression (log10/power of
+    the same IEEE input on both engines); per-digit χ² terms are
+    quantized to BIGINT micro-units before summing so the 9-term
+    reduction is associative. Dense digit spine (types × 1..9) keeps
+    zero-observation digits in the statistic. One scan + one small
+    aggregate; the value > 0 predicate pushes to parquet.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    digits = ev.filter(F.col("value") > 0).select(
+        "event_type",
+        F.floor(
+            F.col("value") / F.pow(F.lit(10.0), F.floor(F.log10("value")))
+        )
+        .cast("long")
+        .alias("d"),
+    )
+    spine = (
+        digits.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                ev.sparkSession.range(1, 10).select(F.col("id").alias("d"))
+            )
+        )
+    )
+    cnt = (
+        spine.alias("s")
+        .join(
+            digits.alias("g"),
+            (F.col("s.event_type") == F.col("g.event_type"))
+            & (F.col("s.d") == F.col("g.d")),
+            "left",
+        )
+        .groupBy(F.col("s.event_type").alias("event_type"), F.col("s.d").alias("d"))
+        .agg(F.count(F.col("g.d")).alias("obs"))
+    )
+    w = Window.partitionBy("event_type")
+    tot = cnt.select(
+        "event_type", "d", "obs", F.sum("obs").over(w).alias("n")
+    )
+    exp = F.col("n").cast("double") * F.log10(
+        1.0 + 1.0 / F.col("d").cast("double")
+    )
+    dev = F.col("obs").cast("double") - exp
+    terms = tot.select(
+        "event_type",
+        "n",
+        F.round(dev * dev / exp * 1_000_000.0).cast("long").alias(
+            "term_micro"
+        ),
+    )
+    return terms.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_values"),
+        F.sum("term_micro").cast("long").alias("chi2_micro"),
+    )

@@ -278,9 +278,11 @@ def orders_gaps_islands(spark, sf_dir):
     Months are collapsed to integers (year*12+month) so the
     "consecutive" test is pure arithmetic; the island id is the
     `mth − row_number()` invariant (constant within a run, strictly
-    decreasing across gaps). One shuffle on o_custkey serves both the
-    distinct and the window; the final groupBy reuses the same
-    partitioning, so Catalyst plans a single exchange at scale.
+    decreasing across gaps). Two exchanges: the distinct shuffles on
+    (custkey, month), then the window re-keys to custkey alone — but
+    the second shuffle moves the already-collapsed customer-month
+    relation (≤ |customers|×|months| rows), not the orders fact; the
+    final groupBy reuses the window's partitioning.
     """
     o = load_table(spark, sf_dir, "orders")
     m = o.select(

@@ -646,19 +646,29 @@ s AS (
          sum(CAST(y AS DECIMAL(38,0))) AS s1,
          sum(CAST(y * y AS DECIMAL(38,0))) AS s2,
          sum(CAST(y * y * y AS DECIMAL(38,0))) AS s3,
-         sum(CAST(y * y * y * y AS DECIMAL(38,0))) AS s4
+         -- y^4 exceeds BIGINT (y=56021 -> 9.8e18 > 2^63): square y^2 in
+         -- 128-bit instead of 64-bit integers
+         sum(CAST(CAST(y * y AS HUGEINT) * (y * y) AS DECIMAL(38,0))) AS s4
   FROM p GROUP BY event_type
 ),
 d AS (
-  -- s4 can exceed 2^64: a direct decimal->double cast is 1-ULP
+  -- s3/s4 can exceed 2^64: a direct decimal->double cast is 1-ULP
   -- engine-dependent (DuckDB's hugeint path double-rounds). Split into
-  -- exactly-representable hi/lo words and recombine with a fixed IEEE
-  -- expression instead — bit-identical on any engine.
+  -- three exactly-representable 32-bit words instead; recombining costs
+  -- exactly ONE IEEE rounding (the power-of-two scalings are exact and
+  -- hi*2^32+mid stays under 2^53), identically on any engine.
   SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
          CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
-         CAST(s3 AS DOUBLE) AS d3,
-         CAST(CAST(s4 AS HUGEINT) // 4294967296 AS DOUBLE) * 4294967296.0
-           + CAST(CAST(s4 AS HUGEINT) % 4294967296 AS DOUBLE) AS d4
+         (CAST(CAST(s3 AS HUGEINT) // 4294967296 // 4294967296 AS DOUBLE)
+            * 4294967296.0
+          + CAST(CAST(s3 AS HUGEINT) // 4294967296 % 4294967296 AS DOUBLE))
+           * 4294967296.0
+         + CAST(CAST(s3 AS HUGEINT) % 4294967296 AS DOUBLE) AS d3,
+         (CAST(CAST(s4 AS HUGEINT) // 4294967296 // 4294967296 AS DOUBLE)
+            * 4294967296.0
+          + CAST(CAST(s4 AS HUGEINT) // 4294967296 % 4294967296 AS DOUBLE))
+           * 4294967296.0
+         + CAST(CAST(s4 AS HUGEINT) % 4294967296 AS DOUBLE) AS d4
   FROM s
 ),
 m AS (
@@ -701,23 +711,34 @@ def events_skew_kurtosis(spark, sf_dir):
             F.sum(
                 (F.col("y") * F.col("y") * F.col("y")).cast(dec)
             ).alias("s3"),
+            # y^4 > 2^63 for values past ~542: square y^2 as DECIMAL
             F.sum(
-                (F.col("y") * F.col("y") * F.col("y") * F.col("y")).cast(dec)
+                (F.col("y") * F.col("y")).cast(dec)
+                * (F.col("y") * F.col("y"))
             ).alias("s4"),
         )
     )
-    # s4 > 2^64: split into exact hi/lo words, recombine with the same
-    # IEEE expression the oracle uses (direct decimal->double casts of
-    # >64-bit values differ by 1 ULP between engines).
+    # s3/s4 > 2^64: split into three exact 32-bit words and recombine
+    # with the identical one-rounding IEEE expression the oracle uses
+    # (direct decimal->double casts of >64-bit values differ by 1 ULP
+    # between engines).
+    def _words(col: str) -> str:
+        return (
+            f"(cast({col} div 4294967296 div 4294967296 as double)"
+            f" * 4294967296.0"
+            f" + cast(({col} div 4294967296) % 4294967296 as double))"
+            f" * 4294967296.0"
+            f" + cast({col} % 4294967296 as double)"
+        )
+
     d = s.selectExpr(
         "event_type",
         "n",
         "cast(n as double) AS nd",
         "cast(s1 as double) AS d1",
         "cast(s2 as double) AS d2",
-        "cast(s3 as double) AS d3",
-        "cast(s4 div 4294967296 as double) * 4294967296.0"
-        " + cast(s4 % 4294967296 as double) AS d4",
+        f"{_words('s3')} AS d3",
+        f"{_words('s4')} AS d4",
     )
     m = d.selectExpr(
         "event_type",
