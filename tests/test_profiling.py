@@ -229,3 +229,61 @@ def test_benford_chi2_matches_python(spark, sf_dir):
         )
         assert rows[t].n_values == n
         assert abs(rows[t].chi2_micro / 1e6 - chi2) < 1e-3
+
+
+def test_ks_test_matches_scipy_style(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        events_ks_test_ab,
+    )
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    r = events_ks_test_ab(spark, sf_dir).collect()[0]
+    vals = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "value")
+        .collect()
+    )
+    a = sorted(v.value for v in vals if v.user_id % 2 == 0)
+    b = sorted(v.value for v in vals if v.user_id % 2 == 1)
+    assert r.n_a == len(a) and r.n_b == len(b)
+    # brute-force D over the pooled support
+    import bisect
+
+    d = max(
+        abs(
+            bisect.bisect_right(a, x) * len(b)
+            - bisect.bisect_right(b, x) * len(a)
+        )
+        for x in set(a + b)
+    )
+    assert r.d_num == d
+    assert abs(r.ks_stat - d / (len(a) * len(b))) < 1e-12
+
+
+def test_mannwhitney_matches_bruteforce(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        events_mannwhitney_ab,
+    )
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    r = events_mannwhitney_ab(spark, sf_dir).collect()[0]
+    vals = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "value")
+        .collect()
+    )
+    pooled = sorted((v.value, v.user_id % 2) for v in vals)
+    # tie-averaged ranks, brute force
+    from collections import defaultdict
+
+    pos = defaultdict(list)
+    for i, (val, g) in enumerate(pooled, start=1):
+        pos[val].append((i, g))
+    rank_sum_a = 0.0
+    for val, entries in pos.items():
+        avg = sum(i for i, _ in entries) / len(entries)
+        rank_sum_a += sum(avg for _, g in entries if g == 0)
+    na = sum(1 for _, g in pooled if g == 0)
+    u_a = rank_sum_a - na * (na + 1) / 2
+    assert r.u2_a == round(2 * u_a)
+    assert abs(r.z_stat) < 50  # sanity: finite, sane magnitude

@@ -267,12 +267,25 @@ def kcore_peel(
         .persist()
     )
     alive = und
+    prev = None
     for _ in range(rounds):
         deg = alive.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("node")
-        alive = alive.join(keep, "node", "left_semi").join(
-            keep.withColumnRenamed("node", "nbr"), "nbr", "left_semi"
+        # Each round references `alive` TWICE (degree agg + join base):
+        # left lazy, round r recomputes round r-1 twice — 2^rounds cost.
+        # Persist + materialize caps every round at one real evaluation
+        # (the distributed analogue of the textbook loop's "new array
+        # per pass"; at many-round scale, localCheckpoint instead).
+        nxt = (
+            alive.join(keep, "node", "left_semi")
+            .join(keep.withColumnRenamed("node", "nbr"), "nbr", "left_semi")
+            .persist()
         )
+        nxt.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = nxt
+        alive = nxt
     return alive.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
 
 
@@ -307,12 +320,17 @@ def bfs_hops(
     )
     frontier = visited.select("node")
     for level in range(1, max_hops + 1):
+        # `visited` is referenced twice per level (anti-join + union):
+        # persisting each level's frontier keeps the recursion linear
+        # instead of 2^depth recomputation of earlier levels.
         nxt = (
             und.join(frontier, "node", "left_semi")
             .select(F.col("nbr").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
+            .persist()
         )
+        nxt.count()
         visited = visited.union(
             nxt.select("node", F.lit(level).alias("hops"))
         )

@@ -4608,3 +4608,189 @@ def events_benford_screen(spark, sf_dir):
         F.max("n").cast("long").alias("n_values"),
         F.sum("term_micro").cast("long").alias("chi2_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact two-sample tests between A/B variants (KS and Mann-Whitney)
+# ---------------------------------------------------------------------------
+# Both tests reduce to cumulative counts over the DISTINCT-value
+# relation: every statistic is integer until one final fixed-form
+# double expression, so the result is bit-reproducible under any
+# partitioning. The cumulative window is global, but it runs on the
+# collapsed distinct-value relation (not the fact table); at cluster
+# scale the same prefix-sum runs over a repartitionByRange + running
+# per-partition offsets — the plan below is the sf-appropriate form.
+
+_KS_ORACLE = """
+WITH v AS (
+  SELECT value,
+         sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS ca_v,
+         sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS cb_v
+  FROM events GROUP BY value
+),
+c AS (
+  SELECT sum(ca_v) OVER (ORDER BY value
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS ca,
+         sum(cb_v) OVER (ORDER BY value
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cb,
+         sum(ca_v) OVER () AS na,
+         sum(cb_v) OVER () AS nb
+  FROM v
+)
+SELECT CAST(max(na) AS BIGINT) AS n_a,
+       CAST(max(nb) AS BIGINT) AS n_b,
+       CAST(max(abs(ca * max_nb - cb * max_na)) AS BIGINT) AS d_num,
+       CAST(max(abs(ca * max_nb - cb * max_na)) AS DOUBLE)
+         / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE)) AS ks_stat
+FROM (SELECT ca, cb, na, nb,
+             max(na) OVER () AS max_na, max(nb) OVER () AS max_nb
+      FROM c)
+"""
+
+
+@register("events_ks_test_ab", oracle=_KS_ORACLE)
+def events_ks_test_ab(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov statistic between the A/B
+    variants' value distributions (variant = user_id % 2, as in
+    `events_ab_test_lift`): D = max |F_a − F_b| with the CDF gap kept
+    as the INTEGER |ca·n_b − cb·n_a| until one final division.
+
+    Lineage: one hash-agg collapses the fact table to per-distinct-
+    value A/B counts; the cumulative window and the max then run over
+    that collapsed relation. Integer cross-multiplication avoids the
+    per-row double division a naive CDF comparison would do — and makes
+    the max deterministic (no float ties).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    is_a = (F.col("user_id") % 2 == 0).cast("long")
+    v = ev.groupBy("value").agg(
+        F.sum(is_a).alias("ca_v"),
+        F.sum(1 - is_a).alias("cb_v"),
+    )
+    run = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    allw = Window.partitionBy()
+    c = v.select(
+        F.sum("ca_v").over(run).alias("ca"),
+        F.sum("cb_v").over(run).alias("cb"),
+        F.sum("ca_v").over(allw).alias("na"),
+        F.sum("cb_v").over(allw).alias("nb"),
+    )
+    gap = F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+    return c.agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.max(gap).cast("long").alias("d_num"),
+        (
+            F.max(gap).cast("double")
+            / (F.max("na").cast("double") * F.max("nb").cast("double"))
+        ).alias("ks_stat"),
+    )
+
+
+_MWU_ORACLE = """
+WITH v AS (
+  SELECT value,
+         sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS ca_v,
+         sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS cb_v
+  FROM events GROUP BY value
+),
+r AS (
+  SELECT ca_v, cb_v, ca_v + cb_v AS t,
+         coalesce(sum(ca_v + cb_v) OVER (ORDER BY value
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM v
+),
+s AS (
+  SELECT CAST(sum(ca_v) AS BIGINT) AS na,
+         CAST(sum(cb_v) AS BIGINT) AS nb,
+         CAST(sum(ca_v * (2 * cum_before + t + 1)) AS BIGINT) AS s2a,
+         sum(CAST(t * t * t - t AS DECIMAL(38,0))) AS tie3
+  FROM r
+)
+SELECT na, nb,
+       s2a - na * (na + 1) AS u2_a,
+       (CAST(s2a - na * (na + 1) AS DOUBLE) - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+       / (2.0 * sqrt(
+            CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+            * (CAST(na + nb + 1 AS DOUBLE)
+               - CAST(tie3 AS DOUBLE)
+                 / (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE)))
+          )) AS z_stat
+FROM s
+"""
+
+
+@register("events_mannwhitney_ab", oracle=_MWU_ORACLE)
+def events_mannwhitney_ab(spark, sf_dir):
+    """Exact Mann-Whitney U between the A/B variants — the rank-based
+    (distribution-free) companion to the mean-based z-test in
+    `events_ab_test_lift`, robust to the heavy tails that
+    `events_skew_kurtosis` diagnoses.
+
+    Tie-averaged ranks are kept integral by working in DOUBLED rank
+    units: a tied run of t values starting after cum_before rows has
+    average 2×rank = 2·cum_before + t + 1, so U arrives as the exact
+    BIGINT u2_a = 2·U_a. The tie-corrected normal approximation is one
+    fixed double expression over (na, nb, u2_a, Σt³−t). Same collapsed
+    distinct-value lineage as the KS test: one hash-agg + prefix sums
+    over the distinct-value relation.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    is_a = (F.col("user_id") % 2 == 0).cast("long")
+    v = ev.groupBy("value").agg(
+        F.sum(is_a).alias("ca_v"),
+        F.sum(1 - is_a).alias("cb_v"),
+    )
+    before = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    t = F.col("ca_v") + F.col("cb_v")
+    r = v.select(
+        "ca_v",
+        "cb_v",
+        t.alias("t"),
+        F.coalesce(F.sum(t).over(before), F.lit(0)).alias("cum_before"),
+    )
+    s = r.agg(
+        F.sum("ca_v").cast("long").alias("na"),
+        F.sum("cb_v").cast("long").alias("nb"),
+        F.sum(
+            F.col("ca_v") * (2 * F.col("cum_before") + F.col("t") + 1)
+        )
+        .cast("long")
+        .alias("s2a"),
+        F.sum(
+            (F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("tie3"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    u2a = F.col("s2a") - na * (na + 1)
+    nad, nbd = na.cast("double"), nb.cast("double")
+    z = (u2a.cast("double") - nad * nbd) / (
+        2.0
+        * F.sqrt(
+            nad * nbd / 12.0
+            * (
+                (na + nb + 1).cast("double")
+                - F.col("tie3").cast("double")
+                / ((na + nb).cast("double") * (na + nb - 1).cast("double"))
+            )
+        )
+    )
+    return s.select(
+        "na",
+        "nb",
+        u2a.alias("u2_a"),
+        z.alias("z_stat"),
+    )
