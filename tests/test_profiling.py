@@ -287,3 +287,17 @@ def test_mannwhitney_matches_bruteforce(spark, sf_dir):
     u_a = rank_sum_a - na * (na + 1) / 2
     assert r.u2_a == round(2 * u_a)
     assert abs(r.z_stat) < 50  # sanity: finite, sane magnitude
+
+
+def test_bootstrap_ci_brackets_mean(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        events_bootstrap_ci,
+    )
+
+    r = events_bootstrap_ci(spark, sf_dir).collect()[0]
+    assert r.n_reps == 100
+    assert r.ci_lo_scaled < r.ci_hi_scaled
+    # With n=10k the CI must be tight around (and contain) the mean
+    assert r.ci_lo_scaled <= r.mean_scaled <= r.ci_hi_scaled
+    half_width = (r.ci_hi_scaled - r.ci_lo_scaled) / 2
+    assert half_width < 0.1 * r.mean_scaled

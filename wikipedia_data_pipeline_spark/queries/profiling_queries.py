@@ -4794,3 +4794,132 @@ def events_mannwhitney_ab(spark, sf_dir):
         u2a.alias("u2_a"),
         z.alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic distributed bootstrap (Poissonized resampling)
+# ---------------------------------------------------------------------------
+# The scale-canonical bootstrap: instead of materializing R resamples,
+# each row carries a Poisson(1) weight per replicate (the Poissonized /
+# "Bag of Little Bootstraps" trick — one scan, R weighted sums). The
+# Poisson draw is the fixed inverse-CDF table below applied to a
+# uniform derived from the engine's portable det_hash — so the whole
+# procedure is reproducible across engines, runs, and cluster sizes,
+# and the DuckDB oracle can replay it exactly.
+
+_BOOT_REPS = 100
+# Poisson(1) CDF × 1e6, capped at weight 4 (P(W>4) ≈ 0.37%).
+_POIS_CUM = [367879, 735759, 919699, 981012]
+
+
+def _pois_w_sql(u: str) -> str:
+    return (
+        f"CASE WHEN {u} < {_POIS_CUM[0]} THEN 0"
+        f" WHEN {u} < {_POIS_CUM[1]} THEN 1"
+        f" WHEN {u} < {_POIS_CUM[2]} THEN 2"
+        f" WHEN {u} < {_POIS_CUM[3]} THEN 3"
+        f" ELSE 4 END"
+    )
+
+
+_BOOT_ORACLE = f"""
+WITH expanded AS (
+  SELECT rep,
+         CAST(round(value * 100) AS BIGINT) AS y,
+         {SQL_DET_HASH.format(col='(event_id * 101 + rep)')} % 1000000 AS u6
+  FROM events,
+       (SELECT unnest(generate_series(0, {_BOOT_REPS - 1})) AS rep)
+),
+reps AS (
+  SELECT rep,
+         CAST(sum({_pois_w_sql('u6')}) AS BIGINT) AS sw,
+         CAST(sum({_pois_w_sql('u6')} * y) AS BIGINT) AS swy
+  FROM expanded GROUP BY rep
+),
+means AS (
+  SELECT rep, CAST(swy AS DOUBLE) / CAST(sw AS DOUBLE) AS m,
+         row_number() OVER (ORDER BY CAST(swy AS DOUBLE) / CAST(sw AS DOUBLE),
+                            rep) AS rn
+  FROM reps WHERE sw > 0
+),
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS mean_scaled
+  FROM events
+)
+SELECT base.n, base.mean_scaled,
+       (SELECT m FROM means WHERE rn = 3) AS ci_lo_scaled,
+       (SELECT m FROM means WHERE rn = 98) AS ci_hi_scaled,
+       CAST({_BOOT_REPS} AS BIGINT) AS n_reps
+FROM base
+"""
+
+
+@register("events_bootstrap_ci", oracle=_BOOT_ORACLE)
+def events_bootstrap_ci(spark, sf_dir):
+    """95% bootstrap CI for the mean event value via deterministic
+    Poissonized resampling: each row carries a Poisson(1) weight per
+    replicate, drawn by inverse-CDF from the portable hash of
+    (event_id, rep) — R=100 resamples in ONE scan, no data
+    materialization, fully reproducible (same CI on any cluster).
+
+    This is the production form of the bootstrap at 100 TB: the naive
+    version materializes R copies of the data; the Poissonized version
+    is a single explode×R (row-local) followed by an R-group hash-agg
+    of two BIGINT counters each — shuffle volume is R rows, not R
+    datasets. Replicate means order by (mean, rep) for a total order;
+    the percentile pick is exact rank 3/98 of 100.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    reps = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1))).alias("rep")
+    y = F.round(F.col("value") * 100).cast("long")
+    expanded = ev.select(y.alias("y"), "event_id", reps)
+    key = F.col("event_id") * 101 + F.col("rep")
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    u6 = (det_hash(key) % 1_000_000).alias("u6")
+    expanded = expanded.select("rep", "y", u6)
+    w = (
+        F.when(F.col("u6") < _POIS_CUM[0], 0)
+        .when(F.col("u6") < _POIS_CUM[1], 1)
+        .when(F.col("u6") < _POIS_CUM[2], 2)
+        .when(F.col("u6") < _POIS_CUM[3], 3)
+        .otherwise(4)
+    )
+    rep_sums = (
+        expanded.select("rep", w.alias("w"), "y")
+        .groupBy("rep")
+        .agg(
+            F.sum("w").cast("long").alias("sw"),
+            F.sum(F.col("w") * F.col("y")).cast("long").alias("swy"),
+        )
+        .filter(F.col("sw") > 0)
+    )
+    from pyspark.sql import Window
+
+    m = (F.col("swy").cast("double") / F.col("sw").cast("double")).alias("m")
+    rn = F.row_number().over(
+        Window.orderBy(
+            F.col("swy").cast("double") / F.col("sw").cast("double"),
+            F.col("rep"),
+        )
+    )
+    means = rep_sums.select(m, rn.alias("rn"))
+    lo = means.filter(F.col("rn") == 3).select(
+        F.col("m").alias("ci_lo_scaled")
+    )
+    hi = means.filter(F.col("rn") == 98).select(
+        F.col("m").alias("ci_hi_scaled")
+    )
+    base = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(y).cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("mean_scaled"),
+    )
+    return (
+        base.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .withColumn("n_reps", F.lit(_BOOT_REPS).cast("long"))
+    )
