@@ -301,3 +301,30 @@ def test_bootstrap_ci_brackets_mean(spark, sf_dir):
     assert r.ci_lo_scaled <= r.mean_scaled <= r.ci_hi_scaled
     half_width = (r.ci_hi_scaled - r.ci_lo_scaled) / 2
     assert half_width < 0.1 * r.mean_scaled
+
+
+def test_lateness_audit_consistency(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        events_lateness_audit,
+    )
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    rows = events_lateness_audit(spark, sf_dir).collect()
+    total = sum(r.n_events for r in rows)
+    assert total == load_table(spark, sf_dir, "events").count()
+    for r in rows:
+        assert 0 <= r.n_late_1h <= r.n_late_10m <= r.n_events
+        assert r.max_late_us >= 0
+
+
+def test_sparklines_aligned_and_sorted(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        nation_revenue_sparklines,
+    )
+
+    rows = nation_revenue_sparklines(spark, sf_dir).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert len(r.months) == len(r.revenues) == r.n_months
+        assert list(r.months) == sorted(r.months)
+        assert all(v > 0 for v in r.revenues)

@@ -4923,3 +4923,130 @@ def events_bootstrap_ci(spark, sf_dir):
         .crossJoin(F.broadcast(hi))
         .withColumn("n_reps", F.lit(_BOOT_REPS).cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark lateness audit (batch diagnostic for streaming configs)
+# ---------------------------------------------------------------------------
+
+_LATE_ORACLE = """
+WITH lat AS (
+  SELECT event_type,
+         max(epoch_us(ts)) OVER (ORDER BY epoch_us(ts), event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - epoch_us(ts) AS late_us
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late_1h,
+       CAST(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late_10m,
+       CAST(max(late_us) AS BIGINT) AS max_late_us
+FROM lat GROUP BY event_type
+"""
+
+
+@register("events_lateness_audit", oracle=_LATE_ORACLE)
+def events_lateness_audit(spark, sf_dir):
+    """Watermark-sizing diagnostic: for each event, its lateness versus
+    the maximum event time seen so far in arrival order (the exact
+    quantity a streaming watermark compares against), aggregated to
+    "how many events would a 10-minute / 1-hour watermark drop?" —
+    the batch audit you run BEFORE picking `withWatermark` bounds for
+    the §2.8 streaming pipelines.
+
+    The running max is one ordered window pass (arrival order =
+    (ts, event_id) in this testdata; a real ingest log would order by
+    ingest offset); everything else is a conditional aggregate.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    run = Window.orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lat = ev.select(
+        "event_type",
+        (F.max("ts").over(run) - F.col("ts")).alias("late_us"),
+    )
+    return lat.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("late_us") > 3_600_000_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late_1h"),
+        F.sum(F.when(F.col("late_us") > 600_000_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late_10m"),
+        F.max("late_us").cast("long").alias("max_late_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered array aggregation — per-nation monthly revenue sparklines
+# ---------------------------------------------------------------------------
+
+_SPARK_ORACLE = """
+WITH m AS (
+  SELECT n_name,
+         year(o_orderdate) * 12 + month(o_orderdate) AS mth,
+         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_dec
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, year(o_orderdate) * 12 + month(o_orderdate)
+)
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_months,
+       list(mth ORDER BY mth) AS months,
+       list(CAST(rev_dec AS DOUBLE) ORDER BY mth) AS revenues
+FROM m GROUP BY n_name
+"""
+
+
+@register("nation_revenue_sparklines", oracle=_SPARK_ORACLE)
+def nation_revenue_sparklines(spark, sf_dir):
+    """Ordered array aggregation: each nation's monthly revenue series
+    collected into aligned (months[], revenues[]) arrays — the
+    "sparkline per entity" readout BI layers and feature stores both
+    want (a series as one row, not 80).
+
+    Spark's collect_list is partition-order-nondeterministic, so the
+    engine collects (mth, rev) STRUCTS and sort_array's them — struct
+    ordering is lexicographic on fields, and mth is unique per group,
+    giving a declared total order; the aligned arrays are then
+    projected out with transform(). Same month-key ordering as
+    DuckDB's list(... ORDER BY mth).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    m = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+                "mth"
+            ),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias(
+                "rev_dec"
+            )
+        )
+    )
+    pairs = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("mth").alias("mth"),
+                F.col("rev_dec").cast("double").alias("rev"),
+            )
+        )
+    )
+    return m.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.transform(pairs, lambda p: p["mth"]).alias("months"),
+        F.transform(pairs, lambda p: p["rev"]).alias("revenues"),
+    )
