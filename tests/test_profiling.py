@@ -328,3 +328,46 @@ def test_sparklines_aligned_and_sorted(spark, sf_dir):
         assert len(r.months) == len(r.revenues) == r.n_months
         assert list(r.months) == sorted(r.months)
         assert all(v > 0 for v in r.revenues)
+
+
+def test_checksum_detects_mutation(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        orders_integrity_checksum,
+    )
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    base = orders_integrity_checksum(spark, sf_dir).collect()[0]
+    o = load_table(spark, sf_dir, "orders")
+    assert base.n_rows == o.count()
+    # recompute after mutating one key: checksum must move
+    mutated = o.withColumn(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") == 0, 999_999).otherwise(
+            F.col("o_orderkey")
+        ),
+    )
+    chk2 = mutated.agg(
+        F.sum(
+            det_hash(F.col("o_orderkey") * 31 + F.col("o_custkey")).cast(
+                "decimal(38,0)"
+            )
+        ).cast("long")
+    ).collect()[0][0]
+    assert chk2 != base.key_checksum
+
+
+def test_corr_matrix_in_range_and_symmetric_defn(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        events_feature_corr_matrix,
+    )
+
+    rows = events_feature_corr_matrix(spark, sf_dir).collect()
+    assert len(rows) == 3
+    assert {(r.feat_a, r.feat_b) for r in rows} == {
+        ("value", "hour_of_day"),
+        ("value", "day_of_week"),
+        ("hour_of_day", "day_of_week"),
+    }
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.corr <= 1.0 + 1e-9

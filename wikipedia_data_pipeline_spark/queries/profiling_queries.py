@@ -5050,3 +5050,163 @@ def nation_revenue_sparklines(spark, sf_dir):
         F.transform(pairs, lambda p: p["mth"]).alias("months"),
         F.transform(pairs, lambda p: p["rev"]).alias("revenues"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed integrity checksum (migration / replication validation)
+# ---------------------------------------------------------------------------
+
+_CHECKSUM_ORACLE = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST({SQL_DET_HASH.format(
+           col='(o_orderkey * 31 + o_custkey)')} AS DECIMAL(38,0)))
+         AS BIGINT) AS key_checksum,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents_total
+FROM orders
+"""
+
+
+@register("orders_integrity_checksum", oracle=_CHECKSUM_ORACLE)
+def orders_integrity_checksum(spark, sf_dir):
+    """Order-independent table checksum: row count + an associative sum
+    of a portable per-row key hash + the exact cents total — the
+    cheap "did the copy/migration/replication preserve every row?"
+    certificate. Any dropped, duplicated, or key-mutated row moves the
+    checksum; summation is associative so any partitioning yields the
+    identical value, and the same SQL runs on any engine for
+    cross-system reconciliation (exactly how this repo's own driver
+    verifies Spark against DuckDB). One scan, 3 counters."""
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            det_hash(F.col("o_orderkey") * 31 + F.col("o_custkey")).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("long")
+        .alias("key_checksum"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("price_cents_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Single-pass feature correlation matrix
+# ---------------------------------------------------------------------------
+
+_CORR_EXPR = (
+    "(nd * {sab} - {sa} * {sb})"
+    " / (sqrt(nd * {saa} - {sa} * {sa})"
+    "    * sqrt(nd * {sbb} - {sb} * {sb}))"
+)
+
+_CORRM_ORACLE = f"""
+WITH p AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+         (epoch_us(ts) // 3600000000) % 24 AS hod,
+         (epoch_us(ts) // 86400000000 + 4) % 7 AS dow
+  FROM events
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(v AS DECIMAL(38,0))) AS sv,
+         sum(CAST(hod AS DECIMAL(38,0))) AS sh,
+         sum(CAST(dow AS DECIMAL(38,0))) AS sd,
+         sum(CAST(v * v AS DECIMAL(38,0))) AS svv,
+         sum(CAST(hod * hod AS DECIMAL(38,0))) AS shh,
+         sum(CAST(dow * dow AS DECIMAL(38,0))) AS sdd,
+         sum(CAST(v * hod AS DECIMAL(38,0))) AS svh,
+         sum(CAST(v * dow AS DECIMAL(38,0))) AS svd,
+         sum(CAST(hod * dow AS DECIMAL(38,0))) AS shd
+  FROM p
+),
+d AS (
+  SELECT n, CAST(n AS DOUBLE) AS nd,
+         CAST(sv AS DOUBLE) AS dv, CAST(sh AS DOUBLE) AS dh,
+         CAST(sd AS DOUBLE) AS dd, CAST(svv AS DOUBLE) AS dvv,
+         CAST(shh AS DOUBLE) AS dhh, CAST(sdd AS DOUBLE) AS ddd,
+         CAST(svh AS DOUBLE) AS dvh, CAST(svd AS DOUBLE) AS dvd,
+         CAST(shd AS DOUBLE) AS dhd
+  FROM s
+)
+SELECT 'value' AS feat_a, 'hour_of_day' AS feat_b,
+       {_CORR_EXPR.format(sab='dvh', sa='dv', sb='dh', saa='dvv', sbb='dhh')}
+         AS corr FROM d
+UNION ALL
+SELECT 'value', 'day_of_week',
+       {_CORR_EXPR.format(sab='dvd', sa='dv', sb='dd', saa='dvv', sbb='ddd')}
+       FROM d
+UNION ALL
+SELECT 'hour_of_day', 'day_of_week',
+       {_CORR_EXPR.format(sab='dhd', sa='dh', sb='dd', saa='dhh', sbb='ddd')}
+       FROM d
+"""
+
+
+@register("events_feature_corr_matrix", oracle=_CORRM_ORACLE)
+def events_feature_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation matrix of derived event features
+    (value, hour-of-day, day-of-week) in ONE scan: all 10 moment sums
+    ride a single aggregate, so adding features widens the row instead
+    of adding passes — the feature-screening shape that matters when
+    the input is 100 TB (k features = one pass, k² counters, not k²
+    passes).
+
+    Same exactness discipline as `events_autocorr_lag1`: integer-scaled
+    features, DECIMAL moment sums, fixed IEEE Pearson finale shared
+    with the oracle text.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        ((F.col("ts") / 3_600_000_000).cast("long") % 24).alias("hod"),
+        ((F.col("ts") / 86_400_000_000).cast("long") + 4) .alias("_d"),
+    ).select("v", "hod", (F.col("_d") % 7).alias("dow"))
+    dec = "decimal(38,0)"
+    s = p.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast(dec)).alias("sv"),
+        F.sum(F.col("hod").cast(dec)).alias("sh"),
+        F.sum(F.col("dow").cast(dec)).alias("sd"),
+        F.sum((F.col("v") * F.col("v")).cast(dec)).alias("svv"),
+        F.sum((F.col("hod") * F.col("hod")).cast(dec)).alias("shh"),
+        F.sum((F.col("dow") * F.col("dow")).cast(dec)).alias("sdd"),
+        F.sum((F.col("v") * F.col("hod")).cast(dec)).alias("svh"),
+        F.sum((F.col("v") * F.col("dow")).cast(dec)).alias("svd"),
+        F.sum((F.col("hod") * F.col("dow")).cast(dec)).alias("shd"),
+    )
+    d = s.selectExpr(
+        "cast(n as double) AS nd",
+        "cast(sv as double) AS dv",
+        "cast(sh as double) AS dh",
+        "cast(sd as double) AS dd",
+        "cast(svv as double) AS dvv",
+        "cast(shh as double) AS dhh",
+        "cast(sdd as double) AS ddd",
+        "cast(svh as double) AS dvh",
+        "cast(svd as double) AS dvd",
+        "cast(shd as double) AS dhd",
+    )
+    pairs = [
+        ("value", "hour_of_day", "dvh", "dv", "dh", "dvv", "dhh"),
+        ("value", "day_of_week", "dvd", "dv", "dd", "dvv", "ddd"),
+        ("hour_of_day", "day_of_week", "dhd", "dh", "dd", "dhh", "ddd"),
+    ]
+    outs = [
+        d.selectExpr(
+            f"'{a}' AS feat_a",
+            f"'{b}' AS feat_b",
+            _CORR_EXPR.format(sab=sab, sa=sa, sb=sb, saa=saa, sbb=sbb)
+            + " AS corr",
+        )
+        for a, b, sab, sa, sb, saa, sbb in pairs
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
