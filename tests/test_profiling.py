@@ -371,3 +371,49 @@ def test_corr_matrix_in_range_and_symmetric_defn(spark, sf_dir):
     }
     for r in rows:
         assert -1.0 - 1e-9 <= r.corr <= 1.0 + 1e-9
+
+
+def test_weighted_median_brute(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        lineitem_weighted_median_price,
+    )
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    rows = {r.p_brand: r for r in
+            lineitem_weighted_median_price(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    data = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select("p_brand", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    from collections import defaultdict
+
+    per_brand = defaultdict(list)
+    for r in data:
+        cents = round(r.l_extendedprice / r.l_quantity * 100)
+        per_brand[r.p_brand].append((cents, int(r.l_quantity)))
+    for brand, pairs in per_brand.items():
+        pairs.sort()
+        tot = sum(q for _, q in pairs)
+        cum = 0
+        med = None
+        for cents, q in pairs:
+            cum += q
+            if cum * 2 >= tot:
+                med = cents
+                break
+        assert rows[brand].weighted_median_cents == med
+        assert rows[brand].total_qty == tot
+
+
+def test_hhi_bounds(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        nation_revenue_hhi,
+    )
+
+    rows = nation_revenue_hhi(spark, sf_dir).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert 1.0 / r.n_customers - 1e-12 <= r.hhi <= 1.0

@@ -5210,3 +5210,153 @@ def events_feature_corr_matrix(spark, sf_dir):
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Weighted median (quantity-weighted price per brand)
+# ---------------------------------------------------------------------------
+
+_WMED_ORACLE = """
+WITH w AS (
+  SELECT p_brand,
+         CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT)
+           AS unit_cents,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+g AS (
+  SELECT p_brand, unit_cents, sum(qty) AS qty
+  FROM w GROUP BY p_brand, unit_cents
+),
+c AS (
+  SELECT p_brand, unit_cents,
+         sum(qty) OVER (PARTITION BY p_brand ORDER BY unit_cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum,
+         sum(qty) OVER (PARTITION BY p_brand) AS tot
+  FROM g
+)
+SELECT p_brand,
+       CAST(min(CASE WHEN cum * 2 >= tot THEN unit_cents END) AS BIGINT)
+         AS weighted_median_cents,
+       CAST(max(tot) AS BIGINT) AS total_qty
+FROM c GROUP BY p_brand
+"""
+
+
+@register("lineitem_weighted_median_price", oracle=_WMED_ORACLE)
+def lineitem_weighted_median_price(spark, sf_dir):
+    """Quantity-weighted median unit price per brand — the volume-
+    representative "typical price" (an unweighted median over line
+    items lets many tiny orders outvote one large one).
+
+    Weighted percentile has no builtin in either engine; the engine
+    spells it as the textbook definition: collapse to (group, value,
+    Σweight), prefix-sum the weights in value order, and take the first
+    value whose cumulative weight reaches half the total (discrete
+    selection — no interpolation, so the result is an actual observed
+    price and bit-portable). The 2× cross-multiplication keeps the
+    crossing test integral. Lineage: one broadcast dim join + one
+    hash-agg collapse; the windows run per-brand over collapsed
+    distinct prices.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    w = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100)
+        .cast("long")
+        .alias("unit_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    g = w.groupBy("p_brand", "unit_cents").agg(F.sum("qty").alias("qty"))
+    run = (
+        Window.partitionBy("p_brand")
+        .orderBy("unit_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("p_brand")
+    c = g.select(
+        "p_brand",
+        "unit_cents",
+        F.sum("qty").over(run).alias("cum"),
+        F.sum("qty").over(tot_w).alias("tot"),
+    )
+    return c.groupBy("p_brand").agg(
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("tot"), F.col("unit_cents"))
+        )
+        .cast("long")
+        .alias("weighted_median_cents"),
+        F.max("tot").cast("long").alias("total_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration index
+# ---------------------------------------------------------------------------
+
+_HHI_ORACLE = """
+WITH rev AS (
+  SELECT n_name, o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS DECIMAL(38,0)) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, o_custkey
+),
+s AS (
+  SELECT n_name,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         sum(cents * cents) AS sq,
+         sum(cents) AS tot
+  FROM rev GROUP BY n_name
+)
+SELECT n_name, n_customers,
+       CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))
+         AS hhi
+FROM s
+"""
+
+
+@register("nation_revenue_hhi", oracle=_HHI_ORACLE)
+def nation_revenue_hhi(spark, sf_dir):
+    """Herfindahl-Hirschman concentration of customer revenue within
+    each nation: Σ share² — "is this market a few whales or a long
+    tail?" (1/n = perfectly even, 1.0 = single customer). The
+    identity Σ(cᵢ/T)² = Σcᵢ²/T² lets every term stay integral: cents
+    totals, DECIMAL squares and sums, ONE double division at the end —
+    no per-customer share division at all.
+
+    Two hash-aggs that share the customer key ordering (per-customer
+    cents, then per-nation moments); dims broadcast.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("decimal(38,0)")
+            .alias("cents")
+        )
+    )
+    s = rev.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sq"),
+        F.sum("cents").alias("tot"),
+    )
+    return s.select(
+        "n_name",
+        "n_customers",
+        (
+            F.col("sq").cast("double")
+            / (F.col("tot").cast("double") * F.col("tot").cast("double"))
+        ).alias("hhi"),
+    )
