@@ -417,3 +417,44 @@ def test_hhi_bounds(spark, sf_dir):
     assert len(rows) == 25
     for r in rows:
         assert 1.0 / r.n_customers - 1e-12 <= r.hhi <= 1.0
+
+
+def test_survival_curve_monotone(spark, sf_dir):
+    import math
+
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        orders_survival_curve,
+    )
+
+    rows = sorted(
+        orders_survival_curve(spark, sf_dir).collect(),
+        key=lambda r: r.duration_m,
+    )
+    assert rows
+    prev = 0  # log S starts at 0 (S=1) and only decreases
+    for r in rows:
+        assert r.n_churned >= 1
+        assert r.n_at_risk >= r.n_churned
+        if r.log_survival_nano is not None:
+            assert r.log_survival_nano <= prev
+            prev = r.log_survival_nano
+            s = math.exp(r.log_survival_nano / 1e9)
+            assert 0.0 < s <= 1.0
+    # risk set shrinks over time
+    risks = [r.n_at_risk for r in rows]
+    assert risks == sorted(risks, reverse=True)
+
+
+def test_mutual_information_nonneg_and_bounded(spark, sf_dir):
+    import math
+
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        events_mutual_information,
+    )
+
+    r = events_mutual_information(spark, sf_dir).collect()[0]
+    mi = r.mi_nano / 1e9
+    # MI >= 0 (up to quantization) and <= ln(min(|X|,|Y|))
+    assert mi >= -1e-6
+    assert mi <= math.log(10) + 1e-6
+    assert r.n_cells <= 50

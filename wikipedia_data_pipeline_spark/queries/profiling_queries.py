@@ -5360,3 +5360,231 @@ def nation_revenue_hhi(spark, sf_dir):
             / (F.col("tot").cast("double") * F.col("tot").cast("double"))
         ).alias("hhi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve (customer lifetime, right-censored)
+# ---------------------------------------------------------------------------
+# The product Π(1 − dᵢ/nᵢ) is evaluated as exp(Σ ln(·)) with the log
+# terms quantized to BIGINT nano-nats — the associative-sum discipline
+# that makes every multiplicative statistic in this engine
+# partitioning-proof.
+
+_KM_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         min(year(o_orderdate) * 12 + month(o_orderdate)) AS first_m,
+         max(year(o_orderdate) * 12 + month(o_orderdate)) AS last_m
+  FROM orders GROUP BY o_custkey
+),
+bounds AS (SELECT max(last_m) AS data_end FROM cust),
+obs AS (
+  SELECT last_m - first_m AS duration_m,
+         CASE WHEN data_end - last_m > 6 THEN 1 ELSE 0 END AS churned
+  FROM cust, bounds
+),
+at_t AS (
+  SELECT duration_m,
+         CAST(sum(churned) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM obs GROUP BY duration_m
+),
+risk AS (
+  SELECT duration_m, d,
+         CAST((SELECT count(*) FROM obs)
+           - coalesce(sum(c) OVER (ORDER BY duration_m
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_at_risk
+  FROM at_t
+),
+terms AS (
+  SELECT duration_m, d, n_at_risk,
+         CASE WHEN d < n_at_risk
+              THEN CAST(round(ln(1.0 - CAST(d AS DOUBLE)
+                                     / CAST(n_at_risk AS DOUBLE))
+                              * 1000000000.0) AS BIGINT)
+              ELSE NULL END AS lg_nano
+  FROM risk WHERE d > 0
+)
+SELECT duration_m, d AS n_churned, n_at_risk,
+       CASE WHEN min(CASE WHEN lg_nano IS NULL THEN 0 ELSE 1 END)
+                 OVER (ORDER BY duration_m
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) = 0
+            THEN NULL
+            ELSE CAST(sum(lg_nano) OVER (ORDER BY duration_m
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS BIGINT)
+       END AS log_survival_nano
+FROM terms
+"""
+
+
+@register("orders_survival_curve", oracle=_KM_ORACLE)
+def orders_survival_curve(spark, sf_dir):
+    """Kaplan-Meier customer-lifetime curve: duration = months between
+    first and last order, churn = no order within 6 months of dataset
+    end (later customers are right-CENSORED — they leave the risk set
+    without counting as deaths, the distinction naive retention math
+    gets wrong).
+
+    S(t) = Π(1−dᵢ/nᵢ) rides as a prefix sum of nano-nat log terms
+    (associative → cluster-size-proof), shipped as the exact integer
+    log_survival_nano (S = exp(·/1e9); a NULL marks the d=n collapse
+    to S=0). The
+    fact scan collapses to one row per customer, then one row per
+    distinct duration — the windows never see raw orders.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    mth = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    cust = o.groupBy("o_custkey").agg(
+        F.min(mth).alias("first_m"), F.max(mth).alias("last_m")
+    )
+    bounds = cust.agg(F.max("last_m").alias("data_end"))
+    obs = cust.crossJoin(F.broadcast(bounds)).select(
+        (F.col("last_m") - F.col("first_m")).alias("duration_m"),
+        F.when(F.col("data_end") - F.col("last_m") > 6, 1)
+        .otherwise(0)
+        .alias("churned"),
+    )
+    n_total = obs.agg(F.count(F.lit(1)).alias("n_total"))
+    at_t = obs.groupBy("duration_m").agg(
+        F.sum("churned").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    before = Window.orderBy("duration_m").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = at_t.crossJoin(F.broadcast(n_total)).select(
+        "duration_m",
+        "d",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("c").over(before), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    lg = F.when(
+        F.col("d") < F.col("n_at_risk"),
+        F.round(
+            F.log(
+                1.0 - F.col("d").cast("double") / F.col("n_at_risk").cast("double")
+            )
+            * 1_000_000_000.0
+        ).cast("long"),
+    )
+    terms = risk.filter(F.col("d") > 0).select(
+        "duration_m", "d", "n_at_risk", lg.alias("lg_nano")
+    )
+    run = Window.orderBy("duration_m").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    alive = F.min(
+        F.when(F.col("lg_nano").isNull(), 0).otherwise(1)
+    ).over(run)
+    # The readout is the EXACT integer nano-nat log-survival (a NULL
+    # marks the S=0 collapse where d reached n). S(t) itself is
+    # exp(log_survival_nano/1e9) — left to the consumer because exp()
+    # differs by 1 ULP between Java's and libm's implementations, and
+    # this engine only ships bit-reproducible columns.
+    surv = F.when(alive == 0, F.lit(None).cast("long")).otherwise(
+        F.sum("lg_nano").over(run).cast("long")
+    )
+    return terms.select(
+        "duration_m",
+        F.col("d").alias("n_churned"),
+        "n_at_risk",
+        surv.alias("log_survival_nano"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information (event_type ; value bucket)
+# ---------------------------------------------------------------------------
+
+_MI_ORACLE = """
+WITH b AS (SELECT max(value) AS vmax FROM events),
+cells AS (
+  SELECT event_type AS x,
+         CAST(least(floor(value / (vmax / 10.0)), 9.0) AS BIGINT) AS y,
+         count(*) AS nxy
+  FROM events, b GROUP BY event_type,
+       CAST(least(floor(value / (vmax / 10.0)), 9.0) AS BIGINT)
+),
+m AS (
+  SELECT x, y, nxy,
+         sum(nxy) OVER (PARTITION BY x) AS nx,
+         sum(nxy) OVER (PARTITION BY y) AS ny,
+         sum(nxy) OVER () AS n
+  FROM cells
+),
+terms AS (
+  SELECT n,
+         CAST(round(
+           (CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+           * ln(CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE)
+                / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))
+           * 1000000000.0) AS BIGINT) AS term_nano
+  FROM m
+)
+SELECT CAST(max(n) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(term_nano) AS BIGINT) AS mi_nano
+FROM terms
+"""
+
+
+@register("events_mutual_information", oracle=_MI_ORACLE)
+def events_mutual_information(spark, sf_dir):
+    """Mutual information I(event_type ; value-bucket) — the model-free
+    "is this feature informative about that label?" screen feature
+    selection runs before training (correlation only sees linear
+    dependence; MI sees any).
+
+    All probabilities stay as ratios of the BIGINT contingency counts;
+    each cell's p·ln(pN²/(nx·ny)) term quantizes to nano-nats so the
+    cross-cell sum is associative. The contingency table is one
+    hash-agg (≤ 50 cells); the marginals are windows over it.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.max("value").alias("vmax"))
+    cells = (
+        ev.crossJoin(F.broadcast(b))
+        .select(
+            F.col("event_type").alias("x"),
+            F.least(
+                F.floor(F.col("value") / (F.col("vmax") / 10.0)), F.lit(9.0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("nxy"))
+    )
+    m = cells.select(
+        "nxy",
+        F.sum("nxy").over(Window.partitionBy("x")).alias("nx"),
+        F.sum("nxy").over(Window.partitionBy("y")).alias("ny"),
+        F.sum("nxy").over(Window.partitionBy()).alias("n"),
+    )
+    p = F.col("nxy").cast("double") / F.col("n").cast("double")
+    ratio = (
+        F.col("nxy").cast("double")
+        * F.col("n").cast("double")
+        / (F.col("nx").cast("double") * F.col("ny").cast("double"))
+    )
+    terms = m.select(
+        "n",
+        F.round(p * F.log(ratio) * 1_000_000_000.0)
+        .cast("long")
+        .alias("term_nano"),
+    )
+    return terms.agg(
+        F.max("n").cast("long").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("term_nano").cast("long").alias("mi_nano"),
+    )
