@@ -458,3 +458,36 @@ def test_mutual_information_nonneg_and_bounded(spark, sf_dir):
     assert mi >= -1e-6
     assert mi <= math.log(10) + 1e-6
     assert r.n_cells <= 50
+
+
+def test_seasonal_decompose_identity(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        orders_seasonal_decompose,
+    )
+
+    rows = orders_seasonal_decompose(spark, sf_dir).collect()
+    assert len(rows) == 80
+    interior = [r for r in rows if r.trend is not None]
+    assert len(interior) == 80 - 12  # 6 edge months each side
+    for r in interior:
+        # additive identity: revenue = trend + seasonal + residual
+        assert abs(r.revenue - (r.trend + r.seasonal + r.residual)) < 1e-6
+    # seasonal indices sum to ~0 across a full year (mean-deviation defn)
+    by_moy = {}
+    for r in rows:
+        by_moy[r.mth % 12] = r.seasonal
+    assert abs(sum(by_moy.values())) < max(abs(v) for v in by_moy.values())
+
+
+def test_xyz_classes_consistent(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        parts_xyz_variability,
+    )
+
+    rows = parts_xyz_variability(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:500]:
+        assert r.cv >= 0
+        want = "X" if r.cv < 0.5 else ("Y" if r.cv < 1.0 else "Z")
+        assert r.xyz_class == want
+    assert {r.xyz_class for r in rows} >= {"X", "Y"} or len(rows) < 10

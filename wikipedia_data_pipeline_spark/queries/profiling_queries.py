@@ -5588,3 +5588,185 @@ def events_mutual_information(spark, sf_dir):
         F.count(F.lit(1)).alias("n_cells"),
         F.sum("term_nano").cast("long").alias("mi_nano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition lite (trend / seasonal / residual, monthly)
+# ---------------------------------------------------------------------------
+# Every component is derived from DECIMAL-exact monthly sums; to keep
+# the seasonal means order-proof, deviations stay in the ×13 decimal
+# domain (13·rev − Σ₁₃rev is exact) and only the final /13-style
+# ratios are IEEE.
+
+_DECOMP_ORACLE = """
+WITH m AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mth,
+         month(o_orderdate) AS moy,
+         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_dec
+  FROM orders GROUP BY 1, 2
+),
+ma AS (
+  SELECT mth, moy, rev_dec,
+         CASE WHEN count(*) OVER w13 = 13
+              THEN sum(rev_dec) OVER w13 END AS sum13_dec
+  FROM m
+  WINDOW w13 AS (ORDER BY mth ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+),
+dev AS (
+  SELECT mth, moy, rev_dec, sum13_dec,
+         13 * rev_dec - sum13_dec AS dev13_dec
+  FROM ma
+),
+seas AS (
+  SELECT moy,
+         CAST(sum(dev13_dec) AS DOUBLE) / (13.0 * count(dev13_dec))
+           AS seasonal
+  FROM dev WHERE dev13_dec IS NOT NULL GROUP BY moy
+)
+SELECT dev.mth,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(sum13_dec AS DOUBLE) / 13.0 AS trend,
+       seas.seasonal,
+       CASE WHEN sum13_dec IS NOT NULL
+            THEN CAST(rev_dec AS DOUBLE)
+                 - CAST(sum13_dec AS DOUBLE) / 13.0
+                 - seas.seasonal END AS residual
+FROM dev JOIN seas ON dev.moy = seas.moy
+"""
+
+
+@register("orders_seasonal_decompose", oracle=_DECOMP_ORACLE)
+def orders_seasonal_decompose(spark, sf_dir):
+    """Classical additive decomposition of monthly revenue into trend
+    (centered 13-month moving average), month-of-year seasonal index
+    (mean deviation from trend), and residual — the pre-model read
+    every forecasting pipeline does first.
+
+    Order-proofing: monthly revenue is DECIMAL-summed; the 13-month MA
+    stays a DECIMAL window sum; deviations live in the exact ×13
+    decimal domain (13·rev − Σ₁₃) so the per-month seasonal MEANS are
+    decimal sums too — IEEE enters only in the final fixed ratios.
+    Edge months (< 13-wide window) carry NULL trend/residual rather
+    than a truncated average. All windows run over the ~one-row-per-
+    month aggregate, never the fact table.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mth"),
+        F.month("o_orderdate").alias("moy"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev_dec"))
+    w13 = Window.orderBy("mth").rowsBetween(-6, 6)
+    ma = m.select(
+        "mth",
+        "moy",
+        "rev_dec",
+        F.when(
+            F.count(F.lit(1)).over(w13) == 13, F.sum("rev_dec").over(w13)
+        ).alias("sum13_dec"),
+    )
+    dev = ma.withColumn(
+        "dev13_dec", F.lit(13) * F.col("rev_dec") - F.col("sum13_dec")
+    )
+    seas = (
+        dev.filter(F.col("dev13_dec").isNotNull())
+        .groupBy("moy")
+        .agg(
+            (
+                F.sum("dev13_dec").cast("double")
+                / (13.0 * F.count("dev13_dec"))
+            ).alias("seasonal")
+        )
+    )
+    out = dev.join(F.broadcast(seas), "moy")
+    trend = F.col("sum13_dec").cast("double") / 13.0
+    return out.select(
+        "mth",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        trend.alias("trend"),
+        "seasonal",
+        F.when(
+            F.col("sum13_dec").isNotNull(),
+            F.col("rev_dec").cast("double") - trend - F.col("seasonal"),
+        ).alias("residual"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# XYZ demand-variability classes (companion to ABC revenue classes)
+# ---------------------------------------------------------------------------
+
+_XYZ_ORACLE = """
+WITH pm AS (
+  SELECT l_partkey, year(o_orderdate) * 12 + month(o_orderdate) AS mth,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_partkey, year(o_orderdate) * 12 + month(o_orderdate)
+),
+s AS (
+  SELECT l_partkey,
+         CAST(count(*) AS BIGINT) AS n_months,
+         sum(CAST(qty AS DECIMAL(38,0))) AS sq,
+         sum(CAST(qty * qty AS DECIMAL(38,0))) AS sqq
+  FROM pm GROUP BY l_partkey
+),
+cv AS (
+  SELECT l_partkey, n_months,
+         sqrt(CAST(n_months AS DOUBLE) * CAST(sqq AS DOUBLE)
+              - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+         / CAST(sq AS DOUBLE) AS cv
+  FROM s WHERE sq > 0 AND n_months > 1
+)
+SELECT l_partkey, n_months, cv,
+       CASE WHEN cv < 0.5 THEN 'X' WHEN cv < 1.0 THEN 'Y'
+            ELSE 'Z' END AS xyz_class
+FROM cv
+"""
+
+
+@register("parts_xyz_variability", oracle=_XYZ_ORACLE)
+def parts_xyz_variability(spark, sf_dir):
+    """XYZ demand-variability classification per part — the companion
+    axis to `parts_abc_classification` (ABC = how much value, XYZ = how
+    predictable): coefficient of variation of monthly demand, cut at
+    the standard 0.5 / 1.0 boundaries.
+
+    CV = √(n·Σq² − (Σq)²) / Σq on DECIMAL-exact integer moments —
+    algebraically equal to std/mean but computed entirely from
+    associative sums, with one fixed IEEE finale (the √n factor
+    cancels in the class boundaries' scale — boundaries stated in the
+    population-std convention). Two hash-aggs, both keyed on partkey.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    pm = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "l_partkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+                "mth"
+            ),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    dec = "decimal(38,0)"
+    s = pm.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum(F.col("qty").cast(dec)).alias("sq"),
+        F.sum((F.col("qty") * F.col("qty")).cast(dec)).alias("sqq"),
+    )
+    nd = F.col("n_months").cast("double")
+    sq, sqq = F.col("sq").cast("double"), F.col("sqq").cast("double")
+    cv = F.sqrt(nd * sqq - sq * sq) / sq
+    out = s.filter((F.col("sq") > 0) & (F.col("n_months") > 1)).select(
+        "l_partkey",
+        "n_months",
+        cv.alias("cv"),
+    )
+    return out.withColumn(
+        "xyz_class",
+        F.when(F.col("cv") < 0.5, "X")
+        .when(F.col("cv") < 1.0, "Y")
+        .otherwise("Z"),
+    )
