@@ -198,3 +198,19 @@ def test_bfs_hops_min_distance(spark):
         for r in G.bfs_hops(df, ["a"], max_hops=1).collect()
     }
     assert got1 == {"a": 0, "b": 1, "c": 1}
+
+
+def test_adamic_adar_weights_rare_parts_higher(spark, sf_dir):
+    import math
+
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        graph_adamic_adar,
+    )
+
+    rows = graph_adamic_adar(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:200]:
+        # AA score bounded by n_common / ln(2) (every part deg >= 2)
+        assert 0 < r.aa_nano <= r.n_common * round(1e9 / math.log(2))
+        assert r.s1 < r.s2
+        assert r.n_common >= 3
