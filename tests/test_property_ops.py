@@ -107,3 +107,55 @@ def test_bloom_never_drops_a_build_key(spark, keys, n_hashes):
         .count()
     )
     assert missed == 0
+
+
+@given(
+    st.integers(min_value=0, max_value=2**85 - 1),
+)
+@settings(max_examples=200, deadline=None)
+def test_three_word_split_is_correctly_rounded(n):
+    """The d3/d4 bridge in events_skew_kurtosis: for n < 2^85
+    (hi*2^32+mid then stays under 2^53 and exact), the three-word
+    recombination equals the correctly-rounded direct conversion
+    (Python's float(int) is correctly rounded) — the engine's moment
+    sums live far below that bound (s4 <= ~1e24 < 2^80). Past 2^85 the
+    expression rounds twice; it stays deterministic and engine-
+    identical (the oracle-equality requirement) but may differ from
+    the single-rounded conversion by 1 ULP."""
+    hi = n // 4294967296 // 4294967296
+    mid = (n // 4294967296) % 4294967296
+    lo = n % 4294967296
+    recombined = (float(hi) * 4294967296.0 + float(mid)) * 4294967296.0 + float(lo)
+    assert recombined == float(n)
+
+
+@given(st.integers(min_value=2, max_value=12))
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_band_signatures_partitioning_invariant(spark, n_parts):
+    """LSH bucket keys must be identical under any partitioning (the
+    numpy fold has no cross-row state, but this is the property 100 TB
+    correctness rests on, so it is pinned)."""
+    from wikipedia_data_pipeline_spark.operators.dedup import (
+        band_signatures,
+        hashed_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc{i} eta theta") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    base = {
+        r.doc_id: tuple(r.bh)
+        for r in band_signatures(hashed_shingles(docs)).collect()
+    }
+    shuffled = {
+        r.doc_id: tuple(r.bh)
+        for r in band_signatures(
+            hashed_shingles(docs.repartition(n_parts))
+        ).collect()
+    }
+    assert base == shuffled

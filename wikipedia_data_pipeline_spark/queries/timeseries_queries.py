@@ -654,9 +654,10 @@ s AS (
 d AS (
   -- s3/s4 can exceed 2^64: a direct decimal->double cast is 1-ULP
   -- engine-dependent (DuckDB's hugeint path double-rounds). Split into
-  -- three exactly-representable 32-bit words instead; recombining costs
-  -- exactly ONE IEEE rounding (the power-of-two scalings are exact and
-  -- hi*2^32+mid stays under 2^53), identically on any engine.
+  -- three exactly-representable 32-bit words instead; for sums below
+  -- 2^85 (ours are <= ~1e24) the recombination costs exactly ONE IEEE
+  -- rounding (power-of-two scalings are exact and hi*2^32+mid stays
+  -- under 2^53), identically on any engine.
   SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
          CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
          (CAST(CAST(s3 AS HUGEINT) // 4294967296 // 4294967296 AS DOUBLE)
