@@ -491,3 +491,42 @@ def test_xyz_classes_consistent(spark, sf_dir):
         want = "X" if r.cv < 0.5 else ("Y" if r.cv < 1.0 else "Z")
         assert r.xyz_class == want
     assert {r.xyz_class for r in rows} >= {"X", "Y"} or len(rows) < 10
+
+
+def test_gini_matches_bruteforce(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        events_value_gini,
+    )
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    r = events_value_gini(spark, sf_dir).collect()[0]
+    vals = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("user_id", "cast(round(value * 100) as long) AS c")
+        .groupBy("user_id")
+        .agg(F.sum("c").alias("cents"))
+        .collect()
+    )
+    xs = sorted(v.cents for v in vals)
+    n = len(xs)
+    gini = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (
+        n * sum(xs)
+    ) - (n + 1) / n
+    assert r.n == n
+    assert abs(r.gini - gini) < 1e-12
+    assert 0.0 <= r.gini < 1.0
+
+
+def test_heatmap_lift_weighted_mean_is_one(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        events_dow_hod_heatmap,
+    )
+
+    rows = events_dow_hod_heatmap(spark, sf_dir).collect()
+    assert all(0 <= r.dow <= 6 and 0 <= r.hod <= 23 for r in rows)
+    n = sum(r.n_events for r in rows)
+    # E[lift] under the cell distribution is sum(n_xy * lift)/N
+    # = sum(n_xy^2 * N / (n_x n_y)) / N >= 1 by Cauchy-Schwarz; and
+    # equals 1 iff independent. Just sanity-bound it.
+    w = sum(r.n_events * r.lift for r in rows) / n
+    assert w >= 1.0 - 1e-9

@@ -5850,3 +5850,137 @@ def graph_adamic_adar(spark, sf_dir):
         )
         .filter(F.col("n_common") >= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of per-user value totals
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, user_id) AS i
+  FROM u
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(cents AS DECIMAL(38,0))) AS tot,
+         sum(CAST(i * cents AS DECIMAL(38,0))) AS weighted
+  FROM r
+)
+SELECT n,
+       CAST(tot AS BIGINT) AS total_cents,
+       2.0 * CAST(weighted AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+       - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+FROM s
+"""
+
+
+@register("events_value_gini", oracle=_GINI_ORACLE)
+def events_value_gini(spark, sf_dir):
+    """Gini coefficient of per-user spend — the inequality readout
+    (0 = everyone equal, →1 = one whale) that complements
+    `nation_revenue_hhi` (HHI weighs squared shares; Gini weighs the
+    whole Lorenz curve).
+
+    The rank formulation G = 2Σi·xᵢ/(nΣx) − (n+1)/n needs one global
+    sort of the per-user totals — expressed as a row_number with a
+    declared (cents, user_id) total order so ties are deterministic —
+    then two DECIMAL sums and one fixed IEEE finale. The fact table
+    collapses to |users| rows before any window sees it; at 100 TB the
+    rank assignment runs as a range-partitioned sort over entity
+    totals, not events.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    r = u.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy("cents", "user_id"))
+        .cast("long")
+        .alias("i"),
+    )
+    dec = "decimal(38,0)"
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast(dec)).alias("tot"),
+        F.sum((F.col("i") * F.col("cents")).cast(dec)).alias("weighted"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        "n",
+        F.col("tot").cast("long").alias("total_cents"),
+        (
+            2.0
+            * F.col("weighted").cast("double")
+            / (nd * F.col("tot").cast("double"))
+            - (nd + 1.0) / nd
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week × hour-of-day activity heatmap with independence lift
+# ---------------------------------------------------------------------------
+
+_HEATMAP_ORACLE = """
+WITH c AS (
+  SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+         (epoch_us(ts) // 3600000000) % 24 AS hod,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT dow, hod, n_events,
+       CAST(n_events AS DOUBLE)
+         * CAST(sum(n_events) OVER () AS DOUBLE)
+         / (CAST(sum(n_events) OVER (PARTITION BY dow) AS DOUBLE)
+            * CAST(sum(n_events) OVER (PARTITION BY hod) AS DOUBLE))
+         AS lift
+FROM c
+"""
+
+
+@register("events_dow_hod_heatmap", oracle=_HEATMAP_ORACLE)
+def events_dow_hod_heatmap(spark, sf_dir):
+    """Day-of-week × hour-of-day traffic heatmap with independence
+    lift: cell count over the count expected if weekday and hour were
+    independent (lift > 1 = that slot is hotter than its marginals
+    predict — the capacity-planning readout a plain histogram hides).
+
+    One hash-agg collapses the fact table to ≤ 168 cells; the three
+    marginal windows run over those cells. Lift is a ratio of BIGINT
+    counts in one fixed expression. Weekday from epoch-day (d+4) mod 7,
+    immune to engine locale/dayofweek disagreements.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        (((F.col("ts") / 86_400_000_000).cast("long") + 4) % 7).alias("dow"),
+        ((F.col("ts") / 3_600_000_000).cast("long") % 24).alias("hod"),
+    ).groupBy("dow", "hod").agg(F.count(F.lit(1)).alias("n_events"))
+    tot = F.sum("n_events").over(Window.partitionBy())
+    by_dow = F.sum("n_events").over(Window.partitionBy("dow"))
+    by_hod = F.sum("n_events").over(Window.partitionBy("hod"))
+    return c.select(
+        "dow",
+        "hod",
+        "n_events",
+        (
+            F.col("n_events").cast("double")
+            * tot.cast("double")
+            / (by_dow.cast("double") * by_hod.cast("double"))
+        ).alias("lift"),
+    )
