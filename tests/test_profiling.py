@@ -530,3 +530,43 @@ def test_heatmap_lift_weighted_mean_is_one(spark, sf_dir):
     # equals 1 iff independent. Just sanity-bound it.
     w = sum(r.n_events * r.lift for r in rows) / n
     assert w >= 1.0 - 1e-9
+
+
+def test_repeat_curve_monotone_and_bounded(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        orders_repeat_purchase_curve,
+    )
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    rows = sorted(
+        orders_repeat_purchase_curve(spark, sf_dir).collect(),
+        key=lambda r: r.gap_m,
+    )
+    assert rows and rows[0].gap_m >= 0
+    n_cust = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    prev = 0
+    for r in rows:
+        assert r.cum_converted == prev + r.n_customers_at_gap
+        prev = r.cum_converted
+        assert abs(r.cum_conversion - r.cum_converted / n_cust) < 1e-12
+    assert rows[-1].cum_conversion <= 1.0
+
+
+def test_price_dispersion_nonnegative(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        lineitem_price_dispersion,
+    )
+
+    rows = lineitem_price_dispersion(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:500]:
+        assert r.n_suppliers >= 3
+        assert 0 < r.min_cents <= r.max_cents
+        assert abs(
+            r.dispersion - (r.max_cents - r.min_cents) / r.min_cents
+        ) < 1e-12

@@ -5984,3 +5984,167 @@ def events_dow_hod_heatmap(spark, sf_dir):
             / (by_dow.cast("double") * by_hod.cast("double"))
         ).alias("lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase conversion curve (time to second order)
+# ---------------------------------------------------------------------------
+
+_REPEAT_ORACLE = """
+WITH ranked AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) AS mth,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+),
+gaps AS (
+  SELECT f.o_custkey, s.mth - f.mth AS gap_m
+  FROM ranked f LEFT JOIN ranked s
+    ON f.o_custkey = s.o_custkey AND s.rn = 2
+  WHERE f.rn = 1
+),
+tot AS (SELECT count(*) AS n_customers FROM gaps)
+SELECT gap_m,
+       CAST(count(*) AS BIGINT) AS n_customers_at_gap,
+       CAST(sum(count(*)) OVER (ORDER BY gap_m NULLS LAST
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT)
+         AS cum_converted,
+       CAST(sum(count(*)) OVER (ORDER BY gap_m NULLS LAST
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS DOUBLE)
+         / CAST((SELECT n_customers FROM tot) AS DOUBLE)
+         AS cum_conversion
+FROM gaps
+WHERE gap_m IS NOT NULL
+GROUP BY gap_m
+"""
+
+
+@register("orders_repeat_purchase_curve", oracle=_REPEAT_ORACLE)
+def orders_repeat_purchase_curve(spark, sf_dir):
+    """Time-to-second-order conversion curve: for each month gap g, how
+    many customers placed their second order exactly g months after
+    their first, and the cumulative share of ALL first-time customers
+    converted by then — the repeat-purchase funnel (distinct from
+    `cohort_value_curves`, which accumulates value, not conversion).
+
+    One window ranks orders per customer; first and second orders meet
+    in a key-local self-join (rn pushed as a predicate); the curve is a
+    running sum over the ≤ |months| grouped gaps. Never-converting
+    customers count in the denominator — dropping them is the classic
+    conversion-rate inflation bug.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    mth = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    ranked = o.select(
+        "o_custkey",
+        mth.alias("mth"),
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey").orderBy(
+                "o_orderdate", "o_orderkey"
+            )
+        )
+        .alias("rn"),
+    )
+    firsts = ranked.filter(F.col("rn") == 1).select(
+        "o_custkey", F.col("mth").alias("m1")
+    )
+    seconds = ranked.filter(F.col("rn") == 2).select(
+        "o_custkey", F.col("mth").alias("m2")
+    )
+    gaps = firsts.join(seconds, "o_custkey", "left").select(
+        (F.col("m2") - F.col("m1")).alias("gap_m")
+    )
+    # denominator as a 1-row broadcast, not a driver-side .count() —
+    # the plan stays fully lazy/declarative
+    tot = gaps.agg(F.count(F.lit(1)).alias("n_customers"))
+    g = (
+        gaps.filter(F.col("gap_m").isNotNull())
+        .groupBy("gap_m")
+        .agg(F.count(F.lit(1)).alias("n_customers_at_gap"))
+        .crossJoin(F.broadcast(tot))
+    )
+    run = Window.orderBy("gap_m").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("n_customers_at_gap").over(run)
+    return g.select(
+        "gap_m",
+        "n_customers_at_gap",
+        cum.cast("long").alias("cum_converted"),
+        (cum.cast("double") / F.col("n_customers").cast("double")).alias(
+            "cum_conversion"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-supplier price dispersion per part
+# ---------------------------------------------------------------------------
+
+_DISPERSION_ORACLE = """
+WITH sup AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(min(round(l_extendedprice / l_quantity * 100)) AS BIGINT)
+           AS unit_cents
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+s AS (
+  SELECT l_partkey,
+         CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(min(unit_cents) AS BIGINT) AS min_cents,
+         CAST(max(unit_cents) AS BIGINT) AS max_cents
+  FROM sup GROUP BY l_partkey HAVING count(*) >= 3
+)
+SELECT l_partkey, n_suppliers, min_cents, max_cents,
+       CAST(max_cents - min_cents AS DOUBLE) / CAST(min_cents AS DOUBLE)
+         AS dispersion
+FROM s WHERE min_cents > 0
+"""
+
+
+@register("lineitem_price_dispersion", oracle=_DISPERSION_ORACLE)
+def lineitem_price_dispersion(spark, sf_dir):
+    """Cross-supplier price dispersion per part: each supplier's BEST
+    unit price, then the (max−min)/min spread across suppliers — the
+    procurement arbitrage signal ("are we overpaying for parts that
+    several suppliers sell?").
+
+    Two hash-aggs on the same (partkey, suppkey) → partkey key path —
+    Catalyst plans the second as a partial re-use of the first
+    shuffle's partitioning. Integer cents throughout; one fixed ratio
+    at output. Parts with < 3 suppliers are noise and pruned in the
+    aggregate's HAVING.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100)
+        )
+        .cast("long")
+        .alias("unit_cents")
+    )
+    s = (
+        sup.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.min("unit_cents").cast("long").alias("min_cents"),
+            F.max("unit_cents").cast("long").alias("max_cents"),
+        )
+        .filter(F.col("n_suppliers") >= 3)
+    )
+    return s.filter(F.col("min_cents") > 0).select(
+        "l_partkey",
+        "n_suppliers",
+        "min_cents",
+        "max_cents",
+        (
+            (F.col("max_cents") - F.col("min_cents")).cast("double")
+            / F.col("min_cents").cast("double")
+        ).alias("dispersion"),
+    )
