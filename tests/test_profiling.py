@@ -570,3 +570,72 @@ def test_price_dispersion_nonnegative(spark, sf_dir):
         assert abs(
             r.dispersion - (r.max_cents - r.min_cents) / r.min_cents
         ) < 1e-12
+
+
+def test_skyline_is_exact_pareto_set(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        parts_skyline_price_size,
+    )
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    sky = {
+        r.p_partkey: (r.price_cents, r.p_size)
+        for r in parts_skyline_price_size(spark, sf_dir).collect()
+    }
+    allp = [
+        (r.p_partkey, round(r.p_retailprice * 100), r.p_size)
+        for r in load_table(spark, sf_dir, "part").collect()
+    ]
+    # brute-force dominance: kept iff no other part is <= price and >= size
+    # with at least one strict (under the query's deterministic tie-break)
+    def dominated(k, pc, sz):
+        for k2, pc2, sz2 in allp:
+            if k2 == k:
+                continue
+            if pc2 <= pc and sz2 >= sz and (pc2 < pc or sz2 > sz or k2 < k):
+                return True
+        return False
+
+    expect = {k for k, pc, sz in allp if not dominated(k, pc, sz)}
+    assert set(sky) == expect
+
+
+def test_customer_trend_matches_numpy_sample(spark, sf_dir):
+    import numpy as np
+
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        customer_spend_trend,
+    )
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    got = {r.o_custkey: r for r in customer_spend_trend(spark, sf_dir).collect()}
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_custkey",
+            "year(o_orderdate) * 12 + month(o_orderdate) - 24000 AS x",
+            "cast(round(o_totalprice * 100) as long) AS y",
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in o:
+        per[r.o_custkey].append((r.x, r.y))
+    checked = 0
+    for cust, pts in list(per.items())[:50]:
+        if len(pts) < 3:
+            assert cust not in got
+            continue
+        xs = np.array([p[0] for p in pts], dtype=np.float64)
+        ys = np.array([p[1] for p in pts], dtype=np.float64)
+        if np.var(xs) == 0:
+            assert cust not in got
+            continue
+        slope = np.polyfit(xs, ys, 1)[0]
+        assert abs(got[cust].slope_cents_per_month - slope) < 1e-4 * max(
+            1, abs(slope)
+        )
+        checked += 1
+    assert checked > 10

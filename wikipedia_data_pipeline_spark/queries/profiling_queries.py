@@ -6148,3 +6148,132 @@ def lineitem_price_dispersion(spark, sf_dir):
             / F.col("min_cents").cast("double")
         ).alias("dispersion"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) query
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+WITH p AS (
+  SELECT p_partkey, p_size,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+         max(p_size) OVER (ORDER BY CAST(round(p_retailprice * 100) AS BIGINT),
+                                    p_size DESC, p_partkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS best_size_cheaper
+  FROM part
+)
+SELECT p_partkey, p_size, price_cents
+FROM p
+WHERE best_size_cheaper IS NULL OR p_size > best_size_cheaper
+"""
+
+
+@register("parts_skyline_price_size", oracle=_SKYLINE_ORACLE)
+def parts_skyline_price_size(spark, sf_dir):
+    """Skyline (Pareto frontier) over parts: minimize price, maximize
+    size — a part survives iff no strictly-cheaper-or-equal part has
+    size ≥ its own. The multi-criteria shortlist operator (product
+    search, supplier selection) that a plain ORDER BY cannot express.
+
+    The classic nested-loop dominance test is O(n²); sorted by (price,
+    size DESC, key), a part is dominated exactly when the running max
+    size over its predecessors reaches its size — ONE sort + ONE
+    running window, the textbook sort-filter skyline. The (size DESC,
+    key) tie-break makes equal-price groups self-dominating in
+    deterministic order. At scale: range-partition by price, local
+    running max + one pass of per-partition prefix maxima.
+    """
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part")
+    price = F.round(F.col("p_retailprice") * 100).cast("long")
+    w = Window.orderBy(
+        "price_cents", F.col("p_size").desc(), "p_partkey"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    staged = p.select(
+        "p_partkey", "p_size", price.alias("price_cents")
+    ).withColumn("best_size_cheaper", F.max("p_size").over(w))
+    return staged.filter(
+        F.col("best_size_cheaper").isNull()
+        | (F.col("p_size") > F.col("best_size_cheaper"))
+    ).select("p_partkey", "p_size", "price_cents")
+
+
+# ---------------------------------------------------------------------------
+# Per-customer spend-trend regression fleet
+# ---------------------------------------------------------------------------
+
+_CUST_TREND_ORACLE = """
+WITH m AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) - 24000 AS x,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders
+),
+s AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(x AS DECIMAL(38,0))) AS sx,
+         sum(CAST(y AS DECIMAL(38,0))) AS sy,
+         sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+         sum(CAST(x * x AS DECIMAL(38,0))) AS sxx
+  FROM m GROUP BY o_custkey
+)
+SELECT o_custkey, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         AS slope_cents_per_month
+FROM s
+WHERE n >= 3
+  AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+"""
+
+
+@register("customer_spend_trend", oracle=_CUST_TREND_ORACLE)
+def customer_spend_trend(spark, sf_dir):
+    """A regression FLEET: per-customer OLS slope of order value vs.
+    calendar month — thousands of independent model fits in ONE
+    aggregate pass (the "is each account growing or shrinking?"
+    screen). This is the scale shape that matters: fitting per-entity
+    models via groupBy moments costs the same shuffle as a count —
+    fitting them one-by-one driver-side costs |customers| jobs.
+
+    Same exactness discipline as `events_linear_trend` (integer-scaled
+    y, centered integer x, DECIMAL moments, fixed IEEE finale), keyed
+    per customer; degenerate fits (single month, n < 3) filtered in
+    the aggregate domain.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    x = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 24000).alias(
+        "x"
+    )
+    y = F.round(F.col("o_totalprice") * 100).cast("long").alias("y")
+    dec = "decimal(38,0)"
+    s = (
+        o.select("o_custkey", x, y)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast(dec)).alias("sx"),
+            F.sum(F.col("y").cast(dec)).alias("sy"),
+            F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+            F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    denom = nd * sxx - sx * sx
+    return (
+        s.filter((F.col("n") >= 3) & (denom > 0))
+        .select(
+            "o_custkey",
+            "n",
+            ((nd * sxy - sx * sy) / denom).alias("slope_cents_per_month"),
+        )
+    )
