@@ -639,3 +639,33 @@ def test_customer_trend_matches_numpy_sample(spark, sf_dir):
         )
         checked += 1
     assert checked > 10
+
+
+def test_label_outliers_are_per_label_minima(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        embedding_label_outliers,
+    )
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    rows = embedding_label_outliers(spark, sf_dir).collect()
+    n_labels = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("label")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == 3 * n_labels
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.cos_to_centroid <= 1.0 + 1e-9
+        per[r.label].append(r)
+    for label, rs in per.items():
+        assert sorted(r.outlier_rank for r in rs) == [1, 2, 3]
+        rs.sort(key=lambda r: r.outlier_rank)
+        assert (
+            rs[0].cos_to_centroid
+            <= rs[1].cos_to_centroid
+            <= rs[2].cos_to_centroid
+        )

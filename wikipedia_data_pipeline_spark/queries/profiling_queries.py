@@ -6277,3 +6277,85 @@ def customer_spend_trend(spark, sf_dir):
             ((nd * sxy - sx * sy) / denom).alias("slope_cents_per_month"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding label-outlier screen (mislabeled-data candidates)
+# ---------------------------------------------------------------------------
+
+from wikipedia_data_pipeline_spark.queries.similarity_queries import COS_SQL
+
+_LABEL_OUTLIER_ORACLE = f"""
+WITH comp AS (
+  SELECT label, g - 1 AS pos,
+         CAST(sum(CAST(CAST(embedding[g] AS DOUBLE) AS DECIMAL(18,6)))
+              AS DOUBLE) / count(*) AS mean_x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(g)
+  GROUP BY label, pos
+),
+cent AS (
+  SELECT label, list(mean_x ORDER BY pos) AS c FROM comp GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         {COS_SQL.format(a='e.embedding', b='cent.c')} AS cos_to_centroid,
+         row_number() OVER (
+           PARTITION BY e.label
+           ORDER BY {COS_SQL.format(a='e.embedding', b='cent.c')}, e.vec_id
+         ) AS rn
+  FROM embeddings e JOIN cent ON e.label = cent.label
+)
+SELECT vec_id, label, cos_to_centroid, CAST(rn AS BIGINT) AS outlier_rank
+FROM scored WHERE rn <= 3
+"""
+
+
+@register("embedding_label_outliers", oracle=_LABEL_OUTLIER_ORACLE)
+def embedding_label_outliers(spark, sf_dir):
+    """Mislabeled-data screen: the 3 vectors per label FARTHEST from
+    their own label centroid (lowest cosine) — the embedding-QA
+    worklist human review starts from (a vector far from its class
+    center is a labeling error, an outlier, or a class in need of
+    splitting).
+
+    Centroids use the decimal-exact component construction shared with
+    `embedding_label_centroids`; each vector's cosine runs as the
+    deterministic sequential fold (JVM higher-order functions, no
+    UDF), and the per-label ranking breaks ties by vec_id. The
+    centroid relation is |labels|-sized and broadcast; one scan of the
+    vectors scores everything.
+    """
+    from pyspark.sql import Window
+
+    from wikipedia_data_pipeline_spark.functions import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(18,6)"))
+                .cast("double")
+                / F.count("*")
+            ).alias("mean_x")
+        )
+    )
+    cent = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_x"))),
+            lambda s: s["mean_x"],
+        ).alias("c")
+    )
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        cosine_similarity(F.col("embedding"), F.col("c")).alias(
+            "cos_to_centroid"
+        ),
+    )
+    w = Window.partitionBy("label").orderBy("cos_to_centroid", "vec_id")
+    return (
+        scored.withColumn("outlier_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("outlier_rank") <= 3)
+    )
