@@ -669,3 +669,16 @@ def test_label_outliers_are_per_label_minima(spark, sf_dir):
             <= rs[1].cos_to_centroid
             <= rs[2].cos_to_centroid
         )
+
+
+def test_trade_flow_totals_match_global(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        trade_flow_matrix,
+    )
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    rows = trade_flow_matrix(spark, sf_dir).collect()
+    assert len(rows) == 625  # full 25x25 matrix at this sf
+    total_li = load_table(spark, sf_dir, "lineitem").count()
+    assert sum(r.n_lineitems for r in rows) == total_li
+    assert all(r.revenue > 0 for r in rows)

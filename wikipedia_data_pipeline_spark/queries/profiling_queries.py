@@ -6359,3 +6359,64 @@ def embedding_label_outliers(spark, sf_dir):
         scored.withColumn("outlier_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("outlier_rank") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Trade-flow matrix (supplier nation × customer nation)
+# ---------------------------------------------------------------------------
+
+_FLOW_ORACLE = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+GROUP BY sn.n_name, cn.n_name
+"""
+
+
+@register("trade_flow_matrix", oracle=_FLOW_ORACLE)
+def trade_flow_matrix(spark, sf_dir):
+    """Full 25×25 supplier-nation × customer-nation revenue matrix —
+    the generalization of Q7 (which picks two nations) to the complete
+    trade-flow readout behind geo dashboards and routing decisions.
+
+    One pass over lineitem: supplier/nation/customer dims broadcast
+    (nation joined TWICE under different aliases — the dual-alias dim
+    shape), orders joined on the fact key, then a 625-cell hash-agg
+    with map-side partials. Revenue rides DECIMAL.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
