@@ -678,7 +678,10 @@ def test_trade_flow_totals_match_global(spark, sf_dir):
     from wikipedia_data_pipeline_spark.sources.tables import load_table
 
     rows = trade_flow_matrix(spark, sf_dir).collect()
-    assert len(rows) == 625  # full 25x25 matrix at this sf
+    sup_nations = {r.supp_nation for r in rows}
+    cust_nations = {r.cust_nation for r in rows}
+    # every (present supplier nation, present customer nation) pair trades
+    assert len(rows) == len(sup_nations) * len(cust_nations)
     total_li = load_table(spark, sf_dir, "lineitem").count()
     assert sum(r.n_lineitems for r in rows) == total_li
     assert all(r.revenue > 0 for r in rows)

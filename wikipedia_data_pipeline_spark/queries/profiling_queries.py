@@ -6382,9 +6382,10 @@ GROUP BY sn.n_name, cn.n_name
 
 @register("trade_flow_matrix", oracle=_FLOW_ORACLE)
 def trade_flow_matrix(spark, sf_dir):
-    """Full 25×25 supplier-nation × customer-nation revenue matrix —
-    the generalization of Q7 (which picks two nations) to the complete
-    trade-flow readout behind geo dashboards and routing decisions.
+    """Supplier-nation × customer-nation revenue matrix — the
+    generalization of Q7 (which picks two nations) to the complete
+    trade-flow readout behind geo dashboards and routing decisions
+    (one cell per trading nation pair; ≤ 25×25).
 
     One pass over lineitem: supplier/nation/customer dims broadcast
     (nation joined TWICE under different aliases — the dual-alias dim
