@@ -685,3 +685,36 @@ def test_trade_flow_totals_match_global(spark, sf_dir):
     total_li = load_table(spark, sf_dir, "lineitem").count()
     assert sum(r.n_lineitems for r in rows) == total_li
     assert all(r.revenue > 0 for r in rows)
+
+
+def test_kl_nonnegative_and_total_events(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        events_kl_user_vs_global,
+    )
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    rows = events_kl_user_vs_global(spark, sf_dir).collect()
+    # KL >= 0 (up to nano quantization of per-term rounding)
+    assert all(r.kl_nano >= -5 * 5 for r in rows)  # 5 types x 5 nano slop
+    total = sum(r.n_events for r in rows)
+    assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_vocab_overlap_bounds(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        documents_vocab_overlap_langs,
+    )
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    rows = documents_vocab_overlap_langs(spark, sf_dir).collect()
+    n_langs = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang")
+        .distinct()
+        .count()
+    )
+    assert len(rows) <= n_langs * (n_langs - 1) // 2
+    for r in rows:
+        assert r.lang_a < r.lang_b
+        assert 0 < r.n_common <= min(r.n_words_a, r.n_words_b)
+        assert 0.0 < r.jaccard <= 1.0

@@ -6421,3 +6421,164 @@ def trade_flow_matrix(spark, sf_dir):
             .alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user KL divergence from the global behavior mix
+# ---------------------------------------------------------------------------
+
+_KL_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_ut
+  FROM events GROUP BY user_id, event_type
+),
+m AS (
+  SELECT user_id, event_type, n_ut,
+         sum(n_ut) OVER (PARTITION BY user_id) AS n_u,
+         sum(n_ut) OVER (PARTITION BY event_type) AS n_t,
+         sum(n_ut) OVER () AS n
+  FROM c
+),
+terms AS (
+  SELECT user_id, n_u,
+         CAST(round(
+           (CAST(n_ut AS DOUBLE) / CAST(n_u AS DOUBLE))
+           * ln((CAST(n_ut AS DOUBLE) / CAST(n_u AS DOUBLE))
+                / (CAST(n_t AS DOUBLE) / CAST(n AS DOUBLE)))
+           * 1000000000.0) AS BIGINT) AS term_nano
+  FROM m
+)
+SELECT user_id,
+       CAST(max(n_u) AS BIGINT) AS n_events,
+       CAST(sum(term_nano) AS BIGINT) AS kl_nano
+FROM terms GROUP BY user_id
+"""
+
+
+@register("events_kl_user_vs_global", oracle=_KL_ORACLE)
+def events_kl_user_vs_global(spark, sf_dir):
+    """Per-user KL divergence of the user's event-type mix from the
+    global mix — the relative counterpart to `events_user_entropy`:
+    entropy flags low-variety users, KL flags users whose variety is
+    *unlike everyone else's* (scripted traffic has both signatures).
+
+    Every probability is a ratio of BIGINT contingency counts; each
+    (user, type) term quantizes to nano-nats so the per-user sum is
+    associative. Absent types contribute 0 (the Σ p·ln(p/q) convention
+    for p=0), so no dense spine is needed. One hash-agg + marginal
+    windows over the collapsed (user, type) relation.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_ut")
+    )
+    m = c.select(
+        "user_id",
+        "n_ut",
+        F.sum("n_ut").over(Window.partitionBy("user_id")).alias("n_u"),
+        F.sum("n_ut").over(Window.partitionBy("event_type")).alias("n_t"),
+        F.sum("n_ut").over(Window.partitionBy()).alias("n"),
+    )
+    p = F.col("n_ut").cast("double") / F.col("n_u").cast("double")
+    q = F.col("n_t").cast("double") / F.col("n").cast("double")
+    terms = m.select(
+        "user_id",
+        "n_u",
+        F.round(p * F.log(p / q) * 1_000_000_000.0)
+        .cast("long")
+        .alias("term_nano"),
+    )
+    return terms.groupBy("user_id").agg(
+        F.max("n_u").cast("long").alias("n_events"),
+        F.sum("term_nano").cast("long").alias("kl_nano"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-language vocabulary overlap
+# ---------------------------------------------------------------------------
+
+_VOCABJ_ORACLE = """
+WITH v AS (
+  SELECT DISTINCT lang, lower(w) AS w
+  FROM documents, unnest(string_split(text, ' ')) AS u(w)
+  WHERE len(w) > 0
+),
+sizes AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words FROM v GROUP BY lang),
+inter AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM v a JOIN v b ON a.w = b.w AND a.lang < b.lang
+  GROUP BY a.lang, b.lang
+)
+SELECT lang_a, lang_b, n_common,
+       sa.n_words AS n_words_a, sb.n_words AS n_words_b,
+       CAST(n_common AS DOUBLE)
+         / CAST(sa.n_words + sb.n_words - n_common AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON lang_a = sa.lang
+JOIN sizes sb ON lang_b = sb.lang
+"""
+
+
+@register("documents_vocab_overlap_langs", oracle=_VOCABJ_ORACLE)
+def documents_vocab_overlap_langs(spark, sf_dir):
+    """Vocabulary Jaccard between language slices of the corpus — the
+    contamination/quality probe for the language gate: high overlap
+    between two "languages" means the lang labels are unreliable (or
+    the corpus is code-switched), and that langid-dependent curation
+    (stratified sampling, per-lang quotas) is built on sand.
+
+    Distinct (lang, word) vocabularies collapse the corpus once;
+    intersections come from the word-keyed equi-join of that collapsed
+    relation (shuffle on word — the scale-safe key: join fan-out is
+    bounded by words shared across languages, and the |langs|²-row
+    result joins back to broadcast sizes). Integer counts → one double
+    ratio.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    v = (
+        d.select(
+            "lang",
+            F.explode(F.split(F.col("text"), " ")).alias("w"),
+        )
+        .filter(F.length("w") > 0)
+        .select("lang", F.lower(F.col("w")).alias("w"))
+        .distinct()
+    )
+    sizes = v.groupBy("lang").agg(F.count(F.lit(1)).alias("n_words"))
+    a = v.select(F.col("lang").alias("lang_a"), "w")
+    b = v.select(F.col("lang").alias("lang_b"), "w")
+    inter = (
+        a.join(b, ["w"])
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("lang").alias("lang_a"), F.col("n_words").alias("n_words_a")
+    )
+    sb = sizes.select(
+        F.col("lang").alias("lang_b"), F.col("n_words").alias("n_words_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_common",
+            "n_words_a",
+            "n_words_b",
+            (
+                F.col("n_common").cast("double")
+                / (
+                    F.col("n_words_a")
+                    + F.col("n_words_b")
+                    - F.col("n_common")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )
