@@ -718,3 +718,36 @@ def test_vocab_overlap_bounds(spark, sf_dir):
         assert r.lang_a < r.lang_b
         assert 0 < r.n_common <= min(r.n_words_a, r.n_words_b)
         assert 0.0 < r.jaccard <= 1.0
+
+
+def test_burstiness_in_range(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        events_burstiness_index,
+    )
+
+    rows = events_burstiness_index(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.burstiness < 1.0
+        assert r.n_gaps > 1
+
+
+def test_lognormal_fit_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        documents_length_lognormal_fit,
+    )
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    r = documents_length_lognormal_fit(spark, sf_dir).collect()[0]
+    lens = [
+        x.n_chars
+        for x in load_table(spark, sf_dir, "documents")
+        .filter("n_chars > 0")
+        .collect()
+    ]
+    logs = np.log(np.array(lens, dtype=np.float64))
+    assert r.n == len(lens)
+    assert abs(r.mu_ln - logs.mean()) < 1e-6
+    assert abs(r.sigma_ln - logs.std()) < 1e-6

@@ -6582,3 +6582,156 @@ def documents_vocab_overlap_langs(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Interarrival burstiness index per user
+# ---------------------------------------------------------------------------
+
+_BURSTINESS_ORACLE = """
+WITH g AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000
+           AS gap_ms
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_gaps,
+         sum(CAST(gap_ms AS DECIMAL(38,0))) AS sg,
+         sum(CAST(gap_ms * gap_ms AS DECIMAL(38,0))) AS sgg
+  FROM g WHERE gap_ms IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n_gaps,
+       (sqrt(CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+             - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+        - CAST(sg AS DOUBLE))
+       / (sqrt(CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+               - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+          + CAST(sg AS DOUBLE)) AS burstiness
+FROM s WHERE n_gaps > 1 AND sg > 0
+"""
+
+
+@register("events_burstiness_index", oracle=_BURSTINESS_ORACLE)
+def events_burstiness_index(spark, sf_dir):
+    """Goh-Barabási burstiness B = (σ−μ)/(σ+μ) of per-user interarrival
+    gaps: −1 = metronome (bot heartbeat), 0 = Poisson (organic), →1 =
+    extreme bursts — the temporal-signature screen that complements
+    the value-based `events_autocorr_lag1` and mix-based KL/entropy
+    screens.
+
+    σ and μ both come from two DECIMAL-exact integer moment sums in
+    the MILLISECOND domain (µs gaps square past 2⁶³; ms keeps Σgap² —
+    maximal when one gap spans the window — inside int64 for spans up
+    to ~49 days, so the decimal→double casts are single correctly-
+    rounded conversions on both engines; a year-scale window would
+    drop to seconds or use the three-word split). The √n scale factor
+    cancels in the ratio; B is one fixed IEEE expression per user. One
+    lag window + one aggregate, both keyed on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        "user_id",
+        F.expr(
+            "(ts - lag(ts) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id)) div 1000"
+        ).alias("gap_ms"),
+    ).filter(F.col("gap_ms").isNotNull())
+    dec = "decimal(38,0)"
+    s = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(F.col("gap_ms").cast(dec)).alias("sg"),
+        F.sum((F.col("gap_ms") * F.col("gap_ms")).cast(dec)).alias("sgg"),
+    )
+    nd = F.col("n_gaps").cast("double")
+    sg, sgg = F.col("sg").cast("double"), F.col("sgg").cast("double")
+    sd_n = F.sqrt(nd * sgg - sg * sg)  # = n·σ... shares scale with sg = n·μ
+    return (
+        s.filter((F.col("n_gaps") > 1) & (F.col("sg") > 0))
+        .select(
+            "user_id",
+            "n_gaps",
+            ((sd_n - sg) / (sd_n + sg)).alias("burstiness"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log-normal fit of document lengths
+# ---------------------------------------------------------------------------
+
+_LOGNORM_ORACLE = """
+WITH distinct_len AS (
+  SELECT n_chars, CAST(count(*) AS BIGINT) AS cnt
+  FROM documents WHERE n_chars > 0 GROUP BY n_chars
+),
+q AS (
+  SELECT cnt,
+         CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1000000000.0) AS BIGINT)
+           AS l_nano
+  FROM distinct_len
+),
+s AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         sum(CAST(cnt * l_nano AS DECIMAL(38,0))) AS sl,
+         sum(CAST(cnt AS DECIMAL(38,0))
+             * CAST(l_nano AS DECIMAL(38,0))
+             * CAST(l_nano AS DECIMAL(38,0))) AS sll
+  FROM q
+)
+SELECT n,
+       CAST(sl AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000.0) AS mu_ln,
+       sqrt(CAST(n AS DOUBLE) * CAST(sll AS DOUBLE)
+            - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE))
+         / (CAST(n AS DOUBLE) * 1000000000.0) AS sigma_ln
+FROM s
+"""
+
+
+@register("documents_length_lognormal_fit", oracle=_LOGNORM_ORACLE)
+def documents_length_lognormal_fit(spark, sf_dir):
+    """Log-normal MLE fit (μ, σ of ln length) for document lengths —
+    natural text lengths are approximately log-normal, so a corpus
+    whose fitted σ drifts between snapshots has changed its mix
+    (boilerplate floods narrow it; concatenation bugs widen it).
+
+    The transcendental ln is quantized ONCE per distinct length (the
+    vocabulary-level discipline — lengths are integers, so the
+    quantized log table is exact and engine-portable); the weighted
+    moment sums are then pure DECIMAL integer arithmetic, and μ/σ are
+    fixed IEEE finales. One tiny distinct-length aggregate does all
+    the math — the corpus scan only counts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    dl = (
+        d.filter(F.col("n_chars") > 0)
+        .groupBy("n_chars")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = dl.select(
+        "cnt",
+        F.round(F.log(F.col("n_chars").cast("double")) * 1_000_000_000.0)
+        .cast("long")
+        .alias("l_nano"),
+    )
+    dec = "decimal(38,0)"
+    s = q.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum((F.col("cnt") * F.col("l_nano")).cast(dec)).alias("sl"),
+        F.sum(
+            F.col("cnt").cast(dec)
+            * F.col("l_nano").cast(dec)
+            * F.col("l_nano").cast(dec)
+        ).alias("sll"),
+    )
+    nd = F.col("n").cast("double")
+    sl, sll = F.col("sl").cast("double"), F.col("sll").cast("double")
+    return s.select(
+        "n",
+        (sl / (nd * 1_000_000_000.0)).alias("mu_ln"),
+        (F.sqrt(nd * sll - sl * sl) / (nd * 1_000_000_000.0)).alias(
+            "sigma_ln"
+        ),
+    )
