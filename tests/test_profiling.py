@@ -751,3 +751,17 @@ def test_lognormal_fit_matches_numpy(spark, sf_dir):
     assert r.n == len(lens)
     assert abs(r.mu_ln - logs.mean()) < 1e-6
     assert abs(r.sigma_ln - logs.std()) < 1e-6
+
+
+def test_ttm_matches_bruteforce(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        orders_ttm_revenue,
+    )
+
+    rows = sorted(orders_ttm_revenue(spark, sf_dir).collect(),
+                  key=lambda r: r.mth)
+    for i, r in enumerate(rows):
+        lo = max(0, i - 11)
+        window = rows[lo : i + 1]
+        assert r.n_months_in_window == len(window)
+        assert abs(r.ttm_revenue - sum(x.revenue for x in window)) < 1e-6

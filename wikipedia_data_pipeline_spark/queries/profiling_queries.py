@@ -6735,3 +6735,54 @@ def documents_length_lognormal_fit(spark, sf_dir):
             "sigma_ln"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-twelve-months revenue
+# ---------------------------------------------------------------------------
+
+_TTM_ORACLE = """
+WITH m AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mth,
+         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_dec
+  FROM orders GROUP BY 1
+)
+SELECT mth,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(sum(rev_dec) OVER (ORDER BY mth
+                               ROWS BETWEEN 11 PRECEDING
+                               AND CURRENT ROW) AS DOUBLE) AS ttm_revenue,
+       CAST(count(*) OVER (ORDER BY mth
+                           ROWS BETWEEN 11 PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS n_months_in_window
+FROM m
+"""
+
+
+@register("orders_ttm_revenue", oracle=_TTM_ORACLE)
+def orders_ttm_revenue(spark, sf_dir):
+    """Trailing-twelve-months revenue per month — the smoothed growth
+    line every finance dashboard leads with (the ROWS-12 sliding
+    DECIMAL window; n_months_in_window exposes the warm-up period the
+    first 11 months spend below a full window, rather than silently
+    reporting partial TTMs as if complete).
+
+    The fact table collapses to one row per month before the window;
+    the DECIMAL sum stays exact through the frame and casts once.
+    Calendar months collapse to integers, so a month with zero orders
+    would shorten the frame — at this data density every month is
+    present, and the n_months readout makes any gap visible.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mth")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev_dec"))
+    w = Window.orderBy("mth").rowsBetween(-11, Window.currentRow)
+    return m.select(
+        "mth",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.sum("rev_dec").over(w).cast("double").alias("ttm_revenue"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_months_in_window"),
+    )
