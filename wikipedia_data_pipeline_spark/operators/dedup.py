@@ -321,7 +321,7 @@ def simhash_signatures(hashed: DataFrame) -> DataFrame:
     Input is the ``hashed_shingles`` relation — its 64-bit fingerprints
     are used as the simhash base hashes directly; the vote tally is a
     vectorized Arrow pandas UDF — one (n_shingles × 64) numpy bit
-    matrix per doc, same rationale as ``minhash_signatures``."""
+    matrix per doc, same rationale as ``band_signatures``."""
     shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
 
     @F.pandas_udf(LongType())

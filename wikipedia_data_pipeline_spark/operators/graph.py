@@ -259,6 +259,14 @@ def kcore_peel(
     Per round: one degree aggregate + two semi-joins of the surviving
     edge list against the (node-sized) survivor set. Returns the
     surviving nodes with their end-of-peel degrees.
+
+    EAGER: building the result executes Spark jobs (one ``.count()``
+    per round caps recomputation at linear; lazy chaining would cost
+    2^rounds). The returned node-sized aggregate is persisted and
+    materialized so every intermediate (the undirected edge view and
+    each round's survivor edges) can be released before returning —
+    repeated calls do not accumulate executor storage. Callers may
+    ``unpersist()`` the result when done.
     """
     und = (
         edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
@@ -286,7 +294,14 @@ def kcore_peel(
             prev.unpersist()
         prev = nxt
         alive = nxt
-    return alive.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    out = alive.groupBy("node").agg(F.count(F.lit(1)).alias("degree")).persist()
+    out.count()
+    # The result is materialized from the cached chain; release it all
+    # so nothing but the node-sized answer stays pinned.
+    if prev is not None:
+        prev.unpersist()
+    und.unpersist()
+    return out
 
 
 def bfs_hops(
@@ -306,6 +321,12 @@ def bfs_hops(
     the production form for neighborhood queries (fraud rings, related
     items, blast-radius analysis); full-graph shortest paths would
     iterate the same step to fixpoint with checkpointing.
+
+    EAGER: building the result executes Spark jobs (one ``.count()``
+    per level keeps the recursion linear instead of 2^depth). The
+    returned (node, hops) relation is persisted and materialized so
+    the edge view and every level frontier can be released before
+    returning. Callers may ``unpersist()`` the result when done.
     """
     spark = edges.sparkSession
     und = (
@@ -319,6 +340,7 @@ def bfs_hops(
         [(s, 0) for s in seeds], ["node", "hops"]
     )
     frontier = visited.select("node")
+    frontiers: list[DataFrame] = []
     for level in range(1, max_hops + 1):
         # `visited` is referenced twice per level (anti-join + union):
         # persisting each level's frontier keeps the recursion linear
@@ -331,8 +353,16 @@ def bfs_hops(
             .persist()
         )
         nxt.count()
+        frontiers.append(nxt)
         visited = visited.union(
             nxt.select("node", F.lit(level).alias("hops"))
         )
         frontier = nxt
-    return visited
+    out = visited.persist()
+    out.count()
+    # Materialized: release the edge view and every level frontier so
+    # deep traversals / repeated calls don't pin executor storage.
+    for fr in frontiers:
+        fr.unpersist()
+    und.unpersist()
+    return out

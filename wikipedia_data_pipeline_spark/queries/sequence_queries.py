@@ -550,7 +550,12 @@ def orders_yoy_growth(spark, sf_dir):
     """Year-over-year monthly revenue growth — the lag-12 companion to
     `revenue_mom_change`. Calendar months collapse to integers so the
     12-month offset is a plain LAG; revenue stays DECIMAL until the
-    final ratio. One shuffle for the monthly agg; the window runs over
+    final ratio. DENSE-MONTHS ASSUMPTION (same caveat as
+    ``orders_ttm_revenue`` documents): lag(12) counts ROWS of the
+    monthly aggregate, so a calendar month with zero orders would
+    misalign "same month last year" — on sparse data, self-join on
+    mth - 12 (or densify the month spine) instead; the oracle shares
+    the assumption so the gate compares like with like. One shuffle for the monthly agg; the window runs over
     ~one row per month regardless of input scale (single-partition
     window on an already-tiny relation — not a bottleneck)."""
     from pyspark.sql import Window
