@@ -1,0 +1,157 @@
+"""operators.ranks — hierarchical global rank / running aggregates /
+ntile. Reference semantics come from a plain unpartitioned window over
+the same data (fine at test size), so any decomposition bug shows up as
+a row-level diff, and a repeat run catches block-boundary
+nondeterminism (the repartitionByRange sampling hazard the persist in
+ordered_scan exists to kill)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from wikipedia_data_pipeline_spark.operators.ranks import (
+    global_ntile,
+    ordered_scan,
+)
+
+
+@pytest.fixture(scope="module")
+def rows():
+    rng = random.Random(20260814)
+    # duplicate-heavy first key so ties straddle block boundaries
+    return [
+        (i, rng.randint(0, 40), rng.randint(-1000, 10**9))
+        for i in range(2003)
+    ]
+
+
+@pytest.fixture(scope="module")
+def df(spark, rows):
+    return spark.createDataFrame(rows, ["id", "k", "v"]).repartition(16)
+
+
+def _order():
+    # built lazily: F.desc() needs an active SparkContext
+    return [F.desc("k"), F.asc("id")]
+
+
+def _reference(df):
+    w = Window.orderBy(*_order())
+    wr = w.rowsBetween(Window.unboundedPreceding, 0)
+    return {
+        r["id"]: (r["rnk"], r["rs"], r["rm"])
+        for r in df.select(
+            "id",
+            F.row_number().over(w).cast("long").alias("rnk"),
+            F.sum("v").over(wr).alias("rs"),
+            F.max("v").over(wr).alias("rm"),
+        ).collect()
+    }
+
+
+def test_ordered_scan_matches_global_window(spark, df, rows):
+    got = {
+        r["id"]: (r["rnk"], r["rs"], r["rm"])
+        for r in ordered_scan(
+            df,
+            _order(),
+            rank_col="rnk",
+            running=[("rs", "v", "sum"), ("rm", "v", "max")],
+        ).collect()
+    }
+    assert got == _reference(df)
+
+
+def test_ordered_scan_totals_from_blocks(spark, df, rows):
+    tot = (
+        ordered_scan(
+            df,
+            _order(),
+            rank_col="rnk",
+            running=[("rs", "v", "sum"), ("rm", "v", "max")],
+            with_totals=True,
+        )
+        .select("rnk_total", "rs_total", "rm_total")
+        .distinct()
+        .collect()
+    )
+    assert len(tot) == 1
+    assert tuple(tot[0]) == (
+        len(rows),
+        sum(v for _, _, v in rows),
+        max(v for _, _, v in rows),
+    )
+
+
+def test_ordered_scan_deterministic_across_runs(spark, df):
+    def run():
+        return sorted(
+            tuple(r)
+            for r in ordered_scan(
+                df, _order(), rank_col="rnk", running=[("rm", "v", "max")]
+            ).collect()
+        )
+
+    assert run() == run()
+
+
+def test_running_max_on_shuffled_arrival(spark):
+    """The lateness-audit shape: arrival offsets whose event times are
+    OUT of order, so the running watermark max is nontrivial (the
+    sf-testdata events table is ts-sorted, where any bug that returns
+    `ts` itself would pass silently)."""
+    rng = random.Random(7)
+    ts = list(range(0, 5000, 5))
+    rng.shuffle(ts)
+    data = [(i, t) for i, t in enumerate(ts)]
+    df = spark.createDataFrame(data, ["offset", "ts"]).repartition(16)
+    got = {
+        r["offset"]: r["wm"]
+        for r in ordered_scan(
+            df, ["offset"], running=[("wm", "ts", "max")]
+        ).collect()
+    }
+    run_max, expect = -1, {}
+    for i, t in enumerate(ts):
+        run_max = max(run_max, t)
+        expect[i] = run_max
+    assert got == expect
+
+
+@pytest.mark.parametrize("n", [4, 7, 10])
+def test_global_ntile_matches_builtin(spark, df, n):
+    ref = {
+        r["id"]: r["t"]
+        for r in df.select(
+            "id", F.ntile(n).over(Window.orderBy(*_order())).cast("long").alias("t")
+        ).collect()
+    }
+    got = {
+        r["id"]: r["t"] for r in global_ntile(df, _order(), n, "t").collect()
+    }
+    assert got == ref
+
+
+def test_global_ntile_fewer_rows_than_tiles(spark):
+    small = spark.createDataFrame([(i, i * 3) for i in range(4)], ["id", "k"])
+    ref = {
+        r["id"]: r["t"]
+        for r in small.select(
+            "id",
+            F.ntile(9).over(Window.orderBy("k", "id")).cast("long").alias("t"),
+        ).collect()
+    }
+    got = {
+        r["id"]: r["t"]
+        for r in global_ntile(small, ["k", "id"], 9, "t").collect()
+    }
+    assert got == ref
+
+
+def test_ordered_scan_requires_work(spark, df):
+    with pytest.raises(ValueError):
+        ordered_scan(df, _order())

@@ -399,12 +399,40 @@ def test_fuzzy_levenshtein_blocks_before_comparing(spark, sf_dir):
 
 
 def test_abc_classification_windows_over_aggregate(spark, sf_dir):
-    """The running-share windows must sit ABOVE the part-keyed
-    aggregate (2000 rows), not the lineitem scan: exactly one
-    data-sized shuffle (the groupBy)."""
+    """The running-share scan must sit ABOVE the part-keyed aggregate,
+    not the lineitem scan: the hash shuffles are the groupBy plus the
+    hierarchical scan's by-block exchange — never a full-sort."""
     from wikipedia_data_pipeline_spark.queries.profiling_queries import (
         parts_abc_classification,
     )
 
     ps = plan_summary(parts_abc_classification(spark, sf_dir))
-    assert ps.n_shuffles <= 2  # agg + the single-partition window repartition
+    assert ps.n_shuffles <= 2  # part-key agg + ordered_scan's by-block hash
+
+
+@pytest.mark.parametrize(
+    "query_name",
+    [
+        "events_lateness_audit",
+        "events_value_gini",
+        "customer_rfm_segments",
+        "parts_abc_classification",
+        "revenue_concentration_deciles",
+        "corpus_zipf_fit",
+    ],
+)
+def test_no_unguarded_global_windows(spark, sf_dir, query_name):
+    """The entity-rank family (global rank / running share / ntile over
+    users, parts, customers, vocab) must never plan an unpartitioned
+    WindowExec over a data- or entity-sized input — at 100 TB those
+    relations are 1e8+ rows and a SinglePartition window serializes
+    them through one task. After migration to operators.ranks, the ONLY
+    unpartitioned windows allowed in these plans are the ones over the
+    per-block offsets relation (≤ shuffle-partition-count rows),
+    recognizable by their _os_pid-keyed aggregate input."""
+    from wikipedia_data_pipeline_spark import registry
+    from wikipedia_data_pipeline_spark.plans import global_windows
+
+    q = registry.spark_queries()[query_name]
+    for w in global_windows(q(spark, sf_dir)):
+        assert w["guarded"], f"unguarded global window: {w['node'][:120]}"

@@ -1,0 +1,226 @@
+"""Distributed global-ordering primitives (rank / running aggregates /
+ntile over a TOTAL order) without a single-partition window.
+
+Why this module exists: ``Window.orderBy(...)`` with no ``partitionBy``
+plans as ``Exchange SinglePartition -> Window`` — every input row flows
+through ONE task. That is fine on driver-sized relations (a month
+spine, a 32-row block table) but a scale-killer on entity-sized ones:
+at 100 TB, |users|, |parts| and |vocab| are 1e8+ rows, and a global
+rank over them must not serialize through one core.
+
+The decomposition here is the textbook two-level (hierarchical) scan,
+the same shape ``operators.sampling.token_budget_cut`` uses for its
+prefix sum:
+
+1. ``repartitionByRange`` on the total order: partition *i* holds a
+   contiguous key range ≤ partition *i+1*'s range, so the physical
+   partition id IS the block id of a sorted blocking of the relation.
+2. Per-block running aggregates via a window **partitioned by** the
+   block id — all blocks in parallel, no task sees more than one block.
+3. Per-block totals form a blocks relation with ONE row per partition
+   (~``num_partitions`` rows — driver-sized by construction, so its own
+   exclusive-prefix window may legally run single-partition), broadcast
+   back and added as carry-in.
+
+Exactness: every carried quantity here is order-insensitive (COUNT,
+MAX, and integer/DECIMAL SUM), so the two-level answer is bit-identical
+to the one-pass answer under ANY choice of block boundaries — which is
+also why callers routing money through these scans must pass DECIMAL
+(not DOUBLE) running-sum sources, exactly like the engine's ``dec_sum``
+convention.
+
+Plan shape (asserted in tests/test_scale_plans.py): two shuffles over
+the data (range exchange + hash-by-block for the window), one broadcast
+of the blocks relation; the only SinglePartition exchange in the plan
+feeds the blocks-relation window ABOVE a per-block aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["ordered_scan", "global_ntile"]
+
+# Internal column names — prefixed to avoid user-column collisions.
+_PID = "_os_pid"
+_LRANK = "_os_lrank"
+
+
+def _sort_cols(order_by) -> list:
+    return [F.col(c) if isinstance(c, str) else c for c in order_by]
+
+
+def ordered_scan(
+    df: DataFrame,
+    order_by,
+    rank_col: str | None = None,
+    running=(),
+    with_totals: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append global ordered-scan columns over a TOTAL order.
+
+    Parameters
+    ----------
+    order_by : sequence of column names / sort Columns (``F.desc(...)``
+        allowed) that define a *total* order — include a unique
+        tie-break key, as every ranked query in this engine already
+        does, or ranks are nondeterministic.
+    rank_col : if set, append a global 1-based BIGINT row_number.
+    running : iterable of ``(out_col, source, kind)`` with ``kind`` in
+        {"sum", "max"}; appends the running (inclusive-prefix)
+        aggregate of ``source`` over the total order. Sums should be
+        integer or DECIMAL typed for bit-portability (see module doc).
+    with_totals : additionally append ``{rank_col}_total`` (global row
+        count) and ``{out_col}_total`` per running agg — computed from
+        the blocks relation for free (no second scan of ``df``).
+    num_partitions : range-partition count; defaults to the session's
+        ``spark.sql.shuffle.partitions``.
+    """
+    running = list(running)
+    if rank_col is None and not running:
+        raise ValueError("nothing to compute: set rank_col and/or running")
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sort = _sort_cols(order_by)
+
+    # (1) contiguous range blocks; the physical partition index is the
+    # block id (AQE only ever merges ADJACENT shuffle partitions, which
+    # preserves both contiguity and block ordering).
+    part = df.repartitionByRange(num_partitions, *sort).withColumn(
+        _PID, F.spark_partition_id()
+    )
+
+    # (2) per-block running aggregates — parallel across blocks.
+    w_rank = Window.partitionBy(_PID).orderBy(*sort)
+    w_run = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    local = part.withColumn(_LRANK, F.row_number().over(w_rank).cast("long"))
+    for out, src, kind in running:
+        fn = {"sum": F.sum, "max": F.max}[kind]
+        local = local.withColumn(f"_os_run_{out}", fn(src).over(w_run))
+
+    # LOAD-BEARING persist: the blocks relation below and the final
+    # probe side are two plan branches over this same subtree. Without
+    # a shared materialization, Catalyst prunes different column sets
+    # into each branch, the canonical subtrees stop matching, exchange
+    # reuse does NOT fire, and each branch re-executes the range
+    # exchange — whose partition bounds are SAMPLED per execution. Two
+    # executions sample different bounds, the two branches disagree on
+    # which rows belong to which block id, and the carry-ins join
+    # against the wrong blocks (observed: nondeterministic, wildly
+    # wrong running aggregates). Persisting pins ONE materialization —
+    # one sampling pass, one block assignment — which both branches
+    # read. Storage is the entity-sized input + scan columns
+    # (MEMORY_AND_DISK, spills), released on session cache eviction /
+    # ``spark.catalog.clearCache()``.
+    from pyspark import StorageLevel
+
+    local = local.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # (3) blocks relation: one row per block. Its exclusive prefix runs
+    # single-partition BY DESIGN — ~num_partitions rows, driver-sized.
+    aggs = [F.max(_LRANK).alias("_cnt")]
+    for out, src, kind in running:
+        # block totals aggregate the SOURCE (sum of running values
+        # would be a triangular over-count), and SUM/MAX of the source
+        # equal the block's last/extreme running value exactly.
+        fn = {"sum": F.sum, "max": F.max}[kind]
+        aggs.append(fn(src).alias(f"_tot_{out}"))
+    blk = local.groupBy(_PID).agg(*aggs)
+    bw = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    bw_all = Window.orderBy(_PID).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    off_cols = [
+        F.col(_PID),
+        F.coalesce(F.sum("_cnt").over(bw), F.lit(0)).alias("_off_rank"),
+    ]
+    if with_totals:
+        off_cols.append(F.sum("_cnt").over(bw_all).alias("_gtot_rank"))
+    for out, _src, kind in running:
+        if kind == "sum":
+            prior = F.sum(f"_tot_{out}").over(bw)
+            # typed zero so the carry-in keeps the source's exact type
+            zero = F.lit(0).cast(dict(blk.dtypes)[f"_tot_{out}"])
+            off_cols.append(F.coalesce(prior, zero).alias(f"_off_{out}"))
+            if with_totals:
+                off_cols.append(
+                    F.sum(f"_tot_{out}").over(bw_all).alias(f"_gtot_{out}")
+                )
+        else:  # max: carry-in may be NULL for the first block
+            off_cols.append(F.max(f"_tot_{out}").over(bw).alias(f"_off_{out}"))
+            if with_totals:
+                off_cols.append(
+                    F.max(f"_tot_{out}").over(bw_all).alias(f"_gtot_{out}")
+                )
+    offsets = blk.select(*off_cols)
+
+    out_df = local.join(F.broadcast(offsets), _PID)
+    proj = [F.col(c) for c in df.columns]
+    if rank_col is not None:
+        proj.append((F.col("_off_rank") + F.col(_LRANK)).alias(rank_col))
+        if with_totals:
+            proj.append(F.col("_gtot_rank").alias(f"{rank_col}_total"))
+    for out, _src, kind in running:
+        run_c = F.col(f"_os_run_{out}")
+        if kind == "sum":
+            proj.append((F.col(f"_off_{out}") + run_c).alias(out))
+        else:
+            # greatest() skips NULLs: first block's carry-in is NULL →
+            # the local running max passes through unchanged.
+            proj.append(F.greatest(F.col(f"_off_{out}"), run_c).alias(out))
+        if with_totals:
+            proj.append(F.col(f"_gtot_{out}").alias(f"{out}_total"))
+    return out_df.select(*proj)
+
+
+def global_ntile(
+    df: DataFrame,
+    order_by,
+    n: int,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """SQL ``ntile(n) OVER (ORDER BY ...)`` without a single-partition
+    window: derived arithmetically from the hierarchical global rank.
+
+    Standard ntile semantics (what Spark and DuckDB both implement):
+    with N rows and n tiles, q = N div n and r = N mod n, tiles 1..r
+    hold q+1 rows and tiles r+1..n hold q rows. Bucket of the 1-based
+    rank i is therefore
+
+        i <= r*(q+1)  ->  ceil(i / (q+1))
+        else          ->  r + ceil((i - r*(q+1)) / q)
+
+    All-integer arithmetic (ceil(a/b) = (a+b-1) div b) so the result is
+    exact at any N; when N < n the first branch covers every row, so
+    the q=0 division never evaluates.
+    """
+    r = ordered_scan(
+        df,
+        order_by,
+        rank_col="_os_i",
+        with_totals=True,
+        num_partitions=num_partitions,
+    )
+    i = F.col("_os_i")
+    big_n = F.col("_os_i_total")
+
+    # integer div via (a - a % b) / b expressed with pmod to stay in
+    # longs (no DOUBLE round-trip — exact at any magnitude)
+    def idiv(a, b):
+        return ((a - a % b) / b).cast("long")
+
+    q = idiv(big_n, F.lit(n))
+    rmd = big_n % n
+    big = (q + 1).cast("long")
+    first = rmd * big  # rows covered by the (q+1)-sized tiles
+    bucket = (
+        F.when(i <= first, idiv(i + q, big))
+        .otherwise(rmd + idiv(i - first + q - 1, q))
+        .cast("long")
+        .alias(out_col)
+    )
+    return r.select(*[F.col(c) for c in df.columns], bucket)

@@ -41,6 +41,64 @@ class PlanSummary:
         raise KeyError(f"no scan matching {token!r}")
 
 
+def _walk_plan(node):
+    """Depth-first walk of a JVM SparkPlan, descending through the
+    wrappers the plain ``children()`` walk can't see: AQE plans, query
+    stages, cached relations, and reused exchanges. The plan STRING
+    truncates nested adaptive subtrees (broadcast sides, InMemoryRelation
+    bodies), so tree inspection is the only reliable way to see every
+    operator."""
+    yield node
+    name = node.getClass().getSimpleName()
+    kids = []
+    try:
+        if name == "AdaptiveSparkPlanExec":
+            kids.append(node.executedPlan())
+        elif name.endswith("QueryStageExec"):
+            kids.append(node.plan())
+        elif name == "InMemoryTableScanExec":
+            kids.append(node.relation().cachedPlan())
+        elif name == "ReusedExchangeExec":
+            kids.append(node.child())
+    except Exception:
+        pass
+    seq = node.children()
+    kids.extend(seq.apply(i) for i in range(seq.size()))
+    for k in kids:
+        yield from _walk_plan(k)
+
+
+def global_windows(df: DataFrame, run: bool = True) -> list[dict]:
+    """Every WindowExec in the executed plan with an EMPTY partition
+    spec (the SinglePartition-serializing kind), as
+    ``{"node": str, "guarded": bool}``.
+
+    ``guarded`` is True iff the window's input subtree contains an
+    aggregate keyed on ``operators.ranks``' block id (``_os_pid``) —
+    i.e. the window runs over the per-block summary relation
+    (≤ num_partitions rows, driver-sized by construction), which is the
+    one place a global window is legal at any scale. Tests for queries
+    migrated to the hierarchical scan assert all(guarded)."""
+    if run:
+        df.collect()
+    root = df._jdf.queryExecution().executedPlan()
+    out = []
+    for node in _walk_plan(root):
+        if node.getClass().getSimpleName() != "WindowExec":
+            continue
+        if node.partitionSpec().size() != 0:
+            continue
+        guarded = any(
+            "Aggregate" in sub.getClass().getSimpleName()
+            and "_os_pid" in sub.toString().split("\n", 1)[0]
+            for sub in _walk_plan(node)
+        )
+        out.append(
+            {"node": node.toString().split("\n", 1)[0], "guarded": guarded}
+        )
+    return out
+
+
 def plan_summary(df: DataFrame, run: bool = True) -> PlanSummary:
     """Parse the final plan (AQE Final section only, so nodes are not
     double-counted against the Initial Plan echo)."""

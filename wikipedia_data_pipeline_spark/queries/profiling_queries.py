@@ -1338,12 +1338,19 @@ FROM agg
 )
 def customer_rfm_segments(spark, sf_dir):
     """RFM customer scoring: recency/frequency/monetary per customer,
-    quartiled by three ntile windows with customer-key tiebreaks (total
-    orders -> deterministic quartiles). One hash agg over orders; the
-    windows run over the customer-sized aggregate, not the fact table.
+    quartiled with customer-key tiebreaks (total orders ->
+    deterministic quartiles). One hash agg over orders collapses the
+    fact table to |customers| rows; each quartile is then
+    ``operators.ranks.global_ntile`` — the hierarchical two-level scan
+    — instead of an unpartitioned ntile window, because |customers| at
+    100 TB is 1e8+ and a global ntile window plans as a
+    single-partition sort over the whole entity relation. Three
+    independent orders → three range-partitioned passes over the
+    customer-sized aggregate (each ~2 shuffles of entity rows — cheap
+    next to the fact-table agg, and every pass is fully parallel).
     """
-    from pyspark.sql import Window
     from wikipedia_data_pipeline_spark.functions import dec_sum
+    from wikipedia_data_pipeline_spark.operators.ranks import global_ntile
 
     orders = load_table(spark, sf_dir, "orders")
     agg = orders.groupBy("o_custkey").agg(
@@ -1351,17 +1358,23 @@ def customer_rfm_segments(spark, sf_dir):
         F.count(F.lit(1)).alias("frequency"),
         dec_sum("o_totalprice", "monetary"),
     )
-    r_w = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
-    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
-    return agg.select(
+    seg = global_ntile(
+        agg, [F.desc("last_order"), F.asc("o_custkey")], 4, "r_quartile"
+    )
+    seg = global_ntile(
+        seg, [F.desc("frequency"), F.asc("o_custkey")], 4, "f_quartile"
+    )
+    seg = global_ntile(
+        seg, [F.desc("monetary"), F.asc("o_custkey")], 4, "m_quartile"
+    )
+    return seg.select(
         "o_custkey",
         "last_order",
         "frequency",
         "monetary",
-        F.ntile(4).over(r_w).cast("long").alias("r_quartile"),
-        F.ntile(4).over(f_w).cast("long").alias("f_quartile"),
-        F.ntile(4).over(m_w).cast("long").alias("m_quartile"),
+        "r_quartile",
+        "f_quartile",
+        "m_quartile",
     )
 
 
@@ -1829,22 +1842,20 @@ FROM dec GROUP BY decile
 def revenue_concentration_deciles(spark, sf_dir):
     """Revenue concentration (whale curve): customers ranked into
     revenue deciles, each decile's share of total — decimal-routed
-    sums at every level so the shares are bit-portable; the ntile runs
-    over the customer-sized aggregate, not the fact table."""
-    from pyspark.sql import Window
+    sums at every level so the shares are bit-portable. The decile
+    assignment is ``operators.ranks.global_ntile`` (hierarchical
+    range-partitioned scan over the customer-sized aggregate) — never
+    an unpartitioned ntile window, which would serialize 1e8+ entity
+    rows through one task at 100 TB."""
     from wikipedia_data_pipeline_spark.functions import dec_sum
+    from wikipedia_data_pipeline_spark.operators.ranks import global_ntile
 
     orders = load_table(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(
         dec_sum("o_totalprice", "revenue")
     )
-    dec = cust.select(
-        "o_custkey",
-        "revenue",
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("revenue"), F.asc("o_custkey")))
-        .cast("long")
-        .alias("decile"),
+    dec = global_ntile(
+        cust, [F.desc("revenue"), F.asc("o_custkey")], 10, "decile"
     )
     total = dec.agg(
         F.sum(F.col("revenue").cast("decimal(18,6)"))
@@ -3305,18 +3316,18 @@ def corpus_zipf_fit(spark, sf_dir):
     it — a one-number corpus health check). Determinism recipe as
     everywhere: logs and products are computed once per VOCAB entry and
     rounded, the regression moments are decimal sums, and the final
-    slope is one IEEE expression over exact moments. The ranking
-    window runs over the vocab relation (corpus-bounded dictionary),
-    not the corpus."""
-    from pyspark.sql import Window
-
+    slope is one IEEE expression over exact moments. The rank is
+    assigned over the vocab relation (corpus-bounded dictionary, not
+    the corpus) with ``operators.ranks.ordered_scan`` — web-scale
+    vocabularies run to 1e8+ n-grams, so even the dictionary must not
+    flow through a single-partition rank window."""
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
     from wikipedia_data_pipeline_spark.operators.text import tokenize
 
     toks = tokenize(load_table(spark, sf_dir, "documents"))
     counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
-    ranked = counts.withColumn(
-        "rnk",
-        F.row_number().over(Window.orderBy(F.desc("n"), F.asc("word"))).cast("long"),
+    ranked = ordered_scan(
+        counts, [F.desc("n"), F.asc("word")], rank_col="rnk"
     )
     dec = "decimal(18,6)"
     pts = ranked.select(
@@ -3753,9 +3764,12 @@ WITH rev AS (
 ),
 ranked AS (
   SELECT l_partkey, revenue,
-         sum(revenue) OVER (ORDER BY revenue DESC, l_partkey ASC
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
-         sum(revenue) OVER () AS total_rev
+         CAST(sum(CAST(revenue AS DECIMAL(18,6)))
+              OVER (ORDER BY revenue DESC, l_partkey ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) AS cum_rev,
+         CAST(sum(CAST(revenue AS DECIMAL(18,6))) OVER () AS DOUBLE)
+           AS total_rev
   FROM rev
 )
 SELECT l_partkey, revenue,
@@ -3768,14 +3782,18 @@ FROM ranked
 def parts_abc_classification(spark, sf_dir):
     """ABC inventory classification: parts ranked by discounted
     revenue; the running share cuts A (first 80% of revenue) / B (next
-    15%) / C (tail). Revenue sums are decimal-exact so the running sum
-    — and therefore every class boundary — is identical under any
-    partitioning; the window is part-keyed aggregate-sized, not
-    lineitem-sized. The whale-curve complement to
+    15%) / C (tail). The running sum is DECIMAL-routed end to end
+    (both engines), so it — and therefore every class boundary — is
+    exact and identical under ANY block decomposition; that exactness
+    is what licenses computing it with the hierarchical
+    ``operators.ranks.ordered_scan`` instead of an unpartitioned
+    running-sum window (|parts| at 100 TB is 1e8+ — a global window
+    would serialize the part relation through one task). The grand
+    total comes from the scan's blocks relation for free (no second
+    aggregate pass). The whale-curve complement to
     revenue_concentration_deciles."""
-    from pyspark.sql import Window
-
     from wikipedia_data_pipeline_spark.functions import dec_sum
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
 
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
@@ -3784,15 +3802,17 @@ def parts_abc_classification(spark, sf_dir):
             "revenue",
         )
     )
-    wcum = Window.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
+    sc = ordered_scan(
+        rev,
+        [F.desc("revenue"), F.asc("l_partkey")],
+        running=[("cum_dec", F.col("revenue").cast("decimal(18,6)"), "sum")],
+        with_totals=True,
     )
-    wtot = Window.partitionBy()
-    ranked = rev.select(
+    ranked = sc.select(
         "l_partkey",
         "revenue",
-        F.sum("revenue").over(wcum).alias("cum_rev"),
-        F.sum("revenue").over(wtot).alias("total_rev"),
+        F.col("cum_dec").cast("double").alias("cum_rev"),
+        F.col("cum_dec_total").cast("double").alias("total_rev"),
     )
     return ranked.select(
         "l_partkey",
@@ -4932,7 +4952,7 @@ def events_bootstrap_ci(spark, sf_dir):
 _LATE_ORACLE = """
 WITH lat AS (
   SELECT event_type,
-         max(epoch_us(ts)) OVER (ORDER BY epoch_us(ts), event_id
+         max(epoch_us(ts)) OVER (ORDER BY event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING
                                  AND CURRENT ROW) - epoch_us(ts) AS late_us
   FROM events
@@ -4957,19 +4977,29 @@ def events_lateness_audit(spark, sf_dir):
     the batch audit you run BEFORE picking `withWatermark` bounds for
     the §2.8 streaming pipelines.
 
-    The running max is one ordered window pass (arrival order =
-    (ts, event_id) in this testdata; a real ingest log would order by
-    ingest offset); everything else is a conditional aggregate.
+    Arrival order is the ingest offset (event_id — this testdata's
+    synthetic ingest log assigns ids in arrival order). The running
+    watermark max(event-time) over that order is computed with
+    ``operators.ranks.ordered_scan`` — the hierarchical two-level scan
+    — because a bare ``Window.orderBy(...)`` with no partitionBy plans
+    as Exchange SinglePartition over the ENTIRE fact table: correct at
+    sf0.01, serial at 100 TB. Running MAX is order-insensitive within
+    any prefix, so the block decomposition is exact (asserted against
+    a one-partition reference on shuffled arrivals in
+    tests/test_ranks.py); everything downstream is a conditional
+    aggregate with map-side partials.
     """
-    from pyspark.sql import Window
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
 
     ev = load_table(spark, sf_dir, "events")
-    run = Window.orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    scanned = ordered_scan(
+        ev.select("event_id", "event_type", "ts"),
+        ["event_id"],
+        running=[("wm_ts", "ts", "max")],
     )
-    lat = ev.select(
+    lat = scanned.select(
         "event_type",
-        (F.max("ts").over(run) - F.col("ts")).alias("late_us"),
+        (F.col("wm_ts") - F.col("ts")).alias("late_us"),
     )
     return lat.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -5890,14 +5920,16 @@ def events_value_gini(spark, sf_dir):
     whole Lorenz curve).
 
     The rank formulation G = 2Σi·xᵢ/(nΣx) − (n+1)/n needs one global
-    sort of the per-user totals — expressed as a row_number with a
-    declared (cents, user_id) total order so ties are deterministic —
-    then two DECIMAL sums and one fixed IEEE finale. The fact table
-    collapses to |users| rows before any window sees it; at 100 TB the
-    rank assignment runs as a range-partitioned sort over entity
-    totals, not events.
+    sort of the per-user totals — a row_number with a declared
+    (cents, user_id) total order so ties are deterministic — then two
+    DECIMAL sums and one fixed IEEE finale. The fact table collapses
+    to |users| rows before any rank is assigned, and the rank itself
+    is ``operators.ranks.ordered_scan`` — the hierarchical range-
+    partitioned scan — because |users| at 100 TB is 1e8+: an
+    unpartitioned row_number window would serialize the entity
+    relation through one task.
     """
-    from pyspark.sql import Window
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
 
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
@@ -5905,12 +5937,8 @@ def events_value_gini(spark, sf_dir):
         .cast("long")
         .alias("cents")
     )
-    r = u.select(
-        "cents",
-        F.row_number()
-        .over(Window.orderBy("cents", "user_id"))
-        .cast("long")
-        .alias("i"),
+    r = ordered_scan(u, ["cents", "user_id"], rank_col="i").select(
+        "cents", "i"
     )
     dec = "decimal(38,0)"
     s = r.agg(
