@@ -18,9 +18,16 @@ def test_window_prefix_is_fully_oracle_bearing():
     )
 
 
-def test_promoted_event_time_family_leads_the_window():
+def test_pinned_then_rotation_leads_the_window():
+    """The driver's ~50-slot correctness prefix must start with the
+    pinned reference surface, immediately followed by this round's
+    rotation set — and every name in both must resolve."""
     qs = list(registry.spark_queries())
-    assert qs[: len(registry._WINDOW_PROMOTED)] == registry._WINDOW_PROMOTED
+    head = registry._PINNED + registry._ROTATION
+    assert qs[: len(head)] == head
+    # the prefix the driver walks is oracle-checkable end to end
+    oracles = registry.oracle_queries()
+    assert all(n in oracles for n in head)
 
 
 def test_every_oracle_has_a_query_and_names_are_unique():

@@ -39,26 +39,84 @@ def register(name: str, oracle: str | None = None) -> Callable[[Query], Query]:
 
 # The driver's correctness gate walks a bounded prefix (~50 entries) of
 # queries(). Those slots are only useful for oracle-checkable queries, so
-# the exported order is: (1) a promoted set — the event-time family that
-# broke in round 4 and now needs hard driver evidence; (2) every other
-# oracle-bearing query in registration order (reference surface first);
-# (3) the no-oracle approximate/streaming-only entries, which the driver
-# can only rows-check anyway, at the very end.
-_WINDOW_PROMOTED = [
+# the exported order is: (1) a PINNED set — the reference surface
+# (TF-IDF / Task 1) plus the event-time family that broke in round 4,
+# which keep driver evidence every round; (2) a per-round ROTATION that
+# cycles the remaining ~35 slots through the least-recently-driver-
+# verified oracle families, so independent verification sweeps the whole
+# registry over rounds instead of re-checking the same prefix; (3) every
+# other oracle-bearing query in registration order; (4) the no-oracle
+# approximate/streaming-only entries (rows-only checks) at the very end.
+_PINNED = [
+    # event-time family (r4 breakage — keeps hard driver evidence)
     "events_funnel",
     "window_lag_lead",
     "window_running_sum",
     "asof_join_last_view",
     "sessionization",
     "streaming_static_enrich",
+    # reference surface: the TF-IDF / Task 1 pipeline itself
+    "doc_tokens",
+    "doc_term_counts",
+    "doc_tf",
+    "idf",
+    "tfidf_full",
+    "task1_dictionary",
+    "task1_probe",
+    "corpus_doc_count",
+    "dedup_exact",
+]
+
+# Round-6 rotation: (a) the entity-rank family just restructured onto
+# operators.ranks — fresh plans need fresh driver rows; (b) TPC-H,
+# sequence, graph, and timeseries — none has had a driver-verified row
+# since round 1 (or ever; they entered the registry after the prefix
+# filled). Next round, swap in the profiling/advanced families.
+_ROTATION = [
+    "events_lateness_audit",
+    "events_value_gini",
+    "customer_rfm_segments",
+    "parts_abc_classification",
+    "revenue_concentration_deciles",
+    "corpus_zipf_fit",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_value",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
+    "asof_join_next_click",
+    "events_linear_trend",
+    "events_markov_transitions",
+    "orders_gaps_islands",
+    "scalar_bitwise_funcs",
+    "events_mode_event_type",
+    "events_cumulative_distinct_types",
+    "revenue_share_of_parent",
+    "orders_yoy_growth",
+    "graph_pagerank_partsupp",
+    "graph_degree_profile",
+    "graph_label_propagation",
+    "graph_triangle_census",
+    "graph_pagerank_weighted",
+    "graph_kcore_peel",
+    "graph_bfs_reachability",
+    "graph_adamic_adar",
+    "graph_jaccard_suppliers",
+    "events_ewma_value",
+    "events_autocorr_lag1",
 ]
 
 
 def _ordered_names() -> list[str]:
-    promoted = [n for n in _WINDOW_PROMOTED if n in _QUERIES]
-    rest = [n for n in _QUERIES if n in _ORACLES and n not in _WINDOW_PROMOTED]
-    no_oracle = [n for n in _QUERIES if n not in _ORACLES]
-    return promoted + rest + no_oracle
+    head = [n for n in _PINNED + _ROTATION if n in _QUERIES]
+    seen = set(head)
+    rest = [n for n in _QUERIES if n in _ORACLES and n not in seen]
+    no_oracle = [n for n in _QUERIES if n not in _ORACLES and n not in seen]
+    return head + rest + no_oracle
 
 
 def spark_queries() -> dict[str, Query]:
