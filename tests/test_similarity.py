@@ -223,3 +223,46 @@ def test_pca_recovers_planted_direction(spark):
     out2 = pca_project(df.repartition(5), k=2).orderBy("vec_id").collect()
     pc1b = np.array([r.pc1 for r in out2])
     assert np.allclose(pc1, pc1b, atol=1e-6)
+
+
+def test_pq_index_roundtrip_matches_in_memory_path(spark, sf_dir, tmp_path):
+    """Persisted PQ model serving (codebooks= + codes= injection) ==
+    the in-memory path with the same codebooks, and the served plan
+    never trains: no grouped-pandas stage (Lloyd means) anywhere in it."""
+    from wikipedia_data_pipeline_spark.operators.similarity import (
+        ann_pq_topk,
+        build_pq_index,
+        load_pq_index,
+        pq_encode,
+    )
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "pq")
+    build_pq_index(emb, path, m=8, k=8, iters=1)
+    cb, codes = load_pq_index(spark, path)
+    qids = [r.vec_id for r in emb.limit(3).collect()]
+
+    served = ann_pq_topk(
+        emb, qids, k=5, m=8, kcode=8, codebooks=cb, codes=codes
+    )
+    direct = ann_pq_topk(emb, qids, k=5, m=8, kcode=8, codebooks=cb)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_pq_serve_config_recall(spark):
+    """The registered query's serve configuration (seed codebooks,
+    iters=0, rerank=12) must hold >= 0.9 recall@10 on the clustered
+    corpus — the training-free determinism trade the query makes."""
+    emb = clustered_embeddings(spark).cache()
+    qids = [0, 45, 123, 301, 555]
+    exact = S.cosine_topk(emb, qids, 10).cache()
+    pq = S.ann_recall(
+        exact, S.ann_pq_topk(emb, qids, 10, iters=0, rerank=12)
+    )
+    pq_r = _mean_recall(pq)
+    assert pq_r >= 0.9, f"serve-config PQ recall {pq_r}"

@@ -391,16 +391,31 @@ def _subspace_rows(embeddings: DataFrame, dim: int, m: int) -> DataFrame:
 
 
 def _nearest_code(sub_rows: DataFrame, codebooks: DataFrame) -> DataFrame:
-    """Assign every (vec_id, subspace) sub-vector to its nearest codeword
-    (broadcast codebook, squared-euclidean, deterministic tie on code)."""
-    scored = sub_rows.join(F.broadcast(codebooks), "subspace").withColumn(
-        "d", _sq_dist(F.col("sub"), F.col("c_sub"))
+    """Assign every (vec_id, subspace) sub-vector to its nearest codeword.
+
+    The codebook is folded to ONE array row per subspace and broadcast;
+    the argmin is an ``array_min`` over (distance, code) structs — struct
+    ordering is lexicographic, so ties break on the smaller code exactly
+    like the previous ``row_number`` formulation, but as a PURE MAP: no
+    window, no shuffle. Assignment cost is corpus-linear inside codegen,
+    which matters because training runs this once per Lloyd iteration
+    over corpus×m sub-vector rows (the old per-(vec_id, subspace) window
+    shuffled that relation every iteration)."""
+    cand = codebooks.groupBy("subspace").agg(
+        F.collect_list(F.struct("code", "c_sub")).alias("cands")
     )
-    w = Window.partitionBy("vec_id", "subspace").orderBy("d", "code")
-    return (
-        scored.withColumn("_rnk", F.row_number().over(w))
-        .filter(F.col("_rnk") == 1)
-        .select("vec_id", "subspace", "code", "sub")
+    scored = F.transform(
+        F.col("cands"),
+        lambda c: F.struct(
+            _sq_dist(F.col("sub"), c["c_sub"]).alias("d"),
+            c["code"].alias("code"),
+        ),
+    )
+    return sub_rows.join(F.broadcast(cand), "subspace").select(
+        "vec_id",
+        "subspace",
+        F.array_min(scored)["code"].alias("code"),
+        "sub",
     )
 
 
@@ -494,6 +509,8 @@ def ann_pq_topk(
     kcode: int = PQ_K,
     iters: int = PQ_ITERS,
     rerank: int = PQ_RERANK,
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """PQ ANN via asymmetric distance computation (ADC) + exact rerank:
     per query, precompute an m×kcode lookup table of squared distances
@@ -511,11 +528,23 @@ def ann_pq_topk(
     Approximate by construction (quantization error can push a true
     neighbor out of the shortlist) → rows-only check; recall is measured
     in ann_recall_report and asserted in tests.
+
+    Train/serve split (the production amortization): pass ``codebooks``
+    (and optionally ``codes``) from ``load_pq_index`` to skip training
+    and/or encoding entirely — the call is then scan-time ADC only, the
+    same ``centroids=``-style injection the IVF path has. With neither
+    passed, the model is trained in-line (``iters`` Lloyd rounds; 0 =
+    deterministic hash-ordered seed codewords, training-free).
     Output: (query_id, vec_id, cos, rnk) — same interface as the other
     ANN paths.
     """
-    cb = pq_codebooks(embeddings, dim, m, kcode, iters).persist()
-    codes = pq_encode(embeddings, cb, dim, m)
+    cb = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(embeddings, dim, m, kcode, iters).persist()
+    )
+    if codes is None:
+        codes = pq_encode(embeddings, cb, dim, m)
     qsubs = _subspace_rows(
         embeddings.filter(F.col("vec_id").isin(query_ids)), dim, m
     ).select(F.col("vec_id").alias("query_id"), "subspace", "sub")
@@ -579,6 +608,40 @@ def ann_pq_topk(
         exact.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
         .select("query_id", "vec_id", "cos", "rnk")
+    )
+
+
+def build_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    dim: int = 64,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+) -> None:
+    """Persist the PQ model as parquet artifacts: the trained codebooks
+    and the encoded corpus (m small ints per vector — the 32-64× space
+    reduction that makes the ADC scan cheap). This is the once-amortized
+    train+encode job; serving (``ann_pq_topk(codebooks=..., codes=...)``)
+    then never trains, never encodes, and never reads raw vectors except
+    for the rerank shortlist."""
+    import os
+
+    cb = pq_codebooks(embeddings, dim, m, k, iters).persist()
+    cb.write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+    pq_encode(embeddings, cb, dim, m).write.mode("overwrite").parquet(
+        os.path.join(path, "codes")
+    )
+    cb.unpersist()
+
+
+def load_pq_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(codebooks, codes) back from ``build_pq_index`` artifacts."""
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(path, "codebooks")),
+        spark.read.parquet(os.path.join(path, "codes")),
     )
 
 

@@ -164,23 +164,42 @@ def ann_ivf_recall(spark, sf_dir):
 
 @register("ann_cosine_topk_pq")  # approximate (quantization) → rows-only
 def ann_cosine_topk_pq(spark, sf_dir):
-    """Product-quantization ANN: per-subspace codebooks + asymmetric
-    distance scan over the compressed code table (the path whose scan
-    cost at 100 TB is m bytes/vector, not the raw embeddings)."""
+    """Product-quantization ANN, SERVE-shaped: asymmetric distance scan
+    over the compressed code table (the path whose scan cost at 100 TB
+    is m bytes/vector, not the raw embeddings), then exact rerank of a
+    rerank×k shortlist.
+
+    Mirrors the IVF query's training-free determinism: the codebook is
+    the hash-ordered seed sample (``iters=0`` — no Lloyd rounds), with
+    the quantization slack bought back by a wider shortlist
+    (``rerank=12``; recall@10 ≥0.9 vs brute force, measured in
+    ann_recall_report under this same configuration and asserted in
+    tests/test_similarity.py). Full Lloyd training lives in the
+    amortized index job — ``operators.similarity.build_pq_index`` /
+    ``load_pq_index`` / ``ann_pq_topk(codebooks=, codes=)`` — not in
+    the per-query path."""
     return S.ann_pq_topk(
-        load_table(spark, sf_dir, "embeddings"), QUERY_IDS, TOP_K
+        load_table(spark, sf_dir, "embeddings"),
+        QUERY_IDS,
+        TOP_K,
+        iters=0,
+        rerank=12,
     )
 
 
 @register("ann_recall_report")  # LSH bucket ids use xxhash64 → rows-only
 def ann_recall_report(spark, sf_dir):
     """Recall@10 of each approximate ANN path (lsh, ivf, pq) vs brute
-    force, one row per (method, query)."""
+    force, one row per (method, query). Each path is measured under the
+    SAME configuration its registered query serves (pq: seed codebook +
+    rerank=12), so these rows are the recall of what actually runs."""
     emb = load_table(spark, sf_dir, "embeddings")
     exact = S.cosine_topk(emb, QUERY_IDS, TOP_K)
     lsh = S.ann_recall(exact, S.ann_lsh_topk(emb, QUERY_IDS, TOP_K))
     ivf = S.ann_recall(exact, S.ann_ivf_topk(emb, QUERY_IDS, TOP_K))
-    pq = S.ann_recall(exact, S.ann_pq_topk(emb, QUERY_IDS, TOP_K))
+    pq = S.ann_recall(
+        exact, S.ann_pq_topk(emb, QUERY_IDS, TOP_K, iters=0, rerank=12)
+    )
     return (
         lsh.select(F.lit("lsh").alias("method"), "*")
         .unionByName(ivf.select(F.lit("ivf").alias("method"), "*"))
