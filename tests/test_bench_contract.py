@@ -17,3 +17,23 @@ def test_headline_set_spans_engine_areas():
     assert {"tfidf_full", "dedup_minhash_lsh", "ann_cosine_topk_brute"} <= set(
         bench.HEADLINE
     )
+
+
+def test_no_eager_query_in_any_timing_set():
+    """Eager queries run Spark jobs at BUILD time, so timing their
+    final action under-measures them; the registry tags them and the
+    bench must exclude them mechanically (round-5 verdict item 7)."""
+    eager = registry.eager_queries()
+    assert not eager & set(bench.HEADLINE), eager & set(bench.HEADLINE)
+
+
+def test_ratio_set_is_oracle_backed_and_excludes_quadratic_twin():
+    oracles = registry.oracle_queries()
+    twins = [
+        n
+        for n in bench.HEADLINE
+        if n in oracles and n not in bench.RATIO_EXCLUDE
+    ]
+    # every twin the ratio cites is proven equivalent by the gate
+    assert all(n in oracles for n in twins)
+    assert "dedup_minhash_lsh" in bench.RATIO_EXCLUDE

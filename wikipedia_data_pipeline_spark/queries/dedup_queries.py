@@ -105,6 +105,7 @@ reach(doc_id, label) AS (
 SELECT doc_id, min(label) AS cluster_id, doc_id = min(label) AS keep
 FROM reach GROUP BY doc_id
 """,
+    eager=True,
 )
 def dedup_cluster_select(spark, sf_dir):
     """Connected components over verified MinHash-LSH near-dup pairs →

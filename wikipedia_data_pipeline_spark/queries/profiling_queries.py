@@ -672,6 +672,7 @@ def udtf_doc_sentences(spark, sf_dir):
 @register(
     "source_wikidoc_roundtrip",
     oracle="SELECT doc_id, trim(text) AS text FROM documents",
+    eager=True,
 )
 def source_wikidoc_roundtrip(spark, sf_dir):
     """Custom Python DataSource (Spark 4 API): documents rendered to
@@ -3854,7 +3855,7 @@ e{i} AS (
     )
 
 
-@register("graph_kcore_peel", oracle=_kcore_oracle(25, 3))
+@register("graph_kcore_peel", oracle=_kcore_oracle(25, 3), eager=True)
 def graph_kcore_peel(spark, sf_dir):
     """k-core peeling (k=25, 3 rounds) of the part–supplier graph:
     nodes below degree 25 are dropped with their edges each round, and
@@ -4141,7 +4142,7 @@ def _bfs_oracle(seed: str, max_hops: int) -> str:
     )
 
 
-@register("graph_bfs_reachability", oracle=_bfs_oracle("p:1", 3))
+@register("graph_bfs_reachability", oracle=_bfs_oracle("p:1", 3), eager=True)
 def graph_bfs_reachability(spark, sf_dir):
     """3-hop BFS neighborhood of part p:1 in the part–supplier graph
     with minimum hop distances — the related-items / blast-radius

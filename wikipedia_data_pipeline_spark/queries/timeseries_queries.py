@@ -447,7 +447,7 @@ WHERE rn = 1
 """
 
 
-@register("text_naive_bayes_langid", oracle=_NB_ORACLE)
+@register("text_naive_bayes_langid", oracle=_NB_ORACLE, eager=True)
 def text_naive_bayes_langid(spark, sf_dir):
     """Multinomial Naive Bayes language classifier, trained AND scored
     entirely as DataFrame aggregation — the canonical example of ML

@@ -23,15 +23,27 @@ Query = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, Query] = {}
 _ORACLES: dict[str, str] = {}
+_EAGER: set[str] = set()
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[Query], Query]:
+def register(
+    name: str, oracle: str | None = None, eager: bool = False
+) -> Callable[[Query], Query]:
+    """``eager=True`` marks a query whose CONSTRUCTION already runs
+    Spark jobs (iterative fixpoints that must materialize per round,
+    demo round-trips that write artifacts). Correctness gates treat
+    them like any other query; bench/tooling must exclude them
+    mechanically via ``eager_queries()`` — timing an eager query's
+    final action measures only the tail of its work."""
+
     def deco(fn: Query) -> Query:
         if name in _QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle
+        if eager:
+            _EAGER.add(name)
         return fn
 
     return deco
@@ -127,6 +139,13 @@ def spark_queries() -> dict[str, Query]:
 def oracle_queries() -> dict[str, str]:
     _load_all()
     return {n: _ORACLES[n] for n in _ordered_names() if n in _ORACLES}
+
+
+def eager_queries() -> set[str]:
+    """Names whose query functions execute Spark jobs at build time —
+    exclude from any timing set (see ``register(eager=...)``)."""
+    _load_all()
+    return set(_EAGER)
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
