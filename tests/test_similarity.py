@@ -266,3 +266,23 @@ def test_pq_serve_config_recall(spark):
     )
     pq_r = _mean_recall(pq)
     assert pq_r >= 0.9, f"serve-config PQ recall {pq_r}"
+
+
+def test_semantic_dedup_drops_planted_duplicate(spark):
+    """A vector duplicated verbatim (cosine 1.0 with its senior) must be
+    dropped; the senior copy and unrelated vectors must be kept."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(40):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(8)]))
+    rows.append((100, list(rows[5][1])))  # exact duplicate of vec 5
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r.vec_id: r.keep
+        for r in S.semantic_dedup(emb, tau=0.99, centroid_mod=7).collect()
+    }
+    assert out[100] is False  # junior duplicate dropped
+    assert out[5] is True     # senior kept
+    assert sum(1 for k in out.values() if not k) == 1  # nothing else near tau

@@ -611,6 +611,60 @@ def ann_pq_topk(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    tau: float = 0.45,
+    centroid_mod: int = IVF_CENTROID_MOD,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the corpus, then inside each
+    cluster drop every vector that has a MORE-SENIOR semantic duplicate
+    (cosine ≥ ``tau``, smaller vec_id — the deterministic stand-in for
+    the paper's keep-one-per-group choice).
+
+    Scale shape: the pair search is an equi-join on the cluster id —
+    never all-pairs over the corpus. Cluster granularity bounds the
+    join fan-out (at 100 TB: kmeans_centroids with k ≈ n/target so
+    cells stay ~constant-sized; here the IVF hash-sampled centroids
+    keep the whole computation deterministic and therefore exactly
+    oracle-checkable). One broadcast of the centroid table for the
+    assignment scan, one cell-keyed shuffle for the pair join.
+
+    Returns (vec_id, cell, keep): ``keep=false`` rows are the semantic
+    duplicates a curation pipeline would drop before training.
+    """
+    if centroids is None:
+        centroids = embeddings.filter(
+            F.col("vec_id") % centroid_mod == 0
+        ).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("c_emb"),
+        )
+    cells = _nearest_centroids(embeddings, centroids, 1, "cell").select(
+        "vec_id", "embedding", "cell"
+    )
+    seniors = cells.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        "cell",
+    )
+    drops = (
+        cells.join(seniors, "cell")
+        .filter(F.col("b_id") < F.col("vec_id"))
+        .filter(
+            cosine_similarity(F.col("embedding"), F.col("b_emb")) >= tau
+        )
+        .select("vec_id")
+        .distinct()
+    )
+    return cells.join(drops.withColumn("_drop", F.lit(True)), "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+    )
+
+
 def build_pq_index(
     embeddings: DataFrame,
     path: str,

@@ -6815,3 +6815,58 @@ def orders_ttm_revenue(spark, sf_dir):
         F.sum("rev_dec").over(w).cast("double").alias("ttm_revenue"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_months_in_window"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed percentiles (order-statistic selection, no sketch)
+# ---------------------------------------------------------------------------
+
+@register(
+    "lineitem_exact_percentiles",
+    oracle="""
+WITH r AS (
+  SELECT l_extendedprice AS value,
+         row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                            l_linenumber) AS rnk,
+         count(*) OVER () AS n
+  FROM lineitem
+)
+SELECT CAST(p AS DOUBLE) AS p, value, CAST(rnk AS BIGINT) AS rank_n
+FROM r JOIN (VALUES (0.5), (0.9), (0.99)) t(p)
+  ON rnk = CAST(ceil(p * n) AS BIGINT)
+""",
+)
+def lineitem_exact_percentiles(spark, sf_dir):
+    """EXACT p50/p90/p99 of lineitem price by distributed order-statistic
+    selection — not approx_percentile (whose sketch error is
+    configuration-dependent and engine-specific, so it can never be
+    oracle-checked exactly). The global rank over (value, orderkey,
+    linenumber) — a total order, so the selected row is unique — comes
+    from ``operators.ranks.ordered_scan``; the quantile definition is
+    the lower order statistic at rank ceil(p·N), computed with the same
+    expression in both engines. At 100 TB this is two fact-sized
+    shuffles (range + by-block) and a 3-row broadcast probe — the
+    exact-selection alternative when a sketch's error bars are not
+    acceptable (billing, SLA attestation)."""
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("value"), "l_orderkey", "l_linenumber"
+    )
+    r = ordered_scan(
+        li,
+        ["value", "l_orderkey", "l_linenumber"],
+        rank_col="rnk",
+        with_totals=True,
+    )
+    ps = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("p")
+    )
+    return (
+        r.join(
+            F.broadcast(ps),
+            F.col("rnk")
+            == F.ceil(F.col("p") * F.col("rnk_total")).cast("long"),
+        )
+        .select("p", "value", F.col("rnk").alias("rank_n"))
+    )

@@ -187,6 +187,42 @@ def ann_cosine_topk_pq(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_semdedup",
+    oracle=f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id % {37} = 0
+),
+cells AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {COS_SQL.format(a='e.embedding', b='c.c_emb')} DESC,
+                                       c.centroid_id) AS c_rnk
+    FROM embeddings e CROSS JOIN centroids c
+  ) WHERE c_rnk = 1
+),
+drops AS (
+  SELECT DISTINCT a.vec_id
+  FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE {COS_SQL.format(a='a.embedding', b='b.embedding')} >= 0.45
+)
+SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS keep
+FROM cells c LEFT JOIN drops d ON c.vec_id = d.vec_id
+""",
+)
+def embedding_semdedup(spark, sf_dir):
+    """SemDeDup semantic deduplication (Abbas et al. 2023): cluster,
+    then drop in-cluster vectors with a more-senior cosine-≥τ
+    duplicate. The hash-sampled coarse quantizer makes the whole
+    pipeline deterministic, so unlike the ANN paths this has an EXACT
+    DuckDB twin — the oracle recomputes cells and drops from scratch.
+    Scale: pair search is an equi-join on the cluster id, never
+    corpus×corpus (operators/similarity.py:semantic_dedup)."""
+    return S.semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+
+
 @register("ann_recall_report")  # LSH bucket ids use xxhash64 → rows-only
 def ann_recall_report(spark, sf_dir):
     """Recall@10 of each approximate ANN path (lsh, ivf, pq) vs brute
