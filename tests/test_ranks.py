@@ -155,3 +155,25 @@ def test_global_ntile_fewer_rows_than_tiles(spark):
 def test_ordered_scan_requires_work(spark, df):
     with pytest.raises(ValueError):
         ordered_scan(df, _order())
+
+
+def test_ordered_scan_exclusive_prefix_max(spark, df):
+    """Exclusive frame: NULL on the global first row, max of strict
+    predecessors elsewhere — the sort-filter skyline's primitive."""
+    w = Window.orderBy(*_order()).rowsBetween(Window.unboundedPreceding, -1)
+    ref = {
+        r["id"]: r["xm"]
+        for r in df.select("id", F.max("v").over(w).alias("xm")).collect()
+    }
+    got = {
+        r["id"]: r["xm"]
+        for r in ordered_scan(
+            df, _order(), running=[("xm", "v", "max", "exclusive")]
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_ordered_scan_rejects_exclusive_sum(spark, df):
+    with pytest.raises(ValueError):
+        ordered_scan(df, _order(), running=[("s", "v", "sum", "exclusive")])

@@ -419,6 +419,11 @@ def test_abc_classification_windows_over_aggregate(spark, sf_dir):
         "parts_abc_classification",
         "revenue_concentration_deciles",
         "corpus_zipf_fit",
+        "parts_skyline_price_size",
+        "corpus_heaps_growth",
+        "events_kl_user_vs_global",
+        "key_skew_events",
+        "lineitem_exact_percentiles",
     ],
 )
 def test_no_unguarded_global_windows(spark, sf_dir, query_name):

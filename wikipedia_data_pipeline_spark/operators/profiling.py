@@ -62,20 +62,24 @@ def key_skew_report(
     before choosing a join/shuffle strategy (a key with share ≫ 1/shuffle
     partitions is the one you salt or let AQE split).
 
-    One hash aggregation on the key; the total rides along as
-    sum-over-window of the aggregated counts (tiny: |distinct keys|
-    rows), so the table is scanned once.
+    One hash aggregation on the key feeds a distributed top-n
+    (TakeOrderedAndProject); the denominator is a separate 1-row COUNT
+    of the table, broadcast onto the top-n rows. The old form rode the
+    total on an unpartitioned window over the aggregated counts —
+    |distinct keys| rows through ONE task, which for a skew DIAGNOSTIC
+    (keys are 1e8+ exactly when you need it) was self-defeating. A
+    second map-side-partial count scan of one column is the cheap end
+    of that trade.
     """
-    from pyspark.sql import Window
-
     counts = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    total = F.sum("n").over(Window.partitionBy())
+    total = df.select(F.count(F.lit(1)).cast("double").alias("_total"))
     return (
-        counts.withColumn("share", F.col("n") / total)
-        .orderBy(F.desc("n"), F.asc("key"))
+        counts.orderBy(F.desc("n"), F.asc("key"))
         .limit(top_n)
+        .crossJoin(F.broadcast(total))
+        .select("key", "n", (F.col("n") / F.col("_total")).alias("share"))
     )
 
 

@@ -72,13 +72,26 @@ def ordered_scan(
         {"sum", "max"}; appends the running (inclusive-prefix)
         aggregate of ``source`` over the total order. Sums should be
         integer or DECIMAL typed for bit-portability (see module doc).
+        A 4th element ``"exclusive"`` switches the frame to
+        (unbounded preceding, 1 preceding) — SQL's exclusive prefix,
+        NULL on the global first row — supported for ``max`` only (an
+        exclusive SUM's empty-frame NULL cannot be told apart from a
+        legitimate zero after the block carry-in is added).
     with_totals : additionally append ``{rank_col}_total`` (global row
         count) and ``{out_col}_total`` per running agg — computed from
         the blocks relation for free (no second scan of ``df``).
     num_partitions : range-partition count; defaults to the session's
         ``spark.sql.shuffle.partitions``.
     """
-    running = list(running)
+    running = [
+        (r[0], r[1], r[2], r[3] if len(r) > 3 else "inclusive")
+        for r in running
+    ]
+    for out, _src, kind, frame in running:
+        if frame not in ("inclusive", "exclusive"):
+            raise ValueError(f"bad frame {frame!r} for {out!r}")
+        if frame == "exclusive" and kind != "max":
+            raise ValueError("exclusive frame is supported for max only")
     if rank_col is None and not running:
         raise ValueError("nothing to compute: set rank_col and/or running")
     spark = df.sparkSession
@@ -96,10 +109,12 @@ def ordered_scan(
     # (2) per-block running aggregates — parallel across blocks.
     w_rank = Window.partitionBy(_PID).orderBy(*sort)
     w_run = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    w_excl = w_rank.rowsBetween(Window.unboundedPreceding, -1)
     local = part.withColumn(_LRANK, F.row_number().over(w_rank).cast("long"))
-    for out, src, kind in running:
+    for out, src, kind, frame in running:
         fn = {"sum": F.sum, "max": F.max}[kind]
-        local = local.withColumn(f"_os_run_{out}", fn(src).over(w_run))
+        frame_w = w_excl if frame == "exclusive" else w_run
+        local = local.withColumn(f"_os_run_{out}", fn(src).over(frame_w))
 
     # LOAD-BEARING persist: the blocks relation below and the final
     # probe side are two plan branches over this same subtree. Without
@@ -122,10 +137,11 @@ def ordered_scan(
     # (3) blocks relation: one row per block. Its exclusive prefix runs
     # single-partition BY DESIGN — ~num_partitions rows, driver-sized.
     aggs = [F.max(_LRANK).alias("_cnt")]
-    for out, src, kind in running:
-        # block totals aggregate the SOURCE (sum of running values
-        # would be a triangular over-count), and SUM/MAX of the source
-        # equal the block's last/extreme running value exactly.
+    for out, src, kind, _frame in running:
+        # block totals aggregate the SOURCE over the FULL block (sum of
+        # running values would be a triangular over-count) — correct
+        # for the exclusive frame too, since every row of an earlier
+        # block strictly precedes every row of a later one.
         fn = {"sum": F.sum, "max": F.max}[kind]
         aggs.append(fn(src).alias(f"_tot_{out}"))
     blk = local.groupBy(_PID).agg(*aggs)
@@ -139,7 +155,7 @@ def ordered_scan(
     ]
     if with_totals:
         off_cols.append(F.sum("_cnt").over(bw_all).alias("_gtot_rank"))
-    for out, _src, kind in running:
+    for out, _src, kind, _frame in running:
         if kind == "sum":
             prior = F.sum(f"_tot_{out}").over(bw)
             # typed zero so the carry-in keeps the source's exact type
@@ -163,7 +179,7 @@ def ordered_scan(
         proj.append((F.col("_off_rank") + F.col(_LRANK)).alias(rank_col))
         if with_totals:
             proj.append(F.col("_gtot_rank").alias(f"{rank_col}_total"))
-    for out, _src, kind in running:
+    for out, _src, kind, _frame in running:
         run_c = F.col(f"_os_run_{out}")
         if kind == "sum":
             proj.append((F.col(f"_off_{out}") + run_c).alias(out))

@@ -3380,11 +3380,13 @@ def corpus_heaps_growth(spark, sf_dir):
     accumulates in doc_id order. Computed without any cumulative
     distinct state: each word charges its FIRST document (a min
     aggregate on the word key — the only data-sized shuffle), and the
-    curve is a running sum over the doc-sized relation. Sub-linear
-    growth is healthy text; near-linear growth means unique-token spam
-    (ids, hashes) inflating the vocabulary."""
-    from pyspark.sql import Window
-
+    curve is a running sum over the doc-sized relation — via
+    ``operators.ranks.ordered_scan``, because |docs| at 100 TB is
+    billions and an unpartitioned running-sum window would serialize
+    the corpus spine through one task. Sub-linear growth is healthy
+    text; near-linear growth means unique-token spam (ids, hashes)
+    inflating the vocabulary."""
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
     from wikipedia_data_pipeline_spark.operators.text import tokenize
 
     toks = tokenize(load_table(spark, sf_dir, "documents"))
@@ -3393,14 +3395,19 @@ def corpus_heaps_growth(spark, sf_dir):
         F.count(F.lit(1)).alias("n_new")
     )
     docs = toks.select("doc_id").distinct()
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    spine = docs.join(new_words, "doc_id", "left").select(
+        "doc_id", F.coalesce("n_new", F.lit(0)).alias("n_new_words")
+    )
     return (
-        docs.join(new_words, "doc_id", "left")
-        .select("doc_id", F.coalesce("n_new", F.lit(0)).alias("n_new_words"))
+        ordered_scan(
+            spine,
+            ["doc_id"],
+            running=[("vocab_size", "n_new_words", "sum")],
+        )
         .select(
             "doc_id",
             "n_new_words",
-            F.sum("n_new_words").over(w).cast("long").alias("vocab_size"),
+            F.col("vocab_size").cast("long").alias("vocab_size"),
         )
         .orderBy("doc_id")
     )
@@ -6209,21 +6216,22 @@ def parts_skyline_price_size(spark, sf_dir):
     The classic nested-loop dominance test is O(n²); sorted by (price,
     size DESC, key), a part is dominated exactly when the running max
     size over its predecessors reaches its size — ONE sort + ONE
-    running window, the textbook sort-filter skyline. The (size DESC,
+    running pass, the textbook sort-filter skyline. The (size DESC,
     key) tie-break makes equal-price groups self-dominating in
-    deterministic order. At scale: range-partition by price, local
-    running max + one pass of per-partition prefix maxima.
+    deterministic order. The exclusive prefix max runs through
+    ``operators.ranks.ordered_scan`` (range-partition by price →
+    per-block prefix maxima → block carry-in), never a
+    single-partition window: |parts| at 100 TB is 1e8+.
     """
-    from pyspark.sql import Window
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
 
     p = load_table(spark, sf_dir, "part")
     price = F.round(F.col("p_retailprice") * 100).cast("long")
-    w = Window.orderBy(
-        "price_cents", F.col("p_size").desc(), "p_partkey"
-    ).rowsBetween(Window.unboundedPreceding, -1)
-    staged = p.select(
-        "p_partkey", "p_size", price.alias("price_cents")
-    ).withColumn("best_size_cheaper", F.max("p_size").over(w))
+    staged = ordered_scan(
+        p.select("p_partkey", "p_size", price.alias("price_cents")),
+        ["price_cents", F.desc("p_size"), F.asc("p_partkey")],
+        running=[("best_size_cheaper", "p_size", "max", "exclusive")],
+    )
     return staged.filter(
         F.col("best_size_cheaper").isNull()
         | (F.col("p_size") > F.col("best_size_cheaper"))
@@ -6494,8 +6502,17 @@ def events_kl_user_vs_global(spark, sf_dir):
     Every probability is a ratio of BIGINT contingency counts; each
     (user, type) term quantizes to nano-nats so the per-user sum is
     associative. Absent types contribute 0 (the Σ p·ln(p/q) convention
-    for p=0), so no dense spine is needed. One hash-agg + marginal
-    windows over the collapsed (user, type) relation.
+    for p=0), so no dense spine is needed.
+
+    Marginal shapes, chosen per cardinality: the per-USER marginal is
+    a window partitioned by user_id (1e8+ partitions — fully
+    parallel); the per-TYPE and GRAND totals must NOT be windows over
+    the (user, type) relation (|types| partitions would funnel 1e8
+    rows through a handful of tasks; the grand total through one), so
+    they come from a separate |types|-row aggregate of the fact table
+    — broadcast back, grand total derived from those 5 rows for free.
+    Cost: a second 2-column scan of events with map-side partials,
+    instead of serializing the entity relation.
     """
     from pyspark.sql import Window
 
@@ -6503,13 +6520,13 @@ def events_kl_user_vs_global(spark, sf_dir):
     c = ev.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n_ut")
     )
-    m = c.select(
-        "user_id",
-        "n_ut",
-        F.sum("n_ut").over(Window.partitionBy("user_id")).alias("n_u"),
-        F.sum("n_ut").over(Window.partitionBy("event_type")).alias("n_t"),
-        F.sum("n_ut").over(Window.partitionBy()).alias("n"),
+    per_type = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    totals = per_type.crossJoin(
+        F.broadcast(per_type.select(F.sum("n_t").alias("n")))
     )
+    m = c.withColumn(
+        "n_u", F.sum("n_ut").over(Window.partitionBy("user_id"))
+    ).join(F.broadcast(totals), "event_type")
     p = F.col("n_ut").cast("double") / F.col("n_u").cast("double")
     q = F.col("n_t").cast("double") / F.col("n").cast("double")
     terms = m.select(
