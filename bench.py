@@ -145,6 +145,12 @@ def main() -> None:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # single-file testdata: 4 MB splits keep scans as wide as the
+        # cores (cf. session.get_spark — same knob, same rationale)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("WDP_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .getOrCreate()

@@ -44,7 +44,9 @@ SHIFT_KEYS = {
     "embeddings": ["vec_id"],
 }
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part"]
-ROW_GROUP = 1 << 18
+# fine-grained so Spark's byte-range splits can actually take effect
+# (splits never subdivide a row group): 6M-row lineitem -> ~46 groups
+ROW_GROUP = 1 << 17
 
 
 def replicate(src: str, out: str, n: int = 10) -> None:
@@ -81,7 +83,7 @@ def replicate(src: str, out: str, n: int = 10) -> None:
 def ensure(src: str, out: str, n: int = 10) -> str:
     """Build once, reuse forever (marker file carries src+n)."""
     marker = os.path.join(out, ".benchdata")
-    stamp = f"{src}|{n}"
+    stamp = f"{src}|{n}|rg{ROW_GROUP}"
     if os.path.exists(marker) and open(marker).read() == stamp:
         return out
     replicate(src, out, n)

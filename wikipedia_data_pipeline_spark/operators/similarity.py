@@ -144,7 +144,36 @@ def _nearest_centroids(
     id_out: str,
 ) -> DataFrame:
     """Assign each vector to its ``keep_rank`` nearest centroids by
-    cosine (broadcast centroid table × corpus scan)."""
+    cosine (broadcast centroid table × corpus scan; ties break on the
+    smaller centroid_id).
+
+    ``keep_rank == 1`` — the corpus-assignment hot path (IVF build,
+    k-means iterations, SemDeDup clustering) — folds the centroid table
+    into ONE broadcast array row and takes an ``array_min`` argmin over
+    (-cos, centroid_id) structs: a pure map, no |corpus|×|centroids|
+    intermediate relation and no per-vec_id window shuffle (which cost
+    ~|corpus|×|centroids| rows through an exchange — the dominant term
+    of every assignment pass). Lexicographic struct ordering on the
+    negated cosine reproduces the (cos DESC, centroid_id ASC) ranking
+    bit-for-bit. ``keep_rank > 1`` (query-side nprobe) keeps the
+    explicit window — those inputs are query-sized."""
+    if keep_rank == 1:
+        cand = centroids.groupBy().agg(
+            F.collect_list(F.struct("centroid_id", "c_emb")).alias("_cands")
+        )
+        scored = F.transform(
+            F.col("_cands"),
+            lambda c: F.struct(
+                (-cosine_similarity(F.col("embedding"), c["c_emb"])).alias(
+                    "negcos"
+                ),
+                c["centroid_id"].alias("centroid_id"),
+            ),
+        )
+        return embeddings.crossJoin(F.broadcast(cand)).select(
+            embeddings["*"],
+            F.array_min(scored)["centroid_id"].alias(id_out),
+        )
     scored = embeddings.crossJoin(F.broadcast(centroids)).select(
         embeddings["*"],
         "centroid_id",
@@ -624,12 +653,14 @@ def semantic_dedup(
     the paper's keep-one-per-group choice).
 
     Scale shape: the pair search is an equi-join on the cluster id —
-    never all-pairs over the corpus. Cluster granularity bounds the
-    join fan-out (at 100 TB: kmeans_centroids with k ≈ n/target so
-    cells stay ~constant-sized; here the IVF hash-sampled centroids
-    keep the whole computation deterministic and therefore exactly
-    oracle-checkable). One broadcast of the centroid table for the
-    assignment scan, one cell-keyed shuffle for the pair join.
+    never all-pairs over the corpus. At 100 TB pass
+    ``centroids=kmeans_centroids(sample, k)`` with BOUNDED k (≈√n):
+    assignment cost is |corpus|×k cosines, so k must not grow linearly
+    with the corpus the way the default mod-sampled quantizer does —
+    that default exists because it is deterministic and therefore
+    exactly oracle-checkable at test SFs, not because it scales. One
+    broadcast of the centroid table for the assignment scan, one
+    cell-keyed shuffle for the pair join.
 
     Returns (vec_id, cell, keep): ``keep=false`` rows are the semantic
     duplicates a curation pipeline would drop before training.
@@ -641,8 +672,15 @@ def semantic_dedup(
             F.col("vec_id").alias("centroid_id"),
             F.col("embedding").alias("c_emb"),
         )
-    cells = _nearest_centroids(embeddings, centroids, 1, "cell").select(
-        "vec_id", "embedding", "cell"
+    from pyspark import StorageLevel
+
+    # Persisted: `cells` feeds both sides of the pair join — without a
+    # shared materialization each branch re-runs the assignment scan
+    # (the expensive pass) over the whole corpus.
+    cells = (
+        _nearest_centroids(embeddings, centroids, 1, "cell")
+        .select("vec_id", "embedding", "cell")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     seniors = cells.select(
         F.col("vec_id").alias("b_id"),

@@ -32,6 +32,16 @@ def get_spark(app_name: str = "wikipedia-data-pipeline-spark") -> SparkSession:
         # dims (region/nation/customer/supplier/part, idf vocab) stay well
         # under this at every SF we target — prefer broadcast joins.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Local-harness split sizing: testdata arrives as ONE file per
+        # table (sf1r replica: ~115 MB lineitem), so the default 128 MB
+        # split width serializes whole scans on one core. 4 MB aligns
+        # scan parallelism with local[32]; on a real cluster, where
+        # inputs arrive thousands of files wide, revert to the default
+        # (tiny splits there only inflate scheduling overhead).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("WDP_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
+        )
         # Engine-wide type policy: parquet TIMESTAMP(NANOS) (which Spark
         # cannot map to a timestamp) reads as BIGINT nanoseconds; time
         # arithmetic happens in the exact integer domain (functions.ts_us).

@@ -90,6 +90,54 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark size conf value ('4194304', '128MB', '134217728b')."""
+    s = v.strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                   ("b", 1)):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    return int(s) * mult
+
+
+def _est_scan_splits(df: DataFrame) -> int:
+    """Estimate how many input splits the scan below ``df`` produces,
+    without touching ``df.rdd`` (which forces a plan→RDD conversion).
+
+    Spark splits parquet by byte ranges of size maxPartitionBytes, but
+    a row group cannot be subdivided — a 114 MB single-row-group file
+    is ONE split no matter the conf. The honest estimate is therefore
+    min(total row groups, ceil(bytes / maxPartitionBytes)) per the
+    footers, floored at the file count. Footer reads are bounded (64
+    files) and local-path only; any failure (object store, non-parquet)
+    falls back to the file count — conservative, i.e. repartitions.
+    """
+    files = df.inputFiles()
+    n = len(files)
+    if n == 0 or n > 64:
+        return n
+    try:
+        import pyarrow.parquet as _pq
+
+        maxpb = _parse_bytes(
+            df.sparkSession.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728"
+            )
+        )
+        total_rg = 0
+        total_bytes = 0
+        for f in files:
+            p = f.removeprefix("file:")
+            total_rg += _pq.read_metadata(p).num_row_groups
+            total_bytes += os.path.getsize(p)
+        return max(n, min(total_rg, -(-total_bytes // maxpb)))
+    except Exception:
+        return n
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition a narrow input up to cluster parallelism before
     CPU-heavy per-row work (shingling, minhashing, tokenization).
@@ -98,18 +146,15 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     be subdivided), which serializes everything downstream on a single
     core no matter how wide the cluster is. The round-robin shuffle here
     is proportional to the raw input bytes — trivially cheap next to the
-    per-row work it parallelizes. No-op when the scan already has enough
-    splits (the 100 TB case, where inputs arrive thousands of splits
-    wide).
+    per-row work it parallelizes. No-op when the scan already fans out
+    to a healthy fraction of the target (≥ 1/4: a full extra shuffle to
+    close the last 2-4× of scan parallelism costs more than it buys on
+    every workload measured; closing a 10-30× gap is what pays). At
+    100 TB inputs arrive thousands of splits wide and this is a
+    guaranteed no-op.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # Gate on the scan's file count instead of df.rdd.getNumPartitions():
-    # the .rdd accessor forces a plan→RDD conversion on every call. File
-    # count underestimates splits for multi-row-group files, but the
-    # callers sit directly on parquet scans where small inputs mean few
-    # files; at 100 TB the scan arrives thousands of files wide and this
-    # is a guaranteed no-op.
-    if len(df.inputFiles()) >= target:
+    if _est_scan_splits(df) >= max(1, target // 4):
         return df
     return df.repartition(target)
 
