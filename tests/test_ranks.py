@@ -177,3 +177,20 @@ def test_ordered_scan_exclusive_prefix_max(spark, df):
 def test_ordered_scan_rejects_exclusive_sum(spark, df):
     with pytest.raises(ValueError):
         ordered_scan(df, _order(), running=[("s", "v", "sum", "exclusive")])
+
+
+def test_unpersist_all_releases_and_results_stay_correct(spark):
+    """Plan-internal caches are tracked and releasable; a result
+    collected AFTER release still matches (recompute reuses the same
+    RDD lineage, so block bounds stay consistent)."""
+    from wikipedia_data_pipeline_spark.operators import ranks
+
+    small = spark.createDataFrame(
+        [(i, (i * 37) % 101) for i in range(500)], ["id", "v"]
+    )
+    scanned = ordered_scan(small, ["v", "id"], rank_col="r")
+    before = sorted(tuple(x) for x in scanned.collect())
+    released = ranks.unpersist_all()
+    assert released >= 1
+    after = sorted(tuple(x) for x in scanned.collect())
+    assert before == after

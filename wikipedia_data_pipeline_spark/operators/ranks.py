@@ -40,7 +40,39 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ordered_scan", "global_ntile"]
+__all__ = ["ordered_scan", "global_ntile", "track_persisted", "unpersist_all"]
+
+# Every ordered_scan pins one blocked+ranked relation (see the persist
+# comment in ordered_scan for why that persist is load-bearing).
+# MEMORY_AND_DISK storage is evicted LRU under executor memory pressure
+# and dropped at session shutdown, so leaving them cached degrades
+# gracefully — but a long-lived service that builds many scans can
+# release them deterministically here.
+_PERSISTED: list[DataFrame] = []
+
+
+def track_persisted(df: DataFrame) -> DataFrame:
+    """Register an operator-persisted relation for ``unpersist_all`` —
+    shared release point for the engine's plan-internal caches (used by
+    ordered_scan here and similarity.semantic_dedup)."""
+    _PERSISTED.append(df)
+    return df
+
+
+def unpersist_all() -> int:
+    """Release every relation ordered_scan has persisted this session.
+    Safe while results are still referenced — Spark recomputes evicted
+    cache partitions from lineage (same bounds: the RDD's partitioner
+    is fixed at materialization). Returns the number released."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
 
 # Internal column names — prefixed to avoid user-column collisions.
 _PID = "_os_pid"
@@ -132,7 +164,7 @@ def ordered_scan(
     # ``spark.catalog.clearCache()``.
     from pyspark import StorageLevel
 
-    local = local.persist(StorageLevel.MEMORY_AND_DISK)
+    local = track_persisted(local.persist(StorageLevel.MEMORY_AND_DISK))
 
     # (3) blocks relation: one row per block. Its exclusive prefix runs
     # single-partition BY DESIGN — ~num_partitions rows, driver-sized.

@@ -674,10 +674,13 @@ def semantic_dedup(
         )
     from pyspark import StorageLevel
 
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
     # Persisted: `cells` feeds both sides of the pair join — without a
     # shared materialization each branch re-runs the assignment scan
-    # (the expensive pass) over the whole corpus.
-    cells = (
+    # (the expensive pass) over the whole corpus. Tracked for
+    # ranks.unpersist_all, like every plan-internal cache.
+    cells = track_persisted(
         _nearest_centroids(embeddings, centroids, 1, "cell")
         .select("vec_id", "embedding", "cell")
         .persist(StorageLevel.MEMORY_AND_DISK)
