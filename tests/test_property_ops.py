@@ -159,3 +159,68 @@ def test_band_signatures_partitioning_invariant(spark, n_parts):
         ).collect()
     }
     assert base == shuffled
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    kvs=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),      # tie-heavy key
+            st.integers(min_value=-(10**6), max_value=10**6),
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+    nparts=st.sampled_from([1, 3, 8, 40]),  # 40 > row count → empty blocks
+)
+def test_ordered_scan_equals_single_window(spark, kvs, nparts):
+    """On arbitrary inputs and ANY block count (including more blocks
+    than rows), the hierarchical scan must equal the single-window
+    reference bit-for-bit: rank, running sum, running max, exclusive
+    running max, and ntile."""
+    from pyspark.sql import Window
+
+    from wikipedia_data_pipeline_spark.operators.ranks import (
+        global_ntile,
+        ordered_scan,
+    )
+
+    data = [(i, k, v) for i, (k, v) in enumerate(kvs)]
+    df = spark.createDataFrame(data, ["id", "k", "v"]).repartition(5)
+    order = [F.desc("k"), F.asc("id")]
+    w = Window.orderBy(*order)
+    wr = w.rowsBetween(Window.unboundedPreceding, 0)
+    wx = w.rowsBetween(Window.unboundedPreceding, -1)
+    ref = {
+        r["id"]: (r["rnk"], r["rs"], r["rm"], r["xm"], r["t"])
+        for r in df.select(
+            "id",
+            F.row_number().over(w).cast("long").alias("rnk"),
+            F.sum("v").over(wr).alias("rs"),
+            F.max("v").over(wr).alias("rm"),
+            F.max("v").over(wx).alias("xm"),
+            F.ntile(7).over(w).cast("long").alias("t"),
+        ).collect()
+    }
+    scanned = ordered_scan(
+        df,
+        order,
+        rank_col="rnk",
+        running=[
+            ("rs", "v", "sum"),
+            ("rm", "v", "max"),
+            ("xm", "v", "max", "exclusive"),
+        ],
+        num_partitions=nparts,
+    )
+    tiles = global_ntile(df, order, 7, "t", num_partitions=nparts)
+    got = {
+        r["id"]: (r["rnk"], r["rs"], r["rm"], r["xm"])
+        for r in scanned.collect()
+    }
+    tgot = {r["id"]: r["t"] for r in tiles.collect()}
+    assert {k: v + (tgot[k],) for k, v in got.items()} == ref
