@@ -250,3 +250,186 @@ def decode_image_real(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(decode, schema=PIL_IMAGE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL dependency-free PNG codec (stdlib zlib + numpy defilter)
+# ---------------------------------------------------------------------------
+#
+# Closes the "decode is stubbed" gap for PNG without Pillow: a complete
+# encoder (filter-0 scanlines, one zlib stream) and decoder (all five
+# PNG filter types, 8-bit gray/RGB/RGBA, non-interlaced) in ~100 lines
+# of stdlib+numpy. Production swaps in libvips/Pillow for breadth
+# (JPEG, interlacing, 16-bit); the ENGINE-side contract — Arrow-batched
+# mapInPandas over binary columns, one batch in memory per task — is
+# identical, which is the part that matters at 100 TB.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\x0a"
+_CHANNELS = {0: 1, 2: 3, 6: 4}  # grayscale, RGB, RGBA
+
+
+def png_encode(pixels) -> bytes:
+    """Minimal PNG writer: ``pixels`` is a (h, w) or (h, w, c) uint8
+    numpy array (c in {1, 3, 4}); emits filter-0 scanlines in one IDAT."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode(data: bytes):
+    """Minimal PNG reader: returns an (h, w, c) uint8 numpy array.
+    Handles 8-bit depth, color types 0/2/6, all five scanline filters,
+    non-interlaced, multi-IDAT. Raises ValueError on anything else."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos, idat, meta = len(_PNG_SIG), [], None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or ctype not in _CHANNELS or inter != 0:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth} type={ctype} "
+                    f"interlace={inter})"
+                )
+            meta = (w, h, _CHANNELS[ctype])
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if meta is None or not idat:
+        raise ValueError("truncated PNG")
+    w, h, c = meta
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("bad scanline payload size")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ftype, line = row[0], np.frombuffer(row[1:], dtype=np.uint8).copy()
+        if ftype == 1:  # Sub: add left neighbor (per channel)
+            for x in range(c, stride):
+                line[x] = (line[x] + line[x - c]) & 0xFF
+        elif ftype == 2:  # Up
+            line += prev
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = int(line[x - c]) if x >= c else 0
+                line[x] = (line[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a_ = int(line[x - c]) if x >= c else 0
+                b_ = int(prev[x])
+                cc = int(prev[x - c]) if x >= c else 0
+                p = a_ + b_ - cc
+                pa, pb, pc = abs(p - a_), abs(p - b_), abs(p - cc)
+                pred = a_ if (pa <= pb and pa <= pc) else (b_ if pb <= pc else cc)
+                line[x] = (line[x] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad filter {ftype}")
+        out[y] = line
+        prev = line
+    return out.reshape(h, w, c)
+
+
+PNG_STATS_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, channels bigint, "
+    "sum_r bigint, sum_g bigint, sum_b bigint"
+)
+
+
+def synth_png_corpus(documents: DataFrame) -> DataFrame:
+    """Deterministic synthetic image corpus: per document, a REAL PNG
+    (this module's encoder) whose RGB pixels are closed-form functions
+    of (doc_id, x, y) — so an oracle can recompute every pixel
+    arithmetically and any encoder/decoder bug breaks the value hash."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 1 + d % 16, 1 + d % 12
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                img = np.stack(
+                    [
+                        (x + y + d) % 256,
+                        (2 * x + np.zeros_like(y) + d) % 256,
+                        (3 * y + np.zeros_like(x) + d) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(png_encode(img))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        encode, schema="doc_id bigint, payload binary"
+    )
+
+
+def decode_png_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL pixel decode + per-channel stats: inflate, defilter, sum.
+    Arrow-batched mapInPandas — one batch of payloads in memory per
+    task, the production decoder shape."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = png_decode(bytes(payload))
+                h, w, c = px.shape
+                sums = px.reshape(-1, c).sum(axis=0, dtype="int64")
+                r = int(sums[0])
+                g = int(sums[1]) if c > 1 else r
+                b = int(sums[2]) if c > 2 else r
+                rows.append((int(doc_id), w, h, c, r, g, b))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return media.mapInPandas(decode, schema=PNG_STATS_SCHEMA)

@@ -135,3 +135,42 @@ def multimodal_image_headers(spark, sf_dir):
     )
     media = docs.select("doc_id", payload.alias("payload"))
     return MM.decode_image_headers(media)
+
+
+@register(
+    "multimodal_png_pixel_stats",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 1 + doc_id % 16 AS w, 1 + doc_id % 12 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i FROM dims
+),
+ch AS (
+  SELECT doc_id, w, h,
+         (i % w + i // w + doc_id) % 256 AS r,
+         (2 * (i % w) + doc_id) % 256 AS g,
+         (3 * (i // w) + doc_id) % 256 AS b
+  FROM px
+)
+SELECT doc_id, CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(sum(b) AS BIGINT) AS sum_b
+FROM ch GROUP BY doc_id
+""",
+)
+def multimodal_png_pixel_stats(spark, sf_dir):
+    """REAL image decode, driver-checked end to end: per document a
+    genuine PNG is ENCODED (operators.multimodal.png_encode — zlib
+    deflate, filtered scanlines, CRC chunks) with pixels that are
+    closed-form in (doc_id, x, y), then DECODED by the actual PNG
+    reader (inflate + all-five-filters defilter, no Pillow) and reduced
+    to per-channel pixel sums. The oracle recomputes every pixel
+    arithmetically — the hash matches only if the full compress →
+    chunk → parse → inflate → defilter round trip is bit-exact. This
+    retires the 'decode step is stubbed' gap for PNG; JPEG/audio/video
+    remain header-level + Pillow-gated as declared."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.decode_png_pixel_stats(MM.synth_png_corpus(docs))
