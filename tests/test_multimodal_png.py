@@ -122,3 +122,41 @@ def test_decoder_multi_idat_and_rejections():
     bad = _PNG_SIG + chunk(b"IHDR", bad_ihdr) + chunk(b"IEND", b"")
     with pytest.raises(ValueError):
         png_decode(bad)
+
+
+def test_wav_roundtrip_and_rejections():
+    from wikipedia_data_pipeline_spark.operators.multimodal import (
+        wav_decode,
+        wav_encode,
+    )
+
+    samples = (np.arange(777, dtype=np.int64) * 131 % 65536 - 32768).astype(
+        "<i2"
+    )
+    rate, out = wav_decode(wav_encode(samples, 16000))
+    assert rate == 16000
+    assert (out == samples).all()
+    with pytest.raises(ValueError):
+        wav_decode(b"RIFFxxxxNOPE")
+    # 8-bit PCM must be rejected, not mis-read
+    bad = bytearray(wav_encode(samples[:4], 8000))
+    bad[34] = 8  # bits-per-sample field inside fmt chunk
+    with pytest.raises(ValueError):
+        wav_decode(bytes(bad))
+
+
+def test_video_container_selective_decode():
+    from wikipedia_data_pipeline_spark.operators.multimodal import (
+        png_decode,
+        video_encode,
+        video_iter_frames,
+    )
+
+    frames = [_rand_img(5, 7, 1, seed=s) for s in range(5)]
+    data = video_encode(frames)
+    got = {idx: png_decode(png)[:, :, 0] for idx, png in video_iter_frames(data)}
+    assert set(got) == {0, 1, 2, 3, 4}
+    for i, f in enumerate(frames):
+        assert (got[i] == f).all()
+    with pytest.raises(ValueError):
+        list(video_iter_frames(b"XXXX...."))

@@ -433,3 +433,224 @@ def decode_png_pixel_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(decode, schema=PNG_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL dependency-free WAV (RIFF/PCM) codec
+# ---------------------------------------------------------------------------
+
+def wav_encode(samples, sample_rate: int) -> bytes:
+    """Minimal WAV writer: mono 16-bit little-endian PCM."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVEfmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(data: bytes):
+    """Minimal WAV reader: returns (sample_rate, int16 numpy array).
+    Mono/stereo 16-bit PCM, chunk-walking (skips LIST/fact/etc.);
+    ValueError on anything else."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, rate, channels, bits, pcm = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (fmt={audio_fmt} bits={bits})")
+        elif tag == b"data":
+            pcm = body
+    if rate is None or pcm is None:
+        raise ValueError("truncated WAV")
+    a = np.frombuffer(pcm, dtype="<i2")
+    if channels and channels > 1:
+        a = a.reshape(-1, channels)
+    return rate, a
+
+
+WAV_STATS_SCHEMA = (
+    "doc_id bigint, sample_rate bigint, n_samples bigint, duration_us bigint, "
+    "sum_samples bigint, peak bigint"
+)
+
+
+def synth_wav_corpus(documents: DataFrame) -> DataFrame:
+    """Deterministic synthetic audio corpus: per document a REAL mono
+    16-bit PCM WAV whose samples are closed-form in (doc_id, i), so an
+    oracle recomputes them arithmetically."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rate = 8000 * (1 + d % 3)
+                n = 64 + d % 128
+                i = np.arange(n, dtype=np.int64)
+                samples = ((i * (d + 3)) % 65536) - 32768
+                payloads.append(wav_encode(samples, rate))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return documents.select("doc_id").mapInPandas(
+        encode, schema="doc_id bigint, payload binary"
+    )
+
+
+def decode_wav_stats(media: DataFrame) -> DataFrame:
+    """REAL PCM decode + waveform stats (duration, integer sum, peak)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, a = wav_decode(bytes(payload))
+                n = int(a.shape[0])
+                rows.append(
+                    (
+                        int(doc_id),
+                        rate,
+                        n,
+                        n * 1_000_000 // rate,
+                        int(a.sum(dtype="int64")),
+                        int(np.abs(a.astype("int64")).max()) if n else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "duration_us",
+                    "sum_samples", "peak",
+                ],
+            )
+
+    return media.mapInPandas(decode, schema=WAV_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL frame-sampled video decode over a length-prefixed PNG container
+# ---------------------------------------------------------------------------
+
+_WDPV_MAGIC = b"WDPV"
+
+
+def video_encode(frames: list) -> bytes:
+    """Minimal video container: magic + u32 frame count + per frame a
+    u32 length-prefixed PNG (this module's real encoder). The stand-in
+    for an MJPEG/fragmented-MP4 payload — parse/seek semantics are the
+    same; only the codec differs."""
+    import struct
+
+    body = b"".join(
+        struct.pack("<I", len(p)) + p
+        for p in (png_encode(f) for f in frames)
+    )
+    return _WDPV_MAGIC + struct.pack("<I", len(frames)) + body
+
+
+def video_iter_frames(data: bytes):
+    """Yield (frame_idx, png_bytes) WITHOUT decoding — the container
+    walk is cheap; decode cost is paid only for sampled frames."""
+    import struct
+
+    if data[:4] != _WDPV_MAGIC:
+        raise ValueError("not a WDPV container")
+    (n,) = struct.unpack("<I", data[4:8])
+    pos = 8
+    for idx in range(n):
+        (length,) = struct.unpack("<I", data[pos : pos + 4])
+        yield idx, data[pos + 4 : pos + 4 + length]
+        pos += 4 + length
+
+
+VIDEO_STATS_SCHEMA = (
+    "doc_id bigint, n_frames bigint, frame_idx bigint, width bigint, "
+    "height bigint, sum_gray bigint"
+)
+
+
+def synth_video_corpus(documents: DataFrame) -> DataFrame:
+    """Per document a REAL container of grayscale PNG frames whose
+    pixels are closed-form in (doc_id, frame, x, y)."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nf, w, h = 1 + d % 9, 1 + d % 8, 1 + d % 6
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                frames = [
+                    ((x + 2 * y + d + 5 * f) % 256).astype(np.uint8)
+                    for f in range(nf)
+                ]
+                payloads.append(video_encode(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return documents.select("doc_id").mapInPandas(
+        encode, schema="doc_id bigint, payload binary"
+    )
+
+
+def decode_video_frame_stats(media: DataFrame, stride: int = 2) -> DataFrame:
+    """REAL keyframe extraction: walk the container, png_decode every
+    ``stride``-th frame only, emit per-frame pixel stats — the 1→N
+    expansion happens inside the Arrow batch, and undecoded frames cost
+    one length-prefix read each."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                import struct
+
+                (nf,) = struct.unpack("<I", data[4:8])
+                for idx, png in video_iter_frames(data):
+                    if idx % stride:
+                        continue
+                    px = png_decode(png)
+                    h, w, _c = px.shape
+                    rows.append(
+                        (
+                            int(doc_id), nf, idx, w, h,
+                            int(px.sum(dtype="int64")),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "frame_idx", "width", "height",
+                    "sum_gray",
+                ],
+            )
+
+    return media.mapInPandas(decode, schema=VIDEO_STATS_SCHEMA)

@@ -174,3 +174,73 @@ def multimodal_png_pixel_stats(spark, sf_dir):
     remain header-level + Pillow-gated as declared."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.decode_png_pixel_stats(MM.synth_png_corpus(docs))
+
+
+@register(
+    "multimodal_wav_pcm_stats",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 8000 * (1 + doc_id % 3) AS sr, 64 + doc_id % 128 AS n
+  FROM documents
+),
+s AS (SELECT doc_id, sr, n, unnest(generate_series(0, n - 1)) AS i FROM dims),
+v AS (
+  SELECT doc_id, sr, n, ((i * (doc_id + 3)) % 65536) - 32768 AS x FROM s
+)
+SELECT doc_id,
+       CAST(max(sr) AS BIGINT) AS sample_rate,
+       CAST(max(n) AS BIGINT) AS n_samples,
+       CAST(max(n) * 1000000 // max(sr) AS BIGINT) AS duration_us,
+       CAST(sum(x) AS BIGINT) AS sum_samples,
+       CAST(max(abs(x)) AS BIGINT) AS peak
+FROM v GROUP BY doc_id
+""",
+)
+def multimodal_wav_pcm_stats(spark, sf_dir):
+    """REAL audio decode, driver-checked: per document a genuine mono
+    16-bit PCM WAV is written (operators.multimodal.wav_encode — RIFF
+    chunks, little-endian PCM) with samples closed-form in (doc_id, i),
+    then parsed back by the actual chunk-walking reader and reduced to
+    waveform stats. Retires the 'audio decode is stubbed' gap for PCM
+    WAV; compressed codecs stay declared out (no codec libs in the
+    container)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.decode_wav_stats(MM.synth_wav_corpus(docs))
+
+
+@register(
+    "multimodal_video_frame_stats",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 1 + doc_id % 9 AS nf, 1 + doc_id % 8 AS w,
+         1 + doc_id % 6 AS h
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, nf, w, h, unnest(generate_series(0, nf - 1, 2)) AS f
+  FROM dims
+),
+px AS (
+  SELECT doc_id, nf, w, h, f, unnest(generate_series(0, w * h - 1)) AS i
+  FROM fr
+)
+SELECT doc_id,
+       CAST(max(nf) AS BIGINT) AS n_frames,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(max(w) AS BIGINT) AS width,
+       CAST(max(h) AS BIGINT) AS height,
+       CAST(sum((i % w + 2 * (i // w) + doc_id + 5 * f) % 256) AS BIGINT)
+         AS sum_gray
+FROM px GROUP BY doc_id, f
+""",
+)
+def multimodal_video_frame_stats(spark, sf_dir):
+    """REAL frame-sampled video decode: per document a container of
+    grayscale PNG frames (length-prefixed, this module's real codec);
+    the sampler walks the container, pays decode cost ONLY for every
+    2nd frame, and emits per-frame pixel sums — the oracle recomputes
+    every sampled pixel arithmetically. The keyframe-extraction shape
+    (cheap seek, selective decode, in-batch 1→N expansion) is what an
+    MJPEG/MP4 path does; only the codec behind png_decode differs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.decode_video_frame_stats(MM.synth_video_corpus(docs), stride=2)
