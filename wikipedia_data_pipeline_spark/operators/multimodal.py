@@ -2,13 +2,23 @@
 with decode/feature-extraction as Arrow-batched pandas functions over
 ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode step is STUBBED:
-``decode_image_meta`` derives deterministic fake dimensions from the
-payload bytes (and ``decode_image_real`` raises NotImplementedError
-until a codec is present). Everything around the stub — binary schema,
-Arrow batch shape, mapInPandas iterator contract, partition-preserving
-plan — is real and tested; swapping in PIL/libvips later changes only
-the inner function body.
+Decode depth, by format:
+
+* **REAL, dependency-free**: PNG (``png_encode``/``png_decode`` —
+  zlib + all five scanline filters), WAV PCM (``wav_encode``/
+  ``wav_decode`` — RIFF chunk walk), and a length-prefixed PNG video
+  container with selective frame decode. Each is proven end-to-end by
+  a driver-checked query whose oracle recomputes every pixel/sample
+  arithmetically.
+* **Header-level**: PNG/GIF/JPEG container headers
+  (``parse_image_header``).
+* **Stub / gated**: ``decode_image_meta`` (deterministic fake dims —
+  kept as the plumbing-shape demo) and ``decode_image_real``
+  (Pillow-gated breadth path: JPEG pixels, interlacing, 16-bit). The
+  container ships no codec libs, so compressed image/audio codecs stay
+  declared out; swapping in PIL/libvips changes only inner function
+  bodies — the binary schema, Arrow batch shape, and mapInPandas
+  iterator contract are identical.
 
 Scale notes: binary payloads ride in the same parquet row groups;
 mapInPandas streams Arrow batches so peak memory is one batch per task,
