@@ -118,8 +118,10 @@ _ROTATION = [
     "graph_bfs_reachability",
     "graph_adamic_adar",
     "graph_jaccard_suppliers",
-    "events_ewma_value",
-    "events_autocorr_lag1",
+    # round-6 additions with genuinely new plan shapes — real
+    # encode→decode loops that deserve driver rows immediately
+    "multimodal_png_pixel_stats",
+    "multimodal_wav_pcm_stats",
 ]
 
 
