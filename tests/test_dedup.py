@@ -119,3 +119,42 @@ def test_containment_catches_subset_docs(spark):
         (r.doc_a, r.doc_b)
         for r in D.brute_force_pairs(df, 0.9).collect()
     }
+
+
+def test_minhash_pairs_on_duplicate_heavy_corpus(spark):
+    """Exact-duplicate collapse must not change the pair relation: on a
+    corpus where texts repeat many times (the spam-flood shape), the
+    LSH pair set with jaccard values must equal brute force exactly —
+    including the all-1.0 within-group pairs and the cross-group
+    near-dup products."""
+    from wikipedia_data_pipeline_spark.operators.dedup import (
+        brute_force_pairs,
+        minhash_lsh_pairs,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight again",
+        "the quick brown fox jumps over the lazy dog tonight today",
+        "completely different text about distributed query processing",
+        "tiny",  # <3 tokens → empty shingle set, must never pair
+    ]
+    rows = []
+    did = 0
+    for copy in range(6):
+        for t in base:
+            rows.append((did, t))
+            did += 1
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, 0.5).collect()
+    }
+    ref = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in brute_force_pairs(docs, 0.5).collect()
+    }
+    assert got == ref
+    # sanity on the shape: 6 copies of each of 2 near-dup texts →
+    # within-group C(6,2)*3 non-empty groups + cross products 6*6
+    assert sum(1 for v in got.values() if v == 1.0) == 3 * 15
+    assert sum(1 for v in got.values() if v < 1.0) == 36
