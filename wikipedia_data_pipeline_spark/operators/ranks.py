@@ -159,9 +159,14 @@ def ordered_scan(
     # against the wrong blocks (observed: nondeterministic, wildly
     # wrong running aggregates). Persisting pins ONE materialization —
     # one sampling pass, one block assignment — which both branches
-    # read. Storage is the entity-sized input + scan columns
-    # (MEMORY_AND_DISK, spills), released on session cache eviction /
-    # ``spark.catalog.clearCache()``.
+    # read. Storage cost: the PROJECTED input (sort keys + running
+    # sources + payload) once — the same order of magnitude as the
+    # range exchange's own shuffle files sitting next to it, so even on
+    # a fact-sized input (events_lateness_audit) the persist roughly
+    # doubles that stage's disk footprint rather than adding a new cost
+    # class; it is the distributed analogue of checkpointing between
+    # stages. MEMORY_AND_DISK spills/evicts LRU; release explicitly via
+    # ``unpersist_all()``.
     from pyspark import StorageLevel
 
     local = track_persisted(local.persist(StorageLevel.MEMORY_AND_DISK))
