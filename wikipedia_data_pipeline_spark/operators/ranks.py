@@ -261,10 +261,12 @@ def global_ntile(
     i = F.col("_os_i")
     big_n = F.col("_os_i_total")
 
-    # integer div via (a - a % b) / b expressed with pmod to stay in
-    # longs (no DOUBLE round-trip — exact at any magnitude)
+    # integer div via (a - a % b) / b: the numerator is exactly
+    # divisible, and routing the division through DECIMAL(38,0) keeps
+    # it exact at any rank magnitude (a bare `/` is DOUBLE division,
+    # which silently rounds above 2^53)
     def idiv(a, b):
-        return ((a - a % b) / b).cast("long")
+        return ((a - a % b).cast("decimal(38,0)") / b).cast("long")
 
     q = idiv(big_n, F.lit(n))
     rmd = big_n % n
