@@ -22,6 +22,7 @@ parquet/kafka sink plus ``withWatermark`` for state eviction —
 from __future__ import annotations
 
 from collections.abc import Iterator
+from contextlib import contextmanager
 
 import pandas as pd
 
@@ -79,20 +80,72 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
     )
 
 
-def _run_to_memory(result: DataFrame, name: str, mode: str) -> None:
+def _input_sized_partitions(spark: SparkSession, sf_dir: str) -> int | None:
+    """State-store count for an input-bounded streaming run.
+
+    A streaming query's state partitioning is pinned to
+    ``spark.sql.shuffle.partitions`` at its FIRST micro-batch and kept
+    by the checkpoint forever after; every stateful operator then
+    commits one state store per partition per batch, so an oversized
+    default multiplies fixed commit/snapshot cost without adding
+    parallelism (a stream-stream join carries 4 stores/partition — at
+    32 partitions that is 128 store commits per batch for kilobytes of
+    state). Production sizes this knob to peak event rate × state per
+    key; for a bounded replay the input is the rate, so: one partition
+    per 64 MB of source, floored at 4 (skew headroom), capped at the
+    session's core count. Returns None (leave the session default) if
+    the source size cannot be read."""
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        if os.path.isfile(path):
+            size = os.path.getsize(path)
+        else:
+            size = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
+            )
+    except OSError:
+        return None
+    cores = spark.sparkContext.defaultParallelism
+    return max(4, min(cores, size // (64 << 20) + 1))
+
+
+@contextmanager
+def _scoped_shuffle_partitions(spark: SparkSession, n: int | None):
+    """Set shuffle partitions for the duration of a stream start+drain,
+    restoring the session value after — streaming state sizing must not
+    leak into later batch queries on the shared session."""
+    if n is None:
+        yield
+        return
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _run_to_memory(
+    result: DataFrame, name: str, mode: str, partitions: int | None = None
+) -> None:
     spark = result.sparkSession
     try:
         spark.catalog.dropTempView(name)
     except Exception:
         pass
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(spark, partitions):
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def run_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,6 +155,7 @@ def run_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly_rollup(read_events_stream(spark, sf_dir)),
         "wdp_stream_hourly",
         "complete",
+        partitions=_input_sized_partitions(spark, sf_dir),
     )
     return spark.table("wdp_stream_hourly")
 
@@ -148,7 +202,12 @@ def run_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    _run_to_memory(result, "wdp_stream_sliding", "complete")
+    _run_to_memory(
+        result,
+        "wdp_stream_sliding",
+        "complete",
+        partitions=_input_sized_partitions(spark, sf_dir),
+    )
     return spark.table("wdp_stream_sliding")
 
 
@@ -174,7 +233,12 @@ def run_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    _run_to_memory(result, "wdp_stream_sessions", "complete")
+    _run_to_memory(
+        result,
+        "wdp_stream_sessions",
+        "complete",
+        partitions=_input_sized_partitions(spark, sf_dir),
+    )
     return spark.table("wdp_stream_sessions")
 
 
@@ -195,7 +259,12 @@ def run_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type", "value")
     )
-    _run_to_memory(deduped, "wdp_stream_dedup", "append")
+    _run_to_memory(
+        deduped,
+        "wdp_stream_dedup",
+        "append",
+        partitions=_input_sized_partitions(spark, sf_dir),
+    )
     return spark.table("wdp_stream_dedup")
 
 
@@ -246,7 +315,12 @@ def run_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("click_time").alias("click_us"),
         )
     )
-    _run_to_memory(joined, "wdp_stream_vc_join", "append")
+    _run_to_memory(
+        joined,
+        "wdp_stream_vc_join",
+        "append",
+        partitions=_input_sized_partitions(spark, sf_dir),
+    )
     return spark.table("wdp_stream_vc_join")
 
 
@@ -297,7 +371,12 @@ def run_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf="NoTimeout",
         )
     )
-    _run_to_memory(result, "wdp_stream_user_stats", "update")
+    _run_to_memory(
+        result,
+        "wdp_stream_user_stats",
+        "update",
+        partitions=_input_sized_partitions(spark, sf_dir),
+    )
     return spark.table("wdp_stream_user_stats")
 
 
@@ -332,7 +411,12 @@ def run_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "nation"),
     )
-    _run_to_memory(result, "wdp_stream_enrich", "complete")
+    _run_to_memory(
+        result,
+        "wdp_stream_enrich",
+        "complete",
+        partitions=_input_sized_partitions(spark, sf_dir),
+    )
     return spark.table("wdp_stream_enrich")
 
 
@@ -507,7 +591,12 @@ def run_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
-    _run_to_memory(result, "wdp_stream_tws_totals", "update")
+    _run_to_memory(
+        result,
+        "wdp_stream_tws_totals",
+        "update",
+        partitions=_input_sized_partitions(spark, sf_dir),
+    )
     return spark.table("wdp_stream_tws_totals")
 
 
@@ -638,5 +727,10 @@ def run_view_click_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("click_time").alias("click_us"),
         )
     )
-    _run_to_memory(joined, "wdp_stream_vc_left_join", "append")
+    _run_to_memory(
+        joined,
+        "wdp_stream_vc_left_join",
+        "append",
+        partitions=_input_sized_partitions(spark, sf_dir),
+    )
     return spark.table("wdp_stream_vc_left_join")
