@@ -276,6 +276,7 @@ def kcore_peel(
     )
     alive = und
     prev = None
+    prev_cnt = None
     for _ in range(rounds):
         deg = alive.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("node")
@@ -289,11 +290,18 @@ def kcore_peel(
             .join(keep.withColumnRenamed("node", "nbr"), "nbr", "left_semi")
             .persist()
         )
-        nxt.count()
+        cnt = nxt.count()
         if prev is not None:
             prev.unpersist()
         prev = nxt
         alive = nxt
+        # Peeling only ever removes rows, so an unchanged edge count
+        # means nxt == alive exactly — every remaining round is the
+        # identity. Stopping here returns the same relation the full
+        # fixed-round unrolling (and its CTE oracle) would.
+        if cnt == prev_cnt:
+            break
+        prev_cnt = cnt
     out = alive.groupBy("node").agg(F.count(F.lit(1)).alias("degree")).persist()
     out.count()
     # The result is materialized from the cached chain; release it all
@@ -352,8 +360,12 @@ def bfs_hops(
             .join(visited.select("node"), "node", "left_anti")
             .persist()
         )
-        nxt.count()
+        cnt = nxt.count()
         frontiers.append(nxt)
+        if cnt == 0:
+            # Empty frontier: every later level is empty too — the
+            # traversal has reached its fixpoint before max_hops.
+            break
         visited = visited.union(
             nxt.select("node", F.lit(level).alias("hops"))
         )
