@@ -765,3 +765,31 @@ def test_ttm_matches_bruteforce(spark, sf_dir):
         window = rows[lo : i + 1]
         assert r.n_months_in_window == len(window)
         assert abs(r.ttm_revenue - sum(x.revenue for x in window)) < 1e-6
+
+
+def test_zorder_skipping_prunes_both_dims(spark, tmp_path):
+    # Skewed bit widths on purpose (x: 6 bits, y: 12 bits): the grid
+    # normalization inside the report must equalize them or x would
+    # never prune (the raw interleave's high bits would be all-y).
+    df = spark.range(0, 8192).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") * 2654435761) % 4096).alias("y"),
+        F.lit(1.0).alias("value"),
+    )
+    rep = {
+        r.layout: r
+        for r in P.zorder_skipping_report(
+            df, "x", "y", (16, 32), (1024, 2048), str(tmp_path), n_files=16
+        ).collect()
+    }
+    un, lin, zo = rep["unordered"], rep["linear_y"], rep["zorder"]
+    # Round-robin layout prunes nothing on either dimension.
+    assert un.files_matching_xbox == un.n_files
+    assert un.files_matching_ybox == un.n_files
+    # The linear sort prunes its own column but not the other.
+    assert lin.files_matching_ybox < lin.n_files
+    assert lin.files_matching_xbox == lin.n_files
+    # Z-order prunes BOTH dimensions — the point of the layout.
+    assert zo.files_matching_xbox < un.files_matching_xbox
+    assert zo.files_matching_ybox < un.files_matching_ybox

@@ -118,6 +118,113 @@ def zorder_layout(
     )
 
 
+def zorder_skipping_report(
+    df: DataFrame,
+    xcol: str,
+    ycol: str,
+    xbox: tuple[int, int],
+    ybox: tuple[int, int],
+    out_dir: str,
+    n_files: int = 16,
+    bits: int = 16,
+) -> DataFrame:
+    """Measure what the Z-order layout buys: write ``df`` under three
+    layouts (round-robin, linearly sorted on ``ycol``, Z-ordered on
+    both) and count, per layout, how many FILES a box predicate on each
+    dimension would have to read, judged purely from parquet footer
+    min/max — the same file-level statistics a lakehouse scan planner
+    (Delta/Iceberg data skipping) prunes with.
+
+    The expected shape of the answer is the whole story of
+    multidimensional clustering: round-robin prunes nothing on either
+    dimension; the linear sort prunes perfectly on its own column and
+    nothing on the other; Z-order prunes on BOTH (each file covers a
+    compact Z-range = a small hyper-rectangle). At 100 TB the footer
+    scan is the planner's metadata pass — bytes per file, never data —
+    and the write cost is the one range-partition exchange the layout
+    job pays anyway.
+
+    EAGER: writes ``3 * n_files`` parquet files under ``out_dir`` and
+    reads their footers on the driver (bounded: metadata only).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    spark = df.sparkSession
+    # Interleaving raw values wastes the narrower column: if x spans 8
+    # significant bits and y spans 10, every 2^16-wide Z-range fixes
+    # only y's high bits and x never prunes. Rescale BOTH dims onto the
+    # same 2^bits grid first (min/max from one tiny agg — rank/range
+    # normalization, exactly what lakehouse OPTIMIZE ZORDER does with
+    # per-column range ids) so each dimension contributes equally to
+    # the key's high bits.
+    mm = df.agg(
+        F.min(xcol).alias("x0"),
+        F.max(xcol).alias("x1"),
+        F.min(ycol).alias("y0"),
+        F.max(ycol).alias("y1"),
+    ).collect()[0]
+    top = (1 << bits) - 1
+
+    def grid(col: str, lo: int, hi: int) -> Column:
+        span = max(1, int(hi) - int(lo))
+        return F.expr(
+            f"(({col} - {int(lo)}L) * {top}L) div {span}L"
+        )
+
+    zkey = zorder_key(
+        [grid(xcol, mm["x0"], mm["x1"]), grid(ycol, mm["y0"], mm["y1"])],
+        bits=bits,
+    )
+    layouts = {
+        "unordered": df.repartition(n_files),
+        "linear_y": df.repartitionByRange(n_files, ycol)
+        .sortWithinPartitions(ycol),
+        "zorder": zorder_layout(df, zkey, n_files).drop("zval"),
+    }
+
+    def file_ranges(path: str, col: str) -> list[tuple[int, int]]:
+        out = []
+        for fname in sorted(os.listdir(path)):
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(path, fname))
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                group = md.row_group(rg)
+                for ci in range(group.num_columns):
+                    c = group.column(ci)
+                    if c.path_in_schema != col or c.statistics is None:
+                        continue
+                    s = c.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+            if lo is not None:
+                out.append((lo, hi))
+        return out
+
+    rows = []
+    for name, laid in layouts.items():
+        path = os.path.join(out_dir, name)
+        laid.write.mode("overwrite").parquet(path)
+        xr = file_ranges(path, xcol)
+        yr = file_ranges(path, ycol)
+        rows.append(
+            (
+                name,
+                len(xr),
+                sum(1 for lo, hi in xr if hi >= xbox[0] and lo <= xbox[1]),
+                sum(1 for lo, hi in yr if hi >= ybox[0] and lo <= ybox[1]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "layout string, n_files long, "
+        "files_matching_xbox long, files_matching_ybox long",
+    )
+
+
 def exact_heavy_hitters(
     items: DataFrame,
     item_col: str,

@@ -6887,3 +6887,95 @@ def lineitem_exact_percentiles(spark, sf_dir):
         )
         .select("p", "value", F.col("rnk").alias("rank_n"))
     )
+
+
+def _zvalue_sql(xe: str, ye: str, bits: int = 16) -> str:
+    """Unrolled Morton interleave in ANSI/DuckDB bit arithmetic — the
+    oracle twin of operators.profiling.zorder_key (bit i of column j at
+    position i * n_cols + j, x first)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xe}) >> {i}) & 1) << {2 * i}")
+        terms.append(f"((({ye}) >> {i}) & 1) << {2 * i + 1}")
+    return " | ".join(f"({t})" for t in terms)
+
+
+@register(
+    "layout_zorder_key_events",
+    oracle=f"""
+SELECT event_id,
+       (user_id & 65535) AS x,
+       ((epoch_us(ts) // 3600000000) & 65535) AS y,
+       ({_zvalue_sql("user_id & 65535",
+                     "(epoch_us(ts) // 3600000000) & 65535")}) AS zval
+FROM events
+""",
+)
+def layout_zorder_key_events(spark, sf_dir):
+    """Z-value (Morton) clustering key over events on (user_id, event
+    hour) — the write-side key a lakehouse OPTIMIZE ZORDER layout sorts
+    by so file min/max stay tight on BOTH dimensions. Pure shift/mask
+    arithmetic inside whole-stage codegen (no UDF, no shuffle); the
+    16-bit masks make the key a pure per-row function so the unrolled
+    SQL twin checks the interleave bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("user_id").bitwiseAND(F.lit(65535))
+    y = F.expr("(ts div 3600000000) & 65535")
+    return ev.select(
+        "event_id",
+        x.alias("x"),
+        y.alias("y"),
+        P.zorder_key([x, y], bits=16).alias("zval"),
+    )
+
+
+@register("layout_zorder_pruning_report", eager=True)
+def layout_zorder_pruning_report(spark, sf_dir):
+    """Data-skipping evidence for the Z-order layout: events written
+    round-robin vs linearly sorted by hour vs Z-ordered on (user, hour),
+    then each layout's parquet footers are asked how many files a box
+    predicate on EACH dimension must read. Expected: round-robin prunes
+    nothing, the linear sort prunes only its own column, Z-order prunes
+    both. Rows-only by design (file counts depend on the parquet
+    writer, asserted directionally in tests/test_profiling.py); EAGER:
+    writes 3x16 temp files and reads their footers (metadata only)."""
+    import shutil
+    import tempfile
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.col("user_id").bitwiseAND(F.lit(65535)).alias("x"),
+            F.expr("ts div 3600000000").alias("h"),
+            "value",
+        )
+    )
+    lo_hi = ev.agg(
+        F.min("h").alias("h0"),
+        F.max("h").alias("h1"),
+        F.min("x").alias("x0"),
+        F.max("x").alias("x1"),
+    ).collect()[0]
+    hspan = int(lo_hi["h1"] - lo_hi["h0"])
+    xspan = int(lo_hi["x1"] - lo_hi["x0"])
+    rebased = (
+        ev.withColumn("y", (F.col("h") - F.lit(int(lo_hi["h0"]))).cast("long"))
+        .select("event_id", "x", "y", "value")
+    )
+    tmp = tempfile.mkdtemp(prefix="wdp_zorder_")
+    try:
+        report = P.zorder_skipping_report(
+            rebased,
+            "x",
+            "y",
+            (int(lo_hi["x0"]) + xspan // 4, int(lo_hi["x0"]) + xspan // 2),
+            (hspan // 4, hspan // 2),
+            tmp,
+            n_files=16,
+        )
+        report = report.cache()
+        report.count()  # materialize before the temp files are removed
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return report
