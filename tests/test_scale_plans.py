@@ -441,3 +441,16 @@ def test_no_unguarded_global_windows(spark, sf_dir, query_name):
     q = registry.spark_queries()[query_name]
     for w in global_windows(q(spark, sf_dir)):
         assert w["guarded"], f"unguarded global window: {w['node'][:120]}"
+
+
+def test_zorder_key_query_is_shuffle_free(spark):
+    # The clustering key is pure per-row shift/mask arithmetic: the
+    # query must plan as scan -> project with no Exchange anywhere.
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        layout_zorder_key_events,
+    )
+
+    plan = layout_zorder_key_events(
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
