@@ -793,3 +793,48 @@ def test_zorder_skipping_prunes_both_dims(spark, tmp_path):
     # Z-order prunes BOTH dimensions — the point of the layout.
     assert zo.files_matching_xbox < un.files_matching_xbox
     assert zo.files_matching_ybox < un.files_matching_ybox
+
+
+def test_quantile_summary_weights_sum_to_rowcount(spark):
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 2654435761) % 997).cast("double").alias("v"),
+    )
+    summary = P.quantile_summary(df, "v", "k", blocks=16, eps=0.05)
+    total = summary.agg(F.sum("weight").alias("w")).collect()[0].w
+    assert total == 5000
+    # The summary must actually summarize: ~blocks/eps rows, not O(N).
+    assert summary.count() < 1000
+
+
+def test_quantile_summary_rank_error_within_bound(spark):
+    # Heavy-tailed values (quadratic growth) + duplicate runs — the
+    # shapes that break naive equi-width histograms.
+    n, blocks, eps = 20000, 16, 0.05
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 7 == 0, 1.0)
+        .otherwise((F.col("id") % 1000) * (F.col("id") % 1000) / 7.0)
+        .alias("v"),
+    )
+    summary = P.quantile_summary(df, "v", "k", blocks=blocks, eps=eps)
+    rows = sorted(
+        summary.collect(), key=lambda r: (r.v, r.k)
+    )
+    values = {r.k: r.v for r in df.collect()}
+    ordered = sorted(values.items(), key=lambda kv: (kv[1], kv[0]))
+    pos = {k: i + 1 for i, (k, _) in enumerate(ordered)}
+    bound = eps * n + blocks
+    cum = 0
+    for p in (0.01, 0.25, 0.5, 0.9, 0.99):
+        target = -(-p * n // 1)
+        cum = 0
+        est = None
+        for r in rows:
+            cum += r.weight
+            if cum >= target:
+                est = r
+                break
+        assert est is not None
+        true_rank = pos[est.k]
+        assert abs(true_rank - target) <= bound, (p, true_rank, target)

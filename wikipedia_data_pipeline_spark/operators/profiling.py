@@ -10,7 +10,7 @@ narrow bit-arithmetic projection that whole-stage codegen inlines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -115,6 +115,50 @@ def zorder_layout(
         df.withColumn("zval", zcol)
         .repartitionByRange(n_files, "zval")
         .sortWithinPartitions("zval")
+    )
+
+
+def quantile_summary(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    blocks: int = 32,
+    eps: float = 0.02,
+) -> DataFrame:
+    """Mergeable ε-approximate quantile summary: per block, keep every
+    s-th order statistic (s = ⌊block_rows·ε⌋, floored at 1) weighted by
+    the run it closes, plus the block's last element carrying the
+    remainder. Weights sum to the exact row count, and any rank queried
+    from the merged summary is off by < s per block, so < ε·N + blocks
+    overall — while the summary holds ~blocks/ε rows at ANY input size.
+    This is the one-pass alternative to a global sort for quantiles at
+    100 TB (same family as GK/KLL; uniform rank striding instead of
+    randomized compaction keeps it deterministic, hence exactly
+    oracle-replayable).
+
+    Blocking is by ``id_col % blocks`` — a pure row function, not
+    ``spark_partition_id()`` — so the summary is a deterministic
+    relation any engine can reproduce; in production ``blocks`` tracks
+    cluster width (each block is one task's local sort, the sample-sort
+    shape). Returns (value, id, weight)."""
+    w = Window.partitionBy("_qs_b").orderBy(value_col, id_col)
+    wm = Window.partitionBy("_qs_b")
+    r, m = F.col("_qs_r"), F.col("_qs_m")
+    s = F.greatest(F.lit(1).cast("long"), F.floor(m * F.lit(eps)).cast("long"))
+    return (
+        df.select(value_col, id_col)
+        .withColumn("_qs_b", F.col(id_col) % blocks)
+        .withColumn("_qs_r", F.row_number().over(w).cast("long"))
+        .withColumn("_qs_m", F.count(F.lit(1)).over(wm))
+        .withColumn("_qs_s", s)
+        .filter((r % F.col("_qs_s") == 0) | (r == m))
+        .withColumn(
+            "weight",
+            F.when(r % F.col("_qs_s") == 0, F.col("_qs_s")).otherwise(
+                m % F.col("_qs_s")
+            ),
+        )
+        .select(value_col, id_col, "weight")
     )
 
 

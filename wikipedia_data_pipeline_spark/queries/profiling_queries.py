@@ -6979,3 +6979,121 @@ def layout_zorder_pruning_report(spark, sf_dir):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return report
+
+
+@register(
+    "sketch_quantile_summary_events",
+    oracle="""
+WITH ev AS (SELECT event_id, value FROM events),
+nrel AS (SELECT count(*) AS n FROM ev),
+blk AS (
+  SELECT event_id, value,
+         row_number() OVER (PARTITION BY event_id % 32
+                            ORDER BY value, event_id) AS r,
+         count(*) OVER (PARTITION BY event_id % 32) AS m
+  FROM ev
+),
+st AS (SELECT *, greatest(1, CAST(floor(m * 0.02) AS BIGINT)) AS s FROM blk),
+keep AS (
+  SELECT value, event_id,
+         CASE WHEN r % s = 0 THEN s ELSE m % s END AS weight
+  FROM st WHERE r % s = 0 OR r = m
+),
+scan AS (
+  SELECT value, event_id, weight,
+         sum(weight) OVER (ORDER BY value, event_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM keep
+),
+tgt AS (
+  SELECT p, CAST(ceil(p * nrel.n) AS BIGINT) AS target_rank, nrel.n
+  FROM (SELECT unnest([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS p), nrel
+),
+ecum AS (
+  SELECT t.p, t.target_rank, t.n, min(s.cum) AS cum
+  FROM tgt t JOIN scan s ON s.cum >= t.target_rank
+  GROUP BY t.p, t.target_rank, t.n
+),
+est AS (
+  SELECT e.p, e.target_rank, e.n, s.value AS est_value,
+         s.event_id AS est_id
+  FROM ecum e JOIN scan s ON s.cum = e.cum
+),
+tr AS (
+  SELECT est.p, count(*) AS true_rank
+  FROM est JOIN ev
+    ON ev.value < est.est_value
+       OR (ev.value = est.est_value AND ev.event_id <= est.est_id)
+  GROUP BY est.p
+)
+SELECT est.p, est.est_value, est.target_rank, tr.true_rank,
+       abs(tr.true_rank - est.target_rank) AS rank_err,
+       est.n AS n_rows
+FROM est JOIN tr ON est.p = tr.p
+""",
+)
+def sketch_quantile_summary_events(spark, sf_dir):
+    """One-pass mergeable quantile summary over events.value
+    (operators.profiling.quantile_summary: per-block rank striding,
+    s = ⌊m·ε⌋, ε = 0.02, 32 deterministic blocks) queried at 7 probe
+    quantiles, each estimate audited against its TRUE global rank — the
+    output carries the realized rank error, which the summary bounds by
+    ε·N + blocks. The summary cumsum rides the hierarchical
+    ordered_scan (no single-partition window over data-sized input);
+    the estimate lookup and the true-rank audit are broadcast theta
+    joins of a 7-row relation. The whole construction is relational, so
+    the SQL twin replays it bit-for-bit — same reason the CMS sketch is
+    exactly checkable."""
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    summary = P.quantile_summary(ev, "value", "event_id", blocks=32, eps=0.02)
+    scan = ordered_scan(
+        summary, ["value", "event_id"], running=[("cum", "weight", "sum")]
+    )
+    nrel = ev.agg(F.count(F.lit(1)).alias("n"))
+    tgt = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(p) for p in
+                          (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)])
+            ).alias("p")
+        )
+        .crossJoin(F.broadcast(nrel))
+        .withColumn(
+            "target_rank", F.ceil(F.col("p") * F.col("n")).cast("long")
+        )
+    )
+    ecum = (
+        scan.join(F.broadcast(tgt), F.col("cum") >= F.col("target_rank"))
+        .groupBy("p", "target_rank", "n")
+        .agg(F.min("cum").alias("cum"))
+    )
+    est = scan.join(F.broadcast(ecum), "cum").select(
+        "p",
+        "target_rank",
+        "n",
+        F.col("value").alias("est_value"),
+        F.col("event_id").alias("est_id"),
+    )
+    tr = (
+        ev.join(
+            F.broadcast(est),
+            (F.col("value") < F.col("est_value"))
+            | (
+                (F.col("value") == F.col("est_value"))
+                & (F.col("event_id") <= F.col("est_id"))
+            ),
+        )
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("true_rank"))
+    )
+    return est.join(tr, "p").select(
+        "p",
+        "est_value",
+        "target_rank",
+        "true_rank",
+        F.abs(F.col("true_rank") - F.col("target_rank")).alias("rank_err"),
+        F.col("n").alias("n_rows"),
+    )
