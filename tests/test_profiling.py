@@ -838,3 +838,43 @@ def test_quantile_summary_rank_error_within_bound(spark):
         assert est is not None
         true_rank = pos[est.k]
         assert abs(true_rank - target) <= bound, (p, true_rank, target)
+
+
+def test_kmv_two_phase_equals_single_phase_min_k(spark):
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        det_hash(F.col("id") * F.col("id") + 7).alias("h"),
+    )
+    got = {
+        (r.g, r.rk): r.h
+        for r in P.kmv_min_hashes(df, "g", "h", k=16, fan=8).collect()
+    }
+    rows = df.distinct().collect()
+    for g in ("0", "1", "2"):
+        want = sorted({r.h for r in rows if r.g == g})[:16]
+        for i, h in enumerate(want, start=1):
+            assert got[(g, i)] == h, (g, i)
+
+
+def test_kmv_sketch_merges_like_the_full_sketch(spark):
+    # Mergeability: bottom-k of (sketch(A) ∪ sketch(B)) must equal
+    # sketch(A ∪ B) — the property that lets sketches be kept per
+    # partition/segment and combined later.
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    k = 24
+    full = spark.range(0, 4000).select(
+        F.lit("all").alias("g"), det_hash(F.col("id") * 31 + 5).alias("h")
+    )
+    half_a = full.filter(F.col("h") % 2 == 0)
+    half_b = full.filter(F.col("h") % 2 == 1)
+    merged = (
+        P.kmv_min_hashes(half_a, "g", "h", k=k)
+        .unionByName(P.kmv_min_hashes(half_b, "g", "h", k=k))
+        .select("h")
+    )
+    want = [r.h for r in P.kmv_min_hashes(full, "g", "h", k=k).orderBy("h").collect()]
+    got = sorted(r.h for r in merged.collect())[:k]
+    assert got == want

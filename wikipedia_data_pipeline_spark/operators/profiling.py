@@ -162,6 +162,42 @@ def quantile_summary(
     )
 
 
+def kmv_min_hashes(
+    df: DataFrame,
+    group_col: str,
+    hash_col: str,
+    k: int = 32,
+    fan: int = 16,
+) -> DataFrame:
+    """Per-group KMV sketch: the k smallest DISTINCT hash values, the
+    mergeable bottom-k summary behind theta-sketch distinct counting —
+    unlike HLL, bottom-k sketches compose under union AND intersection
+    (union = bottom-k of combined sketches; intersection via the theta
+    threshold), which is what segment-overlap analytics need.
+
+    Exact min-k, computed in two phases so no task ever sorts a whole
+    group: phase 1 ranks within (group, h % fan) subgroups and keeps k
+    per subgroup (fan-way parallel, each task sees |group|/fan distinct
+    hashes); phase 2 ranks the ≤ fan·k survivors per group — bounded
+    input by construction. Two-phase min-k equals min-k, so the result
+    is the deterministic relation a SQL twin reproduces single-phase.
+    Returns (group, h, rk) with rk in [1, k] ascending by hash."""
+    d = df.select(group_col, hash_col).distinct()
+    w1 = Window.partitionBy(
+        group_col, F.col(hash_col) % fan
+    ).orderBy(hash_col)
+    survivors = (
+        d.withColumn("_kmv_r1", F.row_number().over(w1))
+        .filter(F.col("_kmv_r1") <= k)
+        .drop("_kmv_r1")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(hash_col)
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def zorder_skipping_report(
     df: DataFrame,
     xcol: str,

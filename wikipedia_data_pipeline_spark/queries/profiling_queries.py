@@ -7097,3 +7097,160 @@ def sketch_quantile_summary_events(spark, sf_dir):
         F.abs(F.col("true_rank") - F.col("target_rank")).alias("rank_err"),
         F.col("n").alias("n_rows"),
     )
+
+
+_KMV_K = 32
+_KMV_HASH = SQL_DET_HASH.format(col="user_id")
+
+
+@register(
+    "sketch_kmv_distinct_users",
+    oracle=f"""
+WITH ev AS (SELECT event_type, user_id FROM events),
+hsh AS (SELECT DISTINCT event_type, {_KMV_HASH} AS h FROM ev),
+rk AS (SELECT event_type, h,
+              row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+       FROM hsh),
+sk AS (SELECT event_type, h FROM rk WHERE rk <= {_KMV_K}),
+pertype AS (SELECT event_type, count(*) AS cnt, max(h) AS hk
+            FROM sk GROUP BY event_type),
+exact_t AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+            FROM ev GROUP BY event_type),
+t_rows AS (
+  SELECT p.event_type AS segment, e.n_exact,
+         CASE WHEN p.cnt < {_KMV_K} THEN CAST(p.cnt AS DOUBLE)
+              ELSE (CAST({_KMV_K - 1} AS BIGINT) * 2147483647) / p.hk END AS est_kmv
+  FROM pertype p JOIN exact_t e USING (event_type)
+),
+uh AS (SELECT DISTINCT h FROM hsh),
+urk AS (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM uh),
+usk AS (SELECT h FROM urk WHERE rk <= {_KMV_K}),
+u_est AS (SELECT count(*) AS cnt, max(h) AS hk FROM usk),
+u_exact AS (SELECT count(DISTINCT user_id) AS n FROM ev),
+u_row AS (
+  SELECT '__union_all__' AS segment, u_exact.n AS n_exact,
+         CASE WHEN u_est.cnt < {_KMV_K} THEN CAST(u_est.cnt AS DOUBLE)
+              ELSE (CAST({_KMV_K - 1} AS BIGINT) * 2147483647) / u_est.hk END AS est_kmv
+  FROM u_est, u_exact
+),
+va AS (SELECT h FROM sk WHERE event_type = 'view'),
+cb AS (SELECT h FROM sk WHERE event_type = 'click'),
+ta AS (SELECT CASE WHEN count(*) >= {_KMV_K} THEN max(h)
+              ELSE 2147483647 END AS th FROM va),
+tb AS (SELECT CASE WHEN count(*) >= {_KMV_K} THEN max(h)
+              ELSE 2147483647 END AS th FROM cb),
+th AS (SELECT least(ta.th, tb.th) AS theta FROM ta, tb),
+common AS (SELECT count(*) AS c FROM va JOIN cb ON va.h = cb.h
+           CROSS JOIN th WHERE va.h < th.theta),
+i_exact AS (SELECT count(*) AS n FROM (
+  SELECT user_id FROM ev WHERE event_type = 'view'
+  INTERSECT
+  SELECT user_id FROM ev WHERE event_type = 'click') q),
+i_row AS (
+  SELECT '__intersect_view_click__' AS segment, i_exact.n AS n_exact,
+         CAST(common.c AS DOUBLE) * CAST(2147483647 AS BIGINT) / th.theta AS est_kmv
+  FROM common, th, i_exact
+)
+SELECT * FROM t_rows
+UNION ALL SELECT * FROM u_row
+UNION ALL SELECT * FROM i_row
+""",
+)
+def sketch_kmv_distinct_users(spark, sf_dir):
+    """KMV/theta distinct-count sketch audit over event users: per
+    event type, the bottom-32 hash sketch's estimate next to the exact
+    distinct count, plus the two compositions HLL cannot do exactly —
+    a UNION estimate merged from the per-type sketches and a
+    theta-threshold INTERSECTION estimate for view∩click users. Hashes
+    ride the portable det_hash so the SQL twin replays every estimate
+    bit-for-bit (the engine-native one-shot counterpart is
+    approx_count_distinct, whose HLL registers no oracle can replay —
+    see agg_approx_distinct). Sketches are exact two-phase min-k
+    (operators.profiling.kmv_min_hashes); every relation past the
+    distinct is ≤ types × k rows, so the audit joins are broadcasts."""
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    K, MOD = _KMV_K, (1 << 31) - 1
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    hsh = ev.select(
+        "event_type", det_hash("user_id").alias("h")
+    )
+    sk = P.kmv_min_hashes(hsh, "event_type", "h", k=K).cache()
+    pertype = sk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("h").alias("hk")
+    )
+    exact_t = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    est = F.when(
+        F.col("cnt") < K, F.col("cnt").cast("double")
+    ).otherwise(F.lit((K - 1) * MOD) / F.col("hk"))
+    t_rows = (
+        pertype.join(exact_t, "event_type")
+        .select(
+            F.col("event_type").alias("segment"),
+            "n_exact",
+            est.alias("est_kmv"),
+        )
+    )
+    # Union sketch: bottom-k of the combined per-type sketches (the
+    # mergeability property) — tiny input, sort+limit, no window.
+    usk = (
+        sk.select("h").distinct().orderBy("h").limit(K)
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("h").alias("hk"))
+    )
+    u_exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    u_row = (
+        usk.crossJoin(F.broadcast(u_exact))
+        .select(
+            F.lit("__union_all__").alias("segment"),
+            "n_exact",
+            est.alias("est_kmv"),
+        )
+    )
+    # Theta intersection: below min(theta_a, theta_b) both sketches are
+    # COMPLETE hash sets, so the overlap count there is exact and
+    # scales by 1/theta.
+    def theta_of(t):
+        return (
+            sk.filter(F.col("event_type") == t)
+            .agg(
+                F.when(F.count(F.lit(1)) >= K, F.max("h"))
+                .otherwise(F.lit(MOD))
+                .alias("th")
+            )
+        )
+
+    th = (
+        theta_of("view").crossJoin(theta_of("click").withColumnRenamed("th", "th2"))
+        .select(F.least("th", "th2").alias("theta"))
+    )
+    va = sk.filter(F.col("event_type") == "view").select("h")
+    cb = sk.filter(F.col("event_type") == "click").select("h")
+    common = (
+        va.join(cb, "h")
+        .crossJoin(F.broadcast(th))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    i_exact = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "view").cast("int")).alias("v"),
+            F.max((F.col("event_type") == "click").cast("int")).alias("c"),
+        )
+        .filter((F.col("v") == 1) & (F.col("c") == 1))
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    i_row = (
+        common.crossJoin(F.broadcast(th))
+        .crossJoin(F.broadcast(i_exact))
+        .select(
+            F.lit("__intersect_view_click__").alias("segment"),
+            "n_exact",
+            (
+                F.col("c").cast("double") * F.lit(MOD) / F.col("theta")
+            ).alias("est_kmv"),
+        )
+    )
+    return t_rows.unionByName(u_row).unionByName(i_row)
