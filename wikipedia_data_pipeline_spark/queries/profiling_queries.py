@@ -7254,3 +7254,106 @@ def sketch_kmv_distinct_users(spark, sf_dir):
         )
     )
     return t_rows.unionByName(u_row).unionByName(i_row)
+
+
+_AMS_D = 128
+
+
+def _ams_sign_sql(i: int, dialect: str) -> str:
+    """±1 sign hash for AMS sketch row i: two rounds of multiply-xor
+    mixing in the 32-bit ring, reduced to parity. A plain multiplicative
+    parity has NO avalanche — on near-uniform per-key counts the signs
+    correlate and the signed sums cancel (rel_err ~0.94 observed), so
+    real bit mixing is load-bearing here, not hygiene. Identical
+    arithmetic in both dialects; only the XOR spelling differs."""
+    xor = (lambda a, b: f"xor({a}, {b})") if dialect == "duckdb" else (
+        lambda a, b: f"({a} ^ {b})"
+    )
+    h0 = f"(user_id + {12345 + i * 7919})"
+    h1 = f"(({h0} * 2654435761) % 4294967296)"
+    h2 = xor(h1, f"({h1} >> 16)")
+    h3 = f"((({h2}) * 49979693) % 4294967296)"
+    h4 = xor(h3, f"({h3} >> 13)")
+    return f"(1 - 2 * (({h4}) % 2))"
+
+
+# Sum of squares via list aggregation: a 128-term left-nested addition
+# chain exceeds DuckDB's binder recursion depth, and an integer sum is
+# order-insensitive anyway.
+_AMS_LIST = ", ".join(f"z{i}" for i in range(_AMS_D))
+
+
+@register(
+    "sketch_ams_f2_users",
+    oracle=f"""
+WITH z AS (
+  SELECT {", ".join(f"sum({_ams_sign_sql(i, 'duckdb')}) AS z{i}"
+                    for i in range(_AMS_D))},
+         count(*) AS n_rows
+  FROM events
+),
+exact AS (
+  SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact
+  FROM (SELECT count(*) AS c FROM events GROUP BY user_id) g
+),
+sq AS (
+  SELECT n_rows,
+         (SELECT sum(v * v) FROM unnest([{_AMS_LIST}]) AS t(v)) AS sqsum
+  FROM z
+)
+SELECT sq.n_rows, exact.f2_exact,
+       sq.sqsum / {_AMS_D} AS f2_ams,
+       abs(sq.sqsum / {_AMS_D} - f2_exact) / f2_exact AS rel_err
+FROM sq, exact
+""",
+)
+def sketch_ams_f2_users(spark, sf_dir):
+    """AMS second-moment (F2) sketch over event users: the self-join
+    size Σ cnt_k² — the quantity a join planner wants BEFORE shuffling —
+    estimated WITHOUT any per-key grouping. Each of the 128 sketch rows
+    is one signed sum Σ s_i(key) over raw rows (s_i = ±1 from a
+    two-round multiply-xor mix; see _ams_sign_sql for why avalanche is
+    load-bearing): a single wide aggregate, partial-aggregated
+    map-side, mergeable across partitions/streams by addition. The
+    estimate is the mean of the squared sums, audited in-query against
+    the exact group-by F2. Integer signed sums square exactly in BIGINT
+    at test scale (at petabyte row counts the squares move to DOUBLE);
+    the explicit left-to-right addition chain makes the DuckDB twin
+    bit-identical. (Production AMS wants 4-wise independent signs; the
+    fixed mix here trades that for exact cross-engine replay.)"""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    z = ev.agg(
+        *[
+            F.expr(_ams_sign_sql(i, "spark")).cast("long").alias(f"_s{i}")
+            for i in range(0)
+        ],
+        *[
+            F.sum(F.expr(_ams_sign_sql(i, "spark")).cast("long")).alias(
+                f"z{i}"
+            )
+            for i in range(_AMS_D)
+        ],
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"))
+    )
+    sq = F.aggregate(
+        F.array(*[F.col(f"z{i}") for i in range(_AMS_D)]),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v * v,
+    )
+    return (
+        z.crossJoin(F.broadcast(exact))
+        .select(
+            "n_rows",
+            "f2_exact",
+            (sq / F.lit(_AMS_D)).alias("f2_ams"),
+            (
+                F.abs(sq / F.lit(_AMS_D) - F.col("f2_exact"))
+                / F.col("f2_exact")
+            ).alias("rel_err"),
+        )
+    )
