@@ -96,10 +96,13 @@ _ROTATION = [
     "q9_product_profit",
     "q11_important_value",
     "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q20_potential_promotion",
-    "q21_waiting_supplier",
+    # q17/q19/q20/q21 rotated back out mid-round to make prefix room
+    # for the four new-in-round-6 plan shapes below — 5 TPC-H rows
+    # stay; the swapped-out four keep their full-gate PASS evidence.
+    "layout_zorder_key_events",
+    "sketch_quantile_summary_events",
+    "sketch_kmv_distinct_users",
+    "sketch_ams_f2_users",
     "asof_join_next_click",
     "events_linear_trend",
     "events_markov_transitions",
