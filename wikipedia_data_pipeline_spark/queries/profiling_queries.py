@@ -7357,3 +7357,74 @@ def sketch_ams_f2_users(spark, sf_dir):
             ).alias("rel_err"),
         )
     )
+
+
+@register(
+    "events_pattern_match",
+    oracle="""
+WITH paths AS (
+  SELECT user_id,
+         string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS path
+  FROM events GROUP BY user_id
+),
+pats AS (SELECT unnest(['vc', 'vcp', 'v[^p]*p', 'ee+']) AS pattern)
+SELECT p.pattern,
+       CAST(sum(len(regexp_extract_all(paths.path, p.pattern)) ) AS BIGINT)
+         AS n_matches,
+       CAST(sum(CASE WHEN len(regexp_extract_all(paths.path, p.pattern)) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_users
+FROM paths CROSS JOIN pats p
+GROUP BY p.pattern
+""",
+)
+def events_pattern_match(spark, sf_dir):
+    """Complex-event-processing pattern counts — the MATCH_RECOGNIZE
+    surface Spark lacks, emulated the scalable way: each user's full
+    event history becomes one ordered type-initial string (one shuffle
+    on user_id; per-user state is bounded by per-user activity, the
+    same bound any CEP engine needs), then plain regexp_extract_all
+    counts non-overlapping occurrences of each pattern. Patterns avoid
+    lazy quantifiers so Java regex and RE2 agree: immediate adjacency
+    ('vc'), a 3-step adjacency funnel ('vcp'), an eventually-follows
+    funnel with no intervening conversion ('v[^p]*p'), and error
+    bursts ('ee+'). Deterministic ordering via (ts, event_id);
+    array_sort on (ts, event_id, ch) structs gives the same total
+    order as the oracle's ORDER BY inside string_agg."""
+    ev = load_table(spark, sf_dir, "events")
+    paths = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"),
+                F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("ch"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["ch"]
+                ),
+                "",
+            ).alias("path")
+        )
+    )
+    pats = spark.range(1).select(
+        F.explode(
+            F.array(
+                F.lit("vc"), F.lit("vcp"), F.lit("v[^p]*p"), F.lit("ee+")
+            )
+        ).alias("pattern")
+    )
+    hits = F.size(F.regexp_extract_all(F.col("path"), F.col("pattern"), 0))
+    return (
+        paths.crossJoin(F.broadcast(pats))
+        .select("pattern", hits.alias("h"))
+        .groupBy("pattern")
+        .agg(
+            F.sum("h").cast("long").alias("n_matches"),
+            F.sum((F.col("h") > 0).cast("int")).cast("long").alias("n_users"),
+        )
+    )
