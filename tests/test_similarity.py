@@ -286,3 +286,34 @@ def test_semantic_dedup_drops_planted_duplicate(spark):
     assert out[100] is False  # junior duplicate dropped
     assert out[5] is True     # senior kept
     assert sum(1 for k in out.values() if not k) == 1  # nothing else near tau
+
+
+def test_frequent_directions_spectral_bound_and_direction(spark):
+    import numpy as np
+
+    from wikipedia_data_pipeline_spark.operators import similarity as S
+
+    # Planted rank-1 structure + noise, scattered across partitions.
+    rng_free = [
+        (
+            i,
+            [
+                float(((i * 37 + j * 11) % 13) - 6) / 40.0
+                + (3.0 if j == 5 else 0.0) * float((i % 7) - 3) / 3.0
+                for j in range(16)
+            ],
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rng_free, "vec_id long, embedding array<double>"
+    ).repartition(8)
+    ell = 6
+    sketch, frob_sq = S.frequent_directions(df, ell=ell)
+    A = np.array([r[1] for r in rng_free])
+    assert abs(frob_sq - (A**2).sum()) < 1e-6 * frob_sq
+    err = np.linalg.norm(A.T @ A - sketch.T @ sketch, 2)
+    assert err <= frob_sq / ell + 1e-9, (err, frob_sq / ell)
+    # The planted dominant direction (axis 5) must survive the sketch.
+    top = np.linalg.svd(sketch)[2][0]
+    assert abs(top[5]) > 0.9 * np.abs(top).max()

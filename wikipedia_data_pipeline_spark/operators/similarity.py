@@ -907,3 +907,83 @@ def pca_project(
         mu_dot = float(np.dot(mu, comp))
         proj_cols.append((dot - F.lit(mu_dot)).alias(f"pc{ci + 1}"))
     return embeddings.select(id_col, *proj_cols)
+
+
+def frequent_directions(
+    embeddings: DataFrame,
+    ell: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Frequent Directions matrix sketch (Liberty 2013): an ℓ×d matrix
+    B with the deterministic guarantee ‖AᵀA − BᵀB‖₂ ≤ ‖A‖²_F / ℓ —
+    the streaming/mergeable low-rank summary of an embedding corpus.
+
+    Where ``pca_project`` ships the exact d×d Gram (right answer while
+    d² rows are small), FD is the scale path when d grows: every task
+    folds its rows into a 2ℓ×d buffer (SVD-shrink each time the buffer
+    fills — O(ℓ·d) memory regardless of rows seen), emits its ℓ
+    surviving directions, and the partial sketches — ℓ rows per task,
+    model-sized — merge by simply stacking and shrinking once more on
+    the driver (FD's merge IS its insert, which is what makes it
+    mergeable). Sketch contents depend on partition order, but the
+    GUARANTEE holds for any order — so correctness is asserted via the
+    spectral-error bound, not value equality (rows-only in the gate).
+
+    Returns (numpy ℓ×d sketch, frob_sq) — query wrappers shape it."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    d = len(embeddings.select(vec_col).first()[0])
+    buf_rows = 2 * ell
+
+    part_schema = T.StructType(
+        [
+            T.StructField("slot", T.IntegerType()),
+            T.StructField("vec", T.ArrayType(T.DoubleType())),
+            T.StructField("frob_sq", T.DoubleType()),
+        ]
+    )
+
+    def shrink(B: "np.ndarray") -> "np.ndarray":
+        _, s, vt = np.linalg.svd(B, full_matrices=False)
+        if len(s) > ell:
+            delta = s[ell - 1] ** 2
+            s2 = np.sqrt(np.maximum(s**2 - delta, 0.0))
+        else:
+            s2 = s
+        return (s2[:, None] * vt)[:ell]
+
+    def fd_partial(batches):
+        import pandas as pd
+
+        B = np.zeros((0, d))
+        frob = 0.0
+        for pdf in batches:
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            frob += float((X**2).sum())
+            B = np.vstack([B, X])
+            while B.shape[0] > buf_rows:
+                B = np.vstack([shrink(B[:buf_rows]), B[buf_rows:]])
+        if B.shape[0] > ell:
+            B = shrink(B)
+        yield pd.DataFrame(
+            {
+                "slot": range(B.shape[0]),
+                "vec": [row.tolist() for row in B],
+                "frob_sq": [frob] + [0.0] * (B.shape[0] - 1),
+            }
+        )
+
+    parts = (
+        embeddings.select(vec_col)
+        .mapInPandas(fd_partial, part_schema)
+        .collect()
+    )
+    frob_sq = sum(r.frob_sq for r in parts)
+    stacked = np.array([r.vec for r in parts])
+    while stacked.shape[0] > ell:
+        head = stacked[:buf_rows]
+        stacked = np.vstack([shrink(head), stacked[buf_rows:]])
+    return stacked, frob_sq

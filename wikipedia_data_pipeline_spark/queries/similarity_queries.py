@@ -293,3 +293,34 @@ def embedding_label_centroids(spark, sf_dir):
             F.count("*").alias("n"),
         )
     )
+
+
+@register("embedding_fd_sketch", eager=True)
+def embedding_fd_sketch(spark, sf_dir):
+    """Frequent Directions spectrum of the embedding corpus: the ℓ=8
+    sketch's singular values next to the deterministic FD error bound
+    ‖A‖²_F/ℓ each estimate lives under. Sketch values depend on
+    partition order (the guarantee does not — see
+    operators.similarity.frequent_directions), so the gate records
+    rows-only; the spectral bound itself is pytest-asserted against
+    the exact covariance on planted-low-rank data. EAGER: the
+    two-level sketch (task partials → driver merge) runs on
+    construction, like the other central-solve operators."""
+    from wikipedia_data_pipeline_spark.operators.similarity import (
+        frequent_directions,
+    )
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ell = 8
+    sketch, frob_sq = frequent_directions(emb, ell=ell)
+    import numpy as np
+
+    svs = np.linalg.svd(sketch, compute_uv=False)
+    rows = [
+        (int(i + 1), float(sv), float(frob_sq), float(frob_sq / ell))
+        for i, sv in enumerate(svs)
+    ]
+    return spark.createDataFrame(
+        rows, "rank long, sv double, frob_sq double, err_bound double"
+    )
