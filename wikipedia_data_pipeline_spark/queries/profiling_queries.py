@@ -7428,3 +7428,76 @@ def events_pattern_match(spark, sf_dir):
             F.sum((F.col("h") > 0).cast("int")).cast("long").alias("n_users"),
         )
     )
+
+
+@register(
+    "incremental_distinct_users_kmv",
+    oracle=f"""
+WITH ev AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         {SQL_DET_HASH.format(col="user_id")} AS h
+  FROM events
+),
+dh AS (SELECT DISTINCT day, h FROM ev),
+rk AS (SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rk
+       FROM dh),
+sk AS (SELECT day, h FROM rk WHERE rk <= 32),
+agg AS (SELECT day, count(*) AS cnt, max(h) AS hk FROM sk GROUP BY day)
+SELECT day,
+       CASE WHEN cnt < 32 THEN CAST(cnt AS DOUBLE)
+            ELSE (CAST(31 AS BIGINT) * 2147483647) / hk END AS est_kmv,
+       cnt AS sketch_rows
+FROM agg
+""",
+)
+def incremental_distinct_users_kmv(spark, sf_dir):
+    """KMV twin of incremental_distinct_users: per-day bottom-32
+    sketches built independently on the two event-time slices, merged
+    by taking the bottom-32 of their union, estimate served per day.
+    Same bounded-state-per-key story as the HLL twin — but where HLL
+    registers are opaque to any oracle (that query is rows-only by
+    design), deterministic bottom-k on the portable det_hash makes the
+    merged sketch EQUAL the sketch of all the data, so the incremental
+    path is exactly SQL-checkable end to end. The merge window runs on
+    ≤ 2k rows per day by construction."""
+    from pyspark.sql import Window
+
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    K, MOD = 32, (1 << 31) - 1
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.timestamp_micros(F.col("ts")))
+        .cast("date")
+        .alias("day"),
+        det_hash("user_id").alias("h"),
+        "ts",
+    )
+    split_us = 1_705_276_800_000_000  # same slice point as the exact twin
+    slices = [
+        P.kmv_min_hashes(
+            ev.where(F.col("ts") < split_us), "day", "h", k=K
+        ),
+        P.kmv_min_hashes(
+            ev.where(F.col("ts") >= split_us), "day", "h", k=K
+        ),
+    ]
+    merged = (
+        slices[0].select("day", "h")
+        .unionByName(slices[1].select("day", "h"))
+        .distinct()
+    )
+    w = Window.partitionBy("day").orderBy("h")
+    sk = (
+        merged.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K)
+    )
+    agg = sk.groupBy("day").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("h").alias("hk")
+    )
+    return agg.select(
+        "day",
+        F.when(F.col("cnt") < K, F.col("cnt").cast("double"))
+        .otherwise(F.lit((K - 1) * MOD) / F.col("hk"))
+        .alias("est_kmv"),
+        F.col("cnt").cast("long").alias("sketch_rows"),
+    )
