@@ -183,3 +183,62 @@ def text_repetition_stats(spark, sf_dir):
     duplicated-trigram fraction) computed shuffle-free via sorted
     in-row run-length encoding."""
     return TS.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "sample_pps_systematic_orders",
+    oracle="""
+WITH w AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+scan AS (
+  SELECT o_orderkey, cents,
+         sum(cents) OVER (ORDER BY o_orderkey
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cents) OVER () AS total
+  FROM w
+)
+SELECT o_orderkey, cents,
+       CAST((cum * 200) // total - ((cum - cents) * 200) // total
+            AS BIGINT) AS n_slots
+FROM scan
+WHERE (cum * 200) // total > ((cum - cents) * 200) // total
+""",
+)
+def sample_pps_systematic_orders(spark, sf_dir):
+    """Systematic probability-proportional-to-size sample of orders
+    weighted by price — the importance-sampling selector behind
+    weighted data mixing — in PURE INTEGER arithmetic: prices become
+    exact cents, the global cumulative weight rides the hierarchical
+    ordered_scan, and an order is selected when its weight interval
+    crosses a slot boundary (floor(cum·K/W) jumps), carrying the jump
+    as its multiplicity. No ln()/pow() keys (A-Res spelling) — libm
+    differences between engines could flip near-tie selections, while
+    integer floor division is bit-identical everywhere. K·cum stays
+    under 2^63 up to ~1e9 orders at this K; rescale cents beyond.
+    One range-exchange scan, no single-partition window."""
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
+
+    K = 200
+    w = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    scan = ordered_scan(
+        w, ["o_orderkey"], running=[("cum", "cents", "sum")],
+        with_totals=True,
+    )
+    return (
+        scan.select(
+            "o_orderkey",
+            "cents",
+            (F.expr(f"(cum * {K}) div cum_total")
+             - F.expr(f"((cum - cents) * {K}) div cum_total")
+             ).alias("n_slots"),
+        )
+        .filter(F.col("n_slots") > 0)
+    )
