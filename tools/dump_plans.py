@@ -150,6 +150,14 @@ EXTRA = [
     "events_burstiness_index",
     "documents_length_lognormal_fit",
     "orders_ttm_revenue",
+    # round 6: layout + relational sketches + CEP + PPS sampling
+    "layout_zorder_key_events",
+    "sketch_quantile_summary_events",
+    "sketch_kmv_distinct_users",
+    "sketch_ams_f2_users",
+    "incremental_distinct_users_kmv",
+    "events_pattern_match",
+    "sample_pps_systematic_orders",
 ]
 
 
