@@ -424,6 +424,11 @@ def test_abc_classification_windows_over_aggregate(spark, sf_dir):
         "events_kl_user_vs_global",
         "key_skew_events",
         "lineitem_exact_percentiles",
+        # round 6: ordered_scan consumers + sketch merge windows
+        "sketch_quantile_summary_events",
+        "sample_pps_systematic_orders",
+        "sketch_kmv_distinct_users",
+        "incremental_distinct_users_kmv",
     ],
 )
 def test_no_unguarded_global_windows(spark, sf_dir, query_name):
