@@ -7175,7 +7175,14 @@ def sketch_kmv_distinct_users(spark, sf_dir):
     hsh = ev.select(
         "event_type", det_hash("user_id").alias("h")
     )
-    sk = P.kmv_min_hashes(hsh, "event_type", "h", k=K).cache()
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    # Persisted: the sketch feeds five downstream branches (per-type
+    # agg, union bottom-k, two thetas, the overlap join) — tracked so
+    # ranks.unpersist_all releases it like every plan-internal cache.
+    sk = track_persisted(
+        P.kmv_min_hashes(hsh, "event_type", "h", k=K).cache()
+    )
     pertype = sk.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("cnt"), F.max("h").alias("hk")
     )
