@@ -124,6 +124,7 @@ def quantile_summary(
     id_col: str,
     blocks: int = 32,
     eps: float = 0.02,
+    group_cols: tuple = (),
 ) -> DataFrame:
     """Mergeable ε-approximate quantile summary: per block, keep every
     s-th order statistic (s = ⌊block_rows·ε⌋, floored at 1) weighted by
@@ -140,13 +141,17 @@ def quantile_summary(
     ``spark_partition_id()`` — so the summary is a deterministic
     relation any engine can reproduce; in production ``blocks`` tracks
     cluster width (each block is one task's local sort, the sample-sort
-    shape). Returns (value, id, weight)."""
-    w = Window.partitionBy("_qs_b").orderBy(value_col, id_col)
-    wm = Window.partitionBy("_qs_b")
+    shape). With ``group_cols`` the same construction runs per group —
+    one bounded summary of sketch state per key, the shape per-key
+    streaming quantiles maintain. Returns (*group_cols, value, id,
+    weight)."""
+    gc = list(group_cols)
+    w = Window.partitionBy(*gc, "_qs_b").orderBy(value_col, id_col)
+    wm = Window.partitionBy(*gc, "_qs_b")
     r, m = F.col("_qs_r"), F.col("_qs_m")
     s = F.greatest(F.lit(1).cast("long"), F.floor(m * F.lit(eps)).cast("long"))
     return (
-        df.select(value_col, id_col)
+        df.select(*gc, value_col, id_col)
         .withColumn("_qs_b", F.col(id_col) % blocks)
         .withColumn("_qs_r", F.row_number().over(w).cast("long"))
         .withColumn("_qs_m", F.count(F.lit(1)).over(wm))
@@ -158,7 +163,7 @@ def quantile_summary(
                 m % F.col("_qs_s")
             ),
         )
-        .select(value_col, id_col, "weight")
+        .select(*gc, value_col, id_col, "weight")
     )
 
 

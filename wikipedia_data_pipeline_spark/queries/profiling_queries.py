@@ -7508,3 +7508,138 @@ def incremental_distinct_users_kmv(spark, sf_dir):
         .alias("est_kmv"),
         F.col("cnt").cast("long").alias("sketch_rows"),
     )
+
+
+@register(
+    "sketch_quantile_by_type_events",
+    oracle="""
+WITH ev AS (SELECT event_type, event_id, value FROM events),
+nrel AS (SELECT event_type, count(*) AS n FROM ev GROUP BY event_type),
+blk AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type, event_id % 8
+                            ORDER BY value, event_id) AS r,
+         count(*) OVER (PARTITION BY event_type, event_id % 8) AS m
+  FROM ev
+),
+st AS (SELECT *, greatest(1, CAST(floor(m * 0.02) AS BIGINT)) AS s FROM blk),
+keep AS (
+  SELECT event_type, value, event_id,
+         CASE WHEN r % s = 0 THEN s ELSE m % s END AS weight
+  FROM st WHERE r % s = 0 OR r = m
+),
+scan AS (
+  SELECT event_type, value, event_id, weight,
+         sum(weight) OVER (PARTITION BY event_type
+                           ORDER BY value, event_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM keep
+),
+tgt AS (
+  SELECT n.event_type, p, CAST(ceil(p * n.n) AS BIGINT) AS target_rank, n.n
+  FROM (SELECT unnest([0.25, 0.5, 0.9]) AS p), nrel n
+),
+ecum AS (
+  SELECT t.event_type, t.p, t.target_rank, t.n, min(s.cum) AS cum
+  FROM tgt t JOIN scan s
+    ON s.event_type = t.event_type AND s.cum >= t.target_rank
+  GROUP BY t.event_type, t.p, t.target_rank, t.n
+),
+est AS (
+  SELECT e.event_type, e.p, e.target_rank, e.n,
+         s.value AS est_value, s.event_id AS est_id
+  FROM ecum e JOIN scan s
+    ON s.event_type = e.event_type AND s.cum = e.cum
+),
+tr AS (
+  SELECT est.event_type, est.p, count(*) AS true_rank
+  FROM est JOIN ev
+    ON ev.event_type = est.event_type
+   AND (ev.value < est.est_value
+        OR (ev.value = est.est_value AND ev.event_id <= est.est_id))
+  GROUP BY est.event_type, est.p
+)
+SELECT est.event_type, est.p, est.est_value, est.target_rank,
+       tr.true_rank,
+       abs(tr.true_rank - est.target_rank) AS rank_err,
+       est.n AS n_rows
+FROM est JOIN tr
+  ON est.event_type = tr.event_type AND est.p = tr.p
+""",
+)
+def sketch_quantile_by_type_events(spark, sf_dir):
+    """Per-key quantile sketches: one bounded ε-summary of value per
+    event type (quantile_summary with group_cols — 8 blocks, ε = 0.02),
+    three probe quantiles each, every estimate audited against its true
+    within-group rank. This is the sketch-state-per-key shape streaming
+    percentile maintenance keeps; the per-group cumsum window runs over
+    the bounded per-group summary (~blocks/ε rows), never the data."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    summary = P.quantile_summary(
+        ev, "value", "event_id", blocks=8, eps=0.02,
+        group_cols=("event_type",),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scan = summary.withColumn("cum", F.sum("weight").over(w))
+    nrel = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    tgt = (
+        nrel.crossJoin(
+            spark.range(1).select(
+                F.explode(
+                    F.array(F.lit(0.25), F.lit(0.5), F.lit(0.9))
+                ).alias("p")
+            )
+        )
+        .withColumn(
+            "target_rank", F.ceil(F.col("p") * F.col("n")).cast("long")
+        )
+    )
+    ecum = (
+        scan.join(
+            F.broadcast(tgt),
+            ["event_type"],
+        )
+        .filter(F.col("cum") >= F.col("target_rank"))
+        .groupBy("event_type", "p", "target_rank", "n")
+        .agg(F.min("cum").alias("cum"))
+    )
+    est = scan.join(F.broadcast(ecum), ["event_type", "cum"]).select(
+        "event_type",
+        "p",
+        "target_rank",
+        "n",
+        F.col("value").alias("est_value"),
+        F.col("event_id").alias("est_id"),
+    )
+    tr = (
+        ev.join(
+            F.broadcast(est.select("event_type", "p", "est_value", "est_id")),
+            ["event_type"],
+        )
+        .filter(
+            (F.col("value") < F.col("est_value"))
+            | (
+                (F.col("value") == F.col("est_value"))
+                & (F.col("event_id") <= F.col("est_id"))
+            )
+        )
+        .groupBy("event_type", "p")
+        .agg(F.count(F.lit(1)).alias("true_rank"))
+    )
+    return est.join(tr, ["event_type", "p"]).select(
+        "event_type",
+        "p",
+        "est_value",
+        "target_rank",
+        "true_rank",
+        F.abs(F.col("true_rank") - F.col("target_rank")).alias("rank_err"),
+        F.col("n").alias("n_rows"),
+    )
