@@ -7150,10 +7150,23 @@ i_row AS (
   SELECT '__intersect_view_click__' AS segment, i_exact.n AS n_exact,
          CAST(common.c AS DOUBLE) * CAST(2147483647 AS BIGINT) / th.theta AS est_kmv
   FROM common, th, i_exact
+),
+donly AS (SELECT count(*) AS c FROM va CROSS JOIN th
+          WHERE va.h < th.theta
+            AND va.h NOT IN (SELECT h FROM cb)),
+d_exact AS (SELECT count(*) AS n FROM (
+  SELECT user_id FROM ev WHERE event_type = 'view'
+  EXCEPT
+  SELECT user_id FROM ev WHERE event_type = 'click') q),
+d_row AS (
+  SELECT '__view_minus_click__' AS segment, d_exact.n AS n_exact,
+         CAST(donly.c AS DOUBLE) * CAST(2147483647 AS BIGINT) / th.theta AS est_kmv
+  FROM donly, th, d_exact
 )
 SELECT * FROM t_rows
 UNION ALL SELECT * FROM u_row
 UNION ALL SELECT * FROM i_row
+UNION ALL SELECT * FROM d_row
 """,
 )
 def sketch_kmv_distinct_users(spark, sf_dir):
@@ -7260,7 +7273,38 @@ def sketch_kmv_distinct_users(spark, sf_dir):
             ).alias("est_kmv"),
         )
     )
-    return t_rows.unionByName(u_row).unionByName(i_row)
+    # A-not-B completes the theta set algebra: below theta, A's sketch
+    # is A's complete hash set and B's sketch is B's, so membership
+    # tests are exact and the difference count scales by 1/theta too.
+    donly = (
+        va.join(cb, "h", "left_anti")
+        .crossJoin(F.broadcast(th))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    d_exact = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "view").cast("int")).alias("v"),
+            F.max((F.col("event_type") == "click").cast("int")).alias("c"),
+        )
+        .filter((F.col("v") == 1) & (F.col("c") == 0))
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    d_row = (
+        donly.crossJoin(F.broadcast(th))
+        .crossJoin(F.broadcast(d_exact))
+        .select(
+            F.lit("__view_minus_click__").alias("segment"),
+            "n_exact",
+            (
+                F.col("c").cast("double") * F.lit(MOD) / F.col("theta")
+            ).alias("est_kmv"),
+        )
+    )
+    return (
+        t_rows.unionByName(u_row).unionByName(i_row).unionByName(d_row)
+    )
 
 
 _AMS_D = 128
