@@ -878,3 +878,27 @@ def test_kmv_sketch_merges_like_the_full_sketch(spark):
     want = [r.h for r in P.kmv_min_hashes(full, "g", "h", k=k).orderBy("h").collect()]
     got = sorted(r.h for r in merged.collect())[:k]
     assert got == want
+
+
+def test_quantile_summary_grouped_weights_partition_by_group(spark):
+    df = spark.range(0, 6000).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        F.col("id").alias("k"),
+        ((F.col("id") * 48271) % 9973).cast("double").alias("v"),
+    )
+    summary = P.quantile_summary(
+        df, "v", "k", blocks=8, eps=0.05, group_cols=("g",)
+    )
+    got = {
+        r.g: r.w
+        for r in summary.groupBy("g")
+        .agg(F.sum("weight").alias("w"))
+        .collect()
+    }
+    assert got == {"0": 1500, "1": 1500, "2": 1500, "3": 1500}
+    # Bounded per-group summaries, not O(rows).
+    per_group = {
+        r.g: r.c
+        for r in summary.groupBy("g").agg(F.count("*").alias("c")).collect()
+    }
+    assert all(c < 400 for c in per_group.values()), per_group
