@@ -7687,3 +7687,84 @@ def sketch_quantile_by_type_events(spark, sf_dir):
         F.abs(F.col("true_rank") - F.col("target_rank")).alias("rank_err"),
         F.col("n").alias("n_rows"),
     )
+
+
+@register(
+    "events_rolling_distinct_kmv",
+    oracle=f"""
+WITH ev AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         {SQL_DET_HASH.format(col="user_id")} AS h
+  FROM events
+),
+dh AS (SELECT DISTINCT day, h FROM ev),
+rk AS (SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rk
+       FROM dh),
+sk AS (SELECT day, h FROM rk WHERE rk <= 32),
+days AS (SELECT DISTINCT day FROM ev),
+win AS (
+  SELECT d.day, s.h
+  FROM days d JOIN sk s
+    ON s.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+  GROUP BY d.day, s.h
+),
+wrk AS (SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rk
+        FROM win),
+wsk AS (SELECT day, h FROM wrk WHERE rk <= 32),
+agg AS (SELECT day, count(*) AS cnt, max(h) AS hk FROM wsk GROUP BY day)
+SELECT day,
+       CASE WHEN cnt < 32 THEN CAST(cnt AS DOUBLE)
+            ELSE (CAST(31 AS BIGINT) * 2147483647) / hk END AS est_kmv,
+       cnt AS sketch_rows
+FROM agg
+""",
+)
+def events_rolling_distinct_kmv(spark, sf_dir):
+    """Rolling 7-day distinct users from DAILY sketches: each day keeps
+    one bottom-32 sketch; a window's estimate is the bottom-32 of the
+    union of its 7 daily sketches (mergeability again — the window
+    never rescans events). This is the sketch-algebra answer to rolling
+    COUNT(DISTINCT), the aggregation no window frame expresses: state
+    per day is k hashes, window merge cost is 7k rows per day, and the
+    whole path stays exactly SQL-replayable on the portable hash
+    (the exact twin, events_rolling_active_users, pays a bounded range
+    join against full daily membership instead). Bounded windows: the
+    per-day rank runs over ≤ 7k rows."""
+    from pyspark.sql import Window
+
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    K, MOD = 32, (1 << 31) - 1
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.timestamp_micros(F.col("ts")))
+        .cast("date")
+        .alias("day"),
+        det_hash("user_id").alias("h"),
+    )
+    sk = P.kmv_min_hashes(ev, "day", "h", k=K)
+    days = ev.select("day").distinct()
+    win = (
+        days.select(F.col("day").alias("d"))
+        .join(
+            sk,
+            (F.col("day") >= F.date_sub(F.col("d"), 6))
+            & (F.col("day") <= F.col("d")),
+        )
+        .select(F.col("d").alias("day"), "h")
+        .distinct()
+    )
+    w = Window.partitionBy("day").orderBy("h")
+    wsk = (
+        win.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K)
+    )
+    agg = wsk.groupBy("day").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("h").alias("hk")
+    )
+    return agg.select(
+        "day",
+        F.when(F.col("cnt") < K, F.col("cnt").cast("double"))
+        .otherwise(F.lit((K - 1) * MOD) / F.col("hk"))
+        .alias("est_kmv"),
+        F.col("cnt").cast("long").alias("sketch_rows"),
+    )
