@@ -7768,3 +7768,52 @@ def events_rolling_distinct_kmv(spark, sf_dir):
         .alias("est_kmv"),
         F.col("cnt").cast("long").alias("sketch_rows"),
     )
+
+
+@register(
+    "privacy_l_diversity",
+    oracle="""
+WITH g AS (
+  SELECT lang, source, count(*) AS group_size,
+         count(DISTINCT event_cnt_bucket) AS l_distinct
+  FROM (
+    SELECT d.lang, d.source, d.doc_id,
+           d.n_chars // 200 AS event_cnt_bucket
+    FROM documents d
+  ) q
+  GROUP BY lang, source
+)
+SELECT lang, source, group_size, l_distinct,
+       l_distinct < 3 AS homogeneity_risk
+FROM g
+ORDER BY l_distinct ASC, group_size ASC, lang, source
+""",
+)
+def privacy_l_diversity(spark, sf_dir):
+    """l-diversity audit, the companion check k-anonymity misses: an
+    equivalence class over the quasi-identifiers (lang, source) whose
+    SENSITIVE attribute (length bucket standing in for one) takes
+    fewer than l=3 distinct values is vulnerable to homogeneity
+    attacks even when the class itself is large. One aggregate with a
+    distinct count per class — same one-scan cost envelope as the
+    k-anonymity audit it pairs with."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            "source",
+            F.expr("n_chars div 200").alias("event_cnt_bucket"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct("event_cnt_bucket").alias("l_distinct"),
+        )
+        .withColumn("homogeneity_risk", F.col("l_distinct") < 3)
+        .orderBy(
+            F.asc("l_distinct"),
+            F.asc("group_size"),
+            F.asc("lang"),
+            F.asc("source"),
+        )
+    )
