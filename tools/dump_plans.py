@@ -158,6 +158,9 @@ EXTRA = [
     "incremental_distinct_users_kmv",
     "events_pattern_match",
     "sample_pps_systematic_orders",
+    "sketch_quantile_by_type_events",
+    "events_rolling_distinct_kmv",
+    "privacy_l_diversity",
 ]
 
 
