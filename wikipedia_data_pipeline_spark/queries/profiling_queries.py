@@ -7375,10 +7375,6 @@ def sketch_ams_f2_users(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("user_id")
     z = ev.agg(
         *[
-            F.expr(_ams_sign_sql(i, "spark")).cast("long").alias(f"_s{i}")
-            for i in range(0)
-        ],
-        *[
             F.sum(F.expr(_ams_sign_sql(i, "spark")).cast("long")).alias(
                 f"z{i}"
             )
