@@ -7813,3 +7813,124 @@ def privacy_l_diversity(spark, sf_dir):
             F.asc("source"),
         )
     )
+
+
+@register(
+    "events_theil_sen_trend",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         epoch(CAST(date_trunc('day', ts) AS DATE)) // 86400 AS d,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT (b.n - a.n) / (b.d - a.d) AS slope
+  FROM daily a JOIN daily b ON a.d < b.d
+)
+SELECT median(slope) AS ts_slope,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs
+""",
+)
+def events_theil_sen_trend(spark, sf_dir):
+    """Theil-Sen slope of the daily event count — the robust companion
+    to events_linear_trend's OLS fit (a single corrupted day moves OLS
+    arbitrarily; the median of pairwise slopes has a 29% breakdown
+    point). The pairwise self-join runs on the DAY-sized aggregate
+    (30 days → 435 pairs at any corpus size), so the robustness costs
+    O(days²) on a driver-tiny relation, never O(rows). Slopes are
+    single double divisions and the median of an odd/even pair count
+    interpolates identically in both engines, so the oracle replays
+    the estimate bit-for-bit."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", F.timestamp_micros(F.col("ts")))
+            .cast("date")
+            .alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            (F.unix_date(F.col("day"))).cast("long").alias("d"),
+            "n",
+        )
+    )
+    b = daily.select(
+        F.col("d").alias("d2"), F.col("n").alias("n2")
+    )
+    pairs = daily.join(b, F.col("d") < F.col("d2")).select(
+        ((F.col("n2") - F.col("n")) / (F.col("d2") - F.col("d"))).alias(
+            "slope"
+        )
+    )
+    return pairs.agg(
+        F.median("slope").alias("ts_slope"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+
+
+@register(
+    "events_mann_kendall_trend",
+    oracle="""
+WITH daily AS (
+  SELECT epoch(CAST(date_trunc('day', ts) AS DATE)) // 86400 AS d,
+         count(*) AS n
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END AS sgn
+  FROM daily a JOIN daily b ON a.d < b.d
+),
+stats AS (
+  SELECT CAST(sum(sgn) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n_pairs,
+         (SELECT count(*) FROM daily) AS n_days
+  FROM pairs
+)
+SELECT s, n_pairs, n_days,
+       CAST(s AS DOUBLE) / n_pairs AS kendall_tau_a,
+       s > 0 AS increasing
+FROM stats
+""",
+)
+def events_mann_kendall_trend(spark, sf_dir):
+    """Mann-Kendall monotonic-trend test statistic S = Σ sign(n_j−n_i)
+    over day pairs, with Kendall's τ-a — the nonparametric yes/no
+    companion to the Theil-Sen slope magnitude (no distributional
+    assumption, ties contribute zero). Same scale shape: the pairwise
+    join runs on the day-sized aggregate, integer sign sums are exact
+    in any order, and the one double division replays identically."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", F.timestamp_micros(F.col("ts")))
+            .cast("date")
+            .alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_date(F.col("day")).cast("long").alias("d"), "n")
+    )
+    b = daily.select(F.col("d").alias("d2"), F.col("n").alias("n2"))
+    pairs = daily.join(b, F.col("d") < F.col("d2")).select(
+        F.when(F.col("n2") > F.col("n"), 1)
+        .when(F.col("n2") < F.col("n"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        pairs.agg(
+            F.sum("sgn").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            "s",
+            "n_pairs",
+            "n_days",
+            (F.col("s").cast("double") / F.col("n_pairs")).alias(
+                "kendall_tau_a"
+            ),
+            (F.col("s") > 0).alias("increasing"),
+        )
+    )
