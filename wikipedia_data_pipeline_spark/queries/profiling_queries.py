@@ -7934,3 +7934,82 @@ def events_mann_kendall_trend(spark, sf_dir):
             (F.col("s") > 0).alias("increasing"),
         )
     )
+
+
+@register(
+    "events_chi2_type_dow",
+    oracle="""
+WITH cells AS (
+  SELECT event_type,
+         (epoch(CAST(date_trunc('day', ts) AS DATE)) // 86400) % 7 AS dow,
+         count(*) AS o
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT c.event_type, c.dow, c.o,
+         sum(c.o) OVER (PARTITION BY c.event_type) AS rt,
+         sum(c.o) OVER (PARTITION BY c.dow) AS ct,
+         sum(c.o) OVER () AS n
+  FROM cells c
+)
+SELECT CAST(sum(CAST(
+         (o - CAST(rt * ct AS DOUBLE) / n)
+         * (o - CAST(rt * ct AS DOUBLE) / n)
+         / (CAST(rt * ct AS DOUBLE) / n) AS DECIMAL(18, 6)))
+       AS DOUBLE) AS chi2,
+       CAST((count(DISTINCT event_type) - 1)
+            * (count(DISTINCT dow) - 1) AS BIGINT) AS dof,
+       CAST(max(n) AS BIGINT) AS n_events
+FROM m
+""",
+)
+def events_chi2_type_dow(spark, sf_dir):
+    """Chi-square independence audit of event type × day-of-week — the
+    drift screen for 'does traffic mix depend on weekday'. All heavy
+    work is one hash aggregate to the 35-cell contingency table;
+    margins ride windows over that tiny relation. The weekday bucket
+    is epoch-day mod 7 (engine-free arithmetic, not locale-dependent
+    dayofweek functions), and per-cell terms round through
+    DECIMAL(18,6) before summing so the statistic is bit-identical
+    under any parallel addition order."""
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (
+                F.unix_date(
+                    F.date_trunc(
+                        "day", F.timestamp_micros(F.col("ts"))
+                    ).cast("date")
+                ).cast("long")
+                % 7
+            ).alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    from pyspark.sql import Window
+
+    m = (
+        cells.withColumn(
+            "rt", F.sum("o").over(Window.partitionBy("event_type"))
+        )
+        .withColumn("ct", F.sum("o").over(Window.partitionBy("dow")))
+        .withColumn(
+            "n",
+            F.sum("o").over(
+                Window.partitionBy()
+            ),
+        )
+    )
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+    term = ((F.col("o") - e) * (F.col("o") - e) / e).cast("decimal(18,6)")
+    return m.agg(
+        F.sum(term).cast("double").alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("dow") - 1)
+        )
+        .cast("long")
+        .alias("dof"),
+        F.max("n").cast("long").alias("n_events"),
+    )
