@@ -8013,3 +8013,189 @@ def events_chi2_type_dow(spark, sf_dir):
         .alias("dof"),
         F.max("n").cast("long").alias("n_events"),
     )
+
+
+@register(
+    "sketch_kmv_jaccard_matrix",
+    oracle=f"""
+WITH ev AS (SELECT DISTINCT event_type, user_id FROM events),
+hsh AS (SELECT DISTINCT event_type,
+               {SQL_DET_HASH.format(col="user_id")} AS h FROM ev),
+rk AS (SELECT event_type, h,
+              row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+       FROM hsh),
+sk AS (SELECT event_type, h FROM rk WHERE rk <= 32),
+pertype AS (
+  SELECT event_type, count(*) AS cnt, max(h) AS hk,
+         CASE WHEN count(*) >= 32 THEN max(h) ELSE 2147483647 END AS th
+  FROM sk GROUP BY event_type
+),
+prs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         least(a.th, b.th) AS theta
+  FROM pertype a JOIN pertype b ON a.event_type < b.event_type
+),
+common AS (
+  SELECT p.ta, p.tb, count(*) AS c
+  FROM prs p JOIN sk a ON a.event_type = p.ta
+             JOIN sk b ON b.event_type = p.tb AND b.h = a.h
+  WHERE a.h < p.theta
+  GROUP BY p.ta, p.tb
+),
+uh AS (
+  SELECT p.ta, p.tb, s.h
+  FROM prs p JOIN sk s ON s.event_type IN (p.ta, p.tb)
+  GROUP BY p.ta, p.tb, s.h
+),
+urk AS (SELECT ta, tb, h,
+               row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rk
+        FROM uh),
+usk AS (SELECT ta, tb, count(*) AS ucnt, max(h) AS uhk
+        FROM urk WHERE rk <= 32 GROUP BY ta, tb),
+est AS (
+  SELECT p.ta, p.tb,
+         CAST(COALESCE(c.c, 0) AS DOUBLE)
+           * CAST(2147483647 AS BIGINT) / p.theta AS e_inter,
+         CASE WHEN u.ucnt < 32 THEN CAST(u.ucnt AS DOUBLE)
+              ELSE (CAST(31 AS BIGINT) * 2147483647) / u.uhk
+         END AS e_union
+  FROM prs p
+  LEFT JOIN common c ON c.ta = p.ta AND c.tb = p.tb
+  JOIN usk u ON u.ta = p.ta AND u.tb = p.tb
+),
+exact AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         count(*) AS inter,
+         (SELECT count(*) FROM ev x WHERE x.event_type = a.event_type)
+         + (SELECT count(*) FROM ev y WHERE y.event_type = b.event_type)
+         - count(*) AS uni
+  FROM ev a JOIN ev b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT est.ta AS type_a, est.tb AS type_b,
+       CAST(exact.inter AS DOUBLE) / exact.uni AS j_exact,
+       est.e_inter / est.e_union AS j_kmv
+FROM est JOIN exact ON exact.ta = est.ta AND exact.tb = est.tb
+""",
+)
+def sketch_kmv_jaccard_matrix(spark, sf_dir):
+    """Audience-overlap (Jaccard) matrix across all event-type pairs,
+    estimated purely from the per-type bottom-32 sketches: intersection
+    via the theta threshold, union via the merged bottom-k — k-row
+    math per pair regardless of audience sizes, next to the exact
+    distinct-user Jaccard for the audit. The pairwise relations never
+    exceed |types|²·k rows; every join off the sketches is broadcast-
+    sized. Deterministic hashing keeps all 10 estimates exactly
+    SQL-replayable."""
+    from pyspark.sql import Window
+
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    K, MOD = 32, (1 << 31) - 1
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    hsh = ev.select("event_type", det_hash("user_id").alias("h"))
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    sk = track_persisted(
+        P.kmv_min_hashes(hsh, "event_type", "h", k=K).cache()
+    )
+    pertype = sk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("h").alias("hk")
+    ).withColumn(
+        "th",
+        F.when(F.col("cnt") >= K, F.col("hk")).otherwise(F.lit(MOD)),
+    )
+    a = pertype.select(
+        F.col("event_type").alias("ta"), F.col("th").alias("th_a")
+    )
+    b = pertype.select(
+        F.col("event_type").alias("tb"), F.col("th").alias("th_b")
+    )
+    prs = (
+        a.join(b, F.col("ta") < F.col("tb"))
+        .select("ta", "tb", F.least("th_a", "th_b").alias("theta"))
+    )
+    ska = sk.select(F.col("event_type").alias("ta"), "h")
+    skb = sk.select(F.col("event_type").alias("tb"), "h")
+    common = (
+        F.broadcast(prs)
+        .join(ska, "ta")
+        .join(skb, ["tb", "h"])
+        .filter(F.col("h") < F.col("theta"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    uh = (
+        F.broadcast(prs.select("ta", "tb"))
+        .join(
+            sk,
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        )
+        .select("ta", "tb", "h")
+        .distinct()
+    )
+    w = Window.partitionBy("ta", "tb").orderBy("h")
+    usk = (
+        uh.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K)
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("ucnt"), F.max("h").alias("uhk"))
+    )
+    est = (
+        prs.join(common, ["ta", "tb"], "left")
+        .join(usk, ["ta", "tb"])
+        .select(
+            "ta",
+            "tb",
+            (
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                * F.lit(MOD)
+                / F.col("theta")
+            ).alias("e_inter"),
+            F.when(F.col("ucnt") < K, F.col("ucnt").cast("double"))
+            .otherwise(F.lit((K - 1) * MOD) / F.col("uhk"))
+            .alias("e_union"),
+        )
+    )
+    na = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("nu"))
+    ea = ev.select(F.col("event_type").alias("ta"), "user_id")
+    eb = ev.select(F.col("event_type").alias("tb"), "user_id")
+    inter = (
+        ea.join(eb, "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    exact = (
+        inter.join(
+            F.broadcast(na.select(F.col("event_type").alias("ta"),
+                                  F.col("nu").alias("na"))), "ta"
+        )
+        .join(
+            F.broadcast(na.select(F.col("event_type").alias("tb"),
+                                  F.col("nu").alias("nb"))), "tb"
+        )
+        .select(
+            "ta",
+            "tb",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("j_exact"),
+        )
+    )
+    return (
+        est.join(exact, ["ta", "tb"])
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "j_exact",
+            (F.col("e_inter") / F.col("e_union")).alias("j_kmv"),
+        )
+    )
