@@ -8199,3 +8199,92 @@ def sketch_kmv_jaccard_matrix(spark, sf_dir):
             (F.col("e_inter") / F.col("e_union")).alias("j_kmv"),
         )
     )
+
+
+_GEO_X = f"(({SQL_DET_HASH.format(col='user_id')}) % 1000) / 10.0"
+_GEO_Y = f"(({SQL_DET_HASH.format(col='event_id')}) % 1000) / 10.0"
+
+
+@register(
+    "spatial_grid_join_events",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_id, {_GEO_X} AS x, {_GEO_Y} AS y
+  FROM events WHERE event_id < 3000
+),
+cells AS (
+  SELECT event_id, x, y,
+         CAST(floor(x) AS BIGINT) AS cx, CAST(floor(y) AS BIGINT) AS cy
+  FROM pts
+),
+probes AS (
+  SELECT event_id, x, y, cx + dx AS cx, cy + dy AS cy
+  FROM cells, (SELECT unnest([-1, 0, 1]) AS dx),
+              (SELECT unnest([-1, 0, 1]) AS dy)
+)
+SELECT a.event_id AS event_a, b.event_id AS event_b,
+       (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+FROM probes a JOIN cells b ON a.cx = b.cx AND a.cy = b.cy
+WHERE a.event_id < b.event_id
+  AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 1.0
+""",
+)
+def spatial_grid_join_events(spark, sf_dir):
+    """Spatial self-join by uniform grid — the distance-join shape
+    Spark has no native operator for, done the scalable way: quantize
+    each point to its r-sized grid cell, expand ONE side to its 3×3
+    cell neighborhood (constant fan-out), equi-join on cell id, then
+    exact-distance filter — candidate generation is an equi-join a
+    shuffle can hash, never a cross join, and per-cell density bounds
+    the work per key (the same decomposition LSH uses for cosine and
+    the pruning report uses for file skipping). Coordinates are
+    synthesized deterministically from the portable hash (0.1-degree
+    lattice), so both engines compute bit-identical doubles and the
+    pair set replays exactly. The a<b guard dedups the symmetric pair
+    and self-match in one shot."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 3000)
+        .select("event_id", "user_id")
+    )
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    pts = ev.select(
+        "event_id",
+        ((det_hash("user_id") % 1000) / 10.0).alias("x"),
+        ((det_hash("event_id") % 1000) / 10.0).alias("y"),
+    )
+    cells = pts.select(
+        "event_id",
+        "x",
+        "y",
+        F.floor("x").cast("long").alias("cx"),
+        F.floor("y").cast("long").alias("cy"),
+    )
+    offs = spark.range(1).select(
+        F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dx")
+    ).crossJoin(
+        spark.range(1).select(
+            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dy")
+        )
+    )
+    probes = cells.crossJoin(F.broadcast(offs)).select(
+        F.col("event_id").alias("event_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        (F.col("cx") + F.col("dx")).alias("cx"),
+        (F.col("cy") + F.col("dy")).alias("cy"),
+    )
+    d2 = (F.col("xa") - F.col("x")) * (F.col("xa") - F.col("x")) + (
+        F.col("ya") - F.col("y")
+    ) * (F.col("ya") - F.col("y"))
+    return (
+        probes.join(cells, ["cx", "cy"])
+        .filter(F.col("event_a") < F.col("event_id"))
+        .filter(d2 <= 1.0)
+        .select(
+            "event_a",
+            F.col("event_id").alias("event_b"),
+            d2.alias("dist2"),
+        )
+    )
