@@ -756,3 +756,71 @@ def events_skew_kurtosis(spark, sf_dir):
         "m3 / (m2 * sqrt(m2)) AS skewness",
         "m4 / (m2 * m2) - 3.0 AS excess_kurtosis",
     )
+
+
+@register(
+    "events_rolling_median_value",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(epoch(CAST(date_trunc('day', ts) AS DATE)) // 86400
+              AS BIGINT) AS d,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+  FROM events GROUP BY 1
+),
+win AS (
+  SELECT a.d, b.v
+  FROM daily a JOIN daily b ON b.d BETWEEN a.d - 6 AND a.d
+),
+med AS (SELECT d, median(v) AS med7, count(*) AS n_days FROM win GROUP BY d),
+dev AS (
+  SELECT w.d, abs(w.v - m.med7) AS adev
+  FROM win w JOIN med m ON w.d = m.d
+)
+SELECT m.d AS day_idx, m.med7, q.mad7, CAST(m.n_days AS BIGINT) AS n_days
+FROM med m JOIN (SELECT d, median(adev) AS mad7 FROM dev GROUP BY d) q
+  ON m.d = q.d
+""",
+)
+def events_rolling_median_value(spark, sf_dir):
+    """Rolling 7-day median and MAD of daily event value — the robust
+    band behind outlier-tolerant monitoring, and a frame no native
+    window supports (median isn't an algebraic aggregate). Scale
+    shape: collapse to the day spine first (one hash agg over events),
+    then a bounded range self-join materializes each window's ≤ 7
+    members and two tiny median aggregates finish — O(days·w) rows
+    total, never a data-sized sort. DECIMAL daily sums and both
+    engines' identical even-count median interpolation keep it exactly
+    replayable."""
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.unix_date(
+                F.date_trunc("day", F.timestamp_micros(F.col("ts")))
+                .cast("date")
+            ).cast("long").alias("d")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    b = daily.select(F.col("d").alias("d2"), F.col("v").alias("v2"))
+    win = daily.select("d").join(
+        b,
+        (F.col("d2") >= F.col("d") - 6) & (F.col("d2") <= F.col("d")),
+    )
+    med = win.groupBy("d").agg(
+        F.median("v2").alias("med7"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    dev = win.join(F.broadcast(med), "d").select(
+        "d", F.abs(F.col("v2") - F.col("med7")).alias("adev")
+    )
+    mad = dev.groupBy("d").agg(F.median("adev").alias("mad7"))
+    return (
+        med.join(mad, "d")
+        .select(F.col("d").alias("day_idx"), "med7", "mad7", "n_days")
+    )
