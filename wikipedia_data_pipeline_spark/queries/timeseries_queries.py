@@ -824,3 +824,74 @@ def events_rolling_median_value(spark, sf_dir):
         med.join(mad, "d")
         .select(F.col("d").alias("day_idx"), "med7", "mad7", "n_days")
     )
+
+
+@register(
+    "events_seasonal_naive_eval",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(epoch(CAST(date_trunc('day', ts) AS DATE)) // 86400
+              AS BIGINT) AS d,
+         count(*) AS n
+  FROM events GROUP BY 1
+),
+lagd AS (
+  SELECT d, n,
+         lag(n, 7) OVER (ORDER BY d) AS season7,
+         lag(n, 1) OVER (ORDER BY d) AS naive1
+  FROM daily
+),
+e AS (
+  SELECT abs(n - season7) AS e7, abs(n - naive1) AS e1
+  FROM lagd WHERE season7 IS NOT NULL AND naive1 IS NOT NULL
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days_eval,
+       CAST(sum(e7) AS DOUBLE) / count(*) AS mae_seasonal,
+       CAST(sum(e1) AS DOUBLE) / count(*) AS mae_naive,
+       CAST(sum(e7) AS DOUBLE) / sum(e1) AS mase_ratio
+FROM e
+""",
+)
+def events_seasonal_naive_eval(spark, sf_dir):
+    """Forecast-baseline evaluation on the daily event count: the MAE
+    of a weekly seasonal-naive forecast (ŷ_t = y_{t−7}) against the
+    1-step naive, and their MASE-style ratio — the sanity floor every
+    real forecasting pipeline must beat before it ships. Integer
+    counts make every error term and sum exact in BIGINT (no float
+    reduction order anywhere); the two final divisions replay
+    identically. Day-spine window is driver-tiny; the only data-sized
+    work is the daily count aggregate. Dense-day assumption: lag
+    counts rows like orders_yoy_growth, noted there."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.unix_date(
+                F.date_trunc("day", F.timestamp_micros(F.col("ts")))
+                .cast("date")
+            ).cast("long").alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("d")
+    lagd = daily.select(
+        "d",
+        "n",
+        F.lag("n", 7).over(w).alias("season7"),
+        F.lag("n", 1).over(w).alias("naive1"),
+    )
+    e = lagd.filter(
+        F.col("season7").isNotNull() & F.col("naive1").isNotNull()
+    ).select(
+        F.abs(F.col("n") - F.col("season7")).alias("e7"),
+        F.abs(F.col("n") - F.col("naive1")).alias("e1"),
+    )
+    return e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_eval"),
+        (F.sum("e7").cast("double") / F.count(F.lit(1))).alias(
+            "mae_seasonal"
+        ),
+        (F.sum("e1").cast("double") / F.count(F.lit(1))).alias("mae_naive"),
+        (F.sum("e7").cast("double") / F.sum("e1")).alias("mase_ratio"),
+    )
