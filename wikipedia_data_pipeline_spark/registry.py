@@ -119,8 +119,11 @@ _ROTATION = [
     "graph_pagerank_weighted",
     "graph_kcore_peel",
     "graph_bfs_reachability",
-    "graph_adamic_adar",
-    "graph_jaccard_suppliers",
+    # adamic_adar/jaccard_suppliers swapped out late round 6 (same
+    # family shapes as the seven graph rows that stay) for two
+    # novel-shape rows: the grid spatial join and the robust trend.
+    "spatial_grid_join_events",
+    "events_theil_sen_trend",
     # round-6 additions with genuinely new plan shapes — real
     # encode→decode loops that deserve driver rows immediately
     "multimodal_png_pixel_stats",
