@@ -269,3 +269,51 @@ def test_yoy_growth_consistency(spark, sf_dir):
             assert abs(r.yoy_growth - (r.revenue / r.revenue_ly - 1)) < 1e-12
             n_checked += 1
     assert n_checked > 0
+
+
+def test_pattern_match_counts_on_constructed_history(spark, tmp_path):
+    # One user, a hand-written history: v c v v p e e e c p
+    # 'vc'      -> 1 (only positions 0-1 are adjacent v,c)
+    # 'vcp'     -> 0 (no adjacent v,c,p run)
+    # 'v[^p]*p' -> 1 non-overlapping greedy match (first v consumes
+    #              through the first p; the remaining suffix 'eeecp'
+    #              has no v)
+    # 'ee+'     -> 1 (the 3-e run matches once, non-overlapping)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    types = {
+        "v": "view",
+        "c": "click",
+        "p": "purchase",
+        "e": "error",
+    }
+    hist = "vcvvpeeecp"
+    base = 1_700_000_000_000_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(hist)), pa.int64()),
+            "user_id": pa.array([1] * len(hist), pa.int64()),
+            "event_type": pa.array([types[ch] for ch in hist]),
+            "ts": pa.array(
+                [base + i * 1_000_000 for i in range(len(hist))],
+                pa.timestamp("ns"),
+            ),
+            "value": pa.array([1.0] * len(hist), pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        events_pattern_match,
+    )
+
+    got = {
+        r.pattern: (r.n_matches, r.n_users)
+        for r in events_pattern_match(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "vc": (1, 1),
+        "vcp": (0, 0),
+        "v[^p]*p": (1, 1),
+        "ee+": (1, 1),
+    }, got
