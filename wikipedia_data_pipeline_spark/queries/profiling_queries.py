@@ -8288,3 +8288,82 @@ def spatial_grid_join_events(spark, sf_dir):
             d2.alias("dist2"),
         )
     )
+
+
+@register(
+    "ml_eval_auc_events",
+    oracle=f"""
+WITH scored AS (
+  SELECT event_id, value AS score,
+         CAST(({SQL_DET_HASH.format(col="user_id")}) % 2 AS BIGINT) AS label
+  FROM events
+),
+rk AS (
+  SELECT label,
+         row_number() OVER (ORDER BY score, event_id) AS r
+  FROM scored
+),
+s AS (
+  SELECT CAST(sum(CASE WHEN label = 1 THEN r ELSE 0 END) AS BIGINT) AS rpos,
+         CAST(sum(label) AS BIGINT) AS n_pos,
+         CAST(count(*) - sum(label) AS BIGINT) AS n_neg
+  FROM rk
+),
+topk AS (
+  SELECT CAST(sum(label) AS BIGINT) AS hits
+  FROM (SELECT label FROM scored ORDER BY score DESC, event_id LIMIT 100) q
+)
+SELECT s.n_pos, s.n_neg,
+       CAST(s.rpos - s.n_pos * (s.n_pos + 1) / 2 AS DOUBLE)
+         / (s.n_pos * s.n_neg) AS auc,
+       CAST(topk.hits AS DOUBLE) / 100 AS precision_at_100
+FROM s, topk
+""",
+)
+def ml_eval_auc_events(spark, sf_dir):
+    """Exact large-scale model-evaluation metrics — the audit a quality
+    classifier over a 100 TB corpus needs without sampling: AUC from
+    the Mann-Whitney rank-sum identity (positives' global rank sum,
+    ranks via the hierarchical ordered_scan — no single-partition sort
+    of the score column) and precision@100 via TakeOrderedAndProject.
+    Scores are the event values, labels a deterministic hash parity
+    (so AUC ≈ 0.5 by construction — it's the machinery under audit,
+    not the model). Ties resolved by the (score, event_id) total
+    order, making every rank — and therefore the statistic — integer-
+    exact and bit-identical in both engines."""
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    scored = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("value").alias("score"),
+        (det_hash("user_id") % 2).cast("long").alias("label"),
+    )
+    rk = ordered_scan(scored, ["score", "event_id"], rank_col="r")
+    s = rk.agg(
+        F.sum(F.when(F.col("label") == 1, F.col("r")).otherwise(0))
+        .cast("long")
+        .alias("rpos"),
+        F.sum("label").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("long").alias("n_neg"),
+    )
+    topk = (
+        scored.orderBy(F.desc("score"), F.asc("event_id"))
+        .limit(100)
+        .agg(F.sum("label").cast("long").alias("hits"))
+    )
+    return (
+        s.crossJoin(F.broadcast(topk))
+        .select(
+            "n_pos",
+            "n_neg",
+            (
+                (
+                    F.col("rpos")
+                    - F.col("n_pos") * (F.col("n_pos") + 1) / 2
+                ).cast("double")
+                / (F.col("n_pos") * F.col("n_neg"))
+            ).alias("auc"),
+            (F.col("hits").cast("double") / 100).alias("precision_at_100"),
+        )
+    )
