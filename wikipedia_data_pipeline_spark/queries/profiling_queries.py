@@ -8367,3 +8367,80 @@ def ml_eval_auc_events(spark, sf_dir):
             (F.col("hits").cast("double") / 100).alias("precision_at_100"),
         )
     )
+
+
+@register(
+    "ml_eval_gains_table",
+    oracle=f"""
+WITH scored AS (
+  SELECT event_id, value AS score,
+         CAST(({SQL_DET_HASH.format(col="user_id")}) % 2 AS BIGINT) AS label
+  FROM events
+),
+deciled AS (
+  SELECT label,
+         ntile(10) OVER (ORDER BY score DESC, event_id) AS decile
+  FROM scored
+),
+per AS (
+  SELECT decile, count(*) AS n, CAST(sum(label) AS BIGINT) AS n_pos
+  FROM deciled GROUP BY decile
+),
+tot AS (SELECT sum(n) AS nn, sum(n_pos) AS np FROM per)
+SELECT p.decile, CAST(p.n AS BIGINT) AS n, p.n_pos,
+       CAST(sum(p.n_pos) OVER (ORDER BY p.decile
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_pos,
+       CAST(sum(p.n_pos) OVER (ORDER BY p.decile ROWS UNBOUNDED PRECEDING)
+            AS DOUBLE) / t.np AS gain,
+       (CAST(p.n_pos AS DOUBLE) / p.n)
+         / (CAST(t.np AS DOUBLE) / t.nn) AS lift
+FROM per p, tot t
+""",
+)
+def ml_eval_gains_table(spark, sf_dir):
+    """Decile gains/lift table for a score column — the campaign-
+    targeting companion to ml_eval_auc_events: rows ranked by score
+    fall into 10 equal tiles via global_ntile (the hierarchical NTILE —
+    no single-partition window over the scored corpus), then per-tile
+    capture and lift are pure integer/count arithmetic. The cumulative
+    window runs over the 10-row decile relation. Hash-parity labels
+    again: the machinery is under audit, so gain≈decile/10 and lift≈1
+    are the expected fixed points."""
+    from wikipedia_data_pipeline_spark.operators.ranks import global_ntile
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+    from pyspark.sql import Window
+
+    scored = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("value").alias("score"),
+        (det_hash("user_id") % 2).cast("long").alias("label"),
+    )
+    deciled = global_ntile(
+        scored, [F.desc("score"), F.asc("event_id")], 10, "decile"
+    )
+    per = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("label").cast("long").alias("n_pos"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("nn"), F.sum("n_pos").alias("np")
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("cum_pos", F.sum("n_pos").over(w).cast("long"))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            "cum_pos",
+            (F.col("cum_pos").cast("double") / F.col("np")).alias("gain"),
+            (
+                (F.col("n_pos").cast("double") / F.col("n"))
+                / (F.col("np").cast("double") / F.col("nn"))
+            ).alias("lift"),
+        )
+    )
