@@ -895,3 +895,97 @@ def events_seasonal_naive_eval(spark, sf_dir):
         (F.sum("e1").cast("double") / F.count(F.lit(1))).alias("mae_naive"),
         (F.sum("e7").cast("double") / F.sum("e1")).alias("mase_ratio"),
     )
+
+
+@register(
+    "events_ccf_view_click",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(epoch(CAST(date_trunc('day', ts) AS DATE)) // 86400
+              AS BIGINT) AS d,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS b
+  FROM events GROUP BY 1
+),
+lags AS (SELECT CAST(unnest(generate_series(-7, 7)) AS BIGINT) AS lag),
+paired AS (
+  SELECT l.lag, x.a, y.b
+  FROM lags l
+  JOIN daily x ON TRUE
+  JOIN daily y ON y.d = x.d + l.lag
+),
+m AS (
+  SELECT lag, count(*) AS n,
+         sum(a) AS sa, sum(b) AS sb,
+         sum(a * a) AS saa, sum(b * b) AS sbb, sum(a * b) AS sab
+  FROM paired GROUP BY lag
+)
+SELECT lag, CAST(n AS BIGINT) AS n_days,
+       CAST(n * sab - sa * sb AS DOUBLE)
+         / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                * CAST(n * sbb - sb * sb AS DOUBLE)) AS ccf
+FROM m
+""",
+)
+def events_ccf_view_click(spark, sf_dir):
+    """Cross-correlation function between the daily view and click
+    series at lags −7..+7 — the lead-lag discovery behind 'do views
+    drive clicks N days later'. All moments are integer sums over the
+    day spine (bit-exact in any reduction order); the only floating
+    point is the final Pearson assembly, whose one transcendental is
+    sqrt — IEEE-correctly-rounded everywhere, unlike ln/exp, so the
+    oracle replays it exactly (the same trick events_autocorr_lag1
+    relies on). The lag expansion is a 15-row broadcast against the
+    driver-tiny day relation."""
+    from pyspark.sql import Window  # noqa: F401  (parallel structure)
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.unix_date(
+                F.date_trunc("day", F.timestamp_micros(F.col("ts")))
+                .cast("date")
+            ).cast("long").alias("d")
+        )
+        .agg(
+            F.sum((F.col("event_type") == "view").cast("int"))
+            .cast("long")
+            .alias("a"),
+            F.sum((F.col("event_type") == "click").cast("int"))
+            .cast("long")
+            .alias("b"),
+        )
+    )
+    lags = spark.range(-7, 8).select(F.col("id").alias("lag"))
+    x = daily.select("d", "a")
+    y = daily.select(F.col("d").alias("d2"), "b")
+    paired = (
+        x.crossJoin(F.broadcast(lags))
+        .join(y, F.col("d2") == F.col("d") + F.col("lag"))
+    )
+    m = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+    )
+    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast(
+            "double"
+        )
+        * (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast(
+            "double"
+        )
+    )
+    return m.select(
+        "lag",
+        F.col("n").cast("long").alias("n_days"),
+        (num / den).alias("ccf"),
+    )
