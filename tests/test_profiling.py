@@ -902,3 +902,56 @@ def test_quantile_summary_grouped_weights_partition_by_group(spark):
         for r in summary.groupBy("g").agg(F.count("*").alias("c")).collect()
     }
     assert all(c < 400 for c in per_group.values()), per_group
+
+
+def test_spatial_grid_join_equals_brute_force(spark, tmp_path):
+    # The grid decomposition must find EXACTLY the brute-force pair
+    # set — a missed neighbor (cell fan-out bug) or duplicate (probe
+    # direction bug) both fail set equality.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 400
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "user_id": pa.array([(i * 131) % 89 for i in range(n)],
+                                pa.int64()),
+            "event_type": pa.array(["view"] * n),
+            "ts": pa.array(
+                [1_700_000_000_000_000 + i for i in range(n)],
+                pa.timestamp("ns"),
+            ),
+            "value": pa.array([1.0] * n, pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        spatial_grid_join_events,
+    )
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    got = {
+        (r.event_a, r.event_b)
+        for r in spatial_grid_join_events(spark, str(tmp_path)).collect()
+    }
+    pts = {
+        r.event_id: (r.x, r.y)
+        for r in load_table(spark, str(tmp_path), "events")
+        .select(
+            "event_id",
+            ((det_hash("user_id") % 1000) / 10.0).alias("x"),
+            ((det_hash("event_id") % 1000) / 10.0).alias("y"),
+        )
+        .collect()
+    }
+    ids = sorted(pts)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2
+        <= 1.0
+    }
+    assert got == want, (len(got), len(want))
