@@ -939,7 +939,6 @@ def events_ccf_view_click(spark, sf_dir):
     oracle replays it exactly (the same trick events_autocorr_lag1
     relies on). The lag expansion is a 15-row broadcast against the
     driver-tiny day relation."""
-    from pyspark.sql import Window  # noqa: F401  (parallel structure)
 
     ev = load_table(spark, sf_dir, "events")
     daily = (
