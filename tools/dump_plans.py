@@ -161,6 +161,13 @@ EXTRA = [
     "sketch_quantile_by_type_events",
     "events_rolling_distinct_kmv",
     "privacy_l_diversity",
+    "sketch_kmv_jaccard_matrix",
+    "spatial_grid_join_events",
+    "events_theil_sen_trend",
+    "events_rolling_median_value",
+    "ml_eval_auc_events",
+    "ml_eval_gains_table",
+    "events_ccf_view_click",
 ]
 
 
