@@ -74,11 +74,14 @@ def run_spark(spark, queries, sf_dir, names, warmups=2, iters=5):
     steady-state is what a long-lived cluster sees. Best-of-N because
     this VM shares a noisy host; the minimum is the engine's actual
     cost (the standard defense against neighbor noise)."""
+    from wikipedia_data_pipeline_spark.operators import ranks
+
     for _ in range(warmups):
         for name in names:
             queries[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
+            ranks.unpersist_all()
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
@@ -87,6 +90,11 @@ def run_spark(spark, queries, sf_dir, names, warmups=2, iters=5):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            # release plan-internal caches (ordered_scan/semantic_dedup
+            # persist per plan INSTANCE, and each iteration builds a
+            # fresh plan — without this the loop accumulates one cached
+            # relation per iteration for the session lifetime)
+            ranks.unpersist_all()
         timings[name] = round(best, 3)
     return timings
 

@@ -317,3 +317,46 @@ def test_frequent_directions_spectral_bound_and_direction(spark):
     # The planted dominant direction (axis 5) must survive the sketch.
     top = np.linalg.svd(sketch)[2][0]
     assert abs(top[5]) > 0.9 * np.abs(top).max()
+
+
+def test_frequent_directions_tolerates_empty_partitions(spark):
+    """ADVICE r6: fd_partial crashed on empty input partitions (ragged
+    frob_sq vs slot/vec lengths). 5 rows repartitioned 32 ways leaves
+    ~27 empty partitions — the routine post-filter layout."""
+    import numpy as np
+
+    rows = [
+        (i, [float((i * 31 + j * 7) % 11) - 5.0 for j in range(6)])
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(32)
+    sketch, frob_sq = S.frequent_directions(df, ell=3)
+    A = np.array([r[1] for r in rows])
+    assert abs(frob_sq - (A**2).sum()) < 1e-9 * max(frob_sq, 1.0)
+    err = np.linalg.norm(A.T @ A - sketch.T @ sketch, 2)
+    assert err <= frob_sq / 3 + 1e-9
+
+
+def test_nearest_centroid_fold_caps_unbounded_quantizer(spark, monkeypatch):
+    """ADVICE r6: the keep_rank==1 argmin fold materializes the whole
+    centroid table in ONE row; an unbounded centroid set must fail
+    loudly (in-plan assert) instead of growing toward the 2 GB row
+    limit. Cap patched low so the test stays fast."""
+    import pytest
+
+    monkeypatch.setattr(S, "FOLD_MAX_CENTROIDS", 3)
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(i), 0.5]) for i in range(5)],
+        "centroid_id long, c_emb array<double>",
+    )
+    with pytest.raises(Exception, match="FOLD_MAX_CENTROIDS"):
+        S._nearest_centroids(emb, cents, 1, "cell").collect()
+    # within the cap the fold still answers
+    ok = S._nearest_centroids(emb, cents.limit(3), 1, "cell")
+    assert ok.count() == 10

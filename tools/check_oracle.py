@@ -48,6 +48,7 @@ def main():
     import duckdb
 
     import __spark_entry__ as entry_mod
+    from wikipedia_data_pipeline_spark.operators import ranks
     from wikipedia_data_pipeline_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -78,6 +79,11 @@ def main():
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
+        finally:
+            # release ordered_scan/semantic_dedup plan caches between
+            # queries — a full 290+-query gate otherwise accumulates
+            # hundreds of persisted relations for the session lifetime
+            ranks.unpersist_all()
         spark_t = time.time() - t0
         if name not in oracles:
             print(f"ok?   {name}: rows-only ({len(srows)} rows, {spark_t:.1f}s, no oracle)")

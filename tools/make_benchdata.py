@@ -21,6 +21,19 @@ keep their multiplicity:
     unchanged — fact rows reference them 10x more often, which is
     exactly what a bigger fact table does to a dimension at scale.
 
+CAVEAT — per-key group sizes scale with the replica count. Non-shifted
+attributes (user_id, doc text, lang, ...) repeat verbatim, so per-user
+event-sequence lengths, duplicate-text group sizes, and per-key
+densities all grow Nx rather than staying fixed. Value DISTRIBUTIONS
+are comparable; GROUP SIZES are not. For queries whose cost is
+superlinear in group size (CEP path strings, dedup's pair contract,
+per-user windows) the replica measures an N x-denser-key workload —
+read those timings as a stress view, not a same-shape scale-up. Keys
+could be shifted per-replica to preserve group sizes, but then
+duplicate-detection relations would find NO cross-replica pairs and
+the dedup family would measure an artificially pair-free corpus — the
+verbatim copy is the chosen trade.
+
 Row groups are written at 2^18 rows so Spark's parquet splits fan out
 across cores instead of arriving as one block.
 

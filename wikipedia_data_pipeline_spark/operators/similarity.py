@@ -135,6 +135,11 @@ def ann_lsh_topk(
 
 IVF_CENTROID_MOD = 37  # ~n/37 coarse centroids; tune to sqrt(n) at scale
 IVF_NPROBE = 2
+# Hard cap on the keep_rank==1 argmin fold (one broadcast row holding
+# the whole centroid table): 1<<17 centroids at d=64 doubles is ~67 MB
+# per row — comfortably under the 2 GB Arrow/JVM row limit, far above
+# any sane sqrt(n) quantizer at test SFs.
+FOLD_MAX_CENTROIDS = 1 << 17
 
 
 def _nearest_centroids(
@@ -156,10 +161,39 @@ def _nearest_centroids(
     of every assignment pass). Lexicographic struct ordering on the
     negated cosine reproduces the (cos DESC, centroid_id ASC) ranking
     bit-for-bit. ``keep_rank > 1`` (query-side nprobe) keeps the
-    explicit window — those inputs are query-sized."""
+    explicit window — those inputs are query-sized.
+
+    The fold materializes the WHOLE centroid table inside one row, so
+    it is only legal for bounded centroid sets (the documented IVF /
+    k-means contract: k ≈ √n, trained on a sample). An in-plan
+    ``assert_true`` caps the folded count at ``FOLD_MAX_CENTROIDS`` —
+    an unbounded quantizer (e.g. a mod-sampled default applied to a
+    full-scale corpus) now fails loudly with guidance instead of
+    growing one O(corpus) broadcast row into an Arrow/JVM 2 GB-row
+    OOM."""
     if keep_rank == 1:
         cand = centroids.groupBy().agg(
             F.collect_list(F.struct("centroid_id", "c_emb")).alias("_cands")
+        )
+        cand = cand.select(
+            F.when(
+                F.assert_true(
+                    F.size("_cands") <= FOLD_MAX_CENTROIDS,
+                    F.concat(
+                        F.lit(
+                            "_nearest_centroids: centroid count "
+                        ),
+                        F.size("_cands").cast("string"),
+                        F.lit(
+                            f" exceeds FOLD_MAX_CENTROIDS={FOLD_MAX_CENTROIDS};"
+                            " pass a bounded quantizer"
+                            " (kmeans_centroids on a sample, k ~ sqrt(n))"
+                            " instead of the mod-sampled default"
+                        ),
+                    ),
+                ).isNull(),
+                F.col("_cands"),
+            ).alias("_cands")
         )
         scored = F.transform(
             F.col("_cands"),
@@ -968,6 +1002,11 @@ def frequent_directions(
                 B = np.vstack([shrink(B[:buf_rows]), B[buf_rows:]])
         if B.shape[0] > ell:
             B = shrink(B)
+        if B.shape[0] == 0:
+            # empty partition (routine after filters/repartitions):
+            # frob is necessarily 0.0 here, so yielding nothing is
+            # exact — and avoids a ragged frame ([frob] vs 0 slots).
+            return
         yield pd.DataFrame(
             {
                 "slot": range(B.shape[0]),

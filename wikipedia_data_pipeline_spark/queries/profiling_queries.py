@@ -8314,7 +8314,7 @@ topk AS (
   FROM (SELECT label FROM scored ORDER BY score DESC, event_id LIMIT 100) q
 )
 SELECT s.n_pos, s.n_neg,
-       CAST(s.rpos - s.n_pos * (s.n_pos + 1) / 2 AS DOUBLE)
+       CAST(s.rpos - s.n_pos * (s.n_pos + 1) // 2 AS DOUBLE)
          / (s.n_pos * s.n_neg) AS auc,
        CAST(topk.hits AS DOUBLE) / 100 AS precision_at_100
 FROM s, topk
@@ -8330,7 +8330,11 @@ def ml_eval_auc_events(spark, sf_dir):
     (so AUC ≈ 0.5 by construction — it's the machinery under audit,
     not the model). Ties resolved by the (score, event_id) total
     order, making every rank — and therefore the statistic — integer-
-    exact and bit-identical in both engines."""
+    exact and bit-identical in both engines. The n_pos(n_pos+1)/2
+    correction is computed with exact integer division (ranks.py's idiv
+    discipline; DuckDB `//`) BEFORE the double cast — rpos and the
+    triangular term individually exceed 2^53 near 1e8 rows, so only the
+    difference (bounded by n_pos*n_neg) may safely become a double."""
     from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
     from wikipedia_data_pipeline_spark.operators.sampling import det_hash
 
@@ -8352,17 +8356,19 @@ def ml_eval_auc_events(spark, sf_dir):
         .limit(100)
         .agg(F.sum("label").cast("long").alias("hits"))
     )
+    # exact triangular number: n_pos*(n_pos+1) is always even, so the
+    # idiv (via DECIMAL(38,0), like ranks.global_ntile) is lossless;
+    # the rpos - tri difference is <= n_pos*n_neg, double-safe.
+    prod = F.col("n_pos") * (F.col("n_pos") + 1)
+    tri = ((prod - prod % 2).cast("decimal(38,0)") / 2).cast("long")
     return (
         s.crossJoin(F.broadcast(topk))
         .select(
             "n_pos",
             "n_neg",
             (
-                (
-                    F.col("rpos")
-                    - F.col("n_pos") * (F.col("n_pos") + 1) / 2
-                ).cast("double")
-                / (F.col("n_pos") * F.col("n_neg"))
+                (F.col("rpos") - tri).cast("double")
+                / (F.col("n_pos") * F.col("n_neg")).cast("double")
             ).alias("auc"),
             (F.col("hits").cast("double") / 100).alias("precision_at_100"),
         )

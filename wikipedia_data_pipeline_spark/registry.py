@@ -79,55 +79,56 @@ _PINNED = [
     "dedup_exact",
 ]
 
-# Round-6 rotation: (a) the entity-rank family just restructured onto
-# operators.ranks — fresh plans need fresh driver rows; (b) TPC-H,
-# sequence, graph, and timeseries — none has had a driver-verified row
-# since round 1 (or ever; they entered the registry after the prefix
-# filled). Next round, swap in the profiling/advanced families.
+# Round-7 rotation (the r6 verdict's #1 and #5 items): the never-
+# driver-verified tail — (a) the streaming watermark/session/stateful
+# family (only the two pinned rows have ever faced the driver);
+# (b) the round-6-session-2 robust/rolling/sketch-composition family
+# (judge-sampled 12/12 but no driver row); (c) the events_* statistics
+# tail (hypothesis tests, drift screens, entropy/MI); (d) finance
+# windows + privacy. The r6 rotation (graph, TPC-H q2/q8/..., zorder,
+# KMV/AMS sketches, spatial, multimodal codecs) went driver-green
+# 50/50 in CORRECTNESS_r06 and rotates back out with that evidence.
 _ROTATION = [
-    "events_lateness_audit",
-    "events_value_gini",
-    "customer_rfm_segments",
-    "parts_abc_classification",
-    "revenue_concentration_deciles",
-    "corpus_zipf_fit",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_value",
-    "q15_top_supplier",
-    # q17/q19/q20/q21 rotated back out mid-round to make prefix room
-    # for the four new-in-round-6 plan shapes below — 5 TPC-H rows
-    # stay; the swapped-out four keep their full-gate PASS evidence.
-    "layout_zorder_key_events",
-    "sketch_quantile_summary_events",
-    "sketch_kmv_distinct_users",
-    "sketch_ams_f2_users",
-    "asof_join_next_click",
-    "events_linear_trend",
-    "events_markov_transitions",
-    "orders_gaps_islands",
-    "scalar_bitwise_funcs",
-    "events_mode_event_type",
-    "events_cumulative_distinct_types",
-    "revenue_share_of_parent",
-    "orders_yoy_growth",
-    "graph_pagerank_partsupp",
-    "graph_degree_profile",
-    "graph_label_propagation",
-    "graph_triangle_census",
-    "graph_pagerank_weighted",
-    "graph_kcore_peel",
-    "graph_bfs_reachability",
-    # adamic_adar/jaccard_suppliers swapped out late round 6 (same
-    # family shapes as the seven graph rows that stay) for two
-    # novel-shape rows: the grid spatial join and the robust trend.
-    "spatial_grid_join_events",
-    "events_theil_sen_trend",
-    # round-6 additions with genuinely new plan shapes — real
-    # encode→decode loops that deserve driver rows immediately
-    "multimodal_png_pixel_stats",
-    "multimodal_wav_pcm_stats",
+    # streaming family in front of the driver for the first time
+    "streaming_view_click_join",
+    "streaming_session_window",
+    "streaming_dedup_watermark",
+    "streaming_view_click_left_join",
+    "streaming_mv_maintenance",
+    "streaming_foreach_batch_compaction",
+    # r6s2 novelties: judge-verified 12/12, never driver-verified
+    "events_pattern_match",
+    "sample_pps_systematic_orders",
+    "events_rolling_median_value",
+    "events_seasonal_naive_eval",
+    "events_mann_kendall_trend",
+    "events_chi2_type_dow",
+    "sketch_kmv_jaccard_matrix",
+    "sketch_quantile_by_type_events",
+    "events_rolling_distinct_kmv",
+    "incremental_distinct_users_kmv",
+    "ml_eval_auc_events",
+    "ml_eval_gains_table",
+    "events_ccf_view_click",
+    # privacy
+    "privacy_l_diversity",
+    "privacy_k_anonymity",
+    # events_* statistics tail (never driver-verified)
+    "events_ks_test_ab",
+    "events_mannwhitney_ab",
+    "events_bootstrap_ci",
+    "events_psi_drift",
+    "events_benford_screen",
+    "events_user_entropy",
+    "events_mutual_information",
+    "events_skew_kurtosis",
+    "events_autocorr_lag1",
+    "events_cusum_drift",
+    # finance windows / ordered_scan consumers
+    "orders_ttm_revenue",
+    "events_user_max_drawdown",
+    "orders_survival_curve",
+    "lineitem_exact_percentiles",
 ]
 
 
