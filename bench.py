@@ -47,6 +47,7 @@ FLOOR_SF_DIR = os.environ.get(
 )
 RUN_DUCKDB = os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0"
 RUN_SCALED = os.environ.get("SPARK_GRAFT_BENCH_SCALED", "1") != "0"
+RUN_SCALED100 = os.environ.get("SPARK_GRAFT_BENCH_SCALED100", "1") != "0"
 
 # Headline set: one per major engine area (TF-IDF pipeline, relational
 # agg/join/window, events/time-series, dedup, similarity, text analysis).
@@ -222,6 +223,55 @@ def main() -> None:
             scaled["duckdb"] = sc_duck
             scaled["ratio"] = _ratio(sc_spark, sc_duck, twin_names)
         out["scaled"] = scaled
+
+    if RUN_SCALED100:
+        # 100x replica (~sf10 facts: 60M lineitem): the view where the
+        # scheduling floor is fully amortized — the r6 verdict's ask for
+        # a DuckDB-twin ratio on the micro-aggregate family, plus the
+        # dec_sum-vs-BIGINT-cents A/B that decomposes the DECIMAL
+        # exactness tax on q1. Query set kept small: this block exists
+        # to price the decimal tax, not to re-run the whole headline.
+        from tools.make_benchdata import ensure
+
+        dir100 = ensure(
+            SF_DIR,
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "benchdata", "sf10r"),
+            100,
+        )
+        names100 = [
+            "q1_pricing_summary",
+            "q1_pricing_summary_cents",
+            "q3_shipping_priority",
+            "q5_region_revenue",
+            "events_hourly_rollup",
+            "tfidf_full",
+        ]
+        sc100_spark = run_spark(
+            spark, queries, dir100, names100, warmups=1, iters=2
+        )
+        block: dict = {
+            "dir": "100x replica of " + SF_DIR,
+            "queries": sc100_spark,
+        }
+        if RUN_DUCKDB:
+            sc100_duck = run_duckdb(oracles, dir100, names100, iters=2)
+            block["duckdb"] = sc100_duck
+            block["ratio_per_query"] = {
+                n: round(sc100_spark[n] / sc100_duck[n], 2)
+                for n in names100
+                if sc100_duck.get(n)
+            }
+            dec, cents = (
+                sc100_spark["q1_pricing_summary"],
+                sc100_spark["q1_pricing_summary_cents"],
+            )
+            block["decimal_tax"] = {
+                "q1_dec_sum_sec": dec,
+                "q1_bigint_cents_sec": cents,
+                "dec_over_cents": round(dec / cents, 2) if cents else None,
+            }
+        out["scaled100"] = block
 
     print(json.dumps(out))
     spark.stop()

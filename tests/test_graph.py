@@ -203,9 +203,7 @@ def test_bfs_hops_min_distance(spark):
 def test_adamic_adar_weights_rare_parts_higher(spark, sf_dir):
     import math
 
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        graph_adamic_adar,
-    )
+    from wikipedia_data_pipeline_spark.queries.graph_queries import graph_adamic_adar
 
     rows = graph_adamic_adar(spark, sf_dir).collect()
     assert rows

@@ -186,9 +186,7 @@ def test_cms_sketch_is_mergeable(spark):
 
 
 def test_psi_drift_nonnegative_and_totals(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        events_psi_drift,
-    )
+    from wikipedia_data_pipeline_spark.queries.stats_queries import events_psi_drift
     from wikipedia_data_pipeline_spark.sources.tables import load_table
 
     rows = events_psi_drift(spark, sf_dir).collect()
@@ -202,9 +200,7 @@ def test_psi_drift_nonnegative_and_totals(spark, sf_dir):
 def test_benford_chi2_matches_python(spark, sf_dir):
     import math
 
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        events_benford_screen,
-    )
+    from wikipedia_data_pipeline_spark.queries.stats_queries import events_benford_screen
     from wikipedia_data_pipeline_spark.sources.tables import load_table
 
     rows = {r.event_type: r for r in
@@ -232,9 +228,7 @@ def test_benford_chi2_matches_python(spark, sf_dir):
 
 
 def test_ks_test_matches_scipy_style(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        events_ks_test_ab,
-    )
+    from wikipedia_data_pipeline_spark.queries.stats_queries import events_ks_test_ab
     from wikipedia_data_pipeline_spark.sources.tables import load_table
 
     r = events_ks_test_ab(spark, sf_dir).collect()[0]
@@ -261,9 +255,7 @@ def test_ks_test_matches_scipy_style(spark, sf_dir):
 
 
 def test_mannwhitney_matches_bruteforce(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        events_mannwhitney_ab,
-    )
+    from wikipedia_data_pipeline_spark.queries.stats_queries import events_mannwhitney_ab
     from wikipedia_data_pipeline_spark.sources.tables import load_table
 
     r = events_mannwhitney_ab(spark, sf_dir).collect()[0]
@@ -290,9 +282,7 @@ def test_mannwhitney_matches_bruteforce(spark, sf_dir):
 
 
 def test_bootstrap_ci_brackets_mean(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        events_bootstrap_ci,
-    )
+    from wikipedia_data_pipeline_spark.queries.stats_queries import events_bootstrap_ci
 
     r = events_bootstrap_ci(spark, sf_dir).collect()[0]
     assert r.n_reps == 100
@@ -304,9 +294,7 @@ def test_bootstrap_ci_brackets_mean(spark, sf_dir):
 
 
 def test_lateness_audit_consistency(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        events_lateness_audit,
-    )
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import events_lateness_audit
     from wikipedia_data_pipeline_spark.sources.tables import load_table
 
     rows = events_lateness_audit(spark, sf_dir).collect()
@@ -318,9 +306,7 @@ def test_lateness_audit_consistency(spark, sf_dir):
 
 
 def test_sparklines_aligned_and_sorted(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        nation_revenue_sparklines,
-    )
+    from wikipedia_data_pipeline_spark.queries.finance_queries import nation_revenue_sparklines
 
     rows = nation_revenue_sparklines(spark, sf_dir).collect()
     assert len(rows) == 25
@@ -332,9 +318,7 @@ def test_sparklines_aligned_and_sorted(spark, sf_dir):
 
 def test_checksum_detects_mutation(spark, sf_dir):
     from wikipedia_data_pipeline_spark.operators.sampling import det_hash
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        orders_integrity_checksum,
-    )
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import orders_integrity_checksum
     from wikipedia_data_pipeline_spark.sources.tables import load_table
 
     base = orders_integrity_checksum(spark, sf_dir).collect()[0]
@@ -358,9 +342,7 @@ def test_checksum_detects_mutation(spark, sf_dir):
 
 
 def test_corr_matrix_in_range_and_symmetric_defn(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        events_feature_corr_matrix,
-    )
+    from wikipedia_data_pipeline_spark.queries.stats_queries import events_feature_corr_matrix
 
     rows = events_feature_corr_matrix(spark, sf_dir).collect()
     assert len(rows) == 3
@@ -374,9 +356,7 @@ def test_corr_matrix_in_range_and_symmetric_defn(spark, sf_dir):
 
 
 def test_weighted_median_brute(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        lineitem_weighted_median_price,
-    )
+    from wikipedia_data_pipeline_spark.queries.finance_queries import lineitem_weighted_median_price
     from wikipedia_data_pipeline_spark.sources.tables import load_table
 
     rows = {r.p_brand: r for r in
@@ -409,9 +389,7 @@ def test_weighted_median_brute(spark, sf_dir):
 
 
 def test_hhi_bounds(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        nation_revenue_hhi,
-    )
+    from wikipedia_data_pipeline_spark.queries.finance_queries import nation_revenue_hhi
 
     rows = nation_revenue_hhi(spark, sf_dir).collect()
     assert len(rows) == 25
@@ -422,9 +400,7 @@ def test_hhi_bounds(spark, sf_dir):
 def test_survival_curve_monotone(spark, sf_dir):
     import math
 
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        orders_survival_curve,
-    )
+    from wikipedia_data_pipeline_spark.queries.finance_queries import orders_survival_curve
 
     rows = sorted(
         orders_survival_curve(spark, sf_dir).collect(),
@@ -448,9 +424,7 @@ def test_survival_curve_monotone(spark, sf_dir):
 def test_mutual_information_nonneg_and_bounded(spark, sf_dir):
     import math
 
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        events_mutual_information,
-    )
+    from wikipedia_data_pipeline_spark.queries.stats_queries import events_mutual_information
 
     r = events_mutual_information(spark, sf_dir).collect()[0]
     mi = r.mi_nano / 1e9
@@ -461,9 +435,7 @@ def test_mutual_information_nonneg_and_bounded(spark, sf_dir):
 
 
 def test_seasonal_decompose_identity(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        orders_seasonal_decompose,
-    )
+    from wikipedia_data_pipeline_spark.queries.finance_queries import orders_seasonal_decompose
 
     rows = orders_seasonal_decompose(spark, sf_dir).collect()
     assert len(rows) == 80
@@ -480,9 +452,7 @@ def test_seasonal_decompose_identity(spark, sf_dir):
 
 
 def test_xyz_classes_consistent(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        parts_xyz_variability,
-    )
+    from wikipedia_data_pipeline_spark.queries.finance_queries import parts_xyz_variability
 
     rows = parts_xyz_variability(spark, sf_dir).collect()
     assert rows
@@ -494,9 +464,7 @@ def test_xyz_classes_consistent(spark, sf_dir):
 
 
 def test_gini_matches_bruteforce(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        events_value_gini,
-    )
+    from wikipedia_data_pipeline_spark.queries.stats_queries import events_value_gini
     from wikipedia_data_pipeline_spark.sources.tables import load_table
 
     r = events_value_gini(spark, sf_dir).collect()[0]
@@ -518,9 +486,7 @@ def test_gini_matches_bruteforce(spark, sf_dir):
 
 
 def test_heatmap_lift_weighted_mean_is_one(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        events_dow_hod_heatmap,
-    )
+    from wikipedia_data_pipeline_spark.queries.stats_queries import events_dow_hod_heatmap
 
     rows = events_dow_hod_heatmap(spark, sf_dir).collect()
     assert all(0 <= r.dow <= 6 and 0 <= r.hod <= 23 for r in rows)
@@ -533,9 +499,7 @@ def test_heatmap_lift_weighted_mean_is_one(spark, sf_dir):
 
 
 def test_repeat_curve_monotone_and_bounded(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        orders_repeat_purchase_curve,
-    )
+    from wikipedia_data_pipeline_spark.queries.finance_queries import orders_repeat_purchase_curve
     from wikipedia_data_pipeline_spark.sources.tables import load_table
 
     rows = sorted(
@@ -558,9 +522,7 @@ def test_repeat_curve_monotone_and_bounded(spark, sf_dir):
 
 
 def test_price_dispersion_nonnegative(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        lineitem_price_dispersion,
-    )
+    from wikipedia_data_pipeline_spark.queries.finance_queries import lineitem_price_dispersion
 
     rows = lineitem_price_dispersion(spark, sf_dir).collect()
     assert rows
@@ -573,9 +535,7 @@ def test_price_dispersion_nonnegative(spark, sf_dir):
 
 
 def test_skyline_is_exact_pareto_set(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        parts_skyline_price_size,
-    )
+    from wikipedia_data_pipeline_spark.queries.finance_queries import parts_skyline_price_size
     from wikipedia_data_pipeline_spark.sources.tables import load_table
 
     sky = {
@@ -603,9 +563,7 @@ def test_skyline_is_exact_pareto_set(spark, sf_dir):
 def test_customer_trend_matches_numpy_sample(spark, sf_dir):
     import numpy as np
 
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        customer_spend_trend,
-    )
+    from wikipedia_data_pipeline_spark.queries.finance_queries import customer_spend_trend
     from wikipedia_data_pipeline_spark.sources.tables import load_table
 
     got = {r.o_custkey: r for r in customer_spend_trend(spark, sf_dir).collect()}
@@ -642,9 +600,7 @@ def test_customer_trend_matches_numpy_sample(spark, sf_dir):
 
 
 def test_label_outliers_are_per_label_minima(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        embedding_label_outliers,
-    )
+    from wikipedia_data_pipeline_spark.queries.mleval_queries import embedding_label_outliers
     from wikipedia_data_pipeline_spark.sources.tables import load_table
 
     rows = embedding_label_outliers(spark, sf_dir).collect()
@@ -672,9 +628,7 @@ def test_label_outliers_are_per_label_minima(spark, sf_dir):
 
 
 def test_trade_flow_totals_match_global(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        trade_flow_matrix,
-    )
+    from wikipedia_data_pipeline_spark.queries.finance_queries import trade_flow_matrix
     from wikipedia_data_pipeline_spark.sources.tables import load_table
 
     rows = trade_flow_matrix(spark, sf_dir).collect()
@@ -688,9 +642,7 @@ def test_trade_flow_totals_match_global(spark, sf_dir):
 
 
 def test_kl_nonnegative_and_total_events(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        events_kl_user_vs_global,
-    )
+    from wikipedia_data_pipeline_spark.queries.stats_queries import events_kl_user_vs_global
     from wikipedia_data_pipeline_spark.sources.tables import load_table
 
     rows = events_kl_user_vs_global(spark, sf_dir).collect()
@@ -701,9 +653,7 @@ def test_kl_nonnegative_and_total_events(spark, sf_dir):
 
 
 def test_vocab_overlap_bounds(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        documents_vocab_overlap_langs,
-    )
+    from wikipedia_data_pipeline_spark.queries.textcorpus_queries import documents_vocab_overlap_langs
     from wikipedia_data_pipeline_spark.sources.tables import load_table
 
     rows = documents_vocab_overlap_langs(spark, sf_dir).collect()
@@ -721,9 +671,7 @@ def test_vocab_overlap_bounds(spark, sf_dir):
 
 
 def test_burstiness_in_range(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        events_burstiness_index,
-    )
+    from wikipedia_data_pipeline_spark.queries.stats_queries import events_burstiness_index
 
     rows = events_burstiness_index(spark, sf_dir).collect()
     assert rows
@@ -735,9 +683,7 @@ def test_burstiness_in_range(spark, sf_dir):
 def test_lognormal_fit_matches_numpy(spark, sf_dir):
     import numpy as np
 
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        documents_length_lognormal_fit,
-    )
+    from wikipedia_data_pipeline_spark.queries.stats_queries import documents_length_lognormal_fit
     from wikipedia_data_pipeline_spark.sources.tables import load_table
 
     r = documents_length_lognormal_fit(spark, sf_dir).collect()[0]
@@ -754,9 +700,7 @@ def test_lognormal_fit_matches_numpy(spark, sf_dir):
 
 
 def test_ttm_matches_bruteforce(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        orders_ttm_revenue,
-    )
+    from wikipedia_data_pipeline_spark.queries.finance_queries import orders_ttm_revenue
 
     rows = sorted(orders_ttm_revenue(spark, sf_dir).collect(),
                   key=lambda r: r.mth)
@@ -927,9 +871,7 @@ def test_spatial_grid_join_equals_brute_force(spark, tmp_path):
     )
     pq.write_table(tbl, str(tmp_path / "events.parquet"))
     from wikipedia_data_pipeline_spark.operators.sampling import det_hash
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        spatial_grid_join_events,
-    )
+    from wikipedia_data_pipeline_spark.queries.spatial_queries import spatial_grid_join_events
     from wikipedia_data_pipeline_spark.sources.tables import load_table
 
     got = {

@@ -194,3 +194,44 @@ def test_unpersist_all_releases_and_results_stay_correct(spark):
     assert released >= 1
     after = sorted(tuple(x) for x in scanned.collect())
     assert before == after
+
+
+def test_persist_release_longevity(spark):
+    """A long-lived service building many scans must be able to release
+    every plan-internal cache deterministically (r6 verdict #8): 24
+    scans -> unpersist_all after each batch -> JVM-reported cached-RDD
+    count returns to the pre-loop level, and results stay correct after
+    release (lineage recompute)."""
+    from wikipedia_data_pipeline_spark.operators import ranks
+
+    def cached_rdds():
+        return len([
+            i for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        ])
+
+    ranks.unpersist_all()  # clean slate (other tests may have pinned)
+    base = cached_rdds()
+    small = spark.range(500).select(
+        F.col("id"), (F.col("id") * 37 % 101).alias("v")
+    )
+    for batch in range(8):
+        outs = []
+        for j in range(3):  # 3 scans per batch, 24 total
+            r = ordered_scan(
+                small,
+                [F.asc("v"), F.asc("id")],
+                rank_col="rnk",
+                running=[("rv", F.col("v"), "sum")],
+            )
+            outs.append(r)
+        # materialize, then release every pinned relation
+        totals = [o.agg(F.max("rnk"), F.sum("v")).collect()[0] for o in outs]
+        assert all(t[0] == 500 for t in totals)
+        released = ranks.unpersist_all()
+        assert released >= 3
+        assert len(ranks._PERSISTED) == 0
+        # storage returns to baseline — no monotone cache growth
+        assert cached_rdds() <= base + 1, (batch, cached_rdds(), base)
+    # released results are still queryable (recompute from lineage)
+    last = outs[-1].filter(F.col("rnk") == 500).collect()
+    assert len(last) == 1

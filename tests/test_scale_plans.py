@@ -234,9 +234,7 @@ def test_minhash_lsh_shuffle_budget(spark, sf_dir):
 def test_bloom_prefilter_join_shuffle_budget(spark, sf_dir):
     # One broadcast (the 1-row sketch) + the exact equi-join; the
     # prefilter must not add data shuffles beyond the join's own.
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        bloom_prefilter_join_revenue,
-    )
+    from wikipedia_data_pipeline_spark.queries.sketch_queries import bloom_prefilter_join_revenue
 
     ps = plan_summary(bloom_prefilter_join_revenue(spark, sf_dir))
     assert ps.n_broadcast_joins >= 1
@@ -244,9 +242,7 @@ def test_bloom_prefilter_join_shuffle_budget(spark, sf_dir):
 
 
 def test_heavy_hitter_recount_broadcasts_candidates(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        heavy_hitter_tokens,
-    )
+    from wikipedia_data_pipeline_spark.queries.textcorpus_queries import heavy_hitter_tokens
 
     ps = plan_summary(heavy_hitter_tokens(spark, sf_dir))
     # Pass 2's semi join against the candidate set must be broadcast —
@@ -255,9 +251,7 @@ def test_heavy_hitter_recount_broadcasts_candidates(spark, sf_dir):
 
 
 def test_doc_similarity_prunes_high_df_words_before_join(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        doc_similarity_tfidf,
-    )
+    from wikipedia_data_pipeline_spark.queries.textcorpus_queries import doc_similarity_tfidf
 
     plan = (
         doc_similarity_tfidf(spark, sf_dir)
@@ -273,9 +267,7 @@ def test_doc_similarity_prunes_high_df_words_before_join(spark, sf_dir):
 
 
 def test_market_basket_topk_avoids_full_sort(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        market_basket_pairs,
-    )
+    from wikipedia_data_pipeline_spark.queries.graph_queries import market_basket_pairs
 
     plan = (
         market_basket_pairs(spark, sf_dir)
@@ -287,9 +279,7 @@ def test_market_basket_topk_avoids_full_sort(spark, sf_dir):
 
 
 def test_brand_return_rates_broadcasts_dimension(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        part_brand_return_rates,
-    )
+    from wikipedia_data_pipeline_spark.queries.finance_queries import part_brand_return_rates
 
     ps = plan_summary(part_brand_return_rates(spark, sf_dir))
     assert ps.n_broadcast_joins >= 1
@@ -300,9 +290,7 @@ def test_rolling_active_users_collapses_before_range_join(spark, sf_dir):
     # The fact table must aggregate to the distinct (day, user) state
     # BEFORE the 7-day range join: the join inputs are aggregates, not
     # the raw events scan.
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        events_rolling_active_users,
-    )
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import events_rolling_active_users
 
     plan = (
         events_rolling_active_users(spark, sf_dir)
@@ -334,9 +322,7 @@ def test_prefix_filter_join_is_all_equi(spark, sf_dir):
 
 
 def test_text_search_topk_avoids_full_sort(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        text_search_tfidf,
-    )
+    from wikipedia_data_pipeline_spark.queries.textcorpus_queries import text_search_tfidf
 
     ps = plan_summary(text_search_tfidf(spark, sf_dir))
     assert ps.has_take_ordered  # top-20 must be TakeOrdered, not Sort
@@ -349,9 +335,7 @@ def test_pagerank_reuses_persisted_edges(spark, sf_dir):
     distinct — the property that keeps iteration cost proportional to
     cached edges."""
     from wikipedia_data_pipeline_spark.plans.inspect import executed_plan
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        graph_pagerank_partsupp,
-    )
+    from wikipedia_data_pipeline_spark.queries.graph_queries import graph_pagerank_partsupp
 
     plan = executed_plan(graph_pagerank_partsupp(spark, sf_dir))
     assert plan.count("TableCacheQueryStage") + plan.count(
@@ -360,9 +344,7 @@ def test_pagerank_reuses_persisted_edges(spark, sf_dir):
 
 
 def test_target_encode_broadcasts_category_stats(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        features_target_encode_loo,
-    )
+    from wikipedia_data_pipeline_spark.queries.mleval_queries import features_target_encode_loo
 
     ps = plan_summary(features_target_encode_loo(spark, sf_dir))
     assert ps.n_broadcast_joins >= 1
@@ -385,9 +367,7 @@ def test_fuzzy_levenshtein_blocks_before_comparing(spark, sf_dir):
     be an equi-join on the block key (no cartesian), and the scan must
     prune to the 3 needed columns."""
     from wikipedia_data_pipeline_spark.plans.inspect import executed_plan
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        dedup_fuzzy_levenshtein,
-    )
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import dedup_fuzzy_levenshtein
 
     df = dedup_fuzzy_levenshtein(spark, sf_dir)
     ps = plan_summary(df)
@@ -402,9 +382,7 @@ def test_abc_classification_windows_over_aggregate(spark, sf_dir):
     """The running-share scan must sit ABOVE the part-keyed aggregate,
     not the lineitem scan: the hash shuffles are the groupBy plus the
     hierarchical scan's by-block exchange — never a full-sort."""
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        parts_abc_classification,
-    )
+    from wikipedia_data_pipeline_spark.queries.finance_queries import parts_abc_classification
 
     ps = plan_summary(parts_abc_classification(spark, sf_dir))
     assert ps.n_shuffles <= 2  # part-key agg + ordered_scan's by-block hash
@@ -451,9 +429,7 @@ def test_no_unguarded_global_windows(spark, sf_dir, query_name):
 def test_zorder_key_query_is_shuffle_free(spark):
     # The clustering key is pure per-row shift/mask arithmetic: the
     # query must plan as scan -> project with no Exchange anywhere.
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
-        layout_zorder_key_events,
-    )
+    from wikipedia_data_pipeline_spark.queries.spatial_queries import layout_zorder_key_events
 
     plan = layout_zorder_key_events(
         spark, "/root/testdata/sf0.001"

@@ -1,0 +1,561 @@
+"""Graph-adjacent analytics over the relational tables: fixed-point
+PageRank (plain + weighted), label propagation, k-core peeling,
+bounded-depth BFS, triangle census, link-prediction scores
+(Adamic-Adar), item-item cosine recommendations, and market-basket
+affinity. Iterative fixpoints are bounded DataFrame loops with
+early-exit; oracles replay the same iterations as unrolled SQL CTEs.
+Split out of profiling_queries (round 7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikipedia_data_pipeline_spark.operators import dedup as D
+from wikipedia_data_pipeline_spark.operators import profiling as P
+from wikipedia_data_pipeline_spark.operators.sampling import SQL_DET_HASH
+from wikipedia_data_pipeline_spark.registry import register
+from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+
+@register(
+    "market_basket_pairs",
+    oracle="""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(*) AS n_orders
+FROM op a JOIN op b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT 100
+""",
+)
+def market_basket_pairs(spark, sf_dir):
+    """Frequent co-purchased part pairs (the candidate-generation step
+    of market-basket/apriori mining): distinct (order, part) self-join
+    on the order key with an ordered-pair predicate — per-order
+    fan-out is bounded by basket size squared, so the join scales with
+    orders, not parts. Top-100 by support via TakeOrdered."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist()
+    )
+    a = op.alias("a")
+    b = op.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(100)
+    )
+
+
+# --- Graph family (round 5): fixed-point PageRank + degree profile ------
+
+_PR_EDGES_SQL = """
+  SELECT DISTINCT 'p:' || CAST(l_partkey AS VARCHAR) AS src,
+                  's:' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM lineitem
+"""
+
+
+def _pagerank_oracle(iterations: int = 3) -> str:
+    """Unrolled-CTE DuckDB twin of operators.graph.pagerank_fixed_point
+    (scale 1e6, damping 85%). Kept programmatic so the Spark loop and
+    the SQL unrolling can't drift on iteration count."""
+    ctes = [
+        f"edges AS ({_PR_EDGES_SQL})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         CAST(150000 + COALESCE((85 * s.mass) // 100, 0) AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum(r.pr // o.outdeg) AS BIGINT) AS mass
+    FROM edges e
+    JOIN r{i - 1} r ON e.src = r.node
+    JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst
+  ) s ON n.node = s.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, pr AS pr_rank FROM r{iterations}"
+        "\nORDER BY pr_rank DESC, node ASC"
+    )
+
+
+@register("graph_pagerank_partsupp", oracle=_pagerank_oracle(3))
+def graph_pagerank_partsupp(spark, sf_dir):
+    """Fixed-point PageRank (3 iterations, damping 0.85) over the
+    directed part→supplier purchase graph distilled from lineitem.
+    Integer-scaled ranks make the iteration bit-reproducible under any
+    partitioning — the property that lets an iterative graph algorithm
+    carry an exact SQL oracle at all. Edges are shuffled on src once
+    and persisted; each iteration joins the node-sized rank relation
+    against that layout (see operators/graph.py for the cost model)."""
+    from wikipedia_data_pipeline_spark.operators import graph as G
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    ranks = G.pagerank_fixed_point(edges, iterations=3)
+    return ranks.select("node", F.col("rank").alias("pr_rank")).orderBy(
+        F.desc("pr_rank"), F.asc("node")
+    )
+
+
+@register(
+    "graph_degree_profile",
+    oracle=f"""
+WITH edges AS ({_PR_EDGES_SQL}),
+o AS (SELECT src AS node, count(*) AS out_degree FROM edges GROUP BY src),
+i AS (SELECT dst AS node, count(*) AS in_degree FROM edges GROUP BY dst)
+SELECT COALESCE(o.node, i.node) AS node,
+       COALESCE(out_degree, 0) AS out_degree,
+       COALESCE(in_degree, 0) AS in_degree
+FROM o FULL OUTER JOIN i ON o.node = i.node
+ORDER BY node
+""",
+)
+def graph_degree_profile(spark, sf_dir):
+    """Per-node in/out degree of the part→supplier graph — the skew
+    diagnostic run before any iterative graph job (a hot dst node
+    predicts a hot reducer in every PageRank aggregate)."""
+    from wikipedia_data_pipeline_spark.operators import graph as G
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    return G.degree_profile(edges).orderBy("node")
+
+
+def _lpa_oracle(iterations: int = 2) -> str:
+    """Unrolled-CTE twin of operators.graph.label_propagation."""
+    ctes = [
+        f"edges AS ({_PR_EDGES_SQL})",
+        """und AS (
+  SELECT src AS node, dst AS nbr FROM edges
+  UNION
+  SELECT dst AS node, src AS nbr FROM edges
+)""",
+        "l0 AS (SELECT DISTINCT node, node AS label FROM und)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""l{i} AS (
+  SELECT node, label FROM (
+    SELECT u.node, l.label, count(*) AS n,
+           row_number() OVER (PARTITION BY u.node
+                              ORDER BY count(*) DESC, l.label ASC) AS rn
+    FROM und u JOIN l{i - 1} l ON u.nbr = l.node
+    GROUP BY u.node, l.label
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, label FROM l{iterations} ORDER BY node"
+    )
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle(2))
+def graph_label_propagation(spark, sf_dir):
+    """Deterministic majority-label propagation (2 synchronous rounds,
+    smallest-label tie-break) over the undirected part–supplier graph —
+    the community-detection companion to PageRank. See
+    operators/graph.py:label_propagation for why the tie-break and the
+    fixed round count are what make a graph heuristic reproducible at
+    cluster scale."""
+    from wikipedia_data_pipeline_spark.operators import graph as G
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    return G.label_propagation(edges, iterations=2).orderBy("node")
+
+
+@register(
+    "graph_triangle_census",
+    oracle="""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM op x JOIN op y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+  ) GROUP BY node
+),
+c AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       3 * CAST(n_triangles AS DOUBLE) / n_wedges AS clustering_coeff
+FROM c, t, ne
+""",
+)
+def graph_triangle_census(spark, sf_dir):
+    """Triangle count + global clustering coefficient of the part
+    co-purchase graph (parts sharing an order). Oriented two-hop join
+    counts each triangle once; wedges come from the degree aggregate,
+    never enumerated — see operators/graph.py:triangle_stats for the
+    degree-orientation note that keeps this O(m^1.5) at web scale."""
+    from wikipedia_data_pipeline_spark.operators import graph as G
+
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x = op.alias("x")
+    y = op.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return G.triangle_stats(edges)
+
+
+_PR_WEDGES_SQL = """
+  SELECT 'p:' || CAST(l_partkey AS VARCHAR) AS src,
+         's:' || CAST(l_suppkey AS VARCHAR) AS dst,
+         count(*) AS w
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _pagerank_weighted_oracle(iterations: int = 3) -> str:
+    """Unrolled-CTE twin of the weighted fixed-point PageRank."""
+    ctes = [
+        f"edges AS ({_PR_WEDGES_SQL})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "outdeg AS (SELECT src, CAST(sum(w) AS BIGINT) AS outdeg"
+        " FROM edges GROUP BY src)",
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         CAST(150000 + COALESCE((85 * s.mass) // 100, 0) AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum((r.pr * e.w) // o.outdeg) AS BIGINT) AS mass
+    FROM edges e
+    JOIN r{i - 1} r ON e.src = r.node
+    JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst
+  ) s ON n.node = s.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, pr AS pr_rank FROM r{iterations}"
+        "\nORDER BY pr_rank DESC, node ASC"
+    )
+
+
+@register("graph_pagerank_weighted", oracle=_pagerank_weighted_oracle(3))
+def graph_pagerank_weighted(spark, sf_dir):
+    """Weighted fixed-point PageRank: mass splits proportionally to the
+    purchase count on each part→supplier edge ((rank·w) div Σw, still
+    exact integer arithmetic). The variant real link graphs need —
+    uniform splitting treats a one-off purchase like a thousand-unit
+    relationship."""
+    from wikipedia_data_pipeline_spark.operators import graph as G
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.groupBy(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).agg(F.count(F.lit(1)).alias("w"))
+    ranks = G.pagerank_fixed_point(edges, iterations=3, weight="w")
+    return ranks.select("node", F.col("rank").alias("pr_rank")).orderBy(
+        F.desc("pr_rank"), F.asc("node")
+    )
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled-CTE twin of operators.graph.kcore_peel."""
+    ctes = [
+        f"edges AS ({_PR_EDGES_SQL})",
+        """e0 AS (
+  SELECT src AS node, dst AS nbr FROM edges
+  UNION
+  SELECT dst AS node, src AS nbr FROM edges
+)""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""k{i} AS (
+  SELECT node FROM (SELECT node, count(*) AS deg FROM e{i - 1} GROUP BY node)
+  WHERE deg >= {k}
+),
+e{i} AS (
+  SELECT e.node, e.nbr FROM e{i - 1} e
+  JOIN k{i} a ON e.node = a.node
+  JOIN k{i} b ON e.nbr = b.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(count(*) AS BIGINT) AS degree"
+        f"\nFROM e{rounds} GROUP BY node ORDER BY node"
+    )
+
+
+@register("graph_kcore_peel", oracle=_kcore_oracle(25, 3), eager=True)
+def graph_kcore_peel(spark, sf_dir):
+    """k-core peeling (k=25, 3 rounds) of the part–supplier graph:
+    nodes below degree 25 are dropped with their edges each round, and
+    the degree loss cascades to their neighbors — the density filter
+    used to find the engaged core of interaction graphs (and to prune
+    fringe vertices before expensive graph algorithms run). See
+    operators/graph.py:kcore_peel."""
+    from wikipedia_data_pipeline_spark.operators import graph as G
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    return G.kcore_peel(edges, k=25, rounds=3).orderBy("node")
+
+
+def _bfs_oracle(seed: str, max_hops: int) -> str:
+    """Unrolled-CTE twin of operators.graph.bfs_hops."""
+    ctes = [
+        f"edges AS ({_PR_EDGES_SQL})",
+        """und AS (
+  SELECT src AS node, dst AS nbr FROM edges
+  UNION
+  SELECT dst AS node, src AS nbr FROM edges
+)""",
+        f"v0 AS (SELECT '{seed}' AS node, 0 AS hops)",
+    ]
+    for i in range(1, max_hops + 1):
+        ctes.append(
+            f"""v{i} AS (
+  SELECT * FROM v{i - 1}
+  UNION ALL
+  SELECT nxt.node, {i} AS hops FROM (
+    SELECT DISTINCT u.nbr AS node
+    FROM und u JOIN v{i - 1} f ON u.node = f.node
+  ) nxt
+  WHERE nxt.node NOT IN (SELECT node FROM v{i - 1})
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(hops AS BIGINT) AS hops FROM v{max_hops}"
+        "\nORDER BY hops, node"
+    )
+
+
+@register("graph_bfs_reachability", oracle=_bfs_oracle("p:1", 3), eager=True)
+def graph_bfs_reachability(spark, sf_dir):
+    """3-hop BFS neighborhood of part p:1 in the part–supplier graph
+    with minimum hop distances — the related-items / blast-radius
+    traversal. Level-synchronous frontier expansion (join + anti-join
+    per level) against the once-shuffled edge relation; see
+    operators/graph.py:bfs_hops."""
+    from wikipedia_data_pipeline_spark.operators import graph as G
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    out = G.bfs_hops(edges, ["p:1"], max_hops=3)
+    return out.select("node", F.col("hops").cast("long").alias("hops")).orderBy(
+        "hops", "node"
+    )
+
+
+# --- Recommendations + count anomalies (round 5) ------------------------
+
+@register(
+    "recs_item_item_cosine",
+    oracle="""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ic AS (SELECT l_partkey, count(*) AS n FROM op GROUP BY l_partkey),
+co AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS c
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT pa, pb, c AS n_co,
+       c / sqrt(CAST(ia.n AS DOUBLE) * ib.n) AS cosine
+FROM co JOIN ic ia ON co.pa = ia.l_partkey
+        JOIN ic ib ON co.pb = ib.l_partkey
+WHERE c >= 3
+ORDER BY cosine DESC, pa ASC, pb ASC
+LIMIT 100
+""",
+)
+def recs_item_item_cosine(spark, sf_dir):
+    """Item-item collaborative filtering: cosine similarity over
+    co-purchase incidence, sim(a,b) = |A∩B| / √(|A|·|B|) — the
+    classical neighborhood recommender (Amazon-style item-to-item CF).
+    Candidate pairs come from the per-basket self-join (bounded by
+    basket size², not catalog²); the support floor (co-count ≥ 3)
+    prunes noise pairs BEFORE ranking. Integer counts + one
+    correctly-rounded sqrt/divide ⇒ bit-portable scores; top-100 by
+    TakeOrdered."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist()
+    )
+    ic = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = op.alias("a")
+    b = op.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 3)
+    )
+    ia = ic.select(F.col("l_partkey").alias("pa"), F.col("n").alias("na"))
+    ib = ic.select(F.col("l_partkey").alias("pb"), F.col("n").alias("nb"))
+    return (
+        co.join(F.broadcast(ia), "pa")
+        .join(F.broadcast(ib), "pb")
+        .select(
+            "pa",
+            "pb",
+            F.col("c").alias("n_co"),
+            (
+                F.col("c")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb"))
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("pa"), F.asc("pb"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction (supplier-part bipartite projection)
+# ---------------------------------------------------------------------------
+
+_AA_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+),
+deg AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS d
+  FROM e GROUP BY p HAVING count(*) > 1
+),
+wt AS (
+  SELECT p, CAST(round(1000000000.0 / ln(CAST(d AS DOUBLE))) AS BIGINT)
+           AS w_nano
+  FROM deg WHERE d > 1
+),
+pairs AS (
+  SELECT a.s AS s1, b.s AS s2, e1.w_nano
+  FROM e a JOIN e b ON a.p = b.p AND a.s < b.s
+  JOIN wt e1 ON e1.p = a.p
+)
+SELECT s1, s2,
+       CAST(count(*) AS BIGINT) AS n_common,
+       CAST(sum(w_nano) AS BIGINT) AS aa_nano
+FROM pairs GROUP BY s1, s2
+HAVING count(*) >= 3
+"""
+
+
+@register("graph_adamic_adar", oracle=_AA_ORACLE)
+def graph_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction between suppliers sharing parts:
+    AA(u,v) = Σ_{common part p} 1/ln(deg(p)) — common neighbors
+    weighted by rarity (sharing a niche part says more than sharing a
+    commodity), the standard upgrade over `graph_jaccard_suppliers`'
+    raw overlap.
+
+    The 1/ln(deg) weight is quantized to nano-units ONCE per part
+    (vocabulary level — the Naive-Bayes discipline), so per-pair scores
+    are associative BIGINT sums, reproducible under any partitioning.
+    Candidate pairs come from the same co-neighbor equi-join as the
+    Jaccard query (bounded by per-part supplier counts); degree-1 parts
+    predict nothing and are pruned before the join (ln 1 = 0 would
+    blow up the weight — the HAVING is semantic, not defensive).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    deg = e.groupBy("p").agg(F.count(F.lit(1)).alias("d")).filter(
+        F.col("d") > 1
+    )
+    wt = deg.select(
+        "p",
+        F.round(1_000_000_000.0 / F.log(F.col("d").cast("double")))
+        .cast("long")
+        .alias("w_nano"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    wt2 = F.broadcast(wt.withColumnRenamed("p", "wp"))
+    pairs = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .join(wt2, F.col("a.p") == F.col("wp"))
+        .select(
+            F.col("a.s").alias("s1"),
+            F.col("b.s").alias("s2"),
+            "w_nano",
+        )
+    )
+    return (
+        pairs.groupBy("s1", "s2")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("w_nano").cast("long").alias("aa_nano"),
+        )
+        .filter(F.col("n_common") >= 3)
+    )

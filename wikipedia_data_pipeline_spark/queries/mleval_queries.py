@@ -1,0 +1,575 @@
+"""ML evaluation + feature preparation: exact AUC via rank-sum on the
+hierarchical ordered_scan, decile gains/lift via global_ntile, feature
+hashing, leave-one-out target encoding, embedding quantization/
+centroid diagnostics, language-ID confusion audit, and entity/time
+holdout splits. Split out of profiling_queries (round 7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikipedia_data_pipeline_spark.operators import dedup as D
+from wikipedia_data_pipeline_spark.operators import profiling as P
+from wikipedia_data_pipeline_spark.operators.sampling import SQL_DET_HASH
+from wikipedia_data_pipeline_spark.registry import register
+from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+
+# ---- eval & sequence analytics --------------------------------------------
+
+from wikipedia_data_pipeline_spark.queries.text_queries import _SCORES
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, lang, {_SCORES} FROM t),
+p AS (
+  SELECT lang,
+         CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+              WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+              WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+              WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+              ELSE 'fr' END AS predicted_lang
+  FROM s
+)
+SELECT lang, predicted_lang, count(*) AS n
+FROM p GROUP BY lang, predicted_lang
+""",
+)
+def text_langid_confusion(spark, sf_dir):
+    """Classifier-eval confusion matrix: metadata language label vs
+    the stopword-overlap language-ID prediction, counted per (label,
+    prediction) cell — the accuracy report a pipeline runs on every
+    heuristic gate. One narrow scoring map + one hash agg."""
+    from wikipedia_data_pipeline_spark.operators import textstats as TS5
+
+    return (
+        TS5.language_id(load_table(spark, sf_dir, "documents"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+from wikipedia_data_pipeline_spark.queries.similarity_queries import COS_SQL
+
+
+@register(
+    "embedding_centroid_distances",
+    oracle=f"""
+WITH comp AS (
+  SELECT label, g - 1 AS pos,
+         CAST(sum(CAST(CAST(embedding[g] AS DOUBLE) AS DECIMAL(18,6)))
+              AS DOUBLE) / count(*) AS mean_x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(g)
+  GROUP BY label, pos
+),
+cent AS (
+  SELECT label, list(mean_x ORDER BY pos) AS c FROM comp GROUP BY label
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       {COS_SQL.format(a='a.c', b='b.c')} AS cos
+FROM cent a JOIN cent b ON a.label < b.label
+""",
+)
+def embedding_centroid_distances(spark, sf_dir):
+    """Label-centroid separation matrix: decimal-exact centroid
+    components (the label_centroids construction) assembled into
+    ordered arrays, then pairwise cosine via the deterministic
+    sequential fold — the cluster-separability report behind embedding
+    QA. The pair join runs over |labels| rows; everything heavy is the
+    one component aggregation."""
+    from wikipedia_data_pipeline_spark.functions import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(18,6)"))
+                .cast("double")
+                / F.count("*")
+            ).alias("mean_x")
+        )
+    )
+    cent = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_x"))),
+            lambda s: s["mean_x"],
+        ).alias("c")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), F.col("c").alias("cb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            cosine_similarity(F.col("ca"), F.col("cb")).alias("cos"),
+        )
+    )
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+@register(
+    "sample_time_split_events",
+    oracle=f"""
+WITH t0 AS (SELECT min(epoch_us(ts)) AS ts0 FROM events)
+SELECT event_id, user_id,
+       (epoch_us(ts) - ts0) // {_US_PER_DAY} AS day_idx,
+       CASE WHEN (epoch_us(ts) - ts0) // {_US_PER_DAY} < 24 THEN 'train'
+            WHEN (epoch_us(ts) - ts0) // {_US_PER_DAY} < 27 THEN 'val'
+            ELSE 'test' END AS split
+FROM events, t0
+""",
+)
+def sample_time_split_events(spark, sf_dir):
+    """Temporal train/val/test split of the event stream: day index
+    from the stream's own epoch start, first 24 days train / next 3
+    val / rest test. For forecasting-style models a HASH split leaks
+    the future into training — the cut must be on time. The global min
+    is a 1-row aggregate broadcast onto a narrow map; integer-µs
+    arithmetic keeps the assignment exact and engine-portable."""
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min("ts").alias("ts0"))
+    day_idx = F.expr(f"(ts - ts0) div {_US_PER_DAY}")
+    return ev.crossJoin(F.broadcast(t0)).select(
+        "event_id",
+        "user_id",
+        day_idx.alias("day_idx"),
+        F.when(day_idx < 24, "train")
+        .when(day_idx < 27, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# --- ML feature prep + privacy screen (round 5) -------------------------
+
+_FH_DIM = 64
+
+
+@register(
+    "features_hash_encoded",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id, 'lang:' || lang AS f FROM documents
+  UNION ALL
+  SELECT doc_id, 'source:' || source AS f FROM documents
+)
+SELECT doc_id,
+       CAST((({P.sql_cms_word_key('f')} % {P.CMS_PRE_MOD})
+             * {P.CMS_SEEDS[0][0]} + {P.CMS_SEEDS[0][1]})
+            % {P.CMS_HASH_MOD} % {_FH_DIM} AS BIGINT) AS feature_idx,
+       CAST(count(*) AS BIGINT) AS feature_val
+FROM feats
+GROUP BY 1, 2
+""",
+)
+def features_hash_encoded(spark, sf_dir):
+    """The hashing trick (Weinberger et al. 2009): categorical columns
+    → a fixed-width sparse feature space via a portable hash of
+    'column:value', collisions summing — the encoder that needs NO
+    vocabulary pass, no fit/transform state, and no driver-side
+    dictionary, which is why it's the default categorical encoder at
+    100 TB (a one-pass narrow map; new category values never change
+    the schema). Output is the sparse (row, feature_idx, value)
+    relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id", F.concat(F.lit("lang:"), F.col("lang")).alias("f")
+    ).unionAll(
+        docs.select(
+            "doc_id", F.concat(F.lit("source:"), F.col("source")).alias("f")
+        )
+    )
+    mult, add = P.CMS_SEEDS[0]
+    idx = (
+        (P.cms_word_key(F.col("f")) % P.CMS_PRE_MOD) * F.lit(mult) + F.lit(add)
+    ) % P.CMS_HASH_MOD % _FH_DIM
+    return (
+        feats.select("doc_id", idx.cast("long").alias("feature_idx"))
+        .groupBy("doc_id", "feature_idx")
+        .agg(F.count(F.lit(1)).alias("feature_val"))
+    )
+
+
+@register(
+    "features_target_encode_loo",
+    oracle="""
+WITH s AS (
+  SELECT o_orderpriority,
+         count(*) AS n,
+         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS tot
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderkey, o.o_orderpriority,
+       CASE WHEN n > 1
+            THEN CAST(tot - CAST(o_totalprice AS DECIMAL(18,6)) AS DOUBLE)
+                 / (n - 1) END AS loo_target_mean
+FROM orders o JOIN s ON o.o_orderpriority = s.o_orderpriority
+""",
+)
+def features_target_encode_loo(spark, sf_dir):
+    """Leave-one-out target encoding of a categorical column (category
+    → mean target over the OTHER rows of the category — the standard
+    leakage guard for target encoding). (Σ−y)/(n−1) needs only the
+    per-category decimal-exact (n, Σ) broadcast back onto the fact
+    rows: no window, no per-row re-aggregation, bit-reproducible."""
+    orders = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,6)")
+    s = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(dec).alias("tot")
+    )
+    return orders.join(F.broadcast(s), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(
+            F.col("n") > 1,
+            (F.col("tot") - dec).cast("double") / (F.col("n") - 1),
+        ).alias("loo_target_mean"),
+    )
+
+
+@register(
+    "embedding_int8_quantize",
+    oracle="""
+WITH s AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS qscale,
+         embedding
+  FROM embeddings
+)
+SELECT vec_id, qscale,
+       CASE WHEN qscale > 0
+            THEN list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 127 / qscale, 0)
+                             AS INTEGER))
+            ELSE list_transform(embedding, x -> 0) END AS qvec
+FROM s ORDER BY vec_id
+""",
+)
+def embedding_int8_quantize(spark, sf_dir):
+    """Per-vector symmetric int8 quantization (qᵢ = round(127·xᵢ/max|x|)
+    plus the one float scale) — the 4× compression applied to embedding
+    corpora before ANN serving. A narrow higher-order-function map, no
+    shuffle, no UDF: at 100 TB this halves-twice the bytes every
+    downstream similarity scan reads, which is usually worth more than
+    any CPU optimization. Zero vectors quantize to zeros (guarded
+    division)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    qscale = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(xd(x))))
+    s = emb.select("vec_id", qscale.alias("qscale"), "embedding")
+    qvec = F.when(
+        F.col("qscale") > 0,
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(xd(x) * 127 / F.col("qscale"), 0).cast("int"),
+        ),
+    ).otherwise(F.transform(F.col("embedding"), lambda x: F.lit(0)))
+    return s.select("vec_id", "qscale", qvec.alias("qvec")).orderBy("vec_id")
+
+
+@register("embedding_pca_project")  # eigensolver output: no SQL oracle
+def embedding_pca_project(spark, sf_dir):
+    """Distributed PCA to 2 components: Arrow-batch NumPy partials →
+    d²-row aggregate → driver-side eigh on the model-sized covariance →
+    broadcast-literal projection map. See operators/similarity.py:
+    pca_project for the moments/solve/broadcast boundary."""
+    from wikipedia_data_pipeline_spark.operators.similarity import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_project(emb, k=2).orderBy("vec_id")
+
+
+@register(
+    "sample_holdout_users",
+    oracle=f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+assign AS (
+  SELECT user_id,
+         {SQL_DET_HASH.format(col='user_id')} % 100 AS bucket
+  FROM u
+)
+SELECT e.event_id, e.user_id,
+       CASE WHEN bucket < 80 THEN 'train' ELSE 'holdout' END AS split
+FROM events e JOIN assign a ON e.user_id = a.user_id
+""",
+)
+def sample_holdout_users(spark, sf_dir):
+    """ENTITY-level holdout: the split key is the user, not the event —
+    splitting event rows directly leaks every held-out user's behavior
+    into training through their other events. Same portable arithmetic
+    hash as the document splits, assigned once per user and joined
+    back (broadcast: the user relation is cardinality-bounded)."""
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    assign = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id", (det_hash("user_id") % 100).alias("bucket")
+        )
+    )
+    return ev.join(F.broadcast(assign), "user_id").select(
+        "event_id",
+        "user_id",
+        F.when(F.col("bucket") < 80, "train")
+        .otherwise("holdout")
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding label-outlier screen (mislabeled-data candidates)
+# ---------------------------------------------------------------------------
+
+from wikipedia_data_pipeline_spark.queries.similarity_queries import COS_SQL
+
+_LABEL_OUTLIER_ORACLE = f"""
+WITH comp AS (
+  SELECT label, g - 1 AS pos,
+         CAST(sum(CAST(CAST(embedding[g] AS DOUBLE) AS DECIMAL(18,6)))
+              AS DOUBLE) / count(*) AS mean_x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(g)
+  GROUP BY label, pos
+),
+cent AS (
+  SELECT label, list(mean_x ORDER BY pos) AS c FROM comp GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         {COS_SQL.format(a='e.embedding', b='cent.c')} AS cos_to_centroid,
+         row_number() OVER (
+           PARTITION BY e.label
+           ORDER BY {COS_SQL.format(a='e.embedding', b='cent.c')}, e.vec_id
+         ) AS rn
+  FROM embeddings e JOIN cent ON e.label = cent.label
+)
+SELECT vec_id, label, cos_to_centroid, CAST(rn AS BIGINT) AS outlier_rank
+FROM scored WHERE rn <= 3
+"""
+
+
+@register("embedding_label_outliers", oracle=_LABEL_OUTLIER_ORACLE)
+def embedding_label_outliers(spark, sf_dir):
+    """Mislabeled-data screen: the 3 vectors per label FARTHEST from
+    their own label centroid (lowest cosine) — the embedding-QA
+    worklist human review starts from (a vector far from its class
+    center is a labeling error, an outlier, or a class in need of
+    splitting).
+
+    Centroids use the decimal-exact component construction shared with
+    `embedding_label_centroids`; each vector's cosine runs as the
+    deterministic sequential fold (JVM higher-order functions, no
+    UDF), and the per-label ranking breaks ties by vec_id. The
+    centroid relation is |labels|-sized and broadcast; one scan of the
+    vectors scores everything.
+    """
+    from pyspark.sql import Window
+
+    from wikipedia_data_pipeline_spark.functions import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(18,6)"))
+                .cast("double")
+                / F.count("*")
+            ).alias("mean_x")
+        )
+    )
+    cent = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_x"))),
+            lambda s: s["mean_x"],
+        ).alias("c")
+    )
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        cosine_similarity(F.col("embedding"), F.col("c")).alias(
+            "cos_to_centroid"
+        ),
+    )
+    w = Window.partitionBy("label").orderBy("cos_to_centroid", "vec_id")
+    return (
+        scored.withColumn("outlier_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("outlier_rank") <= 3)
+    )
+
+
+@register(
+    "ml_eval_auc_events",
+    oracle=f"""
+WITH scored AS (
+  SELECT event_id, value AS score,
+         CAST(({SQL_DET_HASH.format(col="user_id")}) % 2 AS BIGINT) AS label
+  FROM events
+),
+rk AS (
+  SELECT label,
+         row_number() OVER (ORDER BY score, event_id) AS r
+  FROM scored
+),
+s AS (
+  SELECT CAST(sum(CASE WHEN label = 1 THEN r ELSE 0 END) AS BIGINT) AS rpos,
+         CAST(sum(label) AS BIGINT) AS n_pos,
+         CAST(count(*) - sum(label) AS BIGINT) AS n_neg
+  FROM rk
+),
+topk AS (
+  SELECT CAST(sum(label) AS BIGINT) AS hits
+  FROM (SELECT label FROM scored ORDER BY score DESC, event_id LIMIT 100) q
+)
+SELECT s.n_pos, s.n_neg,
+       CAST(s.rpos - s.n_pos * (s.n_pos + 1) // 2 AS DOUBLE)
+         / (s.n_pos * s.n_neg) AS auc,
+       CAST(topk.hits AS DOUBLE) / 100 AS precision_at_100
+FROM s, topk
+""",
+)
+def ml_eval_auc_events(spark, sf_dir):
+    """Exact large-scale model-evaluation metrics — the audit a quality
+    classifier over a 100 TB corpus needs without sampling: AUC from
+    the Mann-Whitney rank-sum identity (positives' global rank sum,
+    ranks via the hierarchical ordered_scan — no single-partition sort
+    of the score column) and precision@100 via TakeOrderedAndProject.
+    Scores are the event values, labels a deterministic hash parity
+    (so AUC ≈ 0.5 by construction — it's the machinery under audit,
+    not the model). Ties resolved by the (score, event_id) total
+    order, making every rank — and therefore the statistic — integer-
+    exact and bit-identical in both engines. The n_pos(n_pos+1)/2
+    correction is computed with exact integer division (ranks.py's idiv
+    discipline; DuckDB `//`) BEFORE the double cast — rpos and the
+    triangular term individually exceed 2^53 near 1e8 rows, so only the
+    difference (bounded by n_pos*n_neg) may safely become a double."""
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    scored = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("value").alias("score"),
+        (det_hash("user_id") % 2).cast("long").alias("label"),
+    )
+    rk = ordered_scan(scored, ["score", "event_id"], rank_col="r")
+    s = rk.agg(
+        F.sum(F.when(F.col("label") == 1, F.col("r")).otherwise(0))
+        .cast("long")
+        .alias("rpos"),
+        F.sum("label").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("long").alias("n_neg"),
+    )
+    topk = (
+        scored.orderBy(F.desc("score"), F.asc("event_id"))
+        .limit(100)
+        .agg(F.sum("label").cast("long").alias("hits"))
+    )
+    # exact triangular number: n_pos*(n_pos+1) is always even, so the
+    # idiv (via DECIMAL(38,0), like ranks.global_ntile) is lossless;
+    # the rpos - tri difference is <= n_pos*n_neg, double-safe.
+    prod = F.col("n_pos") * (F.col("n_pos") + 1)
+    tri = ((prod - prod % 2).cast("decimal(38,0)") / 2).cast("long")
+    return (
+        s.crossJoin(F.broadcast(topk))
+        .select(
+            "n_pos",
+            "n_neg",
+            (
+                (F.col("rpos") - tri).cast("double")
+                / (F.col("n_pos") * F.col("n_neg")).cast("double")
+            ).alias("auc"),
+            (F.col("hits").cast("double") / 100).alias("precision_at_100"),
+        )
+    )
+
+
+@register(
+    "ml_eval_gains_table",
+    oracle=f"""
+WITH scored AS (
+  SELECT event_id, value AS score,
+         CAST(({SQL_DET_HASH.format(col="user_id")}) % 2 AS BIGINT) AS label
+  FROM events
+),
+deciled AS (
+  SELECT label,
+         ntile(10) OVER (ORDER BY score DESC, event_id) AS decile
+  FROM scored
+),
+per AS (
+  SELECT decile, count(*) AS n, CAST(sum(label) AS BIGINT) AS n_pos
+  FROM deciled GROUP BY decile
+),
+tot AS (SELECT sum(n) AS nn, sum(n_pos) AS np FROM per)
+SELECT p.decile, CAST(p.n AS BIGINT) AS n, p.n_pos,
+       CAST(sum(p.n_pos) OVER (ORDER BY p.decile
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_pos,
+       CAST(sum(p.n_pos) OVER (ORDER BY p.decile ROWS UNBOUNDED PRECEDING)
+            AS DOUBLE) / t.np AS gain,
+       (CAST(p.n_pos AS DOUBLE) / p.n)
+         / (CAST(t.np AS DOUBLE) / t.nn) AS lift
+FROM per p, tot t
+""",
+)
+def ml_eval_gains_table(spark, sf_dir):
+    """Decile gains/lift table for a score column — the campaign-
+    targeting companion to ml_eval_auc_events: rows ranked by score
+    fall into 10 equal tiles via global_ntile (the hierarchical NTILE —
+    no single-partition window over the scored corpus), then per-tile
+    capture and lift are pure integer/count arithmetic. The cumulative
+    window runs over the 10-row decile relation. Hash-parity labels
+    again: the machinery is under audit, so gain≈decile/10 and lift≈1
+    are the expected fixed points."""
+    from wikipedia_data_pipeline_spark.operators.ranks import global_ntile
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+    from pyspark.sql import Window
+
+    scored = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("value").alias("score"),
+        (det_hash("user_id") % 2).cast("long").alias("label"),
+    )
+    deciled = global_ntile(
+        scored, [F.desc("score"), F.asc("event_id")], 10, "decile"
+    )
+    per = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("label").cast("long").alias("n_pos"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("nn"), F.sum("n_pos").alias("np")
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("cum_pos", F.sum("n_pos").over(w).cast("long"))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            "cum_pos",
+            (F.col("cum_pos").cast("double") / F.col("np")).alias("gain"),
+            (
+                (F.col("n_pos").cast("double") / F.col("n"))
+                / (F.col("np").cast("double") / F.col("nn"))
+            ).alias("lift"),
+        )
+    )

@@ -80,6 +80,83 @@ def q1_pricing_summary(spark, sf_dir):
 
 
 @register(
+    "q1_pricing_summary_cents",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc_b,
+         CAST(round(l_tax * 100) AS BIGINT) AS tax_b
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(CAST(sum(qty) AS BIGINT) AS DOUBLE) AS sum_qty,
+       CAST(CAST(sum(price_c) AS BIGINT) AS DOUBLE) / 100 AS sum_base_price,
+       CAST(CAST(sum(price_c * (100 - disc_b)) AS BIGINT) AS DOUBLE) / 10000
+         AS sum_disc_price,
+       CAST(CAST(sum(price_c * (100 - disc_b) * (100 + tax_b)) AS BIGINT)
+            AS DOUBLE) / 1000000 AS sum_charge,
+       CAST(CAST(sum(qty) AS BIGINT) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(CAST(sum(price_c) AS BIGINT) AS DOUBLE) / 100 / count(*)
+         AS avg_price,
+       CAST(CAST(sum(disc_b) AS BIGINT) AS DOUBLE) / 100 / count(*)
+         AS avg_disc,
+       count(*) AS count_order
+FROM c
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary_cents(spark, sf_dir):
+    """TPC-H Q1 with BIGINT-cents arithmetic instead of DECIMAL sums —
+    the A/B twin that measures the engine's `dec_sum` exactness tax
+    (round-6 verdict #2: q1/q3/q5/hourly sit 5-8x DuckDB even at the
+    10x replica, suspected DECIMAL-aggregation cost, not plan shape).
+
+    Money columns are cent-quantized and rates are percent-quantized
+    (verified on the testdata: round(x*100) is exact for every row), so
+    every aggregate is an exact BIGINT sum: disc_price in 1e-4-dollar
+    units, charge in 1e-6-dollar units, divided back to dollars only
+    after the final cast. Long sums are order-independent like DECIMAL
+    ones, so the result keeps dec_sum's partitioning-independence while
+    aggregating at native 64-bit-integer speed.
+
+    Headroom bound: per-row charge <= ~1.1e11 micro-dollars, so a
+    silent int64 overflow needs > ~8e7 rows in ONE (returnflag,
+    linestatus) group at max TPC-H magnitudes — fine through the 100x
+    replica (~1.5e7/group); beyond that, swap the two product sums to
+    DECIMAL(38,0) accumulation of the same integer terms (still exact,
+    still cheaper than per-row decimal multiply chains)."""
+    from wikipedia_data_pipeline_spark.sources.tables import fan_out
+
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
+    qty = F.col("l_quantity").cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_b = F.round(F.col("l_discount") * 100).cast("long")
+    tax_b = F.round(F.col("l_tax") * 100).cast("long")
+    disc_price_e4 = price_c * (100 - disc_b)
+    charge_e6 = disc_price_e4 * (100 + tax_b)
+    n = F.count("*")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            (F.sum(price_c).cast("double") / 100).alias("sum_base_price"),
+            (F.sum(disc_price_e4).cast("double") / 10000).alias(
+                "sum_disc_price"
+            ),
+            (F.sum(charge_e6).cast("double") / 1000000).alias("sum_charge"),
+            (F.sum(qty).cast("double") / n).alias("avg_qty"),
+            (F.sum(price_c).cast("double") / 100 / n).alias("avg_price"),
+            (F.sum(disc_b).cast("double") / 100 / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@register(
     "agg_stats_suite",
     oracle=f"""
 SELECT l_returnflag,

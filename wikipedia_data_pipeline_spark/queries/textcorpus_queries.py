@@ -1,0 +1,1008 @@
+"""Text relevance & corpus statistics: TF-IDF / BM25 ranked search,
+phrase search, document-similarity join, collocations, stopword
+inference, n-gram surprisal LMs, Zipf/Heaps fits, corpus drift and
+snapshot diffs, readability, vocabulary overlap. Split out of
+profiling_queries (round 7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikipedia_data_pipeline_spark.operators import dedup as D
+from wikipedia_data_pipeline_spark.operators import profiling as P
+from wikipedia_data_pipeline_spark.operators.sampling import SQL_DET_HASH
+from wikipedia_data_pipeline_spark.registry import register
+from wikipedia_data_pipeline_spark.sources.tables import load_table
+from wikipedia_data_pipeline_spark.queries.tfidf_queries import TOKS_CTE
+
+
+@register(
+    "heavy_hitter_tokens",
+    oracle="""
+WITH w AS (
+  SELECT lower(regexp_replace(x, '[^a-zA-Z]', '', 'g')) AS word
+  FROM documents, unnest(string_split(text, ' ')) AS u(x)
+),
+f AS (SELECT word FROM w WHERE length(word) > 0),
+tot AS (SELECT count(*) AS n_total FROM f)
+SELECT word, count(*) AS n,
+       CAST(count(*) AS DOUBLE) / (SELECT CAST(n_total AS DOUBLE) FROM tot) AS share
+FROM f GROUP BY word
+HAVING count(*) * 200 >= (SELECT n_total FROM tot)
+""",
+)
+def heavy_hitter_tokens(spark, sf_dir):
+    """EXACT tokens covering >= 1/200 of all corpus token occurrences,
+    via per-partition Misra-Gries candidate generation (no full-histogram
+    shuffle) + broadcast-semi exact recount. Two scans; the shuffle
+    carries only candidates, not the distinct-token histogram."""
+    from wikipedia_data_pipeline_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokenize(docs).select(F.col("word"))
+    return P.exact_heavy_hitters(toks, "word", 1, 200)
+
+
+@register(
+    "text_trigram_commonness",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, ' '),
+                     x -> lower(regexp_replace(x, '[^a-zA-Z]', '', 'g'))),
+                     w -> length(w) > 0) AS ws
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, concat_ws(' ', ws[g], ws[g+1], ws[g+2]) AS ngram
+  FROM t, unnest(generate_series(1, len(ws) - 2)) AS u(g)
+),
+dfq AS (
+  SELECT ngram, count(*) AS df FROM (SELECT DISTINCT doc_id, ngram FROM occ)
+  GROUP BY ngram
+)
+SELECT occ.doc_id, count(*) AS n_trigrams,
+       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS common_frac,
+       CAST(sum(df) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_df
+FROM occ JOIN dfq ON occ.ngram = dfq.ngram
+GROUP BY occ.doc_id
+""",
+)
+def text_trigram_commonness(spark, sf_dir):
+    """CCNet-style LM-lite quality gate: per-doc corpus-fit from
+    trigram document frequencies (integer-exact aggregation, two
+    shuffles on the trigram key)."""
+    from wikipedia_data_pipeline_spark.operators import textstats as TS2
+
+    return TS2.trigram_commonness(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_phrase_search",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, ' '),
+                     x -> lower(regexp_replace(x, '[^a-zA-Z]', '', 'g'))),
+                     w -> length(w) > 0) AS ws
+  FROM documents
+)
+SELECT doc_id, CAST(g - 1 AS BIGINT) AS start_pos
+FROM t, unnest(generate_series(1, len(ws) - 2)) AS u(g)
+WHERE ws[g] = 'slow' AND ws[g+1] = 'hash' AND ws[g+2] = 'batch'
+""",
+)
+def text_phrase_search(spark, sf_dir):
+    """Exact phrase lookup ('slow hash batch') over the positional
+    inverted index: per-term scans (word filter pushed down) joined on
+    (doc_id, pos - i). Returns one row per occurrence."""
+    from wikipedia_data_pipeline_spark.operators import index as IX
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings = IX.positional_postings(docs)
+    return IX.phrase_search(postings, ["slow", "hash", "batch"])
+
+
+# ---- sparse TF-IDF document-similarity join ------------------------------
+
+from wikipedia_data_pipeline_spark.queries.tfidf_queries import DOC_TF_CTES
+
+
+
+@register(
+    "doc_similarity_tfidf",
+    oracle=f"""
+WITH {DOC_TF_CTES},
+dfreq AS (
+    SELECT word, count(*) AS df
+    FROM (SELECT DISTINCT doc_id, word FROM toks) GROUP BY word
+),
+ndocs AS (SELECT count(*) AS n_docs FROM documents),
+idf AS (
+    SELECT f.word, round(log10(CAST(n_docs AS DOUBLE) / df), 2) AS idf, f.df
+    FROM dfreq f, ndocs
+    WHERE round(log10(CAST(n_docs AS DOUBLE) / df), 2) > 0
+),
+vec AS (
+    SELECT t.doc_id, t.word, round(t.tf * i.idf, 2) AS tf_idf
+    FROM doc_tf t JOIN idf i ON t.word = i.word, ndocs
+    WHERE i.df * 10 <= n_docs
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared,
+       CAST(sum(CAST(a.tf_idf * b.tf_idf AS DECIMAL(18,6))) AS DOUBLE) AS sim
+FROM vec a JOIN vec b ON a.word = b.word AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY sim DESC, doc_a ASC, doc_b ASC
+LIMIT 100
+""",
+)
+def doc_similarity_tfidf(spark, sf_dir):
+    """Sparse all-pairs document similarity over TF-IDF vectors: the
+    inverted-index dot-product join (pairs meet only on shared words),
+    with prefix-filter pruning — words present in more than 10% of
+    documents are dropped BEFORE the self-join (a scale-relative cap:
+    it bounds the worst posting list, and hence the join's
+    O(sum df^2) blowup, at every corpus size); high-df words carry
+    near-zero idf weight, and the cap is part of the declared
+    semantics so the oracle applies it too. Decimal dot-product sums
+    keep the result bit-exact; top-100 pairs by similarity with a
+    total tiebreak order."""
+    from wikipedia_data_pipeline_spark.operators import tfidf as TT
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Persist the pruned vectors: both self-join sides reference the
+    # same subtree and Spark does not CSE across join inputs, so
+    # without this the whole TF-IDF pipeline runs twice. Post-cap the
+    # relation is the rare-word postings only (corpus-proportional
+    # but a small fraction; the cluster equivalent is checkpointing
+    # the vector table between stages).
+    vec = (
+        TT.tfidf_with_df(docs, df_times_le_ndocs=10)
+        .select("doc_id", "word", "tf_idf")
+        .persist()
+    )
+    a = vec.alias("a")
+    b = vec.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.word") == F.col("b.word"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.sum(
+                (F.col("a.tf_idf") * F.col("b.tf_idf")).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(100)
+    )
+
+
+@register(
+    "text_collocations",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, ' '),
+                     x -> lower(regexp_replace(x, '[^a-zA-Z]', '', 'g'))),
+                     w -> length(w) > 0) AS ws
+  FROM documents
+),
+uni AS (
+  SELECT w AS word, count(*) AS n_word
+  FROM t, unnest(ws) AS u(w) GROUP BY w
+),
+tot AS (SELECT CAST(sum(n_word) AS BIGINT) AS n_total FROM uni),
+bi AS (
+  SELECT ws[g] AS w1, ws[g+1] AS w2,
+         ws[g] || ' ' || ws[g+1] AS ngram, count(*) AS n_pair
+  FROM t, unnest(generate_series(1, len(ws) - 1)) AS u(g)
+  GROUP BY 1, 2, 3
+)
+SELECT ngram, n_pair, u1.n_word AS n_w1, u2.n_word AS n_w2,
+       CAST(n_pair * (SELECT n_total FROM tot) AS DOUBLE)
+         / CAST(u1.n_word * u2.n_word AS DOUBLE) AS lift
+FROM bi JOIN uni u1 ON bi.w1 = u1.word JOIN uni u2 ON bi.w2 = u2.word
+ORDER BY lift DESC, ngram ASC
+LIMIT 100
+""",
+)
+def text_collocations(spark, sf_dir):
+    """Collocation extraction by integer-exact lift (PMI sans log):
+    bigram counts joined twice against the broadcast unigram table,
+    one portable division per row, TakeOrdered top-100."""
+    from wikipedia_data_pipeline_spark.operators import textstats as TS3
+
+    return TS3.collocations(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 <> 0
+),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS fp
+  FROM documents WHERE doc_id % 9 <> 0
+)
+SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old.fp IS NULL THEN 'added'
+            WHEN new.fp IS NULL THEN 'removed'
+            WHEN old.fp <> new.fp THEN 'changed' END AS change
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+WHERE (CASE WHEN old.fp IS NULL THEN 'added'
+            WHEN new.fp IS NULL THEN 'removed'
+            WHEN old.fp <> new.fp THEN 'changed' END) IS NOT NULL
+""",
+)
+def corpus_snapshot_diff(spark, sf_dir):
+    """Release-to-release corpus diff: two snapshots derived
+    deterministically from the documents table (v1 drops doc_id%10=0,
+    v2 drops doc_id%9=0 and edits doc_id%7=0), classified
+    added/removed/changed by one full outer join on md5 row
+    fingerprints."""
+    from wikipedia_data_pipeline_spark.operators import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.where(F.col("doc_id") % 10 != 0)
+    v2 = docs.where(F.col("doc_id") % 9 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return C.snapshot_diff(v1, v2, "doc_id", ["text"])
+
+
+@register("text_compression_ratio")  # no SQL oracle: zlib is not SQL-expressible
+def text_compression_ratio(spark, sf_dir):
+    """zlib compression-ratio quality signal (repetitive text
+    compresses suspiciously well). Deterministic but not
+    SQL-expressible, so pytest-verified; the driver rows-checks it."""
+    from wikipedia_data_pipeline_spark.operators import textstats as TS4
+
+    return TS4.compression_ratio(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_chunk_documents",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, ' '),
+                     x -> lower(regexp_replace(x, '[^a-zA-Z]', '', 'g'))),
+                     w -> length(w) > 0) AS ws
+  FROM documents
+)
+SELECT doc_id,
+       CAST(s // 48 AS BIGINT) AS chunk_id,
+       CAST(s AS BIGINT) AS chunk_start,
+       CAST(len(ws[s+1 : least(s + 64, len(ws))]) AS BIGINT)
+         AS n_chunk_tokens,
+       array_to_string(ws[s+1 : least(s + 64, len(ws))], ' ') AS chunk_text
+FROM t, unnest(generate_series(0, len(ws) - 1, 48)) AS u(s)
+WHERE len(ws) > 0
+""",
+)
+def text_chunk_documents(spark, sf_dir):
+    """Overlapping token chunking (64-token chunks, stride 48) for RAG
+    indexing / long-doc training — pure sequence/explode/slice, no
+    UDF, no shuffle."""
+    from wikipedia_data_pipeline_spark.operators import text as T2
+
+    return T2.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_word_cooccurrence",
+    oracle="""
+WITH dw AS (
+  SELECT DISTINCT doc_id,
+         lower(regexp_replace(x, '[^a-zA-Z]', '', 'g')) AS word
+  FROM documents, unnest(string_split(text, ' ')) AS u(x)
+  WHERE length(lower(regexp_replace(x, '[^a-zA-Z]', '', 'g'))) > 0
+)
+SELECT a.word AS w1, b.word AS w2, count(*) AS n_docs
+FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.word < b.word
+GROUP BY a.word, b.word
+""",
+)
+def text_word_cooccurrence(spark, sf_dir):
+    """Document-level word co-occurrence counts (the raw relation
+    under PMI embeddings / distributional semantics): distinct
+    (doc, word) pairs self-joined on doc_id with w1 < w2. The join
+    shuffles on doc_id — bounded per-doc fan-out of |vocab_doc|^2;
+    at open-vocabulary scale the same query composes with the df cap
+    (prefix filter) the similarity join uses."""
+    from wikipedia_data_pipeline_spark.operators import text as T3
+
+    dw = (
+        T3.tokenize(load_table(spark, sf_dir, "documents"))
+        .distinct()
+        .persist()
+    )
+    a = dw.alias("a")
+    b = dw.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.word") < F.col("b.word")),
+        )
+        .groupBy(
+            F.col("a.word").alias("w1"), F.col("b.word").alias("w2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --- LM-quality scoring, temporal split, outlier screen (round 5) -------
+
+@register(
+    "text_unigram_surprisal",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(list_transform(string_split(text, ' '),
+           x -> lower(regexp_replace(x, '[^a-zA-Z]', '', 'g'))),
+           w -> length(w) > 0)) AS word
+  FROM documents
+),
+vocab AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+ws AS (
+  SELECT word,
+         CAST(round(log2(CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS surp
+  FROM vocab, tot
+)
+SELECT t.doc_id, count(*) AS n_tokens,
+       round(CAST(sum(surp) AS DOUBLE) / count(*), 6) AS bits_per_token
+FROM toks t JOIN ws USING (word)
+GROUP BY t.doc_id
+""",
+)
+def text_unigram_surprisal(spark, sf_dir):
+    """Mean unigram surprisal per document (bits/token) under the
+    corpus unigram LM — the perplexity-lite corpus quality gate. See
+    operators/textstats.py:unigram_surprisal for the cost model."""
+    from wikipedia_data_pipeline_spark.operators import textstats as TS2
+
+    return TS2.unigram_surprisal(load_table(spark, sf_dir, "documents"))
+
+
+_SEARCH_TERMS = ["hash", "join", "spark", "dup"]
+
+
+@register(
+    "text_search_tfidf",
+    oracle=f"""
+WITH {DOC_TF_CTES},
+dfreq AS (
+    SELECT word, count(*) AS df
+    FROM (SELECT DISTINCT doc_id, word FROM toks) GROUP BY word
+),
+ndocs AS (SELECT count(*) AS n_docs FROM documents),
+idf AS (
+    SELECT word, round(log10(CAST(n_docs AS DOUBLE) / df), 2) AS idf
+    FROM dfreq, ndocs
+    WHERE round(log10(CAST(n_docs AS DOUBLE) / df), 2) > 0
+),
+tfidf AS (
+    SELECT t.doc_id, t.word, round(t.tf * i.idf, 2) AS tf_idf
+    FROM doc_tf t JOIN idf i ON t.word = i.word
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms_hit,
+       CAST(sum(CAST(tf_idf AS DECIMAL(18,6))) AS DOUBLE) AS score
+FROM tfidf
+WHERE word IN ({", ".join(f"'{w}'" for w in _SEARCH_TERMS)})
+GROUP BY doc_id
+ORDER BY score DESC, n_terms_hit DESC, doc_id ASC
+LIMIT 20
+""",
+)
+def text_search_tfidf(spark, sf_dir):
+    """Ranked keyword search over the TF-IDF index: score(doc) =
+    Σ tf_idf of the query terms it contains, top-20 by score. The
+    query-term filter is a constant IN-set pushed below the index join,
+    so the scan touches only the postings of the query's words — the
+    searcher's cost is proportional to posting-list length, not corpus
+    size (and the final top-k is a TakeOrdered, no global sort)."""
+    from wikipedia_data_pipeline_spark.functions import dec_sum
+    from wikipedia_data_pipeline_spark.operators import tfidf as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = T.tfidf(docs).filter(F.col("word").isin(_SEARCH_TERMS))
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            dec_sum("tf_idf", "score"),
+        )
+        .orderBy(F.desc("score"), F.desc("n_terms_hit"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_infer_stopwords",
+    oracle=f"""
+WITH {TOKS_CTE},
+dfreq AS (
+  SELECT word, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, word FROM toks) GROUP BY word
+),
+nd AS (SELECT count(*) AS n_docs FROM documents)
+SELECT word, df, CAST(df AS DOUBLE) / n_docs AS df_frac
+FROM dfreq, nd
+WHERE CAST(df AS DOUBLE) / n_docs >= 0.8
+ORDER BY df DESC, word ASC
+""",
+)
+def text_infer_stopwords(spark, sf_dir):
+    """Corpus-driven stopword inference: words whose document frequency
+    covers ≥ 80% of the corpus. Curated stopword lists don't transfer
+    across domains or languages — at corpus scale you infer the list
+    from the data itself (one distinct + one vocab-sized aggregate) and
+    feed it to the tokenizer, the inverted index's posting pruning, and
+    the quality gates."""
+    from wikipedia_data_pipeline_spark.operators.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = (
+        tokenize(docs)
+        .select("doc_id", "word")
+        .distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .withColumn("df_frac", F.col("df").cast("double") / F.col("n_docs"))
+        .filter(F.col("df_frac") >= 0.8)
+        .select("word", "df", "df_frac")
+        .orderBy(F.desc("df"), F.asc("word"))
+    )
+
+
+# --- Bigram LM scoring + robust MAD outliers (round 5) ------------------
+
+@register(
+    "text_bigram_surprisal",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, ' '),
+                     x -> lower(regexp_replace(x, '[^a-zA-Z]', '', 'g'))),
+                     w -> length(w) > 0) AS ws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, ws[g] AS w1, ws[g+1] AS w2
+  FROM t, unnest(generate_series(1, len(ws) - 1)) AS u(g)
+  WHERE len(ws) >= 2
+),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+uc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+vsz AS (SELECT count(DISTINCT w2) AS v FROM bc),
+probs AS (
+  SELECT bc.w1, bc.w2,
+         CAST(round(log2(CAST(c1 + v AS DOUBLE) / (c12 + 1)), 6)
+              AS DECIMAL(18,6)) AS surp
+  FROM bc JOIN uc ON bc.w1 = uc.w1, vsz
+)
+SELECT bg.doc_id, count(*) AS n_bigrams,
+       round(CAST(sum(surp) AS DOUBLE) / count(*), 6) AS bits_per_bigram
+FROM bg JOIN probs ON bg.w1 = probs.w1 AND bg.w2 = probs.w2
+GROUP BY bg.doc_id
+""",
+)
+def text_bigram_surprisal(spark, sf_dir):
+    """Per-doc mean surprisal under an add-one-smoothed BIGRAM LM
+    trained on the corpus itself — one step up the n-gram-LM ladder
+    from text_unigram_surprisal, and the score that actually separates
+    scrambled text from fluent text (unigram surprisal is identical
+    under any token permutation; bigram surprisal is exactly the
+    word-order signal). Same determinism recipe: probabilities are
+    integer ratios, log2 is taken ONCE per bigram type and rounded,
+    per-doc sums ride DECIMAL. The bigram table is vocab²-bounded and
+    the doc-side join hits it on (w1, w2) — one shuffle each side."""
+    from wikipedia_data_pipeline_spark.operators.text import ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = ngrams(docs, n=2).select(
+        "doc_id",
+        F.split_part(F.col("ngram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("ngram"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uc = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vsz = bc.agg(F.countDistinct("w2").alias("v"))
+    probs = (
+        bc.join(uc, "w1")
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log2(
+                    (F.col("c1") + F.col("v")).cast("double")
+                    / (F.col("c12") + 1)
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("surp"),
+        )
+    )
+    return (
+        bg.join(probs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("surp").alias("surp_dec"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("surp_dec").cast("double") / F.col("n_bigrams"), 6
+            ).alias("bits_per_bigram"),
+        )
+    )
+
+
+# --- Corpus-statistics diagnostics: Zipf fit, Heaps growth (round 5) ----
+
+@register(
+    "corpus_zipf_fit",
+    oracle=f"""
+WITH {TOKS_CTE},
+counts AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
+ranked AS (
+  SELECT word, n,
+         row_number() OVER (ORDER BY n DESC, word ASC) AS rnk
+  FROM counts
+),
+pts AS (
+  SELECT rnk, n,
+         CAST(round(log2(CAST(rnk AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+         CAST(round(log2(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+  FROM ranked
+),
+s AS (
+  SELECT count(*) AS m,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 6)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 6)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+  FROM pts
+)
+SELECT m AS n_vocab,
+       round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS zipf_slope
+FROM s
+""",
+)
+def corpus_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency diagnostic: least-squares slope of
+    log2(count) against log2(rank) over the vocabulary (natural text ≈
+    −1; token spam, boilerplate floods, and truncated corpora all bend
+    it — a one-number corpus health check). Determinism recipe as
+    everywhere: logs and products are computed once per VOCAB entry and
+    rounded, the regression moments are decimal sums, and the final
+    slope is one IEEE expression over exact moments. The rank is
+    assigned over the vocab relation (corpus-bounded dictionary, not
+    the corpus) with ``operators.ranks.ordered_scan`` — web-scale
+    vocabularies run to 1e8+ n-grams, so even the dictionary must not
+    flow through a single-partition rank window."""
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
+    from wikipedia_data_pipeline_spark.operators.text import tokenize
+
+    toks = tokenize(load_table(spark, sf_dir, "documents"))
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    ranked = ordered_scan(
+        counts, [F.desc("n"), F.asc("word")], rank_col="rnk"
+    )
+    dec = "decimal(18,6)"
+    pts = ranked.select(
+        F.round(F.log2(F.col("rnk").cast("double")), 6).cast(dec).alias("x"),
+        F.round(F.log2(F.col("n").cast("double")), 6).cast(dec).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(
+            F.round(F.col("x").cast("double") * F.col("y").cast("double"), 6).cast(dec)
+        )
+        .cast("double")
+        .alias("sxy"),
+        F.sum(
+            F.round(F.col("x").cast("double") * F.col("x").cast("double"), 6).cast(dec)
+        )
+        .cast("double")
+        .alias("sxx"),
+    )
+    return s.select(
+        F.col("m").alias("n_vocab"),
+        F.round(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
+@register(
+    "corpus_heaps_growth",
+    oracle=f"""
+WITH {TOKS_CTE},
+first_doc AS (SELECT word, min(doc_id) AS doc_id FROM toks GROUP BY word),
+new_words AS (SELECT doc_id, count(*) AS n_new FROM first_doc GROUP BY doc_id),
+docs AS (SELECT DISTINCT doc_id FROM toks)
+SELECT d.doc_id, COALESCE(n_new, 0) AS n_new_words,
+       CAST(sum(COALESCE(n_new, 0)) OVER (ORDER BY d.doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab_size
+FROM docs d LEFT JOIN new_words n ON d.doc_id = n.doc_id
+ORDER BY d.doc_id
+""",
+)
+def corpus_heaps_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth: distinct-word count as the corpus
+    accumulates in doc_id order. Computed without any cumulative
+    distinct state: each word charges its FIRST document (a min
+    aggregate on the word key — the only data-sized shuffle), and the
+    curve is a running sum over the doc-sized relation — via
+    ``operators.ranks.ordered_scan``, because |docs| at 100 TB is
+    billions and an unpartitioned running-sum window would serialize
+    the corpus spine through one task. Sub-linear growth is healthy
+    text; near-linear growth means unique-token spam (ids, hashes)
+    inflating the vocabulary."""
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
+    from wikipedia_data_pipeline_spark.operators.text import tokenize
+
+    toks = tokenize(load_table(spark, sf_dir, "documents"))
+    first_doc = toks.groupBy("word").agg(F.min("doc_id").alias("doc_id"))
+    new_words = first_doc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    docs = toks.select("doc_id").distinct()
+    spine = docs.join(new_words, "doc_id", "left").select(
+        "doc_id", F.coalesce("n_new", F.lit(0)).alias("n_new_words")
+    )
+    return (
+        ordered_scan(
+            spine,
+            ["doc_id"],
+            running=[("vocab_size", "n_new_words", "sum")],
+        )
+        .select(
+            "doc_id",
+            "n_new_words",
+            F.col("vocab_size").cast("long").alias("vocab_size"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_drift_tokens",
+    oracle=f"""
+WITH {TOKS_CTE},
+half AS (
+  SELECT word, CASE WHEN doc_id < 250 THEN 'a' ELSE 'b' END AS h FROM toks
+),
+c AS (
+  SELECT word,
+         CAST(sum(CASE WHEN h = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN h = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM half GROUP BY word
+),
+tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM c)
+SELECT word, n_a, n_b,
+       abs(CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb) AS share_gap
+FROM c, tot
+ORDER BY share_gap DESC, word ASC
+LIMIT 20
+""",
+)
+def corpus_drift_tokens(spark, sf_dir):
+    """Token-distribution drift between two corpus slices (here: first
+    vs second half of the doc_id range — in production, yesterday's
+    crawl vs today's): per-word share gap, top offenders first. The
+    drift monitor a continuously-fed training pipeline runs before a
+    new slice is admitted; one conditional aggregate over the token
+    stream plus a 1-row totals broadcast, TakeOrdered top-k. Counts are
+    integers and each share is a single IEEE division, so the report is
+    bit-portable."""
+    from wikipedia_data_pipeline_spark.operators.text import tokenize
+
+    toks = tokenize(load_table(spark, sf_dir, "documents"))
+    c = toks.groupBy("word").agg(
+        F.sum(F.when(F.col("doc_id") < 250, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("doc_id") >= 250, 1).otherwise(0)).alias("n_b"),
+    )
+    tot = c.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "word",
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("n_a").cast("double") / F.col("ta")
+                - F.col("n_b").cast("double") / F.col("tb")
+            ).alias("share_gap"),
+        )
+        .orderBy(F.desc("share_gap"), F.asc("word"))
+        .limit(20)
+    )
+
+
+# --- BM25 ranked search + fixed-depth BFS (round 5) ---------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "text_search_bm25",
+    oracle=f"""
+WITH {TOKS_CTE},
+tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),
+dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT CAST(sum(len) AS DOUBLE) / count(*) AS avglen,
+         count(*) AS n_docs
+  FROM dl
+),
+dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+widf AS (
+  SELECT word,
+         CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1), 6)
+              AS DECIMAL(18,6)) AS idf
+  FROM dfreq, stats
+),
+scored AS (
+  SELECT t.doc_id, t.word,
+         CAST(round(CAST(idf AS DOUBLE) * (t.tf * ({_BM25_K1} + 1))
+               / (t.tf + {_BM25_K1} * (1 - {_BM25_B}
+                  + {_BM25_B} * d.len / avglen)), 6)
+              AS DECIMAL(18,6)) AS s
+  FROM tf t
+  JOIN dl d ON t.doc_id = d.doc_id
+  JOIN widf ON t.word = widf.word, stats
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms_hit,
+       CAST(sum(s) AS DOUBLE) AS score
+FROM scored
+WHERE word IN ({", ".join(f"'{w}'" for w in _SEARCH_TERMS)})
+GROUP BY doc_id
+ORDER BY score DESC, n_terms_hit DESC, doc_id ASC
+LIMIT 20
+""",
+)
+def text_search_bm25(spark, sf_dir):
+    """BM25 ranked retrieval (k1=1.2, b=0.75, the Lucene-style
+    +1-inside-the-log idf so no term scores negative) — the standard
+    keyword-search ranking, with raw term frequency saturating and
+    document-length normalization, which plain TF-IDF summing lacks.
+    Determinism: idf is rounded once per VOCAB word, the per-posting
+    score once per (doc, word) — every input to those expressions
+    (tf, len ints; avglen one exact division) is identical on both
+    engines, and the doc-level sum rides DECIMAL. Same pushdown shape
+    as text_search_tfidf: the IN-set prunes postings before scoring at
+    the final filter, top-k is TakeOrdered."""
+    from wikipedia_data_pipeline_spark.operators.text import tokenize
+
+    toks = tokenize(load_table(spark, sf_dir, "documents"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(
+        (F.sum("len").cast("double") / F.count(F.lit(1))).alias("avglen"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    widf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "word",
+        F.round(
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("idf"),
+    )
+    scored = (
+        tf.filter(F.col("word").isin(_SEARCH_TERMS))
+        .join(dl, "doc_id")
+        .join(F.broadcast(widf), "word")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf").cast("double")
+                * (F.col("tf") * (_BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (
+                        1
+                        - _BM25_B
+                        + _BM25_B * F.col("len") / F.col("avglen")
+                    )
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.sum("s").cast("double").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.desc("n_terms_hit"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_readability_scores",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         greatest(len(regexp_split_to_array(text, '[.!?]+')) - 1, 1)
+           AS n_sentences,
+         len(regexp_split_to_array(lower(text), '[aeiouy]+')) - 1
+           AS n_vowel_groups
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_vowel_groups,
+       CAST(n_words AS DOUBLE) / n_sentences AS words_per_sentence,
+       CAST(n_vowel_groups AS DOUBLE) / n_words AS syllables_per_word
+FROM t
+""",
+)
+def text_readability_scores(spark, sf_dir):
+    """Flesch-style readability inputs: words per sentence and a
+    vowel-group syllable proxy per word — the complexity gate that
+    complements the length/stopword quality scores (legalese and
+    machine-generated run-ons fail words-per-sentence long before they
+    fail length filters). Pure regex counting, one narrow map; counts
+    are integers and each ratio one exact IEEE division."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    n_sentences = F.greatest(
+        F.size(F.split(F.col("text"), "[.!?]+")) - 1, F.lit(1)
+    )
+    n_vowels = F.size(F.split(F.lower(F.col("text")), "[aeiouy]+")) - 1
+    t = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sentences.cast("long").alias("n_sentences"),
+        n_vowels.cast("long").alias("n_vowel_groups"),
+    )
+    return t.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_vowel_groups",
+        (F.col("n_words").cast("double") / F.col("n_sentences")).alias(
+            "words_per_sentence"
+        ),
+        (F.col("n_vowel_groups").cast("double") / F.col("n_words")).alias(
+            "syllables_per_word"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-language vocabulary overlap
+# ---------------------------------------------------------------------------
+
+_VOCABJ_ORACLE = """
+WITH v AS (
+  SELECT DISTINCT lang, lower(w) AS w
+  FROM documents, unnest(string_split(text, ' ')) AS u(w)
+  WHERE len(w) > 0
+),
+sizes AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words FROM v GROUP BY lang),
+inter AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM v a JOIN v b ON a.w = b.w AND a.lang < b.lang
+  GROUP BY a.lang, b.lang
+)
+SELECT lang_a, lang_b, n_common,
+       sa.n_words AS n_words_a, sb.n_words AS n_words_b,
+       CAST(n_common AS DOUBLE)
+         / CAST(sa.n_words + sb.n_words - n_common AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON lang_a = sa.lang
+JOIN sizes sb ON lang_b = sb.lang
+"""
+
+
+@register("documents_vocab_overlap_langs", oracle=_VOCABJ_ORACLE)
+def documents_vocab_overlap_langs(spark, sf_dir):
+    """Vocabulary Jaccard between language slices of the corpus — the
+    contamination/quality probe for the language gate: high overlap
+    between two "languages" means the lang labels are unreliable (or
+    the corpus is code-switched), and that langid-dependent curation
+    (stratified sampling, per-lang quotas) is built on sand.
+
+    Distinct (lang, word) vocabularies collapse the corpus once;
+    intersections come from the word-keyed equi-join of that collapsed
+    relation (shuffle on word — the scale-safe key: join fan-out is
+    bounded by words shared across languages, and the |langs|²-row
+    result joins back to broadcast sizes). Integer counts → one double
+    ratio.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    v = (
+        d.select(
+            "lang",
+            F.explode(F.split(F.col("text"), " ")).alias("w"),
+        )
+        .filter(F.length("w") > 0)
+        .select("lang", F.lower(F.col("w")).alias("w"))
+        .distinct()
+    )
+    sizes = v.groupBy("lang").agg(F.count(F.lit(1)).alias("n_words"))
+    a = v.select(F.col("lang").alias("lang_a"), "w")
+    b = v.select(F.col("lang").alias("lang_b"), "w")
+    inter = (
+        a.join(b, ["w"])
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("lang").alias("lang_a"), F.col("n_words").alias("n_words_a")
+    )
+    sb = sizes.select(
+        F.col("lang").alias("lang_b"), F.col("n_words").alias("n_words_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_common",
+            "n_words_a",
+            "n_words_b",
+            (
+                F.col("n_common").cast("double")
+                / (
+                    F.col("n_words_a")
+                    + F.col("n_words_b")
+                    - F.col("n_common")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )

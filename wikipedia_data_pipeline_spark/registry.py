@@ -194,6 +194,18 @@ def _load_all() -> None:
         profiling_queries,
         timeseries_queries,
         sequence_queries,
+        # round-7 split of the former 8.4k-line profiling grab-bag
+        # along SURVEY family lines (registration order after the
+        # driver prefix is cosmetic — the ~50-slot window is addressed
+        # by NAME via _PINNED/_ROTATION):
+        textcorpus_queries,
+        sketch_queries,
+        stats_queries,
+        mleval_queries,
+        finance_queries,
+        graph_queries,
+        privacy_queries,
+        spatial_queries,
     )
 
     _LOADED = True
