@@ -168,6 +168,8 @@ EXTRA = [
     "ml_eval_auc_events",
     "ml_eval_gains_table",
     "events_ccf_view_click",
+    # round 7: the BIGINT-cents family (decimal-tax work, BASELINE.md §d)
+    "q1_pricing_summary_cents",
 ]
 
 

@@ -83,9 +83,12 @@ def _duck_worker(sql, sf_dir, q):
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
-    t0 = time.perf_counter()
-    con.execute(sql).fetchall()
-    q.put(round(time.perf_counter() - t0, 2))
+    best = float("inf")
+    for _ in range(2):  # best-of-2: first run doubles as page-cache warmup
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        best = min(best, time.perf_counter() - t0)
+    q.put(round(best, 2))
 
 
 def duck_time(sql, sf_dir):
@@ -138,11 +141,21 @@ def main() -> None:
     queries = registry.spark_queries()
     oracles = registry.oracle_queries()
 
+    # Global warmup: the first measured query otherwise pays JVM/codegen
+    # warmup AND the cold page-cache read of the whole 1.7 GB replica
+    # (observed: q1 at 18 s cold vs 6 s warm). One full-table count per
+    # fact table touches every page; one q1 pass warms codegen.
+    for t in ("lineitem", "orders", "events", "documents"):
+        spark.read.parquet(os.path.join(dir100, f"{t}.parquet")).count()
+    queries["q1_pricing_summary"](spark, dir100).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     spark_t: dict[str, float] = {}
     duck_t: dict = {}
     for name in PROBE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             df = queries[name](spark, dir100)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
@@ -169,7 +182,7 @@ def main() -> None:
         "ratio_per_query": ratios,
         "notes": (
             "best-of-2 warm Spark times on local[%s]; DuckDB twin = the "
-            "gate-proven oracle SQL, single run, %ss budget. "
+            "gate-proven oracle SQL, best-of-2, %ss total budget. "
             "q1_pricing_summary_cents is the BIGINT-cents A/B of the "
             "DECIMAL q1 (dec_over_cents = %s)."
             % (

@@ -33,6 +33,55 @@ def sql_dec_sum(expr: str, alias: str) -> str:
     return f"CAST(sum(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
 
 
+UNIT = 1_000_000  # micro-dollar quantum of cents_sum (10^-6)
+
+
+def cents_sum(col: Column | str, alias: str) -> Column:
+    """Order-independent SUM of a micro-unit-quantized double column by
+    exact BIGINT accumulation — ``dec_sum``'s fast twin.
+
+    Equivalence: for any double whose true value is a multiple of 1e-6
+    (money columns are cent-quantized by the data contract; derived
+    prices like extendedprice*(1-discount) are 1e-4-quantized),
+    ``round(x*1e6)`` recovers the exact integer micro-units — the same
+    quantity DECIMAL(18,6) casting extracts (verified row-for-row on
+    every money/value column in the testdata) — so the sum is the same
+    exact rational and the final double is bit-identical to dec_sum's.
+    What changes is the aggregation buffer: a 64-bit long instead of a
+    precision-28 decimal, which Spark boxes into JVM BigDecimal on
+    every row (measured 4.5x on q1 at the 100x replica, BASELINE.md
+    §d).
+
+    Headroom: the long accumulator silently wraps past 2^63 micro-
+    units (~9.2e12 dollars) PER GROUP — ~60x the total revenue of the
+    100x replica. Beyond that, keep dec_sum (or sum the same rounded
+    longs as DECIMAL(38,0)). Not the default for arbitrary doubles:
+    on sub-quantum values binary round() and decimal-string casting
+    legitimately disagree."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(F.round(c * UNIT).cast("long")).cast("double") / UNIT
+    ).alias(alias)
+
+
+def cents_units(col: Column | str) -> Column:
+    """Per-row exact micro-units (BIGINT) of a quantized double — the
+    raw accumulator cents_sum sums; exposed for running-sum operators
+    (ordered_scan) that must carry the exact integer, not the double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * UNIT).cast("long")
+
+
+def sql_cents_sum(expr: str, alias: str) -> str:
+    """DuckDB twin of ``cents_sum``. The inner BIGINT cast pins the
+    hugeint sum back to the exact 64-bit integer Spark accumulates
+    before the (shared, correctly-rounded) double conversion."""
+    return (
+        f"CAST(CAST(sum(CAST(round(({expr}) * {UNIT}) AS BIGINT)) AS BIGINT)"
+        f" AS DOUBLE) / {UNIT} AS {alias}"
+    )
+
+
 def sql_dec_avg(expr: str, alias: str) -> str:
     """DuckDB twin of ``dec_avg``."""
     return (

@@ -67,8 +67,8 @@ WITH agg AS (
   SELECT o_custkey,
          max(CAST(o_orderdate AS DATE)) AS last_order,
          count(*) AS frequency,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
-           AS monetary
+         CAST(CAST(sum(CAST(round(o_totalprice * 1000000) AS BIGINT))
+                   AS BIGINT) AS DOUBLE) / 1000000 AS monetary
   FROM orders GROUP BY o_custkey
 )
 SELECT o_custkey, last_order, frequency, monetary,
@@ -94,14 +94,17 @@ def customer_rfm_segments(spark, sf_dir):
     customer-sized aggregate (each ~2 shuffles of entity rows — cheap
     next to the fact-table agg, and every pass is fully parallel).
     """
-    from wikipedia_data_pipeline_spark.functions import dec_sum
+    from wikipedia_data_pipeline_spark.functions import cents_sum
     from wikipedia_data_pipeline_spark.operators.ranks import global_ntile
 
     orders = load_table(spark, sf_dir, "orders")
     agg = orders.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
-        dec_sum("o_totalprice", "monetary"),
+        # exact BIGINT micro-unit sum (functions.cents_sum): same value
+        # as the DECIMAL route bit-for-bit (per-customer sums sit well
+        # under 2^53), several times faster (BASELINE.md section d)
+        cents_sum("o_totalprice", "monetary"),
     )
     seg = global_ntile(
         agg, [F.desc("last_order"), F.asc("o_custkey")], 4, "r_quartile"
@@ -213,63 +216,67 @@ def revenue_mom_change(spark, sf_dir):
     oracle="""
 WITH cust AS (
   SELECT o_custkey,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
-           AS revenue
+         CAST(CAST(sum(CAST(round(o_totalprice * 1000000) AS BIGINT))
+                   AS BIGINT) AS BIGINT) AS rev_u
   FROM orders GROUP BY o_custkey
 ),
 dec AS (
-  SELECT o_custkey, revenue,
-         CAST(ntile(10) OVER (ORDER BY revenue DESC, o_custkey)
+  SELECT o_custkey, rev_u,
+         CAST(ntile(10) OVER (ORDER BY rev_u DESC, o_custkey)
               AS BIGINT) AS decile
   FROM cust
 ),
 tot AS (
-  SELECT CAST(sum(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE) AS total
-  FROM dec
+  SELECT CAST(sum(rev_u) AS BIGINT) AS total_u FROM dec
 )
 SELECT decile, count(*) AS n_customers,
-       CAST(sum(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE)
+       CAST(CAST(sum(rev_u) AS BIGINT) AS DOUBLE) / 1000000
          AS revenue_total,
-       CAST(sum(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE)
-         / (SELECT total FROM tot) AS revenue_share
+       CAST(CAST(sum(rev_u) AS BIGINT) AS DOUBLE)
+         / CAST((SELECT total_u FROM tot) AS DOUBLE) AS revenue_share
 FROM dec GROUP BY decile
 """,
 )
 def revenue_concentration_deciles(spark, sf_dir):
     """Revenue concentration (whale curve): customers ranked into
-    revenue deciles, each decile's share of total — decimal-routed
-    sums at every level so the shares are bit-portable. The decile
+    revenue deciles, each decile's share of total — exact BIGINT
+    micro-unit sums at every level (round 7; see functions.cents_sum
+    and BASELINE.md §d for the measured DECIMAL-buffer tax this
+    removes), so the shares stay bit-portable. The decile
     assignment is ``operators.ranks.global_ntile`` (hierarchical
     range-partitioned scan over the customer-sized aggregate) — never
     an unpartitioned ntile window, which would serialize 1e8+ entity
     rows through one task at 100 TB."""
-    from wikipedia_data_pipeline_spark.functions import dec_sum
+    from wikipedia_data_pipeline_spark.functions import UNIT, cents_units
     from wikipedia_data_pipeline_spark.operators.ranks import global_ntile
 
     orders = load_table(spark, sf_dir, "orders")
+    # exact BIGINT micro-units end to end (functions.cents_units):
+    # per-customer and per-decile sums are exact integers, the share is
+    # one double division of two exact longs — no decimal buffer
+    # anywhere (BASELINE.md section d prices that buffer at 4.5x)
     cust = orders.groupBy("o_custkey").agg(
-        dec_sum("o_totalprice", "revenue")
+        F.sum(cents_units("o_totalprice")).alias("rev_u")
     )
     dec = global_ntile(
-        cust, [F.desc("revenue"), F.asc("o_custkey")], 10, "decile"
+        cust, [F.desc("rev_u"), F.asc("o_custkey")], 10, "decile"
     )
-    total = dec.agg(
-        F.sum(F.col("revenue").cast("decimal(18,6)"))
-        .cast("double")
-        .alias("total")
-    )
+    total = dec.agg(F.sum("rev_u").alias("total_u"))
     return (
         dec.groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            dec_sum("revenue", "revenue_total"),
+            F.sum("rev_u").alias("dec_u"),
         )
         .crossJoin(F.broadcast(total))
         .select(
             "decile",
             "n_customers",
-            "revenue_total",
-            (F.col("revenue_total") / F.col("total")).alias("revenue_share"),
+            (F.col("dec_u").cast("double") / UNIT).alias("revenue_total"),
+            (
+                F.col("dec_u").cast("double")
+                / F.col("total_u").cast("double")
+            ).alias("revenue_share"),
         )
     )
 
@@ -542,23 +549,23 @@ def events_user_max_drawdown(spark, sf_dir):
     oracle="""
 WITH rev AS (
   SELECT l_partkey,
-         CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                       AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         CAST(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount))
+                                  * 1000000) AS BIGINT)) AS BIGINT)
+              AS BIGINT) AS rev_u
   FROM lineitem GROUP BY l_partkey
 ),
 ranked AS (
-  SELECT l_partkey, revenue,
-         CAST(sum(CAST(revenue AS DECIMAL(18,6)))
-              OVER (ORDER BY revenue DESC, l_partkey ASC
+  SELECT l_partkey, rev_u,
+         CAST(sum(rev_u)
+              OVER (ORDER BY rev_u DESC, l_partkey ASC
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              AS DOUBLE) AS cum_rev,
-         CAST(sum(CAST(revenue AS DECIMAL(18,6))) OVER () AS DOUBLE)
-           AS total_rev
+              AS BIGINT) AS cum_u,
+         CAST(sum(rev_u) OVER () AS BIGINT) AS total_u
   FROM rev
 )
-SELECT l_partkey, revenue,
-       CASE WHEN cum_rev <= 0.8 * total_rev THEN 'A'
-            WHEN cum_rev <= 0.95 * total_rev THEN 'B'
+SELECT l_partkey, CAST(rev_u AS DOUBLE) / 1000000 AS revenue,
+       CASE WHEN cum_u <= CAST(total_u AS HUGEINT) * 4 // 5 THEN 'A'
+            WHEN cum_u <= CAST(total_u AS HUGEINT) * 19 // 20 THEN 'B'
             ELSE 'C' END AS abc_class
 FROM ranked
 """,
@@ -566,43 +573,57 @@ FROM ranked
 def parts_abc_classification(spark, sf_dir):
     """ABC inventory classification: parts ranked by discounted
     revenue; the running share cuts A (first 80% of revenue) / B (next
-    15%) / C (tail). The running sum is DECIMAL-routed end to end
-    (both engines), so it — and therefore every class boundary — is
-    exact and identical under ANY block decomposition; that exactness
-    is what licenses computing it with the hierarchical
-    ``operators.ranks.ordered_scan`` instead of an unpartitioned
-    running-sum window (|parts| at 100 TB is 1e8+ — a global window
-    would serialize the part relation through one task). The grand
-    total comes from the scan's blocks relation for free (no second
-    aggregate pass). The whale-curve complement to
+    15%) / C (tail). Round 7: the whole chain is exact BIGINT
+    micro-units (``functions.cents_units`` — discounted revenue is
+    1e-4-quantized so round(x*1e6) is lossless; BASELINE.md §d measures
+    the DECIMAL buffer this replaces at 4.5x on q1), and the A/B/C
+    boundaries are INTEGER comparisons (cum*10 <= total*8), so every
+    class is exact at any scale with no double rounding anywhere.
+    Exact integer running sums are order-independent, which licenses
+    computing them with the hierarchical ``operators.ranks.
+    ordered_scan`` instead of an unpartitioned running-sum window
+    (|parts| at 100 TB is 1e8+ — a global window would serialize the
+    part relation through one task). The grand total comes from the
+    scan's blocks relation for free (no second aggregate pass).
+    Headroom: the running sum itself wraps at 2^63 micro-dollars
+    (~9.2e12 dollars, ~4x the 100x replica's total); the threshold
+    arithmetic is DECIMAL-routed so it adds no earlier bound. The whale-curve complement to
     revenue_concentration_deciles."""
-    from wikipedia_data_pipeline_spark.functions import dec_sum
+    from wikipedia_data_pipeline_spark.functions import UNIT, cents_units
     from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
 
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
-        dec_sum(
-            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
-            "revenue",
-        )
+        F.sum(
+            cents_units(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            )
+        ).alias("rev_u")
     )
     sc = ordered_scan(
         rev,
-        [F.desc("revenue"), F.asc("l_partkey")],
-        running=[("cum_dec", F.col("revenue").cast("decimal(18,6)"), "sum")],
+        [F.desc("rev_u"), F.asc("l_partkey")],
+        running=[("cum_u", F.col("rev_u"), "sum")],
         with_totals=True,
     )
-    ranked = sc.select(
+    # integer-exact class thresholds WITHOUT overflowing int64: the
+    # grand total in micro-units already nears 2^61 at the 100x replica
+    # (ANSI mode catches total*100 loudly), so the scaled comparisons
+    # route through DECIMAL(38,0) floor-division — thr = floor(total *
+    # 4/5), the exact integer form of cum/total <= 0.8 (DuckDB twin:
+    # HUGEINT `//`). Per-row cost is a decimal compare on the part-
+    # sized relation only.
+    tot = F.col("cum_u_total").cast("decimal(38,0)")
+
+    def thr(num, den):
+        scaled = tot * num
+        return ((scaled - scaled % den) / den).cast("decimal(38,0)")
+
+    return sc.select(
         "l_partkey",
-        "revenue",
-        F.col("cum_dec").cast("double").alias("cum_rev"),
-        F.col("cum_dec_total").cast("double").alias("total_rev"),
-    )
-    return ranked.select(
-        "l_partkey",
-        "revenue",
-        F.when(F.col("cum_rev") <= 0.8 * F.col("total_rev"), "A")
-        .when(F.col("cum_rev") <= 0.95 * F.col("total_rev"), "B")
+        (F.col("rev_u").cast("double") / UNIT).alias("revenue"),
+        F.when(F.col("cum_u") <= thr(4, 5), "A")
+        .when(F.col("cum_u") <= thr(19, 20), "B")
         .otherwise("C")
         .alias("abc_class"),
     )

@@ -18,8 +18,10 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from wikipedia_data_pipeline_spark.functions import (
+    cents_sum,
     dec_avg,
     dec_sum,
+    sql_cents_sum,
     sql_dec_avg,
     sql_dec_sum,
     ts_us,
@@ -825,14 +827,17 @@ def scalar_json_funcs(spark, sf_dir):
     oracle=f"""
 SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_s, event_type,
        count(*) AS n_events,
-       {sql_dec_sum('value', 'total_value')},
+       {sql_cents_sum('value', 'total_value')},
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2
 """,
 )
 def events_hourly_rollup(spark, sf_dir):
     """Tumbling 1-hour windows in the exact integer µs domain (the batch
-    twin of the streaming windowed agg)."""
+    twin of the streaming windowed agg). value is cent-quantized, so
+    the rollup sum is an exact BIGINT micro-unit accumulation
+    (functions.cents_sum) — bit-identical to the DECIMAL route, minus
+    its per-row BigDecimal buffer (BASELINE.md §d)."""
     ev = load_table(spark, sf_dir, "events")
     bucket = (ts_us().cast("long") - (ts_us().cast("long") % 3_600_000_000)) / 1_000_000
     return (
@@ -840,7 +845,7 @@ def events_hourly_rollup(spark, sf_dir):
         .groupBy("bucket_s", "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            dec_sum("value", "total_value"),
+            cents_sum("value", "total_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )
