@@ -37,3 +37,17 @@ def test_ratio_set_is_oracle_backed_and_excludes_quadratic_twin():
     # every twin the ratio cites is proven equivalent by the gate
     assert all(n in oracles for n in twins)
     assert "dedup_minhash_lsh" in bench.RATIO_EXCLUDE
+
+
+def test_scaled100_block_names_are_registered_oracle_twins():
+    """The 100x decimal-tax block (round 7) cites DuckDB twins, so every
+    name must be registered AND oracle-backed — including the cents A/B
+    pair the block's decimal_tax field depends on."""
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    start = src.index("names100 = [")
+    names = eval(src[start + len("names100 = ") : src.index("]", start) + 1])
+    oracles = registry.oracle_queries()
+    assert {"q1_pricing_summary", "q1_pricing_summary_cents"} <= set(names)
+    assert all(n in oracles for n in names), [n for n in names if n not in oracles]

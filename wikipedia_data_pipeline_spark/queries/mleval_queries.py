@@ -573,3 +573,230 @@ def ml_eval_gains_table(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+# --- Exact ranking evaluation: NDCG@10 (round 7) ------------------------
+#
+# Discount table 1/log2(i+1) for positions 1..10, frozen as shortest
+# round-trip double literals so BOTH engines parse the identical IEEE
+# values — transcendentals never cross engines unrounded (the
+# quantize-once discipline of events_kl_user_vs_global, here
+# degenerating to ten compile-time constants).
+
+_NDCG_K = 10
+_NDCG_DISC = [
+    1.0, 0.6309297535714575, 0.5, 0.43067655807339306,
+    0.38685280723454163, 0.3562071871080222, 0.3333333333333333,
+    0.31546487678572877, 0.3010299956639812, 0.2890648263178879,
+]
+_SQL_DISC = "CASE rnk " + " ".join(
+    f"WHEN {i + 1} THEN {d!r}" for i, d in enumerate(_NDCG_DISC)
+) + " END"
+
+
+@register(
+    "ml_eval_ndcg_events",
+    oracle=f"""
+WITH scored AS (
+  SELECT user_id, event_id, value AS score,
+         CAST(({SQL_DET_HASH.format(col="event_id")}) % 3 AS BIGINT) AS rel
+  FROM events
+),
+by_score AS (
+  SELECT user_id, rel,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY score DESC, event_id) AS rnk
+  FROM scored
+),
+dcg AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(rel * ({_SQL_DISC}) * 1000000000) AS BIGINT))
+              AS BIGINT) AS dcg_q
+  FROM by_score WHERE rnk <= {_NDCG_K} GROUP BY user_id
+),
+by_rel AS (
+  SELECT user_id, rel,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY rel DESC, event_id) AS rnk
+  FROM scored
+),
+idcg AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(rel * ({_SQL_DISC}) * 1000000000) AS BIGINT))
+              AS BIGINT) AS idcg_q
+  FROM by_rel WHERE rnk <= {_NDCG_K} GROUP BY user_id
+),
+per_user AS (
+  SELECT dcg.user_id,
+         CAST(round(CAST(dcg_q AS DOUBLE) / idcg_q * 1000000000) AS BIGINT)
+           AS ndcg_q
+  FROM dcg JOIN idcg ON dcg.user_id = idcg.user_id
+  WHERE idcg_q > 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(CAST(sum(ndcg_q) AS BIGINT) AS DOUBLE) / count(*) / 1000000000
+         AS mean_ndcg_at_10
+FROM per_user
+""",
+)
+def ml_eval_ndcg_events(spark, sf_dir):
+    """Exact NDCG@10 — the ranking metric that completes the
+    model-evaluation family (AUC: ml_eval_auc_events; gains/lift:
+    ml_eval_gains_table): per user, events ranked by score with graded
+    hash relevance (0/1/2), DCG against the per-user ideal ordering.
+    Exactness: each rel*discount term is quantized once to nano-units
+    and summed as BIGINT (per-user sums are order-free), the per-user
+    NDCG ratio re-quantized before the corpus mean — so the one output
+    double is bit-identical in both engines despite ten transcendental
+    constants and two divisions. Scale: two user-partitioned top-10
+    windows (user-sized groups, fully parallel) + one user-keyed join;
+    nothing global but the final 1-row mean."""
+    from pyspark.sql import Window
+
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    k = _NDCG_K
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in _NDCG_DISC]), F.col("rnk").cast("int")
+    )
+    term = F.round(F.col("rel") * disc * 1_000_000_000).cast("long")
+    scored = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("score"),
+        (det_hash("event_id") % 3).cast("long").alias("rel"),
+    )
+    w_score = Window.partitionBy("user_id").orderBy(
+        F.desc("score"), F.asc("event_id")
+    )
+    dcg = (
+        scored.withColumn("rnk", F.row_number().over(w_score))
+        .filter(F.col("rnk") <= k)
+        .groupBy("user_id")
+        .agg(F.sum(term).cast("long").alias("dcg_q"))
+    )
+    w_rel = Window.partitionBy("user_id").orderBy(
+        F.desc("rel"), F.asc("event_id")
+    )
+    idcg = (
+        scored.withColumn("rnk", F.row_number().over(w_rel))
+        .filter(F.col("rnk") <= k)
+        .groupBy("user_id")
+        .agg(F.sum(term).cast("long").alias("idcg_q"))
+    )
+    per_user = (
+        dcg.join(idcg, "user_id")
+        .filter(F.col("idcg_q") > 0)
+        .select(
+            F.round(
+                F.col("dcg_q").cast("double")
+                / F.col("idcg_q")
+                * 1_000_000_000
+            )
+            .cast("long")
+            .alias("ndcg_q")
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        (
+            F.sum("ndcg_q").cast("double")
+            / F.count(F.lit(1))
+            / 1_000_000_000
+        ).alias("mean_ndcg_at_10"),
+    )
+
+
+@register(
+    "features_woe_binning",
+    oracle=f"""
+WITH scored AS (
+  SELECT event_id, value,
+         CAST(({SQL_DET_HASH.format(col="user_id")}) % 2 AS BIGINT) AS label
+  FROM events
+),
+binned AS (
+  SELECT label,
+         CAST(ntile(10) OVER (ORDER BY value, event_id) AS BIGINT) AS bin
+  FROM scored
+),
+per AS (
+  SELECT bin,
+         CAST(sum(label) AS BIGINT) AS n_pos,
+         CAST(count(*) - sum(label) AS BIGINT) AS n_neg
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT CAST(sum(n_pos) AS BIGINT) AS p, CAST(sum(n_neg) AS BIGINT) AS n
+  FROM per
+),
+woe AS (
+  SELECT bin, n_pos, n_neg,
+         CAST(round(ln((CAST(n_pos AS DOUBLE) * t.n)
+                       / (CAST(n_neg AS DOUBLE) * t.p)) * 1000000000)
+              AS BIGINT) AS woe_q,
+         CAST(n_pos AS DOUBLE) / t.p - CAST(n_neg AS DOUBLE) / t.n AS dp
+  FROM per, tot t
+  WHERE n_pos > 0 AND n_neg > 0
+)
+SELECT bin, n_pos, n_neg,
+       CAST(woe_q AS DOUBLE) / 1000000000 AS woe,
+       dp * (CAST(woe_q AS DOUBLE) / 1000000000) AS iv_term
+FROM woe
+""",
+)
+def features_woe_binning(spark, sf_dir):
+    """Weight-of-Evidence / Information-Value binning — the
+    credit-scoring encoder that turns a numeric feature into
+    monotonic-risk bins: value deciles (global_ntile — the
+    hierarchical NTILE, no single-partition sort of the fact table),
+    per-bin WoE = ln(odds ratio) and its IV contribution. The ln is
+    applied to an IDENTICAL double ratio built from exact integer
+    counts and quantized once per bin to nano-nats (10 quantized
+    transcendentals total — the events_kl_user_vs_global discipline),
+    so the report replays exactly. Bins with a zero class are excluded
+    in both engines (WoE undefined there). Completes the ML feature
+    prep family: hashing trick, LOO target encoding, int8
+    quantization, now supervised binning."""
+    from wikipedia_data_pipeline_spark.operators.ranks import global_ntile
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    scored = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        (det_hash("user_id") % 2).cast("long").alias("label"),
+    )
+    binned = global_ntile(
+        scored, [F.asc("value"), F.asc("event_id")], 10, "bin"
+    )
+    per = binned.groupBy("bin").agg(
+        F.sum("label").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("long").alias("n_neg"),
+    )
+    tot = per.agg(
+        F.sum("n_pos").cast("long").alias("p"),
+        F.sum("n_neg").cast("long").alias("n"),
+    )
+    woe_q = (
+        F.round(
+            F.log(
+                (F.col("n_pos").cast("double") * F.col("n"))
+                / (F.col("n_neg").cast("double") * F.col("p"))
+            )
+            * 1_000_000_000
+        )
+    ).cast("long")
+    dp = F.col("n_pos").cast("double") / F.col("p") - F.col(
+        "n_neg"
+    ).cast("double") / F.col("n")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            "bin",
+            "n_pos",
+            "n_neg",
+            (woe_q.cast("double") / 1_000_000_000).alias("woe"),
+            (dp * (woe_q.cast("double") / 1_000_000_000)).alias("iv_term"),
+        )
+    )

@@ -1596,3 +1596,143 @@ def events_pattern_match(spark, sf_dir):
             F.sum((F.col("h") > 0).cast("int")).cast("long").alias("n_users"),
         )
     )
+
+
+# --- Incremental JOIN-MV maintenance (round 7) --------------------------
+
+
+@register(
+    "incremental_mv_join_pairs",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type, event_id FROM events
+  WHERE event_type IN ('view', 'click')
+),
+mv0 AS (
+  SELECT user_id,
+         CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS nv0,
+         CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS nc0
+  FROM ev WHERE event_id % 10 < 8 GROUP BY user_id
+),
+d AS (
+  SELECT user_id,
+         CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS dv,
+         CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS dc
+  FROM ev WHERE event_id % 10 >= 8 GROUP BY user_id
+),
+inc AS (
+  SELECT coalesce(mv0.user_id, d.user_id) AS user_id,
+         coalesce(nv0, 0) * coalesce(nc0, 0)
+         + coalesce(nv0, 0) * coalesce(dc, 0)
+         + coalesce(dv, 0) * coalesce(nc0, 0)
+         + coalesce(dv, 0) * coalesce(dc, 0) AS pairs_incremental
+  FROM mv0 FULL OUTER JOIN d ON mv0.user_id = d.user_id
+),
+full_v AS (
+  SELECT user_id,
+         CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+         * CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+           AS pairs_recomputed
+  FROM ev GROUP BY user_id
+)
+SELECT inc.user_id,
+       CAST(pairs_incremental AS BIGINT) AS pairs_incremental,
+       pairs_recomputed
+FROM inc JOIN full_v ON inc.user_id = full_v.user_id
+ORDER BY pairs_incremental DESC, inc.user_id ASC
+LIMIT 50
+""",
+)
+def incremental_mv_join_pairs(spark, sf_dir):
+    """Incremental maintenance of a JOIN materialized view — the delta
+    rule a warehouse applies instead of re-running the join on every
+    batch: for MV = A join B, the new batch contributes
+    dA join B + A join dB + dA join dB. Here the view is the per-user
+    view-x-click pair count (the join-cardinality relation), its
+    aggregate form making every term a product of counts:
+    (nv0+dv)(nc0+dc) expanded into the four delta terms. The audit
+    column recomputes from scratch; the two must agree exactly —
+    counts, so integer-exact by construction. Completes the
+    incremental family (aggregate MV: incremental_mv_orders; distinct:
+    incremental_distinct_users[_kmv]; this is the join shape). Scale:
+    both arms are one hash agg + a key-partitioned outer join of
+    entity-sized relations — the delta arm touches only |batch| fact
+    rows, which is the point of maintenance at 100 TB."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    nv = F.count(F.when(F.col("event_type") == "view", 1)).cast("long")
+    nc = F.count(F.when(F.col("event_type") == "click", 1)).cast("long")
+    mv0 = (
+        ev.filter(F.col("event_id") % 10 < 8)
+        .groupBy("user_id")
+        .agg(nv.alias("nv0"), nc.alias("nc0"))
+    )
+    d = (
+        ev.filter(F.col("event_id") % 10 >= 8)
+        .groupBy("user_id")
+        .agg(nv.alias("dv"), nc.alias("dc"))
+    )
+    z = F.lit(0)
+    inc = mv0.join(d, "user_id", "full_outer").select(
+        "user_id",
+        (
+            F.coalesce("nv0", z) * F.coalesce("nc0", z)
+            + F.coalesce("nv0", z) * F.coalesce("dc", z)
+            + F.coalesce("dv", z) * F.coalesce("nc0", z)
+            + F.coalesce("dv", z) * F.coalesce("dc", z)
+        )
+        .cast("long")
+        .alias("pairs_incremental"),
+    )
+    full_v = ev.groupBy("user_id").agg(
+        (nv * nc).cast("long").alias("pairs_recomputed")
+    )
+    return (
+        inc.join(full_v, "user_id")
+        .orderBy(F.desc("pairs_incremental"), F.asc("user_id"))
+        .limit(50)
+        .select("user_id", "pairs_incremental", "pairs_recomputed")
+    )
+
+
+@register(
+    "orders_merkle_segments",
+    oracle=f"""
+SELECT o_orderkey // 8192 AS segment,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(CAST(sum({SQL_DET_HASH.format(col="o_orderkey")}) AS BIGINT)
+            AS BIGINT) AS key_checksum,
+       CAST(CAST(sum(CAST(round(o_totalprice * 1000000) AS BIGINT))
+                 AS BIGINT) AS BIGINT) AS value_checksum_u
+FROM orders
+GROUP BY 1
+""",
+)
+def orders_merkle_segments(spark, sf_dir):
+    """Segment-granular table checksums — the Merkle-style companion to
+    orders_integrity_checksum (which certifies the WHOLE table in one
+    row): key-range segments each carry a row count, an associative
+    portable key-hash sum, and the exact micro-unit money total, so two
+    replicas that disagree can binary-search the divergence to an
+    8192-key segment instead of re-scanning the table — the
+    anti-entropy shape replicated stores run continuously. Every
+    checksum is an order-independent integer sum (det_hash <= 2^31 per
+    row; micro-units exact by the cents_sum contract), so the relation
+    is bit-identical under any partitioning and any engine. One hash
+    aggregate, segment-keyed — nothing global."""
+    from wikipedia_data_pipeline_spark.functions import cents_units
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    orders = load_table(spark, sf_dir, "orders")
+    seg = (
+        (F.col("o_orderkey") - F.col("o_orderkey") % 8192)
+        .cast("decimal(38,0)") / 8192
+    ).cast("long")
+    return orders.groupBy(seg.alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(det_hash("o_orderkey")).cast("long").alias("key_checksum"),
+        F.sum(cents_units("o_totalprice"))
+        .cast("long")
+        .alias("value_checksum_u"),
+    )

@@ -1050,3 +1050,83 @@ def sketch_kmv_jaccard_matrix(spark, sf_dir):
             (F.col("e_inter") / F.col("e_union")).alias("j_kmv"),
         )
     )
+
+
+# --- Join-cardinality estimation from a hash key sample (round 7) -------
+#
+# The optimizer-statistics shape: estimate |A join B on k| without
+# running the join, by summing per-key frequency products over a
+# deterministic hash sample of the key domain and scaling by the
+# inverse sampling rate (end-biased sampling a la Flajolet; the same
+# sketch family cost-based optimizers feed on). det_hash makes the
+# sample — and therefore the estimate — bit-identical in both engines.
+
+_JC_T = 1 << 27  # keys with h < T are sampled: p = T / (2^31 - 1) ~ 1/16
+_JC_MOD = (1 << 31) - 1
+
+
+@register(
+    "sketch_join_cardinality_events",
+    oracle=f"""
+WITH per AS (
+  SELECT user_id,
+         CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS nv,
+         CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS nc
+  FROM events
+  WHERE event_type IN ('view', 'click')
+  GROUP BY user_id
+),
+exact AS (SELECT CAST(sum(nv * nc) AS BIGINT) AS exact_join_card FROM per),
+sam AS (
+  SELECT CAST(count(*) AS BIGINT) AS sampled_keys,
+         CAST(coalesce(sum(nv * nc), 0) AS BIGINT) AS s_pairs
+  FROM per
+  WHERE ({SQL_DET_HASH.format(col="user_id")}) < {_JC_T}
+)
+SELECT sam.sampled_keys,
+       CAST(sam.s_pairs AS DOUBLE) * {_JC_MOD} / {_JC_T} AS est_join_card,
+       exact.exact_join_card
+FROM sam, exact
+""",
+)
+def sketch_join_cardinality_events(spark, sf_dir):
+    """Equi-join cardinality estimate for the view-x-click self-join on
+    user_id — the statistic a cost-based optimizer wants BEFORE
+    committing to a join strategy, computed without executing the join:
+    per-key frequency products summed over a ~1/16 deterministic hash
+    sample of the key domain, scaled by the inverse rate. One hash agg
+    over the fact table (map-side partial), then two 1-row aggregates —
+    at 100 TB the whole estimator costs one shuffle of |keys| rows,
+    versus the join's |A|+|B| shuffle plus its (possibly exploding)
+    output. The exact cardinality rides along as the audit column;
+    det_hash keeps the sample replayable so the DuckDB twin matches
+    bit-for-bit rather than statistically."""
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    per = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "view", 1))
+        .cast("long")
+        .alias("nv"),
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("long")
+        .alias("nc"),
+    )
+    exact = per.agg(
+        F.sum(F.col("nv") * F.col("nc")).cast("long").alias("exact_join_card")
+    )
+    sam = per.filter(det_hash("user_id") < _JC_T).agg(
+        F.count(F.lit(1)).cast("long").alias("sampled_keys"),
+        F.coalesce(F.sum(F.col("nv") * F.col("nc")), F.lit(0))
+        .cast("long")
+        .alias("s_pairs"),
+    )
+    return sam.crossJoin(F.broadcast(exact)).select(
+        "sampled_keys",
+        (F.col("s_pairs").cast("double") * _JC_MOD / _JC_T).alias(
+            "est_join_card"
+        ),
+        "exact_join_card",
+    )

@@ -1893,3 +1893,115 @@ def events_chi2_type_dow(spark, sf_dir):
         .alias("dof"),
         F.max("n").cast("long").alias("n_events"),
     )
+
+
+# --- CUSUM change-point detection (round 7) -----------------------------
+
+
+@register(
+    "events_changepoint_value",
+    oracle=f"""
+WITH daily AS (
+  SELECT (epoch_us(ts) - (SELECT min(epoch_us(ts)) FROM events))
+           // {_US_PER_DAY} AS day_idx,
+         CAST(count(*) AS BIGINT) AS n_t,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS u_t
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT day_idx, n_t, u_t,
+         CAST(sum(n_t) OVER w AS BIGINT) AS cum_n,
+         CAST(sum(u_t) OVER w AS BIGINT) AS cum_u,
+         CAST(sum(n_t) OVER () AS BIGINT) AS tot_n,
+         CAST(sum(u_t) OVER () AS BIGINT) AS tot_u
+  FROM daily
+  WINDOW w AS (ORDER BY day_idx ROWS UNBOUNDED PRECEDING)
+),
+dev AS (
+  SELECT day_idx, cum_n, cum_u, tot_n, tot_u,
+         abs(CAST(cum_u AS DECIMAL(38,0)) * tot_n
+             - CAST(cum_n AS DECIMAL(38,0)) * tot_u) AS abs_d
+  FROM cum
+  WHERE cum_n < tot_n
+)
+SELECT day_idx AS cp_day,
+       CAST(abs_d AS DOUBLE) / tot_n / 1000000 AS cusum_stat,
+       CAST(cum_u AS DOUBLE) / cum_n / 1000000 AS mean_before,
+       CAST(tot_u - cum_u AS DOUBLE) / (tot_n - cum_n) / 1000000
+         AS mean_after
+FROM dev
+ORDER BY abs_d DESC, day_idx ASC
+LIMIT 1
+""",
+)
+def events_changepoint_value(spark, sf_dir):
+    """Single change-point detection on the daily event-value series —
+    the screen a data pipeline runs before trusting a drifting metric:
+    the split point t* maximizing the CUSUM deviation |S_t| where
+    S_t = cum(t) - (cum_rows(t)/N)*total. Everything up to the final
+    division is integer-exact: values in BIGINT micro-units (the
+    cents_sum convention), and the deviation cross-multiplied to
+    D_t = cum_u*N - cum_n*total_u through DECIMAL(38,0) (the products
+    reach ~1e23 at the 100x replica — past int64, trivially inside
+    decimal), so the argmax day is exact in both engines, not a float
+    tiebreak. The day relation is calendar-sized (~30 rows), so its
+    running window and the argmax sort are legal single-partition ops;
+    the only fact-sized work is one hash aggregate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min(F.col("ts").cast("long")).alias("t0"))
+    daily = (
+        ev.crossJoin(F.broadcast(t0))
+        .groupBy(
+            ((F.col("ts").cast("long") - F.col("t0")) / _US_PER_DAY)
+            .cast("long")
+            .alias("day_idx")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_t"),
+            F.sum(F.round(F.col("value") * 1000000).cast("long"))
+            .cast("long")
+            .alias("u_t"),
+        )
+    )
+    w = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, 0)
+    wa = Window.orderBy("day_idx").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = daily.select(
+        "day_idx",
+        F.sum("n_t").over(w).cast("long").alias("cum_n"),
+        F.sum("u_t").over(w).cast("long").alias("cum_u"),
+        F.sum("n_t").over(wa).cast("long").alias("tot_n"),
+        F.sum("u_t").over(wa).cast("long").alias("tot_u"),
+    )
+    dev = cum.filter(F.col("cum_n") < F.col("tot_n")).select(
+        "day_idx",
+        "cum_n",
+        "cum_u",
+        "tot_n",
+        "tot_u",
+        F.abs(
+            F.col("cum_u").cast("decimal(38,0)") * F.col("tot_n")
+            - F.col("cum_n").cast("decimal(38,0)") * F.col("tot_u")
+        ).alias("abs_d"),
+    )
+    return (
+        dev.orderBy(F.desc("abs_d"), F.asc("day_idx"))
+        .limit(1)
+        .select(
+            F.col("day_idx").alias("cp_day"),
+            (
+                F.col("abs_d").cast("double") / F.col("tot_n") / 1000000
+            ).alias("cusum_stat"),
+            (
+                F.col("cum_u").cast("double") / F.col("cum_n") / 1000000
+            ).alias("mean_before"),
+            (
+                (F.col("tot_u") - F.col("cum_u")).cast("double")
+                / (F.col("tot_n") - F.col("cum_n"))
+                / 1000000
+            ).alias("mean_after"),
+        )
+    )
