@@ -235,3 +235,58 @@ def test_persist_release_longevity(spark):
     # released results are still queryable (recompute from lineage)
     last = outs[-1].filter(F.col("rnk") == 500).collect()
     assert len(last) == 1
+
+
+def test_exact_quantiles_matches_rank_everything(spark, df, rows):
+    """Selection route == rank-everything route on edge ranks (1, N),
+    interior ranks, and two targets close enough to share a block."""
+    from wikipedia_data_pipeline_spark.operators.ranks import (
+        exact_quantiles,
+    )
+
+    n = len(rows)
+    ks = [1, 2, n // 3, n // 3 + 1, n // 2, n]  # adjacent pair -> same block
+    ref = {
+        r["rnk"]: (r["id"], r["k"], r["v"])
+        for r in ordered_scan(
+            df, _order(), rank_col="rnk"
+        )
+        .filter(F.col("rnk").isin(ks))
+        .collect()
+    }
+    probes = spark.createDataFrame([(k,) for k in ks], ["k"])
+    got = {
+        r["k"]: (r["id"], r["k_"], r["v"])
+        for r in exact_quantiles(
+            df.withColumnRenamed("k", "k_"),
+            [F.desc("k_"), F.asc("id")],
+            probes,
+            num_partitions=16,
+        ).collect()
+    }
+    assert len(got) == len(ks)
+    for k in ks:
+        assert got[k] == ref[k], k
+
+
+def test_exact_quantiles_single_partition_degenerate(spark):
+    """num_partitions=1: every target lands in the one block; still
+    exact, and an out-of-range rank (k > N) yields no row, not a crash."""
+    from wikipedia_data_pipeline_spark.operators.ranks import (
+        exact_quantiles,
+    )
+
+    small = spark.range(1, 101).select(
+        F.col("id"), (F.col("id") * 7 % 13).alias("v")
+    )
+    probes = spark.createDataFrame([(1,), (50,), (100,), (999,)], ["k"])
+    out = exact_quantiles(
+        small, [F.asc("v"), F.asc("id")], probes, num_partitions=1
+    ).collect()
+    assert len(out) == 3  # k=999 silently absent
+    byk = {r["k"]: (r["v"], r["id"]) for r in out}
+    ordered = sorted(
+        [(i * 7 % 13, i) for i in range(1, 101)]
+    )
+    for k in (1, 50, 100):
+        assert byk[k] == ordered[k - 1]

@@ -1602,29 +1602,31 @@ def lineitem_exact_percentiles(spark, sf_dir):
     linenumber) — a total order, so the selected row is unique — comes
     from ``operators.ranks.ordered_scan``; the quantile definition is
     the lower order statistic at rank ceil(p·N), computed with the same
-    expression in both engines. At 100 TB this is two fact-sized
-    shuffles (range + by-block) and a 3-row broadcast probe — the
-    exact-selection alternative when a sketch's error bars are not
-    acceptable (billing, SLA attestation)."""
-    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
+    expression in both engines. At 100 TB this is ONE
+    fact-sized shuffle (the range exchange), per-block counts, and a
+    local sort of only the <=3 target blocks
+    (operators.ranks.exact_quantiles — selection, not rank-everything;
+    round 7) — the exact-selection alternative when a sketch's error
+    bars are not acceptable (billing, SLA attestation)."""
+    from wikipedia_data_pipeline_spark.operators.ranks import exact_quantiles
 
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("value"), "l_orderkey", "l_linenumber"
     )
-    r = ordered_scan(
-        li,
-        ["value", "l_orderkey", "l_linenumber"],
-        rank_col="rnk",
-        with_totals=True,
-    )
-    ps = spark.range(1).select(
-        F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("p")
-    )
-    return (
-        r.join(
-            F.broadcast(ps),
-            F.col("rnk")
-            == F.ceil(F.col("p") * F.col("rnk_total")).cast("long"),
+    n = li.agg(F.count(F.lit(1)).alias("_n"))
+    ps = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+            ).alias("p")
         )
-        .select("p", "value", F.col("rnk").alias("rank_n"))
+        .crossJoin(F.broadcast(n))
+        .select("p", F.ceil(F.col("p") * F.col("_n")).cast("long").alias("k"))
     )
+    # r7: selection instead of rank-everything — ranks.exact_quantiles
+    # counts blocks, then sorts ONLY the <=3 blocks holding the target
+    # ranks (measured ~2x on the 100x replica; identical rows).
+    return exact_quantiles(
+        li, ["value", "l_orderkey", "l_linenumber"], ps
+    ).select("p", "value", F.col("k").alias("rank_n"))
