@@ -290,3 +290,54 @@ def test_exact_quantiles_single_partition_degenerate(spark):
     )
     for k in (1, 50, 100):
         assert byk[k] == ordered[k - 1]
+
+
+def test_exact_quantiles_duplicate_k(spark):
+    """r7 advisory repro: duplicate k targets [(a,5),(b,5)] over rows
+    1..5 must yield two rows with v=5 (one per payload), not a single
+    interleaved wrong row — selection runs per DISTINCT rank, payload
+    re-joins on k."""
+    from wikipedia_data_pipeline_spark.operators.ranks import (
+        exact_quantiles,
+    )
+
+    small = spark.range(1, 6).select(F.col("id").alias("v"))
+    probes = spark.createDataFrame(
+        [("a", 5), ("b", 5), ("c", 3)], ["tag", "k"]
+    )
+    out = exact_quantiles(
+        small, [F.asc("v")], probes, num_partitions=4
+    ).collect()
+    got = sorted((r["tag"], r["k"], r["v"]) for r in out)
+    assert got == [("a", 5, 5), ("b", 5, 5), ("c", 3, 3)]
+
+
+@pytest.mark.parametrize(
+    "nrows,n",
+    [(3, 5), (7, 10), (37, 5), (37, 10), (200, 7), (1, 4), (2, 2)],
+)
+def test_ntile_by_cuts_matches_builtin(spark, nrows, n):
+    """ntile_by_cuts == built-in ntile row-for-row, INCLUDING N < n
+    (r7 advisory: boundary ranks collapse to min(i, N) when q == 0 and
+    must be deduped before selection)."""
+    from wikipedia_data_pipeline_spark.operators.ranks import (
+        ntile_by_cuts,
+    )
+
+    rng = random.Random(81_000 + 100 * nrows + n)
+    rows = [(i, rng.randint(0, 5)) for i in range(nrows)]
+    sdf = spark.createDataFrame(rows, ["id", "v"]).repartition(4)
+    w = Window.orderBy(F.desc("v"), F.asc("id"))
+    ref = {
+        r["id"]: r["b"]
+        for r in sdf.select(
+            "id", F.ntile(n).over(w).cast("long").alias("b")
+        ).collect()
+    }
+    got = {
+        r["id"]: r["b"]
+        for r in ntile_by_cuts(
+            sdf, [("v", "desc"), ("id", "asc")], n, "b", num_partitions=4
+        ).collect()
+    }
+    assert got == ref

@@ -52,11 +52,20 @@ def cents_sum(col: Column | str, alias: str) -> Column:
     every row (measured 4.5x on q1 at the 100x replica, BASELINE.md
     §d).
 
-    Headroom: the long accumulator silently wraps past 2^63 micro-
-    units (~9.2e12 dollars) PER GROUP — ~60x the total revenue of the
-    100x replica. Beyond that, keep dec_sum (or sum the same rounded
-    longs as DECIMAL(38,0)). Not the default for arbitrary doubles:
-    on sub-quantum values binary round() and decimal-string casting
+    Headroom — two distinct bounds PER GROUP:
+    - bit-identity to dec_sum holds while the group sum stays within
+      2^53 micro-units (~$9.0e9): beyond that the final long->double
+      cast rounds to the nearest representable double, so the result
+      can differ from dec_sum's decimal->double conversion by 1 ulp
+      (the DuckDB twin shares the same rounding, so the oracle gate
+      would NOT surface it — hence this documented bound);
+    - exactness of the integer accumulation itself holds to the long
+      wrap at 2^63 micro-units (~$9.2e12) — ~60x the total revenue of
+      the 100x replica; under ANSI mode (the engine default) overflow
+      raises rather than wrapping silently.
+    Past 2^53 per group, keep dec_sum (or sum the same rounded longs
+    as DECIMAL(38,0)). Not the default for arbitrary doubles: on
+    sub-quantum values binary round() and decimal-string casting
     legitimately disagree."""
     c = F.col(col) if isinstance(col, str) else col
     return (

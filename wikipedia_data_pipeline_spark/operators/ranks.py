@@ -313,6 +313,11 @@ def exact_quantiles(
        sort locally within each (a |targets|/num_partitions fraction
        of the data), and pick the row at ``k - block_offset``.
 
+    Duplicate ``k`` values in ``ranks_rel`` are legal (e.g. two probes
+    that resolve to the same rank when N is small): selection runs once
+    per DISTINCT rank, then the payload re-joins on ``k``, so each
+    duplicate gets its own output row sharing the selected values.
+
     Cost vs ordered_scan at 60M rows / 3 probes: drops the global
     per-block window sort and the fact-sized rank join — measured
     ~2x on lineitem_exact_percentiles at the 100x replica. Exactness:
@@ -338,27 +343,38 @@ def exact_quantiles(
         F.coalesce(F.sum("_cnt").over(bw), F.lit(0)).alias("_off"),
         F.col("_cnt"),
     )
+    # Select each DISTINCT rank once. The local window below partitions
+    # by (block, k); if duplicate k values reached it, the copies would
+    # share one row_number sequence and interleave (each copy would see
+    # every other copy's rows), selecting wrong rows — so dedupe here
+    # and re-attach the per-target payload by joining on k at the end.
+    ks_unique = ranks_rel.select("k").distinct()
     # one row per target: which block holds rank k, and the local rank
     targets = (
         offsets.join(
-            F.broadcast(ranks_rel),
+            F.broadcast(ks_unique),
             (F.col("k") > F.col("_off"))
             & (F.col("k") <= F.col("_off") + F.col("_cnt")),
         )
         .select(
             F.col(_PID).alias("_t_pid"),
             (F.col("k") - F.col("_off")).alias("_lk"),
-            *[c for c in ranks_rel.columns],
+            F.col("k"),
         )
     )
     cand = part.join(
         F.broadcast(targets), F.col(_PID) == F.col("_t_pid")
     )
     w_local = Window.partitionBy(_PID, "k").orderBy(*sort)
-    return (
+    selected = (
         cand.withColumn("_lr", F.row_number().over(w_local).cast("long"))
         .filter(F.col("_lr") == F.col("_lk"))
         .drop(_PID, "_t_pid", "_lk", "_lr")
+    )
+    # restore payload columns (and duplicate-k multiplicity): one output
+    # row per ranks_rel row, carrying the selected values for its rank
+    return selected.join(F.broadcast(ranks_rel), "k").select(
+        *[c for c in df.columns], *[c for c in ranks_rel.columns]
     )
 
 
@@ -381,7 +397,14 @@ def ntile_by_cuts(
     iff exactly i-1 boundary rows precede it, and "precedes" is the
     same lexicographic order the ranks were computed under, so the two
     definitions coincide row-for-row (asserted against the built-in in
-    tests/test_ranks.py, including N < n).
+    tests/test_ranks.py::test_ntile_by_cuts_matches_builtin, which
+    parametrizes n above and below N).
+
+    When N < n the boundary ranks i*q + min(i, r) collapse to
+    min(i, N), duplicating rank N for every i >= N; duplicates are
+    dropped before selection — a cut AT rank N is the last row, which
+    strictly precedes nothing, so each distinct boundary is needed at
+    most once and the duplicates contribute zero to every bucket count.
 
     Parameters
     ----------
@@ -439,6 +462,8 @@ def ntile_by_cuts(
             ),
         )
         .filter(F.col("k") >= 1)  # N = 0: no boundaries, 1 bucket
+        .select("k")
+        .distinct()  # N < n duplicates rank N — see docstring
     )
 
     # the n-1 boundary key tuples, folded into one broadcast row
