@@ -79,56 +79,62 @@ _PINNED = [
     "dedup_exact",
 ]
 
-# Round-7 rotation (the r6 verdict's #1 and #5 items): the never-
-# driver-verified tail — (a) the streaming watermark/session/stateful
-# family (only the two pinned rows have ever faced the driver);
-# (b) the round-6-session-2 robust/rolling/sketch-composition family
-# (judge-sampled 12/12 but no driver row); (c) the events_* statistics
-# tail (hypothesis tests, drift screens, entropy/MI); (d) finance
-# windows + privacy. The r6 rotation (graph, TPC-H q2/q8/..., zorder,
-# KMV/AMS sketches, spatial, multimodal codecs) went driver-green
-# 50/50 in CORRECTNESS_r06 and rotates back out with that evidence.
+# Round-9 rotation (the r7/r8 verdicts' #1 item, two rounds overdue):
+# the never-driver-verified tail — (a) the TPC-H long tail (q4/q6/q10/
+# q12/q13/q17-q22 have pytest + self-gate evidence but no driver row);
+# (b) SQL-surface odds and ends (regex scalars, unpivot, CDC merge,
+# recursive CTE); (c) the features/embedding QA family; (d) the
+# textcorpus family; (e) the round-7 novelties (NDCG, WoE, changepoint,
+# sketch-join-cardinality, MV join-pairs, Merkle); plus every query
+# whose CODE PATH changes THIS round — q3/q5 (cents flip),
+# q1_pricing_summary_cents (the perf-headline twin), and the three
+# quantile consumers moving to grouped exact selection — so the driver
+# re-verifies each touched path. The r7/r8 rotation (streaming family,
+# r6s2 robust/rolling/sketch, events statistics tail, finance windows)
+# went driver-green 50/50 in CORRECTNESS_r07 AND r08 and rotates back
+# out with that double evidence.
 _ROTATION = [
-    # streaming family in front of the driver for the first time
-    "streaming_view_click_join",
-    "streaming_session_window",
-    "streaming_dedup_watermark",
-    "streaming_view_click_left_join",
-    "streaming_mv_maintenance",
-    "streaming_foreach_batch_compaction",
-    # r6s2 novelties: judge-verified 12/12, never driver-verified
-    "events_pattern_match",
-    "sample_pps_systematic_orders",
-    "events_rolling_median_value",
-    "events_seasonal_naive_eval",
-    "events_mann_kendall_trend",
-    "events_chi2_type_dow",
-    "sketch_kmv_jaccard_matrix",
-    "sketch_quantile_by_type_events",
-    "events_rolling_distinct_kmv",
-    "incremental_distinct_users_kmv",
-    "ml_eval_auc_events",
-    "ml_eval_gains_table",
-    "events_ccf_view_click",
-    # privacy
-    "privacy_l_diversity",
-    "privacy_k_anonymity",
-    # events_* statistics tail (never driver-verified)
-    "events_ks_test_ab",
-    "events_mannwhitney_ab",
-    "events_bootstrap_ci",
-    "events_psi_drift",
-    "events_benford_screen",
-    "events_user_entropy",
-    "events_mutual_information",
-    "events_skew_kurtosis",
-    "events_autocorr_lag1",
-    "events_cusum_drift",
-    # finance windows / ordered_scan consumers
-    "orders_ttm_revenue",
-    "events_user_max_drawdown",
-    "orders_survival_curve",
-    "lineitem_exact_percentiles",
+    # paths touched this round, in front of the driver
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q1_pricing_summary_cents",
+    "events_quantile_table",
+    "events_winsorized",
+    "events_mad_outliers",
+    # TPC-H tail: never driver-verified
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q12_flag_priority_buckets",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
+    "q22_idle_rich_customers",
+    # SQL-surface tail
+    "scalar_regex_funcs",
+    "unpivot_part_measures",
+    "cdc_apply_orders",
+    "sql_recursive_chain",
+    # features / embedding QA
+    "features_hash_encoded",
+    "features_target_encode_loo",
+    "features_woe_binning",
+    "embedding_centroid_distances",
+    "embedding_label_outliers",
+    "embedding_int8_quantize",
+    # textcorpus family
+    "text_collocations",
+    "corpus_heaps_growth",
+    "text_search_tfidf",
+    # round-7 novelties
+    "ml_eval_ndcg_events",
+    "events_changepoint_value",
+    "sketch_join_cardinality_events",
+    "incremental_mv_join_pairs",
+    "orders_merkle_segments",
 ]
 
 
