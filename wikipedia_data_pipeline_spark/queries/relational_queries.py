@@ -279,7 +279,7 @@ def agg_approx_distinct(spark, sf_dir):
     "q3_shipping_priority",
     oracle=f"""
 SELECT o_orderkey,
-       {sql_dec_sum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       {sql_cents_sum('l_extendedprice * (1 - l_discount)', 'revenue')},
        CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
 FROM customer JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -292,7 +292,14 @@ ORDER BY revenue DESC, o_orderkey LIMIT 10
 )
 def q3_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: selective dim filter → fact join → agg → top-k.
-    customer (filtered) broadcasts; orderkey agg reuses the join key."""
+    customer (filtered) broadcasts; orderkey agg reuses the join key.
+
+    Revenue sums by exact BIGINT micro-units (functions.cents_sum;
+    disc_price is 1e-4-quantized so round(x*1e6) is exact) instead of
+    DECIMAL — bit-identical per the cents_sum contract (groups here are
+    single orders, ~1e5 micro-dollar rows, nowhere near the 2^53
+    bound), minus the measured ~4x BigDecimal aggregation tax (r7
+    probe, BASELINE.md §d)."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -311,7 +318,7 @@ def q3_shipping_priority(spark, sf_dir):
             "o_orderpriority",
         )
         .agg(
-            dec_sum(
+            cents_sum(
                 F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
             )
         )
@@ -324,7 +331,7 @@ def q3_shipping_priority(spark, sf_dir):
     "q5_region_revenue",
     oracle=f"""
 SELECT r_name, n_name,
-       {sql_dec_sum('l_extendedprice * (1 - l_discount)', 'revenue')}
+       {sql_cents_sum('l_extendedprice * (1 - l_discount)', 'revenue')}
 FROM region
 JOIN nation ON n_regionkey = r_regionkey
 JOIN customer ON c_nationkey = n_nationkey
@@ -336,7 +343,14 @@ GROUP BY r_name, n_name
 """,
 )
 def q5_region_revenue(spark, sf_dir):
-    """Multi-way star join: dims broadcast, facts join on their keys."""
+    """Multi-way star join: dims broadcast, facts join on their keys.
+
+    Revenue by exact BIGINT micro-units (functions.cents_sum) — same
+    flip as q3. Headroom: groups are (region, nation) over ONE order
+    year, so the per-group sum stays under 2^53 micro-units (~$9.0e9)
+    through roughly SF 3k per nation-year; past that, sum the same
+    rounded longs as DECIMAL(38,0) — still exact, still integer-cheap —
+    per the cents_sum contract in functions/__init__.py."""
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
@@ -353,7 +367,7 @@ def q5_region_revenue(spark, sf_dir):
         .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
         .groupBy("r_name", "n_name")
         .agg(
-            dec_sum(
+            cents_sum(
                 F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
             )
         )
