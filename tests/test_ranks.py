@@ -312,6 +312,33 @@ def test_exact_quantiles_duplicate_k(spark):
     assert got == [("a", 5, 5), ("b", 5, 5), ("c", 3, 3)]
 
 
+def test_exact_quantiles_rejects_name_collisions(spark):
+    """r8 advisory: 'k' is reserved and df/ranks_rel payload names must
+    be disjoint — violations raise up front, not as ambiguous output
+    columns."""
+    from wikipedia_data_pipeline_spark.operators.ranks import (
+        exact_quantiles,
+    )
+
+    df = spark.range(1, 6).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="must have a 'k' column"):
+        exact_quantiles(df, [F.asc("v")], df.select("v"), num_partitions=2)
+    with pytest.raises(ValueError, match="reserved"):
+        exact_quantiles(
+            df.withColumn("k", F.lit(1)),
+            [F.asc("v")],
+            spark.createDataFrame([(1,)], ["k"]),
+            num_partitions=2,
+        )
+    with pytest.raises(ValueError, match="share column name"):
+        exact_quantiles(
+            df,
+            [F.asc("v")],
+            spark.createDataFrame([(1, 1.0)], ["k", "v"]),
+            num_partitions=2,
+        )
+
+
 @pytest.mark.parametrize(
     "nrows,n",
     [(3, 5), (7, 10), (37, 5), (37, 10), (200, 7), (1, 4), (2, 2)],

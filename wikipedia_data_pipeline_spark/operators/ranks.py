@@ -318,6 +318,16 @@ def exact_quantiles(
     per DISTINCT rank, then the payload re-joins on ``k``, so each
     duplicate gets its own output row sharing the selected values.
 
+    ``ranks_rel`` is read in two independent plan subtrees (the
+    distinct-k probe and the final payload join), so it is pinned with
+    the same persist that guards the fact side: a nondeterministic
+    probe relation (sample/limit-derived) re-evaluated differently per
+    subtree would silently drop rows at the inner join. ``k`` is a
+    reserved name — it must appear in ``ranks_rel`` and must not appear
+    in ``df``, and no other column name may be shared between the two
+    (the final select emits both column sets side by side); violations
+    raise ValueError up front instead of yielding ambiguous columns.
+
     Cost vs ordered_scan at 60M rows / 3 probes: drops the global
     per-block window sort and the fact-sized rank join — measured
     ~2x on lineitem_exact_percentiles at the 100x replica. Exactness:
@@ -325,6 +335,21 @@ def exact_quantiles(
     order, so the selected rows are identical to the rank-everything
     route."""
     from pyspark import StorageLevel
+
+    if "k" not in ranks_rel.columns:
+        raise ValueError("exact_quantiles: ranks_rel must have a 'k' column")
+    if "k" in df.columns:
+        raise ValueError(
+            "exact_quantiles: 'k' is reserved for ranks_rel's target rank; "
+            "rename df's 'k' column before calling"
+        )
+    overlap = set(df.columns) & set(ranks_rel.columns)
+    if overlap:
+        raise ValueError(
+            "exact_quantiles: df and ranks_rel share column name(s) "
+            f"{sorted(overlap)}; the output carries both sets side by side, "
+            "so every name must be unique — rename one side"
+        )
 
     spark = df.sparkSession
     if num_partitions is None:
@@ -335,6 +360,9 @@ def exact_quantiles(
         _PID, F.spark_partition_id()
     )
     part = track_persisted(part.persist(StorageLevel.MEMORY_AND_DISK))
+    # pin the probe relation too: it feeds two subtrees (ks_unique and
+    # the payload join), which must see ONE materialization
+    ranks_rel = track_persisted(ranks_rel.persist(StorageLevel.MEMORY_AND_DISK))
 
     blk = part.groupBy(_PID).agg(F.count(F.lit(1)).alias("_cnt"))
     bw = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
