@@ -274,6 +274,19 @@ def main() -> None:
         out["scaled100"] = block
 
     print(json.dumps(out))
+    # The driver captures only a 2,000-char tail of stdout, which has
+    # truncated the raw block two rounds running — always persist the
+    # full artifact beside the repo so it can be committed per round.
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_full_latest.json",
+        ),
+    )
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
     spark.stop()
 
 
