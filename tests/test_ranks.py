@@ -312,6 +312,64 @@ def test_exact_quantiles_duplicate_k(spark):
     assert got == [("a", 5, 5), ("b", 5, 5), ("c", 3, 3)]
 
 
+@pytest.mark.parametrize("nrows", [1, 2, 5, 300])
+def test_grouped_exact_quantiles_matches_window(spark, nrows):
+    """Grouped selection == per-group window rank-match row-for-row,
+    including tiny groups where probe ranks collide (n=1: p50, p90 and
+    p99 all resolve to rank 1 — three output rows, one per tag)."""
+    from wikipedia_data_pipeline_spark.operators.ranks import (
+        grouped_exact_quantiles,
+    )
+    from pyspark.sql import Window
+
+    df = spark.range(nrows).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        ((F.col("id") * 37) % 101).alias("v"),
+        F.col("id"),
+    )
+    fracs = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+    got = sorted(
+        (r["g"], r["tag"], r["v"], r["id"])
+        for r in grouped_exact_quantiles(
+            df, ["g"], [F.asc("v"), F.asc("id")], fracs, num_partitions=8
+        ).collect()
+    )
+    w = Window.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
+    wn = Window.partitionBy("g")
+    ranked = df.select(
+        "g", "v", "id",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    ref = []
+    for tag, num, den in fracs:
+        ref += [
+            (r["g"], tag, r["v"], r["id"])
+            for r in ranked.filter(
+                F.col("rn") == F.expr(f"({num} * n + {den - 1}) div {den}")
+            ).collect()
+        ]
+    assert got == sorted(ref)
+
+
+def test_grouped_exact_quantiles_rejects_bad_args(spark):
+    from wikipedia_data_pipeline_spark.operators.ranks import (
+        grouped_exact_quantiles,
+    )
+
+    df = spark.range(5).select(
+        F.lit("a").alias("g"), F.col("id").alias("v")
+    )
+    with pytest.raises(ValueError, match="group_cols is empty"):
+        grouped_exact_quantiles(df, [], ["v"], [("p50", 1, 2)])
+    with pytest.raises(ValueError, match="collides"):
+        grouped_exact_quantiles(
+            df, ["g"], ["v"], [("p50", 1, 2)], tag_col="v"
+        )
+    with pytest.raises(ValueError, match="non-positive"):
+        grouped_exact_quantiles(df, ["g"], ["v"], [("p0", 0, 2)])
+
+
 def test_exact_quantiles_rejects_name_collisions(spark):
     """r8 advisory: 'k' is reserved and df/ranks_rel payload names must
     be disjoint — violations raise up front, not as ambiguous output

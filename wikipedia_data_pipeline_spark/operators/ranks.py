@@ -45,6 +45,7 @@ __all__ = [
     "global_ntile",
     "ntile_by_cuts",
     "exact_quantiles",
+    "grouped_exact_quantiles",
     "track_persisted",
     "unpersist_all",
 ]
@@ -403,6 +404,154 @@ def exact_quantiles(
     # row per ranks_rel row, carrying the selected values for its rank
     return selected.join(F.broadcast(ranks_rel), "k").select(
         *[c for c in df.columns], *[c for c in ranks_rel.columns]
+    )
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by,
+    fractions: list[tuple[str, int, int]],
+    tag_col: str = "tag",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """PER-GROUP exact order-statistic selection: for every group, pick
+    the rows at ranks ``ceil(num·n/den)`` of the group's n rows, one
+    probe per ``(tag, num, den)`` in ``fractions`` — WITHOUT a
+    per-group window over the whole relation.
+
+    Why not ``Window.partitionBy(*group_cols).orderBy(...)``: that plan
+    sorts each group in ONE task, so with few huge groups (5 event
+    types over 100 TB of events) every task sorts |df|/5 rows — the
+    same serialization ``ordered_scan`` exists to avoid globally, just
+    sharded 5 ways. Here the data is range-partitioned on
+    ``(group, order)``: each partition holds a contiguous slice, a big
+    group spans MANY partitions, and selection needs only
+
+    1. per-(block, group) COUNTS (no sort; map-side combinable) — a
+       blocks relation of <= num_partitions + |groups| - 1 rows (ranges
+       are contiguous, so at most one group straddles each boundary);
+    2. per-group exclusive prefix offsets + totals over that small
+       relation (window partitioned BY GROUP over blocks — parallel,
+       driver-sized per group);
+    3. target ranks k = ceil(num·n/den) = (num·n + den - 1) div den in
+       exact integer arithmetic, one row per (group, distinct k);
+    4. a local sort of ONLY the target blocks of the pinned relation,
+       selecting local rank k - block_offset, then re-attaching tags
+       (duplicate-k probes legal, same discipline as exact_quantiles).
+
+    Output: one row per (group, tag) — all of ``df``'s columns from the
+    selected row plus ``tag_col``. Requirements: ``order_by`` must be a
+    total order WITHIN each group (tie-break to uniqueness, e.g. a row
+    id) — equal keys may straddle a range boundary otherwise;
+    ``tag_col`` must not collide with ``df``'s columns. Designed for
+    FEW huge groups: the offsets/targets relations are ~|groups| rows
+    and broadcast — with millions of tiny groups the plain per-group
+    window is already parallel and cheaper.
+
+    Exactness: counts, offsets and rank targets are integers; the local
+    sort uses the same within-group order, so selected rows are
+    identical to the window formulation's rank-match rows (asserted in
+    tests/test_ranks.py::test_grouped_exact_quantiles_matches_window).
+    """
+    from pyspark import StorageLevel
+
+    if not group_cols:
+        raise ValueError("grouped_exact_quantiles: group_cols is empty")
+    if tag_col in df.columns:
+        raise ValueError(
+            f"grouped_exact_quantiles: tag_col {tag_col!r} collides with a "
+            "df column; pass a different tag_col"
+        )
+    for tag, num, den in fractions:
+        if num <= 0 or den <= 0:
+            raise ValueError(
+                f"grouped_exact_quantiles: probe {tag!r} has non-positive "
+                f"fraction {num}/{den}"
+            )
+
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sort = _sort_cols(order_by)
+    gcols = [F.col(g) for g in group_cols]
+
+    part = df.repartitionByRange(num_partitions, *gcols, *sort).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    part = track_persisted(part.persist(StorageLevel.MEMORY_AND_DISK))
+
+    blk = part.groupBy(_PID, *group_cols).agg(F.count(F.lit(1)).alias("_cnt"))
+    bw = (
+        Window.partitionBy(*group_cols)
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = blk.select(
+        *group_cols,
+        F.col(_PID),
+        F.coalesce(F.sum("_cnt").over(bw), F.lit(0)).alias("_off"),
+        F.col("_cnt"),
+    )
+    totals = blk.groupBy(*group_cols).agg(F.sum("_cnt").alias("_gq_n"))
+
+    # one row per (group, probe): exact integer ceil(num*n/den)
+    probe_structs = [
+        F.struct(
+            F.lit(tag).alias("_gq_tag"),
+            F.expr(f"({num} * _gq_n + {den - 1}) div {den}").alias("_gq_k"),
+        )
+        for tag, num, den in fractions
+    ]
+    ks = totals.select(
+        *group_cols,
+        F.explode(F.array(*probe_structs)).alias("_p"),
+    ).select(
+        *group_cols,
+        F.col("_p._gq_tag").alias("_gq_tag"),
+        F.col("_p._gq_k").alias("_gq_k"),
+    )
+    # select each DISTINCT (group, k) once; tags re-join at the end
+    # (two probes can resolve to the same rank at small n — the same
+    # duplicate-target interleaving hazard exact_quantiles dedupes)
+    ksu = ks.select(
+        *[F.col(g).alias(f"_t_g{i}") for i, g in enumerate(group_cols)],
+        F.col("_gq_k"),
+    ).distinct()
+
+    t_eq = [
+        offsets[g] == ksu[f"_t_g{i}"] for i, g in enumerate(group_cols)
+    ]
+    in_block = (F.col("_gq_k") > F.col("_off")) & (
+        F.col("_gq_k") <= F.col("_off") + F.col("_cnt")
+    )
+    cond = t_eq[0] & in_block
+    for e in t_eq[1:]:
+        cond = cond & e
+    targets = offsets.join(F.broadcast(ksu), cond).select(
+        F.col(_PID).alias("_t_pid"),
+        *[F.col(f"_t_g{i}") for i in range(len(group_cols))],
+        (F.col("_gq_k") - F.col("_off")).alias("_gq_lk"),
+        F.col("_gq_k"),
+    )
+    c_eq = [
+        part[g] == targets[f"_t_g{i}"] for i, g in enumerate(group_cols)
+    ]
+    ccond = (F.col(_PID) == F.col("_t_pid")) & c_eq[0]
+    for e in c_eq[1:]:
+        ccond = ccond & e
+    cand = part.join(F.broadcast(targets), ccond)
+    w_local = Window.partitionBy(_PID, *group_cols, "_gq_k").orderBy(*sort)
+    selected = (
+        cand.withColumn("_lr", F.row_number().over(w_local).cast("long"))
+        .filter(F.col("_lr") == F.col("_gq_lk"))
+        .select(*[F.col(c) for c in df.columns], F.col("_gq_k"))
+    )
+    return selected.join(
+        F.broadcast(ks), on=[*group_cols, "_gq_k"]
+    ).select(
+        *[F.col(c) for c in df.columns],
+        F.col("_gq_tag").alias(tag_col),
     )
 
 

@@ -74,29 +74,30 @@ def events_winsorized(spark, sf_dir):
     """Outlier capping at the DISCRETE per-type p99 — the percentile is
     an actual data value picked by rank (ceil(0.99 * n)-th in value
     order), not an interpolation, so it is bit-portable where
-    interpolated quantiles are not. One window pass + a broadcast of
-    the tiny per-type threshold table."""
-    from pyspark.sql import Window
+    interpolated quantiles are not.
+
+    The threshold comes from grouped exact SELECTION
+    (operators.ranks.grouped_exact_quantiles, round 9), not a
+    per-type window: event_type has ~5 values, so
+    Window.partitionBy(event_type) sorts |events|/5 rows in ONE task —
+    a scale-killer at 100 TB. Selection range-partitions on
+    (type, value, id), counts blocks, and sorts only the <=5 blocks
+    holding the p99 ranks; the capped projection is then a broadcast
+    join of the 5-row threshold table against the raw scan."""
+    from wikipedia_data_pipeline_spark.operators.ranks import (
+        grouped_exact_quantiles,
+    )
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    cw = Window.partitionBy("event_type")
-    ranked = ev.select(
-        "event_id",
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(cw).alias("cnt"),
-    )
-    p99 = (
-        ranked.where(
-            F.col("rn") >= F.ceil(0.99 * F.col("cnt")).cast("long")
-        )
-        .groupBy("event_type")
-        .agg(F.min("value").alias("p99_v"))
-    )
+    p99 = grouped_exact_quantiles(
+        ev.select("event_type", "value", "event_id"),
+        ["event_type"],
+        [F.asc("value"), F.asc("event_id")],
+        [("p99", 99, 100)],
+        tag_col="_q",
+    ).select("event_type", F.col("value").alias("p99_v"))
     return (
-        ranked.join(F.broadcast(p99), "event_type")
+        ev.join(F.broadcast(p99), "event_type")
         .select(
             "event_id",
             "event_type",
@@ -252,47 +253,30 @@ def events_quantile_table(spark, sf_dir):
     selection — percentile_disc semantics, integer-exact positions
     (ceil(q·n) = (q·n + denom−1) div denom), no interpolation, so the
     report is a row VALUE that exists in the data and is bit-portable
-    across engines. One window pass per group partition; groups are
-    event types, so the sort is per-type and parallel."""
-    from pyspark.sql import Window
+    across engines.
+
+    Computed by grouped exact SELECTION (round 9,
+    operators.ranks.grouped_exact_quantiles) instead of ranking every
+    row under a per-type window: ~5 event types means the window plan
+    sorts |events|/5 rows per task, while selection range-partitions,
+    counts blocks, and locally sorts only the <=15 blocks holding the
+    3x5 target ranks — no task ever sorts more than one block."""
+    from wikipedia_data_pipeline_spark.operators.ranks import (
+        grouped_exact_quantiles,
+    )
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(
-        F.asc("value"), F.asc("event_id")
-    )
-    wn = Window.partitionBy("event_type")
-    ranked = ev.select(
-        "event_type",
-        "value",
-        F.row_number().over(w).cast("long").alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
-    qs = ranked.select(
-        "event_type",
-        "value",
-        "rn",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("p50").alias("q"),
-                    F.expr("(n + 1) div 2").alias("pos"),
-                ),
-                F.struct(
-                    F.lit("p90").alias("q"),
-                    F.expr("(9 * n + 9) div 10").alias("pos"),
-                ),
-                F.struct(
-                    F.lit("p99").alias("q"),
-                    F.expr("(99 * n + 99) div 100").alias("pos"),
-                ),
-            )
-        ).alias("qp"),
-    )
     return (
-        qs.filter(F.col("rn") == F.col("qp.pos"))
+        grouped_exact_quantiles(
+            ev.select("event_type", "value", "event_id"),
+            ["event_type"],
+            [F.asc("value"), F.asc("event_id")],
+            [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)],
+            tag_col="q",
+        )
         .select(
             "event_type",
-            F.col("qp.q").alias("q"),
+            "q",
             F.col("value").alias("quantile_value"),
         )
         .orderBy("event_type", "q")
@@ -336,27 +320,24 @@ def events_mad_outliers(spark, sf_dir):
     are discrete rank selections (median = value at rank ⌈n/2⌉), so
     every number in the predicate is an actual data value and the
     whole screen is bit-portable — no mean, no sqrt, no interpolation.
-    Two window passes partitioned by event type plus two broadcast
-    joins of the 5-row statistics."""
-    from pyspark.sql import Window
+    Two grouped exact SELECTIONS (round 9,
+    operators.ranks.grouped_exact_quantiles — block counts + local
+    sorts of only the median blocks, never a per-type full sort in one
+    task) plus two broadcast joins of the 5-row statistics."""
+    from wikipedia_data_pipeline_spark.operators.ranks import (
+        grouped_exact_quantiles,
+    )
 
     ev = load_table(spark, sf_dir, "events")
 
     def rank_select(df, order_col, out_name):
-        w = Window.partitionBy("event_type").orderBy(
-            F.asc(order_col), F.asc("event_id")
-        )
-        wn = Window.partitionBy("event_type")
-        return (
-            df.select(
-                "event_type",
-                F.col(order_col),
-                F.row_number().over(w).alias("rn"),
-                F.count(F.lit(1)).over(wn).alias("n"),
-            )
-            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
-            .select("event_type", F.col(order_col).alias(out_name))
-        )
+        return grouped_exact_quantiles(
+            df.select("event_type", order_col, "event_id"),
+            ["event_type"],
+            [F.asc(order_col), F.asc("event_id")],
+            [("med", 1, 2)],
+            tag_col="_q",
+        ).select("event_type", F.col(order_col).alias(out_name))
 
     med = rank_select(ev, "value", "med")
     d = ev.join(F.broadcast(med), "event_type").select(
