@@ -207,6 +207,8 @@ def _load_all() -> None:
         textcorpus_queries,
         sketch_queries,
         stats_queries,
+        # round-9 split of stats_queries along screens-vs-tests lines
+        statstests_queries,
         mleval_queries,
         finance_queries,
         graph_queries,
