@@ -1,15 +1,17 @@
 #!/usr/bin/env python
-"""100x-replica scale probe with DuckDB twin timings (round-7 form of
-the r6 single-shot probe; verdict items #2 and #4).
+"""100x-replica scale probe with DuckDB twin timings (round-9 form;
+r8 verdict items #3 and #5).
 
-Runs the headline family PLUS the round-6-session-2 novelties (spatial
-grid join, rolling median/MAD, KMV compositions, ml_eval_auc — the
-ordered_scan consumers most likely to be stressed) on the 100x replica
-of the driver's sf0.1 data (~sf10 facts: 60M lineitem, 10M events),
-each query twice (keep the better), and — new this round — times the
-DuckDB oracle twin of every oracle-bearing query on the same replica,
-so the micro-aggregate family finally has a ratio at a scale where the
-scheduling floor is fully amortized.
+Runs the headline family, the round-6/7 novelties, the streaming batch
+twins, and the three round-9 grouped-selection quantile consumers
+(paired with their round-8 window-baseline formulations as an A/B) on
+the 100x replica of the driver's sf0.1 data (~sf10 facts: 60M
+lineitem, 10M events), best-of-3 warm each, and times the DuckDB
+oracle twin of every oracle-bearing query on the same replica, so the
+micro-aggregate family has a ratio at a scale where the scheduling
+floor is fully amortized. Also re-establishes the controlled
+decimal-tax figure (q1 dec_sum vs BIGINT-cents) the r8 bench artifact
+clouded.
 
 DuckDB twins that exceed a per-query budget are recorded as "timeout"
 (the brute-force-oracle twins are DELIBERATELY quadratic; timing them
@@ -63,6 +65,24 @@ PROBE = [
     "events_theil_sen_trend",
     "events_pattern_match",
     "sample_pps_systematic_orders",
+    # r7 novelties (r8 verdict #3: 100x rows + DuckDB twins)
+    "ml_eval_ndcg_events",
+    "features_woe_binning",
+    "events_changepoint_value",
+    "sketch_join_cardinality_events",
+    "incremental_mv_join_pairs",
+    "orders_merkle_segments",
+    # streaming batch twins (r8 verdict #3)
+    "streaming_view_click_join",
+    "streaming_session_window",
+    "streaming_dedup_watermark",
+    "streaming_mv_maintenance",
+    "streaming_static_enrich",
+    # r9: the three per-type quantile consumers moved to grouped exact
+    # SELECTION this round — paired with __window_baseline A/Bs below
+    "events_quantile_table",
+    "events_winsorized",
+    "events_mad_outliers",
 ]
 # quadratic-oracle twins: timing DuckDB here measures the oracle's
 # deliberate brute-force design, not the engine — skip, like bench.py
@@ -105,8 +125,136 @@ def duck_time(sql, sf_dir):
     return q.get() if not q.empty() else "error"
 
 
+def _win_quantile_table(spark, sf_dir):
+    """Round-8 formulation of events_quantile_table (per-type window
+    ranking every row) — kept here ONLY as the A/B baseline for the
+    round-9 grouped-selection rewrite; same output, same oracle."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("value"), F.asc("event_id")
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    qs = ranked.select(
+        "event_type",
+        "value",
+        "rn",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("p50").alias("q"),
+                    F.expr("(n + 1) div 2").alias("pos"),
+                ),
+                F.struct(
+                    F.lit("p90").alias("q"),
+                    F.expr("(9 * n + 9) div 10").alias("pos"),
+                ),
+                F.struct(
+                    F.lit("p99").alias("q"),
+                    F.expr("(99 * n + 99) div 100").alias("pos"),
+                ),
+            )
+        ).alias("qp"),
+    )
+    return qs.filter(F.col("rn") == F.col("qp.pos")).select(
+        "event_type",
+        F.col("qp.q").alias("q"),
+        F.col("value").alias("quantile_value"),
+    )
+
+
+def _win_winsorized(spark, sf_dir):
+    """Round-8 window formulation of events_winsorized (A/B baseline)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cw = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("cnt"),
+    )
+    p99 = (
+        ranked.where(F.col("rn") >= F.ceil(0.99 * F.col("cnt")).cast("long"))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("p99_v"))
+    )
+    return ranked.join(F.broadcast(p99), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.least(F.col("value"), F.col("p99_v")).alias("value_capped"),
+    )
+
+
+def _win_mad_outliers(spark, sf_dir):
+    """Round-8 window formulation of events_mad_outliers (A/B baseline)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def rank_select(df, order_col, out_name):
+        w = Window.partitionBy("event_type").orderBy(
+            F.asc(order_col), F.asc("event_id")
+        )
+        wn = Window.partitionBy("event_type")
+        return (
+            df.select(
+                "event_type",
+                F.col(order_col),
+                F.row_number().over(w).alias("rn"),
+                F.count(F.lit(1)).over(wn).alias("n"),
+            )
+            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select("event_type", F.col(order_col).alias(out_name))
+        )
+
+    med = rank_select(ev, "value", "med")
+    d = ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        (F.abs(F.col("value") - F.col("med"))).alias("dev"),
+    )
+    mad = rank_select(d, "dev", "mad")
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .filter(F.col("dev") > 3 * F.col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad")
+    )
+
+
+# A/B baselines: timed like PROBE entries, no DuckDB twin of their own
+# (their twin IS the registered query's oracle — identical output)
+BASELINES = {
+    "events_quantile_table__window_baseline": _win_quantile_table,
+    "events_winsorized__window_baseline": _win_winsorized,
+    "events_mad_outliers__window_baseline": _win_mad_outliers,
+}
+
+
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALE_PROBE_r07.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALE_PROBE_r09.json"
 
     from pyspark.sql import SparkSession
 
@@ -153,19 +301,26 @@ def main() -> None:
 
     spark_t: dict[str, float] = {}
     duck_t: dict = {}
-    for name in PROBE:
+
+    def time_spark(fn):
         best = float("inf")
         for _ in range(3):
-            df = queries[name](spark, dir100)
+            df = fn(spark, dir100)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
             ranks.unpersist_all()
-        spark_t[name] = round(best, 2)
+        return round(best, 2)
+
+    for name in PROBE:
+        spark_t[name] = time_spark(queries[name])
         print(f"spark  {name}: {spark_t[name]}s", flush=True)
         if name in oracles and name not in DUCK_SKIP:
             duck_t[name] = duck_time(oracles[name], dir100)
             print(f"duckdb {name}: {duck_t[name]}", flush=True)
+    for name, fn in BASELINES.items():
+        spark_t[name] = time_spark(fn)
+        print(f"spark  {name}: {spark_t[name]}s", flush=True)
 
     ratios = {
         n: round(spark_t[n] / duck_t[n], 2)
@@ -181,10 +336,14 @@ def main() -> None:
         "duckdb": duck_t,
         "ratio_per_query": ratios,
         "notes": (
-            "best-of-2 warm Spark times on local[%s]; DuckDB twin = the "
+            "best-of-3 warm Spark times on local[%s]; DuckDB twin = the "
             "gate-proven oracle SQL, best-of-2, %ss total budget. "
             "q1_pricing_summary_cents is the BIGINT-cents A/B of the "
-            "DECIMAL q1 (dec_over_cents = %s)."
+            "DECIMAL q1 (dec_over_cents = %s). q3/q5 run BIGINT-cents "
+            "revenue as of round 9. *__window_baseline entries are the "
+            "round-8 per-type-window formulations of the three quantile "
+            "consumers, timed as A/B against the round-9 grouped exact "
+            "selection."
             % (
                 cpus,
                 int(DUCK_BUDGET_S),
