@@ -70,6 +70,9 @@ EXTRA = [
     "text_unigram_surprisal",
     "join_salted_user_enrich",
     "events_quantile_table",
+    # round 9: the other two grouped-exact-selection consumers
+    "events_winsorized",
+    "events_mad_outliers",
     "features_hash_encoded",
     "features_target_encode_loo",
     "embedding_int8_quantize",

@@ -72,12 +72,16 @@ PROBE = [
     "sketch_join_cardinality_events",
     "incremental_mv_join_pairs",
     "orders_merkle_segments",
-    # streaming batch twins (r8 verdict #3)
-    "streaming_view_click_join",
-    "streaming_session_window",
-    "streaming_dedup_watermark",
-    "streaming_mv_maintenance",
-    "streaming_static_enrich",
+    # Streaming family: NOT probed here. The streaming_* queries run
+    # their availableNow stream into a memory sink at CONSTRUCTION
+    # time (streaming/pipeline.py), so the noop-write timing below
+    # would measure only the sink read — and each best-of-3 iteration
+    # would re-run a full 10M-event stateful stream (the file source
+    # parallelizes by FILE, 4 files in the replica, so one such run
+    # alone exceeded 15 min). Their exact batch equivalence is what
+    # the oracle gate proves; the probe times the registered BATCH
+    # twin of the interval join instead:
+    "events_view_click_join",
     # r9: the three per-type quantile consumers moved to grouped exact
     # SELECTION this round — paired with __window_baseline A/Bs below
     "events_quantile_table",
@@ -255,6 +259,15 @@ BASELINES = {
 
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALE_PROBE_r09.json"
+    # restrict to a comma-separated subset (resume after an aborted run;
+    # results are merged into out_path if it already exists)
+    only = os.environ.get("SPARK_GRAFT_PROBE_ONLY")
+    probe = [n for n in PROBE if n in set(only.split(","))] if only else PROBE
+    baselines = (
+        {k: v for k, v in BASELINES.items() if k in set(only.split(","))}
+        if only
+        else BASELINES
+    )
 
     from pyspark.sql import SparkSession
 
@@ -312,13 +325,20 @@ def main() -> None:
             ranks.unpersist_all()
         return round(best, 2)
 
-    for name in PROBE:
+    # merge-resume: carry prior results for names not re-probed
+    if only and os.path.exists(out_path):
+        with open(out_path) as fh:
+            prior = json.load(fh)
+        spark_t.update(prior.get("queries", {}))
+        duck_t.update(prior.get("duckdb", {}))
+
+    for name in probe:
         spark_t[name] = time_spark(queries[name])
         print(f"spark  {name}: {spark_t[name]}s", flush=True)
         if name in oracles and name not in DUCK_SKIP:
             duck_t[name] = duck_time(oracles[name], dir100)
             print(f"duckdb {name}: {duck_t[name]}", flush=True)
-    for name, fn in BASELINES.items():
+    for name, fn in baselines.items():
         spark_t[name] = time_spark(fn)
         print(f"spark  {name}: {spark_t[name]}s", flush=True)
 
