@@ -800,3 +800,230 @@ def features_woe_binning(spark, sf_dir):
             (dp * (woe_q.cast("double") / 1_000_000_000)).alias("iv_term"),
         )
     )
+
+
+@register(
+    "ml_eval_calibration_bins",
+    oracle=f"""
+WITH ev AS (
+  SELECT CAST(round(value * 1000000) AS BIGINT) AS v_u,
+         CAST(({SQL_DET_HASH.format(col="user_id")}) % 2 AS BIGINT) AS label
+  FROM events
+),
+rng AS (
+  SELECT CAST(min(v_u) AS BIGINT) AS lo, CAST(max(v_u) AS BIGINT) AS hi
+  FROM ev
+),
+binned AS (
+  SELECT least(9, ((ev.v_u - rng.lo) * 10) // (rng.hi - rng.lo + 1)) AS bin,
+         ev.v_u - rng.lo AS dv, ev.label, rng.hi - rng.lo AS rng_w
+  FROM ev, rng
+),
+per AS (
+  SELECT bin, CAST(max(rng_w) AS BIGINT) AS rng_w,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(label) AS BIGINT) AS n_pos,
+         CAST(sum(dv) AS BIGINT) AS sum_dv
+  FROM binned GROUP BY bin
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM per)
+SELECT bin, n, n_pos,
+       CAST(n_pos AS DOUBLE) / n AS mean_label,
+       CAST(sum_dv AS DOUBLE) / n / rng_w AS mean_score,
+       abs(CAST(n_pos AS DOUBLE) / n
+           - CAST(sum_dv AS DOUBLE) / n / rng_w)
+         * CAST(n AS DOUBLE) / CAST(t.nn AS DOUBLE) AS ece_term
+FROM per, tot t
+ORDER BY bin
+""",
+)
+def ml_eval_calibration_bins(spark, sf_dir):
+    """Reliability table + Expected-Calibration-Error terms for a score
+    column — the companion to ml_eval_auc_events/gains_table that asks
+    not "does the score RANK well" but "does it mean what it says":
+    per fixed-width score bin, mean predicted score vs observed
+    positive rate, and the bin's |gap|·n/N contribution to ECE.
+
+    Exactness: the score is quantized to integer micro-units
+    (functions.cents_units' quantum — events.value is cent-quantized),
+    the bin id is pure integer arithmetic against the broadcast global
+    [lo, hi] range (least(9, (v-lo)*10 div (hi-lo+1)) — no float
+    boundary can flip a row), and every per-bin statistic is an exact
+    BIGINT sum; mean/ECE doubles come from single divisions of exact
+    integers in a fixed order, so both engines emit identical bits.
+    Hash-parity labels (the det_hash machinery under audit): mean_label
+    ~= 0.5 per bin and ECE picks up |mean_score - 0.5| by construction.
+
+    Scale shape: one scan -> hash agg to <=10 rows + one broadcast
+    1-row range; sum_dv stays exact below 2^63 up to ~1.8e10 rows of
+    full-range micro-unit scores (same 2^53-class bound family as
+    cents_sum, documented there)."""
+    from wikipedia_data_pipeline_spark.functions import cents_units
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    ev = load_table(spark, sf_dir, "events").select(
+        cents_units("value").alias("v_u"),
+        (det_hash("user_id") % 2).cast("long").alias("label"),
+    )
+    rng = ev.agg(
+        F.min("v_u").cast("long").alias("lo"),
+        F.max("v_u").cast("long").alias("hi"),
+    )
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.lit(9).cast("long"),
+            F.expr("((v_u - lo) * 10) div (hi - lo + 1)"),
+        ).alias("bin"),
+        (F.col("v_u") - F.col("lo")).alias("dv"),
+        "label",
+        (F.col("hi") - F.col("lo")).alias("rng_w"),
+    )
+    per = binned.groupBy("bin").agg(
+        F.max("rng_w").cast("long").alias("rng_w"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("label").cast("long").alias("n_pos"),
+        F.sum("dv").cast("long").alias("sum_dv"),
+    )
+    tot = per.agg(F.sum("n").cast("long").alias("nn"))
+    mean_label = F.col("n_pos").cast("double") / F.col("n")
+    mean_score = (
+        F.col("sum_dv").cast("double") / F.col("n") / F.col("rng_w")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            mean_label.alias("mean_label"),
+            mean_score.alias("mean_score"),
+            (
+                F.abs(mean_label - mean_score)
+                * F.col("n").cast("double")
+                / F.col("nn").cast("double")
+            ).alias("ece_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "ml_eval_rater_kappa",
+    oracle=f"""
+WITH rated AS (
+  SELECT CAST(({SQL_DET_HASH.format(col="event_id")}) % 3 AS BIGINT) AS r1,
+         CAST(({SQL_DET_HASH.format(col="((event_id % 1000003) * 13 + 5)")}) % 10 AS BIGINT) AS flip,
+         CAST(({SQL_DET_HASH.format(col="((event_id % 1000003) * 31 + 11)")}) % 3 AS BIGINT) AS alt
+  FROM events
+),
+cells AS (
+  SELECT r1, CASE WHEN flip < 7 THEN r1 ELSE alt END AS r2,
+         CAST(count(*) AS BIGINT) AS n_cell
+  FROM rated GROUP BY 1, 2
+),
+m1 AS (SELECT r1 AS k, CAST(sum(n_cell) AS BIGINT) AS n1 FROM cells GROUP BY 1),
+m2 AS (SELECT r2 AS k, CAST(sum(n_cell) AS BIGINT) AS n2 FROM cells GROUP BY 1),
+s AS (
+  SELECT CAST(sum(CAST(m1.n1 AS DECIMAL(18,0)) * CAST(m2.n2 AS DECIMAL(18,0)))
+              AS DECIMAL(38,0)) AS chance
+  FROM m1 JOIN m2 USING (k)
+),
+t AS (
+  SELECT CAST(sum(n_cell) AS BIGINT) AS n_items,
+         CAST(sum(CASE WHEN r1 = r2 THEN n_cell ELSE 0 END) AS BIGINT) AS agree
+  FROM cells
+)
+SELECT n_items,
+       CAST(agree AS DOUBLE) / n_items AS observed_agreement,
+       CAST(chance AS DOUBLE) / n_items / n_items AS expected_agreement,
+       CAST(CAST(n_items AS DECIMAL(18,0)) * CAST(agree AS DECIMAL(18,0))
+            - chance AS DOUBLE)
+         / CAST(CAST(n_items AS DECIMAL(18,0)) * CAST(n_items AS DECIMAL(18,0))
+                - chance AS DOUBLE) AS kappa
+FROM t, s
+""",
+)
+def ml_eval_rater_kappa(spark, sf_dir):
+    """Cohen's kappa inter-rater agreement — the label-QA statistic for
+    human/model annotation pipelines (does rater agreement beat the
+    agreement their marginal label rates would produce by chance?).
+    Two deterministic pseudo-raters over events: rater 1 labels by
+    event-id hash into 3 classes; rater 2 copies rater 1 on ~70% of
+    items (second hash stream) and re-draws from a third stream
+    otherwise — expected kappa ~= 0.7 - 0.3/3 chance-corrected, a
+    non-trivial fixed point that breaks if any hash stream drifts.
+
+    Exactness: the 3x3 confusion matrix is exact BIGINT counts from
+    ONE hash aggregate of the fact table; kappa's textbook
+    (po - pe)/(1 - pe) is algebraically cleared of early divisions to
+    (N*agree - sum_k n1_k*n2_k) / (N^2 - sum_k n1_k*n2_k) — both sides
+    exact DECIMAL integers (products via DECIMAL(18,0) operands, big
+    enough for N ~ 9e17) — so the single final double division is
+    bit-identical across engines; po/pe doubles likewise come from
+    fixed-order divisions of exact integers.
+
+    Scale shape: scan -> 9-row hash agg; marginals/products are
+    driver-tiny. The hash arguments are pre-reduced mod 1000003 before
+    the *13/*31 stretches so the key expression can't overflow BIGINT
+    at any event_id (DuckDB errors on overflow where the JVM wraps)."""
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    rated = ev.select(
+        (det_hash("event_id") % 3).cast("long").alias("r1"),
+        (det_hash((F.col("event_id") % 1000003) * 13 + 5) % 10)
+        .cast("long")
+        .alias("flip"),
+        (det_hash((F.col("event_id") % 1000003) * 31 + 11) % 3)
+        .cast("long")
+        .alias("alt"),
+    )
+    cells = (
+        rated.select(
+            "r1",
+            F.when(F.col("flip") < 7, F.col("r1"))
+            .otherwise(F.col("alt"))
+            .alias("r2"),
+        )
+        .groupBy("r1", "r2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cell"))
+    )
+    m1 = cells.groupBy(F.col("r1").alias("k")).agg(
+        F.sum("n_cell").cast("long").alias("n1")
+    )
+    m2 = cells.groupBy(F.col("r2").alias("k")).agg(
+        F.sum("n_cell").cast("long").alias("n2")
+    )
+    dec = "decimal(18,0)"
+    s = (
+        m1.join(m2, "k")
+        .agg(
+            F.sum(F.col("n1").cast(dec) * F.col("n2").cast(dec))
+            .cast("decimal(38,0)")
+            .alias("chance")
+        )
+    )
+    t = cells.agg(
+        F.sum("n_cell").cast("long").alias("n_items"),
+        F.sum(F.when(F.col("r1") == F.col("r2"), F.col("n_cell")).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    n_dec = F.col("n_items").cast(dec)
+    return t.crossJoin(F.broadcast(s)).select(
+        "n_items",
+        (F.col("agree").cast("double") / F.col("n_items")).alias(
+            "observed_agreement"
+        ),
+        (
+            F.col("chance").cast("double")
+            / F.col("n_items")
+            / F.col("n_items")
+        ).alias("expected_agreement"),
+        (
+            (n_dec * F.col("agree").cast(dec) - F.col("chance")).cast(
+                "double"
+            )
+            / (n_dec * n_dec - F.col("chance")).cast("double")
+        ).alias("kappa"),
+    )

@@ -92,3 +92,98 @@ def privacy_l_diversity(spark, sf_dir):
             F.asc("source"),
         )
     )
+
+
+@register(
+    "privacy_dp_release_counts",
+    oracle=f"""
+WITH per AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type
+),
+seeded AS (
+  SELECT event_type, n,
+         length(event_type)
+           + ascii(substr(event_type, 1, 1)) * 2097152
+           + ascii(substr(event_type, 2, 1)) * 16384
+           + ascii(substr(event_type, 3, 1)) * 128
+           + ascii(substr(event_type, 4, 1)) AS tid
+  FROM per
+),
+noise AS (
+  SELECT event_type, n,
+         (CAST(({SQL_DET_HASH.format(col="tid")}) AS DOUBLE) + 0.5)
+           / 2147483647.0 - 0.5 AS c
+  FROM seeded
+),
+q AS (
+  SELECT event_type, n,
+         CAST(round((CASE WHEN c < 0 THEN 1.0 ELSE -1.0 END)
+                    * ln(1.0 - 2.0 * abs(c)) * 1000000000) AS BIGINT)
+           AS noise_q
+  FROM noise
+)
+SELECT event_type, 1.0 AS epsilon,
+       CAST(n AS DOUBLE) + CAST(noise_q AS DOUBLE) / 1000000000 AS noisy_count
+FROM q
+ORDER BY event_type
+""",
+)
+def privacy_dp_release_counts(spark, sf_dir):
+    """epsilon-differentially-private count release — the third leg of
+    the privacy family (k-anonymity screens groups, l-diversity
+    screens homogeneity; this RELEASES a statistic): per-event-type
+    counts plus Laplace(sensitivity/epsilon) noise, epsilon=1,
+    L1-sensitivity 1 (one event belongs to one type).
+
+    The noise is drawn by inverse-CDF from the engine's deterministic
+    hash stream seeded on the TYPE STRING (ascii-packed first 4 chars
+    + length — portable integer, identical in both engines), NOT a
+    private RNG: the same replayability discipline as
+    events_bootstrap_ci's hash-seeded resamples, chosen so the DuckDB
+    oracle replays the release bit-for-bit. A production release would
+    swap the seed for a sealed RNG; everything else (mechanism shape,
+    sensitivity accounting, quantization) is the production form.
+    The single transcendental ln(1-2|u-0.5|) is quantized once per
+    released row to nano-units (events_kl_user_vs_global discipline),
+    so engines never compare unrounded libm bits; |noise| is bounded
+    by ln(2^31)/epsilon ~= 21.5 because the hash stream's u never
+    reaches the CDF tails closer than 2^-31.
+
+    Scale shape: one scan -> hash agg to |types| rows; the noise math
+    runs on that driver-tiny relation. Completes: gates -> dedup ->
+    PII scrub -> k-anon/l-div audit -> DP release."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    tid = (
+        F.length("event_type")
+        + F.ascii(F.substring("event_type", 1, 1)) * 2097152
+        + F.ascii(F.substring("event_type", 2, 1)) * 16384
+        + F.ascii(F.substring("event_type", 3, 1)) * 128
+        + F.ascii(F.substring("event_type", 4, 1))
+    )
+    c = (
+        (det_hash(tid.cast("long")).cast("double") + F.lit(0.5))
+        / F.lit(2147483647.0)
+        - F.lit(0.5)
+    )
+    noise_q = F.round(
+        F.when(c < 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(c))
+        * F.lit(1_000_000_000)
+    ).cast("long")
+    return (
+        per.select(
+            "event_type",
+            F.lit(1.0).alias("epsilon"),
+            (
+                F.col("n").cast("double")
+                + noise_q.cast("double") / F.lit(1_000_000_000)
+            ).alias("noisy_count"),
+        )
+        .orderBy("event_type")
+    )
