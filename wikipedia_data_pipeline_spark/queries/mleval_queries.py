@@ -1027,3 +1027,203 @@ def ml_eval_rater_kappa(spark, sf_dir):
             / (n_dec * n_dec - F.col("chance")).cast("double")
         ).alias("kappa"),
     )
+
+
+@register(
+    "ml_eval_fairness_gaps",
+    oracle=f"""
+WITH scored AS (
+  SELECT CAST(({SQL_DET_HASH.format(col="((user_id % 1000003) * 17 + 3)")}) % 2 AS BIGINT) AS grp,
+         CAST(({SQL_DET_HASH.format(col="user_id")}) % 2 AS BIGINT) AS label,
+         CASE WHEN CAST(round(value * 1000000) AS BIGINT) >= 25000000
+              THEN 1 ELSE 0 END AS yhat
+  FROM events
+),
+per AS (
+  SELECT grp,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN label = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN label = 0 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN label = 0 AND yhat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         CAST(sum(CASE WHEN label = 1 AND yhat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM scored GROUP BY grp
+)
+SELECT grp, n, tp, fp, tn, fn,
+       CAST(tp AS DOUBLE) / (tp + fn) AS tpr,
+       CAST(fp AS DOUBLE) / (fp + tn) AS fpr,
+       CAST(tp + fp AS DOUBLE) / n AS positive_rate
+FROM per
+ORDER BY grp
+""",
+)
+def ml_eval_fairness_gaps(spark, sf_dir):
+    """Group-fairness audit of a thresholded classifier — per protected
+    group, the exact confusion matrix and the three rates behind the
+    standard criteria: positive_rate (demographic parity), tpr/fpr
+    (equalized odds). Group and label come from INDEPENDENT hash
+    streams over user_id (different affine stretches of the reduced
+    key, the ml_eval_rater_kappa discipline) and the prediction is a
+    fixed micro-unit threshold (value >= 25.0) — so near-zero gaps
+    between the two group rows are the designed fixed point, and any
+    drift flags the hash or threshold plumbing, not the users.
+
+    Exactness: counts are one hash aggregate of exact BIGINTs; the
+    rates are single fixed-order divisions of those integers — both
+    engines emit identical bits. Scale: scan -> 2-row agg, nothing
+    else."""
+    from wikipedia_data_pipeline_spark.functions import cents_units
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    scored = load_table(spark, sf_dir, "events").select(
+        (det_hash((F.col("user_id") % 1000003) * 17 + 3) % 2)
+        .cast("long")
+        .alias("grp"),
+        (det_hash("user_id") % 2).cast("long").alias("label"),
+        F.when(cents_units("value") >= 25_000_000, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("yhat"),
+    )
+    agree = lambda l, y: F.sum(  # noqa: E731
+        F.when((F.col("label") == l) & (F.col("yhat") == y), 1).otherwise(0)
+    ).cast("long")
+    per = scored.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        agree(1, 1).alias("tp"),
+        agree(0, 1).alias("fp"),
+        agree(0, 0).alias("tn"),
+        agree(1, 0).alias("fn"),
+    )
+    return per.select(
+        "grp",
+        "n",
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        (
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))
+        ).alias("tpr"),
+        (
+            F.col("fp").cast("double") / (F.col("fp") + F.col("tn"))
+        ).alias("fpr"),
+        ((F.col("tp") + F.col("fp")).cast("double") / F.col("n")).alias(
+            "positive_rate"
+        ),
+    ).orderBy("grp")
+
+
+@register(
+    "ml_eval_conformal_threshold",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS v_u,
+         CAST(({SQL_DET_HASH.format(col="user_id")}) % 2 AS BIGINT) AS label,
+         CAST(({SQL_DET_HASH.format(col="((event_id % 1000003) * 7 + 1)")}) % 2 AS BIGINT) AS split
+  FROM events
+),
+rng AS (
+  SELECT CAST(min(v_u) AS BIGINT) AS lo, CAST(max(v_u) AS BIGINT) AS hi FROM ev
+),
+scored AS (
+  SELECT ev.event_id, ev.split,
+         CASE WHEN ev.label = 1 THEN rng.hi - ev.v_u
+              ELSE ev.v_u - rng.lo END AS a_u
+  FROM ev, rng
+),
+cal AS (
+  SELECT a_u, event_id,
+         row_number() OVER (ORDER BY a_u, event_id) AS rnk,
+         count(*) OVER () AS n_cal
+  FROM scored WHERE split = 0
+),
+sel AS (
+  SELECT a_u AS q_u, CAST(n_cal AS BIGINT) AS n_cal
+  FROM cal WHERE rnk = (9 * n_cal + 9) // 10
+),
+evl AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_eval,
+         CAST(sum(CASE WHEN s.a_u <= sel.q_u THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_covered
+  FROM scored s, sel WHERE s.split = 1
+)
+SELECT sel.n_cal, e.n_eval, 0.1 AS alpha,
+       CAST(sel.q_u AS DOUBLE) / 1000000 AS q_hat,
+       CAST(e.n_covered AS DOUBLE) / e.n_eval AS coverage
+FROM sel, evl e
+""",
+)
+def ml_eval_conformal_threshold(spark, sf_dir):
+    """Split-conformal calibration — the distribution-free coverage
+    machinery modern selective-prediction stacks run over their score
+    column: hash-split events into calibration/evaluation halves,
+    nonconformity a = (hi - v) for positives / (v - lo) for negatives
+    in EXACT integer micro-units, pick the ceil(0.9·n_cal)-th smallest
+    calibration score by distributed order-statistic SELECTION
+    (operators.ranks.exact_quantiles — per-block counts + a local sort
+    of only the boundary block, never a rank-everything pass), and
+    audit the empirical coverage of "predict the label whose
+    nonconformity clears q_hat" on the held-out half. Coverage ~= 0.9
+    is the designed fixed point (labels independent of scores by
+    construction, so eval nonconformity is exchangeable with
+    calibration's).
+
+    Exactness: the threshold is a SELECTED row of an integer column
+    under the total order (a_u, event_id) — identical in both engines
+    by construction — and coverage is one division of exact counts.
+    Scale: one scan for the range, one slim range-exchange of the
+    calibration half for the selection, one map-side comparison pass
+    for coverage — no global sort anywhere."""
+    from wikipedia_data_pipeline_spark.functions import cents_units
+    from wikipedia_data_pipeline_spark.operators.ranks import exact_quantiles
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        cents_units("value").alias("v_u"),
+        (det_hash("user_id") % 2).cast("long").alias("label"),
+        (det_hash((F.col("event_id") % 1000003) * 7 + 1) % 2)
+        .cast("long")
+        .alias("split"),
+    )
+    rng = ev.agg(
+        F.min("v_u").cast("long").alias("lo"),
+        F.max("v_u").cast("long").alias("hi"),
+    )
+    scored = ev.crossJoin(F.broadcast(rng)).select(
+        "event_id",
+        "split",
+        F.when(F.col("label") == 1, F.col("hi") - F.col("v_u"))
+        .otherwise(F.col("v_u") - F.col("lo"))
+        .alias("a_u"),
+    )
+    cal = scored.filter(F.col("split") == 0).select("a_u", "event_id")
+    ks = cal.agg(F.count(F.lit(1)).cast("long").alias("n_cal")).select(
+        "n_cal", F.expr("(9 * n_cal + 9) div 10").alias("k")
+    )
+    sel = exact_quantiles(cal, ["a_u", "event_id"], ks).select(
+        F.col("a_u").alias("q_u"), "n_cal"
+    )
+    evl = (
+        scored.filter(F.col("split") == 1)
+        .crossJoin(F.broadcast(sel))
+        .agg(
+            F.max("q_u").alias("q_u"),
+            F.max("n_cal").alias("n_cal"),
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum(
+                F.when(F.col("a_u") <= F.col("q_u"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return evl.select(
+        "n_cal",
+        "n_eval",
+        F.lit(0.1).alias("alpha"),
+        (F.col("q_u").cast("double") / F.lit(1_000_000)).alias("q_hat"),
+        (F.col("n_covered").cast("double") / F.col("n_eval")).alias(
+            "coverage"
+        ),
+    )
