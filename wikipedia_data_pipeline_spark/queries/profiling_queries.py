@@ -1736,3 +1736,109 @@ def orders_merkle_segments(spark, sf_dir):
         .cast("long")
         .alias("value_checksum_u"),
     )
+
+
+@register(
+    "curation_mixture_weights",
+    oracle="""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS chars_s
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(chars_s) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS nsrc
+  FROM per
+),
+w AS (
+  SELECT source, n_docs, chars_s, total,
+         CAST(round(least(4.0, CAST(total AS DOUBLE)
+                               / CAST(chars_s * nsrc AS DOUBLE))
+                    * 1000000000) AS BIGINT) AS wq
+  FROM per, tot
+),
+den AS (
+  SELECT CAST(sum(CAST(wq AS DECIMAL(19,0)) * CAST(chars_s AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS d
+  FROM w
+)
+SELECT source, n_docs, chars_s,
+       CAST(chars_s AS DOUBLE) / total AS raw_share,
+       CAST(wq AS DOUBLE) / 1000000000 AS weight,
+       CAST(CAST(wq AS DECIMAL(19,0)) * CAST(chars_s AS DECIMAL(19,0))
+            AS DOUBLE) / CAST(den.d AS DOUBLE) AS effective_share
+FROM w, den
+ORDER BY source
+""",
+)
+def curation_mixture_weights(spark, sf_dir):
+    """Domain-mixture reweighting — the data-mixing step a pretraining
+    pipeline runs before sampling: per-source character shares, the
+    up/down-sampling weight that steers the mixture toward the uniform
+    target (capped at 4x so no tiny domain is over-amplified), and the
+    effective post-reweight share the capped weights actually achieve.
+    The DoReMi-class knob reduced to its deterministic skeleton:
+    weight_s = min(cap, target_share / actual_share).
+
+    Exactness: shares and the raw weight are single fixed-order
+    divisions of exact BIGINT character sums; the weight is then
+    quantized to nano-units ONCE, so the renormalized effective share
+    is a ratio of exact DECIMAL(38,0) integer products — both engines
+    emit identical bits (the ml_eval_rater_kappa product discipline).
+
+    Scale shape: one scan -> |sources| rows; everything after is
+    driver-tiny arithmetic. Pairs with curation_source_cap (hard
+    per-source cap) and sample_weighted_mixture (applying weights)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_s"),
+    )
+    tot = per.agg(
+        F.sum("chars_s").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("nsrc"),
+    )
+    w = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "chars_s",
+        "total",
+        F.round(
+            F.least(
+                F.lit(4.0),
+                F.col("total").cast("double")
+                / (F.col("chars_s") * F.col("nsrc")).cast("double"),
+            )
+            * F.lit(1_000_000_000)
+        )
+        .cast("long")
+        .alias("wq"),
+    )
+    dec = "decimal(19,0)"
+    den = w.agg(
+        F.sum(F.col("wq").cast(dec) * F.col("chars_s").cast(dec))
+        .cast("decimal(38,0)")
+        .alias("d")
+    )
+    return (
+        w.crossJoin(F.broadcast(den))
+        .select(
+            "source",
+            "n_docs",
+            "chars_s",
+            (F.col("chars_s").cast("double") / F.col("total")).alias(
+                "raw_share"
+            ),
+            (F.col("wq").cast("double") / F.lit(1_000_000_000)).alias(
+                "weight"
+            ),
+            (
+                (F.col("wq").cast(dec) * F.col("chars_s").cast(dec)).cast(
+                    "double"
+                )
+                / F.col("d").cast("double")
+            ).alias("effective_share"),
+        )
+        .orderBy("source")
+    )

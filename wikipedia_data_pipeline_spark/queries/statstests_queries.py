@@ -1350,3 +1350,96 @@ def events_changepoint_value(spark, sf_dir):
             ).alias("mean_after"),
         )
     )
+
+
+@register(
+    "events_sprt_ab",
+    oracle=f"""
+WITH obs AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(({SQL_DET_HASH.format(col="user_id")}) % 2 AS BIGINT) AS x
+  FROM events
+  WHERE CAST(({SQL_DET_HASH.format(col="((user_id % 1000003) * 23 + 7)")}) % 2 AS BIGINT) = 1
+),
+daily AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n_day,
+         CAST(sum(x) AS BIGINT) AS k_day
+  FROM obs GROUP BY day
+),
+cum AS (
+  SELECT day,
+         CAST(sum(n_day) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cum,
+         CAST(sum(k_day) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS k_cum
+  FROM daily
+)
+SELECT CAST(day AS BIGINT) AS day, n_cum, k_cum,
+       CAST(k_cum * 95310180 + (n_cum - k_cum) * (-105360516) AS DOUBLE)
+         / 1000000000 AS llr,
+       CASE
+         WHEN k_cum * 95310180 + (n_cum - k_cum) * (-105360516)
+              >= 2944438979 THEN 'reject_h0'
+         WHEN k_cum * 95310180 + (n_cum - k_cum) * (-105360516)
+              <= -2944438979 THEN 'accept_h0'
+         ELSE 'continue'
+       END AS decision
+FROM cum
+ORDER BY day
+""",
+)
+def events_sprt_ab(spark, sf_dir):
+    """Wald sequential probability-ratio test (SPRT) — the always-valid
+    sequential monitor an experimentation platform runs so it can stop
+    an A/B arm early without peeking penalties: day-by-day cumulative
+    log-likelihood ratio for H1: p=0.55 vs H0: p=0.5 over the treated
+    arm's conversion stream, against the alpha=beta=0.05 decision
+    boundaries ln(19)/-ln(19). Completes the testing family's fixed-
+    horizon tests (z, KS, Mann-Whitney) with the sequential shape.
+
+    Exactness: the LLR is k*ln(p1/p0) + (n-k)*ln((1-p1)/(1-p0)) — both
+    transcendentals FROZEN as nano-nat integer literals (95310180,
+    -105360516; the ml_eval_ndcg_events frozen-literal discipline), so
+    the cumulative statistic and the boundary comparisons are pure
+    BIGINT arithmetic; the reported llr double is one division of that
+    exact integer. Hash-parity conversions (true p=0.5): the LLR
+    drifts at -5.02 millinats/observation in expectation, so marching
+    into 'accept_h0' and staying there is the designed fixed point.
+
+    Scale shape: scan -> per-day hash agg; the cumulative window runs
+    over the day spine (date-keyed, bounded by the calendar — the
+    audit_windows-safe class), never over events."""
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.filter(
+        (det_hash((F.col("user_id") % 1000003) * 23 + 7) % 2) == 1
+    ).select(
+        # ts is epoch-us BIGINT after load_table's normalize_event_time
+        F.expr(f"ts div {_US_PER_DAY}").cast("long").alias("day"),
+        (det_hash("user_id") % 2).cast("long").alias("x"),
+    )
+    daily = obs.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_day"),
+        F.sum("x").cast("long").alias("k_day"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.sum("n_day").over(w).cast("long").alias("n_cum"),
+        F.sum("k_day").over(w).cast("long").alias("k_cum"),
+    )
+    llr_nano = F.col("k_cum") * F.lit(95310180) + (
+        F.col("n_cum") - F.col("k_cum")
+    ) * F.lit(-105360516)
+    return cum.select(
+        "day",
+        "n_cum",
+        "k_cum",
+        (llr_nano.cast("double") / F.lit(1_000_000_000)).alias("llr"),
+        F.when(llr_nano >= 2944438979, F.lit("reject_h0"))
+        .when(llr_nano <= -2944438979, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    ).orderBy("day")
