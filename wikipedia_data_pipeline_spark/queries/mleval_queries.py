@@ -1227,3 +1227,188 @@ def ml_eval_conformal_threshold(spark, sf_dir):
             "coverage"
         ),
     )
+
+
+# logged action (0..2) and its reward-stream hash key, shared between
+# the two oracle references below (the reward depends on the ACTION, so
+# the key folds a_log in — precomputed here because str.format cannot
+# nest)
+_IPS_ALOG = f"(({SQL_DET_HASH.format(col='event_id')}) % 3)"
+_IPS_RKEY = f"((user_id % 1000003) * 41 + 13 * {_IPS_ALOG})"
+
+
+@register(
+    "ml_eval_ips_value",
+    oracle=f"""
+WITH logged AS (
+  SELECT CAST({_IPS_ALOG} AS BIGINT) AS a_log,
+         CASE WHEN CAST(({SQL_DET_HASH.format(col=_IPS_RKEY)}) % 10 AS BIGINT)
+                   < 3 + CAST({_IPS_ALOG} AS BIGINT)
+              THEN 1 ELSE 0 END AS r
+  FROM events
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN a_log = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+         CAST(sum(CASE WHEN a_log = 2 THEN r ELSE 0 END) AS BIGINT) AS k_r
+  FROM logged
+)
+SELECT n, n_matched, k_r,
+       CAST(3 * k_r AS DOUBLE) / n AS ips_value,
+       CAST(k_r AS DOUBLE) / n_matched AS snips_value
+FROM agg
+""",
+)
+def ml_eval_ips_value(spark, sf_dir):
+    """Off-policy evaluation by inverse-propensity scoring — the
+    counterfactual "what would the new policy have earned on the old
+    logs" estimate a ranking/recommendation team computes before any
+    online test: uniform-random logged actions (propensity exactly
+    1/3), a reward channel whose success rate rises with the action
+    ((3+a)/10 by independent hash stream), and a deterministic target
+    policy pi = "always action 2". The importance weight collapses to
+    the constant 3 on matched rows, so IPS = 3*sum(r*match)/n and
+    SNIPS = sum(r*match)/sum(match) are single divisions of exact
+    BIGINT counts — bit-identical across engines. Designed fixed
+    points: SNIPS ~= E[r|a=2] = 0.5, IPS ~= 0.5 (its extra variance is
+    exactly the n_matched/(n/3) fluctuation), and IPS ~= SNIPS iff the
+    logging propensities really are uniform — drift flags the hash
+    plumbing.
+
+    Scale shape: one scan -> 1-row agg; nothing else."""
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    a_log = (det_hash("event_id") % 3).cast("long")
+    r = F.when(
+        (
+            det_hash(
+                (F.col("user_id") % 1000003) * 41
+                + 13 * (det_hash("event_id") % 3)
+            )
+            % 10
+        ).cast("long")
+        < 3 + a_log,
+        1,
+    ).otherwise(0)
+    logged = ev.select(a_log.alias("a_log"), r.alias("r"))
+    agg = logged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("a_log") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_matched"),
+        F.sum(F.when(F.col("a_log") == 2, F.col("r")).otherwise(0))
+        .cast("long")
+        .alias("k_r"),
+    )
+    return agg.select(
+        "n",
+        "n_matched",
+        "k_r",
+        ((F.lit(3) * F.col("k_r")).cast("double") / F.col("n")).alias(
+            "ips_value"
+        ),
+        (F.col("k_r").cast("double") / F.col("n_matched")).alias(
+            "snips_value"
+        ),
+    )
+
+
+@register(
+    "ml_eval_pass_at_k",
+    oracle=f"""
+WITH samples AS (
+  SELECT user_id,
+         CASE WHEN CAST(({SQL_DET_HASH.format(col="((event_id % 1000003) * 11 + 3)")}) % 5 AS BIGINT) = 0
+              THEN 1 ELSE 0 END AS ok
+  FROM events
+),
+per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(ok) AS BIGINT) AS c
+  FROM samples GROUP BY user_id
+  HAVING count(*) >= 5
+),
+terms AS (
+  SELECT user_id, n, c,
+         CASE WHEN n - c < 5 THEN CAST(1000000000 AS BIGINT)
+              ELSE CAST(round((1.0
+                - CAST(CAST(n-c AS DECIMAL(38,0)) * (n-c-1) * (n-c-2)
+                       * (n-c-3) * (n-c-4) AS DOUBLE)
+                  / CAST(CAST(n AS DECIMAL(38,0)) * (n-1) * (n-2)
+                         * (n-3) * (n-4) AS DOUBLE))
+                * 1000000000) AS BIGINT) END AS pass_q
+  FROM per
+)
+SELECT CAST(count(*) AS BIGINT) AS n_tasks,
+       CAST(5 AS BIGINT) AS k,
+       CAST(sum(pass_q) AS DOUBLE) / count(*) / 1000000000
+         AS mean_pass_at_k
+FROM terms
+""",
+)
+def ml_eval_pass_at_k(spark, sf_dir):
+    """Unbiased pass@k (k=5) — the generation-eval aggregate for
+    sampled model attempts: per task (user) with n >= k attempts and c
+    successes, pass@k = 1 - C(n-c,k)/C(n,k), the Chen et al. (2021)
+    estimator, averaged over tasks. Success is a 20%% hash stream, so
+    mean pass@5 ~= 1 - C(0.8n,5)/C(n,5) ~= 0.67 is the designed fixed
+    point.
+
+    Exactness: the falling-factorial products C(n-c,k)/C(n,k) are
+    exact DECIMAL(38,0) integers (5 factors of <= n each — overflow-
+    safe to n ~ 3e7 attempts per task); their ratio is ONE fixed-order
+    double division, the per-task pass is quantized once to
+    nano-units, and the task mean is an exact BIGINT sum with two
+    final fixed-order divisions — bit-identical across engines
+    (the events_kl_user_vs_global quantization discipline). Tasks with
+    n-c < k short-circuit to pass = 1 before the product (a zero
+    factor would poison the DECIMAL product's sign).
+
+    Scale shape: scan -> per-task hash agg -> 1-row mean; no joins, no
+    windows."""
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    samples = ev.select(
+        "user_id",
+        F.when(
+            (det_hash((F.col("event_id") % 1000003) * 11 + 3) % 5) == 0, 1
+        )
+        .otherwise(0)
+        .alias("ok"),
+    )
+    per = (
+        samples.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("ok").cast("long").alias("c"),
+        )
+        .filter(F.col("n") >= 5)
+    )
+    dec = "decimal(38,0)"
+    nc = F.col("n") - F.col("c")
+    num = (
+        nc.cast(dec) * (nc - 1) * (nc - 2) * (nc - 3) * (nc - 4)
+    ).cast("double")
+    den = (
+        F.col("n").cast(dec)
+        * (F.col("n") - 1)
+        * (F.col("n") - 2)
+        * (F.col("n") - 3)
+        * (F.col("n") - 4)
+    ).cast("double")
+    pass_q = F.when(nc < 5, F.lit(1_000_000_000).cast("long")).otherwise(
+        F.round((F.lit(1.0) - num / den) * F.lit(1_000_000_000)).cast(
+            "long"
+        )
+    )
+    terms = per.select("n", "c", pass_q.alias("pass_q"))
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tasks"),
+        F.lit(5).cast("long").alias("k"),
+        (
+            F.sum("pass_q").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1_000_000_000)
+        ).alias("mean_pass_at_k"),
+    )
