@@ -1,0 +1,121 @@
+"""Semantic fixed-point guards for the round-9 eval/privacy/sequential
+queries. Exact cross-engine equality is the oracle gate's job
+(tools/check_oracle.py); these assert the DESIGNED statistical fixed
+points documented in each query's docstring, so a silent change to a
+hash stream, threshold, or frozen constant fails loudly here even
+while both engines still agree with each other."""
+
+from __future__ import annotations
+
+import pytest
+
+from wikipedia_data_pipeline_spark import registry
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return registry.spark_queries()
+
+
+def test_rater_kappa_fixed_point(spark, sf_dir, queries):
+    row = queries["ml_eval_rater_kappa"](spark, sf_dir).collect()[0]
+    # rater 2 copies rater 1 on ~70% of items; 3 classes
+    assert abs(row.observed_agreement - 0.8) < 0.05
+    assert abs(row.expected_agreement - 1 / 3) < 0.02
+    assert 0.6 < row.kappa < 0.8
+
+
+def test_conformal_coverage_fixed_point(spark, sf_dir, queries):
+    row = queries["ml_eval_conformal_threshold"](spark, sf_dir).collect()[0]
+    # alpha = 0.1 -> held-out coverage ~ 0.9 (exchangeable by design)
+    assert 0.84 <= row.coverage <= 0.96
+    assert row.q_hat > 0
+    ev_n = queries["ml_eval_ips_value"](spark, sf_dir).collect()[0].n
+    assert row.n_cal + row.n_eval == ev_n
+
+
+def test_ips_matches_snips(spark, sf_dir, queries):
+    row = queries["ml_eval_ips_value"](spark, sf_dir).collect()[0]
+    # uniform logging propensity: n_matched ~ n/3, so IPS ~ SNIPS; the
+    # value itself is per-user-deterministic and noisy at sf0.001
+    assert abs(row.n_matched - row.n / 3) < 0.05 * row.n
+    assert abs(row.ips_value - row.snips_value) < 0.05
+    assert 0.0 < row.snips_value < 1.0
+
+
+def test_pass_at_k_fixed_point(spark, sf_dir, queries):
+    row = queries["ml_eval_pass_at_k"](spark, sf_dir).collect()[0]
+    # 20% success stream -> pass@5 ~ 1 - 0.8^5 = 0.672
+    assert row.k == 5
+    assert abs(row.mean_pass_at_k - (1 - 0.8**5)) < 0.08
+
+
+def test_sprt_llr_drifts_negative(spark, sf_dir, queries):
+    rows = queries["events_sprt_ab"](spark, sf_dir).collect()
+    assert rows == sorted(rows, key=lambda r: r.day)
+    n_cums = [r.n_cum for r in rows]
+    assert n_cums == sorted(n_cums) and n_cums[0] > 0
+    # parity data: E[LLR increment] = -5.02 millinats/obs. At sf0.001
+    # (~400 obs) sampling noise can hold the LLR positive, so assert
+    # the SPRT guarantee itself — the trajectory never crosses the
+    # reject boundary (false-reject prob <= alpha by construction) —
+    # plus the exact frozen-constant integer relation per row.
+    assert all(r.decision != "reject_h0" for r in rows)
+    for r in rows:
+        llr_nano = r.k_cum * 95310180 + (r.n_cum - r.k_cum) * -105360516
+        assert r.llr == llr_nano / 1_000_000_000
+        expected = (
+            "reject_h0"
+            if llr_nano >= 2944438979
+            else "accept_h0"
+            if llr_nano <= -2944438979
+            else "continue"
+        )
+        assert r.decision == expected
+
+
+def test_mixture_weights_renormalize(spark, sf_dir, queries):
+    rows = queries["curation_mixture_weights"](spark, sf_dir).collect()
+    assert len(rows) > 1
+    assert all(0 < r.weight <= 4.0 for r in rows)
+    assert abs(sum(r.effective_share for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.raw_share for r in rows) - 1.0) < 1e-9
+
+
+def test_calibration_bins_partition_events(spark, sf_dir, queries):
+    rows = queries["ml_eval_calibration_bins"](spark, sf_dir).collect()
+    bins = [r.bin for r in rows]
+    assert len(set(bins)) == len(bins) and all(0 <= b <= 9 for b in bins)
+    ev_n = queries["ml_eval_ips_value"](spark, sf_dir).collect()[0].n
+    assert sum(r.n for r in rows) == ev_n
+    assert all(0.0 <= r.mean_score <= 1.0 for r in rows)
+    assert 0.0 <= sum(r.ece_term for r in rows) <= 1.0
+
+
+def test_fairness_rates_bounded(spark, sf_dir, queries):
+    rows = queries["ml_eval_fairness_gaps"](spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 2
+    for r in rows:
+        assert r.tp + r.fp + r.tn + r.fn == r.n
+        for rate in (r.tpr, r.fpr, r.positive_rate):
+            assert 0.0 <= rate <= 1.0
+
+
+def test_dp_noise_bounded(spark, sf_dir, queries):
+    from pyspark.sql import functions as F
+
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    rows = queries["privacy_dp_release_counts"](spark, sf_dir).collect()
+    true = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r.event_type for r in rows} == set(true)
+    for r in rows:
+        # |Laplace noise| <= ln(2^31)/epsilon ~ 21.5 by hash-stream range
+        assert abs(r.noisy_count - true[r.event_type]) <= 21.6
+        assert r.epsilon == 1.0

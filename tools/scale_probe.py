@@ -87,6 +87,17 @@ PROBE = [
     "events_quantile_table",
     "events_winsorized",
     "events_mad_outliers",
+    # r9 novelties: eval/privacy/sequential/mixing additions (100x rows
+    # + DuckDB twins, same standing rule as the r6/r7 novelty blocks)
+    "ml_eval_calibration_bins",
+    "ml_eval_rater_kappa",
+    "ml_eval_fairness_gaps",
+    "ml_eval_conformal_threshold",
+    "ml_eval_ips_value",
+    "ml_eval_pass_at_k",
+    "privacy_dp_release_counts",
+    "events_sprt_ab",
+    "curation_mixture_weights",
 ]
 # quadratic-oracle twins: timing DuckDB here measures the oracle's
 # deliberate brute-force design, not the engine — skip, like bench.py
