@@ -435,3 +435,70 @@ def test_zorder_key_query_is_shuffle_free(spark):
         spark, "/root/testdata/sf0.001"
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_r9_eval_queries_scan_budget(spark, sf_dir):
+    """The round-9 eval/privacy/mixing queries are single-scan hash
+    aggregations (plus pruned re-scans where a broadcast global range
+    is genuinely needed): column pruning must reach every events scan,
+    no SortMergeJoin may appear (the only joins are broadcast 1-row
+    crossJoins), and the driver-tiny intermediate relations must be
+    persisted so branching consumers don't re-run the fact agg."""
+    from wikipedia_data_pipeline_spark import registry
+    from wikipedia_data_pipeline_spark.operators import ranks
+
+    qs = registry.spark_queries()
+    import re
+
+    budgets = {
+        # name: (max scans, the ONLY events columns any scan may read)
+        "ml_eval_calibration_bins": (2, {"user_id", "value"}),
+        "ml_eval_rater_kappa": (1, {"event_id"}),
+        "ml_eval_fairness_gaps": (1, {"user_id", "value"}),
+        "ml_eval_ips_value": (1, {"event_id", "user_id"}),
+        "ml_eval_pass_at_k": (1, {"event_id", "user_id"}),
+        "privacy_dp_release_counts": (1, {"event_type"}),
+        "events_sprt_ab": (1, {"ts", "user_id"}),
+    }
+    try:
+        for name, (max_scans, allowed) in budgets.items():
+            ps = plan_summary(qs[name](spark, sf_dir))
+            assert len(ps.scans) <= max_scans, (name, len(ps.scans))
+            assert ps.n_sort_merge_joins == 0, name
+            for s in ps.scans:
+                read = set(re.findall(r"(\w+):", s["read_schema"]))
+                assert read <= allowed, (name, read - allowed)
+    finally:
+        ranks.unpersist_all()
+
+
+def test_mixture_weights_single_corpus_scan(spark, sf_dir):
+    from wikipedia_data_pipeline_spark import registry
+    from wikipedia_data_pipeline_spark.operators import ranks
+
+    q = registry.spark_queries()["curation_mixture_weights"]
+    try:
+        ps = plan_summary(q(spark, sf_dir))
+        assert len(ps.scans) == 1
+        assert "text" not in ps.scans[0]["read_schema"]
+        assert ps.n_sort_merge_joins == 0
+    finally:
+        ranks.unpersist_all()
+
+
+def test_conformal_no_sort_merge_and_pruned(spark, sf_dir):
+    """Split-conformal rides exact_quantiles: the threshold must come
+    from selection (no SortMergeJoin, no TakeOrdered full sort of the
+    calibration half) and every events scan stays pruned."""
+    from wikipedia_data_pipeline_spark import registry
+    from wikipedia_data_pipeline_spark.operators import ranks
+
+    q = registry.spark_queries()["ml_eval_conformal_threshold"]
+    try:
+        ps = plan_summary(q(spark, sf_dir))
+        assert ps.n_sort_merge_joins == 0
+        for s in ps.scans:
+            assert "props" not in s["read_schema"]
+            assert "event_type" not in s["read_schema"]
+    finally:
+        ranks.unpersist_all()

@@ -884,6 +884,13 @@ def ml_eval_calibration_bins(spark, sf_dir):
         F.sum("label").cast("long").alias("n_pos"),
         F.sum("dv").cast("long").alias("sum_dv"),
     )
+    # <=10 rows consumed by two branches (total + final) — persist so
+    # the fact agg above runs once, not per branch
+    from pyspark import StorageLevel
+
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    per = track_persisted(per.persist(StorageLevel.MEMORY_AND_DISK))
     tot = per.agg(F.sum("n").cast("long").alias("nn"))
     mean_label = F.col("n_pos").cast("double") / F.col("n")
     mean_score = (
@@ -988,6 +995,14 @@ def ml_eval_rater_kappa(spark, sf_dir):
         .groupBy("r1", "r2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_cell"))
     )
+    # 9-row confusion matrix consumed by FOUR branches (two marginals,
+    # the chance product, the agree total) — persist so the fact agg
+    # runs once, not per branch
+    from pyspark import StorageLevel
+
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    cells = track_persisted(cells.persist(StorageLevel.MEMORY_AND_DISK))
     m1 = cells.groupBy(F.col("r1").alias("k")).agg(
         F.sum("n_cell").cast("long").alias("n1")
     )

@@ -1795,6 +1795,13 @@ def curation_mixture_weights(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("chars_s"),
     )
+    # |sources| rows consumed by three branches (total, weights, the
+    # renormalizer) — persist so the corpus agg runs once
+    from pyspark import StorageLevel
+
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    per = track_persisted(per.persist(StorageLevel.MEMORY_AND_DISK))
     tot = per.agg(
         F.sum("chars_s").cast("long").alias("total"),
         F.count(F.lit(1)).cast("long").alias("nsrc"),
