@@ -119,3 +119,38 @@ def test_dp_noise_bounded(spark, sf_dir, queries):
         # |Laplace noise| <= ln(2^31)/epsilon ~ 21.5 by hash-stream range
         assert abs(r.noisy_count - true[r.event_type]) <= 21.6
         assert r.epsilon == 1.0
+
+
+def test_linkage_weights_exact_and_no_false_matches(spark, sf_dir, queries):
+    rows = queries["linkage_customer_pairs"](spark, sf_dir).collect()
+    assert rows, "blocking produced no candidate pairs"
+    W = {
+        "agree_area": (4469350463, -2292222306),
+        "agree_bal": (2833213344, -1845826690),
+        "agree_tail": (2251291799, -2890371758),
+    }
+    for r in rows:
+        w = sum(W[f][0] if getattr(r, f) == 1 else W[f][1] for f in W)
+        assert r.match_weight == w / 1_000_000_000
+        # corpus has no true duplicates: 'match' needs all three streams
+        # to agree simultaneously — assert the thresholds are honored
+        expected = (
+            "match"
+            if w >= 4_500_000_000
+            else "non_match"
+            if w <= -2_000_000_000
+            else "possible"
+        )
+        assert r.decision == expected
+
+
+def test_truncation_recall_full_dim_is_one(spark, sf_dir, queries):
+    rows = queries["ann_dim_truncation_recall"](spark, sf_dir).collect()
+    by_dim = {}
+    for r in rows:
+        by_dim.setdefault(r.dim_kept, []).append(r.recall_at_10)
+        assert 0.0 <= r.recall_at_10 <= 1.0
+    # keeping every dimension is the identity ranking
+    assert all(v == 1.0 for v in by_dim[64])
+    # fewer dims can never beat the identity on average
+    assert sum(by_dim[16]) <= sum(by_dim[64])

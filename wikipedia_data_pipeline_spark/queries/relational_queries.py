@@ -26,6 +26,7 @@ from wikipedia_data_pipeline_spark.functions import (
     sql_dec_sum,
     ts_us,
 )
+from wikipedia_data_pipeline_spark.operators.sampling import SQL_DET_HASH
 from wikipedia_data_pipeline_spark.registry import register
 from wikipedia_data_pipeline_spark.sources.tables import load_table
 
@@ -1059,4 +1060,132 @@ def scalar_regex_funcs(spark, sf_dir):
         ),
         F.col("text").rlike("^[A-Z]").alias("starts_upper"),
         F.regexp_replace("text", "[aeiou]", "*").alias("devoweled"),
+    )
+
+
+@register(
+    "linkage_customer_pairs",
+    oracle=f"""
+WITH c AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c,
+         CAST(round(c_acctbal * 100) AS BIGINT) // 200000 AS bb,
+         CAST(({SQL_DET_HASH.format(col="c_custkey")}) % 97 AS BIGINT) AS area,
+         CAST(c_custkey % 10 AS BIGINT) AS tail
+  FROM customer
+),
+pairs AS (
+  SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+         CASE WHEN a.area = b.area THEN 1 ELSE 0 END AS agree_area,
+         CASE WHEN abs(a.bal_c - b.bal_c) < 5000 THEN 1 ELSE 0 END AS agree_bal,
+         CASE WHEN a.tail = b.tail THEN 1 ELSE 0 END AS agree_tail
+  FROM c a JOIN c b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.bb = b.bb
+   AND a.c_custkey < b.c_custkey
+),
+scored AS (
+  SELECT a_key, b_key, agree_area, agree_bal, agree_tail,
+         (CASE WHEN agree_area = 1 THEN 4469350463 ELSE -2292222306 END
+          + CASE WHEN agree_bal = 1 THEN 2833213344 ELSE -1845826690 END
+          + CASE WHEN agree_tail = 1 THEN 2251291799 ELSE -2890371758 END)
+           AS w_nano
+  FROM pairs
+)
+SELECT a_key, b_key,
+       CAST(agree_area AS BIGINT) AS agree_area,
+       CAST(agree_bal AS BIGINT) AS agree_bal,
+       CAST(agree_tail AS BIGINT) AS agree_tail,
+       CAST(w_nano AS DOUBLE) / 1000000000 AS match_weight,
+       CASE WHEN w_nano >= 4500000000 THEN 'match'
+            WHEN w_nano <= -2000000000 THEN 'non_match'
+            ELSE 'possible' END AS decision
+FROM scored
+""",
+)
+def linkage_customer_pairs(spark, sf_dir):
+    """Fellegi-Sunter probabilistic record linkage — the entity-
+    resolution scorer a master-data pipeline runs between two feeds:
+    BLOCKED candidate pairs (nation x segment x account-balance band —
+    never the full cross product), a per-field agreement vector, and
+    the match weight sum(ln(m_i/u_i) | agree; ln((1-m_i)/(1-u_i)) |
+    disagree) against match / possible / non-match thresholds.
+    Comparison fields are deterministic streams (hash "area code",
+    balance proximity in exact cents, key-tail digit) with all six
+    log-weights FROZEN as nano-nat integer literals — the
+    events_sprt_ab discipline — so the weight and both thresholds are
+    pure BIGINT arithmetic and the machinery is what is under audit:
+    the corpus has no true duplicates, so 'match' decisions requiring
+    simultaneous agreement should be rare and every weight is exactly
+    reproducible.
+
+    Scale shape: one blocked self-equi-join (the standard linkage
+    blocking pass — pair count is sum of per-block C(n,2), kept
+    sub-quadratic by the balance band; production adds a sorted-
+    neighborhood key to tighten blocks further, same join shape).
+    No windows, no global sort."""
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        # exact CENTS (not functions.cents_units' micro-units): the
+        # proximity threshold below is 5000 cents = $50.00
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("bal_c"),
+        F.expr(
+            "CAST(round(c_acctbal * 100) AS BIGINT) div 200000"
+        ).alias("bb"),
+        (det_hash("c_custkey") % 97).cast("long").alias("area"),
+        (F.col("c_custkey") % 10).cast("long").alias("tail"),
+    )
+    a = c.select(*[F.col(x).alias(f"a_{x}") for x in c.columns])
+    b = c.select(*[F.col(x).alias(f"b_{x}") for x in c.columns])
+    pairs = a.join(
+        b,
+        (F.col("a_c_nationkey") == F.col("b_c_nationkey"))
+        & (F.col("a_c_mktsegment") == F.col("b_c_mktsegment"))
+        & (F.col("a_bb") == F.col("b_bb"))
+        & (F.col("a_c_custkey") < F.col("b_c_custkey")),
+    ).select(
+        F.col("a_c_custkey").alias("a_key"),
+        F.col("b_c_custkey").alias("b_key"),
+        F.when(F.col("a_area") == F.col("b_area"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("agree_area"),
+        F.when(F.abs(F.col("a_bal_c") - F.col("b_bal_c")) < 5000, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("agree_bal"),
+        F.when(F.col("a_tail") == F.col("b_tail"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("agree_tail"),
+    )
+    w_nano = (
+        F.when(F.col("agree_area") == 1, F.lit(4469350463)).otherwise(
+            F.lit(-2292222306)
+        )
+        + F.when(F.col("agree_bal") == 1, F.lit(2833213344)).otherwise(
+            F.lit(-1845826690)
+        )
+        + F.when(F.col("agree_tail") == 1, F.lit(2251291799)).otherwise(
+            F.lit(-2890371758)
+        )
+    )
+    return pairs.select(
+        "a_key",
+        "b_key",
+        "agree_area",
+        "agree_bal",
+        "agree_tail",
+        (w_nano.cast("double") / F.lit(1_000_000_000)).alias(
+            "match_weight"
+        ),
+        F.when(w_nano >= 4500000000, F.lit("match"))
+        .when(w_nano <= -2000000000, F.lit("non_match"))
+        .otherwise(F.lit("possible"))
+        .alias("decision"),
     )

@@ -324,3 +324,118 @@ def embedding_fd_sketch(spark, sf_dir):
     return spark.createDataFrame(
         rows, "rank long, sv double, frob_sq double, err_bound double"
     )
+
+
+@register(
+    "ann_dim_truncation_recall",
+    oracle=f"""
+WITH dims AS (SELECT unnest([64, 32, 16]) AS dim_kept),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+full_rank AS (
+  SELECT query_id, e.vec_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY {COS_SQL.format(a='q.q_emb', b='e.embedding')} DESC,
+                       e.vec_id) AS BIGINT) AS rnk
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id
+),
+trunc_rank AS (
+  SELECT d.dim_kept, query_id, e.vec_id,
+         CAST(row_number() OVER (PARTITION BY d.dim_kept, query_id
+              ORDER BY {COS_SQL.format(a='list_slice(q.q_emb, 1, d.dim_kept)', b='list_slice(e.embedding, 1, d.dim_kept)')} DESC,
+                       e.vec_id) AS BIGINT) AS rnk
+  FROM embeddings e CROSS JOIN q CROSS JOIN dims d
+  WHERE e.vec_id != q.query_id
+)
+SELECT t.dim_kept, t.query_id,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       CAST(count(*) AS DOUBLE) / 10 AS recall_at_10
+FROM trunc_rank t
+JOIN full_rank f ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+WHERE t.rnk <= 10 AND f.rnk <= 10
+GROUP BY t.dim_kept, t.query_id
+ORDER BY t.dim_kept, t.query_id
+""",
+)
+def ann_dim_truncation_recall(spark, sf_dir):
+    """Matryoshka-style truncation audit: recall@10 of cosine search
+    over the FIRST m dimensions (m = 64/32/16) against the full-dim
+    exact top-10, per query vector — the measurement behind "can we
+    serve the short prefix and re-rank with the tail" deployments of
+    truncatable embeddings. The m=64 rows are the built-in sanity
+    fixed point (recall exactly 1.0 — same ranking).
+
+    Exactness: both rankings use the identical left-to-right double
+    dot products as ann_cosine_topk_brute (fixed evaluation order in
+    both engines), tie-broken by vec_id, and recall is an integer
+    overlap count over one exact division — bit-identical.
+
+    Scale note: brute-force by design like ann_cosine_topk_brute (the
+    oracle-checkable baseline; |queries| x |corpus| scored pairs,
+    corpus side broadcast-joined against 5 query rows). The serving
+    path at scale is the IVF/PQ family; this query is the QUALITY
+    audit you run on a sample to pick the truncation point."""
+    from wikipedia_data_pipeline_spark.operators.similarity import (
+        cosine_similarity,
+    )
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin([0, 1, 2, 3, 4])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    full_rank = (
+        pairs.select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("q_emb"), F.col("embedding")).alias(
+                "cos"
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w_full).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "vec_id")
+    )
+    dims = spark.range(1).select(
+        F.explode(F.array(F.lit(64), F.lit(32), F.lit(16))).alias(
+            "dim_kept"
+        )
+    )
+    w_trunc = Window.partitionBy("dim_kept", "query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    trunc_rank = (
+        pairs.crossJoin(F.broadcast(dims))
+        .select(
+            "dim_kept",
+            "query_id",
+            "vec_id",
+            cosine_similarity(
+                F.expr("slice(q_emb, 1, dim_kept)"),
+                F.expr("slice(embedding, 1, dim_kept)"),
+            ).alias("cos"),
+        )
+        .withColumn("rnk", F.row_number().over(w_trunc).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("dim_kept", "query_id", "vec_id")
+    )
+    return (
+        trunc_rank.join(full_rank, ["query_id", "vec_id"])
+        .groupBy("dim_kept", "query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_overlap"),
+            (F.count(F.lit(1)).cast("double") / F.lit(10)).alias(
+                "recall_at_10"
+            ),
+        )
+        .orderBy("dim_kept", "query_id")
+    )
