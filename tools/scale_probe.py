@@ -98,6 +98,12 @@ PROBE = [
     "privacy_dp_release_counts",
     "events_sprt_ab",
     "curation_mixture_weights",
+    # customer is a dimension (copied unchanged into the replica), so
+    # the linkage block density stays REAL at 100x; embeddings shift
+    # ids, so truncation-recall scores a 100x corpus against the same
+    # 5 query vectors
+    "linkage_customer_pairs",
+    "ann_dim_truncation_recall",
 ]
 # quadratic-oracle twins: timing DuckDB here measures the oracle's
 # deliberate brute-force design, not the engine — skip, like bench.py
