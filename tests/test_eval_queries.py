@@ -154,3 +154,13 @@ def test_truncation_recall_full_dim_is_one(spark, sf_dir, queries):
     assert all(v == 1.0 for v in by_dim[64])
     # fewer dims can never beat the identity on average
     assert sum(by_dim[16]) <= sum(by_dim[64])
+
+
+def test_streaming_sprt_equals_batch(spark, sf_dir, queries):
+    """The streaming monitor's state + decision layer must reproduce
+    the batch SPRT row-for-row (same events, same frozen constants)."""
+    batch = queries["events_sprt_ab"](spark, sf_dir)
+    stream = queries["streaming_sprt_monitor"](spark, sf_dir)
+    assert batch.columns == stream.columns
+    assert batch.exceptAll(stream).count() == 0
+    assert stream.exceptAll(batch).count() == 0

@@ -182,3 +182,80 @@ def streaming_static_enrich(spark, sf_dir):
     return P.run_static_enrich(spark, sf_dir).select(
         "n_name", "n_events", "total_value"
     )
+
+
+from wikipedia_data_pipeline_spark.operators.sampling import (  # noqa: E402
+    SQL_DET_HASH as _DH,
+)
+
+
+@register(
+    "streaming_sprt_monitor",
+    oracle=f"""
+WITH obs AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(({_DH.format(col="user_id")}) % 2 AS BIGINT) AS x
+  FROM events
+  WHERE CAST(({_DH.format(col="((user_id % 1000003) * 23 + 7)")}) % 2 AS BIGINT) = 1
+),
+daily AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n_day,
+         CAST(sum(x) AS BIGINT) AS k_day
+  FROM obs GROUP BY day
+),
+cum AS (
+  SELECT day,
+         CAST(sum(n_day) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cum,
+         CAST(sum(k_day) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS k_cum
+  FROM daily
+)
+SELECT CAST(day AS BIGINT) AS day, n_cum, k_cum,
+       CAST(k_cum * 95310180 + (n_cum - k_cum) * (-105360516) AS DOUBLE)
+         / 1000000000 AS llr,
+       CASE
+         WHEN k_cum * 95310180 + (n_cum - k_cum) * (-105360516)
+              >= 2944438979 THEN 'reject_h0'
+         WHEN k_cum * 95310180 + (n_cum - k_cum) * (-105360516)
+              <= -2944438979 THEN 'accept_h0'
+         ELSE 'continue'
+       END AS decision
+FROM cum
+ORDER BY day
+""",
+)
+def streaming_sprt_monitor(spark, sf_dir):
+    """Streaming deployment of the Wald SPRT sequential A/B monitor:
+    the treated arm's per-day (n, conversions) counters run as a
+    STATEFUL streaming aggregation (streaming.pipeline.
+    run_sprt_daily_counts — the state a deployed monitor keeps between
+    micro-batches), then the decision layer — cumulative LLR in frozen
+    nano-nat BIGINT arithmetic against the ln(19) boundaries — reads
+    the day-spine-sized state table as a batch post-pass. Must equal
+    events_sprt_ab's batch result row-for-row (identical oracle SQL):
+    the streaming counters and the batch GROUP BY see the same events,
+    so stream/batch parity of the whole monitor is what is asserted."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    daily = P.run_sprt_daily_counts(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.sum("n_day").over(w).cast("long").alias("n_cum"),
+        F.sum("k_day").over(w).cast("long").alias("k_cum"),
+    )
+    llr_nano = F.col("k_cum") * F.lit(95310180) + (
+        F.col("n_cum") - F.col("k_cum")
+    ) * F.lit(-105360516)
+    return cum.select(
+        "day",
+        "n_cum",
+        "k_cum",
+        (llr_nano.cast("double") / F.lit(1_000_000_000)).alias("llr"),
+        F.when(llr_nano >= 2944438979, F.lit("reject_h0"))
+        .when(llr_nano <= -2944438979, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    ).orderBy("day")

@@ -734,3 +734,35 @@ def run_view_click_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         partitions=_input_sized_partitions(spark, sf_dir),
     )
     return spark.table("wdp_stream_vc_left_join")
+
+
+def run_sprt_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming half of the SPRT monitor (see
+    queries.statstests_queries.events_sprt_ab for the batch twin and
+    the frozen-constant exactness story): the treated arm's per-day
+    (n, conversions) counters as a stateful streaming aggregation —
+    the state a deployed sequential monitor keeps between micro-
+    batches. Complete-mode memory sink; the decision layer (cumulative
+    LLR vs the ln(19) boundaries) reads this day-spine-sized state as
+    a batch post-pass, exactly how a monitor consults its store."""
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    events = read_events_stream(spark, sf_dir)
+    obs = events.filter(
+        (det_hash((F.col("user_id") % 1000003) * 23 + 7) % 2) == 1
+    ).select(
+        # same integer day index as the batch twin (ts is epoch-us)
+        F.expr("ts div 86400000000").cast("long").alias("day"),
+        (det_hash("user_id") % 2).cast("long").alias("x"),
+    )
+    daily = obs.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_day"),
+        F.sum("x").cast("long").alias("k_day"),
+    )
+    _run_to_memory(
+        daily,
+        "wdp_stream_sprt",
+        "complete",
+        partitions=_input_sized_partitions(spark, sf_dir),
+    )
+    return spark.table("wdp_stream_sprt")
