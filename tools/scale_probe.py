@@ -452,6 +452,135 @@ def _ntile_woe_variant(spark, sf_dir):
     )
 
 
+def _kmv_distinct_shared_variant(spark, sf_dir):
+    """Round-9 rewrite CANDIDATE of sketch_kmv_distinct_users that was
+    measured and REJECTED: route the sketch and every exact-audit
+    branch through ONE persisted distinct (type, user) pair relation
+    instead of letting each audit run its own countDistinct. Clean
+    same-process 100x A/B: 3.85 s vs 3.45 s for the registered
+    multipass form — the per-branch distincts were never fact-sized in
+    BYTES, because hash-aggregate partial (map-side) combine collapses
+    each pass before its exchange, while the shared form pays a full
+    pair-relation exchange plus persist overhead up front. Kept so
+    both sides of the measured decision stay probed (ntile_by_cuts
+    discipline)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from wikipedia_data_pipeline_spark.operators import profiling as P
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+    from wikipedia_data_pipeline_spark.queries.sketch_queries import _KMV_K
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    K, MOD = _KMV_K, (1 << 31) - 1
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    d = track_persisted(
+        ev.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hsh = d.select("event_type", det_hash("user_id").alias("h"))
+    sk = track_persisted(
+        P.kmv_min_hashes(hsh, "event_type", "h", k=K).cache()
+    )
+    pertype = sk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("h").alias("hk")
+    )
+    exact_t = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    est = F.when(
+        F.col("cnt") < K, F.col("cnt").cast("double")
+    ).otherwise(F.lit((K - 1) * MOD) / F.col("hk"))
+    t_rows = (
+        pertype.join(exact_t, "event_type")
+        .select(
+            F.col("event_type").alias("segment"),
+            "n_exact",
+            est.alias("est_kmv"),
+        )
+    )
+    usk = (
+        sk.select("h").distinct().orderBy("h").limit(K)
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("h").alias("hk"))
+    )
+    flags = d.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "view").cast("int")).alias("v"),
+        F.max((F.col("event_type") == "click").cast("int")).alias("c"),
+    )
+    audits = track_persisted(
+        flags.agg(
+            F.count(F.lit(1)).alias("n_union"),
+            F.sum(F.col("v") * F.col("c")).cast("long").alias("n_vc"),
+            F.sum(F.col("v") * (1 - F.col("c")))
+            .cast("long")
+            .alias("n_vnc"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    u_row = (
+        usk.crossJoin(F.broadcast(audits))
+        .select(
+            F.lit("__union_all__").alias("segment"),
+            F.col("n_union").alias("n_exact"),
+            est.alias("est_kmv"),
+        )
+    )
+
+    def theta_of(t):
+        return (
+            sk.filter(F.col("event_type") == t)
+            .agg(
+                F.when(F.count(F.lit(1)) >= K, F.max("h"))
+                .otherwise(F.lit(MOD))
+                .alias("th")
+            )
+        )
+
+    th = (
+        theta_of("view")
+        .crossJoin(theta_of("click").withColumnRenamed("th", "th2"))
+        .select(F.least("th", "th2").alias("theta"))
+    )
+    va = sk.filter(F.col("event_type") == "view").select("h")
+    cb = sk.filter(F.col("event_type") == "click").select("h")
+    common = (
+        va.join(cb, "h")
+        .crossJoin(F.broadcast(th))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    i_row = (
+        common.crossJoin(F.broadcast(th))
+        .crossJoin(F.broadcast(audits))
+        .select(
+            F.lit("__intersect_view_click__").alias("segment"),
+            F.col("n_vc").alias("n_exact"),
+            (
+                F.col("c").cast("double") * F.lit(MOD) / F.col("theta")
+            ).alias("est_kmv"),
+        )
+    )
+    donly = (
+        va.join(cb, "h", "left_anti")
+        .crossJoin(F.broadcast(th))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    d_row = (
+        donly.crossJoin(F.broadcast(th))
+        .crossJoin(F.broadcast(audits))
+        .select(
+            F.lit("__view_minus_click__").alias("segment"),
+            F.col("n_vnc").alias("n_exact"),
+            (
+                F.col("c").cast("double") * F.lit(MOD) / F.col("theta")
+            ).alias("est_kmv"),
+        )
+    )
+    return (
+        t_rows.unionByName(u_row).unionByName(i_row).unionByName(d_row)
+    )
+
+
 # A/B twins: timed like PROBE entries, no DuckDB twin of their own
 # (their output IS the registered query's — identical oracle). The
 # __window_baseline rows are the REPLACED formulations (selection won);
@@ -461,6 +590,7 @@ BASELINES = {
     "events_quantile_table__window_baseline": _win_quantile_table,
     "events_winsorized__window_baseline": _win_winsorized,
     "events_mad_outliers__window_baseline": _win_mad_outliers,
+    "sketch_kmv_distinct_users__shared_distinct_variant": _kmv_distinct_shared_variant,
     "customer_rfm_segments__ntile_by_cuts_variant": _ntile_rfm_variant,
     "revenue_concentration_deciles__ntile_by_cuts_variant": _ntile_deciles_variant,
     "ml_eval_gains_table__ntile_by_cuts_variant": _ntile_gains_variant,
