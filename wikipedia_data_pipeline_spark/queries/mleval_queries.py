@@ -1427,3 +1427,359 @@ def ml_eval_pass_at_k(spark, sf_dir):
             / F.lit(1_000_000_000)
         ).alias("mean_pass_at_k"),
     )
+
+
+_BT_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT event_type FROM events),
+obs AS (
+  SELECT a.event_type AS i, b.event_type AS j,
+         CAST(sum(CASE WHEN a.n <> b.n THEN 1 ELSE 0 END) AS BIGINT) AS n_obs,
+         CAST(sum(CASE WHEN a.n > b.n THEN 1 ELSE 0 END) AS BIGINT) AS w_obs
+  FROM c a JOIN c b
+    ON a.user_id = b.user_id AND a.event_type <> b.event_type
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT ti.event_type AS i, tj.event_type AS j,
+         CAST(COALESCE(n_obs, 0) + 2 AS BIGINT) AS n_ij,
+         CAST(COALESCE(w_obs, 0) + 1 AS BIGINT) AS w_ij
+  FROM types ti
+  JOIN types tj ON ti.event_type <> tj.event_type
+  LEFT JOIN obs ON obs.i = ti.event_type AND obs.j = tj.event_type
+),
+it1 AS (
+  SELECT i,
+         CAST(sum(CAST(round(CAST(n_ij AS DOUBLE) / 2.0 * 1000000000.0)
+                       AS BIGINT)) AS BIGINT) AS denom_nano,
+         CAST(sum(w_ij) AS BIGINT) AS wins
+  FROM m GROUP BY 1
+),
+p1 AS (
+  SELECT i,
+         (CAST(wins AS DOUBLE) * 1000000000.0)
+           / CAST(denom_nano AS DOUBLE) AS p
+  FROM it1
+),
+it2 AS (
+  SELECT m.i AS i,
+         CAST(sum(CAST(round(CAST(m.n_ij AS DOUBLE) / (pi.p + pj.p)
+                             * 1000000000.0) AS BIGINT)) AS BIGINT)
+           AS denom_nano,
+         CAST(sum(m.w_ij) AS BIGINT) AS wins,
+         CAST(sum(m.n_ij) AS BIGINT) AS n_comparisons
+  FROM m
+  JOIN p1 pi ON pi.i = m.i
+  JOIN p1 pj ON pj.i = m.j
+  GROUP BY 1
+),
+p2 AS (
+  SELECT i AS item, wins, n_comparisons,
+         CAST(round((CAST(wins AS DOUBLE) * 1000000000.0)
+                    / CAST(denom_nano AS DOUBLE) * 1000000000.0)
+              AS BIGINT) AS strength_nano
+  FROM it2
+),
+tot AS (SELECT CAST(sum(strength_nano) AS BIGINT) AS t FROM p2)
+SELECT item, wins, n_comparisons, strength_nano,
+       CAST(strength_nano AS DOUBLE) / CAST(t AS DOUBLE) AS strength_share,
+       CAST(row_number() OVER (ORDER BY strength_nano DESC, item)
+            AS BIGINT) AS bt_rank
+FROM p2, tot
+"""
+
+
+@register("ml_eval_bradley_terry", oracle=_BT_ORACLE)
+def ml_eval_bradley_terry(spark, sf_dir):
+    """Bradley-Terry preference aggregation — the model that turns
+    pairwise comparison logs (RLHF preference data, arena-style model
+    matchups) into a per-item strength ranking. Items are event types;
+    one "judge" per user: for each type pair the user compared, the
+    type they triggered MORE often wins (ties abstain). Strengths are
+    fit with two unrolled Hunter-MM iterations
+    p_i <- W_i / sum_j n_ij/(p_i+p_j) from p=1, with add-one
+    smoothing (w+1, n+2 per directed pair) so every strength is
+    positive at any scale.
+
+    Exactness: wins/comparison counts are exact BIGINT from hash
+    aggregates; each MM denominator term n_ij/(p_i+p_j) is quantized
+    once to nano-units so the per-item sum is an associative BIGINT
+    sum (the events_psi_drift discipline); each p is then ONE
+    fixed-order double division of exact integers, so both engines
+    walk bit-identical iterates. Final strengths are re-quantized to
+    nano-units; shares and the rank are derived from those integers.
+
+    Scale shape: one (user, type) hash agg -> co-partitioned self-join
+    on user_id (each user contributes <= K^2 rows, K = |types|) ->
+    K(K-1)-row directed win matrix; both MM iterations and the
+    ranking run on that driver-tiny relation (broadcast joins only).
+    The per-user counts and the matrix are persisted because two plan
+    branches consume each."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    c = track_persisted(
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a, b = c.alias("a"), c.alias("b")
+    obs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") != F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("i"),
+            F.col("b.event_type").alias("j"),
+        )
+        .agg(
+            F.sum(F.when(F.col("a.n") != F.col("b.n"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_obs"),
+            F.sum(F.when(F.col("a.n") > F.col("b.n"), 1).otherwise(0))
+            .cast("long")
+            .alias("w_obs"),
+        )
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.select(F.col("event_type").alias("i")).crossJoin(
+        types.select(F.col("event_type").alias("j"))
+    ).filter(F.col("i") != F.col("j"))
+    m = track_persisted(
+        spine.join(obs, ["i", "j"], "left")
+        .select(
+            "i",
+            "j",
+            (F.coalesce("n_obs", F.lit(0)) + 2).cast("long").alias("n_ij"),
+            (F.coalesce("w_obs", F.lit(0)) + 1).cast("long").alias("w_ij"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    it1 = m.groupBy("i").agg(
+        F.sum(
+            F.round(F.col("n_ij").cast("double") / 2.0 * 1_000_000_000.0)
+            .cast("long")
+        )
+        .cast("long")
+        .alias("denom_nano"),
+        F.sum("w_ij").cast("long").alias("wins"),
+    )
+    p1 = it1.select(
+        "i",
+        (
+            (F.col("wins").cast("double") * 1_000_000_000.0)
+            / F.col("denom_nano").cast("double")
+        ).alias("p"),
+    )
+    pi = p1.select("i", F.col("p").alias("p_i"))
+    pj = p1.select(F.col("i").alias("j"), F.col("p").alias("p_j"))
+    it2 = (
+        m.join(F.broadcast(pi), "i")
+        .join(F.broadcast(pj), "j")
+        .groupBy("i")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("n_ij").cast("double")
+                    / (F.col("p_i") + F.col("p_j"))
+                    * 1_000_000_000.0
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("denom_nano"),
+            F.sum("w_ij").cast("long").alias("wins"),
+            F.sum("n_ij").cast("long").alias("n_comparisons"),
+        )
+    )
+    p2 = it2.select(
+        F.col("i").alias("item"),
+        "wins",
+        "n_comparisons",
+        F.round(
+            (F.col("wins").cast("double") * 1_000_000_000.0)
+            / F.col("denom_nano").cast("double")
+            * 1_000_000_000.0
+        )
+        .cast("long")
+        .alias("strength_nano"),
+    )
+    tot = p2.agg(F.sum("strength_nano").cast("long").alias("t"))
+    w = Window.orderBy(F.col("strength_nano").desc(), "item")
+    return (
+        p2.crossJoin(F.broadcast(tot))
+        .select(
+            "item",
+            "wins",
+            "n_comparisons",
+            "strength_nano",
+            (
+                F.col("strength_nano").cast("double")
+                / F.col("t").cast("double")
+            ).alias("strength_share"),
+        )
+        .withColumn("bt_rank", F.row_number().over(w).cast("long"))
+    )
+
+
+_FLEISS_ORACLE = f"""
+WITH rated AS (
+  SELECT r1,
+         CASE WHEN flip2 < 7 THEN r1 ELSE alt2 END AS r2,
+         CASE WHEN flip3 < 5 THEN r1 ELSE alt3 END AS r3
+  FROM (
+    SELECT CAST(({SQL_DET_HASH.format(col="event_id")}) % 3 AS BIGINT) AS r1,
+           CAST(({SQL_DET_HASH.format(col="((event_id % 1000003) * 13 + 5)")}) % 10 AS BIGINT) AS flip2,
+           CAST(({SQL_DET_HASH.format(col="((event_id % 1000003) * 31 + 11)")}) % 3 AS BIGINT) AS alt2,
+           CAST(({SQL_DET_HASH.format(col="((event_id % 1000003) * 43 + 17)")}) % 10 AS BIGINT) AS flip3,
+           CAST(({SQL_DET_HASH.format(col="((event_id % 1000003) * 53 + 29)")}) % 3 AS BIGINT) AS alt3
+    FROM events
+  )
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END
+                  + CASE WHEN r1 = r3 THEN 1 ELSE 0 END
+                  + CASE WHEN r2 = r3 THEN 1 ELSE 0 END) AS BIGINT) AS agree_pairs,
+         CAST(sum(CASE WHEN r1 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN r2 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN r3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN r1 = 1 THEN 1 ELSE 0 END
+                  + CASE WHEN r2 = 1 THEN 1 ELSE 0 END
+                  + CASE WHEN r3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN r1 = 2 THEN 1 ELSE 0 END
+                  + CASE WHEN r2 = 2 THEN 1 ELSE 0 END
+                  + CASE WHEN r3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM rated
+),
+d AS (
+  SELECT n_items, agree_pairs,
+         CAST(CAST(c0 AS DECIMAL(18,0)) * CAST(c0 AS DECIMAL(18,0))
+              + CAST(c1 AS DECIMAL(18,0)) * CAST(c1 AS DECIMAL(18,0))
+              + CAST(c2 AS DECIMAL(18,0)) * CAST(c2 AS DECIMAL(18,0))
+              AS DECIMAL(38,0)) AS csq,
+         CAST(CAST(n_items AS DECIMAL(18,0)) * CAST(agree_pairs AS DECIMAL(18,0)) * 3
+              AS DECIMAL(38,0)) AS num_l,
+         CAST(CAST(n_items AS DECIMAL(18,0)) * CAST(n_items AS DECIMAL(18,0)) * 9
+              AS DECIMAL(38,0)) AS nm_sq
+  FROM agg
+)
+SELECT n_items,
+       CAST(agree_pairs AS DOUBLE) / CAST(3 * n_items AS DOUBLE)
+         AS mean_pairwise_agreement,
+       CAST(csq AS DOUBLE) / CAST(nm_sq AS DOUBLE) AS expected_agreement,
+       CAST(num_l - csq AS DOUBLE) / CAST(nm_sq - csq AS DOUBLE)
+         AS fleiss_kappa
+FROM d
+"""
+
+
+@register("ml_eval_fleiss_kappa", oracle=_FLEISS_ORACLE)
+def ml_eval_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa for THREE raters — the multi-rater agreement
+    statistic Cohen's (two-rater) kappa can't express; the label-QA
+    readout when each item in an annotation pipeline is rated by a
+    panel. Raters are deterministic hash streams over events (the
+    ml_eval_rater_kappa discipline): rater 1 labels into 3 classes;
+    rater 2 copies rater 1 on ~70% of items, rater 3 on ~50%,
+    re-drawing from independent streams otherwise.
+
+    Exactness: with m=3 raters, sum_k n_ik^2 per item equals
+    3 + 2*(pairwise agreements among the three ratings), so Fleiss'
+    P_bar collapses to agree_pairs/(3N) and the WHOLE statistic needs
+    only ONE fact-level hash aggregate (N, pairwise-agreement count,
+    3 per-category rating totals) — no per-item grouping at all. The
+    algebra clears every early division:
+    kappa = (3*N*A - sum_k c_k^2) / (9*N^2 - sum_k c_k^2) with both
+    sides exact DECIMAL(38,0) integers, so the one final double
+    division (and the fixed-order agreement ratios) are bit-identical
+    across engines. Hash args are pre-reduced mod 1000003 so the key
+    expression cannot overflow BIGINT at any event_id.
+
+    Scale shape: scan -> 1-row aggregate. Nothing else."""
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        (det_hash("event_id") % 3).cast("long").alias("r1"),
+        (det_hash((F.col("event_id") % 1000003) * 13 + 5) % 10)
+        .cast("long")
+        .alias("flip2"),
+        (det_hash((F.col("event_id") % 1000003) * 31 + 11) % 3)
+        .cast("long")
+        .alias("alt2"),
+        (det_hash((F.col("event_id") % 1000003) * 43 + 17) % 10)
+        .cast("long")
+        .alias("flip3"),
+        (det_hash((F.col("event_id") % 1000003) * 53 + 29) % 3)
+        .cast("long")
+        .alias("alt3"),
+    )
+    rated = base.select(
+        "r1",
+        F.when(F.col("flip2") < 7, F.col("r1"))
+        .otherwise(F.col("alt2"))
+        .alias("r2"),
+        F.when(F.col("flip3") < 5, F.col("r1"))
+        .otherwise(F.col("alt3"))
+        .alias("r3"),
+    )
+
+    def eq(x, y):
+        return F.when(F.col(x) == F.col(y), 1).otherwise(0)
+
+    def is_k(col, k):
+        return F.when(F.col(col) == k, 1).otherwise(0)
+
+    agg = rated.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(eq("r1", "r2") + eq("r1", "r3") + eq("r2", "r3"))
+        .cast("long")
+        .alias("agree_pairs"),
+        *[
+            F.sum(is_k("r1", k) + is_k("r2", k) + is_k("r3", k))
+            .cast("long")
+            .alias(f"c{k}")
+            for k in (0, 1, 2)
+        ],
+    )
+    dec = "decimal(18,0)"
+    csq = (
+        F.col("c0").cast(dec) * F.col("c0").cast(dec)
+        + F.col("c1").cast(dec) * F.col("c1").cast(dec)
+        + F.col("c2").cast(dec) * F.col("c2").cast(dec)
+    ).cast("decimal(38,0)")
+    num_l = (
+        F.col("n_items").cast(dec) * F.col("agree_pairs").cast(dec) * 3
+    ).cast("decimal(38,0)")
+    nm_sq = (
+        F.col("n_items").cast(dec) * F.col("n_items").cast(dec) * 9
+    ).cast("decimal(38,0)")
+    d = agg.select(
+        "n_items",
+        "agree_pairs",
+        csq.alias("csq"),
+        num_l.alias("num_l"),
+        nm_sq.alias("nm_sq"),
+    )
+    return d.select(
+        "n_items",
+        (
+            F.col("agree_pairs").cast("double")
+            / (F.lit(3) * F.col("n_items")).cast("double")
+        ).alias("mean_pairwise_agreement"),
+        (F.col("csq").cast("double") / F.col("nm_sq").cast("double")).alias(
+            "expected_agreement"
+        ),
+        (
+            (F.col("num_l") - F.col("csq")).cast("double")
+            / (F.col("nm_sq") - F.col("csq")).cast("double")
+        ).alias("fleiss_kappa"),
+    )

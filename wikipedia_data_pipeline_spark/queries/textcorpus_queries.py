@@ -1006,3 +1006,83 @@ def documents_vocab_overlap_langs(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "text_distinct_ngrams",
+    oracle="""
+WITH t AS (
+  SELECT lang,
+         list_filter(list_transform(string_split(text, ' '),
+                     x -> lower(regexp_replace(x, '[^a-zA-Z]', '', 'g'))),
+                     w -> length(w) > 0) AS ws
+  FROM documents
+),
+uni AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT w) AS BIGINT) AS n_distinct_tokens
+  FROM t, unnest(ws) AS u(w) GROUP BY lang
+),
+bi AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(count(DISTINCT ws[g] || ' ' || ws[g+1]) AS BIGINT)
+           AS n_distinct_bigrams
+  FROM t, unnest(generate_series(1, len(ws) - 1)) AS u(g)
+  GROUP BY lang
+)
+SELECT lang, n_tokens, n_distinct_tokens, n_bigrams, n_distinct_bigrams,
+       CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         AS distinct1,
+       CAST(n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+         AS distinct2
+FROM uni JOIN bi USING (lang)
+""",
+)
+def text_distinct_ngrams(spark, sf_dir):
+    """Distinct-n lexical diversity per language slice — the distinct-1
+    / distinct-2 metrics (Li et al. 2016) that flag degenerate,
+    repetitive text: a model (or a scraped source) collapsing onto
+    stock phrases shows a normal distinct-1 but a cratered distinct-2.
+    Run per corpus slice it is the generation-diversity / template-spam
+    companion to the compression-ratio and repetition gates.
+
+    Exact BIGINT numerators and denominators (two two-phase
+    count-distinct aggregates); the two ratios are single fixed-order
+    double divisions. Scale shape: tokenize -> (lang, word) partial
+    distinct agg; bigram explode -> (lang, ngram) partial distinct agg;
+    final join on the handful of language rows. The distinct shuffles
+    key on (lang, gram) — vocabulary-sized, never document-bound."""
+    from wikipedia_data_pipeline_spark.operators.text import ngrams, tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    uni = (
+        tokenize(docs, id_col="lang")
+        .groupBy(F.col("doc_id").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.countDistinct("word").cast("long").alias("n_distinct_tokens"),
+        )
+    )
+    bi = (
+        ngrams(docs, n=2, id_col="lang")
+        .groupBy(F.col("doc_id").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.countDistinct("ngram").cast("long").alias("n_distinct_bigrams"),
+        )
+    )
+    return uni.join(bi, "lang").select(
+        "lang",
+        "n_tokens",
+        "n_distinct_tokens",
+        "n_bigrams",
+        "n_distinct_bigrams",
+        (
+            F.col("n_distinct_tokens").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("distinct1"),
+        (
+            F.col("n_distinct_bigrams").cast("double")
+            / F.col("n_bigrams").cast("double")
+        ).alias("distinct2"),
+    )
