@@ -156,6 +156,49 @@ def test_truncation_recall_full_dim_is_one(spark, sf_dir, queries):
     assert sum(by_dim[16]) <= sum(by_dim[64])
 
 
+def test_bradley_terry_fixed_point(spark, sf_dir, queries):
+    rows = queries["ml_eval_bradley_terry"](spark, sf_dir).collect()
+    k = len(rows)
+    assert k > 1
+    # bt_rank is a permutation of 1..K and agrees with strength order
+    assert sorted(r.bt_rank for r in rows) == list(range(1, k + 1))
+    by_rank = sorted(rows, key=lambda r: r.bt_rank)
+    strengths = [r.strength_nano for r in by_rank]
+    assert strengths == sorted(strengths, reverse=True)
+    assert all(r.strength_nano > 0 for r in rows)
+    assert abs(sum(r.strength_share for r in rows) - 1.0) < 1e-9
+    # w_ij + w_ji = n_ij exactly (ties abstain, +1/+1 vs +2 smoothing),
+    # so total wins equal total undirected comparisons
+    assert sum(r.wins for r in rows) * 2 == sum(r.n_comparisons for r in rows)
+    # smoothing floor: every item starts with one win per opponent
+    assert all(r.wins >= k - 1 for r in rows)
+
+
+def test_fleiss_kappa_fixed_point(spark, sf_dir, queries):
+    row = queries["ml_eval_fleiss_kappa"](spark, sf_dir).collect()[0]
+    # copy rates 0.7/0.5 over 3 uniform classes:
+    # P(r1=r2)=0.8, P(r1=r3)=2/3, P(r2=r3)=0.35+0.65/3 -> mean ~0.678
+    assert abs(row.mean_pairwise_agreement - 0.6778) < 0.03
+    assert abs(row.expected_agreement - 1 / 3) < 0.02
+    # kappa = (0.678 - 1/3) / (1 - 1/3) ~ 0.517
+    assert 0.44 < row.fleiss_kappa < 0.59
+    assert row.n_items > 0
+
+
+def test_distinct_ngrams_diversity_bounds(spark, sf_dir, queries):
+    rows = queries["text_distinct_ngrams"](spark, sf_dir).collect()
+    langs = [r.lang for r in rows]
+    assert len(set(langs)) == len(langs) >= 2
+    for r in rows:
+        assert 0 < r.n_bigrams < r.n_tokens
+        assert 0 < r.n_distinct_tokens <= r.n_tokens
+        assert 0 < r.n_distinct_bigrams <= r.n_bigrams
+        assert abs(r.distinct1 - r.n_distinct_tokens / r.n_tokens) < 1e-12
+        assert abs(r.distinct2 - r.n_distinct_bigrams / r.n_bigrams) < 1e-12
+        # natural (non-degenerate) text: bigram diversity beats unigram
+        assert r.distinct2 > r.distinct1
+
+
 def test_streaming_sprt_equals_batch(spark, sf_dir, queries):
     """The streaming monitor's state + decision layer must reproduce
     the batch SPRT row-for-row (same events, same frozen constants)."""

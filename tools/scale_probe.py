@@ -104,6 +104,12 @@ PROBE = [
     # 5 query vectors
     "linkage_customer_pairs",
     "ann_dim_truncation_recall",
+    # r9 session-4 additions: BT rides a per-user self-join (user ids
+    # shift per replica, so pair density stays real); Fleiss is a
+    # single 1-row aggregate; distinct-n is two count-distinct aggs
+    "ml_eval_bradley_terry",
+    "ml_eval_fleiss_kappa",
+    "text_distinct_ngrams",
 ]
 # quadratic-oracle twins: timing DuckDB here measures the oracle's
 # deliberate brute-force design, not the engine — skip, like bench.py
