@@ -207,3 +207,58 @@ def test_streaming_sprt_equals_batch(spark, sf_dir, queries):
     assert batch.columns == stream.columns
     assert batch.exceptAll(stream).count() == 0
     assert stream.exceptAll(batch).count() == 0
+
+
+def test_cuped_preserves_pooled_mean(spark, sf_dir, queries):
+    rows = queries["ml_eval_cuped_ab"](spark, sf_dir).collect()
+    assert sorted(r.arm for r in rows) == [0, 1]
+    thetas = {r.theta for r in rows}
+    vrs = {r.variance_reduction for r in rows}
+    assert len(thetas) == 1 and len(vrs) == 1
+    assert 0.0 <= vrs.pop() <= 1.0
+    # CUPED adjustment is mean-preserving over the pooled population:
+    # sum_a n_a * adjusted_a == sum_a n_a * post_a (theta * (x - mx)
+    # integrates to zero), so the treatment contrast is unbiased
+    pooled_adj = sum(r.n_users * r.cuped_adjusted_mean for r in rows)
+    pooled_post = sum(r.n_users * r.mean_post_value for r in rows)
+    assert abs(pooled_adj - pooled_post) < 1e-6 * max(1.0, abs(pooled_post))
+    for r in rows:
+        assert r.mean_pre_value > 0 and r.mean_post_value > 0
+
+
+def test_chao1_bounds_and_tokenizer_consistency(spark, sf_dir, queries):
+    rows = queries["corpus_chao1_richness"](spark, sf_dir).collect()
+    ngr = {
+        r.lang: r
+        for r in queries["text_distinct_ngrams"](spark, sf_dir).collect()
+    }
+    assert len(rows) >= 2
+    for r in rows:
+        assert r.f1 + r.f2 <= r.d_observed <= r.n_tokens
+        # chao1 only ever ADDS unseen-type mass to the observed count
+        assert r.chao1_richness >= r.d_observed
+        # f1 = 0 (no hapaxes, tiny synthetic vocab) makes coverage
+        # exactly 1.0, so the upper bound is inclusive
+        assert 0.0 < r.good_turing_coverage <= 1.0
+        # same tokenizer as the distinct-n query: totals must agree
+        assert r.n_tokens == ngr[r.lang].n_tokens
+        assert r.d_observed == ngr[r.lang].n_distinct_tokens
+
+
+def test_winnowing_query_invariants(spark, sf_dir, queries):
+    rows = queries["text_winnowing_shared_fingerprints"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert (
+            0
+            <= r.n_shared_fingerprints
+            <= r.n_distinct_fingerprints
+            <= r.n_fingerprints
+        )
+        assert r.max_fp_doc_count >= 1
+        assert abs(
+            r.sharing_rate
+            - r.n_shared_fingerprints / r.n_distinct_fingerprints
+        ) < 1e-12

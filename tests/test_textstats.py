@@ -179,3 +179,34 @@ def test_chunk_documents_overlap_and_tail(spark):
         2: (6, 4, "gg hh ii jj"),
         3: (9, 1, "jj"),               # short tail chunk
     }
+
+
+def test_winnowing_guarantee_and_selectivity(spark):
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "intro words here first " + shared + " closing remarks", "en"),
+        (2, "totally different opening text " + shared + " plus a tail", "en"),
+        (3, "short doc", "en"),  # < w + k - 1 tokens -> no fingerprints
+        (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    fp = TS.winnow_fingerprints(d, k=4, w=5).collect()
+    by = {}
+    for r in fp:
+        by.setdefault(r.doc_id, set()).add(r.fingerprint)
+    # winnowing guarantee: a shared run of >= w + k - 1 = 8 tokens
+    # always yields at least one shared fingerprint
+    assert by[1] & by[2]
+    # no fingerprints for a doc below the window threshold
+    assert 3 not in by
+    # unrelated text shares nothing
+    assert not (by.get(4, set()) & by[1])
+    # selectivity: far fewer fingerprints than grams (~2/(w+1) of them)
+    n_grams_doc4 = 10 - 4 + 1
+    assert len(by[4]) < n_grams_doc4
+    # determinism under repartitioning
+    again = {
+        (r.doc_id, r.fingerprint)
+        for r in TS.winnow_fingerprints(d.repartition(7), k=4, w=5).collect()
+    }
+    assert again == {(r.doc_id, r.fingerprint) for r in fp}

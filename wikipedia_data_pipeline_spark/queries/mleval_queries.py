@@ -1783,3 +1783,160 @@ def ml_eval_fleiss_kappa(spark, sf_dir):
             / (F.col("nm_sq") - F.col("csq")).cast("double")
         ).alias("fleiss_kappa"),
     )
+
+
+_CUPED_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(({SQL_DET_HASH.format(col="user_id")}) % 2 AS BIGINT) AS arm,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0)))
+              AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)))
+              AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)))
+              AS DECIMAL(38,0)) AS syy
+  FROM u
+),
+t AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+         ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+           / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           AS variance_reduction,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx
+  FROM g
+),
+a AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(CAST(x AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sxa,
+         CAST(sum(CAST(y AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sya
+  FROM u GROUP BY arm
+)
+SELECT arm, n_users,
+       CAST(sxa AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0
+         AS mean_pre_value,
+       CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0
+         AS mean_post_value,
+       (CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE)
+          - theta * (CAST(sxa AS DOUBLE) / CAST(n_users AS DOUBLE) - mx))
+         / 100.0 AS cuped_adjusted_mean,
+       theta, variance_reduction
+FROM a, t
+"""
+
+
+@register("ml_eval_cuped_ab", oracle=_CUPED_ORACLE)
+def ml_eval_cuped_ab(spark, sf_dir):
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM 2013) —
+    the experiment-analysis operator that uses each user's PRE-period
+    behavior as a control covariate: adjusted_i = y_i - theta (x_i -
+    E[x]) with theta = cov(x, y)/var(x), shrinking metric variance by
+    the squared pre/post correlation without biasing the treatment
+    contrast. Arms are det_hash(user_id) % 2; the pre period is days
+    1-15, the experiment period the rest of the month; the per-user
+    metric is summed value in cents.
+
+    Exact: per-user x/y are BIGINT cents sums; all five pooled moment
+    sums are DECIMAL(38,0) hash aggregates, so theta, the pre/post R^2
+    (= the variance-reduction factor), and both arms' adjusted means
+    are fixed-order double expressions both engines evaluate
+    identically — the events_feature_corr_matrix discipline.
+
+    Scale shape: one events scan -> per-user hash agg (the only
+    fact-sized shuffle) -> persisted user-level relation feeds the
+    1-row pooled-moments aggregate AND the 2-row per-arm aggregate ->
+    broadcast the 1-row theta onto the arms. At 1000 executors the
+    user relation is the natural experiment-analysis table; nothing
+    else grows with the event count."""
+    from pyspark import StorageLevel
+
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    # load_table exposes ts as epoch-micros BIGINT; 1705363200000000 is
+    # TIMESTAMP '2024-01-16' UTC — the same instant the oracle names
+    pre = F.col("ts") < F.lit(1705363200000000)
+    cents = F.round(F.col("value") * 100).cast("long")
+    u = track_persisted(
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(pre, cents).otherwise(0)).cast("long").alias("x"),
+            F.sum(F.when(~pre, cents).otherwise(0)).cast("long").alias("y"),
+        )
+        .select(
+            (det_hash("user_id") % 2).cast("long").alias("arm"), "x", "y"
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dec = "decimal(18,0)"
+    g = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    t = g.selectExpr(
+        "n",
+        """(cast(n as double) * cast(sxy as double)
+            - cast(sx as double) * cast(sy as double))
+           / (cast(n as double) * cast(sxx as double)
+              - cast(sx as double) * cast(sx as double)) AS theta""",
+        """((cast(n as double) * cast(sxy as double)
+             - cast(sx as double) * cast(sy as double))
+            * (cast(n as double) * cast(sxy as double)
+               - cast(sx as double) * cast(sy as double)))
+           / ((cast(n as double) * cast(sxx as double)
+               - cast(sx as double) * cast(sx as double))
+              * (cast(n as double) * cast(syy as double)
+                 - cast(sy as double) * cast(sy as double)))
+           AS variance_reduction""",
+        "cast(sx as double) / cast(n as double) AS mx",
+    ).drop("n")
+    a = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("x").cast(dec)).cast("decimal(38,0)").alias("sxa"),
+        F.sum(F.col("y").cast(dec)).cast("decimal(38,0)").alias("sya"),
+    )
+    return a.crossJoin(F.broadcast(t)).selectExpr(
+        "arm",
+        "n_users",
+        "cast(sxa as double) / cast(n_users as double) / 100.0"
+        " AS mean_pre_value",
+        "cast(sya as double) / cast(n_users as double) / 100.0"
+        " AS mean_post_value",
+        """(cast(sya as double) / cast(n_users as double)
+            - theta * (cast(sxa as double) / cast(n_users as double) - mx))
+           / 100.0 AS cuped_adjusted_mean""",
+        "theta",
+        "variance_reduction",
+    )

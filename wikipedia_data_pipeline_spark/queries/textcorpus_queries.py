@@ -1086,3 +1086,167 @@ def text_distinct_ngrams(spark, sf_dir):
             / F.col("n_bigrams").cast("double")
         ).alias("distinct2"),
     )
+
+
+_WINNOW_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(list_transform(string_split(text, ' '),
+                     x -> lower(regexp_replace(x, '[^a-zA-Z]', '', 'g'))),
+                     x -> length(x) > 0) AS ws
+  FROM documents
+),
+h AS (
+  SELECT doc_id, lang,
+         list_transform(
+           list_transform(range(1, greatest(len(ws) - 2, 1)),
+                          p -> array_to_string(list_slice(ws, p, p + 3), ' ')),
+           s -> list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(s) + 1),
+                                   i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))),
+                  (acc, x) -> (acc * 131 + x) % 2147483647)) AS hs
+  FROM t
+),
+f AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(range(1, greatest(len(hs) - 3, 1)),
+           q -> list_aggregate(list_slice(hs, q, q + 4), 'min'))) AS fps
+  FROM h
+),
+e AS (SELECT lang, CAST(fp AS BIGINT) AS fingerprint
+      FROM f, unnest(fps) AS u(fp)),
+g AS (
+  SELECT lang, fingerprint, CAST(count(*) AS BIGINT) AS nd
+  FROM e GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(sum(nd) AS BIGINT) AS n_fingerprints,
+       CAST(count(*) AS BIGINT) AS n_distinct_fingerprints,
+       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_fingerprints,
+       CAST(max(nd) AS BIGINT) AS max_fp_doc_count,
+       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS sharing_rate
+FROM g GROUP BY lang
+"""
+
+
+@register("text_winnowing_shared_fingerprints", oracle=_WINNOW_ORACLE)
+def text_winnowing_shared_fingerprints(spark, sf_dir):
+    """Corpus boilerplate audit via MOSS winnowing fingerprints
+    (operators/textstats.winnow_fingerprints: k=4-word grams, w=5
+    window, char-poly hash base 131 mod 2^31-1): per language slice,
+    how many winnowed fingerprints exist, how many distinct, how many
+    are SHARED by >= 2 documents, and the worst fingerprint's document
+    count. A rising sharing_rate is the canary for mirrored/templated
+    text that exact-dedup misses — winnowing guarantees any shared run
+    of >= w + k - 1 = 8 tokens surfaces at least one shared
+    fingerprint, at ~2/(w+1) the index size of full shingling.
+
+    Exact: fingerprints are integers both engines derive with the same
+    integer polynomial; counts are BIGINT hash aggregates; the one
+    ratio is a single fixed-order double division. Scale shape:
+    codegen array math per document -> explode (~G/w rows/doc) ->
+    (lang, fingerprint) hash agg -> per-lang rollup. No windows over
+    the corpus, no joins, nothing all-pairs."""
+    from wikipedia_data_pipeline_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        winnow_fingerprints(docs, k=4, w=5, keep_cols=("lang",))
+        .groupBy("lang", "fingerprint")
+        .agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    )
+    return g.groupBy("lang").agg(
+        F.sum("nd").cast("long").alias("n_fingerprints"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_fingerprints"),
+        F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_shared_fingerprints"),
+        F.max("nd").cast("long").alias("max_fp_doc_count"),
+        (
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("sharing_rate"),
+    )
+
+
+_CHAO1_ORACLE = """
+WITH w AS (
+  SELECT lang, lower(regexp_replace(x, '[^a-zA-Z]', '', 'g')) AS word
+  FROM documents, unnest(string_split(text, ' ')) AS u(x)
+),
+c AS (
+  SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt
+  FROM w WHERE length(word) > 0 GROUP BY 1, 2
+),
+a AS (
+  SELECT lang,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS d_observed,
+         CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM c GROUP BY lang
+)
+SELECT lang, n_tokens, d_observed, f1, f2,
+       CAST(d_observed AS DOUBLE)
+         + CAST(f1 * (f1 - 1) AS DOUBLE) / CAST(2 * (f2 + 1) AS DOUBLE)
+         AS chao1_richness,
+       1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         AS good_turing_coverage
+FROM a
+"""
+
+
+@register("corpus_chao1_richness", oracle=_CHAO1_ORACLE)
+def corpus_chao1_richness(spark, sf_dir):
+    """Vocabulary-richness and corpus-coverage estimation per language:
+    Chao1 (bias-corrected: D + f1(f1-1)/(2(f2+1))) estimates how many
+    word types the corpus WOULD contain at infinite size from the
+    hapax/dis-legomena counts, and Good-Turing coverage (1 - f1/N)
+    estimates the probability mass of already-seen words — the "is
+    more crawling worth it" readout for a training-data corpus, and
+    the companion to the Heaps-law growth fit.
+
+    Exact: f1/f2/D/N are BIGINT hash-aggregate counts; chao1's
+    numerator f1(f1-1) and denominator 2(f2+1) are exact integers, so
+    the two double divisions are single fixed-order operations both
+    engines share. Scale shape: tokenize -> (lang, word) hash agg
+    (vocabulary-sized, map-side combinable) -> per-lang rollup."""
+    from wikipedia_data_pipeline_spark.operators.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        tokenize(docs, id_col="lang")
+        .groupBy(F.col("doc_id").alias("lang"), "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    a = c.groupBy("lang").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("d_observed"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("cnt") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+    )
+    return a.select(
+        "lang",
+        "n_tokens",
+        "d_observed",
+        "f1",
+        "f2",
+        (
+            F.col("d_observed").cast("double")
+            + (F.col("f1") * (F.col("f1") - 1)).cast("double")
+            / (F.lit(2) * (F.col("f2") + 1)).cast("double")
+        ).alias("chao1_richness"),
+        (
+            F.lit(1.0)
+            - F.col("f1").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("good_turing_coverage"),
+    )
