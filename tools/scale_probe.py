@@ -110,6 +110,11 @@ PROBE = [
     "ml_eval_bradley_terry",
     "ml_eval_fleiss_kappa",
     "text_distinct_ngrams",
+    # winnowing/chao1 scan the 100x documents corpus; CUPED is the
+    # per-user agg -> tiny-moments shape on 10M events
+    "text_winnowing_shared_fingerprints",
+    "corpus_chao1_richness",
+    "ml_eval_cuped_ab",
 ]
 # quadratic-oracle twins: timing DuckDB here measures the oracle's
 # deliberate brute-force design, not the engine — skip, like bench.py
@@ -587,12 +592,79 @@ def _kmv_distinct_shared_variant(spark, sf_dir):
     )
 
 
+def _trunc_recall_twopass_baseline(spark, sf_dir):
+    """Pre-session-4 formulation of ann_dim_truncation_recall: TWO
+    passes over the query x corpus pairs (full-dim ranking branch +
+    per-dim sliced-cosine branch) joined on (query_id, vec_id). Kept
+    as the A/B baseline for the one-pass prefix-dot rewrite."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from wikipedia_data_pipeline_spark.functions import cosine_similarity
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin([0, 1, 2, 3, 4])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    full_rank = (
+        pairs.select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        )
+        .withColumn("rnk", F.row_number().over(w_full).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "vec_id")
+    )
+    dims = spark.range(1).select(
+        F.explode(F.array(F.lit(64), F.lit(32), F.lit(16))).alias("dim_kept")
+    )
+    w_trunc = Window.partitionBy("dim_kept", "query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    trunc_rank = (
+        pairs.crossJoin(F.broadcast(dims))
+        .select(
+            "dim_kept",
+            "query_id",
+            "vec_id",
+            cosine_similarity(
+                F.expr("slice(q_emb, 1, dim_kept)"),
+                F.expr("slice(embedding, 1, dim_kept)"),
+            ).alias("cos"),
+        )
+        .withColumn("rnk", F.row_number().over(w_trunc).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("dim_kept", "query_id", "vec_id")
+    )
+    return (
+        trunc_rank.join(full_rank, ["query_id", "vec_id"])
+        .groupBy("dim_kept", "query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_overlap"),
+            (F.count(F.lit(1)).cast("double") / F.lit(10)).alias(
+                "recall_at_10"
+            ),
+        )
+        .orderBy("dim_kept", "query_id")
+    )
+
+
 # A/B twins: timed like PROBE entries, no DuckDB twin of their own
 # (their output IS the registered query's — identical oracle). The
 # __window_baseline rows are the REPLACED formulations (selection won);
 # the __ntile_by_cuts_variant rows are REJECTED candidates (ranking
 # won) — kept so both sides of each measured decision stay probed.
 BASELINES = {
+    "ann_dim_truncation_recall__twopass_baseline": _trunc_recall_twopass_baseline,
     "events_quantile_table__window_baseline": _win_quantile_table,
     "events_winsorized__window_baseline": _win_winsorized,
     "events_mad_outliers__window_baseline": _win_mad_outliers,

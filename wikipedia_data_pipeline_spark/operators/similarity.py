@@ -30,12 +30,19 @@ def cosine_topk(
     embeddings: DataFrame, query_ids: list[int], k: int = 10
 ) -> DataFrame:
     """Exact top-k neighbors by cosine for each query vector (self
-    excluded). Deterministic order: (query_id, cos desc, vec_id)."""
+    excluded). Deterministic order: (query_id, cos desc, vec_id).
+
+    The corpus side rides ``fan_out`` before the broadcast cross join:
+    an embeddings parquet small enough to arrive as a handful of scan
+    splits would otherwise serialize |queries| x |corpus| x dim cosine
+    math on those few cores (measured 7x at the 100x replica)."""
+    from wikipedia_data_pipeline_spark.sources.tables import fan_out
+
     q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     scored = (
-        embeddings.crossJoin(F.broadcast(q))
+        fan_out(embeddings).crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -99,13 +106,19 @@ def ann_lsh_topk(
     ``probe_radius`` of its own sign pattern (the classic multi-probe
     LSH recall lever) — the query side explodes by ``C(planes, <=r)``
     rows, still broadcast-tiny, while the corpus side stays one bucket
-    per vector."""
-    with_bucket = embeddings.withColumn(
-        "bucket", _bucket_expr(F.col("embedding"), dim, planes)
-    )
+    per vector.
+
+    The corpus-side bucket expression (planes x dim multiply-adds per
+    vector) rides ``fan_out``; the query side branches from the RAW
+    scan so its 5-id filter still pushes down to parquet."""
+    from wikipedia_data_pipeline_spark.sources.tables import fan_out
+
+    bucket = _bucket_expr(F.col("embedding"), dim, planes)
+    with_bucket = fan_out(embeddings).withColumn("bucket", bucket)
     masks = F.array(*[F.lit(m) for m in _probe_masks(planes, probe_radius)])
     q = (
-        with_bucket.filter(F.col("vec_id").isin(query_ids))
+        embeddings.withColumn("bucket", bucket)
+        .filter(F.col("vec_id").isin(query_ids))
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
@@ -204,8 +217,14 @@ def _nearest_centroids(
                 c["centroid_id"].alias("centroid_id"),
             ),
         )
-        return embeddings.crossJoin(F.broadcast(cand)).select(
-            embeddings["*"],
+        # corpus-assignment hot path: |centroids| x dim multiply-adds
+        # per corpus row — fan_out so a few-split scan can't serialize
+        # it (no-op on healthy scans and on already-shuffled inputs)
+        from wikipedia_data_pipeline_spark.sources.tables import fan_out
+
+        corpus = fan_out(embeddings)
+        return corpus.crossJoin(F.broadcast(cand)).select(
+            corpus["*"],
             F.array_min(scored)["centroid_id"].alias(id_out),
         )
     scored = embeddings.crossJoin(F.broadcast(centroids)).select(

@@ -553,11 +553,12 @@ def winnow_fingerprints(
     keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """MOSS winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
-    per document, hash every k-word gram with a char-level polynomial
-    rolling hash (base 131 mod 2^31-1 — portable: plain integer ops
-    both engines evaluate identically), then slide a w-gram window and
-    keep the MINIMUM hash of each window. Output is one row per
-    (document, DISTINCT selected hash).
+    per document, hash every k-word gram with a two-level polynomial
+    hash (chars -> word hash, word hashes -> gram hash, base 131 mod
+    2^31-1 — portable: plain integer ops both engines evaluate
+    identically, and each character is hashed once per document), then
+    slide a w-gram window and keep the MINIMUM hash of each window.
+    Output is one row per (document, DISTINCT selected hash).
 
     The winnowing guarantee: any shared token run of length
     >= w + k - 1 between two documents yields at least one shared
@@ -583,21 +584,32 @@ def winnow_fingerprints(
         ),
         lambda t: F.length(t) > 0,
     )
-    # grams -> char-poly hashes -> per-window minima, all array-side.
-    # sequence(1, n) flips DESCENDING when n < 1, so every sequence is
-    # gated behind a size check (DuckDB's range(1, n<1) is just empty).
+    # word char-hashes once -> gram hashes fold k WORD hashes (each
+    # character is hashed exactly once per document, instead of ~k
+    # times through concatenated gram strings) -> per-window minima,
+    # all array-side. sequence(1, n) flips DESCENDING when n < 1, so
+    # every sequence is gated behind a size check (DuckDB's
+    # range(1, n<1) is just empty).
     hashes = F.expr(
         f"""
         CASE WHEN size(toks) >= {k} THEN
           transform(
-            transform(sequence(1, size(toks) - {k - 1}),
-                      p -> concat_ws(' ', slice(toks, p, {k}))),
-            s -> aggregate(
-                   transform(sequence(1, length(s)),
-                             i -> cast(ascii(substr(s, i, 1)) as bigint)),
+            sequence(1, size(toks) - {k - 1}),
+            p -> aggregate(
+                   slice(whs, p, {k}),
                    cast(0 as bigint),
                    (acc, x) -> (acc * 131 + x) % {WINNOW_HASH_MOD}))
         ELSE array() END
+        """
+    )
+    word_hashes = F.expr(
+        f"""
+        transform(toks,
+          w -> aggregate(
+                 transform(sequence(1, length(w)),
+                           i -> cast(ascii(substr(w, i, 1)) as bigint)),
+                 cast(0 as bigint),
+                 (acc, x) -> (acc * 131 + x) % {WINNOW_HASH_MOD}))
         """
     )
     fps = F.expr(
@@ -611,6 +623,7 @@ def winnow_fingerprints(
     return (
         fan_out(documents)
         .select(id_col, *keep_cols, toks.alias("toks"))
+        .select(id_col, *keep_cols, "toks", word_hashes.alias("whs"))
         .select(id_col, *keep_cols, hashes.alias("hs"))
         .select(id_col, *keep_cols, F.explode(fps).alias("fingerprint"))
     )

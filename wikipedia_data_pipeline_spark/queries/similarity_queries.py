@@ -370,70 +370,146 @@ def ann_dim_truncation_recall(spark, sf_dir):
     Exactness: both rankings use the identical left-to-right double
     dot products as ann_cosine_topk_brute (fixed evaluation order in
     both engines), tie-broken by vec_id, and recall is an integer
-    overlap count over one exact division — bit-identical.
+    overlap count over one exact division — bit-identical. The prefix
+    cosines are built INCREMENTALLY (the 17..32 block folds on top of
+    the 1..16 accumulator, etc.), which is the same left fold as
+    aggregating each slice from 0 — identical doubles, one pass.
 
     Scale note: brute-force by design like ann_cosine_topk_brute (the
     oracle-checkable baseline; |queries| x |corpus| scored pairs,
-    corpus side broadcast-joined against 5 query rows). The serving
-    path at scale is the IVF/PQ family; this query is the QUALITY
-    audit you run on a sample to pick the truncation point."""
-    from wikipedia_data_pipeline_spark.operators.similarity import (
-        cosine_similarity,
-    )
+    corpus side broadcast-joined against 5 query rows), but ONE pass:
+    each pair is scored once with running prefix dots/norms (64 mults
+    per measure total, vs two branches re-slicing 112 + 64 in the
+    round-9 baseline — probed as __twopass_baseline), the per-dim
+    rankings ride one window over the exploded (dim, cos) rows, and
+    the full-vs-truncated overlap is a (query, vec) pivot instead of
+    a self-join, so the pair relation is never recomputed. The
+    serving path at scale is the IVF/PQ family; this query is the
+    QUALITY audit you run on a sample to pick the truncation point."""
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id").isin([0, 1, 2, 3, 4])).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
+    from wikipedia_data_pipeline_spark.sources.tables import fan_out
+
+    # fan_out before the cross join: a few-split embeddings scan would
+    # otherwise serialize the per-pair prefix-dot math on a few cores
     pairs = (
-        emb.crossJoin(F.broadcast(q))
+        fan_out(emb).crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
     )
-    w_full = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("vec_id")
-    )
-    full_rank = (
-        pairs.select(
-            "query_id",
-            "vec_id",
-            cosine_similarity(F.col("q_emb"), F.col("embedding")).alias(
-                "cos"
+
+    def fold(expr_a, expr_b, start, off, ln):
+        """Left fold of a[off..off+ln) x b[off..off+ln) products on top
+        of ``start`` — extends the prefix dot without re-summing it."""
+        return F.aggregate(
+            F.zip_with(
+                F.expr(f"slice({expr_a}, {off}, {ln})"),
+                F.expr(f"slice({expr_b}, {off}, {ln})"),
+                lambda x, y: x.cast("double") * y.cast("double"),
             ),
+            start,
+            lambda acc, x: acc + x,
         )
-        .withColumn("rnk", F.row_number().over(w_full).cast("long"))
-        .filter(F.col("rnk") <= 10)
-        .select("query_id", "vec_id")
+
+    def cos(d, nq, ne):
+        return F.col(d) / (F.sqrt(F.col(nq)) * F.sqrt(F.col(ne)))
+
+    s = pairs.select(
+        "query_id",
+        "vec_id",
+        "q_emb",
+        "embedding",
+        fold("q_emb", "embedding", F.lit(0.0), 1, 16).alias("d16"),
+        fold("q_emb", "q_emb", F.lit(0.0), 1, 16).alias("nq16"),
+        fold("embedding", "embedding", F.lit(0.0), 1, 16).alias("ne16"),
     )
-    dims = spark.range(1).select(
-        F.explode(F.array(F.lit(64), F.lit(32), F.lit(16))).alias(
-            "dim_kept"
-        )
+    s = s.select(
+        "*",
+        fold("q_emb", "embedding", F.col("d16"), 17, 16).alias("d32"),
+        fold("q_emb", "q_emb", F.col("nq16"), 17, 16).alias("nq32"),
+        fold("embedding", "embedding", F.col("ne16"), 17, 16).alias("ne32"),
     )
-    w_trunc = Window.partitionBy("dim_kept", "query_id").orderBy(
+    s = s.select(
+        "query_id",
+        "vec_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(16).alias("dim_kept"),
+                    cos("d16", "nq16", "ne16").alias("cos"),
+                ),
+                F.struct(
+                    F.lit(32).alias("dim_kept"),
+                    cos("d32", "nq32", "ne32").alias("cos"),
+                ),
+                F.struct(
+                    F.lit(64).alias("dim_kept"),
+                    (
+                        fold("q_emb", "embedding", F.col("d32"), 33, 32)
+                        / (
+                            F.sqrt(
+                                fold("q_emb", "q_emb", F.col("nq32"), 33, 32)
+                            )
+                            * F.sqrt(
+                                fold(
+                                    "embedding",
+                                    "embedding",
+                                    F.col("ne32"),
+                                    33,
+                                    32,
+                                )
+                            )
+                        )
+                    ).alias("cos"),
+                ),
+            )
+        ).alias("dc"),
+    ).select("query_id", "vec_id", "dc.dim_kept", "dc.cos")
+    w = Window.partitionBy("dim_kept", "query_id").orderBy(
         F.desc("cos"), F.asc("vec_id")
     )
-    trunc_rank = (
-        pairs.crossJoin(F.broadcast(dims))
+    ranked = s.select(
+        "query_id",
+        "vec_id",
+        "dim_kept",
+        F.row_number().over(w).cast("long").alias("rnk"),
+    )
+    piv = ranked.groupBy("query_id", "vec_id").agg(
+        *[
+            F.min(F.when(F.col("dim_kept") == m, F.col("rnk"))).alias(
+                f"r{m}"
+            )
+            for m in (16, 32, 64)
+        ]
+    )
+    hits = piv.select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("dim_kept"),
+                        (
+                            (F.col(f"r{m}") <= 10) & (F.col("r64") <= 10)
+                        ).alias("hit"),
+                    )
+                    for m in (16, 32, 64)
+                ]
+            )
+        ).alias("h"),
+    ).select("query_id", "h.dim_kept", "h.hit")
+    return (
+        hits.groupBy("dim_kept", "query_id")
+        .agg(F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("long").alias("n_overlap"))
+        .filter(F.col("n_overlap") > 0)
         .select(
             "dim_kept",
             "query_id",
-            "vec_id",
-            cosine_similarity(
-                F.expr("slice(q_emb, 1, dim_kept)"),
-                F.expr("slice(embedding, 1, dim_kept)"),
-            ).alias("cos"),
-        )
-        .withColumn("rnk", F.row_number().over(w_trunc).cast("long"))
-        .filter(F.col("rnk") <= 10)
-        .select("dim_kept", "query_id", "vec_id")
-    )
-    return (
-        trunc_rank.join(full_rank, ["query_id", "vec_id"])
-        .groupBy("dim_kept", "query_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_overlap"),
-            (F.count(F.lit(1)).cast("double") / F.lit(10)).alias(
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / F.lit(10)).alias(
                 "recall_at_10"
             ),
         )

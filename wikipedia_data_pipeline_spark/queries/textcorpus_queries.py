@@ -1096,17 +1096,22 @@ WITH t AS (
                      x -> length(x) > 0) AS ws
   FROM documents
 ),
+wh AS (
+  SELECT doc_id, lang,
+         list_transform(ws, w ->
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(w) + 1),
+                            i -> CAST(ascii(substr(w, i, 1)) AS BIGINT))),
+             (acc, x) -> (acc * 131 + x) % 2147483647)) AS whs
+  FROM t
+),
 h AS (
   SELECT doc_id, lang,
-         list_transform(
-           list_transform(range(1, greatest(len(ws) - 2, 1)),
-                          p -> array_to_string(list_slice(ws, p, p + 3), ' ')),
-           s -> list_reduce(
-                  list_prepend(CAST(0 AS BIGINT),
-                    list_transform(range(1, length(s) + 1),
-                                   i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))),
-                  (acc, x) -> (acc * 131 + x) % 2147483647)) AS hs
-  FROM t
+         list_transform(range(1, greatest(len(whs) - 2, 1)),
+           p -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_slice(whs, p, p + 3)),
+                (acc, x) -> (acc * 131 + x) % 2147483647)) AS hs
+  FROM wh
 ),
 f AS (
   SELECT doc_id, lang,
@@ -1136,7 +1141,8 @@ FROM g GROUP BY lang
 def text_winnowing_shared_fingerprints(spark, sf_dir):
     """Corpus boilerplate audit via MOSS winnowing fingerprints
     (operators/textstats.winnow_fingerprints: k=4-word grams, w=5
-    window, char-poly hash base 131 mod 2^31-1): per language slice,
+    window, two-level char->word->gram polynomial hash base 131 mod
+    2^31-1): per language slice,
     how many winnowed fingerprints exist, how many distinct, how many
     are SHARED by >= 2 documents, and the worst fingerprint's document
     count. A rising sharing_rate is the canary for mirrored/templated
