@@ -262,3 +262,27 @@ def test_winnowing_query_invariants(spark, sf_dir, queries):
             r.sharing_rate
             - r.n_shared_fingerprints / r.n_distinct_fingerprints
         ) < 1e-12
+
+
+def test_rrf_fusion_formula_and_order(spark, sf_dir, queries):
+    rows = queries["text_search_rrf_hybrid"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    ids = [r.doc_id for r in rows]
+    assert len(set(ids)) == len(ids)
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    saw_lex = saw_sem = False
+    for r in rows:
+        assert r.lex_rank is not None or r.sem_rank is not None
+        expect = 0.0
+        if r.lex_rank is not None:
+            assert 1 <= r.lex_rank <= 200
+            expect += 1.0 / (60 + r.lex_rank)
+            saw_lex = True
+        if r.sem_rank is not None:
+            assert 1 <= r.sem_rank <= 200
+            expect += 1.0 / (60 + r.sem_rank)
+            saw_sem = True
+        assert abs(r.rrf_score - expect) < 1e-15
+    # both retrieval systems contribute to the fused page
+    assert saw_lex and saw_sem

@@ -1256,3 +1256,211 @@ def corpus_chao1_richness(spark, sf_dir):
             - F.col("f1").cast("double") / F.col("n_tokens").cast("double")
         ).alias("good_turing_coverage"),
     )
+
+
+_RRF_K = 60
+_RRF_DEPTH = 200
+_COS0_SQL = (
+    "list_sum(list_transform(list_zip(q.q_emb, e.embedding),"
+    " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(q.q_emb,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(e.embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+
+@register(
+    "text_search_rrf_hybrid",
+    oracle=f"""
+WITH {TOKS_CTE},
+tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),
+dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT CAST(sum(len) AS DOUBLE) / count(*) AS avglen,
+         count(*) AS n_docs
+  FROM dl
+),
+dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+widf AS (
+  SELECT word,
+         CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1), 6)
+              AS DECIMAL(18,6)) AS idf
+  FROM dfreq, stats
+),
+scored AS (
+  SELECT t.doc_id, t.word,
+         CAST(round(CAST(idf AS DOUBLE) * (t.tf * ({_BM25_K1} + 1))
+               / (t.tf + {_BM25_K1} * (1 - {_BM25_B}
+                  + {_BM25_B} * d.len / avglen)), 6)
+              AS DECIMAL(18,6)) AS s
+  FROM tf t
+  JOIN dl d ON t.doc_id = d.doc_id
+  JOIN widf ON t.word = widf.word, stats
+),
+lex_top AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_terms_hit,
+         CAST(sum(s) AS DOUBLE) AS score
+  FROM scored
+  WHERE word IN ({", ".join(f"'{w}'" for w in _SEARCH_TERMS)})
+  GROUP BY doc_id
+  ORDER BY score DESC, n_terms_hit DESC, doc_id ASC
+  LIMIT {_RRF_DEPTH}
+),
+lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, n_terms_hit DESC,
+                                 doc_id ASC) AS BIGINT) AS lex_rank
+  FROM lex_top
+),
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+sem_top AS (
+  SELECT e.vec_id, {_COS0_SQL} AS cos
+  FROM embeddings e, q
+  WHERE e.vec_id != 0
+  ORDER BY cos DESC, e.vec_id ASC
+  LIMIT {_RRF_DEPTH}
+),
+sem AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC)
+              AS BIGINT) AS sem_rank
+  FROM sem_top
+)
+SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+       lex_rank, sem_rank,
+       COALESCE(1.0 / ({_RRF_K} + lex_rank), 0.0)
+         + COALESCE(1.0 / ({_RRF_K} + sem_rank), 0.0) AS rrf_score
+FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT 20
+""",
+)
+def text_search_rrf_hybrid(spark, sf_dir):
+    """Reciprocal-Rank Fusion hybrid retrieval (Cormack, Clarke &
+    Buettcher, SIGIR 2009 — the fusion rule behind most production
+    "keyword + vector" search stacks): fuse the BM25 lexical ranking
+    (same scorer, terms, and tie-breaks as text_search_bm25) with the
+    embedding-cosine ranking against query vector 0, each truncated at
+    depth 200 (_RRF_DEPTH), by rrf = 1/(60+lex_rank) + 1/(60+sem_rank) (absent
+    list -> 0 contribution), and return the fused top-20.
+
+    Exactness: both ranks are integers over total orders whose keys
+    (DECIMAL-summed BM25 score, fixed-fold cosine) are bit-identical
+    across engines; each reciprocal is one double division of exact
+    integers and the fusion is a fixed-order two-term sum.
+
+    Scale shape: the lexical side prunes postings by the search-term
+    IN-set before scoring; BOTH list truncations are TakeOrdered
+    top-200 (no global sort, no unguarded window — the ranking
+    window runs on the 200-row result); the fusion join and final
+    top-20 are bounded by 2x200 rows. The depth knob is the standard
+    RRF quality/cost lever at 100 TB."""
+    from pyspark.sql import Window
+
+    from wikipedia_data_pipeline_spark.functions import cosine_similarity
+    from wikipedia_data_pipeline_spark.operators.text import tokenize
+    from wikipedia_data_pipeline_spark.sources.tables import fan_out
+
+    toks = tokenize(load_table(spark, sf_dir, "documents"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(
+        (F.sum("len").cast("double") / F.count(F.lit(1))).alias("avglen"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    widf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "word",
+        F.round(
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("idf"),
+    )
+    scored = (
+        tf.filter(F.col("word").isin(_SEARCH_TERMS))
+        .join(dl, "doc_id")
+        .join(F.broadcast(widf), "word")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf").cast("double")
+                * (F.col("tf") * (_BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("len") / F.col("avglen"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("s"),
+        )
+    )
+    lex_order = [
+        F.desc("score"),
+        F.desc("n_terms_hit"),
+        F.asc("doc_id"),
+    ]
+    lex_top = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.sum("s").cast("double").alias("score"),
+        )
+        .orderBy(*lex_order)
+        .limit(_RRF_DEPTH)
+    )
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(*lex_order))
+        .cast("long")
+        .alias("lex_rank"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    sem_order = [F.desc("cos"), F.asc("vec_id")]
+    sem_top = (
+        fan_out(emb)
+        .crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            cosine_similarity(F.col("q_emb"), F.col("embedding")).alias(
+                "cos"
+            ),
+        )
+        .orderBy(*sem_order)
+        .limit(_RRF_DEPTH)
+    )
+    sem = sem_top.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(*sem_order))
+        .cast("long")
+        .alias("sem_rank"),
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("sem_rank")), F.lit(0.0)
+            )
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(20)
