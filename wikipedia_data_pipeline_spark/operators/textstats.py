@@ -587,19 +587,29 @@ def winnow_fingerprints(
     # word char-hashes once -> gram hashes fold k WORD hashes (each
     # character is hashed exactly once per document, instead of ~k
     # times through concatenated gram strings) -> per-window minima,
-    # all array-side. sequence(1, n) flips DESCENDING when n < 1, so
-    # every sequence is gated behind a size check (DuckDB's
-    # range(1, n<1) is just empty).
-    hashes = F.expr(
+    # all array-side. Each stage is LET-BOUND via transform(array(x),
+    # v -> ...): Catalyst's projection collapse would otherwise inline
+    # an intermediate column straight into the next stage's lambda
+    # BODY, re-evaluating it once per element (measured 3x at the 100x
+    # corpus when whs was a plain projected column). sequence(1, n)
+    # flips DESCENDING when n < 1, so every sequence is gated behind a
+    # size check (DuckDB's range(1, n<1) is just empty).
+    fps = F.expr(
         f"""
-        CASE WHEN size(toks) >= {k} THEN
-          transform(
-            sequence(1, size(toks) - {k - 1}),
-            p -> aggregate(
-                   slice(whs, p, {k}),
-                   cast(0 as bigint),
-                   (acc, x) -> (acc * 131 + x) % {WINNOW_HASH_MOD}))
-        ELSE array() END
+        element_at(transform(array(whs), hsv ->
+          CASE WHEN size(hsv) >= {k} THEN
+            element_at(transform(array(
+                transform(sequence(1, size(hsv) - {k - 1}),
+                          p -> aggregate(slice(hsv, p, {k}),
+                                         cast(0 as bigint),
+                                         (acc, x) -> (acc * 131 + x)
+                                           % {WINNOW_HASH_MOD}))), hs ->
+              CASE WHEN size(hs) >= {w} THEN
+                array_distinct(
+                  transform(sequence(1, size(hs) - {w - 1}),
+                            q -> array_min(slice(hs, q, {w}))))
+              ELSE array() END), 1)
+          ELSE array() END), 1)
         """
     )
     word_hashes = F.expr(
@@ -612,18 +622,9 @@ def winnow_fingerprints(
                  (acc, x) -> (acc * 131 + x) % {WINNOW_HASH_MOD}))
         """
     )
-    fps = F.expr(
-        f"""
-        CASE WHEN size(hs) >= {w} THEN
-          array_distinct(transform(sequence(1, size(hs) - {w - 1}),
-                                   q -> array_min(slice(hs, q, {w}))))
-        ELSE array() END
-        """
-    )
     return (
         fan_out(documents)
         .select(id_col, *keep_cols, toks.alias("toks"))
-        .select(id_col, *keep_cols, "toks", word_hashes.alias("whs"))
-        .select(id_col, *keep_cols, hashes.alias("hs"))
+        .select(id_col, *keep_cols, word_hashes.alias("whs"))
         .select(id_col, *keep_cols, F.explode(fps).alias("fingerprint"))
     )
