@@ -100,13 +100,16 @@ def segment_dedup(
     ``sort_array(collect_list(struct(idx, seg)))`` restoring order
     without a per-group sort.
     """
-    words = F.split(F.col("text"), " ")
-    n_segs = F.ceil(F.size(words) / F.lit(float(seg_words)))
-    segs = F.transform(
-        F.sequence(F.lit(0), (n_segs - 1).cast("int")),
-        lambda i: F.array_join(
-            F.slice(words, i * seg_words + 1, seg_words), " "
-        ),
+    # let-bound token array: an inline split would re-run once per
+    # segment inside the lambda body (see dedup.hashed_shingles)
+    segs = F.expr(
+        f"""
+        element_at(transform(array(split(text, ' ')), ws ->
+          transform(sequence(0, cast(ceil(size(ws) / {float(seg_words)})
+                                     as int) - 1),
+                    i -> array_join(slice(ws, i * {seg_words} + 1,
+                                          {seg_words}), ' '))), 1)
+        """
     )
     exploded = documents.select(
         "doc_id", F.posexplode(segs).alias("seg_idx", "seg_text")

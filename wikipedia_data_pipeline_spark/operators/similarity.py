@@ -447,23 +447,26 @@ def _subspace_rows(embeddings: DataFrame, dim: int, m: int) -> DataFrame:
     ordering (||a-b||² = 2-2·cos for unit vectors), so the PQ path
     answers the same nearest-by-cosine question as the brute baseline."""
     d_sub = dim // m
-    norm = F.sqrt(
-        F.aggregate(
-            F.col("embedding"),
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
-    )
-    unit = F.transform(
-        F.col("embedding"),
-        lambda x: F.coalesce(F.try_divide(x.cast("double"), norm), F.lit(0.0)),
-    )
-    subs = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: F.struct(
-            s.cast("int").alias("subspace"),
-            F.slice(unit, s * d_sub + 1, d_sub).alias("sub"),
-        ),
+    # norm and the normalized vector are LET-BOUND (transform(array(x),
+    # v -> ...)): inlined, the norm fold would re-run once per element
+    # of the normalize transform and the normalize once per subspace
+    # slice (higher-order lambda bodies re-evaluate row-invariant
+    # subtrees per element — see dedup.hashed_shingles)
+    subs = F.expr(
+        f"""
+        element_at(transform(
+          array(sqrt(aggregate(embedding, cast(0.0 as double),
+                               (acc, x) -> acc + cast(x as double)
+                                 * cast(x as double)))), nrm ->
+          element_at(transform(
+            array(transform(embedding,
+                  x -> coalesce(try_divide(cast(x as double), nrm),
+                                0.0d))), unit ->
+            transform(sequence(0, {m - 1}),
+                      s -> struct(cast(s as int) AS subspace,
+                                  slice(unit, s * {d_sub} + 1,
+                                        {d_sub}) AS sub))), 1)), 1)
+        """
     )
     return embeddings.select("vec_id", F.explode(subs).alias("e")).select(
         "vec_id",
