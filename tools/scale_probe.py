@@ -115,6 +115,10 @@ PROBE = [
     "text_winnowing_shared_fingerprints",
     "corpus_chao1_richness",
     "ml_eval_cuped_ab",
+    # RRF rides the BM25 + cosine stacks end-to-end
+    "text_search_rrf_hybrid",
+    # span-dedup rides the let-binding fix (shingle lambda)
+    "text_span_dedup_stats",
 ]
 # quadratic-oracle twins: timing DuckDB here measures the oracle's
 # deliberate brute-force design, not the engine — skip, like bench.py
