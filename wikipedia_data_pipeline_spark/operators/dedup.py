@@ -29,11 +29,8 @@ from __future__ import annotations
 
 import random
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
 
 MERSENNE_61 = (1 << 61) - 1
 MINHASH_K = 128
@@ -122,46 +119,48 @@ def band_signatures(
     hashed: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K
 ) -> DataFrame:
     """(doc_id, bh array<bigint> of length ``bands``) — the k minhashes
-    folded straight into per-band bucket keys inside one numpy batch.
+    folded straight into per-band bucket keys, entirely JVM-side.
 
-    Fusing the banding into the signature UDF (instead of emitting the
-    k-length signature and re-slicing it with ``xxhash64(slice(sig))``
-    per band JVM-side) removes a k-long Arrow array per row, k element
-    inspections per row, and a whole projection from the lineage — the
-    banded key is all any LSH consumer ever reads. The fold is a fixed
-    polynomial accumulation over each band's rows (wrapping int64 —
-    deterministic on any platform), so bucket keys are stable across
-    runs and cluster sizes. Empty shingle sets get a null key array and
-    drop out at explode time: two empty docs have Jaccard 0 here (see
-    ``jaccard``), so they can never be near-dups and pruning them early
-    is semantics-preserving."""
+    One ``aggregate`` walks the shingle set once, keeping the running
+    k-vector of minima via ``zip_with`` against the let-bound (a, b)
+    coefficient table; each band's bucket key is then ``xxhash64`` of
+    its ``rows_per_band`` signature slice. Pure expressions — no
+    pandas UDF, no Arrow batch per row (the previous numpy
+    formulation ALSO hit a real planner hazard: a Python UDF whose
+    collapsed argument contains captured lambda variables
+    intermittently escapes UDF extraction under AQE re-planning and
+    dies with INTERNAL_ERROR at eval — pure expressions remove the
+    class). Every arithmetic step is ANSI-safe: a, b < 2^31 and the
+    shingle is pre-folded to [0, 2^31), so a*x + b < 2^62 never
+    overflows, and band mixing is xxhash64, not a wrapping product.
+    Keys are deterministic across runs, partitionings, and cluster
+    sizes. Empty shingle sets get a null key array and drop out at
+    explode time: two empty docs have Jaccard 0 here (see
+    ``jaccard``), so they can never be near-dups and pruning them
+    early is semantics-preserving."""
     rows_per_band = k // bands
-    a_mat = np.array(MINHASH_A[:k], dtype=np.int64).reshape(-1, 1)
-    b_mat = np.array(MINHASH_B[:k], dtype=np.int64).reshape(-1, 1)
-    mult = np.int64(1_000_003)
-
-    @F.pandas_udf(ArrayType(LongType()))
-    def _bandhash(hashes: pd.Series) -> pd.Series:
-        out = []
-        for h in hashes:
-            arr = np.asarray(h, dtype=np.int64)
-            if arr.size == 0:
-                out.append(None)
-                continue
-            sig = ((a_mat * arr + b_mat) % MERSENNE_61).min(axis=1)
-            m = sig.reshape(bands, rows_per_band)
-            bh = m[:, 0].copy()
-            for j in range(1, rows_per_band):
-                # wrapping int64 polynomial fold — deterministic
-                bh = bh * mult + m[:, j]
-            out.append(bh)
-        return pd.Series(out)
-
-    folded = hashed.withColumn(
-        "_h",
-        F.transform(F.col("hsh"), lambda h: F.pmod(h, F.lit(1 << 31))),
+    ab = ", ".join(
+        f"named_struct('a', {MINHASH_A[i]}L, 'b', {MINHASH_B[i]}L)"
+        for i in range(k)
     )
-    return folded.select("doc_id", _bandhash(F.col("_h")).alias("bh"))
+    bh = F.expr(
+        f"""
+        CASE WHEN size(hsh) = 0 THEN cast(null as array<bigint>) ELSE
+          element_at(transform(array(array({ab})), cs ->
+            element_at(transform(array(
+                aggregate(transform(hsh, x -> pmod(x, 2147483648L)),
+                          array_repeat({MERSENNE_61}L, {k}),
+                          (acc, x) -> zip_with(acc, cs,
+                            (m, c) -> least(m, pmod(c.a * x + c.b,
+                                                    {MERSENNE_61}L))))),
+              mins -> transform(sequence(0, {bands - 1}),
+                                band -> xxhash64(
+                                  slice(mins, band * {rows_per_band} + 1,
+                                        {rows_per_band})))), 1)), 1)
+        END
+        """
+    )
+    return hashed.select("doc_id", bh.alias("bh"))
 
 
 def _pairs_within(ids_col: Column) -> Column:
@@ -375,28 +374,31 @@ def simhash_signatures(hashed: DataFrame) -> DataFrame:
     ±1 (sign of bit i) is positive.
 
     Input is the ``hashed_shingles`` relation — its 64-bit fingerprints
-    are used as the simhash base hashes directly; the vote tally is a
-    vectorized Arrow pandas UDF — one (n_shingles × 64) numpy bit
-    matrix per doc, same rationale as ``band_signatures``."""
-    shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
-
-    @F.pandas_udf(LongType())
-    def _simhash(hashes: pd.Series) -> pd.Series:
-        out = np.zeros(len(hashes), dtype=np.int64)
-        for row, h in enumerate(hashes):
-            arr = np.asarray(h, dtype=np.int64)
-            if arr.size == 0:
-                continue  # empty shingle set → simhash 0 (all votes -1)
-            # bit matrix (n, 64): arithmetic >> then &1 handles the sign
-            # bit correctly; votes are ±1 per shingle per bit
-            votes = (((arr[:, None] >> shifts) & 1) * 2 - 1).sum(axis=0)
-            bits = np.uint64(0)
-            for i in np.nonzero(votes > 0)[0]:
-                bits |= np.uint64(1) << np.uint64(i)
-            out[row] = bits.astype(np.int64)
-        return pd.Series(out)
-
-    return hashed.select("doc_id", _simhash(F.col("hsh")).alias("simhash"))
+    are used as the simhash base hashes directly; the vote tally is
+    pure JVM expressions (same rationale and same planner-hazard fix
+    as ``band_signatures``): one ``aggregate`` over the shingle set
+    keeps a 64-long bit-count vector via ``zip_with``, then bit i is
+    set iff 2*ones_i > n (exactly ``votes_i > 0`` — arithmetic
+    shiftright matches numpy's int64 ``>>`` on the sign bit).
+    Disjoint-bit summation reassembles the long without overflow;
+    empty shingle sets get simhash 0 (all votes -1)."""
+    simhash = F.expr(
+        f"""
+        CASE WHEN size(hsh) = 0 THEN 0L ELSE
+          element_at(transform(array(sequence(0, {SIMHASH_BITS - 1})), ss ->
+            element_at(transform(array(
+                aggregate(hsh, array_repeat(0L, {SIMHASH_BITS}),
+                          (acc, x) -> zip_with(acc, ss,
+                            (a, s) -> a + (shiftright(x, s) & 1)))),
+              counts -> aggregate(
+                zip_with(counts, ss,
+                         (c, i) -> IF(2 * c > size(hsh),
+                                      shiftleft(1L, i), 0L)),
+                0L, (acc, y) -> acc + y)), 1)), 1)
+        END
+        """
+    )
+    return hashed.select("doc_id", simhash.alias("simhash"))
 
 
 def simhash_candidate_pairs(signed: DataFrame) -> DataFrame:
