@@ -286,3 +286,27 @@ def test_rrf_fusion_formula_and_order(spark, sf_dir, queries):
         assert abs(r.rrf_score - expect) < 1e-15
     # both retrieval systems contribute to the fused page
     assert saw_lex and saw_sem
+
+
+def test_incremental_idf_refresh_equals_full_recompute(spark, sf_dir, queries):
+    """The maintenance property: the incrementally merged idf_new must
+    equal the full-corpus recompute (the registered `idf` query) for
+    every touched word — delta algebra and batch pipeline agree."""
+    refresh = {
+        r.word: r
+        for r in queries["tfidf_incremental_idf_refresh"](
+            spark, sf_dir
+        ).collect()
+    }
+    full = {r.word: r.idf for r in queries["idf"](spark, sf_dir).collect()}
+    assert refresh
+    for w, r in refresh.items():
+        assert r.df_full == r.df_base + r.df_delta
+        assert r.df_delta >= 1
+        if r.df_base == 0:
+            assert r.idf_old is None
+        if r.idf_new > 0:
+            assert full[w] == r.idf_new
+        else:
+            # the pipeline drops idf <= 0 words (P6)
+            assert w not in full

@@ -187,3 +187,110 @@ def corpus_doc_count(spark, sf_dir):
     return load_table(spark, sf_dir, "documents").select(
         F.count("*").alias("n_docs")
     )
+
+
+_IDF_REFRESH_ORACLE = """
+WITH b AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+d AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+tb AS (
+  SELECT DISTINCT doc_id,
+         lower(regexp_replace(tok, '[^a-zA-Z]', '', 'g')) AS word
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM b)
+  WHERE length(lower(regexp_replace(tok, '[^a-zA-Z]', '', 'g'))) > 0
+),
+td AS (
+  SELECT DISTINCT doc_id,
+         lower(regexp_replace(tok, '[^a-zA-Z]', '', 'g')) AS word
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d)
+  WHERE length(lower(regexp_replace(tok, '[^a-zA-Z]', '', 'g'))) > 0
+),
+dfb AS (SELECT word, CAST(count(*) AS BIGINT) AS df_base FROM tb GROUP BY 1),
+dfd AS (SELECT word, CAST(count(*) AS BIGINT) AS df_delta FROM td GROUP BY 1),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n_base FROM b),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_delta FROM d)
+SELECT dfd.word,
+       CAST(COALESCE(df_base, 0) AS BIGINT) AS df_base,
+       df_delta,
+       CAST(COALESCE(df_base, 0) + df_delta AS BIGINT) AS df_full,
+       CASE WHEN df_base IS NULL THEN NULL
+            ELSE round(log10(CAST(n_base AS DOUBLE) / df_base), 2)
+       END AS idf_old,
+       round(log10(CAST(n_base + n_delta AS DOUBLE)
+                   / (COALESCE(df_base, 0) + df_delta)), 2) AS idf_new
+FROM dfd LEFT JOIN dfb ON dfd.word = dfb.word, nb, nd
+"""
+
+
+@register("tfidf_incremental_idf_refresh", oracle=_IDF_REFRESH_ORACLE)
+def tfidf_incremental_idf_refresh(spark, sf_dir):
+    """Incremental maintenance of the reference's IDF table (the
+    derived statistic the whole TF-IDF pipeline hangs off,
+    DocInfo.java:114-117) under a corpus delta: base = doc_id % 10
+    != 0 (the standing corpus whose tokenization/tf is the
+    materialized state), delta = the arriving tenth. Emits the
+    maintenance report for the TOUCHED vocabulary — the delta's
+    words with merged document frequencies and the old/new
+    round(log10(N/df), 2) idf — which is exactly what a production
+    refresh applies: df_new = df_base + df_delta (disjoint doc
+    sets), N_new = N_base + N_delta, and base documents re-score by
+    re-joining their MATERIALIZED tf postings against the
+    vocab-sized new idf table — never by re-tokenizing the corpus
+    (the O(delta-tokenize + postings-rescore) refresh, vs the full
+    pipeline's O(corpus-tokenize)).
+
+    Exactness: dfs and doc counts are exact BIGINT distinct-counts;
+    both idf columns are the pipeline's own rounded-log10 expression
+    over exact integers, mirrored verbatim in the oracle. New words
+    (df_base = 0) carry NULL idf_old in both engines.
+
+    Scale shape: delta tokenization only on the delta partition;
+    the base side contributes its (word, df) aggregate —
+    vocabulary-sized, the materialized dictionary of the reference's
+    Task 1 — merged by one vocab-keyed left join; doc counts are
+    two 1-row aggregates broadcast onto the result."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+
+    def df_of(corpus):
+        return (
+            tokenize(corpus)
+            .select("doc_id", "word")
+            .distinct()
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        )
+
+    dfb = df_of(base).withColumnRenamed("df", "df_base_raw")
+    dfd = df_of(delta).withColumnRenamed("df", "df_delta")
+    nb = base.agg(F.count(F.lit(1)).cast("long").alias("n_base"))
+    nd = delta.agg(F.count(F.lit(1)).cast("long").alias("n_delta"))
+    merged = (
+        dfd.join(dfb, "word", "left")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nd))
+    )
+    return merged.select(
+        "word",
+        F.coalesce("df_base_raw", F.lit(0)).cast("long").alias("df_base"),
+        "df_delta",
+        (F.coalesce("df_base_raw", F.lit(0)) + F.col("df_delta"))
+        .cast("long")
+        .alias("df_full"),
+        F.when(
+            F.col("df_base_raw").isNotNull(),
+            F.round(
+                F.log10(
+                    F.col("n_base").cast("double") / F.col("df_base_raw")
+                ),
+                2,
+            ),
+        ).alias("idf_old"),
+        F.round(
+            F.log10(
+                (F.col("n_base") + F.col("n_delta")).cast("double")
+                / (F.coalesce("df_base_raw", F.lit(0)) + F.col("df_delta"))
+            ),
+            2,
+        ).alias("idf_new"),
+    )
