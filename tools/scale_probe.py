@@ -119,6 +119,8 @@ PROBE = [
     "text_search_rrf_hybrid",
     # span-dedup rides the let-binding fix (shingle lambda)
     "text_span_dedup_stats",
+    # delta-tokenize + vocab-merge refresh of the reference's idf table
+    "tfidf_incremental_idf_refresh",
 ]
 # quadratic-oracle twins: timing DuckDB here measures the oracle's
 # deliberate brute-force design, not the engine — skip, like bench.py
