@@ -310,3 +310,24 @@ def test_incremental_idf_refresh_equals_full_recompute(spark, sf_dir, queries):
         else:
             # the pipeline drops idf <= 0 words (P6)
             assert w not in full
+
+
+def test_coreset_greedy_is_submodular(spark, sf_dir, queries):
+    rows = sorted(
+        queries["curation_coreset_facility_location"](
+            spark, sf_dir
+        ).collect(),
+        key=lambda r: r.step,
+    )
+    assert [r.step for r in rows] == [1, 2, 3, 4]
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == 4 and all(0 <= i < 16 for i in ids)
+    gains = [r.gain_nano for r in rows]
+    # facility location is submodular: greedy marginal gains never grow
+    assert gains == sorted(gains, reverse=True)
+    assert all(g > 0 for g in gains)
+    # running coverage is the exact prefix sum of the gains
+    tot = 0
+    for r in rows:
+        tot += r.gain_nano
+        assert r.coverage_nano == tot

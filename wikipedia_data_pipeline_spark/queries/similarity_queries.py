@@ -515,3 +515,160 @@ def ann_dim_truncation_recall(spark, sf_dir):
         )
         .orderBy("dim_kept", "query_id")
     )
+
+
+_FL_K = 4
+_FL_CAND_MAX = 16  # candidate pool: vec_id < 16 (mod-fixed, scale-free)
+
+
+def _fl_simq_sql(prev: int) -> str:
+    return (
+        "CAST(round((list_sum(list_transform(list_zip(cemb,"
+        f" s{prev}.embedding),"
+        " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform(cemb,"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform(s{prev}.embedding,"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
+        " * 1000000000.0) AS BIGINT)"
+    )
+
+
+def _fl_oracle(k: int = _FL_K) -> str:
+    """Unrolled-CTE DuckDB twin of the greedy facility-location loop —
+    same structure as graph_queries._pagerank_oracle: one (gains,
+    argmax, cover-update) CTE level per greedy step."""
+    parts = [
+        "WITH cand AS (SELECT vec_id AS cid, embedding AS cemb"
+        f" FROM embeddings WHERE vec_id < {_FL_CAND_MAX}),\n"
+        "s0 AS (SELECT vec_id, embedding, CAST(0 AS BIGINT) AS cov"
+        " FROM embeddings)"
+    ]
+    unions = []
+    for i in range(1, k + 1):
+        prev, simq = i - 1, _fl_simq_sql(i - 1)
+        if i == 1:
+            excl = ""
+        else:
+            u = " UNION ALL ".join(
+                f"SELECT cid FROM b{j}" for j in range(1, i)
+            )
+            excl = f" WHERE cid NOT IN ({u})"
+        parts.append(
+            f""",
+g{i} AS (
+  SELECT cid, CAST(sum(greatest({simq}, cov) - cov) AS BIGINT) AS gain
+  FROM s{prev}, (SELECT * FROM cand{excl}) cand
+  GROUP BY cid
+),
+b{i} AS (SELECT cid, gain FROM g{i} ORDER BY gain DESC, cid ASC LIMIT 1)"""
+        )
+        if i < k:
+            parts.append(
+                f""",
+s{i} AS (
+  SELECT s{prev}.vec_id, s{prev}.embedding,
+         greatest(cov, {simq}) AS cov
+  FROM s{prev},
+       (SELECT cemb FROM cand JOIN b{i} ON cand.cid = b{i}.cid) ch
+)"""
+            )
+        unions.append(
+            f"SELECT CAST({i} AS BIGINT) AS step,"
+            f" CAST(cid AS BIGINT) AS vec_id, gain AS gain_nano FROM b{i}"
+        )
+    return (
+        "".join(parts)
+        + "\nSELECT step, vec_id, gain_nano,\n"
+        + "       CAST(sum(gain_nano) OVER (ORDER BY step) AS BIGINT)"
+        + " AS coverage_nano\nFROM ("
+        + "\nUNION ALL\n".join(unions)
+        + ") u\nORDER BY step"
+    )
+
+
+@register(
+    "curation_coreset_facility_location",
+    oracle=_fl_oracle(_FL_K),
+    eager=True,
+)
+def curation_coreset_facility_location(spark, sf_dir):
+    """Greedy facility-location coreset selection — the classic
+    submodular data-subset routine (pick k exemplars maximizing
+    sum over the corpus of max-similarity to any selected exemplar;
+    greedy is (1 - 1/e)-optimal by Nemhauser et al. 1978). This is
+    the "which k documents best represent the corpus" primitive under
+    coreset curation and diverse few-shot selection. Candidates are
+    the fixed pool vec_id < 16; k = 4 greedy steps over the WHOLE
+    corpus as coverage targets.
+
+    Exactness: each candidate-corpus cosine is the fixed-fold double,
+    quantized ONCE to nano-units, so per-candidate marginal gains are
+    associative BIGINT sums (the events_psi_drift discipline); the
+    argmax ties break on candidate id; the running coverage total is
+    the exact BIGINT prefix sum of selected gains. Both engines walk
+    identical greedy iterates — the oracle unrolls the loop as CTE
+    levels, one per step (the graph_pagerank_partsupp pattern).
+
+    Scale shape: per step, ONE corpus scan against the broadcast
+    candidate pool (|cand| x dim multiply-adds per row, fan_out
+    protected), a candidate-sized gains aggregate, and a driver fold
+    of exactly one argmax row (the bounded model-fold pattern);
+    the cover column updates by a broadcast 1-row join and persists
+    between steps. Cost is k scans — never |corpus|^2. Marked eager:
+    construction runs the k greedy jobs."""
+    from pyspark import StorageLevel
+
+    from wikipedia_data_pipeline_spark.functions import cosine_similarity
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+    from wikipedia_data_pipeline_spark.sources.tables import fan_out
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = emb.filter(F.col("vec_id") < _FL_CAND_MAX).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    simq = F.round(
+        cosine_similarity(F.col("cemb"), F.col("embedding"))
+        * 1_000_000_000.0
+    ).cast("long")
+    cover = track_persisted(
+        fan_out(emb)
+        .select("vec_id", "embedding", F.lit(0).cast("long").alias("cov"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    selected: list[int] = []
+    out: list[tuple[int, int, int, int]] = []
+    total = 0
+    for step in range(1, _FL_K + 1):
+        pool = (
+            cand.filter(~F.col("cid").isin(selected)) if selected else cand
+        )
+        gains = (
+            cover.crossJoin(F.broadcast(pool))
+            .select(
+                "cid",
+                (F.greatest(simq, F.col("cov")) - F.col("cov")).alias("g"),
+            )
+            .groupBy("cid")
+            .agg(F.sum("g").cast("long").alias("gain"))
+        )
+        best = gains.orderBy(F.desc("gain"), F.asc("cid")).limit(1).collect()[
+            0
+        ]
+        selected.append(int(best.cid))
+        total += int(best.gain)
+        out.append((step, int(best.cid), int(best.gain), total))
+        if step < _FL_K:
+            ch = cand.filter(F.col("cid") == int(best.cid)).select("cemb")
+            cover = track_persisted(
+                cover.crossJoin(F.broadcast(ch))
+                .select(
+                    "vec_id",
+                    "embedding",
+                    F.greatest(F.col("cov"), simq).alias("cov"),
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+    return spark.createDataFrame(
+        out, "step long, vec_id long, gain_nano long, coverage_nano long"
+    )
