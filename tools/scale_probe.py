@@ -121,6 +121,8 @@ PROBE = [
     "text_span_dedup_stats",
     # delta-tokenize + vocab-merge refresh of the reference's idf table
     "tfidf_incremental_idf_refresh",
+    # greedy facility-location coreset: k corpus scans vs broadcast pool
+    "curation_coreset_facility_location",
 ]
 # quadratic-oracle twins: timing DuckDB here measures the oracle's
 # deliberate brute-force design, not the engine — skip, like bench.py
@@ -740,11 +742,21 @@ def main() -> None:
     spark_t: dict[str, float] = {}
     duck_t: dict = {}
 
-    def time_spark(fn):
+    eager = registry.eager_queries()
+
+    def time_spark(fn, name=None):
+        """Best-of-3 noop-write time. EAGER queries run their jobs at
+        CONSTRUCTION, so for those the timer starts before fn() — the
+        lazy default keeps construction (plan building, ms) outside
+        the window to stay comparable with prior rounds' artifacts."""
         best = float("inf")
         for _ in range(3):
-            df = fn(spark, dir100)
-            t0 = time.perf_counter()
+            if name in eager:
+                t0 = time.perf_counter()
+                df = fn(spark, dir100)
+            else:
+                df = fn(spark, dir100)
+                t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
             ranks.unpersist_all()
@@ -760,7 +772,7 @@ def main() -> None:
         duck_t.update(prior.get("duckdb", {}))
 
     for name in probe:
-        spark_t[name] = time_spark(queries[name])
+        spark_t[name] = time_spark(queries[name], name)
         print(f"spark  {name}: {spark_t[name]}s", flush=True)
         if name in oracles and name not in DUCK_SKIP:
             duck_t[name] = duck_time(oracles[name], dir100)
