@@ -331,3 +331,19 @@ def test_coreset_greedy_is_submodular(spark, sf_dir, queries):
     for r in rows:
         tot += r.gain_nano
         assert r.coverage_nano == tot
+
+
+def test_brier_murphy_identity(spark, sf_dir, queries):
+    r = queries["ml_eval_brier_decomposition"](spark, sf_dir).collect()[0]
+    # per-USER random labels weighted by event count: base rate ~0.5
+    # with user-level (not event-level) variance — wide at sf0.001
+    assert abs(r.base_rate - 0.5) < 0.15
+    assert abs(r.uncertainty - r.base_rate * (1 - r.base_rate)) < 1e-12
+    # Murphy identity on binned forecasts (nano-quantization slack)
+    assert abs(
+        r.brier_binned - (r.reliability - r.resolution + r.uncertainty)
+    ) < 1e-5
+    # components are non-negative; binned brier lower-bounds raw brier
+    # minus within-bin variance, both live in [0, 1]
+    assert 0.0 <= r.reliability and 0.0 <= r.resolution
+    assert 0.0 <= r.brier_binned <= r.brier_score <= 1.0

@@ -1940,3 +1940,168 @@ def ml_eval_cuped_ab(spark, sf_dir):
         "theta",
         "variance_reduction",
     )
+
+
+_BRIER_ORACLE = f"""
+WITH ev AS (
+  SELECT CAST(round(value * 1000000) AS BIGINT) AS v_u,
+         CAST(({SQL_DET_HASH.format(col="user_id")}) % 2 AS BIGINT) AS label
+  FROM events
+),
+rng AS (
+  SELECT CAST(min(v_u) AS BIGINT) AS lo, CAST(max(v_u) AS BIGINT) AS hi
+  FROM ev
+),
+binned AS (
+  SELECT least(9, ((ev.v_u - rng.lo) * 10) // (rng.hi - rng.lo + 1)) AS bin,
+         ev.v_u - rng.lo AS dv, ev.label, rng.hi - rng.lo AS rng_w
+  FROM ev, rng
+),
+item AS (
+  SELECT CAST(sum(CAST(round(
+           (CAST(dv AS DOUBLE) / rng_w - label)
+           * (CAST(dv AS DOUBLE) / rng_w - label) * 1000000000.0)
+           AS BIGINT)) AS BIGINT) AS brier_nano,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(label) AS BIGINT) AS n_pos
+  FROM binned
+),
+per AS (
+  SELECT bin, CAST(max(rng_w) AS BIGINT) AS rng_w,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(label) AS BIGINT) AS n_pos,
+         CAST(sum(dv) AS BIGINT) AS sum_dv
+  FROM binned GROUP BY bin
+),
+terms AS (
+  SELECT CAST(round(per.n
+           * (CAST(sum_dv AS DOUBLE) / per.n / rng_w
+              - CAST(per.n_pos AS DOUBLE) / per.n)
+           * (CAST(sum_dv AS DOUBLE) / per.n / rng_w
+              - CAST(per.n_pos AS DOUBLE) / per.n)
+           * 1000000000.0) AS BIGINT) AS rel_nano,
+         CAST(round(per.n
+           * (CAST(per.n_pos AS DOUBLE) / per.n
+              - CAST(i.n_pos AS DOUBLE) / i.n)
+           * (CAST(per.n_pos AS DOUBLE) / per.n
+              - CAST(i.n_pos AS DOUBLE) / i.n)
+           * 1000000000.0) AS BIGINT) AS res_nano,
+         CAST(round((per.n * (CAST(sum_dv AS DOUBLE) / per.n / rng_w)
+                       * (CAST(sum_dv AS DOUBLE) / per.n / rng_w)
+                     - 2 * (CAST(sum_dv AS DOUBLE) / per.n / rng_w)
+                         * per.n_pos
+                     + per.n_pos) * 1000000000.0) AS BIGINT) AS bb_nano
+  FROM per, item i
+)
+SELECT i.n,
+       CAST(i.n_pos AS DOUBLE) / i.n AS base_rate,
+       CAST(i.brier_nano AS DOUBLE) / 1000000000.0 / i.n AS brier_score,
+       CAST((SELECT CAST(sum(bb_nano) AS BIGINT) FROM terms) AS DOUBLE)
+         / 1000000000.0 / i.n AS brier_binned,
+       CAST((SELECT CAST(sum(rel_nano) AS BIGINT) FROM terms) AS DOUBLE)
+         / 1000000000.0 / i.n AS reliability,
+       CAST((SELECT CAST(sum(res_nano) AS BIGINT) FROM terms) AS DOUBLE)
+         / 1000000000.0 / i.n AS resolution,
+       (CAST(i.n_pos AS DOUBLE) / i.n)
+         * (1.0 - CAST(i.n_pos AS DOUBLE) / i.n) AS uncertainty
+FROM item i
+"""
+
+
+@register("ml_eval_brier_decomposition", oracle=_BRIER_ORACLE)
+def ml_eval_brier_decomposition(spark, sf_dir):
+    """Murphy (1973) decomposition of the Brier score — the
+    diagnostic that splits a probabilistic scorer's squared error
+    into reliability (calibration gap to shrink), resolution
+    (discrimination to keep), and irreducible outcome uncertainty:
+    brier_binned = reliability - resolution + uncertainty exactly
+    when forecasts are replaced by their bin means. Same deterministic
+    score/label streams and min-max 10-bin layout as
+    ml_eval_calibration_bins, so the two reports read together.
+
+    Exactness: every per-item and per-bin squared-error term is
+    quantized once to nano-units, so both engines sum identical
+    BIGINTs regardless of reduction order; the base rate, component
+    normalizations, and uncertainty are fixed-order double expressions
+    over exact integers.
+
+    Scale shape: one events scan -> (bin) hash agg (10 groups) plus
+    one 1-row item-level moment aggregate; the decomposition itself
+    runs on the 10-row relation."""
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_u"),
+        (det_hash("user_id") % 2).cast("long").alias("label"),
+    )
+    rng = ev.agg(
+        F.min("v_u").cast("long").alias("lo"),
+        F.max("v_u").cast("long").alias("hi"),
+    )
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.lit(9).cast("long"),
+            F.expr("((v_u - lo) * 10) div (hi - lo + 1)"),
+        ).alias("bin"),
+        (F.col("v_u") - F.col("lo")).alias("dv"),
+        "label",
+        (F.col("hi") - F.col("lo")).alias("rng_w"),
+    )
+    f_item = F.col("dv").cast("double") / F.col("rng_w")
+    item = binned.agg(
+        F.sum(
+            F.round((f_item - F.col("label")) * (f_item - F.col("label"))
+                    * 1_000_000_000.0).cast("long")
+        )
+        .cast("long")
+        .alias("brier_nano"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("label").cast("long").alias("n_pos"),
+    )
+    per = binned.groupBy("bin").agg(
+        F.max("rng_w").cast("long").alias("rng_w"),
+        F.count(F.lit(1)).cast("long").alias("bn"),
+        F.sum("label").cast("long").alias("bn_pos"),
+        F.sum("dv").cast("long").alias("sum_dv"),
+    )
+    f_k = F.col("sum_dv").cast("double") / F.col("bn") / F.col("rng_w")
+    o_k = F.col("bn_pos").cast("double") / F.col("bn")
+    o_bar = F.col("n_pos").cast("double") / F.col("n")
+    terms = per.crossJoin(F.broadcast(item)).select(
+        F.round(F.col("bn") * (f_k - o_k) * (f_k - o_k) * 1_000_000_000.0)
+        .cast("long")
+        .alias("rel_nano"),
+        F.round(
+            F.col("bn") * (o_k - o_bar) * (o_k - o_bar) * 1_000_000_000.0
+        )
+        .cast("long")
+        .alias("res_nano"),
+        F.round(
+            (
+                F.col("bn") * f_k * f_k
+                - F.lit(2) * f_k * F.col("bn_pos")
+                + F.col("bn_pos")
+            )
+            * 1_000_000_000.0
+        )
+        .cast("long")
+        .alias("bb_nano"),
+    )
+    sums = terms.agg(
+        F.sum("rel_nano").cast("long").alias("rel_s"),
+        F.sum("res_nano").cast("long").alias("res_s"),
+        F.sum("bb_nano").cast("long").alias("bb_s"),
+    )
+    return item.crossJoin(F.broadcast(sums)).select(
+        "n",
+        o_bar.alias("base_rate"),
+        (F.col("brier_nano").cast("double") / 1_000_000_000.0 / F.col("n"))
+        .alias("brier_score"),
+        (F.col("bb_s").cast("double") / 1_000_000_000.0 / F.col("n"))
+        .alias("brier_binned"),
+        (F.col("rel_s").cast("double") / 1_000_000_000.0 / F.col("n"))
+        .alias("reliability"),
+        (F.col("res_s").cast("double") / 1_000_000_000.0 / F.col("n"))
+        .alias("resolution"),
+        (o_bar * (F.lit(1.0) - o_bar)).alias("uncertainty"),
+    )
