@@ -123,6 +123,8 @@ PROBE = [
     "tfidf_incremental_idf_refresh",
     # greedy facility-location coreset: k corpus scans vs broadcast pool
     "curation_coreset_facility_location",
+    # Brier/Murphy decomposition: scan -> 10-bin agg + 1-row moments
+    "ml_eval_brier_decomposition",
 ]
 # quadratic-oracle twins: timing DuckDB here measures the oracle's
 # deliberate brute-force design, not the engine — skip, like bench.py
