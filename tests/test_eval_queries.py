@@ -347,3 +347,27 @@ def test_brier_murphy_identity(spark, sf_dir, queries):
     # minus within-bin variance, both live in [0, 1]
     assert 0.0 <= r.reliability and 0.0 <= r.resolution
     assert 0.0 <= r.brier_binned <= r.brier_score <= 1.0
+
+
+def test_bh_fdr_stepup_consistency(spark, sf_dir, queries):
+    rows = sorted(
+        queries["stats_bh_fdr_screen"](spark, sf_dir).collect(),
+        key=lambda r: r.bh_rank,
+    )
+    m = len(rows)
+    assert [r.bh_rank for r in rows] == list(range(1, m + 1))
+    ps = [r.p_value for r in rows]
+    assert ps == sorted(ps)
+    assert all(0.0 <= p <= 1.0 for p in ps)
+    # recompute the step-up cutoff and check the rejected set is the
+    # exact rank prefix the procedure defines
+    q = 0.10
+    cutoff = max(
+        (r.bh_rank for r in rows if r.p_value <= r.bh_rank * q / m),
+        default=0,
+    )
+    for r in rows:
+        assert r.rejected == (r.bh_rank <= cutoff)
+    # rejections form a prefix of the p-value order (step-up property)
+    flags = [r.rejected for r in rows]
+    assert flags == sorted(flags, reverse=True)

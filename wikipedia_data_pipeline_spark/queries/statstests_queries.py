@@ -1443,3 +1443,159 @@ def events_sprt_ab(spark, sf_dir):
         .otherwise(F.lit("continue"))
         .alias("decision"),
     ).orderBy("day")
+
+
+_BH_ORACLE = """
+WITH v AS (
+  SELECT event_type, value,
+         sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS ca_v,
+         sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS cb_v
+  FROM events GROUP BY event_type, value
+),
+c AS (
+  SELECT event_type,
+         sum(ca_v) OVER (PARTITION BY event_type ORDER BY value
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS ca,
+         sum(cb_v) OVER (PARTITION BY event_type ORDER BY value
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cb,
+         sum(ca_v) OVER (PARTITION BY event_type) AS na,
+         sum(cb_v) OVER (PARTITION BY event_type) AS nb
+  FROM v
+),
+per AS (
+  SELECT event_type,
+         CAST(max(na) AS BIGINT) AS n_a,
+         CAST(max(nb) AS BIGINT) AS n_b,
+         CAST(max(abs(ca * nb - cb * na)) AS BIGINT) AS d_num
+  FROM c GROUP BY event_type
+),
+scored AS (
+  SELECT event_type, n_a, n_b, d_num,
+         CAST(d_num AS DOUBLE)
+           / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS ks_stat,
+         least(CAST(1000000000 AS BIGINT),
+               CAST(round(2.0 * exp(
+                 -2.0 * (CAST(d_num AS DOUBLE)
+                         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+                      * (CAST(d_num AS DOUBLE)
+                         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+                      * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                      / CAST(n_a + n_b AS DOUBLE)) * 1000000000.0)
+                    AS BIGINT)) AS p_nano
+  FROM per
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM scored),
+ranked AS (
+  SELECT s.*, m.m,
+         CAST(row_number() OVER (ORDER BY p_nano ASC, event_type ASC)
+              AS BIGINT) AS bh_rank
+  FROM scored s, m
+),
+cut AS (
+  SELECT CAST(max(CASE WHEN p_nano * m <= bh_rank * 100000000
+                       THEN bh_rank ELSE 0 END) AS BIGINT) AS cutoff
+  FROM ranked
+)
+SELECT event_type, n_a, n_b, d_num, ks_stat,
+       CAST(p_nano AS DOUBLE) / 1000000000.0 AS p_value,
+       bh_rank,
+       bh_rank <= cutoff AS rejected
+FROM ranked, cut
+"""
+
+
+@register("stats_bh_fdr_screen", oracle=_BH_ORACLE)
+def stats_bh_fdr_screen(spark, sf_dir):
+    """Benjamini-Hochberg FDR control (q = 0.10) over a battery of
+    per-event-type two-sample KS tests (arm = user_id % 2 — parity
+    data, so every null is true and the designed fixed point is ZERO
+    rejections at FDR q): the multiple-testing layer every metrics
+    platform needs once it screens many slices at once. The KS
+    statistic per type is the events_ks_test_ab integer
+    cross-multiplication discipline partitioned by type; p-values are
+    the asymptotic tail bound 2·exp(-2·D²·n_a·n_b/(n_a+n_b)), capped
+    at 1 and quantized ONCE to nano-units so the BH step-up — find
+    the largest rank i with p_(i) <= i·q/m, reject ranks <= i — runs
+    on pure BIGINT comparisons (p_nano·m <= i·10^8) both engines
+    evaluate identically.
+
+    Scale shape: fact scan -> (type, value) hash agg -> per-type
+    cumulative windows over the COLLAPSED distinct-value relation ->
+    type-level rows; the BH layer (rank, step-up cutoff) runs on the
+    handful of per-type rows (agg-backed low-cardinality windows)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    is_a = (F.col("user_id") % 2 == 0).cast("long")
+    v = ev.groupBy("event_type", "value").agg(
+        F.sum(is_a).alias("ca_v"),
+        F.sum(1 - is_a).alias("cb_v"),
+    )
+    run = Window.partitionBy("event_type").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tw = Window.partitionBy("event_type")
+    c = v.select(
+        "event_type",
+        F.sum("ca_v").over(run).alias("ca"),
+        F.sum("cb_v").over(run).alias("cb"),
+        F.sum("ca_v").over(tw).alias("na"),
+        F.sum("cb_v").over(tw).alias("nb"),
+    )
+    gap = F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+    per = c.groupBy("event_type").agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.max(gap).cast("long").alias("d_num"),
+    )
+    ks = F.col("d_num").cast("double") / (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    scored = per.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "d_num",
+        ks.alias("ks_stat"),
+        F.least(
+            F.lit(1_000_000_000).cast("long"),
+            F.round(
+                F.lit(2.0)
+                * F.exp(
+                    F.lit(-2.0)
+                    * ks
+                    * ks
+                    * F.col("n_a").cast("double")
+                    * F.col("n_b").cast("double")
+                    / (F.col("n_a") + F.col("n_b")).cast("double")
+                )
+                * 1_000_000_000.0
+            ).cast("long"),
+        ).alias("p_nano"),
+    )
+    m = scored.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    ranked = scored.crossJoin(F.broadcast(m)).withColumn(
+        "bh_rank",
+        F.row_number()
+        .over(Window.orderBy(F.asc("p_nano"), F.asc("event_type")))
+        .cast("long"),
+    )
+    cutoff = F.max(
+        F.when(
+            F.col("p_nano") * F.col("m")
+            <= F.col("bh_rank") * F.lit(100_000_000),
+            F.col("bh_rank"),
+        ).otherwise(F.lit(0))
+    ).over(Window.partitionBy())
+    return ranked.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "d_num",
+        "ks_stat",
+        (F.col("p_nano").cast("double") / 1_000_000_000.0).alias("p_value"),
+        "bh_rank",
+        (F.col("bh_rank") <= cutoff).alias("rejected"),
+    )
