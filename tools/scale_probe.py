@@ -125,6 +125,8 @@ PROBE = [
     "curation_coreset_facility_location",
     # Brier/Murphy decomposition: scan -> 10-bin agg + 1-row moments
     "ml_eval_brier_decomposition",
+    # BH-FDR over per-type KS: windows over the collapsed value relation
+    "stats_bh_fdr_screen",
 ]
 # quadratic-oracle twins: timing DuckDB here measures the oracle's
 # deliberate brute-force design, not the engine — skip, like bench.py
