@@ -244,3 +244,112 @@ def multimodal_video_frame_stats(spark, sf_dir):
     MJPEG/MP4 path does; only the codec behind png_decode differs."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.decode_video_frame_stats(MM.synth_video_corpus(docs), stride=2)
+
+
+@register(
+    "multimodal_video_scene_cuts",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 1 + doc_id % 9 AS nf, 1 + doc_id % 8 AS w,
+         1 + doc_id % 6 AS h
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, nf, w, h, unnest(generate_series(0, nf - 1, 2)) AS f
+  FROM dims
+),
+px AS (
+  SELECT doc_id, nf, w, h, f, unnest(generate_series(0, w * h - 1)) AS i
+  FROM fr
+),
+stats AS (
+  SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+         CAST(max(w) AS BIGINT) AS w, CAST(max(h) AS BIGINT) AS h,
+         CAST(sum((i % w + 2 * (i // w) + doc_id + 5 * f) % 256) AS BIGINT)
+           AS sum_gray
+  FROM px GROUP BY doc_id, f
+),
+lagged AS (
+  SELECT doc_id, w, h, frame_idx, sum_gray,
+         lag(sum_gray) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+           AS prev_sum
+  FROM stats
+),
+flags AS (
+  SELECT doc_id, w, h,
+         CASE WHEN prev_sum IS NULL THEN NULL
+              ELSE abs(sum_gray - prev_sum) END AS delta,
+         CASE WHEN prev_sum IS NOT NULL
+                   AND abs(sum_gray - prev_sum) >= 8 * w * h
+              THEN 1 ELSE 0 END AS is_cut
+  FROM lagged
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(is_cut) AS BIGINT) AS n_cuts,
+       CAST(COALESCE(max(delta), 0) AS BIGINT) AS max_abs_delta,
+       CASE WHEN count(*) > 1
+            THEN CAST(sum(is_cut) AS DOUBLE) / (count(*) - 1)
+            ELSE 0.0 END AS cut_rate
+FROM flags GROUP BY doc_id
+""",
+)
+def multimodal_video_scene_cuts(spark, sf_dir):
+    """Scene-cut detection over the frame-sampled video corpus — the
+    shot-boundary pass a video-training pipeline runs right after
+    keyframe extraction: a cut is a sampled frame whose mean gray
+    level jumps >= 8 levels vs the previous sampled frame, tested as
+    the INTEGER inequality |sum_gray_f - sum_gray_prev| >= 8*w*h (the
+    per-pixel mean never gets divided, so no float boundary can flip
+    a cut). Emits per video: sampled-frame count, cut count, the
+    largest inter-frame delta, and the cut rate.
+
+    Rides the same decode path as multimodal_video_frame_stats (real
+    container walk, selective every-2nd-frame decode, mapInPandas
+    1->N expansion); the lag window partitions by video, so state is
+    per-container — the 100-TB shape where each video's frames land
+    in one task without any global ordering."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    fs = MM.decode_video_frame_stats(MM.synth_video_corpus(docs), stride=2)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    lagged = fs.select(
+        "doc_id",
+        "width",
+        "height",
+        "frame_idx",
+        "sum_gray",
+        F.lag("sum_gray").over(w).alias("prev_sum"),
+    )
+    delta = F.when(
+        F.col("prev_sum").isNotNull(),
+        F.abs(F.col("sum_gray") - F.col("prev_sum")),
+    )
+    is_cut = F.when(
+        F.col("prev_sum").isNotNull()
+        & (
+            F.abs(F.col("sum_gray") - F.col("prev_sum"))
+            >= 8 * F.col("width") * F.col("height")
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        lagged.select("doc_id", delta.alias("delta"), is_cut.alias("is_cut"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.sum("is_cut").cast("long").alias("n_cuts"),
+            F.coalesce(F.max("delta"), F.lit(0))
+            .cast("long")
+            .alias("max_abs_delta"),
+            F.when(
+                F.count(F.lit(1)) > 1,
+                F.sum("is_cut").cast("double")
+                / (F.count(F.lit(1)) - 1),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cut_rate"),
+        )
+    )
