@@ -502,3 +502,48 @@ def test_conformal_no_sort_merge_and_pruned(spark, sf_dir):
             assert "event_type" not in s["read_schema"]
     finally:
         ranks.unpersist_all()
+
+
+def test_winnowing_is_two_aggs_no_joins(spark, sf_dir):
+    """Winnowing must stay scan -> array math -> (lang, fp) agg ->
+    lang rollup: no join of any kind, exactly two hash exchanges, and
+    no Python evaluation in the plan (the hash is pure expressions)."""
+    from wikipedia_data_pipeline_spark.plans.inspect import executed_plan
+    from wikipedia_data_pipeline_spark.registry import spark_queries
+
+    df = spark_queries()["text_winnowing_shared_fingerprints"](
+        spark, sf_dir
+    )
+    s = plan_summary(df)
+    assert s.n_broadcast_joins == 0
+    assert s.n_sort_merge_joins == 0
+    assert s.n_nested_loop_joins == 0
+    assert s.n_shuffles == 2
+    plan = executed_plan(df)
+    assert "EvalPython" not in plan  # no Batch/ArrowEvalPython nodes
+
+
+def test_rrf_truncations_are_take_ordered(spark, sf_dir):
+    """Both RRF list truncations must plan as TakeOrderedAndProject —
+    no global sort — and the fusion must never sort-merge more than
+    the one bounded 200-row full-outer join."""
+    from wikipedia_data_pipeline_spark.registry import spark_queries
+
+    df = spark_queries()["text_search_rrf_hybrid"](spark, sf_dir)
+    s = plan_summary(df)
+    assert s.has_take_ordered
+    assert s.n_sort_merge_joins <= 1
+
+
+def test_truncation_recall_single_pass(spark, sf_dir):
+    """The one-pass rewrite: a single broadcast of the 5 query rows
+    (nested-loop by construction), no sort-merge join anywhere (the
+    old two-pass formulation self-joined the rankings), and the
+    (dim, query) window plus the (query, vec) pivot as the only hash
+    exchanges."""
+    from wikipedia_data_pipeline_spark.registry import spark_queries
+
+    df = spark_queries()["ann_dim_truncation_recall"](spark, sf_dir)
+    s = plan_summary(df)
+    assert s.n_sort_merge_joins == 0
+    assert s.n_shuffles <= 3
