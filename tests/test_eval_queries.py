@@ -371,3 +371,18 @@ def test_bh_fdr_stepup_consistency(spark, sf_dir, queries):
     # rejections form a prefix of the p-value order (step-up property)
     flags = [r.rejected for r in rows]
     assert flags == sorted(flags, reverse=True)
+
+
+def test_mcnemar_detects_better_model(spark, sf_dir, queries):
+    r = queries["ml_eval_mcnemar_test"](spark, sf_dir).collect()[0]
+    # designed accuracies: A ~0.50 (coin), B ~0.70
+    assert abs(r.n_correct_a / r.n - 0.50) < 0.06
+    assert abs(r.n_correct_b / r.n - 0.70) < 0.06
+    # B wins far more discordant pairs than it loses -> reject at 0.05
+    assert r.c_only_b > r.b_only_a
+    assert r.reject_h0
+    # decision consistent with the statistic and the frozen critical
+    # value, and the statistic with the counts
+    d, s = r.b_only_a - r.c_only_b, r.b_only_a + r.c_only_b
+    assert abs(r.mcnemar_chi2 - d * d / s) < 1e-12
+    assert r.reject_h0 == (d * d * 1_000_000 >= 3_841_459 * s)

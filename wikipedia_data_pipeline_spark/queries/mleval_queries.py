@@ -2105,3 +2105,111 @@ def ml_eval_brier_decomposition(spark, sf_dir):
         .alias("resolution"),
         (o_bar * (F.lit(1.0) - o_bar)).alias("uncertainty"),
     )
+
+
+_MCNEMAR_ORACLE = f"""
+WITH p AS (
+  SELECT CAST(({SQL_DET_HASH.format(col="event_id")}) % 2 AS BIGINT)
+           AS truth,
+         CAST(({SQL_DET_HASH.format(col="((event_id % 1000003) * 7 + 3)")}) % 100 AS BIGINT)
+           AS da,
+         CAST(({SQL_DET_HASH.format(col="((event_id % 1000003) * 19 + 11)")}) % 100 AS BIGINT)
+           AS db
+  FROM events
+),
+o AS (
+  SELECT CASE WHEN da < 50 THEN truth ELSE 1 - truth END AS pred_a,
+         CASE WHEN db < 70 THEN truth ELSE 1 - truth END AS pred_b,
+         truth
+  FROM p
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN pred_a = truth AND pred_b <> truth
+                       THEN 1 ELSE 0 END) AS BIGINT) AS b_only_a,
+         CAST(sum(CASE WHEN pred_a <> truth AND pred_b = truth
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c_only_b,
+         CAST(sum(CASE WHEN pred_a = truth THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct_a,
+         CAST(sum(CASE WHEN pred_b = truth THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct_b
+  FROM o
+)
+SELECT n, n_correct_a, n_correct_b, b_only_a, c_only_b,
+       CAST((b_only_a - c_only_b) * (b_only_a - c_only_b) AS DOUBLE)
+         / CAST(b_only_a + c_only_b AS DOUBLE) AS mcnemar_chi2,
+       (b_only_a - c_only_b) * (b_only_a - c_only_b) * 1000000
+         >= 3841459 * (b_only_a + c_only_b) AS reject_h0
+FROM agg
+"""
+
+
+@register("ml_eval_mcnemar_test", oracle=_MCNEMAR_ORACLE)
+def ml_eval_mcnemar_test(spark, sf_dir):
+    """McNemar's test for PAIRED model comparison — the statistically
+    correct way to ask "is model B better than model A on the same
+    eval items" (two accuracy numbers alone ignore the pairing): only
+    the discordant counts matter, chi2 = (b - c)^2 / (b + c) with
+    b = A-right/B-wrong, c = A-wrong/B-right. Models are deterministic
+    hash streams over events: A matches the truth with p = 0.50 (a
+    coin), B with p = 0.70 — the designed fixed point is REJECT, with
+    chi2 growing linearly in n.
+
+    Exactness: all five counts are exact BIGINT aggregates from one
+    scan; the statistic is one double division of exact integers, and
+    the alpha = 0.05 decision is the PURE-INTEGER comparison
+    (b-c)^2 * 10^6 >= 3841459 * (b+c) (chi2_1,0.95 = 3.841459...
+    frozen as a micro-unit literal, the events_sprt_ab discipline), so
+    no transcendental ever runs at query time.
+
+    Scale shape: scan -> 1-row aggregate. Nothing else."""
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.select(
+        (det_hash("event_id") % 2).cast("long").alias("truth"),
+        (det_hash((F.col("event_id") % 1000003) * 7 + 3) % 100)
+        .cast("long")
+        .alias("da"),
+        (det_hash((F.col("event_id") % 1000003) * 19 + 11) % 100)
+        .cast("long")
+        .alias("db"),
+    ).select(
+        "truth",
+        F.when(F.col("da") < 50, F.col("truth"))
+        .otherwise(1 - F.col("truth"))
+        .alias("pred_a"),
+        F.when(F.col("db") < 70, F.col("truth"))
+        .otherwise(1 - F.col("truth"))
+        .alias("pred_b"),
+    )
+    right_a = F.col("pred_a") == F.col("truth")
+    right_b = F.col("pred_b") == F.col("truth")
+    agg = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(right_a & ~right_b, 1).otherwise(0))
+        .cast("long")
+        .alias("b_only_a"),
+        F.sum(F.when(~right_a & right_b, 1).otherwise(0))
+        .cast("long")
+        .alias("c_only_b"),
+        F.sum(F.when(right_a, 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct_a"),
+        F.sum(F.when(right_b, 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct_b"),
+    )
+    d = F.col("b_only_a") - F.col("c_only_b")
+    s = F.col("b_only_a") + F.col("c_only_b")
+    return agg.select(
+        "n",
+        "n_correct_a",
+        "n_correct_b",
+        "b_only_a",
+        "c_only_b",
+        ((d * d).cast("double") / s.cast("double")).alias("mcnemar_chi2"),
+        (d * d * F.lit(1_000_000) >= F.lit(3_841_459) * s).alias(
+            "reject_h0"
+        ),
+    )
