@@ -127,6 +127,8 @@ PROBE = [
     "ml_eval_brier_decomposition",
     # BH-FDR over per-type KS: windows over the collapsed value relation
     "stats_bh_fdr_screen",
+    # McNemar paired-model test: scan -> 1-row aggregate
+    "ml_eval_mcnemar_test",
 ]
 # quadratic-oracle twins: timing DuckDB here measures the oracle's
 # deliberate brute-force design, not the engine — skip, like bench.py
