@@ -311,9 +311,11 @@ def test_sparklines_aligned_and_sorted(spark, sf_dir):
     rows = nation_revenue_sparklines(spark, sf_dir).collect()
     assert len(rows) == 25
     for r in rows:
-        assert len(r.months) == len(r.revenues) == r.n_months
-        assert list(r.months) == sorted(r.months)
-        assert all(v > 0 for v in r.revenues)
+        months = [int(v) for v in r.months.split(",")]
+        revs = [int(v) for v in r.revenues_cents.split(",")]
+        assert len(months) == len(revs) == r.n_months
+        assert months == sorted(months)
+        assert all(v > 0 for v in revs)
 
 
 def test_checksum_detects_mutation(spark, sf_dir):

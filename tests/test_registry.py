@@ -44,3 +44,27 @@ def test_no_oracle_entries_sit_at_the_end():
     # Once the no-oracle tail starts, it never flips back.
     first_no = flags.index(False) if False in flags else len(flags)
     assert all(not f for f in flags[first_no:]) or False not in flags
+
+
+def test_no_array_or_map_output_columns(spark, sf_dir):
+    """The driver's pandas canonicalizer hashes every output cell;
+    list/dict cells crash it (r9: scalar_regex_funcs,
+    embedding_int8_quantize). Every non-eager registered query must
+    therefore emit only scalar columns — arrays belong joined into
+    strings (array_join / cents-string) before they leave a query."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    eager = registry.eager_queries()
+    offenders = {}
+    for name, fn in registry.spark_queries().items():
+        if name in eager:
+            continue
+        schema = fn(spark, sf_dir).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}, f"array/map output columns: {offenders}"

@@ -645,8 +645,9 @@ WITH m AS (
 )
 SELECT n_name,
        CAST(count(*) AS BIGINT) AS n_months,
-       list(mth ORDER BY mth) AS months,
-       list(CAST(rev_dec AS DOUBLE) ORDER BY mth) AS revenues
+       array_to_string(list(mth ORDER BY mth), ',') AS months,
+       array_to_string(list(CAST(rev_dec * 100 AS BIGINT) ORDER BY mth),
+                       ',') AS revenues_cents
 FROM m GROUP BY n_name
 """
 
@@ -664,6 +665,12 @@ def nation_revenue_sparklines(spark, sf_dir):
     giving a declared total order; the aligned arrays are then
     projected out with transform(). Same month-key ordering as
     DuckDB's list(... ORDER BY mth).
+
+    The series columns are emitted comma-joined (months as ints,
+    revenues as exact cents BIGINT) rather than as raw arrays: the
+    driver's pandas canonicalizer cannot hash list cells, and cents
+    strings compare bit-exactly where doubles would be at the mercy
+    of each engine's float formatter.
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -687,14 +694,18 @@ def nation_revenue_sparklines(spark, sf_dir):
         F.collect_list(
             F.struct(
                 F.col("mth").alias("mth"),
-                F.col("rev_dec").cast("double").alias("rev"),
+                (F.col("rev_dec") * 100).cast("bigint").alias("rev_cents"),
             )
         )
     )
     return m.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("n_months"),
-        F.transform(pairs, lambda p: p["mth"]).alias("months"),
-        F.transform(pairs, lambda p: p["rev"]).alias("revenues"),
+        F.array_join(
+            F.transform(pairs, lambda p: p["mth"].cast("string")), ","
+        ).alias("months"),
+        F.array_join(
+            F.transform(pairs, lambda p: p["rev_cents"].cast("string")), ","
+        ).alias("revenues_cents"),
     )
 
 

@@ -250,12 +250,13 @@ WITH s AS (
   FROM embeddings
 )
 SELECT vec_id, qscale,
-       CASE WHEN qscale > 0
-            THEN list_transform(embedding,
-                   x -> CAST(round(CAST(x AS DOUBLE) * 127 / qscale, 0)
-                             AS INTEGER))
-            ELSE list_transform(embedding, x -> 0) END AS qvec
-FROM s ORDER BY vec_id
+       COALESCE(array_to_string(
+         CASE WHEN qscale > 0
+              THEN list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * 127 / qscale, 0)
+                               AS INTEGER))
+              ELSE list_transform(embedding, x -> 0) END, ','), '') AS qvec
+FROM s
 """,
 )
 def embedding_int8_quantize(spark, sf_dir):
@@ -277,7 +278,11 @@ def embedding_int8_quantize(spark, sf_dir):
             lambda x: F.round(xd(x) * 127 / F.col("qscale"), 0).cast("int"),
         ),
     ).otherwise(F.transform(F.col("embedding"), lambda x: F.lit(0)))
-    return s.select("vec_id", "qscale", qvec.alias("qvec")).orderBy("vec_id")
+    # string-join, not a raw array column: the driver's pandas
+    # canonicalizer cannot hash list cells (r9 red row). No final
+    # orderBy — the driver compares order-insensitively.
+    qvec_str = F.array_join(F.transform(qvec, lambda v: v.cast("string")), ",")
+    return s.select("vec_id", "qscale", qvec_str.alias("qvec"))
 
 
 @register("embedding_pca_project")  # eigensolver output: no SQL oracle

@@ -1028,7 +1028,8 @@ def cdc_apply_orders(spark, sf_dir):
 _REGEX_ORACLE = """
 SELECT doc_id,
        regexp_extract(text, '([a-z]+)', 1) AS first_word,
-       regexp_extract_all(text, '[0-9]+') AS all_numbers,
+       COALESCE(array_to_string(regexp_extract_all(text, '[0-9]+'), ','),
+                '') AS all_numbers,
        CAST(len(regexp_extract_all(text, '(^| )the ')) AS BIGINT)
          AS n_the,
        regexp_matches(text, '^[A-Z]') AS starts_upper,
@@ -1054,7 +1055,11 @@ def scalar_regex_funcs(spark, sf_dir):
     return d.filter(F.col("doc_id") % 10 == 0).select(
         "doc_id",
         F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
-        F.expr("regexp_extract_all(text, '[0-9]+', 0)").alias("all_numbers"),
+        # array_join, not a raw array column: the driver's pandas
+        # canonicalizer cannot hash list cells (r9 red row).
+        F.array_join(
+            F.expr("regexp_extract_all(text, '[0-9]+', 0)"), ","
+        ).alias("all_numbers"),
         F.expr("cast(regexp_count(text, '(^| )the ') as bigint)").alias(
             "n_the"
         ),
