@@ -602,7 +602,7 @@ def test_customer_trend_matches_numpy_sample(spark, sf_dir):
 
 
 def test_label_outliers_are_per_label_minima(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.mleval_queries import embedding_label_outliers
+    from wikipedia_data_pipeline_spark.queries.embedding_queries import embedding_label_outliers
     from wikipedia_data_pipeline_spark.sources.tables import load_table
 
     rows = embedding_label_outliers(spark, sf_dir).collect()
@@ -1021,7 +1021,7 @@ def test_ndcg_matches_bruteforce(spark, sf_dir):
 
 
 def test_woe_binning_structure(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.mleval_queries import (
+    from wikipedia_data_pipeline_spark.queries.features_queries import (
         features_woe_binning,
     )
     from wikipedia_data_pipeline_spark.sources.tables import load_table

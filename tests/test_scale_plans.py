@@ -344,7 +344,7 @@ def test_pagerank_reuses_persisted_edges(spark, sf_dir):
 
 
 def test_target_encode_broadcasts_category_stats(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.mleval_queries import features_target_encode_loo
+    from wikipedia_data_pipeline_spark.queries.features_queries import features_target_encode_loo
 
     ps = plan_summary(features_target_encode_loo(spark, sf_dir))
     assert ps.n_broadcast_joins >= 1

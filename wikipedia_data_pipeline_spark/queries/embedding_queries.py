@@ -1,0 +1,218 @@
+"""Embedding-column QA queries: centroid distances, int8
+quantization, PCA projection, and the label-outlier (mislabeled-data
+candidate) screen. Split out of mleval_queries (round 10)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikipedia_data_pipeline_spark.registry import register
+from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+
+
+from wikipedia_data_pipeline_spark.queries.similarity_queries import COS_SQL
+
+
+@register(
+    "embedding_centroid_distances",
+    oracle=f"""
+WITH comp AS (
+  SELECT label, g - 1 AS pos,
+         CAST(sum(CAST(CAST(embedding[g] AS DOUBLE) AS DECIMAL(18,6)))
+              AS DOUBLE) / count(*) AS mean_x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(g)
+  GROUP BY label, pos
+),
+cent AS (
+  SELECT label, list(mean_x ORDER BY pos) AS c FROM comp GROUP BY label
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       {COS_SQL.format(a='a.c', b='b.c')} AS cos
+FROM cent a JOIN cent b ON a.label < b.label
+""",
+)
+def embedding_centroid_distances(spark, sf_dir):
+    """Label-centroid separation matrix: decimal-exact centroid
+    components (the label_centroids construction) assembled into
+    ordered arrays, then pairwise cosine via the deterministic
+    sequential fold — the cluster-separability report behind embedding
+    QA. The pair join runs over |labels| rows; everything heavy is the
+    one component aggregation."""
+    from wikipedia_data_pipeline_spark.functions import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(18,6)"))
+                .cast("double")
+                / F.count("*")
+            ).alias("mean_x")
+        )
+    )
+    cent = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_x"))),
+            lambda s: s["mean_x"],
+        ).alias("c")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), F.col("c").alias("cb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            cosine_similarity(F.col("ca"), F.col("cb")).alias("cos"),
+        )
+    )
+
+
+
+@register(
+    "embedding_int8_quantize",
+    oracle="""
+WITH s AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS qscale,
+         embedding
+  FROM embeddings
+)
+SELECT vec_id, qscale,
+       COALESCE(array_to_string(
+         CASE WHEN qscale > 0
+              THEN list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * 127 / qscale, 0)
+                               AS INTEGER))
+              ELSE list_transform(embedding, x -> 0) END, ','), '') AS qvec
+FROM s
+""",
+)
+def embedding_int8_quantize(spark, sf_dir):
+    """Per-vector symmetric int8 quantization (qᵢ = round(127·xᵢ/max|x|)
+    plus the one float scale) — the 4× compression applied to embedding
+    corpora before ANN serving. A narrow higher-order-function map, no
+    shuffle, no UDF: at 100 TB this halves-twice the bytes every
+    downstream similarity scan reads, which is usually worth more than
+    any CPU optimization. Zero vectors quantize to zeros (guarded
+    division)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    qscale = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(xd(x))))
+    s = emb.select("vec_id", qscale.alias("qscale"), "embedding")
+    qvec = F.when(
+        F.col("qscale") > 0,
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(xd(x) * 127 / F.col("qscale"), 0).cast("int"),
+        ),
+    ).otherwise(F.transform(F.col("embedding"), lambda x: F.lit(0)))
+    # string-join, not a raw array column: the driver's pandas
+    # canonicalizer cannot hash list cells (r9 red row). No final
+    # orderBy — the driver compares order-insensitively.
+    qvec_str = F.array_join(F.transform(qvec, lambda v: v.cast("string")), ",")
+    return s.select("vec_id", "qscale", qvec_str.alias("qvec"))
+
+
+@register("embedding_pca_project")  # eigensolver output: no SQL oracle
+def embedding_pca_project(spark, sf_dir):
+    """Distributed PCA to 2 components: Arrow-batch NumPy partials →
+    d²-row aggregate → driver-side eigh on the model-sized covariance →
+    broadcast-literal projection map. See operators/similarity.py:
+    pca_project for the moments/solve/broadcast boundary."""
+    from wikipedia_data_pipeline_spark.operators.similarity import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_project(emb, k=2).orderBy("vec_id")
+
+
+
+# ---------------------------------------------------------------------------
+# Embedding label-outlier screen (mislabeled-data candidates)
+# ---------------------------------------------------------------------------
+
+from wikipedia_data_pipeline_spark.queries.similarity_queries import COS_SQL
+
+_LABEL_OUTLIER_ORACLE = f"""
+WITH comp AS (
+  SELECT label, g - 1 AS pos,
+         CAST(sum(CAST(CAST(embedding[g] AS DOUBLE) AS DECIMAL(18,6)))
+              AS DOUBLE) / count(*) AS mean_x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(g)
+  GROUP BY label, pos
+),
+cent AS (
+  SELECT label, list(mean_x ORDER BY pos) AS c FROM comp GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         {COS_SQL.format(a='e.embedding', b='cent.c')} AS cos_to_centroid,
+         row_number() OVER (
+           PARTITION BY e.label
+           ORDER BY {COS_SQL.format(a='e.embedding', b='cent.c')}, e.vec_id
+         ) AS rn
+  FROM embeddings e JOIN cent ON e.label = cent.label
+)
+SELECT vec_id, label, cos_to_centroid, CAST(rn AS BIGINT) AS outlier_rank
+FROM scored WHERE rn <= 3
+"""
+
+
+@register("embedding_label_outliers", oracle=_LABEL_OUTLIER_ORACLE)
+def embedding_label_outliers(spark, sf_dir):
+    """Mislabeled-data screen: the 3 vectors per label FARTHEST from
+    their own label centroid (lowest cosine) — the embedding-QA
+    worklist human review starts from (a vector far from its class
+    center is a labeling error, an outlier, or a class in need of
+    splitting).
+
+    Centroids use the decimal-exact component construction shared with
+    `embedding_label_centroids`; each vector's cosine runs as the
+    deterministic sequential fold (JVM higher-order functions, no
+    UDF), and the per-label ranking breaks ties by vec_id. The
+    centroid relation is |labels|-sized and broadcast; one scan of the
+    vectors scores everything.
+    """
+    from pyspark.sql import Window
+
+    from wikipedia_data_pipeline_spark.functions import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(18,6)"))
+                .cast("double")
+                / F.count("*")
+            ).alias("mean_x")
+        )
+    )
+    cent = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_x"))),
+            lambda s: s["mean_x"],
+        ).alias("c")
+    )
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        cosine_similarity(F.col("embedding"), F.col("c")).alias(
+            "cos_to_centroid"
+        ),
+    )
+    w = Window.partitionBy("label").orderBy("cos_to_centroid", "vec_id")
+    return (
+        scored.withColumn("outlier_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("outlier_rank") <= 3)
+    )
+

@@ -1,0 +1,799 @@
+"""Paired-sample / experiment-analysis evaluation queries:
+Bradley-Terry strengths, Fleiss' kappa, CUPED variance reduction,
+Brier-score Murphy decomposition, and McNemar's paired test. Split out
+of mleval_queries (round 10)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikipedia_data_pipeline_spark.registry import register
+from wikipedia_data_pipeline_spark.sources.tables import load_table
+from wikipedia_data_pipeline_spark.operators.sampling import SQL_DET_HASH
+
+
+_BT_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT event_type FROM events),
+obs AS (
+  SELECT a.event_type AS i, b.event_type AS j,
+         CAST(sum(CASE WHEN a.n <> b.n THEN 1 ELSE 0 END) AS BIGINT) AS n_obs,
+         CAST(sum(CASE WHEN a.n > b.n THEN 1 ELSE 0 END) AS BIGINT) AS w_obs
+  FROM c a JOIN c b
+    ON a.user_id = b.user_id AND a.event_type <> b.event_type
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT ti.event_type AS i, tj.event_type AS j,
+         CAST(COALESCE(n_obs, 0) + 2 AS BIGINT) AS n_ij,
+         CAST(COALESCE(w_obs, 0) + 1 AS BIGINT) AS w_ij
+  FROM types ti
+  JOIN types tj ON ti.event_type <> tj.event_type
+  LEFT JOIN obs ON obs.i = ti.event_type AND obs.j = tj.event_type
+),
+it1 AS (
+  SELECT i,
+         CAST(sum(CAST(round(CAST(n_ij AS DOUBLE) / 2.0 * 1000000000.0)
+                       AS BIGINT)) AS BIGINT) AS denom_nano,
+         CAST(sum(w_ij) AS BIGINT) AS wins
+  FROM m GROUP BY 1
+),
+p1 AS (
+  SELECT i,
+         (CAST(wins AS DOUBLE) * 1000000000.0)
+           / CAST(denom_nano AS DOUBLE) AS p
+  FROM it1
+),
+it2 AS (
+  SELECT m.i AS i,
+         CAST(sum(CAST(round(CAST(m.n_ij AS DOUBLE) / (pi.p + pj.p)
+                             * 1000000000.0) AS BIGINT)) AS BIGINT)
+           AS denom_nano,
+         CAST(sum(m.w_ij) AS BIGINT) AS wins,
+         CAST(sum(m.n_ij) AS BIGINT) AS n_comparisons
+  FROM m
+  JOIN p1 pi ON pi.i = m.i
+  JOIN p1 pj ON pj.i = m.j
+  GROUP BY 1
+),
+p2 AS (
+  SELECT i AS item, wins, n_comparisons,
+         CAST(round((CAST(wins AS DOUBLE) * 1000000000.0)
+                    / CAST(denom_nano AS DOUBLE) * 1000000000.0)
+              AS BIGINT) AS strength_nano
+  FROM it2
+),
+tot AS (SELECT CAST(sum(strength_nano) AS BIGINT) AS t FROM p2)
+SELECT item, wins, n_comparisons, strength_nano,
+       CAST(strength_nano AS DOUBLE) / CAST(t AS DOUBLE) AS strength_share,
+       CAST(row_number() OVER (ORDER BY strength_nano DESC, item)
+            AS BIGINT) AS bt_rank
+FROM p2, tot
+"""
+
+
+@register("ml_eval_bradley_terry", oracle=_BT_ORACLE)
+def ml_eval_bradley_terry(spark, sf_dir):
+    """Bradley-Terry preference aggregation — the model that turns
+    pairwise comparison logs (RLHF preference data, arena-style model
+    matchups) into a per-item strength ranking. Items are event types;
+    one "judge" per user: for each type pair the user compared, the
+    type they triggered MORE often wins (ties abstain). Strengths are
+    fit with two unrolled Hunter-MM iterations
+    p_i <- W_i / sum_j n_ij/(p_i+p_j) from p=1, with add-one
+    smoothing (w+1, n+2 per directed pair) so every strength is
+    positive at any scale.
+
+    Exactness: wins/comparison counts are exact BIGINT from hash
+    aggregates; each MM denominator term n_ij/(p_i+p_j) is quantized
+    once to nano-units so the per-item sum is an associative BIGINT
+    sum (the events_psi_drift discipline); each p is then ONE
+    fixed-order double division of exact integers, so both engines
+    walk bit-identical iterates. Final strengths are re-quantized to
+    nano-units; shares and the rank are derived from those integers.
+
+    Scale shape: one (user, type) hash agg -> co-partitioned self-join
+    on user_id (each user contributes <= K^2 rows, K = |types|) ->
+    K(K-1)-row directed win matrix; both MM iterations and the
+    ranking run on that driver-tiny relation (broadcast joins only).
+    The per-user counts and the matrix are persisted because two plan
+    branches consume each."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    c = track_persisted(
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a, b = c.alias("a"), c.alias("b")
+    obs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") != F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("i"),
+            F.col("b.event_type").alias("j"),
+        )
+        .agg(
+            F.sum(F.when(F.col("a.n") != F.col("b.n"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_obs"),
+            F.sum(F.when(F.col("a.n") > F.col("b.n"), 1).otherwise(0))
+            .cast("long")
+            .alias("w_obs"),
+        )
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.select(F.col("event_type").alias("i")).crossJoin(
+        types.select(F.col("event_type").alias("j"))
+    ).filter(F.col("i") != F.col("j"))
+    m = track_persisted(
+        spine.join(obs, ["i", "j"], "left")
+        .select(
+            "i",
+            "j",
+            (F.coalesce("n_obs", F.lit(0)) + 2).cast("long").alias("n_ij"),
+            (F.coalesce("w_obs", F.lit(0)) + 1).cast("long").alias("w_ij"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    it1 = m.groupBy("i").agg(
+        F.sum(
+            F.round(F.col("n_ij").cast("double") / 2.0 * 1_000_000_000.0)
+            .cast("long")
+        )
+        .cast("long")
+        .alias("denom_nano"),
+        F.sum("w_ij").cast("long").alias("wins"),
+    )
+    p1 = it1.select(
+        "i",
+        (
+            (F.col("wins").cast("double") * 1_000_000_000.0)
+            / F.col("denom_nano").cast("double")
+        ).alias("p"),
+    )
+    pi = p1.select("i", F.col("p").alias("p_i"))
+    pj = p1.select(F.col("i").alias("j"), F.col("p").alias("p_j"))
+    it2 = (
+        m.join(F.broadcast(pi), "i")
+        .join(F.broadcast(pj), "j")
+        .groupBy("i")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("n_ij").cast("double")
+                    / (F.col("p_i") + F.col("p_j"))
+                    * 1_000_000_000.0
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("denom_nano"),
+            F.sum("w_ij").cast("long").alias("wins"),
+            F.sum("n_ij").cast("long").alias("n_comparisons"),
+        )
+    )
+    p2 = it2.select(
+        F.col("i").alias("item"),
+        "wins",
+        "n_comparisons",
+        F.round(
+            (F.col("wins").cast("double") * 1_000_000_000.0)
+            / F.col("denom_nano").cast("double")
+            * 1_000_000_000.0
+        )
+        .cast("long")
+        .alias("strength_nano"),
+    )
+    tot = p2.agg(F.sum("strength_nano").cast("long").alias("t"))
+    w = Window.orderBy(F.col("strength_nano").desc(), "item")
+    return (
+        p2.crossJoin(F.broadcast(tot))
+        .select(
+            "item",
+            "wins",
+            "n_comparisons",
+            "strength_nano",
+            (
+                F.col("strength_nano").cast("double")
+                / F.col("t").cast("double")
+            ).alias("strength_share"),
+        )
+        .withColumn("bt_rank", F.row_number().over(w).cast("long"))
+    )
+
+
+_FLEISS_ORACLE = f"""
+WITH rated AS (
+  SELECT r1,
+         CASE WHEN flip2 < 7 THEN r1 ELSE alt2 END AS r2,
+         CASE WHEN flip3 < 5 THEN r1 ELSE alt3 END AS r3
+  FROM (
+    SELECT CAST(({SQL_DET_HASH.format(col="event_id")}) % 3 AS BIGINT) AS r1,
+           CAST(({SQL_DET_HASH.format(col="((event_id % 1000003) * 13 + 5)")}) % 10 AS BIGINT) AS flip2,
+           CAST(({SQL_DET_HASH.format(col="((event_id % 1000003) * 31 + 11)")}) % 3 AS BIGINT) AS alt2,
+           CAST(({SQL_DET_HASH.format(col="((event_id % 1000003) * 43 + 17)")}) % 10 AS BIGINT) AS flip3,
+           CAST(({SQL_DET_HASH.format(col="((event_id % 1000003) * 53 + 29)")}) % 3 AS BIGINT) AS alt3
+    FROM events
+  )
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END
+                  + CASE WHEN r1 = r3 THEN 1 ELSE 0 END
+                  + CASE WHEN r2 = r3 THEN 1 ELSE 0 END) AS BIGINT) AS agree_pairs,
+         CAST(sum(CASE WHEN r1 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN r2 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN r3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN r1 = 1 THEN 1 ELSE 0 END
+                  + CASE WHEN r2 = 1 THEN 1 ELSE 0 END
+                  + CASE WHEN r3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN r1 = 2 THEN 1 ELSE 0 END
+                  + CASE WHEN r2 = 2 THEN 1 ELSE 0 END
+                  + CASE WHEN r3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM rated
+),
+d AS (
+  SELECT n_items, agree_pairs,
+         CAST(CAST(c0 AS DECIMAL(18,0)) * CAST(c0 AS DECIMAL(18,0))
+              + CAST(c1 AS DECIMAL(18,0)) * CAST(c1 AS DECIMAL(18,0))
+              + CAST(c2 AS DECIMAL(18,0)) * CAST(c2 AS DECIMAL(18,0))
+              AS DECIMAL(38,0)) AS csq,
+         CAST(CAST(n_items AS DECIMAL(18,0)) * CAST(agree_pairs AS DECIMAL(18,0)) * 3
+              AS DECIMAL(38,0)) AS num_l,
+         CAST(CAST(n_items AS DECIMAL(18,0)) * CAST(n_items AS DECIMAL(18,0)) * 9
+              AS DECIMAL(38,0)) AS nm_sq
+  FROM agg
+)
+SELECT n_items,
+       CAST(agree_pairs AS DOUBLE) / CAST(3 * n_items AS DOUBLE)
+         AS mean_pairwise_agreement,
+       CAST(csq AS DOUBLE) / CAST(nm_sq AS DOUBLE) AS expected_agreement,
+       CAST(num_l - csq AS DOUBLE) / CAST(nm_sq - csq AS DOUBLE)
+         AS fleiss_kappa
+FROM d
+"""
+
+
+@register("ml_eval_fleiss_kappa", oracle=_FLEISS_ORACLE)
+def ml_eval_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa for THREE raters — the multi-rater agreement
+    statistic Cohen's (two-rater) kappa can't express; the label-QA
+    readout when each item in an annotation pipeline is rated by a
+    panel. Raters are deterministic hash streams over events (the
+    ml_eval_rater_kappa discipline): rater 1 labels into 3 classes;
+    rater 2 copies rater 1 on ~70% of items, rater 3 on ~50%,
+    re-drawing from independent streams otherwise.
+
+    Exactness: with m=3 raters, sum_k n_ik^2 per item equals
+    3 + 2*(pairwise agreements among the three ratings), so Fleiss'
+    P_bar collapses to agree_pairs/(3N) and the WHOLE statistic needs
+    only ONE fact-level hash aggregate (N, pairwise-agreement count,
+    3 per-category rating totals) — no per-item grouping at all. The
+    algebra clears every early division:
+    kappa = (3*N*A - sum_k c_k^2) / (9*N^2 - sum_k c_k^2) with both
+    sides exact DECIMAL(38,0) integers, so the one final double
+    division (and the fixed-order agreement ratios) are bit-identical
+    across engines. Hash args are pre-reduced mod 1000003 so the key
+    expression cannot overflow BIGINT at any event_id.
+
+    Scale shape: scan -> 1-row aggregate. Nothing else."""
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        (det_hash("event_id") % 3).cast("long").alias("r1"),
+        (det_hash((F.col("event_id") % 1000003) * 13 + 5) % 10)
+        .cast("long")
+        .alias("flip2"),
+        (det_hash((F.col("event_id") % 1000003) * 31 + 11) % 3)
+        .cast("long")
+        .alias("alt2"),
+        (det_hash((F.col("event_id") % 1000003) * 43 + 17) % 10)
+        .cast("long")
+        .alias("flip3"),
+        (det_hash((F.col("event_id") % 1000003) * 53 + 29) % 3)
+        .cast("long")
+        .alias("alt3"),
+    )
+    rated = base.select(
+        "r1",
+        F.when(F.col("flip2") < 7, F.col("r1"))
+        .otherwise(F.col("alt2"))
+        .alias("r2"),
+        F.when(F.col("flip3") < 5, F.col("r1"))
+        .otherwise(F.col("alt3"))
+        .alias("r3"),
+    )
+
+    def eq(x, y):
+        return F.when(F.col(x) == F.col(y), 1).otherwise(0)
+
+    def is_k(col, k):
+        return F.when(F.col(col) == k, 1).otherwise(0)
+
+    agg = rated.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(eq("r1", "r2") + eq("r1", "r3") + eq("r2", "r3"))
+        .cast("long")
+        .alias("agree_pairs"),
+        *[
+            F.sum(is_k("r1", k) + is_k("r2", k) + is_k("r3", k))
+            .cast("long")
+            .alias(f"c{k}")
+            for k in (0, 1, 2)
+        ],
+    )
+    dec = "decimal(18,0)"
+    csq = (
+        F.col("c0").cast(dec) * F.col("c0").cast(dec)
+        + F.col("c1").cast(dec) * F.col("c1").cast(dec)
+        + F.col("c2").cast(dec) * F.col("c2").cast(dec)
+    ).cast("decimal(38,0)")
+    num_l = (
+        F.col("n_items").cast(dec) * F.col("agree_pairs").cast(dec) * 3
+    ).cast("decimal(38,0)")
+    nm_sq = (
+        F.col("n_items").cast(dec) * F.col("n_items").cast(dec) * 9
+    ).cast("decimal(38,0)")
+    d = agg.select(
+        "n_items",
+        "agree_pairs",
+        csq.alias("csq"),
+        num_l.alias("num_l"),
+        nm_sq.alias("nm_sq"),
+    )
+    return d.select(
+        "n_items",
+        (
+            F.col("agree_pairs").cast("double")
+            / (F.lit(3) * F.col("n_items")).cast("double")
+        ).alias("mean_pairwise_agreement"),
+        (F.col("csq").cast("double") / F.col("nm_sq").cast("double")).alias(
+            "expected_agreement"
+        ),
+        (
+            (F.col("num_l") - F.col("csq")).cast("double")
+            / (F.col("nm_sq") - F.col("csq")).cast("double")
+        ).alias("fleiss_kappa"),
+    )
+
+
+_CUPED_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(({SQL_DET_HASH.format(col="user_id")}) % 2 AS BIGINT) AS arm,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0)))
+              AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)))
+              AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)))
+              AS DECIMAL(38,0)) AS syy
+  FROM u
+),
+t AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+         ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+           / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           AS variance_reduction,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx
+  FROM g
+),
+a AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(CAST(x AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sxa,
+         CAST(sum(CAST(y AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sya
+  FROM u GROUP BY arm
+)
+SELECT arm, n_users,
+       CAST(sxa AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0
+         AS mean_pre_value,
+       CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0
+         AS mean_post_value,
+       (CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE)
+          - theta * (CAST(sxa AS DOUBLE) / CAST(n_users AS DOUBLE) - mx))
+         / 100.0 AS cuped_adjusted_mean,
+       theta, variance_reduction
+FROM a, t
+"""
+
+
+@register("ml_eval_cuped_ab", oracle=_CUPED_ORACLE)
+def ml_eval_cuped_ab(spark, sf_dir):
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM 2013) —
+    the experiment-analysis operator that uses each user's PRE-period
+    behavior as a control covariate: adjusted_i = y_i - theta (x_i -
+    E[x]) with theta = cov(x, y)/var(x), shrinking metric variance by
+    the squared pre/post correlation without biasing the treatment
+    contrast. Arms are det_hash(user_id) % 2; the pre period is days
+    1-15, the experiment period the rest of the month; the per-user
+    metric is summed value in cents.
+
+    Exact: per-user x/y are BIGINT cents sums; all five pooled moment
+    sums are DECIMAL(38,0) hash aggregates, so theta, the pre/post R^2
+    (= the variance-reduction factor), and both arms' adjusted means
+    are fixed-order double expressions both engines evaluate
+    identically — the events_feature_corr_matrix discipline.
+
+    Scale shape: one events scan -> per-user hash agg (the only
+    fact-sized shuffle) -> persisted user-level relation feeds the
+    1-row pooled-moments aggregate AND the 2-row per-arm aggregate ->
+    broadcast the 1-row theta onto the arms. At 1000 executors the
+    user relation is the natural experiment-analysis table; nothing
+    else grows with the event count."""
+    from pyspark import StorageLevel
+
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    # load_table exposes ts as epoch-micros BIGINT; 1705363200000000 is
+    # TIMESTAMP '2024-01-16' UTC — the same instant the oracle names
+    pre = F.col("ts") < F.lit(1705363200000000)
+    cents = F.round(F.col("value") * 100).cast("long")
+    u = track_persisted(
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(pre, cents).otherwise(0)).cast("long").alias("x"),
+            F.sum(F.when(~pre, cents).otherwise(0)).cast("long").alias("y"),
+        )
+        .select(
+            (det_hash("user_id") % 2).cast("long").alias("arm"), "x", "y"
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dec = "decimal(18,0)"
+    g = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    t = g.selectExpr(
+        "n",
+        """(cast(n as double) * cast(sxy as double)
+            - cast(sx as double) * cast(sy as double))
+           / (cast(n as double) * cast(sxx as double)
+              - cast(sx as double) * cast(sx as double)) AS theta""",
+        """((cast(n as double) * cast(sxy as double)
+             - cast(sx as double) * cast(sy as double))
+            * (cast(n as double) * cast(sxy as double)
+               - cast(sx as double) * cast(sy as double)))
+           / ((cast(n as double) * cast(sxx as double)
+               - cast(sx as double) * cast(sx as double))
+              * (cast(n as double) * cast(syy as double)
+                 - cast(sy as double) * cast(sy as double)))
+           AS variance_reduction""",
+        "cast(sx as double) / cast(n as double) AS mx",
+    ).drop("n")
+    a = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("x").cast(dec)).cast("decimal(38,0)").alias("sxa"),
+        F.sum(F.col("y").cast(dec)).cast("decimal(38,0)").alias("sya"),
+    )
+    return a.crossJoin(F.broadcast(t)).selectExpr(
+        "arm",
+        "n_users",
+        "cast(sxa as double) / cast(n_users as double) / 100.0"
+        " AS mean_pre_value",
+        "cast(sya as double) / cast(n_users as double) / 100.0"
+        " AS mean_post_value",
+        """(cast(sya as double) / cast(n_users as double)
+            - theta * (cast(sxa as double) / cast(n_users as double) - mx))
+           / 100.0 AS cuped_adjusted_mean""",
+        "theta",
+        "variance_reduction",
+    )
+
+
+_BRIER_ORACLE = f"""
+WITH ev AS (
+  SELECT CAST(round(value * 1000000) AS BIGINT) AS v_u,
+         CAST(({SQL_DET_HASH.format(col="user_id")}) % 2 AS BIGINT) AS label
+  FROM events
+),
+rng AS (
+  SELECT CAST(min(v_u) AS BIGINT) AS lo, CAST(max(v_u) AS BIGINT) AS hi
+  FROM ev
+),
+binned AS (
+  SELECT least(9, ((ev.v_u - rng.lo) * 10) // (rng.hi - rng.lo + 1)) AS bin,
+         ev.v_u - rng.lo AS dv, ev.label, rng.hi - rng.lo AS rng_w
+  FROM ev, rng
+),
+item AS (
+  SELECT CAST(sum(CAST(round(
+           (CAST(dv AS DOUBLE) / rng_w - label)
+           * (CAST(dv AS DOUBLE) / rng_w - label) * 1000000000.0)
+           AS BIGINT)) AS BIGINT) AS brier_nano,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(label) AS BIGINT) AS n_pos
+  FROM binned
+),
+per AS (
+  SELECT bin, CAST(max(rng_w) AS BIGINT) AS rng_w,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(label) AS BIGINT) AS n_pos,
+         CAST(sum(dv) AS BIGINT) AS sum_dv
+  FROM binned GROUP BY bin
+),
+terms AS (
+  SELECT CAST(round(per.n
+           * (CAST(sum_dv AS DOUBLE) / per.n / rng_w
+              - CAST(per.n_pos AS DOUBLE) / per.n)
+           * (CAST(sum_dv AS DOUBLE) / per.n / rng_w
+              - CAST(per.n_pos AS DOUBLE) / per.n)
+           * 1000000000.0) AS BIGINT) AS rel_nano,
+         CAST(round(per.n
+           * (CAST(per.n_pos AS DOUBLE) / per.n
+              - CAST(i.n_pos AS DOUBLE) / i.n)
+           * (CAST(per.n_pos AS DOUBLE) / per.n
+              - CAST(i.n_pos AS DOUBLE) / i.n)
+           * 1000000000.0) AS BIGINT) AS res_nano,
+         CAST(round((per.n * (CAST(sum_dv AS DOUBLE) / per.n / rng_w)
+                       * (CAST(sum_dv AS DOUBLE) / per.n / rng_w)
+                     - 2 * (CAST(sum_dv AS DOUBLE) / per.n / rng_w)
+                         * per.n_pos
+                     + per.n_pos) * 1000000000.0) AS BIGINT) AS bb_nano
+  FROM per, item i
+)
+SELECT i.n,
+       CAST(i.n_pos AS DOUBLE) / i.n AS base_rate,
+       CAST(i.brier_nano AS DOUBLE) / 1000000000.0 / i.n AS brier_score,
+       CAST((SELECT CAST(sum(bb_nano) AS BIGINT) FROM terms) AS DOUBLE)
+         / 1000000000.0 / i.n AS brier_binned,
+       CAST((SELECT CAST(sum(rel_nano) AS BIGINT) FROM terms) AS DOUBLE)
+         / 1000000000.0 / i.n AS reliability,
+       CAST((SELECT CAST(sum(res_nano) AS BIGINT) FROM terms) AS DOUBLE)
+         / 1000000000.0 / i.n AS resolution,
+       (CAST(i.n_pos AS DOUBLE) / i.n)
+         * (1.0 - CAST(i.n_pos AS DOUBLE) / i.n) AS uncertainty
+FROM item i
+"""
+
+
+@register("ml_eval_brier_decomposition", oracle=_BRIER_ORACLE)
+def ml_eval_brier_decomposition(spark, sf_dir):
+    """Murphy (1973) decomposition of the Brier score — the
+    diagnostic that splits a probabilistic scorer's squared error
+    into reliability (calibration gap to shrink), resolution
+    (discrimination to keep), and irreducible outcome uncertainty:
+    brier_binned = reliability - resolution + uncertainty exactly
+    when forecasts are replaced by their bin means. Same deterministic
+    score/label streams and min-max 10-bin layout as
+    ml_eval_calibration_bins, so the two reports read together.
+
+    Exactness: every per-item and per-bin squared-error term is
+    quantized once to nano-units, so both engines sum identical
+    BIGINTs regardless of reduction order; the base rate, component
+    normalizations, and uncertainty are fixed-order double expressions
+    over exact integers.
+
+    Scale shape: one events scan -> (bin) hash agg (10 groups) plus
+    one 1-row item-level moment aggregate; the decomposition itself
+    runs on the 10-row relation."""
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_u"),
+        (det_hash("user_id") % 2).cast("long").alias("label"),
+    )
+    rng = ev.agg(
+        F.min("v_u").cast("long").alias("lo"),
+        F.max("v_u").cast("long").alias("hi"),
+    )
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.lit(9).cast("long"),
+            F.expr("((v_u - lo) * 10) div (hi - lo + 1)"),
+        ).alias("bin"),
+        (F.col("v_u") - F.col("lo")).alias("dv"),
+        "label",
+        (F.col("hi") - F.col("lo")).alias("rng_w"),
+    )
+    f_item = F.col("dv").cast("double") / F.col("rng_w")
+    item = binned.agg(
+        F.sum(
+            F.round((f_item - F.col("label")) * (f_item - F.col("label"))
+                    * 1_000_000_000.0).cast("long")
+        )
+        .cast("long")
+        .alias("brier_nano"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("label").cast("long").alias("n_pos"),
+    )
+    per = binned.groupBy("bin").agg(
+        F.max("rng_w").cast("long").alias("rng_w"),
+        F.count(F.lit(1)).cast("long").alias("bn"),
+        F.sum("label").cast("long").alias("bn_pos"),
+        F.sum("dv").cast("long").alias("sum_dv"),
+    )
+    f_k = F.col("sum_dv").cast("double") / F.col("bn") / F.col("rng_w")
+    o_k = F.col("bn_pos").cast("double") / F.col("bn")
+    o_bar = F.col("n_pos").cast("double") / F.col("n")
+    terms = per.crossJoin(F.broadcast(item)).select(
+        F.round(F.col("bn") * (f_k - o_k) * (f_k - o_k) * 1_000_000_000.0)
+        .cast("long")
+        .alias("rel_nano"),
+        F.round(
+            F.col("bn") * (o_k - o_bar) * (o_k - o_bar) * 1_000_000_000.0
+        )
+        .cast("long")
+        .alias("res_nano"),
+        F.round(
+            (
+                F.col("bn") * f_k * f_k
+                - F.lit(2) * f_k * F.col("bn_pos")
+                + F.col("bn_pos")
+            )
+            * 1_000_000_000.0
+        )
+        .cast("long")
+        .alias("bb_nano"),
+    )
+    sums = terms.agg(
+        F.sum("rel_nano").cast("long").alias("rel_s"),
+        F.sum("res_nano").cast("long").alias("res_s"),
+        F.sum("bb_nano").cast("long").alias("bb_s"),
+    )
+    return item.crossJoin(F.broadcast(sums)).select(
+        "n",
+        o_bar.alias("base_rate"),
+        (F.col("brier_nano").cast("double") / 1_000_000_000.0 / F.col("n"))
+        .alias("brier_score"),
+        (F.col("bb_s").cast("double") / 1_000_000_000.0 / F.col("n"))
+        .alias("brier_binned"),
+        (F.col("rel_s").cast("double") / 1_000_000_000.0 / F.col("n"))
+        .alias("reliability"),
+        (F.col("res_s").cast("double") / 1_000_000_000.0 / F.col("n"))
+        .alias("resolution"),
+        (o_bar * (F.lit(1.0) - o_bar)).alias("uncertainty"),
+    )
+
+
+_MCNEMAR_ORACLE = f"""
+WITH p AS (
+  SELECT CAST(({SQL_DET_HASH.format(col="event_id")}) % 2 AS BIGINT)
+           AS truth,
+         CAST(({SQL_DET_HASH.format(col="((event_id % 1000003) * 7 + 3)")}) % 100 AS BIGINT)
+           AS da,
+         CAST(({SQL_DET_HASH.format(col="((event_id % 1000003) * 19 + 11)")}) % 100 AS BIGINT)
+           AS db
+  FROM events
+),
+o AS (
+  SELECT CASE WHEN da < 50 THEN truth ELSE 1 - truth END AS pred_a,
+         CASE WHEN db < 70 THEN truth ELSE 1 - truth END AS pred_b,
+         truth
+  FROM p
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN pred_a = truth AND pred_b <> truth
+                       THEN 1 ELSE 0 END) AS BIGINT) AS b_only_a,
+         CAST(sum(CASE WHEN pred_a <> truth AND pred_b = truth
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c_only_b,
+         CAST(sum(CASE WHEN pred_a = truth THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct_a,
+         CAST(sum(CASE WHEN pred_b = truth THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct_b
+  FROM o
+)
+SELECT n, n_correct_a, n_correct_b, b_only_a, c_only_b,
+       CAST((b_only_a - c_only_b) * (b_only_a - c_only_b) AS DOUBLE)
+         / CAST(b_only_a + c_only_b AS DOUBLE) AS mcnemar_chi2,
+       (b_only_a - c_only_b) * (b_only_a - c_only_b) * 1000000
+         >= 3841459 * (b_only_a + c_only_b) AS reject_h0
+FROM agg
+"""
+
+
+@register("ml_eval_mcnemar_test", oracle=_MCNEMAR_ORACLE)
+def ml_eval_mcnemar_test(spark, sf_dir):
+    """McNemar's test for PAIRED model comparison — the statistically
+    correct way to ask "is model B better than model A on the same
+    eval items" (two accuracy numbers alone ignore the pairing): only
+    the discordant counts matter, chi2 = (b - c)^2 / (b + c) with
+    b = A-right/B-wrong, c = A-wrong/B-right. Models are deterministic
+    hash streams over events: A matches the truth with p = 0.50 (a
+    coin), B with p = 0.70 — the designed fixed point is REJECT, with
+    chi2 growing linearly in n.
+
+    Exactness: all five counts are exact BIGINT aggregates from one
+    scan; the statistic is one double division of exact integers, and
+    the alpha = 0.05 decision is the PURE-INTEGER comparison
+    (b-c)^2 * 10^6 >= 3841459 * (b+c) (chi2_1,0.95 = 3.841459...
+    frozen as a micro-unit literal, the events_sprt_ab discipline), so
+    no transcendental ever runs at query time.
+
+    Scale shape: scan -> 1-row aggregate. Nothing else."""
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.select(
+        (det_hash("event_id") % 2).cast("long").alias("truth"),
+        (det_hash((F.col("event_id") % 1000003) * 7 + 3) % 100)
+        .cast("long")
+        .alias("da"),
+        (det_hash((F.col("event_id") % 1000003) * 19 + 11) % 100)
+        .cast("long")
+        .alias("db"),
+    ).select(
+        "truth",
+        F.when(F.col("da") < 50, F.col("truth"))
+        .otherwise(1 - F.col("truth"))
+        .alias("pred_a"),
+        F.when(F.col("db") < 70, F.col("truth"))
+        .otherwise(1 - F.col("truth"))
+        .alias("pred_b"),
+    )
+    right_a = F.col("pred_a") == F.col("truth")
+    right_b = F.col("pred_b") == F.col("truth")
+    agg = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(right_a & ~right_b, 1).otherwise(0))
+        .cast("long")
+        .alias("b_only_a"),
+        F.sum(F.when(~right_a & right_b, 1).otherwise(0))
+        .cast("long")
+        .alias("c_only_b"),
+        F.sum(F.when(right_a, 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct_a"),
+        F.sum(F.when(right_b, 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct_b"),
+    )
+    d = F.col("b_only_a") - F.col("c_only_b")
+    s = F.col("b_only_a") + F.col("c_only_b")
+    return agg.select(
+        "n",
+        "n_correct_a",
+        "n_correct_b",
+        "b_only_a",
+        "c_only_b",
+        ((d * d).cast("double") / s.cast("double")).alias("mcnemar_chi2"),
+        (d * d * F.lit(1_000_000) >= F.lit(3_841_459) * s).alias(
+            "reject_h0"
+        ),
+    )
+

@@ -79,62 +79,62 @@ _PINNED = [
     "dedup_exact",
 ]
 
-# Round-9 rotation (the r7/r8 verdicts' #1 item, two rounds overdue):
-# the never-driver-verified tail — (a) the TPC-H long tail (q4/q6/q10/
-# q12/q13/q17-q22 have pytest + self-gate evidence but no driver row);
-# (b) SQL-surface odds and ends (regex scalars, unpivot, CDC merge,
-# recursive CTE); (c) the features/embedding QA family; (d) the
-# textcorpus family; (e) the round-7 novelties (NDCG, WoE, changepoint,
-# sketch-join-cardinality, MV join-pairs, Merkle); plus every query
-# whose CODE PATH changes THIS round — q3/q5 (cents flip),
-# q1_pricing_summary_cents (the perf-headline twin), and the three
-# quantile consumers moving to grouped exact selection — so the driver
-# re-verifies each touched path. The r7/r8 rotation (streaming family,
-# r6s2 robust/rolling/sketch, events statistics tail, finance windows)
-# went driver-green 50/50 in CORRECTNESS_r07 AND r08 and rotates back
-# out with that double evidence.
+# Round-10 rotation. Front of the line: the three queries whose OUTPUT
+# SCHEMA changed this round (array columns joined to strings so the
+# driver canon can hash them — r9's only red rows) — the driver must
+# re-verify each touched path. Then the round-9 session-4 novelties
+# (winnowing, RRF, span-dedup, distinct-ngrams, Chao1, Bradley-Terry,
+# Fleiss, CUPED, Brier, McNemar, BH-FDR, incremental IDF, coreset,
+# scene-cuts — none has ever faced the driver), two streaming pins
+# (r9 verdict #8: the stateful path must never go two rounds without
+# driver evidence; sprt_monitor has never been windowed at all), and
+# the never-verified graph / privacy / linkage / embedding-QA /
+# curation tail. The r9 rotation (TPC-H tail, SQL surface, features,
+# textcorpus, r7 novelties) went driver-green in CORRECTNESS_r09 and
+# rotates out with that evidence (except the two schema-red rows,
+# which stay in).
 _ROTATION = [
-    # paths touched this round, in front of the driver
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q1_pricing_summary_cents",
-    "events_quantile_table",
-    "events_winsorized",
-    "events_mad_outliers",
-    # TPC-H tail: never driver-verified
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q12_flag_priority_buckets",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q20_potential_promotion",
-    "q21_waiting_supplier",
-    "q22_idle_rich_customers",
-    # SQL-surface tail
+    # output schema changed this round, in front of the driver
     "scalar_regex_funcs",
-    "unpivot_part_measures",
-    "cdc_apply_orders",
-    "sql_recursive_chain",
-    # features / embedding QA
-    "features_hash_encoded",
-    "features_target_encode_loo",
-    "features_woe_binning",
-    "embedding_centroid_distances",
-    "embedding_label_outliers",
     "embedding_int8_quantize",
-    # textcorpus family
-    "text_collocations",
-    "corpus_heaps_growth",
-    "text_search_tfidf",
-    # round-7 novelties
-    "ml_eval_ndcg_events",
-    "events_changepoint_value",
-    "sketch_join_cardinality_events",
-    "incremental_mv_join_pairs",
-    "orders_merkle_segments",
+    "nation_revenue_sparklines",
+    # round-9 novelties: never driver-verified
+    "text_winnowing_shared_fingerprints",
+    "text_search_rrf_hybrid",
+    "text_span_dedup_stats",
+    "text_distinct_ngrams",
+    "corpus_chao1_richness",
+    "ml_eval_bradley_terry",
+    "ml_eval_fleiss_kappa",
+    "ml_eval_cuped_ab",
+    "ml_eval_brier_decomposition",
+    "ml_eval_mcnemar_test",
+    "stats_bh_fdr_screen",
+    "tfidf_incremental_idf_refresh",
+    "curation_coreset_facility_location",
+    "multimodal_video_scene_cuts",
+    # streaming pins (stateful-path hygiene)
+    "streaming_sprt_monitor",
+    "streaming_stateful_user_stats",
+    "events_sprt_ab",
+    # graph / privacy / linkage: never driver-verified
+    "graph_adamic_adar",
+    "graph_jaccard_suppliers",
+    "privacy_dp_release_counts",
+    "linkage_customer_pairs",
+    # embedding QA / multimodal tail
+    "embedding_semdedup",
+    "ann_dim_truncation_recall",
+    "multimodal_video_frame_stats",
+    # textcorpus / dedup / curation tail
+    "text_search_bm25",
+    "dedup_incremental_lsh",
+    "dedup_prefix_filter",
+    "curation_mixture_weights",
+    "training_corpus_build",
+    "events_retention_cohorts",
+    "scd2_customer_order_history",
+    "udtf_doc_sentences",
 ]
 
 
@@ -210,6 +210,10 @@ def _load_all() -> None:
         # round-9 split of stats_queries along screens-vs-tests lines
         statstests_queries,
         mleval_queries,
+        # round-10 split of mleval_queries along family lines
+        features_queries,
+        embedding_queries,
+        mleval_paired_queries,
         finance_queries,
         graph_queries,
         privacy_queries,
