@@ -368,6 +368,17 @@ def test_grouped_exact_quantiles_rejects_bad_args(spark):
         )
     with pytest.raises(ValueError, match="non-positive"):
         grouped_exact_quantiles(df, ["g"], ["v"], [("p0", 0, 2)])
+    # r9 advisory: same reserved-name / fraction guards exact_quantiles
+    # grew — internal working names, >1 fractions, duplicate tags
+    bad = df.withColumn("_gq_k", F.lit(1))
+    with pytest.raises(ValueError, match="internal working names"):
+        grouped_exact_quantiles(bad, ["g"], ["v"], [("p50", 1, 2)])
+    with pytest.raises(ValueError, match="past the group's end"):
+        grouped_exact_quantiles(df, ["g"], ["v"], [("p200", 2, 1)])
+    with pytest.raises(ValueError, match="duplicate tag"):
+        grouped_exact_quantiles(
+            df, ["g"], ["v"], [("p50", 1, 2), ("p50", 1, 4)]
+        )
 
 
 def test_exact_quantiles_rejects_name_collisions(spark):

@@ -210,3 +210,23 @@ def test_winnowing_guarantee_and_selectivity(spark):
         for r in TS.winnow_fingerprints(d.repartition(7), k=4, w=5).collect()
     }
     assert again == {(r.doc_id, r.fingerprint) for r in fp}
+
+
+def test_winnowing_rejects_internal_name_collisions(spark):
+    import pytest
+
+    d = spark.createDataFrame(
+        [(1, "some text here", "x")], ["doc_id", "text", "toks"]
+    )
+    with pytest.raises(ValueError, match="internal working names"):
+        TS.winnow_fingerprints(d, keep_cols=("toks",))
+
+
+def test_hashed_shingles_quotes_odd_column_names(spark):
+    from wikipedia_data_pipeline_spark.operators import dedup as D
+
+    d = spark.createDataFrame(
+        [(1, "a b c d e f")], ["doc_id", "the text"]
+    )
+    out = D.hashed_shingles(d, n=3, text_col="the text").collect()
+    assert len(out) == 1 and len(out[0].hsh) == 4

@@ -101,9 +101,12 @@ def hashed_shingles(
     # re-evaluate the split ONCE PER GRAM (a higher-order function's
     # body is re-run per element, and nothing hoists row-invariant
     # subtrees out of it — measured 13x on 400-token rows).
+    # backtick-quote the interpolated identifier: text_col reaches SQL
+    # text, so a name needing quoting (spaces, keywords) must not break
+    quoted = "`" + text_col.replace("`", "``") + "`"
     grams = F.expr(
         f"""
-        element_at(transform(array(split({text_col}, ' ')), ts ->
+        element_at(transform(array(split({quoted}, ' ')), ts ->
           CASE WHEN size(ts) >= {n} THEN
             array_distinct(transform(sequence(1, size(ts) - {n - 1}),
                                      i -> xxhash64(slice(ts, i, {n}))))
@@ -134,7 +137,14 @@ def band_signatures(
     shingle is pre-folded to [0, 2^31), so a*x + b < 2^62 never
     overflows, and band mixing is xxhash64, not a wrapping product.
     Keys are deterministic across runs, partitionings, and cluster
-    sizes. Empty shingle sets get a null key array and drop out at
+    sizes — but NOT across engine versions: round 9 changed the bucket-
+    key function (wrapping int64 polynomial fold → xxhash64 of each
+    rows_per_band signature slice), so band keys persisted by pre-r9
+    builds are incompatible with keys produced here (grouping semantics
+    within one run are unaffected). If band keys are ever persisted,
+    store them alongside a format tag (current: ``bandkey-v2``) and
+    rebuild on mismatch rather than joining across formats.
+    Empty shingle sets get a null key array and drop out at
     explode time: two empty docs have Jaccard 0 here (see
     ``jaccard``), so they can never be near-dups and pruning them
     early is semantics-preserving."""

@@ -463,12 +463,39 @@ def grouped_exact_quantiles(
             f"grouped_exact_quantiles: tag_col {tag_col!r} collides with a "
             "df column; pass a different tag_col"
         )
+    # same up-front collision discipline as exact_quantiles: a df
+    # column matching an internal working name would yield ambiguous-
+    # column errors (or silently wrong joins) deep in the plan
+    reserved = {"_gq_k", "_gq_tag", "_gq_n", "_p", "_off", "_cnt",
+                "_lk", "_lr", "_t_pid", _PID}
+    reserved |= {f"_t_g{i}" for i in range(len(group_cols))}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            "grouped_exact_quantiles: df column(s) "
+            f"{sorted(clash)} collide with internal working names; "
+            "rename them before calling"
+        )
+    seen_tags = set()
     for tag, num, den in fractions:
         if num <= 0 or den <= 0:
             raise ValueError(
                 f"grouped_exact_quantiles: probe {tag!r} has non-positive "
                 f"fraction {num}/{den}"
             )
+        if num > den:
+            raise ValueError(
+                f"grouped_exact_quantiles: probe {tag!r} fraction "
+                f"{num}/{den} > 1 targets a rank past the group's end — "
+                "its row would silently vanish; fractions must be <= 1"
+            )
+        if tag in seen_tags:
+            raise ValueError(
+                f"grouped_exact_quantiles: duplicate tag {tag!r} in "
+                "fractions — each probe's tag must be unique, else the "
+                "final tag re-join duplicates rows"
+            )
+        seen_tags.add(tag)
 
     spark = df.sparkSession
     if num_partitions is None:

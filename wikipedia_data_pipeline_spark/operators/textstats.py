@@ -577,6 +577,16 @@ def winnow_fingerprints(
     )
     from wikipedia_data_pipeline_spark.sources.tables import fan_out
 
+    # the pipeline projects fixed intermediate names below; a caller
+    # column with one of these names would be silently shadowed
+    clash = {"toks", "whs", "fingerprint"} & ({id_col} | set(keep_cols))
+    if clash:
+        raise ValueError(
+            f"winnow_fingerprints: column(s) {sorted(clash)} collide with "
+            "internal working names ('toks', 'whs', 'fingerprint'); "
+            "rename or drop them before calling"
+        )
+
     toks = F.filter(
         F.transform(
             F.split(F.col(text_col), TOKEN_DELIMITER),

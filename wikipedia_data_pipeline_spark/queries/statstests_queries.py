@@ -18,6 +18,27 @@ from wikipedia_data_pipeline_spark.sources.tables import load_table
 # stats_queries._US_PER_DAY)
 _US_PER_DAY = 86_400_000_000
 
+
+def sprt_treated_daily_obs(events):
+    """Treated-arm (day, conversion) observations for the SPRT monitor —
+    the ONE definition of the arm-selection hash and the day divisor,
+    shared between the batch test (``events_sprt_ab``) and its
+    streaming twin (``streaming.pipeline.run_sprt_daily_counts``): the
+    two must stay bit-identical, and a literal edited in only one of
+    them would silently desynchronize the monitor from its batch
+    oracle. ``events`` needs ``ts`` as epoch-us BIGINT and ``user_id``;
+    works on both static and streaming DataFrames (pure narrow ops)."""
+    from pyspark.sql import functions as F
+
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    return events.filter(
+        (det_hash((F.col("user_id") % 1000003) * 23 + 7) % 2) == 1
+    ).select(
+        F.expr(f"ts div {_US_PER_DAY}").cast("long").alias("day"),
+        (det_hash("user_id") % 2).cast("long").alias("x"),
+    )
+
 # --- Experimentation + entity-level splits (round 5) --------------------
 
 @register(
@@ -1409,17 +1430,11 @@ def events_sprt_ab(spark, sf_dir):
     Scale shape: scan -> per-day hash agg; the cumulative window runs
     over the day spine (date-keyed, bounded by the calendar — the
     audit_windows-safe class), never over events."""
-    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
-    obs = ev.filter(
-        (det_hash((F.col("user_id") % 1000003) * 23 + 7) % 2) == 1
-    ).select(
-        # ts is epoch-us BIGINT after load_table's normalize_event_time
-        F.expr(f"ts div {_US_PER_DAY}").cast("long").alias("day"),
-        (det_hash("user_id") % 2).cast("long").alias("x"),
-    )
+    # ts is epoch-us BIGINT after load_table's normalize_event_time
+    obs = sprt_treated_daily_obs(ev)
     daily = obs.groupBy("day").agg(
         F.count(F.lit(1)).cast("long").alias("n_day"),
         F.sum("x").cast("long").alias("k_day"),

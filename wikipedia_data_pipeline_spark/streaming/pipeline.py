@@ -745,16 +745,15 @@ def run_sprt_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches. Complete-mode memory sink; the decision layer (cumulative
     LLR vs the ln(19) boundaries) reads this day-spine-sized state as
     a batch post-pass, exactly how a monitor consults its store."""
-    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+    # the arm-selection hash and day divisor live in ONE place, shared
+    # with the batch twin (lazy import: registry modules register on
+    # import, and this module is itself imported during _load_all)
+    from wikipedia_data_pipeline_spark.queries.statstests_queries import (
+        sprt_treated_daily_obs,
+    )
 
     events = read_events_stream(spark, sf_dir)
-    obs = events.filter(
-        (det_hash((F.col("user_id") % 1000003) * 23 + 7) % 2) == 1
-    ).select(
-        # same integer day index as the batch twin (ts is epoch-us)
-        F.expr("ts div 86400000000").cast("long").alias("day"),
-        (det_hash("user_id") % 2).cast("long").alias("x"),
-    )
+    obs = sprt_treated_daily_obs(events)
     daily = obs.groupBy("day").agg(
         F.count(F.lit(1)).cast("long").alias("n_day"),
         F.sum("x").cast("long").alias("k_day"),
