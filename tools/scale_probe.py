@@ -690,6 +690,140 @@ BASELINES = {
 }
 
 
+def skew_join_ab(spark, dir100):
+    """Adversarial skew shape (r9 verdict #6): a shuffle join on a
+    deliberately Zipfian key — 90% of the 10M-row fact collapses onto
+    ONE key, the rest spread over ~1M tail keys — against a ~1M-row
+    dim NOT eligible for broadcast (autoBroadcastJoinThreshold=-1 for
+    the section, the honest stand-in for a dim too big to ship at
+    100 TB). Three variants, best-of-2 warm:
+
+      * aqe_skew_off  — plain sort-merge join, AQE skew split disabled:
+        the hot key's ~9M rows land in ONE task (the straggler bar).
+      * aqe_skew_on   — AQE skewJoin enabled (thresholds lowered to
+        engage on this replica's ~150 MB hot partition; at real 100 TB
+        scale the DEFAULT 256 MB threshold fires on its own): Spark
+        splits the skewed partition at runtime. Plan evidence captured:
+        the final adaptive plan must contain 'skew=true'.
+      * salted_32     — operators.skew.salted_join with 32 salts: the
+        engine-level mitigation for the cases AQE can't fix (both
+        sides skewed, or non-SMJ shapes).
+
+    All three must agree on (row count, exact grouped sum) — asserted,
+    not assumed. Returns the timing/evidence dict for the artifact."""
+    from pyspark.sql import functions as F
+
+    from wikipedia_data_pipeline_spark.operators.skew import salted_join
+
+    ev = spark.read.parquet(os.path.join(dir100, "events.parquet"))
+    big = ev.select(
+        F.when(F.col("event_id") % 10 < 9, F.lit(0))
+        .otherwise(F.col("event_id"))
+        .alias("k"),
+        (F.col("value") * 100).cast("long").alias("v_c"),
+    )
+    # The dim is persisted ROUND-ROBIN on purpose: deriving it with
+    # distinct() leaves the cached relation hash-partitioned on the
+    # join key, ensureRequirements then skips the dim-side exchange,
+    # and OptimizeSkewedJoin CANNOT fire — it requires shuffle stages
+    # on BOTH sides (found the hard way in this probe's first run; a
+    # real dim loaded from storage has no such co-partitioning). That
+    # planner interaction is itself a scale lesson: a cached relation
+    # that "helpfully" satisfies the join distribution disables the
+    # runtime skew mitigation.
+    dim = (
+        big.select("k")
+        .distinct()
+        .select(F.col("k").alias("dk"), (F.pmod(F.xxhash64("k"), F.lit(97))).alias("w"))
+        .repartition(32)
+    )
+    dim.persist()
+    dim.count()
+
+    def joined(b):
+        j = b.join(dim, b["k"] == dim["dk"])
+        return j.groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v_c") * F.col("w")).alias("s"),
+        )
+
+    def salted():
+        j = salted_join(big, dim, "k", "dk", num_salts=32)
+        return j.groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v_c") * F.col("w")).alias("s"),
+        )
+
+    conf = spark.conf
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.skewJoin.enabled": conf.get(
+            "spark.sql.adaptive.skewJoin.enabled"
+        ),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        ),
+    }
+    results = {}
+    checks = {}
+
+    def run(name, fn):
+        best, row = float("inf"), None
+        for _ in range(2):
+            df = fn()
+            t0 = time.perf_counter()
+            row = df.collect()[0]
+            best = min(best, time.perf_counter() - t0)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        results[name] = round(best, 2)
+        checks[name] = (row["n"], row["s"])
+        return plan
+
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        run("aqe_skew_off", lambda: joined(big))
+
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            str(8 * 1024 * 1024),
+        )
+        conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            str(4 * 1024 * 1024),
+        )
+        plan_on = run("aqe_skew_on", lambda: joined(big))
+        skew_engaged = "skew=true" in plan_on
+
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        run("salted_32", salted)
+    finally:
+        for k_, v_ in saved.items():
+            conf.set(k_, v_)
+        dim.unpersist()
+
+    assert len(set(checks.values())) == 1, f"variant results differ: {checks}"
+    return {
+        "shape": (
+            "10M-row fact, 90% of rows on ONE key, ~1M tail keys; "
+            "~1M-row dim persisted round-robin (a key-co-partitioned "
+            "cache suppresses the dim-side exchange and AQE skew split "
+            "cannot fire), broadcast disabled; exact grouped-sum "
+            "checksum identical across variants"
+        ),
+        "times_sec": results,
+        "aqe_skew_split_engaged": skew_engaged,
+        "checksum": list(checks.values())[0],
+    }
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALE_PROBE_r09.json"
     # restrict to a comma-separated subset (resume after an aborted run;
@@ -787,6 +921,14 @@ def main() -> None:
         spark_t[name] = time_spark(fn)
         print(f"spark  {name}: {spark_t[name]}s", flush=True)
 
+    # adversarial skew-join A/B (r9 verdict #6); resumable by name
+    skew_section = prior.get("skew_join_ab")
+    if (not only) or ("skew_join_ab" in set(only.split(","))):
+        skew_section = skew_join_ab(spark, dir100)
+        print(f"skew_join_ab: {skew_section['times_sec']} "
+              f"(AQE split engaged: {skew_section['aqe_skew_split_engaged']})",
+              flush=True)
+
     ratios = {
         n: round(spark_t[n] / duck_t[n], 2)
         for n in duck_t
@@ -825,6 +967,8 @@ def main() -> None:
             )
         ),
     }
+    if skew_section is not None:
+        out["skew_join_ab"] = skew_section
     for k, v in prior.items():
         out.setdefault(k, v)
     with open(out_path, "w") as fh:
