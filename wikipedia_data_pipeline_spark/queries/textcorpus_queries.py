@@ -1464,3 +1464,87 @@ def text_search_rrf_hybrid(spark, sf_dir):
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity: Yule's K + Simpson's D per language (round 10)
+# ---------------------------------------------------------------------------
+
+_YULE_ORACLE = """
+WITH w AS (
+  SELECT lang, lower(regexp_replace(x, '[^a-zA-Z]', '', 'g')) AS word
+  FROM documents, unnest(string_split(text, ' ')) AS u(x)
+),
+f AS (
+  SELECT lang, word, CAST(count(*) AS BIGINT) AS m
+  FROM w WHERE length(word) > 0 GROUP BY lang, word
+),
+s AS (
+  SELECT lang,
+         CAST(sum(m) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(m * m) AS BIGINT) AS sum_m2,
+         CAST(sum(m * (m - 1)) AS BIGINT) AS sum_mm1
+  FROM f GROUP BY lang
+)
+SELECT lang, n_tokens, n_types,
+       10000.0 * CAST(sum_m2 - n_tokens AS DOUBLE)
+         / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS yule_k,
+       CAST(sum_mm1 AS DOUBLE)
+         / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE))
+         AS simpson_d
+FROM s
+"""
+
+
+@register("text_yule_k_diversity", oracle=_YULE_ORACLE)
+def text_yule_k_diversity(spark, sf_dir):
+    """Lexical diversity per language: Yule's K (Yule 1944, 'The
+    Statistical Study of Literary Vocabulary') and Simpson's D
+    repeat-rate over the token frequency spectrum — the
+    length-insensitive repetitiveness diagnostics a curation pipeline
+    uses to flag template/boilerplate-heavy corpus slices (high K)
+    next to Chao1 (coverage) and Heaps (growth), which measure the
+    opposite tail.
+
+    K = 10^4 · (Σ m²·V(m) − N) / N² and D = Σ m(m−1) / (N(N−1)) both
+    derive from the same per-type frequency relation; every moment is
+    an exact BIGINT (Σm, Σm², Σm(m−1) over the type histogram), so
+    the only doubles are the two final divisions — bit-identical in
+    both engines.
+
+    Scale shape: tokenize → (lang, word) hash-agg with map-side
+    combine (the only wide exchange carries the TYPE relation, not
+    tokens) → |langs|-row moment agg. No windows, no UDFs, no sort.
+    """
+    from wikipedia_data_pipeline_spark.operators.text import normalize_word
+    from wikipedia_data_pipeline_spark.sources.tables import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        fan_out(docs)
+        .select("lang", F.explode(F.split("text", " ")).alias("raw"))
+        .select("lang", normalize_word(F.col("raw")).alias("word"))
+        .filter(F.length("word") > 0)
+    )
+    f = w.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("m"))
+    s = f.groupBy("lang").agg(
+        F.sum("m").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("sum_m2"),
+        F.sum(F.col("m") * (F.col("m") - 1)).cast("long").alias("sum_mm1"),
+    )
+    n = F.col("n_tokens").cast("double")
+    return s.select(
+        "lang",
+        "n_tokens",
+        "n_types",
+        (
+            10000.0 * (F.col("sum_m2") - F.col("n_tokens")).cast("double")
+            / (n * n)
+        ).alias("yule_k"),
+        (
+            F.col("sum_mm1").cast("double")
+            / (n * (F.col("n_tokens") - 1).cast("double"))
+        ).alias("simpson_d"),
+    )
