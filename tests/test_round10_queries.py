@@ -1,0 +1,186 @@
+"""Round-10 novelties, each replicated exactly in plain Python from the
+same parquet inputs (the strongest non-oracle check: independent
+reimplementation, not invariants): Yule's K / Simpson's D, Krippendorff
+alpha, the hash-permutation test, sign-bit Hamming top-k, and DSIR
+importance weights."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import duckdb
+import pytest
+
+from wikipedia_data_pipeline_spark import registry
+
+KNUTH = 2654435761
+PRE_MOD = 1_000_003
+HASH_MOD = (1 << 31) - 1
+
+
+def det_hash_py(x: int) -> int:
+    return ((x % PRE_MOD) * KNUTH + 12345) % HASH_MOD
+
+
+def tokens_py(text: str) -> list[str]:
+    return [
+        w
+        for w in (re.sub("[^a-zA-Z]", "", t).lower() for t in text.split(" "))
+        if w
+    ]
+
+
+@pytest.fixture()
+def queries():
+    return registry.spark_queries()
+
+
+def _docs(sf_dir):
+    return duckdb.sql(
+        f"SELECT doc_id, text, lang FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+
+
+def test_yule_k_matches_python(spark, sf_dir, queries):
+    rows = {r.lang: r for r in queries["text_yule_k_diversity"](spark, sf_dir).collect()}
+    by_lang: dict[str, Counter] = {}
+    for _, text, lang in _docs(sf_dir):
+        by_lang.setdefault(lang, Counter()).update(tokens_py(text))
+    assert set(rows) == set(by_lang)
+    for lang, freq in by_lang.items():
+        n = sum(freq.values())
+        sum_m2 = sum(m * m for m in freq.values())
+        sum_mm1 = sum(m * (m - 1) for m in freq.values())
+        r = rows[lang]
+        assert r.n_tokens == n and r.n_types == len(freq)
+        assert r.yule_k == 10000.0 * (sum_m2 - n) / (n * n)
+        assert r.simpson_d == sum_mm1 / (n * (n - 1))
+
+
+def test_krippendorff_matches_python_and_brackets_fleiss(spark, sf_dir, queries):
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT event_id FROM read_parquet('{sf_dir}/events.parquet')"
+        ).fetchall()
+    ]
+    A = c = 0
+    cats = Counter()
+    for e in ids:
+        r1 = det_hash_py(e) % 3
+        r2 = r1 if det_hash_py((e % PRE_MOD) * 13 + 5) % 10 < 7 else det_hash_py((e % PRE_MOD) * 31 + 11) % 3
+        r3 = r1 if det_hash_py((e % PRE_MOD) * 43 + 17) % 10 < 5 else det_hash_py((e % PRE_MOD) * 53 + 29) % 3
+        A += (r1 == r2) + (r1 == r3) + (r2 == r3)
+        cats.update([r1, r2, r3])
+    N = len(ids)
+    n = 3 * N
+    csq = sum(v * v for v in cats.values())
+    alpha = 1 - (n - A) * (n - 1) / (n * n - csq)
+    out = queries["ml_eval_krippendorff_alpha"](spark, sf_dir).collect()[0]
+    assert out.n_items == N
+    assert abs(out.krippendorff_alpha - alpha) < 1e-12
+    assert out.observed_disagreement == (n - A) / n
+    # alpha applies the small-sample (n-1) correction to the SAME
+    # agreement counts Fleiss uses; they must be close but not equal
+    fl = queries["ml_eval_fleiss_kappa"](spark, sf_dir).collect()[0]
+    assert abs(out.krippendorff_alpha - fl.fleiss_kappa) < 1e-3
+    assert out.krippendorff_alpha != fl.fleiss_kappa
+
+
+def test_permutation_test_matches_python(spark, sf_dir, queries):
+    per_user: dict[int, list[int]] = {}
+    for u, n_u, s_u in duckdb.sql(
+        f"""SELECT user_id, count(*), sum(CAST(round(value*1000000) AS BIGINT))
+            FROM read_parquet('{sf_dir}/events.parquet') GROUP BY user_id"""
+    ).fetchall():
+        per_user[u] = [n_u, s_u]
+    diffs = {}
+    for k in range(200):
+        n = [0, 0]
+        s = [0, 0]
+        for u, (n_u, s_u) in per_user.items():
+            arm = det_hash_py((u % PRE_MOD) * (2 * k + 1) + k) % 2
+            n[arm] += n_u
+            s[arm] += s_u
+        if n[0] and n[1]:
+            diffs[k] = round((s[1] / n[1] - s[0] / n[0]) * 1000.0)
+    obs = diffs[0]
+    n_ext = sum(1 for k, d in diffs.items() if k > 0 and abs(d) >= abs(obs))
+    out = queries["stats_permutation_test_ab"](spark, sf_dir).collect()[0]
+    assert out.n_perms_valid == len(diffs)
+    assert out.obs_diff_nano == obs
+    assert out.n_as_extreme == n_ext
+    assert out.p_value == (1 + n_ext) / len(diffs)
+    assert 0 < out.p_value <= 1
+
+
+def _sigs_py(sf_dir):
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    sigs = {}
+    for vid, emb in rows:
+        lo = sum(1 << i for i in range(32) if emb[i] >= 0)
+        hi = sum(1 << (i - 32) for i in range(32, 64) if emb[i] >= 0)
+        sigs[vid] = (lo, hi)
+    return sigs
+
+
+def test_hamming_topk_matches_python(spark, sf_dir, queries):
+    sigs = _sigs_py(sf_dir)
+    out = queries["embedding_hamming_topk"](spark, sf_dir).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.query_id, []).append((r.rnk, r.vec_id, r.hamming))
+    for qid in (0, 1, 2, 3, 4):
+        qlo, qhi = sigs[qid]
+        scored = sorted(
+            (bin(lo ^ qlo).count("1") + bin(hi ^ qhi).count("1"), vid)
+            for vid, (lo, hi) in sigs.items()
+            if vid != qid
+        )
+        want = [(i + 1, vid, h) for i, (h, vid) in enumerate(scored[:10])]
+        assert sorted(got[qid]) == want, qid
+
+
+def test_dsir_weights_match_python(spark, sf_dir, queries):
+    def bucket(word: str) -> int:
+        key = sum(ord(c) * 31**i for i, c in enumerate(word[:8]))
+        return ((key % PRE_MOD) * 2654435761 + 7) % HASH_MOD % 256
+
+    raw = Counter()
+    tgt = Counter()
+    docs = _docs(sf_dir)
+    per_doc: dict[int, list[int]] = {}
+    for doc_id, text, lang in docs:
+        bs = [bucket(w) for w in tokens_py(text)]
+        per_doc[doc_id] = bs
+        raw.update(bs)
+        if lang == "en":
+            tgt.update(bs)
+    r_tot, t_tot = sum(raw.values()), sum(tgt.values())
+    lam = {
+        b: round(
+            math.log(
+                ((tgt.get(b, 0) + 1) / (t_tot + 256))
+                / ((cr + 1) / (r_tot + 256))
+            )
+            * 1e9
+        )
+        for b, cr in raw.items()
+    }
+    out = {
+        r.doc_id: r
+        for r in queries["curation_dsir_importance_weights"](spark, sf_dir).collect()
+    }
+    assert set(out) == set(per_doc)
+    for doc_id, bs in per_doc.items():
+        r = out[doc_id]
+        assert r.n_tokens == len(bs)
+        assert r.dsir_logratio_nano == sum(lam[b] for b in bs), doc_id
+    # directional sanity: 'en' docs should average higher weights
+    en = [r.dsir_logratio_nano / r.n_tokens for r in out.values() if r.lang == "en"]
+    other = [r.dsir_logratio_nano / r.n_tokens for r in out.values() if r.lang != "en"]
+    assert sum(en) / len(en) > sum(other) / len(other)

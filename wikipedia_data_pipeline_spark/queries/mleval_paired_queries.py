@@ -797,3 +797,162 @@ def ml_eval_mcnemar_test(spark, sf_dir):
         ),
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha — nominal, 3 raters, complete data (round 10)
+# ---------------------------------------------------------------------------
+
+_KRIPP_ORACLE = f"""
+WITH rated AS (
+  SELECT r1,
+         CASE WHEN flip2 < 7 THEN r1 ELSE alt2 END AS r2,
+         CASE WHEN flip3 < 5 THEN r1 ELSE alt3 END AS r3
+  FROM (
+    SELECT CAST(({SQL_DET_HASH.format(col="event_id")}) % 3 AS BIGINT) AS r1,
+           CAST(({SQL_DET_HASH.format(col="((event_id % 1000003) * 13 + 5)")}) % 10 AS BIGINT) AS flip2,
+           CAST(({SQL_DET_HASH.format(col="((event_id % 1000003) * 31 + 11)")}) % 3 AS BIGINT) AS alt2,
+           CAST(({SQL_DET_HASH.format(col="((event_id % 1000003) * 43 + 17)")}) % 10 AS BIGINT) AS flip3,
+           CAST(({SQL_DET_HASH.format(col="((event_id % 1000003) * 53 + 29)")}) % 3 AS BIGINT) AS alt3
+    FROM events
+  )
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END
+                  + CASE WHEN r1 = r3 THEN 1 ELSE 0 END
+                  + CASE WHEN r2 = r3 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN r1 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN r2 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN r3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN r1 = 1 THEN 1 ELSE 0 END
+                  + CASE WHEN r2 = 1 THEN 1 ELSE 0 END
+                  + CASE WHEN r3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN r1 = 2 THEN 1 ELSE 0 END
+                  + CASE WHEN r2 = 2 THEN 1 ELSE 0 END
+                  + CASE WHEN r3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM rated
+),
+d AS (
+  SELECT n_items, a,
+         CAST(CAST(c0 AS DECIMAL(18,0)) * CAST(c0 AS DECIMAL(18,0))
+              + CAST(c1 AS DECIMAL(18,0)) * CAST(c1 AS DECIMAL(18,0))
+              + CAST(c2 AS DECIMAL(18,0)) * CAST(c2 AS DECIMAL(18,0))
+              AS DECIMAL(38,0)) AS csq,
+         CAST(3 * n_items AS BIGINT) AS n
+  FROM agg
+)
+SELECT n_items,
+       CAST(n - a AS DOUBLE) / CAST(n AS DOUBLE) AS observed_disagreement,
+       CAST(CAST(n AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0)) - csq AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS expected_disagreement,
+       1.0 - CAST(CAST(n - a AS DECIMAL(18,0)) * CAST(n - 1 AS DECIMAL(18,0)) AS DOUBLE)
+             / CAST(CAST(n AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0)) - csq AS DOUBLE)
+         AS krippendorff_alpha
+FROM d
+"""
+
+
+@register("ml_eval_krippendorff_alpha", oracle=_KRIPP_ORACLE)
+def ml_eval_krippendorff_alpha(spark, sf_dir):
+    """Krippendorff's alpha (nominal metric, 3 raters, complete data —
+    Krippendorff, 'Content Analysis', coincidence-matrix form) over the
+    SAME deterministic rater panel as ml_eval_fleiss_kappa, so the two
+    chance-corrected agreement statistics are directly comparable on
+    identical data: Fleiss corrects by the item-marginal expected
+    agreement, alpha by the COINCIDENCE-matrix expectation with its
+    small-sample (n-1) correction — the reliability readout annotation
+    platforms actually report.
+
+    Exactness: with m=3 complete raters a unit has exactly 3 rating
+    pairs AND 3 pairable values, so for n = 3N pairable values and A =
+    total per-unit agreeing pairs, the coincidence-matrix quantities
+    collapse to integers: D_o = (n − A)/n and D_e = (n² − Σ_k c_k²) /
+    (n(n−1)), giving, with every division cleared,
+        alpha = 1 − (n − A)(n − 1) / (n² − Σ_k c_k²).
+    Numerator and denominator are exact DECIMAL(38,0) integers, so the
+    single final division — and the D_o/D_e diagnostics emitted beside
+    it — are bit-identical across engines. Same overflow discipline as
+    Fleiss: hash args pre-reduced mod 1000003.
+
+    Scale shape: scan → ONE 1-row hash aggregate; no per-item grouping,
+    no window, no UDF."""
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        (det_hash("event_id") % 3).cast("long").alias("r1"),
+        (det_hash((F.col("event_id") % 1000003) * 13 + 5) % 10)
+        .cast("long")
+        .alias("flip2"),
+        (det_hash((F.col("event_id") % 1000003) * 31 + 11) % 3)
+        .cast("long")
+        .alias("alt2"),
+        (det_hash((F.col("event_id") % 1000003) * 43 + 17) % 10)
+        .cast("long")
+        .alias("flip3"),
+        (det_hash((F.col("event_id") % 1000003) * 53 + 29) % 3)
+        .cast("long")
+        .alias("alt3"),
+    )
+    rated = base.select(
+        "r1",
+        F.when(F.col("flip2") < 7, F.col("r1"))
+        .otherwise(F.col("alt2"))
+        .alias("r2"),
+        F.when(F.col("flip3") < 5, F.col("r1"))
+        .otherwise(F.col("alt3"))
+        .alias("r3"),
+    )
+
+    def cat_total(k):
+        return sum(
+            F.sum(F.when(F.col(r) == k, 1).otherwise(0))
+            for r in ("r1", "r2", "r3")
+        ).cast("long")
+
+    agg = rated.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        (
+            F.sum(F.when(F.col("r1") == F.col("r2"), 1).otherwise(0))
+            + F.sum(F.when(F.col("r1") == F.col("r3"), 1).otherwise(0))
+            + F.sum(F.when(F.col("r2") == F.col("r3"), 1).otherwise(0))
+        )
+        .cast("long")
+        .alias("a"),
+        cat_total(0).alias("c0"),
+        cat_total(1).alias("c1"),
+        cat_total(2).alias("c2"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    csq = (
+        (dec("c0") * dec("c0") + dec("c1") * dec("c1") + dec("c2") * dec("c2"))
+        .cast("decimal(38,0)")
+    )
+    n = (F.lit(3) * F.col("n_items")).cast("long")
+    d = agg.select(
+        "n_items",
+        F.col("a"),
+        csq.alias("csq"),
+        n.alias("n"),
+    )
+    n_dec = F.col("n").cast("decimal(18,0)")
+    return d.select(
+        "n_items",
+        (
+            (F.col("n") - F.col("a")).cast("double")
+            / F.col("n").cast("double")
+        ).alias("observed_disagreement"),
+        (
+            (n_dec * n_dec - F.col("csq")).cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+        ).alias("expected_disagreement"),
+        (
+            F.lit(1.0)
+            - (
+                (F.col("n") - F.col("a")).cast("decimal(18,0)")
+                * (F.col("n") - 1).cast("decimal(18,0)")
+            ).cast("double")
+            / (n_dec * n_dec - F.col("csq")).cast("double")
+        ).alias("krippendorff_alpha"),
+    )

@@ -672,3 +672,110 @@ def curation_coreset_facility_location(spark, sf_dir):
     return spark.createDataFrame(
         out, "step long, vec_id long, gain_nano long, coverage_nano long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign-bit) Hamming ANN — 1-bit quantized search (round 10)
+# ---------------------------------------------------------------------------
+
+_HAMMING_SIG_SQL = """
+list_aggregate(list_transform(range(0, 32),
+  i -> CASE WHEN {emb}[i + 1] >= 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END),
+  'sum')"""
+_HAMMING_SIG_HI_SQL = """
+list_aggregate(list_transform(range(32, 64),
+  i -> CASE WHEN {emb}[i + 1] >= 0 THEN (1::BIGINT << (i - 32))
+       ELSE 0::BIGINT END), 'sum')"""
+
+_HAMMING_ORACLE = f"""
+WITH sigs AS (
+  SELECT vec_id,
+         {_HAMMING_SIG_SQL.format(emb='embedding')} AS lo,
+         {_HAMMING_SIG_HI_SQL.format(emb='embedding')} AS hi
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, lo AS q_lo, hi AS q_hi FROM sigs
+  WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+scored AS (
+  SELECT query_id, s.vec_id,
+         CAST(bit_count(xor(s.lo, q.q_lo))
+              + bit_count(xor(s.hi, q.q_hi)) AS BIGINT) AS hamming
+  FROM sigs s CROSS JOIN q WHERE s.vec_id != q.query_id
+)
+SELECT query_id, vec_id, hamming, rnk
+FROM (
+  SELECT query_id, vec_id, hamming,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY hamming, vec_id) AS BIGINT) AS rnk
+  FROM scored
+)
+WHERE rnk <= 10
+"""
+
+
+@register("embedding_hamming_topk", oracle=_HAMMING_ORACLE)
+def embedding_hamming_topk(spark, sf_dir):
+    """1-bit (sign) quantized nearest-neighbor search: each 64-dim
+    float vector compresses to 64 SIGN BITS packed into two BIGINT
+    halves, and similarity becomes Hamming distance — two XORs and two
+    popcounts per candidate (Charikar's hyperplane-LSH signature with
+    the identity basis; the 'binary embedding' serving tier that cuts
+    vector bytes 32x below even int8 and turns scoring into pure ALU
+    ops). Top-10 per probe vector, distance then vec_id as the total
+    order.
+
+    Complements the quantization ladder already registered: float
+    (ann_cosine_topk_brute) -> int8 (embedding_int8_quantize) -> PQ
+    codes (ann_pq_topk) -> 1-bit (this). Every quantity is an exact
+    integer — packing is a disjoint-bit sum, distances are popcounts —
+    so Spark and DuckDB agree bit-for-bit with no float tolerance at
+    all, unusual for a similarity query.
+
+    Scale shape: the signature relation is built in ONE narrow pass
+    (no shuffle) and is 16 bytes/vector, so at 10^9 vectors it is
+    ~16 GB — scannable per query batch; the 5 probe signatures
+    broadcast, scoring is embarrassingly parallel (fan_out spreads the
+    few-split parquet scan), and per-query top-10 rides a rank window
+    over candidate rows. No all-pairs join: |probes| x |corpus|, the
+    probe side bounded."""
+    from pyspark.sql import Window
+
+    from wikipedia_data_pipeline_spark.sources.tables import fan_out
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lo = F.expr(
+        "aggregate(transform(sequence(0, 31), i -> IF(element_at(embedding,"
+        " i + 1) >= 0, shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)"
+    )
+    hi = F.expr(
+        "aggregate(transform(sequence(32, 63), i -> IF(element_at(embedding,"
+        " i + 1) >= 0, shiftleft(1L, i - 32), 0L)), 0L, (a, x) -> a + x)"
+    )
+    sigs = fan_out(emb).select(
+        "vec_id", lo.alias("lo"), hi.alias("hi")
+    )
+    q = sigs.filter(F.col("vec_id").isin([0, 1, 2, 3, 4])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("q_lo"),
+        F.col("hi").alias("q_hi"),
+    )
+    scored = (
+        sigs.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(
+                "cast(bit_count(lo ^ q_lo) + bit_count(hi ^ q_hi) as bigint)"
+            ).alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+    )

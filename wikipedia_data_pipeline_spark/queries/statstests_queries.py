@@ -1614,3 +1614,149 @@ def stats_bh_fdr_screen(spark, sf_dir):
         "bh_rank",
         (F.col("bh_rank") <= cutoff).alias("rejected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Permutation test via deterministic hash reassignments (round 10)
+# ---------------------------------------------------------------------------
+
+_PERM_K = 199  # pseudo-permutations; k=0 is the OBSERVED assignment
+
+_PERM_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_u,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS s_u
+  FROM events GROUP BY user_id
+),
+assigned AS (
+  SELECT k, n_u, s_u,
+         CAST(({SQL_DET_HASH.format(col="((user_id % 1000003) * (2 * k + 1) + k)")}) % 2 AS BIGINT) AS arm
+  FROM per_user, (SELECT unnest(generate_series(0, {_PERM_K})) AS k)
+),
+arms AS (
+  SELECT k,
+         CAST(sum(CASE WHEN arm = 1 THEN n_u ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN arm = 1 THEN s_u ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN arm = 0 THEN n_u ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN arm = 0 THEN s_u ELSE 0 END) AS BIGINT) AS s0
+  FROM assigned GROUP BY k
+),
+diffs AS (
+  SELECT k,
+         CAST(round((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+                    * 1000.0) AS BIGINT) AS diff_nano
+  FROM arms WHERE n1 > 0 AND n0 > 0
+),
+obs AS (SELECT diff_nano AS obs_nano FROM diffs WHERE k = 0)
+SELECT CAST((SELECT count(*) FROM diffs) AS BIGINT) AS n_perms_valid,
+       (SELECT obs_nano FROM obs) AS obs_diff_nano,
+       CAST((SELECT count(*) FROM diffs, obs
+             WHERE k > 0 AND abs(diff_nano) >= abs(obs_nano)) AS BIGINT)
+         AS n_as_extreme,
+       CAST(1 + (SELECT count(*) FROM diffs, obs
+                 WHERE k > 0 AND abs(diff_nano) >= abs(obs_nano)) AS DOUBLE)
+         / CAST(1 + (SELECT count(*) - 1 FROM diffs) AS DOUBLE) AS p_value
+"""
+
+
+@register("stats_permutation_test_ab", oracle=_PERM_ORACLE)
+def stats_permutation_test_ab(spark, sf_dir):
+    """Permutation test for the A/B mean-value difference with
+    DETERMINISTIC pseudo-permutations: permutation k reassigns each
+    user's arm by an independent hash stream (k=0 reproduces the
+    engine's standard observed assignment, det_hash(user_id) % 2,
+    because user ids sit far below the 1000003 pre-reduction), and the
+    two-sided p-value is the add-one estimator
+    (1 + #{k>0: |d_k| >= |d_obs|}) / (K + 1) — Monte-Carlo permutation
+    inference (Good, 'Permutation Tests') with the repo's reproducible
+    hash-stream discipline instead of an RNG, so the test is
+    bit-stable across runs, partitionings, and engines.
+
+    Exactness: per-user (n_u, Σ micro-units) are exact BIGINTs; each
+    permutation's mean difference quantizes ONCE to fixed-point
+    (micro-units × 1000 = nano-dollars) and every comparison is then
+    integer. Randomization is user-level (clustered), matching how
+    the observed assignment would be deployed.
+
+    Scale shape: ONE fact-table hash-agg to the user relation (the
+    only wide exchange), then a |users| × (K+1) explode of the TINY
+    entity relation (users × 200 rows), one more small agg, and a
+    200-row comparison against the broadcast k=0 row. The fact table
+    is never replicated K ways — the permutation fan-out happens
+    after aggregation, which is what makes 200 permutations viable
+    at 100 TB."""
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_u"),
+        F.sum(F.round(F.col("value") * 1_000_000).cast("long"))
+        .cast("long")
+        .alias("s_u"),
+    )
+    ks = F.explode(F.sequence(F.lit(0), F.lit(_PERM_K))).alias("k")
+    assigned = per_user.select("user_id", "n_u", "s_u", ks).select(
+        "k",
+        "n_u",
+        "s_u",
+        (
+            det_hash(
+                (F.col("user_id") % 1000003) * (2 * F.col("k") + 1)
+                + F.col("k")
+            )
+            % 2
+        )
+        .cast("long")
+        .alias("arm"),
+    )
+    arms = assigned.groupBy("k").agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("n_u")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("s_u")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("n_u")).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("s_u")).otherwise(0))
+        .cast("long")
+        .alias("s0"),
+    )
+    diffs = arms.filter((F.col("n1") > 0) & (F.col("n0") > 0)).select(
+        "k",
+        F.round(
+            (
+                F.col("s1").cast("double") / F.col("n1")
+                - F.col("s0").cast("double") / F.col("n0")
+            )
+            * 1000.0
+        )
+        .cast("long")
+        .alias("diff_nano"),
+    )
+    obs = diffs.filter(F.col("k") == 0).select(
+        F.col("diff_nano").alias("obs_nano")
+    )
+    joined = diffs.crossJoin(F.broadcast(obs))
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_perms_valid"),
+        F.max("obs_nano").alias("obs_diff_nano"),
+        F.sum(
+            F.when(
+                (F.col("k") > 0)
+                & (F.abs("diff_nano") >= F.abs("obs_nano")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_as_extreme"),
+    ).select(
+        "n_perms_valid",
+        "obs_diff_nano",
+        "n_as_extreme",
+        (
+            (1 + F.col("n_as_extreme")).cast("double")
+            / (F.col("n_perms_valid")).cast("double")
+        ).alias("p_value"),
+    )

@@ -1548,3 +1548,149 @@ def text_yule_k_diversity(spark, sf_dir):
             / (n * (F.col("n_tokens") - 1).cast("double"))
         ).alias("simpson_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (hashed n-gram importance resampling, round 10)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 256  # hashed feature buckets
+
+
+def _dsir_bucket_sql(word_expr: str) -> str:
+    mult, add = P.CMS_SEEDS[0]
+    return (
+        f"(({P.sql_cms_word_key(word_expr)} % {P.CMS_PRE_MOD}) * {mult}"
+        f" + {add}) % {P.CMS_HASH_MOD} % {_DSIR_B}"
+    )
+
+
+_DSIR_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, lang,
+         lower(regexp_replace(x, '[^a-zA-Z]', '', 'g')) AS word
+  FROM documents, unnest(string_split(text, ' ')) AS u(x)
+),
+f AS (
+  SELECT doc_id, lang,
+         CAST({_dsir_bucket_sql('word')} AS BIGINT) AS b
+  FROM w WHERE length(word) > 0
+),
+raw AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM f GROUP BY b),
+tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM f
+        WHERE lang = 'en' GROUP BY b),
+tots AS (
+  SELECT CAST(sum(cr) AS BIGINT) AS r_tot,
+         CAST((SELECT sum(ct) FROM tgt) AS BIGINT) AS t_tot
+  FROM raw
+),
+lam AS (
+  SELECT raw.b,
+         CAST(round(ln((CAST(coalesce(ct, 0) + 1 AS DOUBLE)
+                        / (t_tot + {_DSIR_B}))
+                       / (CAST(cr + 1 AS DOUBLE) / (r_tot + {_DSIR_B})))
+                    * 1000000000.0) AS BIGINT) AS lam_nano
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tots
+)
+SELECT doc_id, CAST(max(f.lang) AS VARCHAR) AS lang,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(lam_nano) AS BIGINT) AS dsir_logratio_nano
+FROM f JOIN lam ON f.b = lam.b
+GROUP BY doc_id
+"""
+
+
+@register("curation_dsir_importance_weights", oracle=_DSIR_ORACLE)
+def curation_dsir_importance_weights(spark, sf_dir):
+    """DSIR importance weights (Xie, Santurkar, Ma & Liang, 'Data
+    Selection for Language Models via Importance Resampling', NeurIPS
+    2023): per-document log importance ratio log p_target/p_raw under
+    hashed unigram bag-of-words models — the curation score used to
+    resample a raw crawl toward a target domain before pretraining.
+    Target here: the corpus's 'en' slice; raw: everything. Features
+    hash into 256 buckets with the engine-portable polynomial
+    word key (features_hash_encoded's discipline), Laplace-smoothed
+    (+1, +B).
+
+    Exactness: the per-BUCKET log ratio is computed once on the
+    256-row bucket relation and quantized to nano-nats
+    (quantize-once, the events_kl_user_vs_global discipline); each
+    document's weight is then an exact BIGINT sum of its tokens'
+    quantized bucket scores — associative, partition-order-free.
+
+    Scale shape: tokenize -> (doc, bucket) narrow projection; ONE
+    fact-wide hash-agg per distribution (raw and target bucket counts,
+    both 256-row outputs — map-side combinable); the lambda
+    table broadcasts back onto the token stream; final per-doc sum
+    shuffles doc-keyed rows once. No windows, no UDFs; at 100 TB the
+    only heavy exchanges are the two bucket-count partials (tiny) and
+    the per-doc combine."""
+    from wikipedia_data_pipeline_spark.operators.text import normalize_word
+    from wikipedia_data_pipeline_spark.sources.tables import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    mult, add = P.CMS_SEEDS[0]
+    w = (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.split("text", " ")).alias("raw"),
+        )
+        .select("doc_id", "lang", normalize_word(F.col("raw")).alias("word"))
+        .filter(F.length("word") > 0)
+    )
+    f = w.select(
+        "doc_id",
+        "lang",
+        (
+            (
+                (P.cms_word_key(F.col("word")) % P.CMS_PRE_MOD) * F.lit(mult)
+                + F.lit(add)
+            )
+            % P.CMS_HASH_MOD
+            % _DSIR_B
+        )
+        .cast("long")
+        .alias("b"),
+    )
+    raw = f.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    tgt = (
+        f.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    tots = raw.agg(F.sum("cr").cast("long").alias("r_tot")).crossJoin(
+        tgt.agg(F.sum("ct").cast("long").alias("t_tot"))
+    )
+    lam = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                        / (F.col("t_tot") + _DSIR_B).cast("double")
+                    )
+                    / (
+                        (F.col("cr") + 1).cast("double")
+                        / (F.col("r_tot") + _DSIR_B).cast("double")
+                    )
+                )
+                * 1_000_000_000.0
+            )
+            .cast("long")
+            .alias("lam_nano"),
+        )
+    )
+    return (
+        f.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.max("lang").cast("string").alias("lang"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lam_nano").cast("long").alias("dsir_logratio_nano"),
+        )
+    )
