@@ -547,3 +547,51 @@ def test_truncation_recall_single_pass(spark, sf_dir):
     s = plan_summary(df)
     assert s.n_sort_merge_joins == 0
     assert s.n_shuffles <= 3
+
+
+def test_hamming_topk_is_broadcast_probe_no_python(spark, sf_dir):
+    """1-bit ANN: the probe side must broadcast (5 rows), the packing
+    must be pure expressions (no Python eval), and the only hash
+    exchange is the per-query rank window."""
+    from wikipedia_data_pipeline_spark.plans.inspect import executed_plan
+    from wikipedia_data_pipeline_spark.registry import spark_queries
+
+    df = spark_queries()["embedding_hamming_topk"](spark, sf_dir)
+    s = plan_summary(df)
+    assert s.n_sort_merge_joins == 0
+    assert s.n_shuffles <= 1
+    plan = executed_plan(df)
+    assert "EvalPython" not in plan
+
+
+def test_dsir_lambda_table_broadcasts(spark, sf_dir):
+    """DSIR: the 256-row lambda table must broadcast back onto the
+    token stream (never shuffle the tokens against it), and no Python
+    evaluation anywhere."""
+    from wikipedia_data_pipeline_spark.plans.inspect import executed_plan
+    from wikipedia_data_pipeline_spark.registry import spark_queries
+
+    df = spark_queries()["curation_dsir_importance_weights"](spark, sf_dir)
+    s = plan_summary(df)
+    assert s.n_broadcast_joins >= 1
+    assert s.n_sort_merge_joins == 0
+    plan = executed_plan(df)
+    assert "EvalPython" not in plan
+
+
+def test_permutation_test_fans_out_after_aggregation(spark, sf_dir):
+    """The 200-way permutation fan-out must multiply the per-user
+    aggregate, never the fact table: exactly one fact-sized exchange
+    (the user grouping); the k/arm explode and the per-k agg ride the
+    entity relation."""
+    from wikipedia_data_pipeline_spark.plans.inspect import executed_plan
+    from wikipedia_data_pipeline_spark.registry import spark_queries
+
+    df = spark_queries()["stats_permutation_test_ab"](spark, sf_dir)
+    plan = executed_plan(df).split("== Initial Plan ==")[0]
+    # the explode (Generate) must sit ABOVE the user-level HashAggregate
+    # in text order (executed plans print top-down: consumers first)
+    gen = plan.index("Generate explode")
+    agg = plan.rindex("HashAggregate")
+    assert gen < agg, "explode must consume the aggregate, not events"
+    assert plan.count("FileScan parquet") == 1  # one events scan total

@@ -129,6 +129,18 @@ PROBE = [
     "stats_bh_fdr_screen",
     # McNemar paired-model test: scan -> 1-row aggregate
     "ml_eval_mcnemar_test",
+    # r10 novelties (standing rule: 100x rows + DuckDB twins)
+    "curation_dsir_importance_weights",
+    "embedding_hamming_topk",
+    "ml_eval_krippendorff_alpha",
+    "stats_permutation_test_ab",
+    "text_yule_k_diversity",
+    # r10 cents flips: agg-dominated shapes re-probed post-flip
+    "q18_large_orders",
+    "agg_grouping_sets",
+    "join_range_periods",
+    "events_daily_gapfill",
+    "events_sliding_window",
 ]
 # quadratic-oracle twins: timing DuckDB here measures the oracle's
 # deliberate brute-force design, not the engine — skip, like bench.py
