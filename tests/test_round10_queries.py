@@ -184,3 +184,32 @@ def test_dsir_weights_match_python(spark, sf_dir, queries):
     en = [r.dsir_logratio_nano / r.n_tokens for r in out.values() if r.lang == "en"]
     other = [r.dsir_logratio_nano / r.n_tokens for r in out.values() if r.lang != "en"]
     assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_vad_segments_match_python(spark, sf_dir, queries):
+    out = {
+        r.doc_id: r
+        for r in queries["multimodal_audio_vad_segments"](spark, sf_dir).collect()
+    }
+    doc_ids = [d for d, _, _ in _docs(sf_dir)]
+    for d in doc_ids:
+        n = 64 + d % 128
+        nf = n // 32
+        active = []
+        for j in range(nf):
+            e = sum(
+                (((i * (d + 3)) % 65536) - 32768) ** 2
+                for i in range(j * 32, j * 32 + 32)
+            )
+            active.append(1 if e * 4 >= 32 * 32768 * 32768 else 0)
+        segs = sum(
+            1
+            for j, a in enumerate(active)
+            if a and (j == 0 or not active[j - 1])
+        )
+        r = out[d]
+        assert (r.n_frames, r.n_active, r.n_segments) == (
+            nf,
+            sum(active),
+            segs,
+        ), d

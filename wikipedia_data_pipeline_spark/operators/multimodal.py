@@ -674,3 +674,43 @@ def decode_video_frame_stats(media: DataFrame, stride: int = 2) -> DataFrame:
             )
 
     return media.mapInPandas(decode, schema=VIDEO_STATS_SCHEMA)
+
+
+WAV_FRAME_ENERGY_SCHEMA = (
+    "doc_id bigint, frame_idx bigint, energy bigint"
+)
+VAD_FRAME_LEN = 32  # samples per analysis frame
+
+
+def decode_wav_frame_energies(media: DataFrame) -> DataFrame:
+    """REAL PCM decode → per-frame energies: the WAV payload is chunk-
+    walked (wav_decode), samples framed into VAD_FRAME_LEN-sample
+    windows (partial tail dropped), and each frame reduced to its
+    integer energy Σx² — the front half of every voice-activity /
+    silence-trim pipeline. Arrow-batch mapInPandas like the other
+    decoders; the relational back half (thresholding, run-length
+    segmentation) stays in Spark SQL where it belongs."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, a = wav_decode(bytes(payload))
+                nf = int(a.shape[0]) // VAD_FRAME_LEN
+                if nf:
+                    fr = (
+                        a[: nf * VAD_FRAME_LEN]
+                        .astype("int64")
+                        .reshape(nf, VAD_FRAME_LEN)
+                    )
+                    en = (fr * fr).sum(axis=1)
+                    rows.extend(
+                        (int(doc_id), j, int(en[j])) for j in range(nf)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "energy"]
+            )
+
+    return media.mapInPandas(decode, schema=WAV_FRAME_ENERGY_SCHEMA)

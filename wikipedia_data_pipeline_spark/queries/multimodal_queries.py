@@ -7,6 +7,8 @@ length, the mapInPandas path is still exactly oracle-checkable.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from wikipedia_data_pipeline_spark.operators import multimodal as MM
 from wikipedia_data_pipeline_spark.operators import udfs as U
 from wikipedia_data_pipeline_spark.registry import register
@@ -352,4 +354,83 @@ def multimodal_video_scene_cuts(spark, sf_dir):
             .otherwise(F.lit(0.0))
             .alias("cut_rate"),
         )
+    )
+
+
+@register(
+    "multimodal_audio_vad_segments",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 8000 * (1 + doc_id % 3) AS sr, 64 + doc_id % 128 AS n
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, n, unnest(generate_series(0, n // 32 - 1)) AS j
+  FROM dims WHERE n // 32 >= 1
+),
+s AS (
+  SELECT doc_id, j, unnest(generate_series(j * 32, j * 32 + 31)) AS i
+  FROM fr
+),
+en AS (
+  SELECT doc_id, j,
+         sum((((i * (doc_id + 3)) % 65536) - 32768)
+             * (((i * (doc_id + 3)) % 65536) - 32768)) AS energy
+  FROM s GROUP BY doc_id, j
+),
+act AS (
+  SELECT doc_id, j,
+         CASE WHEN energy * 4 >= 32::BIGINT * 32768 * 32768 THEN 1 ELSE 0 END
+           AS active,
+         CASE WHEN energy * 4 >= 32::BIGINT * 32768 * 32768
+              AND coalesce(CAST(lag(CASE WHEN energy * 4
+                    >= 32::BIGINT * 32768 * 32768 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY j) AS BIGINT), 0) = 0
+              THEN 1 ELSE 0 END AS seg_start
+  FROM en
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(active) AS BIGINT) AS n_active,
+       CAST(sum(seg_start) AS BIGINT) AS n_segments
+FROM act GROUP BY doc_id
+""",
+)
+def multimodal_audio_vad_segments(spark, sf_dir):
+    """Energy-threshold voice-activity detection over REAL decoded PCM:
+    frames of 32 samples reduce to integer Σx² energies inside the
+    Arrow decode batch, then the RELATIONAL half — active iff mean
+    energy ≥ (fullscale/2)², segment starts found by a per-document
+    lag window over the frame spine — runs in Spark SQL. The
+    silence-trim / speech-segment primitive an audio curation pipeline
+    applies before transcription, with the decode/SQL boundary in the
+    right place: Python touches bytes once, segmentation is pure
+    integer relational algebra the oracle replays arithmetically.
+
+    Scale shape: mapInPandas decode (one batch per task) → per-doc
+    frame rows (n/32 per doc) → lag window partitioned by doc_id
+    (fully parallel, bounded per-partition by the longest clip) →
+    per-doc aggregate. The 4·Σx² ≥ 32·32768² threshold comparison is
+    exact int64 (max 32·32768²·4 ≈ 2^42)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    en = MM.decode_wav_frame_energies(MM.synth_wav_corpus(docs))
+    thr = F.lit(32 * 32768 * 32768).cast("long")
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    act = en.select(
+        "doc_id",
+        "frame_idx",
+        (F.col("energy") * 4 >= thr).cast("long").alias("active"),
+    ).withColumn(
+        "seg_start",
+        (
+            (F.col("active") == 1)
+            & (F.coalesce(F.lag("active").over(w), F.lit(0)) == 0)
+        ).cast("long"),
+    )
+    return act.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum("active").cast("long").alias("n_active"),
+        F.sum("seg_start").cast("long").alias("n_segments"),
     )
