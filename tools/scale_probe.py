@@ -917,11 +917,12 @@ def main() -> None:
     # merge-resume: carry prior results for names not re-probed, and
     # any extra top-level sections (manual A/B notes) verbatim
     prior = {}
-    if only and os.path.exists(out_path):
+    if os.path.exists(out_path):
         with open(out_path) as fh:
             prior = json.load(fh)
-        spark_t.update(prior.get("queries", {}))
-        duck_t.update(prior.get("duckdb", {}))
+        if only:  # resume: carry prior timings for names not re-probed
+            spark_t.update(prior.get("queries", {}))
+            duck_t.update(prior.get("duckdb", {}))
 
     for name in probe:
         spark_t[name] = time_spark(queries[name], name)
