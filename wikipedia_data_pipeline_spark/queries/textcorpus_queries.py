@@ -1654,24 +1654,40 @@ def curation_dsir_importance_weights(spark, sf_dir):
         .cast("long")
         .alias("b"),
     )
-    raw = f.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cr"))
-    tgt = (
-        f.filter(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    # ONE tokenize pass: the (doc, bucket) count relation is persisted
+    # and every downstream quantity derives from it — bucket totals
+    # (raw and target in the same aggregate via a conditional sum),
+    # smoothing totals, and the per-doc weight sums. The naive form
+    # re-ran the explode + 8-char polynomial key per consumer (Spark
+    # does no cross-subtree CSE): 3 fact-wide token passes; this is 1.
+    # Probed at the 100x replica: 13.4 -> ~7 s.
+    from pyspark import StorageLevel
+
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    fc = track_persisted(
+        f.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    tots = raw.agg(F.sum("cr").cast("long").alias("r_tot")).crossJoin(
-        tgt.agg(F.sum("ct").cast("long").alias("t_tot"))
+    buckets = fc.groupBy("b").agg(
+        F.sum("n").cast("long").alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("ct"),
+    )
+    tots = buckets.agg(
+        F.sum("cr").cast("long").alias("r_tot"),
+        F.sum("ct").cast("long").alias("t_tot"),
     )
     lam = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tots))
+        buckets.crossJoin(F.broadcast(tots))
         .select(
             "b",
             F.round(
                 F.log(
                     (
-                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                        (F.col("ct") + 1).cast("double")
                         / (F.col("t_tot") + _DSIR_B).cast("double")
                     )
                     / (
@@ -1686,11 +1702,13 @@ def curation_dsir_importance_weights(spark, sf_dir):
         )
     )
     return (
-        f.join(F.broadcast(lam), "b")
+        fc.join(F.broadcast(lam), "b")
         .groupBy("doc_id")
         .agg(
             F.max("lang").cast("string").alias("lang"),
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum("lam_nano").cast("long").alias("dsir_logratio_nano"),
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("lam_nano"))
+            .cast("long")
+            .alias("dsir_logratio_nano"),
         )
     )
