@@ -213,3 +213,83 @@ def test_vad_segments_match_python(spark, sf_dir, queries):
             sum(active),
             segs,
         ), d
+
+
+def test_cochran_q_matches_python_and_brackets_mcnemar(spark, sf_dir, queries):
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT event_id FROM read_parquet('{sf_dir}/events.parquet')"
+        ).fetchall()
+    ]
+    c = [0, 0, 0]
+    sum_r2 = 0
+    for e in ids:
+        x = [
+            1 if det_hash_py((e % PRE_MOD) * 7 + 3) % 100 < 50 else 0,
+            1 if det_hash_py((e % PRE_MOD) * 19 + 11) % 100 < 70 else 0,
+            1 if det_hash_py((e % PRE_MOD) * 29 + 23) % 100 < 60 else 0,
+        ]
+        for j in range(3):
+            c[j] += x[j]
+        sum_r2 += sum(x) ** 2
+    t = sum(c)
+    num = 2 * (3 * sum(v * v for v in c) - t * t)
+    den = 3 * t - sum_r2
+    out = queries["ml_eval_cochran_q"](spark, sf_dir).collect()[0]
+    assert (out.c1, out.c2, out.c3) == tuple(c)
+    assert out.cochran_q == num / den
+    assert out.reject_h0 == (num * 1_000_000 >= 5_991_465 * den)
+    # designed rates 0.50/0.70/0.60 differ -> omnibus must reject
+    assert out.reject_h0
+
+
+def test_token_mixture_epochs_matches_python(spark, sf_dir, queries):
+    counts = Counter()
+    for _, text, lang in _docs(sf_dir):
+        counts[lang] += len(tokens_py(text))
+    budget = 2 * sum(counts.values())
+    nl = len(counts)
+    cap = 4_000_000
+    e1 = {l: min(cap, (budget // nl) * 1_000_000 // c) for l, c in counts.items()}
+    served = sum(c * e1[l] // 1_000_000 for l, c in counts.items())
+    ucap_tot = sum(c for l, c in counts.items() if e1[l] < cap)
+    e2 = {}
+    for l, c in counts.items():
+        if e1[l] < cap and ucap_tot > 0:
+            extra = (budget - served) * c // ucap_tot
+            e2[l] = min(cap, e1[l] + extra * 1_000_000 // c)
+        else:
+            e2[l] = e1[l]
+    out = {r.lang: r for r in queries["curation_token_mixture_epochs"](spark, sf_dir).collect()}
+    assert set(out) == set(counts)
+    for l, c in counts.items():
+        r = out[l]
+        assert r.tokens == c
+        assert r.epochs_micro == e2[l], l
+        assert r.sampled_tokens == c * e2[l] // 1_000_000
+        assert r.capped == (e2[l] >= cap)
+    # the budget is 2x the corpus with a 4-epoch cap: total sampled
+    # tokens must not exceed the budget
+    assert sum(r.sampled_tokens for r in out.values()) <= budget
+
+
+def test_sssp_3hop_matches_python(spark, sf_dir, queries):
+    edges = {}
+    for pk, sk in duckdb.sql(
+        f"SELECT DISTINCT l_partkey, l_suppkey FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchall():
+        w = 1 + (pk * 3 + sk) % 7
+        a, b = f"p:{pk}", f"s:{sk}"
+        edges.setdefault(a, []).append((b, w))
+        edges.setdefault(b, []).append((a, w))
+    dist = {"p:1": 0}
+    for _ in range(3):
+        nxt = dict(dist)
+        for node, d in dist.items():
+            for dst, w in edges.get(node, []):
+                if d + w < nxt.get(dst, 1 << 62):
+                    nxt[dst] = d + w
+        dist = nxt
+    out = {r.node: r.dist for r in queries["graph_sssp_3hop"](spark, sf_dir).collect()}
+    assert out == dist

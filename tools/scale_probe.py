@@ -135,6 +135,10 @@ PROBE = [
     "ml_eval_krippendorff_alpha",
     "stats_permutation_test_ab",
     "text_yule_k_diversity",
+    "ml_eval_cochran_q",
+    "curation_token_mixture_epochs",
+    "graph_sssp_3hop",
+    "multimodal_audio_vad_segments",
     # r10 cents flips: agg-dominated shapes re-probed post-flip
     "q18_large_orders",
     "agg_grouping_sets",

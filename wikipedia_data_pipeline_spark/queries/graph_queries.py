@@ -559,3 +559,116 @@ def graph_adamic_adar(spark, sf_dir):
         )
         .filter(F.col("n_common") >= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest paths, 3-hop bound (round 10)
+# ---------------------------------------------------------------------------
+
+_SSSP_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst,
+         CAST(1 + (l_partkey * 3 + l_suppkey) % 7 AS BIGINT) AS w
+  FROM lineitem
+),
+edges AS (
+  SELECT src, dst, w FROM e0
+  UNION ALL
+  SELECT dst AS src, src AS dst, w FROM e0
+),
+d0 AS (SELECT 'p:1' AS node, CAST(0 AS BIGINT) AS d),
+d1 AS (
+  SELECT node, min(d) AS d FROM (
+    SELECT node, d FROM d0
+    UNION ALL
+    SELECT e.dst AS node, d0.d + e.w AS d
+    FROM d0 JOIN edges e ON e.src = d0.node
+  ) GROUP BY node
+),
+d2 AS (
+  SELECT node, min(d) AS d FROM (
+    SELECT node, d FROM d1
+    UNION ALL
+    SELECT e.dst AS node, d1.d + e.w AS d
+    FROM d1 JOIN edges e ON e.src = d1.node
+  ) GROUP BY node
+),
+d3 AS (
+  SELECT node, min(d) AS d FROM (
+    SELECT node, d FROM d2
+    UNION ALL
+    SELECT e.dst AS node, d2.d + e.w AS d
+    FROM d2 JOIN edges e ON e.src = d2.node
+  ) GROUP BY node
+)
+SELECT node, CAST(d AS BIGINT) AS dist FROM d3
+"""
+
+
+@register("graph_sssp_3hop", oracle=_SSSP_ORACLE)
+def graph_sssp_3hop(spark, sf_dir):
+    """Weighted single-source shortest paths, exact within a 3-hop
+    horizon — Bellman-Ford with the iteration count UNROLLED into the
+    lazy plan (the supply-chain 'cheapest route to any supplier/part
+    within k tiers' readout; the weighted companion to
+    graph_bfs_reachability's hop counts). Edge weights are
+    deterministic integers 1 + (3·part + supp) mod 7 over the
+    part–supplier bipartite graph, both directions.
+
+    Each relaxation is relational: dist_k = MIN over
+    (dist_{k-1} ∪ dist_{k-1} ⋈ edges of d+w) per node — so after k
+    levels every node holds the exact minimum-weight path distance
+    using ≤ k edges (Bellman-Ford's invariant). No driver loop, no
+    recursion: three unrolled join+min-agg levels in ONE lazy plan
+    the optimizer sees whole; the oracle states the identical three
+    CTE levels. All arithmetic BIGINT — bit-exact.
+
+    Scale shape: the edge relation shuffles once per level on src
+    (at 100 TB you'd bucket edges by src and every relaxation becomes
+    shuffle-free on the edge side); frontier relations are node-sized.
+    Unrolling suits SMALL k — for unbounded diameters the iterative
+    localCheckpoint loop in operators/graph.py (pagerank/label-prop
+    discipline) takes over, trading lineage truncation for lazy
+    whole-plan optimization."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        (1 + (F.col("l_partkey") * 3 + F.col("l_suppkey")) % 7)
+        .cast("long")
+        .alias("w"),
+    ).distinct()
+    # persist: three relaxation levels each join against edges, and
+    # Spark does no cross-subtree CSE — without the pin the lineitem
+    # scan + distinct re-runs per level (100x probe: 16.6 -> ~7 s)
+    from pyspark import StorageLevel
+
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    edges = track_persisted(
+        e0.unionByName(
+            e0.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    d = load_table(spark, sf_dir, "region").limit(1).select(
+        F.lit("p:1").alias("node"), F.lit(0).cast("long").alias("d")
+    )
+    for i in range(3):
+        # per-level aliases: d derives from edges after level 1, so an
+        # unaliased re-join trips the ambiguous-self-join analyzer
+        e, dd = edges.alias(f"e{i}"), d.alias(f"d{i}")
+        relaxed = dd.join(
+            e, F.col(f"d{i}.node") == F.col(f"e{i}.src")
+        ).select(
+            F.col(f"e{i}.dst").alias("node"),
+            (F.col(f"d{i}.d") + F.col(f"e{i}.w")).alias("d"),
+        )
+        d = (
+            d.select("node", "d")
+            .unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+    return d.select("node", F.col("d").cast("long").alias("dist"))

@@ -956,3 +956,123 @@ def ml_eval_krippendorff_alpha(spark, sf_dir):
             / (n_dec * n_dec - F.col("csq")).cast("double")
         ).alias("krippendorff_alpha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q — k=3 paired binary treatments (round 10)
+# ---------------------------------------------------------------------------
+
+_COCHRAN_ORACLE = f"""
+WITH p AS (
+  SELECT CAST(({SQL_DET_HASH.format(col="event_id")}) % 2 AS BIGINT)
+           AS truth,
+         CAST(({SQL_DET_HASH.format(col="((event_id % 1000003) * 7 + 3)")}) % 100 AS BIGINT)
+           AS da,
+         CAST(({SQL_DET_HASH.format(col="((event_id % 1000003) * 19 + 11)")}) % 100 AS BIGINT)
+           AS db,
+         CAST(({SQL_DET_HASH.format(col="((event_id % 1000003) * 29 + 23)")}) % 100 AS BIGINT)
+           AS dc
+  FROM events
+),
+o AS (
+  SELECT CASE WHEN da < 50 THEN 1 ELSE 0 END AS x1,
+         CASE WHEN db < 70 THEN 1 ELSE 0 END AS x2,
+         CASE WHEN dc < 60 THEN 1 ELSE 0 END AS x3
+  FROM p
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x1) AS BIGINT) AS c1,
+         CAST(sum(x2) AS BIGINT) AS c2,
+         CAST(sum(x3) AS BIGINT) AS c3,
+         CAST(sum((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT) AS sum_r2
+  FROM o
+),
+d AS (
+  SELECT n, c1, c2, c3, sum_r2,
+         c1 + c2 + c3 AS t,
+         CAST(2 * (3 * (CAST(c1 AS DECIMAL(18,0)) * c1
+                        + CAST(c2 AS DECIMAL(18,0)) * c2
+                        + CAST(c3 AS DECIMAL(18,0)) * c3)
+                   - CAST(c1 + c2 + c3 AS DECIMAL(18,0))
+                     * (c1 + c2 + c3)) AS DECIMAL(38,0)) AS num,
+         CAST(3 * (c1 + c2 + c3) - sum_r2 AS BIGINT) AS den
+  FROM agg
+)
+SELECT n, c1, c2, c3,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS cochran_q,
+       CAST(num * 1000000 AS DECIMAL(38,0))
+         >= CAST(5991465 AS DECIMAL(38,0)) * den AS reject_h0
+FROM d
+"""
+
+
+@register("ml_eval_cochran_q", oracle=_COCHRAN_ORACLE)
+def ml_eval_cochran_q(spark, sf_dir):
+    """Cochran's Q for k=3 paired binary treatments — McNemar's
+    k-treatment generalization (Cochran 1950): "do these three models
+    have the same success rate on the SAME eval items". Correct-flags
+    x_j are deterministic hash streams with designed rates 0.50 /
+    0.70 / 0.60, so the fixed point is REJECT with Q growing in n.
+    The first two streams are the exact models ml_eval_mcnemar_test
+    compares, making the pairwise and omnibus tests directly
+    comparable on identical data.
+
+    Exactness: with divisions cleared,
+        Q = (k−1)·(k·ΣC_j² − T²) / (k·T − ΣR_i²),   k = 3,
+    where C_j are per-treatment success totals, T = ΣC_j, and ΣR_i²
+    needs only Σ(x1+x2+x3)² — ONE more conditional sum in the same
+    1-row aggregate, no per-item grouping. Numerator exact
+    DECIMAL(38,0), denominator BIGINT; the alpha = 0.05 decision is
+    the pure-integer comparison num·10⁶ ≥ 5991465·den with
+    chi²₂,₀.₉₅ = 5.991465 frozen as a micro-unit literal (the
+    McNemar/SPRT discipline — no transcendental at query time).
+
+    Scale shape: scan → 1-row aggregate. Nothing else."""
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.select(
+        (
+            (det_hash((F.col("event_id") % 1000003) * 7 + 3) % 100) < 50
+        ).cast("long").alias("x1"),
+        (
+            (det_hash((F.col("event_id") % 1000003) * 19 + 11) % 100) < 70
+        ).cast("long").alias("x2"),
+        (
+            (det_hash((F.col("event_id") % 1000003) * 29 + 23) % 100) < 60
+        ).cast("long").alias("x3"),
+    )
+    r = F.col("x1") + F.col("x2") + F.col("x3")
+    agg = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("c1"),
+        F.sum("x2").cast("long").alias("c2"),
+        F.sum("x3").cast("long").alias("c3"),
+        F.sum(r * r).cast("long").alias("sum_r2"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    t = F.col("c1") + F.col("c2") + F.col("c3")
+    num = (
+        2
+        * (
+            3 * (dec("c1") * F.col("c1") + dec("c2") * F.col("c2")
+                 + dec("c3") * F.col("c3"))
+            - t.cast("decimal(18,0)") * t
+        )
+    ).cast("decimal(38,0)")
+    den = (3 * t - F.col("sum_r2")).cast("long")
+    d = agg.select("n", "c1", "c2", "c3", num.alias("num"), den.alias("den"))
+    return d.select(
+        "n",
+        "c1",
+        "c2",
+        "c3",
+        (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+            "cochran_q"
+        ),
+        (
+            (F.col("num") * 1_000_000).cast("decimal(38,0)")
+            >= F.lit(5_991_465).cast("decimal(38,0)") * F.col("den")
+        ).alias("reject_h0"),
+    )

@@ -1712,3 +1712,147 @@ def curation_dsir_importance_weights(spark, sf_dir):
             .alias("dsir_logratio_nano"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture token budgeting (epochs per language, round 10)
+# ---------------------------------------------------------------------------
+
+_MIX_EPOCH_CAP = 4_000_000  # 4.0 epochs, micro-units
+_MIX_ORACLE = """
+WITH w AS (
+  SELECT lang, lower(regexp_replace(x, '[^a-zA-Z]', '', 'g')) AS word
+  FROM documents, unnest(string_split(text, ' ')) AS u(x)
+),
+c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS tokens
+  FROM w WHERE length(word) > 0 GROUP BY lang
+),
+tot AS (
+  SELECT CAST(sum(tokens) AS BIGINT) AS t,
+         CAST(2 * sum(tokens) AS BIGINT) AS budget,
+         CAST(count(*) AS BIGINT) AS nl
+  FROM c
+),
+r1 AS (
+  SELECT lang, tokens, budget,
+         least(4000000, ((budget // nl) * 1000000) // tokens) AS e1
+  FROM c, tot
+),
+r1s AS (
+  SELECT *,
+         (tokens * e1) // 1000000 AS s1,
+         CASE WHEN e1 < 4000000 THEN tokens ELSE 0 END AS utok
+  FROM r1
+),
+pool AS (
+  SELECT CAST(sum(s1) AS BIGINT) AS served,
+         CAST(sum(utok) AS BIGINT) AS ucap_tot
+  FROM r1s
+),
+r2 AS (
+  SELECT lang, tokens, e1,
+         CASE WHEN e1 < 4000000 AND ucap_tot > 0
+              THEN least(4000000,
+                         e1 + (((budget - served) * tokens // ucap_tot)
+                               * 1000000) // tokens)
+              ELSE e1 END AS e2
+  FROM r1s, pool
+)
+SELECT lang, tokens,
+       CAST(e2 AS BIGINT) AS epochs_micro,
+       CAST((tokens * e2) // 1000000 AS BIGINT) AS sampled_tokens,
+       e2 >= 4000000 AS capped
+FROM r2
+"""
+
+
+@register("curation_token_mixture_epochs", oracle=_MIX_ORACLE)
+def curation_token_mixture_epochs(spark, sf_dir):
+    """Training-data recipe arithmetic: given a token budget of 2x the
+    corpus and a uniform per-language target, how many EPOCHS of each
+    language slice does the mixture take, with a 4.0-epoch repetition
+    cap (the data-constrained-scaling guardrail — Muennighoff et al.
+    2023 measure rapidly diminishing returns past ~4 epochs) and one
+    proportional redistribution of the budget stranded by capped
+    slices onto the uncapped ones. This is the planning table a
+    pretraining run derives from corpus stats before sampling —
+    sample_weighted_mixture / curation_source_cap execute a recipe,
+    this query COMPUTES one.
+
+    Exactness: every quantity is integer micro-units with floor
+    division (epochs = min(cap, alloc·10⁶ // tokens), served tokens =
+    tokens·e // 10⁶, redistribution share = leftover·tokens //
+    uncapped_tokens) — bit-identical across engines, no doubles
+    anywhere. Products stay under 2^63 up to ~10¹⁵ corpus tokens per
+    slice; past that the same arithmetic routes through DECIMAL(38,0).
+
+    Scale shape: ONE tokenize pass → |langs|-row count relation;
+    everything after (totals, two allocation rounds) is arithmetic on
+    that broadcast-sized table."""
+    from wikipedia_data_pipeline_spark.operators.text import normalize_word
+    from wikipedia_data_pipeline_spark.sources.tables import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        fan_out(docs)
+        .select("lang", F.explode(F.split("text", " ")).alias("raw"))
+        .select("lang", normalize_word(F.col("raw")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("tokens"))
+    )
+    tot = c.agg(
+        (2 * F.sum("tokens")).cast("long").alias("budget"),
+        F.count(F.lit(1)).cast("long").alias("nl"),
+    )
+
+    def idiv(a, b):
+        return ((a - a % b) / b).cast("long")
+
+    cap = F.lit(_MIX_EPOCH_CAP).cast("long")
+    r1 = c.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "tokens",
+        "budget",
+        F.least(
+            cap, idiv(idiv(F.col("budget"), F.col("nl")) * 1_000_000,
+                      F.col("tokens"))
+        ).alias("e1"),
+    )
+    r1s = r1.select(
+        "*",
+        idiv(F.col("tokens") * F.col("e1"), F.lit(1_000_000)).alias("s1"),
+        F.when(F.col("e1") < cap, F.col("tokens")).otherwise(0).alias("utok"),
+    )
+    pool = r1s.agg(
+        F.sum("s1").cast("long").alias("served"),
+        F.sum("utok").cast("long").alias("ucap_tot"),
+    )
+    extra_e = idiv(
+        idiv(
+            (F.col("budget") - F.col("served")) * F.col("tokens"),
+            F.col("ucap_tot"),
+        )
+        * 1_000_000,
+        F.col("tokens"),
+    )
+    r2 = r1s.crossJoin(F.broadcast(pool)).select(
+        "lang",
+        "tokens",
+        F.when(
+            (F.col("e1") < cap) & (F.col("ucap_tot") > 0),
+            F.least(cap, F.col("e1") + extra_e),
+        )
+        .otherwise(F.col("e1"))
+        .alias("e2"),
+    )
+    return r2.select(
+        "lang",
+        "tokens",
+        F.col("e2").cast("long").alias("epochs_micro"),
+        idiv(F.col("tokens") * F.col("e2"), F.lit(1_000_000)).alias(
+            "sampled_tokens"
+        ),
+        (F.col("e2") >= cap).alias("capped"),
+    )
