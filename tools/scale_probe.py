@@ -840,6 +840,91 @@ def skew_join_ab(spark, dir100):
     }
 
 
+def bucketed_join_ab(spark, dir100):
+    """Bucketed-layout A/B (the shuffle-free fact-fact join path the
+    100 TB design leans on): lineitem ⋈ orders on orderkey → per-
+    priority revenue rollup, timed (a) over plain parquet — both sides
+    exchange — and (b) over the same data written bucketed+sorted by
+    the join key, where the scan's reported partitioning lets the
+    planner drop BOTH exchanges (and sorts). The one-time bucketed
+    write is priced too: that is the real trade — pay the shuffle at
+    write time once instead of at every query. Plan evidence: exchange
+    counts captured from the executed plans; results checksum-asserted
+    identical."""
+    from pyspark.sql import functions as F
+
+    from wikipedia_data_pipeline_spark.sources.bucketing import (
+        drop_table,
+        write_bucketed,
+    )
+
+    li = spark.read.parquet(os.path.join(dir100, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(dir100, "orders.parquet"))
+
+    def q(li_rel, o_rel):
+        j = li_rel.join(o_rel, li_rel["l_orderkey"] == o_rel["o_orderkey"])
+        return j.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 1_000_000
+                ).cast("long")
+            ).alias("rev_u"),
+        )
+
+    def run(mk):
+        # rebuild the DataFrame per iteration: re-collecting one DF
+        # object reuses its already-materialized AQE query stages and
+        # times ~0 (bit us on this probe's first run)
+        best, rows, df = float("inf"), None, None
+        for _ in range(2):
+            df = mk()
+            t0 = time.perf_counter()
+            rows = sorted(tuple(r) for r in df.collect())
+            best = min(best, time.perf_counter() - t0)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        return round(best, 2), rows, plan.count("Exchange ")
+
+    # force the SMJ path on both variants so the A/B isolates the
+    # exchanges (orders at 100x exceeds the broadcast threshold anyway)
+    conf = spark.conf
+    saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plain_t, plain_rows, plain_ex = run(lambda: q(li, o))
+
+        t0 = time.perf_counter()
+        write_bucketed(li.select("l_orderkey", "l_extendedprice", "l_discount"),
+                       "wdp_probe_li_b", ["l_orderkey"], 32,
+                       sort_cols=["l_orderkey"])
+        write_bucketed(o.select("o_orderkey", "o_orderpriority"),
+                       "wdp_probe_o_b", ["o_orderkey"], 32,
+                       sort_cols=["o_orderkey"])
+        write_t = round(time.perf_counter() - t0, 2)
+
+        lib = spark.table("wdp_probe_li_b")
+        ob = spark.table("wdp_probe_o_b")
+        buck_t, buck_rows, buck_ex = run(lambda: q(lib, ob))
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        drop_table(spark, "wdp_probe_li_b")
+        drop_table(spark, "wdp_probe_o_b")
+
+    assert plain_rows == buck_rows, "bucketed join changed the result"
+    return {
+        "shape": ("60M-row lineitem x 15M-row orders SMJ + rollup at the "
+                  "100x replica; bucketed = both sides bucketBy(32, "
+                  "orderkey) sortBy(orderkey), exchanges elided at scan"),
+        "plain_join_sec": plain_t,
+        "bucketed_join_sec": buck_t,
+        "one_time_bucketed_write_sec": write_t,
+        "exchanges_plain": plain_ex,
+        "exchanges_bucketed": buck_ex,
+    }
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALE_PROBE_r09.json"
     # restrict to a comma-separated subset (resume after an aborted run;
@@ -946,6 +1031,12 @@ def main() -> None:
               f"(AQE split engaged: {skew_section['aqe_skew_split_engaged']})",
               flush=True)
 
+    # bucketed-layout fact-fact join A/B (r10); resumable by name
+    bucket_section = prior.get("bucketed_join_ab")
+    if (not only) or ("bucketed_join_ab" in set(only.split(","))):
+        bucket_section = bucketed_join_ab(spark, dir100)
+        print(f"bucketed_join_ab: {bucket_section}", flush=True)
+
     ratios = {
         n: round(spark_t[n] / duck_t[n], 2)
         for n in duck_t
@@ -986,6 +1077,8 @@ def main() -> None:
     }
     if skew_section is not None:
         out["skew_join_ab"] = skew_section
+    if bucket_section is not None:
+        out["bucketed_join_ab"] = bucket_section
     for k, v in prior.items():
         out.setdefault(k, v)
     with open(out_path, "w") as fh:
