@@ -293,3 +293,49 @@ def test_sssp_3hop_matches_python(spark, sf_dir, queries):
         dist = nxt
     out = {r.node: r.dist for r in queries["graph_sssp_3hop"](spark, sf_dir).collect()}
     assert out == dist
+
+
+def test_gumbel_topk_matches_python(spark, sf_dir, queries):
+    import math as _m
+
+    keyed = {}
+    for doc_id, text, _ in _docs(sf_dir):
+        wt = len(tokens_py(text))
+        if wt <= 0:
+            continue
+        u = (det_hash_py(doc_id) + 1.0) / float(1 << 31)
+        keyed[doc_id] = (
+            round((_m.log(wt) - _m.log(-_m.log(u))) * 1e9),
+            wt,
+        )
+    want = sorted(keyed.items(), key=lambda kv: (-kv[1][0], kv[0]))[:100]
+    out = queries["sample_gumbel_topk_docs"](spark, sf_dir).collect()
+    got = sorted(out, key=lambda r: r.draw_rank)
+    assert len(got) == len(want)
+    for r, (doc_id, (key, wt)) in zip(got, want):
+        assert (r.doc_id, r.key_nano, r.weight) == (doc_id, key, wt)
+
+
+def test_image_ahash_matches_python(spark, sf_dir, queries):
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for doc_id, _, _ in _docs(sf_dir):
+        d = doc_id
+        w, h = 1 + d % 16, 1 + d % 12
+        grays = []
+        for j in range(64):
+            x, y = ((j % 8) * w) // 8, ((j // 8) * h) // 8
+            grays.append(
+                (((x + y + d) % 256) + ((2 * x + d) % 256)
+                 + ((3 * y + d) % 256)) // 3
+            )
+        mean = sum(grays) // 64
+        lo = sum(1 << j for j in range(32) if grays[j] > mean)
+        hi = sum(1 << (j - 32) for j in range(32, 64) if grays[j] > mean)
+        groups[(lo, hi)].append(d)
+    out = {
+        (r.ahash_lo, r.ahash_hi): (r.n_docs, r.min_doc)
+        for r in queries["multimodal_image_ahash_groups"](spark, sf_dir).collect()
+    }
+    assert out == {k: (len(v), min(v)) for k, v in groups.items()}

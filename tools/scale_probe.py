@@ -139,6 +139,8 @@ PROBE = [
     "curation_token_mixture_epochs",
     "graph_sssp_3hop",
     "multimodal_audio_vad_segments",
+    "sample_gumbel_topk_docs",
+    "multimodal_image_ahash_groups",
     # r10 cents flips: agg-dominated shapes re-probed post-flip
     "q18_large_orders",
     "agg_grouping_sets",

@@ -714,3 +714,41 @@ def decode_wav_frame_energies(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(decode, schema=WAV_FRAME_ENERGY_SCHEMA)
+
+
+PNG_AHASH_SCHEMA = "doc_id bigint, ahash_lo bigint, ahash_hi bigint"
+
+
+def decode_png_ahash(media: DataFrame) -> DataFrame:
+    """REAL pixel decode → 64-bit average hash (aHash): nearest-
+    neighbor 8×8 downsample of the integer gray image
+    ((r+g+b) // 3), bit j set iff cell gray > floor(mean) — the
+    classic perceptual fingerprint behind first-stage image
+    near-duplicate detection, packed into two BIGINT halves so the
+    relational side can group/Hamming-join it (the
+    embedding_hamming_topk signature convention). Every step is
+    integer arithmetic, so an oracle replays the hash exactly from
+    the closed-form pixels."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = png_decode(bytes(payload)).astype("int64")
+                h, w, c = px.shape
+                gray = px.sum(axis=2) // c
+                gx = np.arange(8) * w // 8
+                gy = np.arange(8) * h // 8
+                grid = gray[np.ix_(gy, gx)]  # (gy, gx): row-major j = gy*8+gx
+                mean = int(grid.sum()) // 64
+                bits = (grid > mean).astype("int64").reshape(-1)
+                lo = int((bits[:32] << np.arange(32)).sum())
+                hi = int((bits[32:] << np.arange(32)).sum())
+                rows.append((int(doc_id), lo, hi))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "ahash_lo", "ahash_hi"]
+            )
+
+    return media.mapInPandas(decode, schema=PNG_AHASH_SCHEMA)

@@ -434,3 +434,66 @@ def multimodal_audio_vad_segments(spark, sf_dir):
         F.sum("active").cast("long").alias("n_active"),
         F.sum("seg_start").cast("long").alias("n_segments"),
     )
+
+
+@register(
+    "multimodal_image_ahash_groups",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 1 + doc_id % 16 AS w, 1 + doc_id % 12 AS h FROM documents
+),
+cells AS (
+  SELECT doc_id, ((j % 8) * w) // 8 AS x, ((j // 8) * h) // 8 AS y, j
+  FROM dims, unnest(generate_series(0, 63)) AS u(j)
+),
+g AS (
+  SELECT doc_id, j,
+         (((x + y + doc_id) % 256) + ((2 * x + doc_id) % 256)
+          + ((3 * y + doc_id) % 256)) // 3 AS gray
+  FROM cells
+),
+m AS (SELECT doc_id, sum(gray) // 64 AS mean FROM g GROUP BY doc_id),
+bits AS (
+  SELECT g.doc_id, j,
+         CASE WHEN gray > mean THEN 1 ELSE 0 END AS b
+  FROM g JOIN m ON g.doc_id = m.doc_id
+),
+hash AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN j < 32 AND b = 1
+                       THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS lo,
+         CAST(sum(CASE WHEN j >= 32 AND b = 1
+                       THEN (1::BIGINT << (j - 32)) ELSE 0 END) AS BIGINT)
+           AS hi
+  FROM bits GROUP BY doc_id
+)
+SELECT lo AS ahash_lo, hi AS ahash_hi,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc
+FROM hash GROUP BY lo, hi
+""",
+)
+def multimodal_image_ahash_groups(spark, sf_dir):
+    """Perceptual image dedup, stage 1: REAL PNG decode → 64-bit
+    average hash (8×8 nearest-neighbor gray downsample, bit = cell >
+    image mean) → exact hash-group relation (count + representative
+    per fingerprint) — the image-side counterpart to dedup_exact's
+    content-hash grouping, tolerant of anything aHash is tolerant of
+    (re-encoding, metadata) by construction. Stage 2 at scale is a
+    banded Hamming-ball join over the same two-BIGINT signature
+    columns (embedding_hamming_topk's convention).
+
+    The hash is computed INSIDE the Arrow decode batch (one pass over
+    the bytes, 16 B out per image); the grouping is a plain hash agg —
+    at 10^9 images the signature relation is ~16 GB and the group-by
+    is the only exchange. Integer arithmetic end to end: the oracle
+    replays every pixel, the downsample indices, the floor-mean, and
+    the bit packing exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = MM.decode_png_ahash(MM.synth_png_corpus(docs))
+    return sig.groupBy(
+        F.col("ahash_lo"), F.col("ahash_hi")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+    )

@@ -242,3 +242,88 @@ def sample_pps_systematic_orders(spark, sf_dir):
         )
         .filter(F.col("n_slots") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gumbel-top-k weighted sampling without replacement (round 10)
+# ---------------------------------------------------------------------------
+
+_GUMBEL_K = 100
+_GUMBEL_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(len(list_filter(list_transform(string_split(text, ' '),
+                x -> lower(regexp_replace(x, '[^a-zA-Z]', '', 'g'))),
+                w -> length(w) > 0)) AS BIGINT) AS weight
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, weight,
+         CAST(round((ln(CAST(weight AS DOUBLE))
+                     - ln(-ln((CAST({_H} AS DOUBLE) + 1.0) / 2147483648.0)))
+                    * 1000000000.0) AS BIGINT) AS key_nano
+  FROM w WHERE weight > 0
+)
+SELECT doc_id, weight, key_nano,
+       CAST(row_number() OVER (ORDER BY key_nano DESC, doc_id)
+            AS BIGINT) AS draw_rank
+FROM keyed
+ORDER BY key_nano DESC, doc_id
+LIMIT {_GUMBEL_K}
+"""
+
+
+@register("sample_gumbel_topk_docs", oracle=_GUMBEL_ORACLE)
+def sample_gumbel_topk_docs(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement via the Gumbel-top-k
+    trick (Vieira 2014; Kool et al. 2019): draw k documents with
+    probability proportional to token count by perturbing each log
+    weight with an independent Gumbel variate and taking the global
+    top-k of key_i = ln(w_i) + G_i, G_i = −ln(−ln(u_i)). The u_i come
+    from the portable hash stream ((h+1)/2^31 ∈ (0,1)), so the
+    "random" sample is bit-reproducible across runs, engines, and
+    cluster sizes — auditable sampling, the property a training-data
+    lineage system actually needs.
+
+    Why this operator when sample_pps_systematic_orders exists: PPS
+    splitting rides a cumulative-weight ordered scan (a sequential
+    prefix structure), while Gumbel-top-k is embarrassingly parallel —
+    per-row math then ONE TakeOrderedAndProject — so it is the shape
+    that survives a 10^9-document corpus without any ordered pass;
+    it is also exactly the exponential-clock reservoir
+    (Efraimidis-Spirakis) in log space.
+
+    Exactness: each key quantizes ONCE to nano-units (the
+    quantize-once discipline), so ranking and tie-breaks are pure
+    BIGINT comparisons.
+
+    Scale shape: tokenize-count → per-row transcendental + round →
+    TakeOrdered(k). No shuffle beyond the top-k's partial ordering."""
+    from wikipedia_data_pipeline_spark.operators.text import normalize_word
+    from wikipedia_data_pipeline_spark.sources.tables import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        fan_out(docs)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("raw"))
+        .select("doc_id", normalize_word(F.col("raw")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+        .filter(F.col("weight") > 0)
+    )
+    u = (S.det_hash("doc_id").cast("double") + 1.0) / float(1 << 31)
+    key = F.round(
+        (F.log(F.col("weight").cast("double")) - F.log(-F.log(u)))
+        * 1_000_000_000.0
+    ).cast("long")
+    keyed = w.select("doc_id", "weight", key.alias("key_nano"))
+    top = keyed.orderBy(F.desc("key_nano"), F.asc("doc_id")).limit(_GUMBEL_K)
+    from pyspark.sql import Window
+
+    return top.withColumn(
+        "draw_rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("key_nano"), F.asc("doc_id")))
+        .cast("long"),
+    )
