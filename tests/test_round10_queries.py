@@ -339,3 +339,27 @@ def test_image_ahash_matches_python(spark, sf_dir, queries):
         for r in queries["multimodal_image_ahash_groups"](spark, sf_dir).collect()
     }
     assert out == {k: (len(v), min(v)) for k, v in groups.items()}
+
+
+def test_average_precision_matches_python(spark, sf_dir, queries):
+    rows = duckdb.sql(
+        f"SELECT event_id, user_id, value FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    scored = sorted(
+        ((v, e, det_hash_py(u) % 2) for e, u, v in rows),
+        key=lambda t: (-t[0], t[1]),
+    )
+    cp = 0
+    terms = []
+    for r, (_, _, lab) in enumerate(scored, start=1):
+        cp += lab
+        if lab:
+            terms.append(round(cp / r * 1e9))
+    out = queries["ml_eval_average_precision"](spark, sf_dir).collect()[0]
+    assert out.n == len(scored)
+    assert out.n_pos == len(terms)
+    assert out.average_precision == sum(terms) / len(terms) / 1e9
+    # label-independent ranking: AP ~= positive rate (+ the tiny
+    # (1-p)*mean(1/rank) conditioning bump), and bounded by 1
+    assert out.n_pos / out.n < out.average_precision <= 1.0
+    assert abs(out.average_precision - out.n_pos / out.n) < 0.05

@@ -141,6 +141,7 @@ PROBE = [
     "multimodal_audio_vad_segments",
     "sample_gumbel_topk_docs",
     "multimodal_image_ahash_groups",
+    "ml_eval_average_precision",
     # r10 cents flips: agg-dominated shapes re-probed post-flip
     "q18_large_orders",
     "agg_grouping_sets",

@@ -935,3 +935,92 @@ def ml_eval_pass_at_k(spark, sf_dir):
         ).alias("mean_pass_at_k"),
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Exact average precision / AUPRC (round 10)
+# ---------------------------------------------------------------------------
+
+_AP_ORACLE = f"""
+WITH scored AS (
+  SELECT event_id, value AS score,
+         CAST(({SQL_DET_HASH.format(col="user_id")}) % 2 AS BIGINT) AS label
+  FROM events
+),
+rk AS (
+  SELECT label,
+         row_number() OVER (ORDER BY score DESC, event_id) AS r,
+         sum(label) OVER (ORDER BY score DESC, event_id
+                          ROWS UNBOUNDED PRECEDING) AS cp
+  FROM scored
+),
+terms AS (
+  SELECT CAST(round(CAST(cp AS DOUBLE) / r * 1000000000.0) AS BIGINT)
+           AS prec_nano
+  FROM rk WHERE label = 1
+)
+SELECT CAST((SELECT count(*) FROM scored) AS BIGINT) AS n,
+       CAST((SELECT count(*) FROM terms) AS BIGINT) AS n_pos,
+       CAST((SELECT sum(prec_nano) FROM terms) AS DOUBLE)
+         / (SELECT count(*) FROM terms) / 1000000000.0
+         AS average_precision
+"""
+
+
+@register("ml_eval_average_precision", oracle=_AP_ORACLE)
+def ml_eval_average_precision(spark, sf_dir):
+    """Exact average precision (the area under the precision-recall
+    curve by the standard step interpolation: AP = mean over positives
+    of precision@rank) — the class-imbalance-robust companion to
+    ml_eval_auc_events: AUC is blind to the positive rate, AP is the
+    number that moves when the classifier's top of the ranking decays,
+    which is what a 1-in-10⁴-positives quality-filter audit actually
+    cares about. Labels are the USER-level hash-parity stream, so the
+    designed fixed point is AP ≈ the empirical positive rate (NOT 0.5:
+    with few users per small fixture the user-level parity split is
+    lopsided — 0.592 at sf0.001 — and AP tracks it, plus the
+    vanishing (1-p)·mean(1/rank) conditioning bump).
+
+    Exactness: global rank AND the running positive count come from
+    ONE hierarchical ordered_scan over (score DESC, event_id) — no
+    single-partition window; each positive's precision cp/r quantizes
+    once to nano-units (fixed-order division of exact integers), the
+    AP numerator is then an associative BIGINT sum, and the final mean
+    is one double division — bit-identical across engines.
+
+    Scale shape: the same two-pass range-partitioned scan every
+    ordered_scan consumer uses; positives-only term relation; 1-row
+    result."""
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    scored = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("value").alias("score"),
+        (det_hash("user_id") % 2).cast("long").alias("label"),
+    )
+    rk = ordered_scan(
+        scored,
+        [F.desc("score"), F.asc("event_id")],
+        rank_col="r",
+        running=[("cp", F.col("label"), "sum")],
+    )
+    terms = rk.filter(F.col("label") == 1).select(
+        F.round(F.col("cp").cast("double") / F.col("r") * 1_000_000_000.0)
+        .cast("long")
+        .alias("prec_nano")
+    )
+    n = scored.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pos"),
+        F.sum("prec_nano").cast("long").alias("s"),
+    )
+    return n.crossJoin(F.broadcast(agg)).select(
+        "n",
+        "n_pos",
+        (
+            F.col("s").cast("double")
+            / F.col("n_pos").cast("double")
+            / 1_000_000_000.0
+        ).alias("average_precision"),
+    )
