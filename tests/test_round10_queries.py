@@ -363,3 +363,34 @@ def test_average_precision_matches_python(spark, sf_dir, queries):
     # (1-p)*mean(1/rank) conditioning bump), and bounded by 1
     assert out.n_pos / out.n < out.average_precision <= 1.0
     assert abs(out.average_precision - out.n_pos / out.n) < 0.05
+
+
+def test_pinball_loss_matches_python(spark, sf_dir, queries):
+    rows = duckdb.sql(
+        f"""SELECT event_type, event_id,
+               CAST(round(value*1000000) AS BIGINT),
+               epoch_us(ts)
+            FROM read_parquet('{sf_dir}/events.parquet')"""
+    ).fetchall()
+    ts0 = min(r[3] for r in rows)
+    US = 86_400_000_000
+    train = {}
+    test = {}
+    for et, eid, vu, ts in rows:
+        day = (ts - ts0) // US
+        (train if day < 24 else test).setdefault(et, []).append((vu, eid))
+    out = {r.event_type: r for r in queries["ml_eval_pinball_loss"](spark, sf_dir).collect()}
+    assert set(out) == set(test)
+    for et, vals in train.items():
+        vals.sort()
+        n = len(vals)
+        q90 = vals[(9 * n + 9) // 10 - 1][0]
+        losses = [
+            9 * (vu - q90) if vu >= q90 else (q90 - vu)
+            for vu, _ in test[et]
+        ]
+        r = out[et]
+        assert r.q90_u == q90, et
+        assert r.n_test == len(losses)
+        assert r.pinball_deci_micro_total == sum(losses)
+        assert r.mean_pinball_loss == sum(losses) / len(losses) / 1e7

@@ -142,6 +142,7 @@ PROBE = [
     "sample_gumbel_topk_docs",
     "multimodal_image_ahash_groups",
     "ml_eval_average_precision",
+    "ml_eval_pinball_loss",
     # r10 cents flips: agg-dominated shapes re-probed post-flip
     "q18_large_orders",
     "agg_grouping_sets",

@@ -1024,3 +1024,106 @@ def ml_eval_average_precision(spark, sf_dir):
             / 1_000_000_000.0
         ).alias("average_precision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pinball (quantile) loss for a per-type p90 forecast (round 10)
+# ---------------------------------------------------------------------------
+
+_US_PER_DAY = 86_400_000_000
+
+_PINBALL_ORACLE = f"""
+WITH t0 AS (SELECT min(epoch_us(ts)) AS ts0 FROM events),
+ev AS (
+  SELECT event_type,
+         CAST(round(value * 1000000) AS BIGINT) AS v_u,
+         event_id,
+         (epoch_us(ts) - ts0) // {_US_PER_DAY} < 24 AS is_train
+  FROM events, t0
+),
+trn AS (
+  SELECT event_type, v_u,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY v_u, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev WHERE is_train
+),
+fc AS (
+  SELECT event_type, v_u AS q90_u FROM trn
+  WHERE rn = (9 * n + 9) // 10
+),
+tst AS (
+  SELECT ev.event_type, v_u, q90_u,
+         CASE WHEN v_u >= q90_u THEN 9 * (v_u - q90_u)
+              ELSE (q90_u - v_u) END AS loss_du
+  FROM ev JOIN fc ON ev.event_type = fc.event_type
+  WHERE NOT is_train
+)
+SELECT event_type,
+       CAST(max(q90_u) AS BIGINT) AS q90_u,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(loss_du) AS BIGINT) AS pinball_deci_micro_total,
+       CAST(sum(loss_du) AS DOUBLE) / count(*) / 10000000.0
+         AS mean_pinball_loss
+FROM tst GROUP BY event_type
+"""
+
+
+@register("ml_eval_pinball_loss", oracle=_PINBALL_ORACLE)
+def ml_eval_pinball_loss(spark, sf_dir):
+    """Pinball (quantile) loss of a per-type p90 forecast — the proper
+    scoring rule for quantile predictions (Koenker's check function;
+    what M5-Uncertainty-style forecast evals and SLA-latency models
+    are graded on): train on the first 24 days (the engine's standard
+    temporal split), forecast each type's p90, score on the rest with
+    L_q(y, f) = q·(y−f)⁺ + (1−q)·(f−y)⁺ at q = 0.9.
+
+    Exactness: train p90 is the grouped_exact_quantiles SELECTION
+    (rank ceil(9n/10) per type, tie-broken by event_id — never a
+    rank-everything window over the fact table); every loss term is an
+    exact integer in DECI-micro-units (×10 clears the 0.9/0.1
+    weights), the per-type total an associative BIGINT sum, and the
+    mean one double division.
+
+    Scale shape: one pass for the split bound (1-row min), one
+    range-partitioned selection over the train slice, broadcast of
+    the |types|-row forecast back onto the test scan, hash-agg out."""
+    from wikipedia_data_pipeline_spark.operators.ranks import (
+        grouped_exact_quantiles,
+    )
+    from wikipedia_data_pipeline_spark.functions import ts_us
+
+    ev0 = load_table(spark, sf_dir, "events")
+    t0 = ev0.agg(F.min("ts").alias("ts0"))
+    ev = ev0.crossJoin(F.broadcast(t0)).select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_u"),
+        (F.expr(f"(ts - ts0) div {_US_PER_DAY}") < 24).alias("is_train"),
+    )
+    trn = ev.filter(F.col("is_train")).select("event_type", "v_u", "event_id")
+    fc = grouped_exact_quantiles(
+        trn,
+        ["event_type"],
+        ["v_u", "event_id"],
+        [("p90", 9, 10)],
+        tag_col="qtag",
+    ).select("event_type", F.col("v_u").alias("q90_u"))
+    tst = ev.filter(~F.col("is_train")).join(F.broadcast(fc), "event_type")
+    loss = F.when(
+        F.col("v_u") >= F.col("q90_u"), 9 * (F.col("v_u") - F.col("q90_u"))
+    ).otherwise(F.col("q90_u") - F.col("v_u"))
+    return (
+        tst.select("event_type", "q90_u", loss.alias("loss_du"))
+        .groupBy("event_type")
+        .agg(
+            F.max("q90_u").cast("long").alias("q90_u"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum("loss_du").cast("long").alias("pinball_deci_micro_total"),
+            (
+                F.sum("loss_du").cast("double")
+                / F.count(F.lit(1))
+                / 10_000_000.0
+            ).alias("mean_pinball_loss"),
+        )
+    )
