@@ -394,3 +394,42 @@ def test_pinball_loss_matches_python(spark, sf_dir, queries):
         assert r.n_test == len(losses)
         assert r.pinball_deci_micro_total == sum(losses)
         assert r.mean_pinball_loss == sum(losses) / len(losses) / 1e7
+
+
+def test_isotonic_calibration_equals_pav(spark, sf_dir, queries):
+    """The minimax relational formulation must equal the classic
+    sequential pool-adjacent-violators fit, bin for bin."""
+    rows = duckdb.sql(
+        f"SELECT user_id, CAST(round(value*1000000) AS BIGINT) FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    vs = [v for _, v in rows]
+    lo, hi = min(vs), max(vs)
+    bins = {}
+    for u, v in rows:
+        b = min(9, (v - lo) * 10 // (hi - lo + 1))
+        n, p = bins.get(b, (0, 0))
+        bins[b] = (n + 1, p + det_hash_py(u) % 2)
+    order = sorted(bins)
+    # PAV with weights n
+    blocks = [[bins[b][1], bins[b][0], [b]] for b in order]  # [pos, n, bins]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][0] * blocks[i + 1][1] > blocks[i + 1][0] * blocks[i][1]:
+            blocks[i][0] += blocks[i + 1][0]
+            blocks[i][1] += blocks[i + 1][1]
+            blocks[i][2] += blocks[i + 1][2]
+            del blocks[i + 1]
+            i = max(0, i - 1)
+        else:
+            i += 1
+    pav = {}
+    for pos, n, bs in blocks:
+        for b in bs:
+            pav[b] = pos / n
+    out = {r.bin: r for r in queries["ml_eval_isotonic_calibration"](spark, sf_dir).collect()}
+    assert set(out) == set(bins)
+    rates = [out[b].isotonic_rate for b in sorted(out)]
+    assert rates == sorted(rates)  # monotone by construction
+    for b in bins:
+        assert abs(out[b].isotonic_rate - pav[b]) < 1e-12, b
+        assert out[b].raw_rate == bins[b][1] / bins[b][0]

@@ -143,6 +143,7 @@ PROBE = [
     "multimodal_image_ahash_groups",
     "ml_eval_average_precision",
     "ml_eval_pinball_loss",
+    "ml_eval_isotonic_calibration",
     # r10 cents flips: agg-dominated shapes re-probed post-flip
     "q18_large_orders",
     "agg_grouping_sets",

@@ -1127,3 +1127,146 @@ def ml_eval_pinball_loss(spark, sf_dir):
             ).alias("mean_pinball_loss"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration over the reliability bins (round 10)
+# ---------------------------------------------------------------------------
+
+_ISO_ORACLE = f"""
+WITH ev AS (
+  SELECT CAST(round(value * 1000000) AS BIGINT) AS v_u,
+         CAST(({SQL_DET_HASH.format(col="user_id")}) % 2 AS BIGINT) AS label
+  FROM events
+),
+rng AS (SELECT CAST(min(v_u) AS BIGINT) AS lo, CAST(max(v_u) AS BIGINT) AS hi
+        FROM ev),
+per AS (
+  SELECT least(9, ((ev.v_u - rng.lo) * 10) // (rng.hi - rng.lo + 1)) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(label) AS BIGINT) AS n_pos
+  FROM ev, rng GROUP BY 1
+),
+cum AS (
+  SELECT bin,
+         sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
+         sum(n_pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cp
+  FROM per
+),
+ranges AS (
+  SELECT j.bin AS j, k.bin AS k,
+         CAST(k.cp - coalesce(jp.cp, 0) AS DOUBLE)
+           / CAST(k.cn - coalesce(jp.cn, 0) AS DOUBLE) AS avg_rate
+  FROM cum j
+  JOIN cum k ON j.bin <= k.bin
+  LEFT JOIN cum jp ON jp.bin = j.bin - 1
+),
+inner_min AS (
+  SELECT p.bin AS i, r.j, min(r.avg_rate) AS m
+  FROM per p JOIN ranges r ON r.j <= p.bin AND r.k >= p.bin
+  GROUP BY p.bin, r.j
+),
+iso AS (SELECT i AS bin, max(m) AS iso_rate FROM inner_min GROUP BY i)
+SELECT per.bin, per.n, per.n_pos,
+       CAST(per.n_pos AS DOUBLE) / per.n AS raw_rate,
+       iso.iso_rate AS isotonic_rate
+FROM per JOIN iso ON per.bin = iso.bin
+"""
+
+
+@register("ml_eval_isotonic_calibration", oracle=_ISO_ORACLE)
+def ml_eval_isotonic_calibration(spark, sf_dir):
+    """Isotonic-regression calibration of the reliability bins — the
+    actual CALIBRATOR next to ml_eval_calibration_bins' diagnostic:
+    the weighted L2 isotonic fit of per-bin positive rates by the
+    exact minimax identity (Robertson-Wright-Dykstra; what sklearn's
+    IsotonicRegression / PAV computes):
+        iso_i = max_{j<=i} min_{k>=i} avg(rate over bins j..k).
+    PAV's pooling is sequential, but over B = 10 bins the minimax form
+    is a PURE RELATIONAL double aggregate on a B²-range relation —
+    <= 1000 rows — so no driver loop and no sequential state anywhere.
+
+    Exactness: bin counts are exact BIGINTs; each range average is ONE
+    fixed-order double division of exact cumulative integers, so both
+    engines materialize identical doubles and the min/max lattice is
+    bit-identical. (At B where B³ relational work stops being free,
+    PAV on the collected B-row relation is the classic driver-side
+    finish — B is a CONSTANT here, never data-sized.)
+
+    Scale shape: one fact-wide hash agg to the 10-bin relation (the
+    only real work), then bounded-size joins."""
+    from pyspark.sql import Window
+
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_u"),
+        (det_hash("user_id") % 2).cast("long").alias("label"),
+    )
+    rng = ev.agg(
+        F.min("v_u").cast("long").alias("lo"),
+        F.max("v_u").cast("long").alias("hi"),
+    )
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.lit(9),
+            F.expr("((v_u - lo) * 10) div (hi - lo + 1)"),
+        ).alias("bin"),
+        "label",
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("label").cast("long").alias("n_pos"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "bin",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("n_pos").over(w).alias("cp"),
+    )
+    j = cum.select(
+        F.col("bin").alias("j"), F.col("cn").alias("jcn"), F.col("cp").alias("jcp")
+    )
+    jp = cum.select(
+        (F.col("bin") + 1).alias("j"),
+        F.col("cn").alias("pcn"),
+        F.col("cp").alias("pcp"),
+    )
+    k = cum.select(
+        F.col("bin").alias("k"), F.col("cn").alias("kcn"), F.col("cp").alias("kcp")
+    )
+    ranges = (
+        j.join(jp, "j", "left")
+        .join(k, F.col("j") <= F.col("k"))
+        .select(
+            "j",
+            "k",
+            (
+                (F.col("kcp") - F.coalesce(F.col("pcp"), F.lit(0))).cast(
+                    "double"
+                )
+                / (F.col("kcn") - F.coalesce(F.col("pcn"), F.lit(0))).cast(
+                    "double"
+                )
+            ).alias("avg_rate"),
+        )
+    )
+    i_rel = per.select(F.col("bin").alias("i"))
+    inner_min = (
+        i_rel.join(
+            ranges, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i"))
+        )
+        .groupBy("i", "j")
+        .agg(F.min("avg_rate").alias("m"))
+    )
+    iso = inner_min.groupBy("i").agg(F.max("m").alias("iso_rate"))
+    return (
+        per.join(iso, per["bin"] == iso["i"])
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            (F.col("n_pos").cast("double") / F.col("n")).alias("raw_rate"),
+            F.col("iso_rate").alias("isotonic_rate"),
+        )
+    )
