@@ -433,3 +433,39 @@ def test_isotonic_calibration_equals_pav(spark, sf_dir, queries):
     for b in bins:
         assert abs(out[b].isotonic_rate - pav[b]) < 1e-12, b
         assert out[b].raw_rate == bins[b][1] / bins[b][0]
+
+
+def test_tost_equivalence_matches_python(spark, sf_dir, queries):
+    import math as _m
+
+    per_user = {}
+    for u, clicks in duckdb.sql(
+        f"""SELECT user_id,
+               sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END)
+            FROM read_parquet('{sf_dir}/events.parquet') GROUP BY user_id"""
+    ).fetchall():
+        per_user[u] = 1 if clicks >= 15 else 0
+    n = [0, 0]
+    conv = [0, 0]
+    for u, c in per_user.items():
+        n[u % 2] += 1
+        conv[u % 2] += c
+    na, nb, ca, cb = n[0], n[1], conv[0], conv[1]
+    d, mm, c_, nn = cb * na - ca * nb, na * nb, ca + cb, na + nb
+    a_low = d * 1_000_000 + 30_000 * mm
+    a_up = d * 1_000_000 - 30_000 * mm
+    rhs = 1_644_854**2 * (c_ * (nn - c_)) * mm * mm
+    scale_l = nn * mm
+    equiv = (a_low >= 0 and a_low * a_low * scale_l >= rhs) and (
+        a_up <= 0 and a_up * a_up * scale_l >= rhs
+    )
+    lift = cb / nb - ca / na
+    pbar = c_ / nn
+    se = _m.sqrt(pbar * (1 - pbar) * (1.0 / na + 1.0 / nb))
+    out = queries["stats_tost_equivalence"](spark, sf_dir).collect()[0]
+    assert (out.n_a, out.conv_a, out.n_b, out.conv_b) == (na, ca, nb, cb)
+    assert out.z_lower == (lift + 0.03) / se
+    assert out.z_upper == (lift - 0.03) / se
+    assert out.equivalent == equiv
+    # the integer decision must agree with the float z's it mirrors
+    assert equiv == (out.z_lower >= 1.644854 and out.z_upper <= -1.644854)

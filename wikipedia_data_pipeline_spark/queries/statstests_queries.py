@@ -1760,3 +1760,156 @@ def stats_permutation_test_ab(spark, sf_dir):
             / (F.col("n_perms_valid")).cast("double")
         ).alias("p_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TOST equivalence test for two proportions (round 10)
+# ---------------------------------------------------------------------------
+
+_TOST_DELTA_U = 30_000  # equivalence margin, micro-units (0.03)
+_TOST_ZC_U = 1_644_854  # z_{0.95}, micro-units (one-sided alpha=0.05)
+
+_TOST_ORACLE = f"""
+WITH u AS (
+  SELECT user_id, user_id % 2 AS variant,
+         CASE WHEN sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) >= 15
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT variant, count(*) AS n, CAST(sum(converted) AS BIGINT) AS conv
+  FROM u GROUP BY variant
+),
+w AS (
+  SELECT
+    (SELECT n FROM s WHERE variant = 0) AS n_a,
+    (SELECT conv FROM s WHERE variant = 0) AS conv_a,
+    (SELECT n FROM s WHERE variant = 1) AS n_b,
+    (SELECT conv FROM s WHERE variant = 1) AS conv_b
+),
+m AS (
+  SELECT n_a, conv_a, n_b, conv_b,
+         conv_b * n_a - conv_a * n_b AS d,
+         n_a * n_b AS mm,
+         conv_a + conv_b AS c,
+         n_a + n_b AS nn
+  FROM w
+),
+dec AS (
+  SELECT m.*,
+         d * 1000000 + {_TOST_DELTA_U} * mm AS a_low,
+         d * 1000000 - {_TOST_DELTA_U} * mm AS a_up,
+         CAST({_TOST_ZC_U} AS HUGEINT) * {_TOST_ZC_U}
+           * (c * (nn - c)) * (CAST(mm AS HUGEINT) * mm) AS rhs,
+         CAST(nn AS HUGEINT) * mm AS scale_l
+  FROM m
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       (CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a + 0.03)
+         / sqrt((CAST(c AS DOUBLE) / nn) * (1 - CAST(c AS DOUBLE) / nn)
+                * (1.0 / n_a + 1.0 / n_b)) AS z_lower,
+       (CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a - 0.03)
+         / sqrt((CAST(c AS DOUBLE) / nn) * (1 - CAST(c AS DOUBLE) / nn)
+                * (1.0 / n_a + 1.0 / n_b)) AS z_upper,
+       (a_low >= 0 AND CAST(a_low AS HUGEINT) * a_low * scale_l >= rhs)
+       AND
+       (a_up <= 0 AND CAST(a_up AS HUGEINT) * a_up * scale_l >= rhs)
+         AS equivalent
+FROM dec
+"""
+
+
+@register("stats_tost_equivalence", oracle=_TOST_ORACLE)
+def stats_tost_equivalence(spark, sf_dir):
+    """TOST equivalence test (Schuirmann's two one-sided tests) for
+    the two-proportion A/B — the question events_ab_test_lift CANNOT
+    answer: not "is B different" but "is B provably WITHIN ±3 points
+    of A" (the parity bar for tokenizer swaps, infra migrations,
+    cheaper-model rollouts). Equivalent iff (lift+δ)/se ≥ z_c AND
+    (lift−δ)/se ≤ −z_c at one-sided α = 0.05. Same conversion
+    construction as ab_test_lift, so the two readouts are directly
+    comparable.
+
+    Exactness: the DECISION never touches a float — with lift = D/M
+    (D = conv_b·n_a − conv_a·n_b, M = n_a·n_b), pooled se² =
+    C(N−C)/(N·n_a·n_b), and δ, z_c frozen as micro-unit integer
+    literals, each one-sided condition squares (sign-guarded) to
+        (D·10⁶ ± δ_u·M)² · N·M  ≥  z_c_u² · C(N−C) · M²
+    — pure int128/DECIMAL(38,0) products (≤ ~10³³ at the 100×
+    replica). The reported z's use only correctly-rounded IEEE ops in
+    a fixed order (the ab_test_lift discipline), bit-identical across
+    engines.
+
+    Scale shape: one user-keyed aggregate (the only data shuffle),
+    then arithmetic on a 2-row relation."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.when(
+                F.sum(
+                    F.when(F.col("event_type") == "click", 1).otherwise(0)
+                )
+                >= 15,
+                1,
+            )
+            .otherwise(0)
+            .alias("converted")
+        )
+        .select((F.col("user_id") % 2).alias("variant"), "converted")
+    )
+    s = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    a = s.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = s.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    m = a.crossJoin(b).select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        (F.col("conv_b") * F.col("n_a") - F.col("conv_a") * F.col("n_b"))
+        .cast("long")
+        .alias("d"),
+        (F.col("n_a") * F.col("n_b")).cast("long").alias("mm"),
+        (F.col("conv_a") + F.col("conv_b")).cast("long").alias("c"),
+        (F.col("n_a") + F.col("n_b")).cast("long").alias("nn"),
+    )
+    dec18 = lambda col: col.cast("decimal(18,0)")  # noqa: E731
+    a_low = (F.col("d") * 1_000_000 + _TOST_DELTA_U * F.col("mm")).cast("long")
+    a_up = (F.col("d") * 1_000_000 - _TOST_DELTA_U * F.col("mm")).cast("long")
+    cn = (F.col("c") * (F.col("nn") - F.col("c"))).cast("long")
+    m2 = (F.col("mm") * F.col("mm")).cast("long")
+    rhs = (
+        (dec18(F.lit(_TOST_ZC_U)) * F.lit(_TOST_ZC_U)).cast("decimal(38,0)")
+        * dec18(cn)
+    ).cast("decimal(38,0)") * dec18(m2)
+    scale_l = dec18(F.col("nn") * F.col("mm"))
+    lhs_low = (dec18(a_low) * dec18(a_low)).cast("decimal(38,0)") * scale_l
+    lhs_up = (dec18(a_up) * dec18(a_up)).cast("decimal(38,0)") * scale_l
+    lift = (
+        F.col("conv_b").cast("double") / F.col("n_b")
+        - F.col("conv_a").cast("double") / F.col("n_a")
+    )
+    pbar = F.col("c").cast("double") / F.col("nn")
+    se = F.sqrt(
+        pbar * (1 - pbar)
+        * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return m.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        ((lift + 0.03) / se).alias("z_lower"),
+        ((lift - 0.03) / se).alias("z_upper"),
+        (
+            ((a_low >= 0) & (lhs_low >= rhs))
+            & ((a_up <= 0) & (lhs_up >= rhs))
+        ).alias("equivalent"),
+    )
