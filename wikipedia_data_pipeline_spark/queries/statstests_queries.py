@@ -1805,12 +1805,14 @@ dec AS (
   FROM m
 )
 SELECT n_a, conv_a, n_b, conv_b,
+       CASE WHEN c > 0 AND c < nn THEN
        (CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a + 0.03)
          / sqrt((CAST(c AS DOUBLE) / nn) * (1 - CAST(c AS DOUBLE) / nn)
-                * (1.0 / n_a + 1.0 / n_b)) AS z_lower,
+                * (1.0 / n_a + 1.0 / n_b)) END AS z_lower,
+       CASE WHEN c > 0 AND c < nn THEN
        (CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a - 0.03)
          / sqrt((CAST(c AS DOUBLE) / nn) * (1 - CAST(c AS DOUBLE) / nn)
-                * (1.0 / n_a + 1.0 / n_b)) AS z_upper,
+                * (1.0 / n_a + 1.0 / n_b)) END AS z_upper,
        (a_low >= 0 AND CAST(a_low AS HUGEINT) * a_low * scale_l >= rhs)
        AND
        (a_up <= 0 AND CAST(a_up AS HUGEINT) * a_up * scale_l >= rhs)
@@ -1901,13 +1903,18 @@ def stats_tost_equivalence(spark, sf_dir):
         pbar * (1 - pbar)
         * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
     )
+    # degenerate variance (all users converted, or none — the 100x
+    # replica's click density saturates the threshold): the z's are
+    # undefined, but the INTEGER decision still is (rhs = 0 and the
+    # sign guards reduce to |lift| <= delta exactly)
+    nondeg = (F.col("c") > 0) & (F.col("c") < F.col("nn"))
     return m.select(
         "n_a",
         "conv_a",
         "n_b",
         "conv_b",
-        ((lift + 0.03) / se).alias("z_lower"),
-        ((lift - 0.03) / se).alias("z_upper"),
+        F.when(nondeg, (lift + 0.03) / se).alias("z_lower"),
+        F.when(nondeg, (lift - 0.03) / se).alias("z_upper"),
         (
             ((a_low >= 0) & (lhs_low >= rhs))
             & ((a_up <= 0) & (lhs_up >= rhs))
