@@ -469,3 +469,23 @@ def test_tost_equivalence_matches_python(spark, sf_dir, queries):
     assert out.equivalent == equiv
     # the integer decision must agree with the float z's it mirrors
     assert equiv == (out.z_lower >= 1.644854 and out.z_upper <= -1.644854)
+
+
+def test_mrr_matches_python(spark, sf_dir, queries):
+    rows = duckdb.sql(
+        f"SELECT user_id, event_id, value FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    by_user = {}
+    for u, e, v in rows:
+        by_user.setdefault(u, []).append((v, e))
+    firsts = {}
+    for u, lst in by_user.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        for r, (_, e) in enumerate(lst, start=1):
+            if det_hash_py(e) % 3 == 2:
+                firsts[u] = r
+                break
+    out = queries["ml_eval_mrr"](spark, sf_dir).collect()[0]
+    assert out.n_users == len(firsts)
+    assert out.n_hit_at_10 == sum(1 for r in firsts.values() if r <= 10)
+    assert out.mrr == sum(round(1e9 / r) for r in firsts.values()) / len(firsts) / 1e9

@@ -145,6 +145,7 @@ PROBE = [
     "ml_eval_pinball_loss",
     "ml_eval_isotonic_calibration",
     "stats_tost_equivalence",
+    "ml_eval_mrr",
     # r10 cents flips: agg-dominated shapes re-probed post-flip
     "q18_large_orders",
     "agg_grouping_sets",

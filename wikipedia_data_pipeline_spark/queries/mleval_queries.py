@@ -1270,3 +1270,93 @@ def ml_eval_isotonic_calibration(spark, sf_dir):
             F.col("iso_rate").alias("isotonic_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mean reciprocal rank (round 10)
+# ---------------------------------------------------------------------------
+
+_MRR_ORACLE = f"""
+WITH scored AS (
+  SELECT user_id, event_id, value AS score,
+         CASE WHEN CAST(({SQL_DET_HASH.format(col="event_id")}) % 3 AS BIGINT) = 2
+              THEN 1 ELSE 0 END AS rel
+  FROM events
+),
+ranked AS (
+  SELECT user_id, rel,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY score DESC, event_id) AS rnk
+  FROM scored
+),
+first_rel AS (
+  SELECT user_id, CAST(min(rnk) AS BIGINT) AS first_rank
+  FROM ranked WHERE rel = 1 GROUP BY user_id
+),
+rr AS (
+  SELECT user_id, first_rank,
+         CAST(round(1000000000.0 / first_rank) AS BIGINT) AS rr_nano
+  FROM first_rel
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN first_rank <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit_at_10,
+       CAST(sum(rr_nano) AS DOUBLE) / count(*) / 1000000000.0 AS mrr
+FROM rr
+"""
+
+
+@register("ml_eval_mrr", oracle=_MRR_ORACLE)
+def ml_eval_mrr(spark, sf_dir):
+    """Mean reciprocal rank + hit@10 — the first-relevant-result
+    metric that completes the ranking-eval set (AUC orders pairs, AP
+    integrates the PR curve, NDCG grades the top-k, MRR asks 'how far
+    down is the FIRST good answer', the navigational-search and
+    RAG-retrieval headline). Relevance = the top grade of the NDCG
+    stream (rel == 2), so the two metrics are comparable on identical
+    data.
+
+    Exactness: the first-relevant rank is an exact integer from a
+    user-partitioned rank window + MIN; each reciprocal quantizes once
+    to nano-units; the mean is one double division of BIGINTs.
+
+    Scale shape: ONE user-partitioned window (user-sized groups, fully
+    parallel), a user-keyed min-agg, and the 1-row mean. Nothing
+    global."""
+    from pyspark.sql import Window
+
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("score"),
+        ((det_hash("event_id") % 3) == 2).cast("int").alias("rel"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("score"), F.asc("event_id")
+    )
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    first_rel = (
+        ranked.filter(F.col("rel") == 1)
+        .groupBy("user_id")
+        .agg(F.min("rnk").cast("long").alias("first_rank"))
+    )
+    rr = first_rel.select(
+        "first_rank",
+        F.round(1_000_000_000.0 / F.col("first_rank"))
+        .cast("long")
+        .alias("rr_nano"),
+    )
+    return rr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("first_rank") <= 10, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hit_at_10"),
+        (
+            F.sum("rr_nano").cast("double")
+            / F.count(F.lit(1))
+            / 1_000_000_000.0
+        ).alias("mrr"),
+    )
