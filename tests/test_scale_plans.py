@@ -595,3 +595,38 @@ def test_permutation_test_fans_out_after_aggregation(spark, sf_dir):
     agg = plan.rindex("HashAggregate")
     assert gen < agg, "explode must consume the aggregate, not events"
     assert plan.count("FileScan parquet") == 1  # one events scan total
+
+
+def test_gumbel_topk_is_take_ordered(spark, sf_dir):
+    """The k-draw must plan as TakeOrderedAndProject (no global sort of
+    the weighted corpus); the only rank window runs post-limit."""
+    from wikipedia_data_pipeline_spark.registry import spark_queries
+
+    df = spark_queries()["sample_gumbel_topk_docs"](spark, sf_dir)
+    s = plan_summary(df)
+    assert s.has_take_ordered
+    assert s.n_sort_merge_joins == 0
+
+
+def test_pinball_trains_via_selection_not_window(spark, sf_dir):
+    """The p90 forecast must come from grouped_exact_quantiles'
+    selection (its _gq working columns appear in the plan) and the
+    forecast join back onto the test slice must broadcast."""
+    from wikipedia_data_pipeline_spark.plans.inspect import executed_plan
+    from wikipedia_data_pipeline_spark.registry import spark_queries
+
+    df = spark_queries()["ml_eval_pinball_loss"](spark, sf_dir)
+    plan = executed_plan(df).split("== Initial Plan ==")[0]
+    assert "_gq_k" in plan  # selection machinery, not a rank-all window
+    s = plan_summary(df)
+    assert s.n_broadcast_joins >= 1
+
+
+def test_mrr_windows_are_user_partitioned(spark, sf_dir):
+    """MRR must never serialize: its one window is partitioned by
+    user_id (global_windows finds no unpartitioned WindowExec)."""
+    from wikipedia_data_pipeline_spark.plans.inspect import global_windows
+    from wikipedia_data_pipeline_spark.registry import spark_queries
+
+    df = spark_queries()["ml_eval_mrr"](spark, sf_dir)
+    assert global_windows(df) == []
