@@ -111,6 +111,7 @@ def test_permutation_test_matches_python(spark, sf_dir, queries):
     out = queries["stats_permutation_test_ab"](spark, sf_dir).collect()[0]
     assert out.n_perms_valid == len(diffs)
     assert out.obs_diff_nano == obs
+    assert out.obs_valid is True
     assert out.n_as_extreme == n_ext
     assert out.p_value == (1 + n_ext) / len(diffs)
     assert 0 < out.p_value <= 1
@@ -454,8 +455,8 @@ def test_tost_equivalence_matches_python(spark, sf_dir, queries):
     d, mm, c_, nn = cb * na - ca * nb, na * nb, ca + cb, na + nb
     a_low = d * 1_000_000 + 30_000 * mm
     a_up = d * 1_000_000 - 30_000 * mm
-    rhs = 1_644_854**2 * (c_ * (nn - c_)) * mm * mm
-    scale_l = nn * mm
+    rhs = 1_644_854**2 * (c_ * (nn - c_)) * mm
+    scale_l = nn
     equiv = (a_low >= 0 and a_low * a_low * scale_l >= rhs) and (
         a_up <= 0 and a_up * a_up * scale_l >= rhs
     )

@@ -1650,12 +1650,14 @@ diffs AS (
 obs AS (SELECT diff_nano AS obs_nano FROM diffs WHERE k = 0)
 SELECT CAST((SELECT count(*) FROM diffs) AS BIGINT) AS n_perms_valid,
        (SELECT obs_nano FROM obs) AS obs_diff_nano,
+       (SELECT count(*) FROM obs) = 1 AS obs_valid,
        CAST((SELECT count(*) FROM diffs, obs
              WHERE k > 0 AND abs(diff_nano) >= abs(obs_nano)) AS BIGINT)
          AS n_as_extreme,
+       CASE WHEN (SELECT count(*) FROM obs) = 1 THEN
        CAST(1 + (SELECT count(*) FROM diffs, obs
                  WHERE k > 0 AND abs(diff_nano) >= abs(obs_nano)) AS DOUBLE)
-         / CAST(1 + (SELECT count(*) - 1 FROM diffs) AS DOUBLE) AS p_value
+         / CAST(1 + (SELECT count(*) - 1 FROM diffs) AS DOUBLE) END AS p_value
 """
 
 
@@ -1676,7 +1678,11 @@ def stats_permutation_test_ab(spark, sf_dir):
     permutation's mean difference quantizes ONCE to fixed-point
     (micro-units × 1000 = nano-dollars) and every comparison is then
     integer. Randomization is user-level (clustered), matching how
-    the observed assignment would be deployed.
+    the observed assignment would be deployed. The k=0 observed row
+    could in principle fail the n1>0/n0>0 validity filter (one arm
+    empty); the output carries an explicit `obs_valid` flag and a
+    NULL p_value for that degenerate case instead of silently
+    reporting n_as_extreme = 0 against a missing observation.
 
     Scale shape: ONE fact-table hash-agg to the user relation (the
     only wide exchange), then a |users| × (K+1) explode of the TINY
@@ -1738,7 +1744,12 @@ def stats_permutation_test_ab(spark, sf_dir):
     obs = diffs.filter(F.col("k") == 0).select(
         F.col("diff_nano").alias("obs_nano")
     )
-    joined = diffs.crossJoin(F.broadcast(obs))
+    # LEFT join (not crossJoin): if the k=0 observed assignment were
+    # ever dropped by the n1>0/n0>0 validity filter, a cross join
+    # would silently empty the whole relation — the left join keeps
+    # the permutation rows and surfaces the degeneracy as
+    # obs_valid = false / p_value = NULL instead.
+    joined = diffs.join(F.broadcast(obs), F.lit(True), "left")
     return joined.agg(
         F.count(F.lit(1)).cast("long").alias("n_perms_valid"),
         F.max("obs_nano").alias("obs_diff_nano"),
@@ -1754,10 +1765,12 @@ def stats_permutation_test_ab(spark, sf_dir):
     ).select(
         "n_perms_valid",
         "obs_diff_nano",
+        F.col("obs_diff_nano").isNotNull().alias("obs_valid"),
         "n_as_extreme",
-        (
+        F.when(
+            F.col("obs_diff_nano").isNotNull(),
             (1 + F.col("n_as_extreme")).cast("double")
-            / (F.col("n_perms_valid")).cast("double")
+            / (F.col("n_perms_valid")).cast("double"),
         ).alias("p_value"),
     )
 
@@ -1800,8 +1813,8 @@ dec AS (
          d * 1000000 + {_TOST_DELTA_U} * mm AS a_low,
          d * 1000000 - {_TOST_DELTA_U} * mm AS a_up,
          CAST({_TOST_ZC_U} AS HUGEINT) * {_TOST_ZC_U}
-           * (c * (nn - c)) * (CAST(mm AS HUGEINT) * mm) AS rhs,
-         CAST(nn AS HUGEINT) * mm AS scale_l
+           * (c * (nn - c)) * CAST(mm AS HUGEINT) AS rhs,
+         CAST(nn AS HUGEINT) AS scale_l
   FROM m
 )
 SELECT n_a, conv_a, n_b, conv_b,
@@ -1836,10 +1849,13 @@ def stats_tost_equivalence(spark, sf_dir):
     (D = conv_b·n_a − conv_a·n_b, M = n_a·n_b), pooled se² =
     C(N−C)/(N·n_a·n_b), and δ, z_c frozen as micro-unit integer
     literals, each one-sided condition squares (sign-guarded) to
-        (D·10⁶ ± δ_u·M)² · N·M  ≥  z_c_u² · C(N−C) · M²
-    — pure int128/DECIMAL(38,0) products (≤ ~10³³ at the 100×
-    replica). The reported z's use only correctly-rounded IEEE ops in
-    a fixed order (the ab_test_lift discipline), bit-identical across
+        (D·10⁶ ± δ_u·M)² · N  ≥  z_c_u² · C(N−C) · M
+    (the common positive factor M divided out of both sides — the
+    undivided form (…)²·N·M vs …·M² overflows DECIMAL(38,0)/HUGEINT
+    at ~2e4 users per arm; this form holds to ~1.5e5 per arm, i.e.
+    lhs = a²·N with a ≤ n²·10⁶ stays under 10³⁸ while n ≤ ~1.5e5).
+    The reported z's use only correctly-rounded IEEE ops in a fixed
+    order (the ab_test_lift discipline), bit-identical across
     engines.
 
     Scale shape: one user-keyed aggregate (the only data shuffle),
@@ -1886,12 +1902,11 @@ def stats_tost_equivalence(spark, sf_dir):
     a_low = (F.col("d") * 1_000_000 + _TOST_DELTA_U * F.col("mm")).cast("long")
     a_up = (F.col("d") * 1_000_000 - _TOST_DELTA_U * F.col("mm")).cast("long")
     cn = (F.col("c") * (F.col("nn") - F.col("c"))).cast("long")
-    m2 = (F.col("mm") * F.col("mm")).cast("long")
     rhs = (
         (dec18(F.lit(_TOST_ZC_U)) * F.lit(_TOST_ZC_U)).cast("decimal(38,0)")
         * dec18(cn)
-    ).cast("decimal(38,0)") * dec18(m2)
-    scale_l = dec18(F.col("nn") * F.col("mm"))
+    ).cast("decimal(38,0)") * dec18(F.col("mm"))
+    scale_l = dec18(F.col("nn"))
     lhs_low = (dec18(a_low) * dec18(a_low)).cast("decimal(38,0)") * scale_l
     lhs_up = (dec18(a_up) * dec18(a_up)).cast("decimal(38,0)") * scale_l
     lift = (

@@ -1780,12 +1780,14 @@ def curation_token_mixture_epochs(spark, sf_dir):
     sample_weighted_mixture / curation_source_cap execute a recipe,
     this query COMPUTES one.
 
-    Exactness: every quantity is integer micro-units with floor
+    Exactness: every quantity is integer micro-units with integral
     division (epochs = min(cap, alloc·10⁶ // tokens), served tokens =
     tokens·e // 10⁶, redistribution share = leftover·tokens //
-    uncapped_tokens) — bit-identical across engines, no doubles
-    anywhere. Products stay under 2^63 up to ~10¹⁵ corpus tokens per
-    slice; past that the same arithmetic routes through DECIMAL(38,0).
+    uncapped_tokens) via Spark's `div` (IntegralDivide) — true 64-bit
+    integer quotients matching the oracle's `//` at all magnitudes,
+    no doubles anywhere. Products stay under 2^63 up to ~10¹⁵ corpus
+    tokens per slice; past that the same arithmetic must route
+    through DECIMAL(38,0).
 
     Scale shape: ONE tokenize pass → |langs|-row count relation;
     everything after (totals, two allocation rounds) is arithmetic on
@@ -1808,7 +1810,13 @@ def curation_token_mixture_epochs(spark, sf_dir):
     )
 
     def idiv(a, b):
-        return ((a - a % b) / b).cast("long")
+        # IntegralDivide (SQL `div`): true integer quotient on longs,
+        # exact at ALL magnitudes — the earlier ((a - a%b) / b) form
+        # routed through DOUBLE division, which silently loses the
+        # low bits once the numerator passes 2^53 (a language slice
+        # beyond ~2e9 tokens puts tokens*e2 there), diverging from
+        # the oracle's `//`.
+        return F.call_function("div", a.cast("long"), b.cast("long"))
 
     cap = F.lit(_MIX_EPOCH_CAP).cast("long")
     r1 = c.crossJoin(F.broadcast(tot)).select(
