@@ -500,19 +500,17 @@ def _ntile_woe_variant(spark, sf_dir):
     )
 
 
-def _kmv_distinct_shared_variant(spark, sf_dir):
-    """Round-9 rewrite CANDIDATE of sketch_kmv_distinct_users that was
-    measured and REJECTED: route the sketch and every exact-audit
-    branch through ONE persisted distinct (type, user) pair relation
-    instead of letting each audit run its own countDistinct. Clean
-    same-process 100x A/B: 3.85 s vs 3.45 s for the registered
-    multipass form — the per-branch distincts were never fact-sized in
-    BYTES, because hash-aggregate partial (map-side) combine collapses
-    each pass before its exchange, while the shared form pays a full
-    pair-relation exchange plus persist overhead up front. Kept so
-    both sides of the measured decision stay probed (ntile_by_cuts
-    discipline)."""
-    from pyspark import StorageLevel
+def _kmv_distinct_multipass_baseline(spark, sf_dir):
+    """The pre-round-11 registered form of sketch_kmv_distinct_users:
+    every exact-audit branch runs its own countDistinct / flags pass
+    over the raw fact table (4 independent fact scans) instead of
+    sharing one persisted distinct (type, user) pair relation. r9's
+    sequential A/B kept this form (3.45 s vs 3.85 s); r10's sequential
+    probe reversed it (3.08 s vs 1.98 s); the r11 INTERLEAVED
+    same-process best-of-3 (AB_KMV_r11.json: 3.32 s vs 2.45 s)
+    adjudicated the contradiction for the shared form, which is now
+    registered. Kept so both sides of the measured decision stay
+    probed (ntile_by_cuts discipline)."""
     from pyspark.sql import functions as F
 
     from wikipedia_data_pipeline_spark.operators import profiling as P
@@ -523,18 +521,15 @@ def _kmv_distinct_shared_variant(spark, sf_dir):
 
     K, MOD = _KMV_K, (1 << 31) - 1
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
-    d = track_persisted(
-        ev.distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    hsh = d.select("event_type", det_hash("user_id").alias("h"))
+    hsh = ev.select("event_type", det_hash("user_id").alias("h"))
     sk = track_persisted(
         P.kmv_min_hashes(hsh, "event_type", "h", k=K).cache()
     )
     pertype = sk.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("cnt"), F.max("h").alias("hk")
     )
-    exact_t = d.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_exact")
+    exact_t = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
     )
     est = F.when(
         F.col("cnt") < K, F.col("cnt").cast("double")
@@ -551,24 +546,12 @@ def _kmv_distinct_shared_variant(spark, sf_dir):
         sk.select("h").distinct().orderBy("h").limit(K)
         .agg(F.count(F.lit(1)).alias("cnt"), F.max("h").alias("hk"))
     )
-    flags = d.groupBy("user_id").agg(
-        F.max((F.col("event_type") == "view").cast("int")).alias("v"),
-        F.max((F.col("event_type") == "click").cast("int")).alias("c"),
-    )
-    audits = track_persisted(
-        flags.agg(
-            F.count(F.lit(1)).alias("n_union"),
-            F.sum(F.col("v") * F.col("c")).cast("long").alias("n_vc"),
-            F.sum(F.col("v") * (1 - F.col("c")))
-            .cast("long")
-            .alias("n_vnc"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    u_exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
     u_row = (
-        usk.crossJoin(F.broadcast(audits))
+        usk.crossJoin(F.broadcast(u_exact))
         .select(
             F.lit("__union_all__").alias("segment"),
-            F.col("n_union").alias("n_exact"),
+            "n_exact",
             est.alias("est_kmv"),
         )
     )
@@ -596,12 +579,21 @@ def _kmv_distinct_shared_variant(spark, sf_dir):
         .filter(F.col("h") < F.col("theta"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    i_exact = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "view").cast("int")).alias("v"),
+            F.max((F.col("event_type") == "click").cast("int")).alias("c"),
+        )
+        .filter((F.col("v") == 1) & (F.col("c") == 1))
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
     i_row = (
         common.crossJoin(F.broadcast(th))
-        .crossJoin(F.broadcast(audits))
+        .crossJoin(F.broadcast(i_exact))
         .select(
             F.lit("__intersect_view_click__").alias("segment"),
-            F.col("n_vc").alias("n_exact"),
+            "n_exact",
             (
                 F.col("c").cast("double") * F.lit(MOD) / F.col("theta")
             ).alias("est_kmv"),
@@ -613,12 +605,21 @@ def _kmv_distinct_shared_variant(spark, sf_dir):
         .filter(F.col("h") < F.col("theta"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    d_exact = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "view").cast("int")).alias("v"),
+            F.max((F.col("event_type") == "click").cast("int")).alias("c"),
+        )
+        .filter((F.col("v") == 1) & (F.col("c") == 0))
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
     d_row = (
         donly.crossJoin(F.broadcast(th))
-        .crossJoin(F.broadcast(audits))
+        .crossJoin(F.broadcast(d_exact))
         .select(
             F.lit("__view_minus_click__").alias("segment"),
-            F.col("n_vnc").alias("n_exact"),
+            "n_exact",
             (
                 F.col("c").cast("double") * F.lit(MOD) / F.col("theta")
             ).alias("est_kmv"),
@@ -705,7 +706,7 @@ BASELINES = {
     "events_quantile_table__window_baseline": _win_quantile_table,
     "events_winsorized__window_baseline": _win_winsorized,
     "events_mad_outliers__window_baseline": _win_mad_outliers,
-    "sketch_kmv_distinct_users__shared_distinct_variant": _kmv_distinct_shared_variant,
+    "sketch_kmv_distinct_users__multipass_baseline": _kmv_distinct_multipass_baseline,
     "customer_rfm_segments__ntile_by_cuts_variant": _ntile_rfm_variant,
     "revenue_concentration_deciles__ntile_by_cuts_variant": _ntile_deciles_variant,
     "ml_eval_gains_table__ntile_by_cuts_variant": _ntile_gains_variant,
