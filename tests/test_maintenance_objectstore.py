@@ -101,3 +101,24 @@ def test_csv_malformed_rows_dropped_in_dropmalformed(spark, tmp_path):
         mode="DROPMALFORMED",
     )
     assert sorted(map(tuple, df.collect())) == [(1, "a"), (3, "c")]
+
+
+def test_ensure_bucketed_twins_idempotent(spark, sf_dir):
+    """Second call in the same session must be a pure catalog hit (no
+    rewrite); the twins carry the full source schema and row counts."""
+    import time as _t
+
+    from wikipedia_data_pipeline_spark.sources.maintenance import (
+        ensure_bucketed_twins,
+    )
+
+    twins = ensure_bucketed_twins(spark, sf_dir)
+    t0 = _t.perf_counter()
+    again = ensure_bucketed_twins(spark, sf_dir)
+    assert again == twins
+    assert _t.perf_counter() - t0 < 1.0  # catalog lookup, not a write
+    for t, name in twins.items():
+        src = read_table(spark, f"{sf_dir}/{t}.parquet")
+        twin = spark.table(name)
+        assert twin.schema == src.schema
+        assert twin.count() == src.count()

@@ -66,6 +66,23 @@ def test_bucketed_join_plans_without_shuffle(spark, sf_dir):
         drop_table(spark, "b_orders")
 
 
+def test_q18_bucketed_colocated_zero_shuffles(spark, sf_dir):
+    """The registered bucketed-layout consumer: BOTH of q18's wide
+    exchanges (the fact-sized groupBy(l_orderkey) pre-agg and the
+    big ⋈ orders join) must ride the twins' bucket partitioning —
+    zero shuffle Exchange in the executed plan, broadcasts only.
+    Results must equal the plain-layout q18 exactly."""
+    from wikipedia_data_pipeline_spark import registry
+
+    qs = registry.spark_queries()
+    df = qs["q18_bucketed_colocated"](spark, sf_dir)
+    ps = plan_summary(df)
+    assert ps.n_shuffles == 0, ps
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, qs["q18_large_orders"](spark, sf_dir).collect()))
+    assert got == want
+
+
 def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     """Hive-style partitionBy layout → a partition-column predicate is a
     PartitionFilter (directory pruning), never a row filter."""

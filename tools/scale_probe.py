@@ -152,6 +152,10 @@ PROBE = [
     "join_range_periods",
     "events_daily_gapfill",
     "events_sliding_window",
+    # r11: the registered bucketed-layout consumer (eager: run 1 pays
+    # the one-time twin write, best-of-3 reads the post-write steady
+    # state; compare against q18_large_orders directly above)
+    "q18_bucketed_colocated",
 ]
 # quadratic-oracle twins: timing DuckDB here measures the oracle's
 # deliberate brute-force design, not the engine — skip, like bench.py

@@ -150,6 +150,58 @@ def q18_large_orders(spark, sf_dir):
 
 
 @register(
+    "q18_bucketed_colocated",
+    oracle=f"""
+SELECT c_custkey, o_orderkey,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice, total_qty
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN (
+  SELECT l_orderkey, {sql_cents_sum('l_quantity', 'total_qty')}
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity * 1000000) AS BIGINT)) > 250000000
+) big ON big.l_orderkey = o_orderkey
+""",
+    eager=True,
+)
+def q18_bucketed_colocated(spark, sf_dir):
+    """Q18 over the BUCKETED twin layout — the registered consumer of
+    the measured 3x layout win (SCALE_PROBE_r10.bucketed_join_ab:
+    9.97 s -> 3.06 s, exchanges 3 -> 1 at the 100x replica). lineitem
+    and orders are read from full-schema twins bucketed+sorted by
+    orderkey (sources/maintenance.ensure_bucketed_twins — the one-time
+    write is the priced trade), so BOTH this query's wide exchanges
+    disappear: the fact-sized groupBy(l_orderkey) pre-aggregation
+    reuses the scan's bucket hash-partitioning, and the big ⋈ orders
+    join is co-located (zero shuffle exchanges in the executed plan;
+    customer joins by broadcast). Results are identical to
+    q18_large_orders by construction — same oracle.
+
+    eager=True: construction triggers the lazy first-time twin write
+    (in-memory catalog = once per session); timing the tail action
+    would misprice it, and bench/probe tooling must treat the twin
+    write as the maintenance job it is."""
+    from wikipedia_data_pipeline_spark.sources.maintenance import (
+        ensure_bucketed_twins,
+    )
+
+    twins = ensure_bucketed_twins(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    o = spark.table(twins["orders"])
+    li = spark.table(twins["lineitem"])
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(cents_sum("l_quantity", "total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice", "total_qty")
+    )
+
+
+@register(
     "q22_idle_rich_customers",
     oracle="""
 WITH avg_bal AS (

@@ -25,13 +25,17 @@ def write_bucketed(
     num_buckets: int,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Persist ``df`` as a bucketed (optionally bucket-sorted) managed
-    parquet table. Joins/aggregations keyed on ``bucket_cols`` between
-    tables sharing a bucket count then plan with zero exchanges."""
+    """Persist ``df`` as a bucketed (optionally bucket-sorted) parquet
+    table — managed by default, external at ``path`` when given.
+    Joins/aggregations keyed on ``bucket_cols`` between tables sharing
+    a bucket count then plan with zero exchanges."""
     w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
     w.saveAsTable(table)
 
 

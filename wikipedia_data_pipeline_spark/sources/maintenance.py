@@ -56,3 +56,78 @@ def compact(
         df = df.repartition(n)
     write_table(df, dest_path, fmt=fmt, mode="overwrite")
     return n
+
+
+# ---------------------------------------------------------------------------
+# Bucketed twin layout (round 11)
+# ---------------------------------------------------------------------------
+
+# join-key bucketing spec per fact table: the keys the heavy fact-fact
+# joins and fact-sized pre-aggregations cluster on
+BUCKET_SPECS: dict[str, list[str]] = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+}
+DEFAULT_BUCKETS = 32
+
+
+def bucketed_table_name(sf_dir: str, table: str, num_buckets: int) -> str:
+    """Catalog name for the bucketed twin of ``sf_dir``'s ``table`` —
+    content-addressed by source dir so different scale factors never
+    collide in one session."""
+    import hashlib
+
+    digest = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    return f"wdp_bkt_{table}_{digest}_{num_buckets}"
+
+
+def ensure_bucketed_twins(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = ("lineitem", "orders"),
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> dict[str, str]:
+    """Maintenance path for the measured 3x bucketed-join win
+    (SCALE_PROBE_r10.bucketed_join_ab: 9.97 s -> 3.06 s, exchanges
+    3 -> 1 on the 60M-row lineitem x orders SMJ): write each fact
+    table ONCE as a full-schema parquet table bucketed+sorted by its
+    join key, then every orderkey-keyed join/aggregation over the
+    twins plans with zero shuffle exchanges (the scan reports the
+    bucket hash-partitioning; parquet column pruning still applies,
+    so one bucketed copy serves every consumer).
+
+    This is the pay-the-shuffle-once-at-write-time trade: at 100 TB
+    the write is a scheduled maintenance job, here it runs lazily the
+    first time a session asks (in-memory catalog = once per session;
+    data lives under ``<sf_dir basename>``-keyed external paths inside
+    the repo, so re-writes hit the same location). Returns
+    {table: catalog_name}."""
+    import os
+
+    root = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "benchdata",
+        "bucketed",
+    )
+    out: dict[str, str] = {}
+    for t in tables:
+        keys = BUCKET_SPECS[t]
+        name = bucketed_table_name(sf_dir, t, num_buckets)
+        if not spark.catalog.tableExists(name):
+            from wikipedia_data_pipeline_spark.sources.bucketing import (
+                write_bucketed,
+            )
+
+            df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+            write_bucketed(
+                df,
+                name,
+                keys,
+                num_buckets,
+                sort_cols=keys,
+                path=os.path.join(root, name),
+            )
+        out[t] = name
+    return out
