@@ -301,7 +301,11 @@ def png_encode(pixels) -> bytes:
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    # one (h, stride+1) array — filter byte column + payload — beats a
+    # per-row bytes join by ~h small allocations per image
+    rows = np.zeros((h, w * c + 1), dtype=np.uint8)
+    rows[:, 1:] = a.reshape(h, w * c)
+    raw = rows.tobytes()
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -314,9 +318,19 @@ def png_decode(data: bytes):
     """Minimal PNG reader: returns an (h, w, c) uint8 numpy array.
     Handles 8-bit depth, color types 0/2/6, all five scanline filters,
     non-interlaced, multi-IDAT. Raises ValueError on anything else.
-    Filters 0/1/2 defilter vectorized (None, modular-prefix-sum Sub,
-    Up); Average/Paeth carry a true left-neighbor recurrence and run
-    per-byte Python — fine at this engine's thumbnail/test scale, and
+
+    Decode cost discipline (r11): the whole scanline payload parses as
+    ONE (h, stride+1) reshape; when every row is filter 0 — the common
+    case for tool-generated thumbnails and this engine's encoder — the
+    unfilter is a single slice copy with no per-row Python at all
+    (the prior per-row loop paid ~10 small-numpy calls per scanline,
+    which dominated aHash at the 100x replica's 1M tiny images).
+    Mixed-filter images dispatch per row: None/Sub/Up are vectorized
+    numpy (slice copy / modular-lane cumsum / +=); Average and Paeth
+    carry a true left-neighbor recurrence that has no exact numpy scan
+    (the half-sum and min-of-three predictors don't compose under
+    mod-256), so they run the sequential loop over Python ints on
+    bytearrays — several times faster than numpy scalar indexing, and
     the first thing a libvips/Pillow swap-in would replace."""
     import struct
     import zlib
@@ -352,39 +366,51 @@ def png_decode(data: bytes):
     stride = w * c
     if len(raw) != h * (stride + 1):
         raise ValueError("bad scanline payload size")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    if ftypes.max(initial=0) == 0:
+        # all-None fast path: the payload IS the image
+        return rows[:, 1:].reshape(h, w, c).copy()
+    if ftypes.max() > 4:
+        raise ValueError(f"bad filter {int(ftypes.max())}")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
-        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
-        ftype, line = row[0], np.frombuffer(row[1:], dtype=np.uint8).copy()
-        if ftype == 1:  # Sub: recurrence a[x] = enc[x] + a[x-c] is a
+        ftype = int(ftypes[y])
+        if ftype == 0:
+            out[y] = rows[y, 1:]
+        elif ftype == 1:  # Sub: recurrence a[x] = enc[x] + a[x-c] is a
             # per-channel-lane modular prefix sum — vectorized cumsum
-            line = (
-                line.reshape(-1, c)
+            out[y] = (
+                rows[y, 1:]
+                .reshape(-1, c)
                 .astype(np.uint64)
                 .cumsum(axis=0)
                 .astype(np.uint8)
                 .reshape(stride)
             )
         elif ftype == 2:  # Up
-            line += prev
+            np.add(rows[y, 1:], prev, out=out[y])
         elif ftype == 3:  # Average
+            line = bytearray(rows[y, 1:].tobytes())
+            pv = prev.tobytes()
             for x in range(stride):
-                left = int(line[x - c]) if x >= c else 0
-                line[x] = (line[x] + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
+                left = line[x - c] if x >= c else 0
+                line[x] = (line[x] + ((left + pv[x]) >> 1)) & 0xFF
+            out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+        else:  # Paeth
+            line = bytearray(rows[y, 1:].tobytes())
+            pv = prev.tobytes()
             for x in range(stride):
-                a_ = int(line[x - c]) if x >= c else 0
-                b_ = int(prev[x])
-                cc = int(prev[x - c]) if x >= c else 0
+                a_ = line[x - c] if x >= c else 0
+                b_ = pv[x]
+                cc = pv[x - c] if x >= c else 0
                 p = a_ + b_ - cc
                 pa, pb, pc = abs(p - a_), abs(p - b_), abs(p - cc)
                 pred = a_ if (pa <= pb and pa <= pc) else (b_ if pb <= pc else cc)
                 line[x] = (line[x] + pred) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"bad filter {ftype}")
-        out[y] = line
-        prev = line
+            out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+        prev = out[y]
     return out.reshape(h, w, c)
 
 
@@ -398,30 +424,49 @@ def synth_png_corpus(documents: DataFrame) -> DataFrame:
     """Deterministic synthetic image corpus: per document, a REAL PNG
     (this module's encoder) whose RGB pixels are closed-form functions
     of (doc_id, x, y) — so an oracle can recompute every pixel
-    arithmetically and any encoder/decoder bug breaks the value hash."""
+    arithmetically and any encoder/decoder bug breaks the value hash.
+
+    Formulas (w = 1 + d%16, h = 1 + d%12): r = (x+y+d) % 256,
+    g = (2x+d) % 256, b = (3y+d) % 256."""
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
+
+        # the pixel formula is (base(x, y) + d) % 256 per channel, so
+        # the per-shape base plane is doc-independent — cache the ≤192
+        # (w, h) templates and synthesize each image with one add+mod
+        # instead of ~8 small-numpy ops (the per-tiny-image overhead
+        # dominated this corpus at the 100x replica)
+        base_cache: dict = {}
+
+        def base_of(w: int, h: int):
+            key = (w, h)
+            b = base_cache.get(key)
+            if b is None:
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                b = np.stack(
+                    [
+                        x + y,
+                        2 * x + np.zeros_like(y),
+                        3 * y + np.zeros_like(x),
+                    ],
+                    axis=-1,
+                )
+                base_cache[key] = b
+            return b
 
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 w, h = 1 + d % 16, 1 + d % 12
-                x = np.arange(w, dtype=np.int64)[None, :]
-                y = np.arange(h, dtype=np.int64)[:, None]
-                img = np.stack(
-                    [
-                        (x + y + d) % 256,
-                        (2 * x + np.zeros_like(y) + d) % 256,
-                        (3 * y + np.zeros_like(x) + d) % 256,
-                    ],
-                    axis=-1,
-                ).astype(np.uint8)
+                img = (base_of(w, h) + d) % 256
+                img = img.astype(np.uint8)
                 payloads.append(png_encode(img))
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": payloads}
-            )
+            out = pdf[["doc_id"]].copy()
+            out["payload"] = payloads
+            yield out
 
     return documents.select("doc_id").mapInPandas(
         encode, schema="doc_id bigint, payload binary"
@@ -733,19 +778,39 @@ def decode_png_ahash(media: DataFrame) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        # shape-keyed cache of the flat 8×8 downsample indices — the
+        # per-image np.ix_/arange rebuild was ~3x the decode cost on
+        # thumbnail-sized images (r11 profile); bit packing runs on
+        # Python ints (64 bools) instead of three tiny-array numpy ops
+        grid_cache: dict = {}
+
+        def grid_idx(h: int, w: int):
+            key = (h, w)
+            idx = grid_cache.get(key)
+            if idx is None:
+                gx = np.arange(8) * w // 8
+                gy = np.arange(8) * h // 8
+                # (gy, gx): row-major j = gy*8+gx
+                idx = (gy[:, None] * w + gx[None, :]).ravel()
+                grid_cache[key] = idx
+            return idx
+
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                px = png_decode(bytes(payload)).astype("int64")
+                px = png_decode(bytes(payload))
                 h, w, c = px.shape
-                gray = px.sum(axis=2) // c
-                gx = np.arange(8) * w // 8
-                gy = np.arange(8) * h // 8
-                grid = gray[np.ix_(gy, gx)]  # (gy, gx): row-major j = gy*8+gx
-                mean = int(grid.sum()) // 64
-                bits = (grid > mean).astype("int64").reshape(-1)
-                lo = int((bits[:32] << np.arange(32)).sum())
-                hi = int((bits[32:] << np.arange(32)).sum())
+                gray = px.reshape(h * w, c).sum(axis=1, dtype=np.int64) // c
+                cells = gray[grid_idx(h, w)]
+                mean = int(cells.sum()) // 64
+                bits = (cells > mean).tolist()
+                lo = 0
+                hi = 0
+                for j in range(32):
+                    if bits[j]:
+                        lo |= 1 << j
+                    if bits[32 + j]:
+                        hi |= 1 << j
                 rows.append((int(doc_id), lo, hi))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "ahash_lo", "ahash_hi"]

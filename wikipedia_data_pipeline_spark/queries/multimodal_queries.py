@@ -490,7 +490,16 @@ def multimodal_image_ahash_groups(spark, sf_dir):
     replays every pixel, the downsample indices, the floor-mean, and
     the bit packing exactly."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = MM.decode_png_ahash(MM.synth_png_corpus(docs))
+    # full fan-out, not sources.tables.fan_out: that helper no-ops once
+    # the scan reaches 1/4 of cluster parallelism (right for cheap
+    # per-row work), but this path is decode-bound Python on a
+    # doc_id-only scan — closing even a 2x split gap pays, and the
+    # round-robin shuffle moves 8 bytes/row (r11: 14-split replica scan
+    # capped the decode at 14/32 cores)
+    ids = docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sig = MM.decode_png_ahash(MM.synth_png_corpus(ids))
     return sig.groupBy(
         F.col("ahash_lo"), F.col("ahash_hi")
     ).agg(
