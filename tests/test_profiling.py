@@ -186,7 +186,7 @@ def test_cms_sketch_is_mergeable(spark):
 
 
 def test_psi_drift_nonnegative_and_totals(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.statstests_queries import events_psi_drift
+    from wikipedia_data_pipeline_spark.queries.statsdrift_queries import events_psi_drift
     from wikipedia_data_pipeline_spark.sources.tables import load_table
 
     rows = events_psi_drift(spark, sf_dir).collect()
@@ -200,7 +200,7 @@ def test_psi_drift_nonnegative_and_totals(spark, sf_dir):
 def test_benford_chi2_matches_python(spark, sf_dir):
     import math
 
-    from wikipedia_data_pipeline_spark.queries.statstests_queries import events_benford_screen
+    from wikipedia_data_pipeline_spark.queries.statsdrift_queries import events_benford_screen
     from wikipedia_data_pipeline_spark.sources.tables import load_table
 
     rows = {r.event_type: r for r in
@@ -344,7 +344,7 @@ def test_checksum_detects_mutation(spark, sf_dir):
 
 
 def test_corr_matrix_in_range_and_symmetric_defn(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.statstests_queries import events_feature_corr_matrix
+    from wikipedia_data_pipeline_spark.queries.statsdrift_queries import events_feature_corr_matrix
 
     rows = events_feature_corr_matrix(spark, sf_dir).collect()
     assert len(rows) == 3
@@ -426,7 +426,7 @@ def test_survival_curve_monotone(spark, sf_dir):
 def test_mutual_information_nonneg_and_bounded(spark, sf_dir):
     import math
 
-    from wikipedia_data_pipeline_spark.queries.statstests_queries import events_mutual_information
+    from wikipedia_data_pipeline_spark.queries.statsdrift_queries import events_mutual_information
 
     r = events_mutual_information(spark, sf_dir).collect()[0]
     mi = r.mi_nano / 1e9
@@ -644,7 +644,7 @@ def test_trade_flow_totals_match_global(spark, sf_dir):
 
 
 def test_kl_nonnegative_and_total_events(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.statstests_queries import events_kl_user_vs_global
+    from wikipedia_data_pipeline_spark.queries.statsdrift_queries import events_kl_user_vs_global
     from wikipedia_data_pipeline_spark.sources.tables import load_table
 
     rows = events_kl_user_vs_global(spark, sf_dir).collect()
@@ -685,7 +685,7 @@ def test_burstiness_in_range(spark, sf_dir):
 def test_lognormal_fit_matches_numpy(spark, sf_dir):
     import numpy as np
 
-    from wikipedia_data_pipeline_spark.queries.statstests_queries import documents_length_lognormal_fit
+    from wikipedia_data_pipeline_spark.queries.statsdrift_queries import documents_length_lognormal_fit
     from wikipedia_data_pipeline_spark.sources.tables import load_table
 
     r = documents_length_lognormal_fit(spark, sf_dir).collect()[0]
@@ -902,7 +902,7 @@ def test_spatial_grid_join_equals_brute_force(spark, tmp_path):
 
 
 def test_changepoint_matches_bruteforce(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.statstests_queries import (
+    from wikipedia_data_pipeline_spark.queries.statsdrift_queries import (
         events_changepoint_value,
     )
     from wikipedia_data_pipeline_spark.sources.tables import load_table

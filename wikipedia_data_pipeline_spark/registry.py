@@ -207,8 +207,10 @@ def _load_all() -> None:
         textcorpus_queries,
         sketch_queries,
         stats_queries,
-        # round-9 split of stats_queries along screens-vs-tests lines
+        # round-9 split of stats_queries along screens-vs-tests lines;
+        # round-11 split again along fixed-horizon-vs-drift/sequential
         statstests_queries,
+        statsdrift_queries,
         mleval_queries,
         # round-10 split of mleval_queries along family lines
         features_queries,

@@ -738,7 +738,7 @@ def run_view_click_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_sprt_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming half of the SPRT monitor (see
-    queries.statstests_queries.events_sprt_ab for the batch twin and
+    queries.statsdrift_queries.events_sprt_ab for the batch twin and
     the frozen-constant exactness story): the treated arm's per-day
     (n, conversions) counters as a stateful streaming aggregation —
     the state a deployed sequential monitor keeps between micro-
@@ -748,7 +748,7 @@ def run_sprt_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the arm-selection hash and day divisor live in ONE place, shared
     # with the batch twin (lazy import: registry modules register on
     # import, and this module is itself imported during _load_all)
-    from wikipedia_data_pipeline_spark.queries.statstests_queries import (
+    from wikipedia_data_pipeline_spark.queries.statsdrift_queries import (
         sprt_treated_daily_obs,
     )
 
