@@ -234,13 +234,102 @@ def text_segment_dedup(spark, sf_dir):
     return segment_dedup(load_table(spark, sf_dir, "documents"), seg_words=10)
 
 
-@register("text_bpe_tokenize")  # learned merges: no SQL twin → rows-only
+# BPE oracle (round 11): the full trainer AND encoder replayed in SQL,
+# so the one formerly-rows-only deterministic LLM-core operator gets an
+# exact twin. Representation trick: a symbol sequence is a space-joined
+# string of \x1f-wrapped symbols ("\x1fl\x1f \x1fo\x1f \x1fw\x1f"), so
+# applying a merge IS SQL replace() — leftmost non-overlapping, exactly
+# BPE's left-to-right merge order — and the wrapper makes partial-symbol
+# matches impossible. Each training round is one unrolled CTE level
+# (pair explode → argmin by (-count, a, b) → replace), the same
+# unrolled-fixpoint pattern as the sssp/pagerank oracles. Encoding
+# applies the 8 learned (pat, rep) pairs in rank order, which equals
+# the engine's lowest-rank-first one-occurrence-at-a-time loop because
+# a merge can only CREATE pairs of higher rank than itself (a new pair
+# involves the merged symbol, which no earlier merge could reference).
+# Assumptions, asserted by the charset of this corpus: text is \x1f-free
+# and has no codepoints below space (so wrapped-symbol binary compare
+# equals raw-symbol compare), and the corpus supports ≥ 8 merges.
+_BPE_S = "\x1f"
+
+
+def _bpe_oracle_sql(n_merges: int = 8) -> str:
+    S = _BPE_S
+    parts = [
+        f"""
+WITH dw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+  WHERE len(w) > 0
+),
+wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM dw GROUP BY w),
+v0 AS (
+  SELECT n, rtrim(regexp_replace(w, '(.)', '{S}\\1{S} ', 'g')) AS s
+  FROM wc
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f""",
+p{k} AS (
+  SELECT l[i] AS a, l[i + 1] AS b, sum(n) AS cnt
+  FROM (SELECT n, string_split(s, ' ') AS l FROM v{k - 1}) t,
+       unnest(generate_series(1, len(l) - 1)) AS g(i)
+  GROUP BY a, b
+),
+b{k} AS (
+  SELECT a || ' ' || b AS pat, replace(a || b, '{S}{S}', '') AS rep
+  FROM p{k}
+  ORDER BY cnt DESC, replace(a, '{S}', '') ASC, replace(b, '{S}', '') ASC
+  LIMIT 1
+),
+v{k} AS (SELECT n, replace(s, b{k}.pat, b{k}.rep) AS s FROM v{k - 1}, b{k})"""
+        )
+    parts.append(
+        f""",
+e0 AS (
+  SELECT doc_id, rtrim(regexp_replace(w, '(.)', '{S}\\1{S} ', 'g')) AS s
+  FROM dw
+)"""
+    )
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f""",
+e{k} AS (SELECT doc_id, replace(s, b{k}.pat, b{k}.rep) AS s
+         FROM e{k - 1}, b{k})"""
+        )
+    parts.append(
+        f""",
+agg AS (
+  SELECT doc_id,
+         CAST(sum(len(string_split(s, ' '))) AS BIGINT) AS n_bpe_tokens,
+         CAST(count(*) AS BIGINT) AS n_words
+  FROM e{n_merges} GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+       coalesce(a.n_words, 0) AS n_words,
+       CASE WHEN a.n_words > 0
+            THEN round(CAST(a.n_bpe_tokens AS DOUBLE) / a.n_words, 4)
+       END AS tokens_per_word
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
+    )
+    return "".join(parts)
+
+
+# eager: bpe_train_merges collects the bounded word dictionary at
+# CONSTRUCTION (the central trainer), so timing only the encode tail
+# would misprice it — same flag discipline as graph_kcore_peel
+@register("text_bpe_tokenize", oracle=_bpe_oracle_sql(8), eager=True)
 def text_bpe_tokenize(spark, sf_dir):
     """Train 8 BPE merges on the corpus (distributed word-count agg +
     central merge loop on the bounded dictionary), then encode every
-    document distributed. Deterministic (lexicographic tie-break) but
-    not SQL-expressible — semantics are pinned by the hand-computed
-    example in tests/test_textstats.py instead."""
+    document distributed. Deterministic (lexicographic tie-break) —
+    and since round 11 exactly SQL-checkable: the oracle replays
+    training as 8 unrolled CTE levels and encoding as rank-ordered
+    replace() application (see _bpe_oracle_sql for why that equals the
+    engine's lowest-rank-first loop). The hand-computed example in
+    tests/test_textstats.py still pins the semantics independently."""
     docs = load_table(spark, sf_dir, "documents")
     merges = TS.bpe_train_merges(docs, n_merges=8)
     return TS.bpe_encode(docs, merges)
