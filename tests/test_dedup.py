@@ -102,6 +102,82 @@ def test_duplicate_span_stats_flags_cross_doc_spans_only(spark):
     assert abs(out[2].dup_ratio - 0.5) < 1e-15
 
 
+def test_duplicate_spans_extract_maximal_runs(spark):
+    from wikipedia_data_pipeline_spark.operators.dedup import (
+        duplicate_spans_extract,
+    )
+
+    shared = "one two three four five six seven eight nine"  # 9 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail1 tail2"),
+            (2, "prefix " + shared),
+            (3, "totally unrelated words in this other document here now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start): r
+        for r in duplicate_spans_extract(docs, 8).collect()
+    }
+    # doc1: grams at pos 1 and 2 are the duplicated ones -> ONE maximal
+    # run covering tokens 1..9 (2 + 8 - 1); doc2 same run shifted by 1
+    assert set(got) == {(1, 1), (2, 2)}
+    assert got[(1, 1)].span_len_tokens == 9
+    assert got[(1, 1)].span_text == shared
+    assert got[(2, 2)].span_len_tokens == 9
+    assert got[(2, 2)].span_text == shared
+
+
+def test_duplicate_spans_extract_matches_python(spark, sf_dir):
+    """Brute-force replay on the real corpus: duplicated positions from
+    raw gram strings, maximal runs, sliced text — row-identical."""
+    import duckdb
+
+    from wikipedia_data_pipeline_spark.operators.dedup import (
+        duplicate_spans_extract,
+    )
+    from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+    n = 8
+    toks = {
+        d: t.split(" ")
+        for d, t in duckdb.sql(
+            f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    }
+    gram_docs: dict[str, set[int]] = {}
+    for d, t in toks.items():
+        for i in range(len(t) - n + 1):
+            gram_docs.setdefault(" ".join(t[i : i + n]), set()).add(d)
+    want = set()
+    for d, t in toks.items():
+        dup = [
+            i
+            for i in range(len(t) - n + 1)
+            if len(gram_docs[" ".join(t[i : i + n])]) >= 2
+        ]
+        run_start = None
+        prev = None
+        for i in dup + [None]:
+            if i is not None and prev is not None and i == prev + 1:
+                prev = i
+                continue
+            if run_start is not None:
+                L = prev - run_start + n
+                want.add(
+                    (d, run_start + 1, L, " ".join(t[run_start:run_start + L]))
+                )
+            run_start, prev = i, i
+    got = {
+        (r.doc_id, r.span_start, r.span_len_tokens, r.span_text)
+        for r in duplicate_spans_extract(
+            load_table(spark, sf_dir, "documents"), n
+        ).collect()
+    }
+    assert got == want
+
+
 def test_containment_catches_subset_docs(spark):
     host = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     quoted = "gamma delta epsilon zeta eta"  # fully inside host

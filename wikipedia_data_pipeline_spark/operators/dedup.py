@@ -608,6 +608,83 @@ def duplicate_span_stats(documents: DataFrame, n: int = 8) -> DataFrame:
     )
 
 
+def duplicate_spans_extract(documents: DataFrame, n: int = 8) -> DataFrame:
+    """Exact-substring dedup, stage 2 (Lee et al. 2022): EXTRACT the
+    maximal duplicated substrings, not just their ratio — the relation
+    a curation pipeline uses to CUT repeated boilerplate out of
+    documents rather than drop them whole. A maximal duplicated span is
+    a maximal run of consecutive token positions whose n-gram also
+    occurs in another document; the substring covers tokens
+    [start, start + run_len + n - 2]. Returns
+    ``(doc_id, span_start, span_len_tokens, span_text)``, one row per
+    maximal span (1-based token positions).
+
+    Spark shape: positional n-gram fingerprints explode (occurrences
+    with their position), the gram→distinct-doc-count aggregate is the
+    only corpus-wide exchange (same key-sharded shape as
+    duplicate_span_stats — fingerprints keep it 8 bytes/key), and run
+    reconstruction is the islands trick (pos − row_number) under a
+    doc-partitioned window — bounded by document length, never global.
+    Span text rejoins the documents relation on doc_id and slices the
+    token array, so gram payloads never carry strings through the wide
+    exchange."""
+    from pyspark.sql import Window
+
+    from wikipedia_data_pipeline_spark.sources.tables import fan_out
+
+    documents = fan_out(documents)
+    # positional grams, let-bound like duplicate_span_stats
+    pos_grams = F.expr(
+        f"""
+        element_at(transform(array(split(text, ' ')), ts ->
+          CASE WHEN size(ts) >= {n} THEN
+            transform(sequence(1, size(ts) - {n - 1}),
+                      i -> struct(i AS pos, xxhash64(slice(ts, i, {n})) AS g))
+          ELSE array() END), 1)
+        """
+    )
+    occ = documents.select(
+        "doc_id", F.explode(pos_grams).alias("pg")
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    gram_docs = occ.groupBy("g").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    dup = (
+        occ.join(gram_docs, "g")
+        .filter(F.col("nd") >= 2)
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = dup.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    spans = runs.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.count(F.lit(1)) + F.lit(n - 1)).cast("long").alias(
+            "span_len_tokens"
+        ),
+    )
+    toks = documents.select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    return (
+        spans.join(toks, "doc_id")
+        .select(
+            "doc_id",
+            "span_start",
+            "span_len_tokens",
+            F.array_join(
+                F.slice(
+                    F.col("ts"),
+                    F.col("span_start"),
+                    F.col("span_len_tokens"),
+                ),
+                " ",
+            ).alias("span_text"),
+        )
+    )
+
+
 def prefix_filter_pairs(
     documents: DataFrame, threshold: float = 0.5
 ) -> DataFrame:

@@ -131,6 +131,52 @@ def text_span_dedup_stats(spark, sf_dir):
 
 
 @register(
+    "text_duplicate_spans_extract",
+    oracle="""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+occ AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS g
+  FROM tok, unnest(generate_series(1, len(t) - 7)) AS u(i)
+  WHERE len(t) >= 8
+),
+gd AS (SELECT g, count(DISTINCT doc_id) AS nd FROM occ GROUP BY g),
+dup AS (
+  SELECT o.doc_id, o.pos FROM occ o JOIN gd ON o.g = gd.g WHERE gd.nd >= 2
+),
+runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup
+),
+spans AS (
+  SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(count(*) + 7 AS BIGINT) AS span_len_tokens
+  FROM runs GROUP BY doc_id, grp
+)
+SELECT s.doc_id, s.span_start, s.span_len_tokens,
+       array_to_string(
+         t[s.span_start:s.span_start + s.span_len_tokens - 1], ' ')
+         AS span_text
+FROM spans s JOIN tok USING (doc_id)
+""",
+)
+def text_duplicate_spans_extract(spark, sf_dir):
+    """Exact-substring dedup, stage 2 (Lee et al. 2022): the maximal
+    duplicated substrings themselves — (doc_id, span_start,
+    span_len_tokens, span_text), one row per maximal run of 8-token
+    grams that also occur in another document. text_span_dedup_stats
+    measures HOW duplicated a document is; this is the relation that
+    CUTS the duplicated text out. Hash-fingerprinted grams keep the
+    corpus-wide exchange at 8 bytes/key; run reconstruction (islands
+    trick) is a doc-partitioned window; the oracle replays the same
+    grams on raw strings, so agreement re-proves the fingerprint path
+    collision-clean."""
+    return D.duplicate_spans_extract(
+        load_table(spark, sf_dir, "documents"), 8
+    )
+
+
+@register(
     "sample_shuffle_order",
     oracle="""
 SELECT doc_id,
