@@ -832,6 +832,48 @@ def skew_join_ab(spark, dir100):
 
         conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
         run("salted_32", salted)
+
+        # --- cache-suppressed rows (r11 verdict #8): the dim cached
+        # HASH-PARTITIONED ON THE JOIN KEY — ensureRequirements reuses
+        # the cache's partitioning, the dim-side shuffle stage
+        # disappears, and OptimizeSkewedJoin cannot fire even with
+        # skewJoin enabled (it requires shuffle stages on BOTH sides).
+        # This is the measured case that justifies salted_join's
+        # existence: the salt changes the join key to (k, salt), which
+        # the cache partitioning does NOT satisfy, so both sides
+        # exchange again and the hot key spreads over 32 tasks.
+        dim_cp = (
+            big.select("k")
+            .distinct()
+            .select(
+                F.col("k").alias("dk"),
+                (F.pmod(F.xxhash64("k"), F.lit(97))).alias("w"),
+            )
+        )
+        dim_cp.persist()
+        dim_cp.count()
+
+        def joined_cp():
+            j = big.join(dim_cp, big["k"] == dim_cp["dk"])
+            return j.groupBy().agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("v_c") * F.col("w")).alias("s"),
+            )
+
+        def salted_cp():
+            j = salted_join(big, dim_cp, "k", "dk", num_salts=32)
+            return j.groupBy().agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("v_c") * F.col("w")).alias("s"),
+            )
+
+        try:
+            conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+            plan_cp = run("aqe_on_cache_suppressed", joined_cp)
+            skew_engaged_cp = "skew=true" in plan_cp
+            run("salted_32_cache_suppressed", salted_cp)
+        finally:
+            dim_cp.unpersist()
     finally:
         for k_, v_ in saved.items():
             conf.set(k_, v_)
@@ -841,13 +883,18 @@ def skew_join_ab(spark, dir100):
     return {
         "shape": (
             "10M-row fact, 90% of rows on ONE key, ~1M tail keys; "
-            "~1M-row dim persisted round-robin (a key-co-partitioned "
-            "cache suppresses the dim-side exchange and AQE skew split "
-            "cannot fire), broadcast disabled; exact grouped-sum "
-            "checksum identical across variants"
+            "~1M-row dim persisted round-robin (the shape where AQE "
+            "skew split CAN fire), broadcast disabled; exact "
+            "grouped-sum checksum identical across variants. The "
+            "*_cache_suppressed rows re-run the join with the dim "
+            "cached hash-partitioned ON the key — the dim-side "
+            "exchange disappears, AQE skew split cannot fire, and "
+            "salting is the only mitigation left (the decision rule "
+            "documented in operators/skew.py)"
         ),
         "times_sec": results,
         "aqe_skew_split_engaged": skew_engaged,
+        "aqe_skew_split_engaged_cache_suppressed": skew_engaged_cp,
         "checksum": list(checks.values())[0],
     }
 

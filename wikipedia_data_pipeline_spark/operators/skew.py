@@ -12,6 +12,29 @@ Cost model: the salted join shuffles big_side once (unchanged) and
 S copies of small_side — choose S ≈ (hot-key rows / rows-per-task);
 16-64 covers most real skew. Salting is wasted work when no key is hot,
 so it's an explicit operator here, not a default.
+
+DECISION RULE (measured, SCALE_PROBE r10/r11 skew_join_ab — 10M-row
+fact with 90% of rows on one key joining a ~1M-row non-broadcastable
+dim):
+
+1. DEFAULT: leave AQE skew-join enabled and do nothing. When both join
+   inputs arrive through shuffle stages, the runtime split wins —
+   0.82 s vs 2.50 s for the 32-salt join (salting pays a 32× dim
+   replication whether or not it was needed).
+2. SALT when the runtime split CANNOT fire, i.e. when either side's
+   shuffle stage is absent at planning time, because OptimizeSkewedJoin
+   requires shuffle stages on BOTH sides:
+     * a cached/persisted relation already hash-partitioned on the
+       join key (ensureRequirements reuses its partitioning — the
+       *_cache_suppressed probe rows measure exactly this);
+     * a bucketed scan on the join key;
+     * non-SMJ/shuffled-hash physical shapes AQE does not split.
+   Salting changes the join key to (key, salt), which no existing
+   partitioning satisfies, so both sides exchange again and the hot
+   key spreads over S tasks.
+3. SALT also when BOTH sides are skewed on the same key (AQE splits
+   only the oversized shuffle partitions it can replicate the other
+   side against; mutual skew needs the explicit scatter).
 """
 
 from __future__ import annotations

@@ -79,62 +79,60 @@ _PINNED = [
     "dedup_exact",
 ]
 
-# Round-10 rotation. Front of the line: the three queries whose OUTPUT
-# SCHEMA changed this round (array columns joined to strings so the
-# driver canon can hash them — r9's only red rows) — the driver must
-# re-verify each touched path. Then the round-9 session-4 novelties
-# (winnowing, RRF, span-dedup, distinct-ngrams, Chao1, Bradley-Terry,
-# Fleiss, CUPED, Brier, McNemar, BH-FDR, incremental IDF, coreset,
-# scene-cuts — none has ever faced the driver), two streaming pins
-# (r9 verdict #8: the stateful path must never go two rounds without
-# driver evidence; sprt_monitor has never been windowed at all), and
-# the never-verified graph / privacy / linkage / embedding-QA /
-# curation tail. The r9 rotation (TPC-H tail, SQL surface, features,
-# textcorpus, r7 novelties) went driver-green in CORRECTNESS_r09 and
-# rotates out with that evidence (except the two schema-red rows,
-# which stay in).
+# Round-11 rotation. Front of the line: every query whose CODE changed
+# this round — the KMV shared-distinct flip, the new bucketed-layout
+# consumer, the new span extractor, BPE (newly exact-oracled), the
+# three ADVICE fixes (integral div, TOST rescale, permutation obs
+# guard — the latter two changed output schema/arithmetic), and the
+# rewritten aHash path. Then the six round-10 cents-flip queries whose
+# implementations changed AFTER the r10 window was set (never
+# driver-re-verified post-flip), the remaining round-10 novelties
+# (16/16 judge-sampled green but never driver-windowed), one streaming
+# pin (stateful-path hygiene — static_enrich + sessionization ride
+# _PINNED), and the never-verified ml-eval/UDF tail. The r10 rotation
+# went driver-green in CORRECTNESS_r10 (50/50) and rotates out with
+# that evidence. Driver-ever before this round: 220/341 oracle keys.
 _ROTATION = [
-    # output schema changed this round, in front of the driver
-    "scalar_regex_funcs",
-    "embedding_int8_quantize",
-    "nation_revenue_sparklines",
-    # round-9 novelties: never driver-verified
-    "text_winnowing_shared_fingerprints",
-    "text_search_rrf_hybrid",
-    "text_span_dedup_stats",
-    "text_distinct_ngrams",
-    "corpus_chao1_richness",
-    "ml_eval_bradley_terry",
-    "ml_eval_fleiss_kappa",
-    "ml_eval_cuped_ab",
-    "ml_eval_brier_decomposition",
-    "ml_eval_mcnemar_test",
-    "stats_bh_fdr_screen",
-    "tfidf_incremental_idf_refresh",
-    "curation_coreset_facility_location",
-    "multimodal_video_scene_cuts",
-    # streaming pins (stateful-path hygiene)
-    "streaming_sprt_monitor",
+    # changed this round — driver must re-verify each touched path
+    "sketch_kmv_distinct_users",
+    "q18_bucketed_colocated",
+    "text_duplicate_spans_extract",
+    "text_bpe_tokenize",
+    "curation_token_mixture_epochs",
+    "stats_tost_equivalence",
+    "stats_permutation_test_ab",
+    "multimodal_image_ahash_groups",
+    # r10 cents flips: implementation changed after the r10 window
+    "q18_large_orders",
+    "agg_grouping_sets",
+    "join_range_periods",
+    "events_daily_gapfill",
+    "events_daily_interpolate",
+    "events_sliding_window",
+    # remaining round-10 novelties: never driver-verified
+    "embedding_hamming_topk",
+    "multimodal_audio_vad_segments",
+    "sample_gumbel_topk_docs",
+    "text_yule_k_diversity",
+    "curation_dsir_importance_weights",
+    "ml_eval_average_precision",
+    "ml_eval_pinball_loss",
+    "ml_eval_isotonic_calibration",
+    "ml_eval_mrr",
+    "ml_eval_krippendorff_alpha",
+    "ml_eval_cochran_q",
+    "graph_sssp_3hop",
+    # streaming pin (stateful-path hygiene)
     "streaming_stateful_user_stats",
-    "events_sprt_ab",
-    # graph / privacy / linkage: never driver-verified
-    "graph_adamic_adar",
-    "graph_jaccard_suppliers",
-    "privacy_dp_release_counts",
-    "linkage_customer_pairs",
-    # embedding QA / multimodal tail
-    "embedding_semdedup",
-    "ann_dim_truncation_recall",
-    "multimodal_video_frame_stats",
-    # textcorpus / dedup / curation tail
-    "text_search_bm25",
-    "dedup_incremental_lsh",
-    "dedup_prefix_filter",
-    "curation_mixture_weights",
-    "training_corpus_build",
-    "events_retention_cohorts",
-    "scd2_customer_order_history",
-    "udtf_doc_sentences",
+    # never-verified ml-eval / UDF-surface tail
+    "ml_eval_calibration_bins",
+    "ml_eval_rater_kappa",
+    "ml_eval_fairness_gaps",
+    "ml_eval_conformal_threshold",
+    "ml_eval_ips_value",
+    "ml_eval_pass_at_k",
+    "udf_grouped_agg_median",
+    "udf_arrow_long_words",
 ]
 
 
