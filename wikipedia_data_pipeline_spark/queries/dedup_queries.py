@@ -115,3 +115,121 @@ def dedup_cluster_select(spark, sf_dir):
     exactly."""
     docs = load_table(spark, sf_dir, "documents")
     return D.near_dup_clusters(docs, D.minhash_lsh_pairs(docs, JACCARD_THRESHOLD))
+
+
+# --- LSH parameter planner over the TRUE near-dup pairs (round 11) ------
+
+_LSH_CFGS = [(8, 4), (16, 4), (32, 4), (8, 8), (16, 8), (32, 8)]
+
+_LSH_PLANNER_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                 FOR i IN generate_series(1, len(t) - 2)])
+              ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM tok
+),
+pairs AS (
+  SELECT CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+),
+true_pairs AS (SELECT jaccard FROM pairs WHERE jaccard >= 0.5),
+cfg(bands, rows_per_band) AS (
+  VALUES (CAST(8 AS BIGINT), CAST(4 AS BIGINT)), (16, 4), (32, 4),
+         (8, 8), (16, 8), (32, 8)
+),
+c1 AS (SELECT bands, rows_per_band, jaccard,
+              jaccard * jaccard AS j2 FROM true_pairs, cfg),
+c2 AS (SELECT *, j2 * j2 AS j4 FROM c1),
+c3 AS (SELECT *, j4 * j4 AS j8 FROM c2),
+c4 AS (SELECT *, 1 - (CASE rows_per_band WHEN 4 THEN j4 ELSE j8 END) AS t
+       FROM c3),
+c5 AS (SELECT *, t * t AS t2 FROM c4),
+c6 AS (SELECT *, t2 * t2 AS t4 FROM c5),
+c7 AS (SELECT *, t4 * t4 AS t8 FROM c6),
+c8 AS (SELECT *, t8 * t8 AS t16 FROM c7),
+c9 AS (SELECT *, t16 * t16 AS t32 FROM c8),
+cp AS (SELECT bands, rows_per_band,
+              1 - (CASE bands WHEN 8 THEN t8 WHEN 16 THEN t16
+                   ELSE t32 END) AS p
+       FROM c9)
+SELECT bands, rows_per_band,
+       CAST(count(*) AS BIGINT) AS n_true_pairs,
+       CAST(sum(CAST(round(p * 1000000000) AS BIGINT)) AS BIGINT)
+         AS exp_detected_nano,
+       CAST(sum(CAST(round(p * 1000000000) AS BIGINT)) AS DOUBLE)
+         / count(*) / 1000000000 AS exp_recall,
+       min(p) AS min_p_detect
+FROM cp GROUP BY bands, rows_per_band
+"""
+
+
+@register("dedup_lsh_recall_planner", oracle=_LSH_PLANNER_SQL)
+def dedup_lsh_recall_planner(spark, sf_dir):
+    """MinHash-LSH parameter planning against GROUND TRUTH: for each
+    candidate (bands, rows-per-band) config, the expected recall of the
+    TRUE near-dup pairs (exact Jaccard ≥ 0.5 via the zero-false-negative
+    prefix-filter join) under the S-curve detection probability
+    P(candidate | j) = 1 − (1 − j^r)^b — the table that justifies the
+    registered 32×4 config (operators.dedup.LSH_BANDS) with data
+    instead of folklore, and prices cheaper configs by the recall they
+    give up. min_p_detect is the worst true pair's detection odds (the
+    pair most likely to slip through).
+
+    Exactness: j is the exact IEEE quotient both engines already agree
+    on (dedup_prefix_filter's oracle); j^r and (1−x)^b are explicit
+    squaring CHAINS (j2=j·j, j4=j2·j2, … t32=t16·t16) — identical
+    correctly-rounded multiply sequences in both dialects, never a
+    transcendental pow(); each pair's p quantizes ONCE to nano-units so
+    the cross-pair sum is an associative BIGINT reduction.
+
+    Scale shape: the only heavy work is the prefix-filtered pair join
+    (bounded by rare-shingle postings, shared with dedup_prefix_filter);
+    the planner arithmetic rides a pairs × 6-config broadcast."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.prefix_filter_pairs(docs, JACCARD_THRESHOLD).select("jaccard")
+    cfg = spark.createDataFrame(
+        _LSH_CFGS, "bands long, rows_per_band long"
+    )
+    x = pairs.crossJoin(F.broadcast(cfg))
+    x = x.select("*", (F.col("jaccard") * F.col("jaccard")).alias("j2"))
+    x = x.select("*", (F.col("j2") * F.col("j2")).alias("j4"))
+    x = x.select("*", (F.col("j4") * F.col("j4")).alias("j8"))
+    x = x.select(
+        "*",
+        (
+            1
+            - F.when(F.col("rows_per_band") == 4, F.col("j4")).otherwise(
+                F.col("j8")
+            )
+        ).alias("t"),
+    )
+    x = x.select("*", (F.col("t") * F.col("t")).alias("t2"))
+    x = x.select("*", (F.col("t2") * F.col("t2")).alias("t4"))
+    x = x.select("*", (F.col("t4") * F.col("t4")).alias("t8"))
+    x = x.select("*", (F.col("t8") * F.col("t8")).alias("t16"))
+    x = x.select("*", (F.col("t16") * F.col("t16")).alias("t32"))
+    p = 1 - (
+        F.when(F.col("bands") == 8, F.col("t8"))
+        .when(F.col("bands") == 16, F.col("t16"))
+        .otherwise(F.col("t32"))
+    )
+    x = x.select("bands", "rows_per_band", p.alias("p"))
+    return x.groupBy("bands", "rows_per_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
+        F.sum(F.round(F.col("p") * 1_000_000_000).cast("long"))
+        .cast("long")
+        .alias("exp_detected_nano"),
+        (
+            F.sum(F.round(F.col("p") * 1_000_000_000).cast("long"))
+            .cast("double")
+            / F.count(F.lit(1))
+            / 1_000_000_000
+        ).alias("exp_recall"),
+        F.min("p").alias("min_p_detect"),
+    )

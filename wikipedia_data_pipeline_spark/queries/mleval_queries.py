@@ -1360,3 +1360,141 @@ def ml_eval_mrr(spark, sf_dir):
             / 1_000_000_000.0
         ).alias("mrr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-noise screen: Cleanlab-style confident joint (round 11)
+# ---------------------------------------------------------------------------
+
+_CJ_ORACLE = f"""
+WITH per AS (
+  SELECT user_id,
+         CAST(({SQL_DET_HASH.format(col="user_id")}) % 2 AS BIGINT) AS y,
+         (sum(CAST(round(value * 1000000) AS BIGINT)) // count(*)) AS v
+  FROM events GROUP BY user_id
+),
+rng AS (SELECT min(v) AS lo, max(v) AS hi FROM per),
+sc AS (
+  SELECT y, v - rng.lo AS sv, rng.hi - rng.lo AS w
+  FROM per, rng
+),
+cls AS (
+  SELECT
+    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN y = 1 THEN sv ELSE 0 END) AS BIGINT) AS ssv1,
+    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(sum(CASE WHEN y = 0 THEN w - sv ELSE 0 END) AS BIGINT) AS ssv0c
+  FROM sc
+),
+pred AS (
+  SELECT y,
+         CASE
+           WHEN sv * n1 >= ssv1 AND (w - sv) * n0 >= ssv0c
+             THEN CASE WHEN 2 * sv >= w THEN 1 ELSE 0 END
+           WHEN sv * n1 >= ssv1 THEN 1
+           WHEN (w - sv) * n0 >= ssv0c THEN 0
+         END AS c
+  FROM sc, cls
+),
+cj AS (
+  SELECT y, c, CAST(count(*) AS BIGINT) AS n_confident
+  FROM pred WHERE c IS NOT NULL GROUP BY y, c
+),
+spine AS (
+  SELECT y, c FROM (VALUES (CAST(0 AS BIGINT)), (1)) a(y),
+                   (VALUES (CAST(0 AS BIGINT)), (1)) b(c)
+)
+SELECT s.y AS y_label, s.c AS pred_label,
+       coalesce(cj.n_confident, 0) AS n_confident,
+       s.y <> s.c AS suspected_mislabel
+FROM spine s LEFT JOIN cj ON s.y = cj.y AND s.c = cj.c
+"""
+
+
+@register("ml_eval_confident_joint", oracle=_CJ_ORACLE)
+def ml_eval_confident_joint(spark, sf_dir):
+    """Label-noise screen via the confident joint (Northcutt et al.
+    2021, "Confident Learning") — the data-quality question the rest of
+    the eval suite assumes away: how many examples' NOISY labels
+    disagree with what a confidently-thresholded score says? Binary
+    form: per class c, the threshold t_c is the class's own mean
+    predicted probability; an example counts into C[y][ĉ] when its
+    probability for ĉ clears t_ĉ (ties to the argmax class), and the
+    off-diagonal cells are the suspected-mislabel mass that drives
+    pruning/reweighting.
+
+    Construction on this data: score = per-user mean event value
+    (micro-units, floored once by integer division), min-max normalized
+    — but every threshold comparison CROSS-MULTIPLIES so the
+    normalizing range w cancels: qualify₁ ⇔ sv·n₁ ≥ Σsv₁, qualify₀ ⇔
+    (w−sv)·n₀ ≥ Σ(w−sv)₀, argmax ⇔ 2·sv ≥ w — pure BIGINT (products
+    ≤ ~1e18 at 1e9 users × full range; past that the same comparisons
+    route through DECIMAL). Labels are the det_hash parity stream.
+
+    Scale shape: one user-keyed aggregate (the only data shuffle), one
+    broadcast 1-row range + 1-row class-stats relation, dense 2×2
+    output spine."""
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.call_function(
+            "div",
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")),
+            F.count(F.lit(1)),
+        ).alias("v"),
+    ).select(
+        (det_hash("user_id") % 2).cast("long").alias("y"), "v"
+    )
+    rng = per.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    sc = per.crossJoin(F.broadcast(rng)).select(
+        "y",
+        (F.col("v") - F.col("lo")).alias("sv"),
+        (F.col("hi") - F.col("lo")).alias("w"),
+    )
+    cls = sc.agg(
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("y") == 1, F.col("sv")).otherwise(0))
+        .cast("long")
+        .alias("ssv1"),
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("y") == 0, F.col("w") - F.col("sv")).otherwise(0))
+        .cast("long")
+        .alias("ssv0c"),
+    )
+    q1 = F.col("sv") * F.col("n1") >= F.col("ssv1")
+    q0 = (F.col("w") - F.col("sv")) * F.col("n0") >= F.col("ssv0c")
+    pred = sc.crossJoin(F.broadcast(cls)).select(
+        "y",
+        F.when(
+            q1 & q0,
+            F.when(2 * F.col("sv") >= F.col("w"), F.lit(1)).otherwise(0),
+        )
+        .when(q1, F.lit(1))
+        .when(q0, F.lit(0))
+        .cast("long")
+        .alias("c"),
+    )
+    cj = (
+        pred.filter(F.col("c").isNotNull())
+        .groupBy("y", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_confident"))
+    )
+    spine = spark.createDataFrame(
+        [(y, c) for y in (0, 1) for c in (0, 1)], "y long, c long"
+    )
+    return (
+        spine.join(cj, ["y", "c"], "left")
+        .select(
+            F.col("y").alias("y_label"),
+            F.col("c").alias("pred_label"),
+            F.coalesce(F.col("n_confident"), F.lit(0))
+            .cast("long")
+            .alias("n_confident"),
+            (F.col("y") != F.col("c")).alias("suspected_mislabel"),
+        )
+    )

@@ -971,3 +971,266 @@ def stats_tost_equivalence(spark, sf_dir):
             & ((a_up <= 0) & (lhs_up >= rhs))
         ).alias("equivalent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Experiment sizing: power / sample-size planning table (round 11)
+# ---------------------------------------------------------------------------
+
+# z_{0.975} and z_{0.80} frozen as micro-unit integer literals (the
+# TOST/SPRT transcendental-freezing discipline): two-sided alpha=0.05,
+# power=0.80.
+_PWR_ZA_U = 1_959_964
+_PWR_ZB_U = 841_621
+_PWR_MDES_U = [10_000, 20_000, 30_000, 50_000, 100_000]  # 1..10 points
+
+_PWR_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) >= 15
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+),
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(converted) AS BIGINT) AS conv
+  FROM u
+),
+g(delta_u) AS (VALUES {", ".join(f"(CAST({d} AS BIGINT))" for d in _PWR_MDES_U)}),
+q AS (
+  SELECT delta_u, n_users, conv,
+         (conv * 1000000) // n_users AS p1_u
+  FROM g, base
+),
+v AS (
+  SELECT delta_u, n_users, p1_u, p1_u + delta_u AS p2_u,
+         p1_u * (1000000 - p1_u)
+           + (p1_u + delta_u) * (1000000 - (p1_u + delta_u)) AS var_u2
+  FROM q
+)
+SELECT delta_u, p1_u, p2_u,
+       CAST((CAST({_PWR_ZA_U + _PWR_ZB_U} AS HUGEINT)
+               * {_PWR_ZA_U + _PWR_ZB_U} * var_u2
+             + CAST(delta_u AS HUGEINT) * delta_u * 1000000 - 1)
+            // (CAST(delta_u AS HUGEINT) * delta_u * 1000000)
+        AS BIGINT) AS n_per_arm,
+       CAST((CAST({_PWR_ZA_U + _PWR_ZB_U} AS HUGEINT)
+               * {_PWR_ZA_U + _PWR_ZB_U} * var_u2
+             + CAST(delta_u AS HUGEINT) * delta_u * 1000000 - 1)
+            // (CAST(delta_u AS HUGEINT) * delta_u * 1000000)
+         * 2 <= n_users AS feasible_now
+FROM v
+"""
+
+
+@register("stats_power_sample_size", oracle=_PWR_ORACLE)
+def stats_power_sample_size(spark, sf_dir):
+    """Experiment sizing table — the question every A/B platform must
+    answer BEFORE events_ab_test_lift/TOST can say anything: for a
+    grid of minimum-detectable effects (1–10 points), the per-arm
+    sample size n = ⌈(z_{α/2}+z_β)²·(p₁(1−p₁)+p₂(1−p₂))/δ²⌉ at
+    two-sided α = 0.05, power = 0.80, seeded with the OBSERVED
+    baseline conversion (the ab_test_lift construction: ≥15 clicks),
+    plus whether the current user population could already run that
+    test (2n ≤ N).
+
+    Exactness: p₁ quantizes ONCE to micro-units by integer floor
+    division; z's are frozen micro-unit literals; the ceiling division
+    runs entirely in HUGEINT/DECIMAL(38,0) ((num + den − 1) // den
+    with num = z_u²·var_u2 ≤ ~4e24) — no float anywhere in the
+    reported numbers.
+
+    Scale shape: one user-keyed aggregate (the only data shuffle) →
+    1-row baseline × 5-row literal grid."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            >= 15,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    )
+    base = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    grid = spark.createDataFrame(
+        [(d,) for d in _PWR_MDES_U], "delta_u long"
+    )
+    z_u = _PWR_ZA_U + _PWR_ZB_U
+    q = grid.crossJoin(F.broadcast(base)).select(
+        "delta_u",
+        "n_users",
+        F.call_function(
+            "div", F.col("conv") * 1_000_000, F.col("n_users")
+        ).alias("p1_u"),
+    )
+    v = q.select(
+        "delta_u",
+        "n_users",
+        "p1_u",
+        (F.col("p1_u") + F.col("delta_u")).alias("p2_u"),
+        (
+            F.col("p1_u") * (1_000_000 - F.col("p1_u"))
+            + (F.col("p1_u") + F.col("delta_u"))
+            * (1_000_000 - (F.col("p1_u") + F.col("delta_u")))
+        ).alias("var_u2"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = dec(F.lit(z_u)) * F.lit(z_u) * dec(F.col("var_u2"))
+    den = dec(F.col("delta_u")) * F.col("delta_u") * F.lit(1_000_000)
+    n_arm = F.call_function(
+        "div", (num + den - 1).cast("decimal(38,0)"), den.cast("decimal(38,0)")
+    ).cast("long")
+    return v.select(
+        "delta_u",
+        "p1_u",
+        "p2_u",
+        n_arm.alias("n_per_arm"),
+        (n_arm * 2 <= F.col("n_users")).alias("feasible_now"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Post-stratified A/B estimator (round 11)
+# ---------------------------------------------------------------------------
+
+_PSTRAT_ORACLE = """
+WITH u AS (
+  SELECT user_id, user_id % 2 AS variant,
+         CASE WHEN sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) >= 15
+              THEN 1 ELSE 0 END AS converted,
+         count(*) AS n_ev
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT CASE WHEN n_ev < 10 THEN 0 WHEN n_ev < 20 THEN 1
+              WHEN n_ev < 50 THEN 2 ELSE 3 END AS stratum,
+         variant, converted
+  FROM u
+),
+cell AS (
+  SELECT stratum,
+         CAST(count(*) AS BIGINT) AS n_s,
+         CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT)
+           AS conv_a,
+         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT)
+           AS conv_b
+  FROM s GROUP BY stratum
+),
+tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS nn FROM cell),
+terms AS (
+  SELECT c.stratum, c.n_s, c.n_a, c.conv_a, c.n_b, c.conv_b, t.nn,
+         CASE WHEN c.n_a > 0 AND c.n_b > 0 THEN
+           CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a
+         END AS lift_s,
+         CAST(n_s AS DOUBLE) / t.nn AS weight,
+         CASE WHEN c.n_a > 0 AND c.n_b > 0 THEN
+           CAST(round((CAST(n_s AS DOUBLE) / t.nn)
+                      * (CAST(conv_b AS DOUBLE) / n_b
+                         - CAST(conv_a AS DOUBLE) / n_a)
+                      * 1000000000) AS BIGINT)
+         ELSE 0 END AS term_nano
+  FROM cell c, tot t
+),
+ov AS (SELECT CAST(sum(term_nano) AS BIGINT) AS post_nano FROM terms)
+SELECT stratum, n_s, n_a, conv_a, n_b, conv_b, lift_s, weight, term_nano,
+       CAST(ov.post_nano AS DOUBLE) / 1000000000 AS post_stratified_lift
+FROM terms, ov
+"""
+
+
+@register("stats_poststratified_lift", oracle=_PSTRAT_ORACLE)
+def stats_poststratified_lift(spark, sf_dir):
+    """Post-stratified A/B estimator — the variance-reduction sibling
+    of ml_eval_cuped_ab that needs no pre-period metric, only a
+    pre-treatment covariate: users stratify by activity band (events
+    <10 / <20 / <50 / 50+), the lift is estimated inside each stratum,
+    and strata recombine by their population weight n_s/N. Removes the
+    between-strata component an imbalanced assignment leaks into the
+    plain difference (events_ab_test_lift is the unadjusted twin on
+    the same conversion metric).
+
+    Exactness: all cells are exact BIGINT counts; per-stratum lift and
+    weight are fixed-order divisions of exact integers; each stratum's
+    weighted term quantizes ONCE to nano-units so the overall estimate
+    is an associative BIGINT sum (the ece_term discipline). Strata
+    missing an arm report NULL lift and contribute zero.
+
+    Scale shape: one user-keyed aggregate (the only data shuffle) →
+    ≤4-row stratum relation; everything after is broadcast arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            >= 15,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    s = u.select(
+        (F.col("user_id") % 2).alias("variant"),
+        "converted",
+        F.when(F.col("n_ev") < 10, 0)
+        .when(F.col("n_ev") < 20, 1)
+        .when(F.col("n_ev") < 50, 2)
+        .otherwise(3)
+        .cast("long")
+        .alias("stratum"),
+    )
+    cell = s.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    tot = cell.agg(F.sum("n_s").cast("long").alias("nn"))
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    lift_s = (
+        F.col("conv_b").cast("double") / F.col("n_b")
+        - F.col("conv_a").cast("double") / F.col("n_a")
+    )
+    weight = F.col("n_s").cast("double") / F.col("nn")
+    terms = cell.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_s",
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.when(both, lift_s).alias("lift_s"),
+        weight.alias("weight"),
+        F.when(both, F.round(weight * lift_s * 1_000_000_000).cast("long"))
+        .otherwise(0)
+        .alias("term_nano"),
+    )
+    ov = terms.agg(F.sum("term_nano").cast("long").alias("post_nano"))
+    return terms.crossJoin(F.broadcast(ov)).select(
+        "stratum",
+        "n_s",
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        "lift_s",
+        "weight",
+        "term_nano",
+        (F.col("post_nano").cast("double") / 1_000_000_000).alias(
+            "post_stratified_lift"
+        ),
+    )
