@@ -1007,19 +1007,19 @@ v AS (
          p1_u * (1000000 - p1_u)
            + (p1_u + delta_u) * (1000000 - (p1_u + delta_u)) AS var_u2
   FROM q
+),
+n AS (
+  SELECT delta_u, p1_u, p2_u, n_users,
+         CAST((CAST({_PWR_ZA_U + _PWR_ZB_U} AS HUGEINT)
+                 * {_PWR_ZA_U + _PWR_ZB_U} * var_u2
+               + CAST(delta_u AS HUGEINT) * delta_u * 1000000 - 1)
+              // (CAST(delta_u AS HUGEINT) * delta_u * 1000000)
+          AS BIGINT) AS n_per_arm
+  FROM v
 )
-SELECT delta_u, p1_u, p2_u,
-       CAST((CAST({_PWR_ZA_U + _PWR_ZB_U} AS HUGEINT)
-               * {_PWR_ZA_U + _PWR_ZB_U} * var_u2
-             + CAST(delta_u AS HUGEINT) * delta_u * 1000000 - 1)
-            // (CAST(delta_u AS HUGEINT) * delta_u * 1000000)
-        AS BIGINT) AS n_per_arm,
-       CAST((CAST({_PWR_ZA_U + _PWR_ZB_U} AS HUGEINT)
-               * {_PWR_ZA_U + _PWR_ZB_U} * var_u2
-             + CAST(delta_u AS HUGEINT) * delta_u * 1000000 - 1)
-            // (CAST(delta_u AS HUGEINT) * delta_u * 1000000)
-         * 2 <= n_users AS feasible_now
-FROM v
+SELECT delta_u, p1_u, p2_u, n_per_arm,
+       n_per_arm * 2 <= n_users AS feasible_now
+FROM n
 """
 
 
