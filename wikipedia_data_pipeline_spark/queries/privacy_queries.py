@@ -1,6 +1,8 @@
 """Privacy screens for release gating: k-anonymity over
-quasi-identifier tuples and l-diversity of the sensitive column within
-each equivalence class. Split out of profiling_queries (round 7)."""
+quasi-identifier tuples, l-diversity of the sensitive column within
+each equivalence class, t-closeness of each class's sensitive
+distribution against the corpus (ordered earth-mover distance), and an
+epsilon-DP count release. Split out of profiling_queries (round 7)."""
 
 from __future__ import annotations
 
@@ -92,6 +94,156 @@ def privacy_l_diversity(spark, sf_dir):
             F.asc("source"),
         )
     )
+
+
+@register(
+    "privacy_t_closeness",
+    oracle="""
+WITH rows_b AS (
+  SELECT lang, source, n_chars // 200 AS b FROM documents
+),
+dom AS (
+  SELECT b, count(*) AS q_cnt FROM rows_b GROUP BY b
+),
+gtot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         CAST(count(DISTINCT b) AS BIGINT) AS m
+  FROM rows_b
+),
+cls AS (
+  SELECT lang, source, count(*) AS n_g FROM rows_b GROUP BY lang, source
+),
+per AS (
+  SELECT lang, source, b, count(*) AS p_cnt
+  FROM rows_b GROUP BY lang, source, b
+),
+grid AS (
+  SELECT c.lang, c.source, c.n_g, d.b, d.q_cnt,
+         COALESCE(p.p_cnt, 0) AS p_cnt
+  FROM cls c CROSS JOIN dom d
+  LEFT JOIN per p ON p.lang = c.lang AND p.source = c.source AND p.b = d.b
+),
+cum AS (
+  SELECT lang, source, n_g, b,
+         sum(p_cnt) OVER (PARTITION BY lang, source ORDER BY b) AS cum_p,
+         sum(q_cnt) OVER (PARTITION BY lang, source ORDER BY b) AS cum_q
+  FROM grid
+),
+emd AS (
+  SELECT lang, source, n_g,
+         sum(abs(CAST(g.n_total AS HUGEINT) * cum_p
+                 - CAST(n_g AS HUGEINT) * cum_q)) AS num_u,
+         max(g.n_total) AS n_total, max(g.m) AS m
+  FROM cum, gtot g
+  GROUP BY lang, source, n_g
+)
+SELECT lang, source, CAST(n_g AS BIGINT) AS group_size,
+       CASE WHEN m > 1
+            THEN CAST(num_u AS DOUBLE)
+                 / (CAST(n_g AS DOUBLE) * CAST(n_total AS DOUBLE)
+                    * CAST(m - 1 AS DOUBLE))
+            ELSE 0.0 END AS emd,
+       CASE WHEN m > 1
+            THEN CAST(num_u AS DOUBLE)
+                 / (CAST(n_g AS DOUBLE) * CAST(n_total AS DOUBLE)
+                    * CAST(m - 1 AS DOUBLE))
+            ELSE 0.0 END > 0.15 AS t_violation
+FROM emd
+ORDER BY emd DESC, lang, source
+""",
+)
+def privacy_t_closeness(spark, sf_dir):
+    """t-closeness audit — the third equivalence-class screen (after
+    k-anonymity and l-diversity, Li et al. 2007): a class passes only
+    if its SENSITIVE-attribute distribution stays within t of the
+    corpus distribution under the ordered earth-mover distance. For an
+    ordered domain with m values at unit spacing, EMD(P,Q) =
+    Σᵢ|CumP(i) − CumQ(i)| / (m−1); clamped to [0,1].
+
+    Exactness: the cumulative difference is kept as the INTEGER
+    N·cum_p(i) − n_g·cum_q(i) (clearing both denominators), summed in
+    DECIMAL(38,0) (bound: m·N·n_g ≤ ~1e3·(5e7)² ≈ 2.5e18·m at a 50M-doc
+    corpus — well inside 38 digits), with ONE double division at the
+    end — bit-identical across engines.
+
+    Scale shape: two hash aggs collapse the corpus to |classes| and
+    |classes×buckets| rows; the grid (classes × ordered domain) and its
+    per-class cumulative windows run on those post-agg relations —
+    the domain side is broadcast, the window is PARTITIONED by class,
+    and nothing entity-sized crosses an unpartitioned boundary."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows_b = docs.select(
+        "lang", "source", F.expr("n_chars div 200").alias("b")
+    )
+    dom = rows_b.groupBy("b").agg(F.count(F.lit(1)).alias("q_cnt"))
+    glob = rows_b.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.countDistinct("b").cast("long").alias("m"),
+    )
+    cls = rows_b.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_g")
+    )
+    per = rows_b.groupBy("lang", "source", "b").agg(
+        F.count(F.lit(1)).alias("p_cnt")
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(dom))
+        .join(per, ["lang", "source", "b"], "left")
+        .select(
+            "lang",
+            "source",
+            "n_g",
+            "b",
+            "q_cnt",
+            F.coalesce(F.col("p_cnt"), F.lit(0)).alias("p_cnt"),
+        )
+    )
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "lang",
+        "source",
+        "n_g",
+        F.sum("p_cnt").over(w).alias("cum_p"),
+        F.sum("q_cnt").over(w).alias("cum_q"),
+    )
+    emd_terms = cum.crossJoin(F.broadcast(glob)).select(
+        "lang",
+        "source",
+        "n_g",
+        "n_total",
+        "m",
+        F.abs(
+            F.col("n_total").cast("decimal(38,0)") * F.col("cum_p")
+            - F.col("n_g").cast("decimal(38,0)") * F.col("cum_q")
+        ).alias("du"),
+    )
+    agg = emd_terms.groupBy("lang", "source", "n_g").agg(
+        F.sum("du").alias("num_u"),
+        F.max("n_total").alias("n_total"),
+        F.max("m").alias("m"),
+    )
+    emd = F.when(
+        F.col("m") > 1,
+        F.col("num_u").cast("double")
+        / (
+            F.col("n_g").cast("double")
+            * F.col("n_total").cast("double")
+            * (F.col("m") - 1).cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "lang",
+        "source",
+        F.col("n_g").cast("long").alias("group_size"),
+        emd.alias("emd"),
+        (emd > 0.15).alias("t_violation"),
+    ).orderBy(F.desc("emd"), F.asc("lang"), F.asc("source"))
 
 
 @register(

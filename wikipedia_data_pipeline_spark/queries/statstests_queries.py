@@ -1234,3 +1234,354 @@ def stats_poststratified_lift(spark, sf_dir):
             "post_stratified_lift"
         ),
     )
+
+
+# --- Survival + stratified contingency (round 11, session 2) ------------
+
+_LOGRANK_ORACLE = f"""
+WITH cust AS (
+  SELECT o_custkey,
+         min(year(CAST(o_orderdate AS DATE)) * 12
+             + month(CAST(o_orderdate AS DATE))) AS first_m,
+         max(year(CAST(o_orderdate AS DATE)) * 12
+             + month(CAST(o_orderdate AS DATE))) AS last_m
+  FROM orders GROUP BY o_custkey
+),
+bounds AS (SELECT max(last_m) AS data_end FROM cust),
+obs AS (
+  SELECT CAST(({SQL_DET_HASH.format(col="o_custkey")}) % 2 AS BIGINT) AS arm,
+         last_m - first_m AS duration_m,
+         CASE WHEN b.data_end - last_m > 6 THEN 1 ELSE 0 END AS churned
+  FROM cust, bounds b
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(arm) AS BIGINT) AS n1_all
+  FROM obs
+),
+at_t AS (
+  SELECT duration_m,
+         CAST(sum(churned) AS BIGINT) AS d,
+         CAST(sum(CASE WHEN arm = 1 THEN churned ELSE 0 END) AS BIGINT) AS d1,
+         CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(arm) AS BIGINT) AS c1
+  FROM obs GROUP BY duration_m
+),
+risk AS (
+  SELECT duration_m, d, d1,
+         t.n_all - COALESCE(sum(c) OVER (ORDER BY duration_m
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n,
+         t.n1_all - COALESCE(sum(c1) OVER (ORDER BY duration_m
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1
+  FROM at_t, tot t
+),
+terms AS (
+  SELECT d, d1, n, n1,
+         CAST((2 * CAST(d AS HUGEINT) * n1 * 1000000000 + n)
+              // (2 * CAST(n AS HUGEINT)) AS BIGINT) AS e1_nano,
+         CASE WHEN n > 1 THEN
+           CAST(round(((((CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE))
+                         * CAST(n - n1 AS DOUBLE))
+                        * CAST(n - d AS DOUBLE))
+                       / ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                          * CAST(n - 1 AS DOUBLE)))
+                      * 1000000000) AS BIGINT)
+         ELSE 0 END AS v_nano
+  FROM risk WHERE d > 0
+),
+s AS (
+  SELECT CAST(sum(d1) AS BIGINT) AS o1,
+         CAST(sum(e1_nano) AS BIGINT) AS e1_nano,
+         CAST(sum(v_nano) AS BIGINT) AS v_nano,
+         CAST(count(*) AS BIGINT) AS n_event_times
+  FROM terms
+)
+SELECT t.n1_all AS n_arm1, t.n_all - t.n1_all AS n_arm0,
+       s.n_event_times, s.o1,
+       CAST(s.e1_nano AS DOUBLE) / 1000000000 AS e1,
+       CAST(s.v_nano AS DOUBLE) / 1000000000 AS v,
+       CASE WHEN s.v_nano > 0 THEN
+         ((CAST(s.o1 AS DOUBLE) - CAST(s.e1_nano AS DOUBLE) / 1000000000)
+          * (CAST(s.o1 AS DOUBLE) - CAST(s.e1_nano AS DOUBLE) / 1000000000))
+         / (CAST(s.v_nano AS DOUBLE) / 1000000000)
+       ELSE 0.0 END AS chi2,
+       CASE WHEN s.v_nano > 0 THEN
+         ((CAST(s.o1 AS DOUBLE) - CAST(s.e1_nano AS DOUBLE) / 1000000000)
+          * (CAST(s.o1 AS DOUBLE) - CAST(s.e1_nano AS DOUBLE) / 1000000000))
+         / (CAST(s.v_nano AS DOUBLE) / 1000000000)
+       ELSE 0.0 END > 3.841458820694124 AS reject_05
+FROM s, tot t
+"""
+
+
+@register("stats_logrank_test", oracle=_LOGRANK_ORACLE)
+def stats_logrank_test(spark, sf_dir):
+    """Two-sample log-rank test (Mantel-Cox) over the Kaplan-Meier
+    churn fixture of orders_survival_curve: duration = months between a
+    customer's first and last order, death = churn (no order within 6
+    months of data end), later customers right-censored; arms split by
+    the deterministic customer hash (so the null holds by construction
+    — the machinery is under audit, as in ml_eval_auc_events). At each
+    event time t: O₁−E₁ accumulates d₁ₜ − dₜ·n₁ₜ/nₜ and the
+    hypergeometric variance dₜ(n₁ₜ/nₜ)(1−n₁ₜ/nₜ)(nₜ−dₜ)/(nₜ−1);
+    χ² = (O₁−E₁)²/V against 3.84 (α=0.05, 1 df).
+
+    Exactness: E₁ per time is the exact integer-rounded nano-unit
+    (2·d·n₁·10⁹+n) div (2n) — pure DECIMAL/HUGEINT arithmetic, no libm;
+    the variance term is one canonical IEEE expression tree rounded
+    once to nano-units (survival-curve discipline); both accumulate as
+    BIGINT sums, so the statistic is bit-identical across engines.
+
+    Scale shape: the fact scan collapses to one row per customer, then
+    one row per distinct duration (~tens of months); the at-risk
+    windows and the final fold never see raw orders. Reference scope:
+    extends the §2 aggregate family; fixture shared with
+    orders_survival_curve (finance_queries)."""
+    from pyspark.sql import Window
+
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    o = load_table(spark, sf_dir, "orders")
+    mth = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    cust = o.groupBy("o_custkey").agg(
+        F.min(mth).alias("first_m"), F.max(mth).alias("last_m")
+    )
+    bounds = cust.agg(F.max("last_m").alias("data_end"))
+    obs = cust.crossJoin(F.broadcast(bounds)).select(
+        (det_hash("o_custkey") % 2).cast("long").alias("arm"),
+        (F.col("last_m") - F.col("first_m")).alias("duration_m"),
+        F.when(F.col("data_end") - F.col("last_m") > 6, 1)
+        .otherwise(0)
+        .alias("churned"),
+    )
+    tot = obs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("arm").cast("long").alias("n1_all"),
+    )
+    at_t = obs.groupBy("duration_m").agg(
+        F.sum("churned").cast("long").alias("d"),
+        F.sum(F.when(F.col("arm") == 1, F.col("churned")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("arm").cast("long").alias("c1"),
+    )
+    # global window over the per-duration relation: ≤ #distinct months
+    # (driver-tiny, the survival-curve precedent)
+    before = Window.orderBy("duration_m").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = at_t.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "d1",
+        (F.col("n_all") - F.coalesce(F.sum("c").over(before), F.lit(0))).alias(
+            "n"
+        ),
+        (
+            F.col("n1_all") - F.coalesce(F.sum("c1").over(before), F.lit(0))
+        ).alias("n1"),
+    )
+    num = (
+        F.lit(2).cast("decimal(38,0)")
+        * F.col("d")
+        * F.col("n1")
+        * F.lit(1_000_000_000)
+        + F.col("n")
+    )
+    den = F.lit(2).cast("decimal(38,0)") * F.col("n")
+    e1_nano = ((num - num % den) / den).cast("long")
+    d_d = F.col("d").cast("double")
+    n_d = F.col("n").cast("double")
+    n1_d = F.col("n1").cast("double")
+    v_nano = F.when(
+        F.col("n") > 1,
+        F.round(
+            (
+                (
+                    ((d_d * n1_d) * (n_d - n1_d).cast("double"))
+                    * (n_d - d_d)
+                )
+                / ((n_d * n_d) * (n_d - F.lit(1.0)))
+            )
+            * F.lit(1_000_000_000.0)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    terms = risk.filter(F.col("d") > 0).select(
+        "d1", e1_nano.alias("e1_nano"), v_nano.alias("v_nano")
+    )
+    s = terms.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("e1_nano").cast("long").alias("e1_nano"),
+        F.sum("v_nano").cast("long").alias("v_nano"),
+        F.count(F.lit(1)).cast("long").alias("n_event_times"),
+    )
+    dev = F.col("o1").cast("double") - F.col("e1_nano").cast(
+        "double"
+    ) / F.lit(1_000_000_000.0)
+    v_d = F.col("v_nano").cast("double") / F.lit(1_000_000_000.0)
+    chi2 = F.when(F.col("v_nano") > 0, (dev * dev) / v_d).otherwise(
+        F.lit(0.0)
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        F.col("n1_all").alias("n_arm1"),
+        (F.col("n_all") - F.col("n1_all")).alias("n_arm0"),
+        "n_event_times",
+        "o1",
+        (F.col("e1_nano").cast("double") / 1_000_000_000).alias("e1"),
+        v_d.alias("v"),
+        chi2.alias("chi2"),
+        (chi2 > F.lit(3.841458820694124)).alias("reject_05"),
+    )
+
+
+_MH_ORACLE = """
+WITH cells AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN user_id % 2 = 1 AND value >= 60.0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN user_id % 2 = 1 AND value < 60.0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(sum(CASE WHEN user_id % 2 = 0 AND value >= 60.0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN user_id % 2 = 0 AND value < 60.0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM events GROUP BY event_type
+),
+terms AS (
+  SELECT a, b, c, d, a + b + c + d AS n,
+         CAST((2 * CAST(a AS HUGEINT) * d * 1000000000 + (a + b + c + d))
+              // (2 * CAST(a + b + c + d AS HUGEINT)) AS BIGINT) AS r_nano,
+         CAST((2 * CAST(b AS HUGEINT) * c * 1000000000 + (a + b + c + d))
+              // (2 * CAST(a + b + c + d AS HUGEINT)) AS BIGINT) AS s_nano,
+         CAST((2 * CAST(a + b AS HUGEINT) * (a + c) * 1000000000
+               + (a + b + c + d))
+              // (2 * CAST(a + b + c + d AS HUGEINT)) AS BIGINT) AS e_nano,
+         CASE WHEN a + b + c + d > 1 THEN
+           CAST(round(((((CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE))
+                         * CAST(a + c AS DOUBLE))
+                        * CAST(b + d AS DOUBLE))
+                       / ((CAST(a + b + c + d AS DOUBLE)
+                           * CAST(a + b + c + d AS DOUBLE))
+                          * CAST(a + b + c + d - 1 AS DOUBLE)))
+                      * 1000000000) AS BIGINT)
+         ELSE 0 END AS v_nano
+  FROM cells WHERE a + b + c + d > 0
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_strata,
+         CAST(sum(a) AS BIGINT) AS sum_a,
+         CAST(sum(r_nano) AS BIGINT) AS r_nano,
+         CAST(sum(s_nano) AS BIGINT) AS s_nano,
+         CAST(sum(e_nano) AS BIGINT) AS e_nano,
+         CAST(sum(v_nano) AS BIGINT) AS v_nano
+  FROM terms
+)
+SELECT n_strata, sum_a,
+       CAST(e_nano AS DOUBLE) / 1000000000 AS expected_a,
+       CASE WHEN s_nano > 0
+            THEN CAST(r_nano AS DOUBLE) / CAST(s_nano AS DOUBLE)
+            ELSE NULL END AS or_mh,
+       CASE WHEN v_nano > 0 THEN
+         ((CAST(sum_a AS DOUBLE) - CAST(e_nano AS DOUBLE) / 1000000000)
+          * (CAST(sum_a AS DOUBLE) - CAST(e_nano AS DOUBLE) / 1000000000))
+         / (CAST(v_nano AS DOUBLE) / 1000000000)
+       ELSE 0.0 END AS cmh_chi2,
+       CASE WHEN v_nano > 0 THEN
+         ((CAST(sum_a AS DOUBLE) - CAST(e_nano AS DOUBLE) / 1000000000)
+          * (CAST(sum_a AS DOUBLE) - CAST(e_nano AS DOUBLE) / 1000000000))
+         / (CAST(v_nano AS DOUBLE) / 1000000000)
+       ELSE 0.0 END > 3.841458820694124 AS reject_05
+FROM s
+"""
+
+
+@register("stats_mantel_haenszel", oracle=_MH_ORACLE)
+def stats_mantel_haenszel(spark, sf_dir):
+    """Mantel-Haenszel stratified 2×2 analysis: the common odds ratio
+    OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ) and the Cochran-Mantel-Haenszel
+    χ² = (Σaᵢ − ΣE[aᵢ])² / ΣVᵢ across event-type strata — the
+    confounder-adjusted A/B readout (exposure = user-id parity,
+    outcome = value ≥ 60) that a per-stratum chi-square can't give
+    when strata sizes differ (Simpson's-paradox guard). Null holds by
+    construction; the machinery is under audit.
+
+    Exactness: aᵢdᵢ/nᵢ, bᵢcᵢ/nᵢ and E[aᵢ] = (aᵢ+bᵢ)(aᵢ+cᵢ)/nᵢ are
+    integer-rounded nano-units via (2·x·10⁹+n) div (2n) — pure
+    DECIMAL/HUGEINT, no libm; the hypergeometric variance is one
+    canonical IEEE tree rounded once (stats_logrank_test discipline).
+    All sums BIGINT-exact → bit-identical across engines.
+
+    Scale shape: ONE hash aggregate collapses the fact table to
+    |strata| rows (map-side partial combine); everything after runs on
+    that driver-tiny relation."""
+    ev = load_table(spark, sf_dir, "events")
+    exposed = (F.col("user_id") % 2 == 1)
+    pos = F.col("value") >= 60.0
+    cells = ev.groupBy("event_type").agg(
+        F.sum(F.when(exposed & pos, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(exposed & ~pos, 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when(~exposed & pos, 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(~exposed & ~pos, 1).otherwise(0)).cast("long").alias("d"),
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+
+    def idiv_nano(x):
+        num = (
+            F.lit(2).cast("decimal(38,0)") * x * F.lit(1_000_000_000) + n
+        )
+        den = F.lit(2).cast("decimal(38,0)") * n
+        return ((num - num % den) / den).cast("long")
+
+    nd = n.cast("double")
+    v_nano = F.when(
+        n > 1,
+        F.round(
+            (
+                (
+                    (
+                        (F.col("a") + F.col("b")).cast("double")
+                        * (F.col("c") + F.col("d")).cast("double")
+                    )
+                    * (F.col("a") + F.col("c")).cast("double")
+                )
+                * (F.col("b") + F.col("d")).cast("double")
+                / ((nd * nd) * (nd - F.lit(1.0)))
+            )
+            * F.lit(1_000_000_000.0)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    terms = cells.filter(n > 0).select(
+        "a",
+        idiv_nano(F.col("a") * F.col("d")).alias("r_nano"),
+        idiv_nano(F.col("b") * F.col("c")).alias("s_nano"),
+        idiv_nano((F.col("a") + F.col("b")) * (F.col("a") + F.col("c"))).alias(
+            "e_nano"
+        ),
+        v_nano.alias("v_nano"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("a").cast("long").alias("sum_a"),
+        F.sum("r_nano").cast("long").alias("r_nano"),
+        F.sum("s_nano").cast("long").alias("s_nano"),
+        F.sum("e_nano").cast("long").alias("e_nano"),
+        F.sum("v_nano").cast("long").alias("v_nano"),
+    )
+    dev = F.col("sum_a").cast("double") - F.col("e_nano").cast(
+        "double"
+    ) / F.lit(1_000_000_000.0)
+    chi2 = F.when(
+        F.col("v_nano") > 0,
+        (dev * dev) / (F.col("v_nano").cast("double") / F.lit(1_000_000_000.0)),
+    ).otherwise(F.lit(0.0))
+    return s.select(
+        "n_strata",
+        "sum_a",
+        (F.col("e_nano").cast("double") / 1_000_000_000).alias("expected_a"),
+        F.when(
+            F.col("s_nano") > 0,
+            F.col("r_nano").cast("double") / F.col("s_nano").cast("double"),
+        ).alias("or_mh"),
+        chi2.alias("cmh_chi2"),
+        (chi2 > F.lit(3.841458820694124)).alias("reject_05"),
+    )
