@@ -1,0 +1,261 @@
+"""Independent Python replications of the round-11 session-2 novelty
+queries: t-closeness, log-rank, Mantel-Haenszel, corpus BLEU-4,
+ROUGE-N, and the Youden-J threshold — each recomputed from the raw
+parquet with plain Python ints/floats and compared exactly (the
+test_round10_queries discipline)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import duckdb
+import pytest
+
+from wikipedia_data_pipeline_spark import registry
+from wikipedia_data_pipeline_spark.operators.sampling import PRE_MOD
+
+
+def det_hash_py(x: int) -> int:
+    return ((x % PRE_MOD) * 2654435761 + 12345) % 2147483647
+
+
+def round_half_up_nano(x: float) -> int:
+    # Spark F.round / DuckDB round: half away from zero; inputs here
+    # are non-negative so floor(x+0.5) matches
+    return math.floor(x * 1e9 + 0.5)
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return registry.spark_queries()
+
+
+def test_t_closeness_matches_python(spark, sf_dir, queries):
+    rows = duckdb.sql(
+        f"SELECT lang, source, n_chars FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    per = Counter()
+    dom = Counter()
+    cls = Counter()
+    for lang, src, n_chars in rows:
+        b = n_chars // 200
+        per[(lang, src, b)] += 1
+        dom[b] += 1
+        cls[(lang, src)] += 1
+    n_total = sum(dom.values())
+    m = len(dom)
+    order = sorted(dom)
+    want = {}
+    for (lang, src), n_g in cls.items():
+        cum_p = cum_q = 0
+        num = 0
+        for b in order:
+            cum_p += per.get((lang, src, b), 0)
+            cum_q += dom[b]
+            num += abs(n_total * cum_p - n_g * cum_q)
+        emd = num / (n_g * n_total * (m - 1)) if m > 1 else 0.0
+        want[(lang, src)] = (n_g, emd, emd > 0.15)
+    got = queries["privacy_t_closeness"](spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        n_g, emd, viol = want[(r["lang"], r["source"])]
+        assert r["group_size"] == n_g
+        assert r["emd"] == emd
+        assert r["t_violation"] == viol
+
+
+def _km_fixture(sf_dir):
+    rows = duckdb.sql(
+        f"""SELECT o_custkey,
+               min(year(CAST(o_orderdate AS DATE)) * 12
+                   + month(CAST(o_orderdate AS DATE))),
+               max(year(CAST(o_orderdate AS DATE)) * 12
+                   + month(CAST(o_orderdate AS DATE)))
+        FROM read_parquet('{sf_dir}/orders.parquet') GROUP BY o_custkey"""
+    ).fetchall()
+    data_end = max(r[2] for r in rows)
+    obs = [
+        (
+            det_hash_py(ck) % 2,
+            last - first,
+            1 if data_end - last > 6 else 0,
+        )
+        for ck, first, last in rows
+    ]
+    return obs
+
+
+def test_logrank_matches_python(spark, sf_dir, queries):
+    obs = _km_fixture(sf_dir)
+    n_all = len(obs)
+    n1_all = sum(a for a, _, _ in obs)
+    at_t = defaultdict(lambda: [0, 0, 0, 0])  # d, d1, c, c1
+    for arm, dur, churned in obs:
+        e = at_t[dur]
+        e[0] += churned
+        e[1] += churned if arm == 1 else 0
+        e[2] += 1
+        e[3] += arm
+    o1 = e1_nano = v_nano = n_times = 0
+    cum_c = cum_c1 = 0
+    for dur in sorted(at_t):
+        d, d1, c, c1 = at_t[dur]
+        n = n_all - cum_c
+        n1 = n1_all - cum_c1
+        cum_c += c
+        cum_c1 += c1
+        if d == 0:
+            continue
+        n_times += 1
+        o1 += d1
+        e1_nano += (2 * d * n1 * 10**9 + n) // (2 * n)
+        if n > 1:
+            v = (((d * n1) * (n - n1)) * (n - d)) / ((n * n) * (n - 1))
+            v_nano += round_half_up_nano(v)
+    got = queries["stats_logrank_test"](spark, sf_dir).collect()[0]
+    assert got["n_arm1"] == n1_all and got["n_arm0"] == n_all - n1_all
+    assert got["n_event_times"] == n_times
+    assert got["o1"] == o1
+    assert got["e1"] == e1_nano / 1e9
+    assert got["v"] == v_nano / 1e9
+    dev = o1 - e1_nano / 1e9
+    chi2 = (dev * dev) / (v_nano / 1e9) if v_nano > 0 else 0.0
+    assert got["chi2"] == chi2
+    assert got["reject_05"] == (chi2 > 3.841458820694124)
+
+
+def test_mantel_haenszel_matches_python(spark, sf_dir, queries):
+    rows = duckdb.sql(
+        f"SELECT event_type, user_id, value FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    cells = defaultdict(lambda: [0, 0, 0, 0])
+    for et, uid, v in rows:
+        exposed = uid % 2 == 1
+        pos = v >= 60.0
+        cells[et][0 if (exposed and pos) else 1 if (exposed and not pos)
+                  else 2 if pos else 3] += 1
+    sum_a = r_nano = s_nano = e_nano = v_nano = 0
+    for a, b, c, d in cells.values():
+        n = a + b + c + d
+        if n == 0:
+            continue
+        sum_a += a
+        r_nano += (2 * a * d * 10**9 + n) // (2 * n)
+        s_nano += (2 * b * c * 10**9 + n) // (2 * n)
+        e_nano += (2 * (a + b) * (a + c) * 10**9 + n) // (2 * n)
+        if n > 1:
+            v = (((a + b) * (c + d)) * (a + c)) * (b + d) / ((n * n) * (n - 1))
+            v_nano += round_half_up_nano(v)
+    got = queries["stats_mantel_haenszel"](spark, sf_dir).collect()[0]
+    assert got["n_strata"] == len(cells)
+    assert got["sum_a"] == sum_a
+    assert got["expected_a"] == e_nano / 1e9
+    assert got["or_mh"] == (r_nano / s_nano if s_nano > 0 else None)
+    dev = sum_a - e_nano / 1e9
+    chi2 = (dev * dev) / (v_nano / 1e9) if v_nano > 0 else 0.0
+    assert got["cmh_chi2"] == chi2
+
+
+def _doc_tokens(sf_dir):
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    out = []
+    for _d, t in rows:
+        toks = t.split(" ")
+        clen = max(len(toks) * 4 // 5, 1)
+        out.append((toks[:clen], toks))
+    return out
+
+
+def test_bleu_corpus_matches_python(spark, sf_dir, queries):
+    docs = _doc_tokens(sf_dir)
+    m = [0] * 5
+    t = [0] * 5
+    cand_tokens = ref_tokens = 0
+    for cand, ref in docs:
+        cand_tokens += len(cand)
+        ref_tokens += len(ref)
+        for n in (1, 2, 3, 4):
+            cg = Counter(
+                " ".join(cand[i : i + n]) for i in range(len(cand) - n + 1)
+            )
+            rg = Counter(
+                " ".join(ref[i : i + n]) for i in range(len(ref) - n + 1)
+            )
+            m[n] += sum(min(c, rg.get(g, 0)) for g, c in cg.items())
+            t[n] += max(len(cand) - n + 1, 0)
+    bp = 1.0 if cand_tokens >= ref_tokens else math.exp(
+        1.0 - ref_tokens / cand_tokens
+    )
+    got = queries["ml_eval_bleu_corpus"](spark, sf_dir).collect()[0]
+    for n in (1, 2, 3, 4):
+        assert got[f"m{n}"] == m[n]
+        assert got[f"t{n}"] == t[n]
+    assert got["cand_tokens"] == cand_tokens
+    assert got["ref_tokens"] == ref_tokens
+    assert got["brevity_penalty"] == round_half_up_nano(bp) / 1e9
+    if all(m[n] > 0 for n in (1, 2, 3, 4)):
+        logsum = 0.25 * (
+            (
+                (math.log(m[1] / t[1]) + math.log(m[2] / t[2]))
+                + math.log(m[3] / t[3])
+            )
+            + math.log(m[4] / t[4])
+        )
+        bleu = bp * math.exp(logsum)
+        assert got["bleu4"] == round_half_up_nano(bleu) / 1e9
+        assert 0.0 < got["bleu4"] < 1.0
+
+
+def test_rouge_n_matches_python(spark, sf_dir, queries):
+    docs = _doc_tokens(sf_dir)
+    got = {
+        r["n"]: r for r in queries["ml_eval_rouge_n"](spark, sf_dir).collect()
+    }
+    for n in (1, 2):
+        matches = total_ref = 0
+        for cand, ref in docs:
+            cg = Counter(
+                " ".join(cand[i : i + n]) for i in range(len(cand) - n + 1)
+            )
+            rg = Counter(
+                " ".join(ref[i : i + n]) for i in range(len(ref) - n + 1)
+            )
+            matches += sum(min(r, cg.get(g, 0)) for g, r in rg.items())
+            total_ref += sum(rg.values())
+        assert got[n]["matches"] == matches
+        assert got[n]["total_ref"] == total_ref
+        assert got[n]["rouge_n_recall"] == matches / total_ref
+        assert got[n]["rouge_n_recall"] < 1.0  # truncation guarantees misses
+
+
+def test_youden_j_matches_python(spark, sf_dir, queries):
+    rows = duckdb.sql(
+        f"SELECT event_id, user_id, value FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    scored = sorted(
+        ((v, eid, det_hash_py(uid) % 2) for eid, uid, v in rows),
+        key=lambda r: (-r[0], r[1]),
+    )
+    n_pos = sum(lab for _, _, lab in scored)
+    n_neg = len(scored) - n_pos
+    tp = 0
+    best = None
+    for k, (score, _eid, lab) in enumerate(scored, start=1):
+        tp += lab
+        fp = k - tp
+        j_num = n_neg * tp - n_pos * fp
+        if best is None or j_num > best[0]:
+            best = (j_num, k, score, tp, fp)
+    j_num, k, score, tp, fp = best
+    got = queries["ml_eval_youden_j_threshold"](spark, sf_dir).collect()[0]
+    assert got["best_k"] == k
+    assert got["threshold"] == score
+    assert got["tp"] == tp and got["fp"] == fp
+    assert got["fn"] == n_pos - tp and got["tn"] == n_neg - fp
+    assert got["youden_j"] == j_num / (n_pos * n_neg)

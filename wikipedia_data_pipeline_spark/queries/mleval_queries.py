@@ -1498,3 +1498,101 @@ def ml_eval_confident_joint(spark, sf_dir):
             (F.col("y") != F.col("c")).alias("suspected_mislabel"),
         )
     )
+
+
+_YOUDEN_ORACLE = f"""
+WITH scored AS (
+  SELECT event_id, value AS score,
+         CAST(({SQL_DET_HASH.format(col="user_id")}) % 2 AS BIGINT) AS label
+  FROM events
+),
+rk AS (
+  SELECT score, label,
+         CAST(row_number() OVER (ORDER BY score DESC, event_id) AS BIGINT)
+           AS k,
+         CAST(sum(label) OVER (ORDER BY score DESC, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS tp
+  FROM scored
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(label) AS BIGINT) AS n_pos
+  FROM scored
+),
+j AS (
+  SELECT rk.k, rk.score, rk.tp, rk.k - rk.tp AS fp,
+         (t.n_all - t.n_pos) * rk.tp - t.n_pos * (rk.k - rk.tp) AS j_num,
+         t.n_pos, t.n_all - t.n_pos AS n_neg
+  FROM rk, tot t
+),
+best AS (SELECT max(j_num) AS best_num FROM j)
+SELECT k AS best_k, score AS threshold, tp, fp,
+       n_pos - tp AS fn, n_neg - fp AS tn,
+       CAST(j_num AS DOUBLE) / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+         AS youden_j
+FROM j, best
+WHERE j_num = best_num
+ORDER BY k LIMIT 1
+"""
+
+
+@register("ml_eval_youden_j_threshold", oracle=_YOUDEN_ORACLE)
+def ml_eval_youden_j_threshold(spark, sf_dir):
+    """Youden-J optimal operating point: the score threshold
+    maximizing J = TPR − FPR over the full ROC sweep — how a quality
+    classifier's gate is actually picked once AUC says it ranks well
+    (fixture shared with ml_eval_auc_events: score = event value,
+    label = deterministic user-hash parity). J is maximized on the
+    INTEGER numerator n_neg·TP − n_pos·FP (exact at any scale, no
+    division inside the argmax), ties broken toward the smallest k
+    (highest threshold). Ranks and running TP come from the
+    hierarchical ordered_scan — no single-partition sort of the fact
+    table; the argmax is a 1-row global max broadcast back (selection,
+    not rank-everything — ml_eval_pinball_loss discipline)."""
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    scored = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("value").alias("score"),
+        (det_hash("user_id") % 2).cast("long").alias("label"),
+    )
+    rk = ordered_scan(
+        scored,
+        [F.desc("score"), F.asc("event_id")],
+        rank_col="k",
+        running=[("tp", "label", "sum")],
+        with_totals=True,
+    )
+    n_pos = F.col("tp_total").cast("long")
+    n_neg = (F.col("k_total") - F.col("tp_total")).cast("long")
+    fp = F.col("k") - F.col("tp")
+    j = rk.select(
+        F.col("k").cast("long").alias("k"),
+        "score",
+        F.col("tp").cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        (n_neg * F.col("tp") - n_pos * fp).cast("long").alias("j_num"),
+        n_pos.alias("n_pos"),
+        n_neg.alias("n_neg"),
+    )
+    best = j.agg(F.max("j_num").alias("best_num"))
+    return (
+        j.crossJoin(F.broadcast(best))
+        .filter(F.col("j_num") == F.col("best_num"))
+        .orderBy("k")
+        .limit(1)
+        .select(
+            F.col("k").alias("best_k"),
+            F.col("score").alias("threshold"),
+            "tp",
+            "fp",
+            (F.col("n_pos") - F.col("tp")).alias("fn"),
+            (F.col("n_neg") - F.col("fp")).alias("tn"),
+            (
+                F.col("j_num").cast("double")
+                / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+            ).alias("youden_j"),
+        )
+    )

@@ -214,6 +214,8 @@ def _load_all() -> None:
         features_queries,
         embedding_queries,
         mleval_paired_queries,
+        # round-11 session-2 split: generation metrics (BLEU/ROUGE)
+        generation_queries,
         finance_queries,
         graph_queries,
         privacy_queries,
