@@ -259,3 +259,99 @@ def test_youden_j_matches_python(spark, sf_dir, queries):
     assert got["tp"] == tp and got["fp"] == fp
     assert got["fn"] == n_pos - tp and got["tn"] == n_neg - fp
     assert got["youden_j"] == j_num / (n_pos * n_neg)
+
+
+def test_sax_symbols_matches_python(spark, sf_dir, queries):
+    rows = duckdb.sql(
+        f"SELECT user_id, ts, event_id, value FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    series = defaultdict(list)
+    for uid, ts, eid, v in rows:
+        series[uid].append((ts, eid, math.floor(v * 1e6 + 0.5)))
+    hist = Counter()
+    for uid, evs in series.items():
+        n = len(evs)
+        if n < 8:
+            continue
+        evs.sort(key=lambda r: (r[0], r[1]))
+        vals = [v for _, _, v in evs]
+        s = sum(vals)
+        q = sum(v * v for v in vals)
+        dd = float(n * q - s * s)
+        segs = defaultdict(list)
+        for i, v in enumerate(vals):
+            segs[(i * 8) // n].append(v)
+        word = []
+        for sg in range(8):
+            a_d = float(sum(segs[sg]) * n - len(segs[sg]) * s)
+            c_d = float(len(segs[sg]))
+            if dd == 0.0:
+                word.append("c")
+            elif a_d < -0.6745 * c_d * math.sqrt(dd):
+                word.append("a")
+            elif a_d < 0.0:
+                word.append("b")
+            elif a_d < 0.6745 * c_d * math.sqrt(dd):
+                word.append("c")
+            else:
+                word.append("d")
+        hist["".join(word)] += 1
+    got = queries["events_sax_symbols"](spark, sf_dir).collect()
+    assert {r["sax_word"]: r["n_users"] for r in got} == dict(hist)
+    assert all(len(w) == 8 for w in hist)
+
+
+def test_fd_violations_matches_python(spark, sf_dir, queries):
+    got = {
+        r["fd"]: r
+        for r in queries["profiling_fd_violations"](spark, sf_dir).collect()
+    }
+    assert len(got) == 4
+    # the true FDs hold with zero repair cost
+    for fd in (
+        "nation: n_nationkey -> n_regionkey",
+        "customer: c_nationkey -> n_regionkey",
+    ):
+        assert got[fd]["fd_holds"] and got[fd]["rows_to_fix"] == 0
+    # user -> event_type: replicate g3 exactly
+    rows = duckdb.sql(
+        f"SELECT user_id, event_type FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    pairs = Counter(rows)
+    grp = defaultdict(list)
+    for (uid, et), c in pairs.items():
+        grp[uid].append(c)
+    r = got["events: user_id -> event_type"]
+    assert r["n_rows"] == len(rows)
+    assert r["n_groups"] == len(grp)
+    viol = sum(1 for cs in grp.values() if len(cs) > 1)
+    assert r["violating_groups"] == viol
+    assert r["rows_to_fix"] == len(rows) - sum(max(cs) for cs in grp.values())
+    assert r["violation_ratio"] == viol / len(grp)
+    assert not r["fd_holds"]
+
+
+def test_cliffs_delta_matches_python(spark, sf_dir, queries):
+    rows = duckdb.sql(
+        f"SELECT user_id, value FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    a = sorted(v for uid, v in rows if uid % 2 == 0)
+    b = sorted(v for uid, v in rows if uid % 2 == 1)
+    import bisect
+
+    gt = sum(bisect.bisect_left(b, x) for x in a)
+    lt = sum(len(b) - bisect.bisect_right(b, x) for x in a)
+    ties = len(a) * len(b) - gt - lt
+    got = queries["stats_cliffs_delta"](spark, sf_dir).collect()[0]
+    assert got["na"] == len(a) and got["nb"] == len(b)
+    assert got["pairs_gt"] == gt and got["pairs_lt"] == lt
+    assert got["ties"] == ties
+    assert got["cliffs_delta"] == (gt - lt) / (len(a) * len(b))
+    mag = abs(gt - lt) / (len(a) * len(b))
+    want = (
+        "negligible" if mag < 0.147 else "small" if mag < 0.33
+        else "medium" if mag < 0.474 else "large"
+    )
+    assert got["magnitude"] == want

@@ -737,3 +737,132 @@ def cohort_value_curves(spark, sf_dir):
         F.col("day_dec").cast("double").alias("day_value"),
         F.sum("day_dec").over(w).cast("double").alias("cum_value"),
     )
+
+
+# --- Dependency profiling (round 11, session 2) --------------------------
+
+_FD_ORACLE = """
+WITH audit AS (
+  SELECT 'part: p_type -> p_brand' AS fd, p_type AS x, p_brand AS y
+  FROM part
+),
+audit2 AS (
+  SELECT 'customer: c_nationkey -> n_regionkey' AS fd,
+         CAST(c.c_nationkey AS VARCHAR) AS x,
+         CAST(n.n_regionkey AS VARCHAR) AS y
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+audit3 AS (
+  SELECT 'events: user_id -> event_type' AS fd,
+         CAST(user_id AS VARCHAR) AS x, event_type AS y
+  FROM events
+),
+audit4 AS (
+  SELECT 'nation: n_nationkey -> n_regionkey' AS fd,
+         CAST(n_nationkey AS VARCHAR) AS x,
+         CAST(n_regionkey AS VARCHAR) AS y
+  FROM nation
+),
+all_rows AS (
+  SELECT * FROM audit UNION ALL SELECT * FROM audit2
+  UNION ALL SELECT * FROM audit3 UNION ALL SELECT * FROM audit4
+),
+pairs AS (
+  SELECT fd, x, y, CAST(count(*) AS BIGINT) AS cnt
+  FROM all_rows GROUP BY fd, x, y
+),
+grp AS (
+  SELECT fd, x, CAST(count(*) AS BIGINT) AS n_y,
+         CAST(max(cnt) AS BIGINT) AS max_cnt,
+         CAST(sum(cnt) AS BIGINT) AS rows_g
+  FROM pairs GROUP BY fd, x
+)
+SELECT fd,
+       CAST(sum(rows_g) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN n_y > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS violating_groups,
+       CAST(sum(rows_g) - sum(max_cnt) AS BIGINT) AS rows_to_fix,
+       sum(CASE WHEN n_y > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds,
+       CAST(sum(CASE WHEN n_y > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS violation_ratio
+FROM grp GROUP BY fd
+ORDER BY fd
+"""
+
+
+@register("profiling_fd_violations", oracle=_FD_ORACLE)
+def profiling_fd_violations(spark, sf_dir):
+    """Approximate functional-dependency audit — the schema-discovery
+    profile (Papenbrock et al.'s FD-discovery setting, g₃ error of
+    Kivinen & Mannila): for each candidate X→Y report how many X
+    groups see >1 distinct Y and the minimal rows to delete for the FD
+    to hold exactly (g₃ = n − Σₓ maxᵧ |X=x,Y=y|). Four candidates
+    spanning the catalog: a true dimension FD (nationkey→regionkey), a true
+    cross-table FD through a broadcast join (c_nationkey→n_regionkey),
+    and two violated ones (p_type→p_brand, user→event_type) — the
+    data-contract check a 100 TB ingest runs before trusting a column
+    as a key. Pure counts; exact oracle.
+
+    Scale shape: per FD one (X,Y) hash agg then one X agg — two
+    map-side-combining shuffles over shrinking relations; the four
+    audits union AFTER aggregation (driver-tiny), so the fact tables
+    are each scanned once."""
+    part = load_table(spark, sf_dir, "part").select(
+        F.lit("part: p_type -> p_brand").alias("fd"),
+        F.col("p_type").alias("x"),
+        F.col("p_brand").alias("y"),
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.lit("nation: n_nationkey -> n_regionkey").alias("fd"),
+        F.col("n_nationkey").cast("string").alias("x"),
+        F.col("n_regionkey").cast("string").alias("y"),
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .select(
+            F.lit("customer: c_nationkey -> n_regionkey").alias("fd"),
+            F.col("c_nationkey").cast("string").alias("x"),
+            F.col("n_regionkey").cast("string").alias("y"),
+        )
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        F.lit("events: user_id -> event_type").alias("fd"),
+        F.col("user_id").cast("string").alias("x"),
+        F.col("event_type").alias("y"),
+    )
+
+    def audit(df):
+        pairs = df.groupBy("fd", "x", "y").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        grp = pairs.groupBy("fd", "x").agg(
+            F.count(F.lit(1)).cast("long").alias("n_y"),
+            F.max("cnt").cast("long").alias("max_cnt"),
+            F.sum("cnt").cast("long").alias("rows_g"),
+        )
+        viol = F.sum(F.when(F.col("n_y") > 1, 1).otherwise(0)).cast("long")
+        return grp.groupBy("fd").agg(
+            F.sum("rows_g").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            viol.alias("violating_groups"),
+            (F.sum("rows_g") - F.sum("max_cnt"))
+            .cast("long")
+            .alias("rows_to_fix"),
+            (viol == 0).alias("fd_holds"),
+            (
+                viol.cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("violation_ratio"),
+        )
+
+    return (
+        audit(part)
+        .unionByName(audit(cust))
+        .unionByName(audit(ev))
+        .unionByName(audit(nat))
+        .orderBy("fd")
+    )

@@ -1585,3 +1585,107 @@ def stats_mantel_haenszel(spark, sf_dir):
         chi2.alias("cmh_chi2"),
         (chi2 > F.lit(3.841458820694124)).alias("reject_05"),
     )
+
+
+_CLIFFS_ORACLE = """
+WITH v AS (
+  SELECT value,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS ca_v,
+         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cb_v
+  FROM events GROUP BY value
+),
+r AS (
+  SELECT ca_v, cb_v,
+         COALESCE(sum(cb_v) OVER (ORDER BY value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_b_below
+  FROM v
+),
+s AS (
+  SELECT CAST(sum(ca_v) AS BIGINT) AS na,
+         CAST(sum(cb_v) AS BIGINT) AS nb,
+         CAST(sum(CAST(ca_v AS HUGEINT) * cum_b_below) AS HUGEINT) AS g,
+         CAST(sum(CAST(ca_v AS HUGEINT) * cb_v) AS HUGEINT) AS ties
+  FROM r
+),
+f AS (
+  SELECT na, nb, CAST(g AS BIGINT) AS pairs_gt,
+         CAST(CAST(na AS HUGEINT) * nb - g - ties AS BIGINT) AS pairs_lt,
+         CAST(ties AS BIGINT) AS ties,
+         2 * g + ties - CAST(na AS HUGEINT) * nb AS num,
+         CAST(na AS HUGEINT) * nb AS den
+  FROM s
+)
+SELECT na, nb, pairs_gt, pairs_lt, ties,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS cliffs_delta,
+       CASE WHEN abs(num) * 1000 < 147 * den THEN 'negligible'
+            WHEN abs(num) * 1000 < 330 * den THEN 'small'
+            WHEN abs(num) * 1000 < 474 * den THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM f
+"""
+
+
+@register("stats_cliffs_delta", oracle=_CLIFFS_ORACLE)
+def stats_cliffs_delta(spark, sf_dir):
+    """Cliff's delta — the ordinal effect size events_mannwhitney_ab's
+    p-value needs next to it (a huge-N test flags microscopic shifts;
+    δ says whether they matter): δ = (#(a>b) − #(a<b)) / (n_a·n_b),
+    with Romano et al.'s magnitude bands (0.147/0.33/0.474). Same
+    collapsed distinct-value lineage as the MWU/KS tests: one hash agg
+    to per-value arm counts, one prefix sum over the distinct-value
+    relation; #(a>b) = Σᵥ c_a(v)·cum_b(<v) in DECIMAL(38,0) — all
+    integer until the single final division, and the band compare is
+    |num|·1000 vs threshold·den (integer, no rounding anywhere).
+
+    The global window rides the DISTINCT-VALUE relation (the MWU
+    precedent — bounded by value cardinality, not fact size)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    is_a = (F.col("user_id") % 2 == 0).cast("long")
+    v = ev.groupBy("value").agg(
+        F.sum(is_a).cast("long").alias("ca_v"),
+        F.sum(1 - is_a).cast("long").alias("cb_v"),
+    )
+    before = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = v.select(
+        "ca_v",
+        "cb_v",
+        F.coalesce(F.sum("cb_v").over(before), F.lit(0)).alias(
+            "cum_b_below"
+        ),
+    )
+    s = r.agg(
+        F.sum("ca_v").cast("long").alias("na"),
+        F.sum("cb_v").cast("long").alias("nb"),
+        F.sum(F.col("ca_v").cast("decimal(38,0)") * F.col("cum_b_below"))
+        .cast("decimal(38,0)")
+        .alias("g"),
+        F.sum(F.col("ca_v").cast("decimal(38,0)") * F.col("cb_v"))
+        .cast("decimal(38,0)")
+        .alias("ties_d"),
+    )
+    num = (
+        F.lit(2).cast("decimal(38,0)") * F.col("g")
+        + F.col("ties_d")
+        - F.col("na").cast("decimal(38,0)") * F.col("nb")
+    )
+    den = F.col("na").cast("decimal(38,0)") * F.col("nb")
+    return s.select(
+        "na",
+        "nb",
+        F.col("g").cast("long").alias("pairs_gt"),
+        (den - F.col("g") - F.col("ties_d")).cast("long").alias("pairs_lt"),
+        F.col("ties_d").cast("long").alias("ties"),
+        (num.cast("double") / den.cast("double")).alias("cliffs_delta"),
+        F.when(F.abs(num) * 1000 < F.lit(147) * den, "negligible")
+        .when(F.abs(num) * 1000 < F.lit(330) * den, "small")
+        .when(F.abs(num) * 1000 < F.lit(474) * den, "medium")
+        .otherwise("large")
+        .alias("magnitude"),
+    )

@@ -988,3 +988,141 @@ def events_ccf_view_click(spark, sf_dir):
         F.col("n").cast("long").alias("n_days"),
         (num / den).alias("ccf"),
     )
+
+
+# --- Symbolic representation (round 11, session 2) ----------------------
+
+_SAX_ORACLE = """
+WITH v AS (
+  SELECT user_id,
+         CAST(round(value * 1000000) AS BIGINT) AS v_u,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) - 1 AS BIGINT) AS idx,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+  FROM events
+),
+el AS (SELECT * FROM v WHERE n >= 8),
+seg AS (
+  SELECT user_id, n, (idx * 8) // n AS seg,
+         CAST(sum(v_u) AS HUGEINT) AS s_seg,
+         CAST(count(*) AS BIGINT) AS c_seg
+  FROM el GROUP BY user_id, n, (idx * 8) // n
+),
+u AS (
+  SELECT user_id,
+         CAST(sum(v_u) AS HUGEINT) AS s,
+         CAST(sum(CAST(v_u AS HUGEINT) * v_u) AS HUGEINT) AS q,
+         CAST(count(*) AS BIGINT) AS n
+  FROM el GROUP BY user_id
+),
+z AS (
+  SELECT seg.user_id, seg.seg,
+         CAST(seg.s_seg * u.n - CAST(seg.c_seg AS HUGEINT) * u.s AS DOUBLE)
+           AS a_d,
+         CAST(seg.c_seg AS DOUBLE) AS c_d,
+         CAST(u.n * u.q - u.s * u.s AS DOUBLE) AS dd
+  FROM seg JOIN u ON u.user_id = seg.user_id
+),
+sym AS (
+  SELECT user_id, seg,
+         CASE
+           WHEN dd = 0.0 THEN 'c'
+           WHEN a_d < -0.6745 * c_d * sqrt(dd) THEN 'a'
+           WHEN a_d < 0.0 THEN 'b'
+           WHEN a_d < 0.6745 * c_d * sqrt(dd) THEN 'c'
+           ELSE 'd'
+         END AS sym
+  FROM z
+),
+words AS (
+  SELECT user_id, string_agg(sym, '' ORDER BY seg) AS sax_word
+  FROM sym GROUP BY user_id
+)
+SELECT sax_word, CAST(count(*) AS BIGINT) AS n_users
+FROM words GROUP BY sax_word
+ORDER BY n_users DESC, sax_word
+"""
+
+
+@register("events_sax_symbols", oracle=_SAX_ORACLE)
+def events_sax_symbols(spark, sf_dir):
+    """SAX symbolization (Lin et al. 2003) of each user's event-value
+    series: PAA into w=8 frames (frame of the 0-based position i is
+    (i·8) div n — deterministic integer binning, every frame non-empty
+    once n ≥ 8), per-user z-normalization, then the 4-letter alphabet
+    via the standard Gaussian breakpoints ±0.6745/0 — the symbolic
+    index that makes motif/novelty search over billions of series a
+    string problem. Output: corpus histogram of SAX words.
+
+    Exactness: values quantize ONCE to micro-units; per-user moments
+    (S, Q=Σv², D=nQ−S²) and the per-frame deviation A = n·s_seg −
+    c_seg·S are exact integers in DECIMAL(38,0); the symbol compare
+    A ≶ ±0.6745·c·√D runs in doubles built from those exact integers
+    by one canonical tree (IEEE sqrt is correctly rounded, so both
+    engines agree bit-for-bit). Flat series (D=0, z undefined) map to
+    'c' explicitly.
+
+    Scale shape: one user-partitioned rank window over the fact scan,
+    then two co-keyed hash aggs (user×frame, user) joined on the user
+    key and an 8-row-per-user pivot — no global window, no skew hazard
+    beyond the per-user event count itself."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = ev.select(
+        "user_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_u"),
+        (F.row_number().over(w_u) - 1).cast("long").alias("idx"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id"))
+        .cast("long")
+        .alias("n"),
+    ).filter(F.col("n") >= 8)
+    seg = v.groupBy(
+        "user_id", "n", F.expr("(idx * 8) div n").alias("seg")
+    ).agg(
+        F.sum("v_u").cast("decimal(38,0)").alias("s_seg"),
+        F.count(F.lit(1)).cast("long").alias("c_seg"),
+    )
+    u = v.groupBy("user_id").agg(
+        F.sum("v_u").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("v_u").cast("decimal(38,0)") * F.col("v_u")).alias("q"),
+        F.count(F.lit(1)).cast("long").alias("n_u"),
+    )
+    z = seg.join(u, "user_id").select(
+        "user_id",
+        "seg",
+        (
+            F.col("s_seg") * F.col("n_u")
+            - F.col("c_seg").cast("decimal(38,0)") * F.col("s")
+        )
+        .cast("double")
+        .alias("a_d"),
+        F.col("c_seg").cast("double").alias("c_d"),
+        (F.col("n_u") * F.col("q") - F.col("s") * F.col("s"))
+        .cast("double")
+        .alias("dd"),
+    )
+    t = F.lit(0.6745) * F.col("c_d") * F.sqrt(F.col("dd"))
+    sym = (
+        F.when(F.col("dd") == 0.0, F.lit("c"))
+        .when(F.col("a_d") < -t, F.lit("a"))
+        .when(F.col("a_d") < 0.0, F.lit("b"))
+        .when(F.col("a_d") < t, F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    words = (
+        z.select("user_id", "seg", sym.alias("sym"))
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "", F.array_sort(F.collect_list(F.struct("seg", "sym"))).getField("sym")
+            ).alias("sax_word")
+        )
+    )
+    return (
+        words.groupBy("sax_word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("sax_word"))
+    )
