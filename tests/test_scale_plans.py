@@ -647,3 +647,22 @@ def test_mrr_windows_are_user_partitioned(spark, sf_dir):
 
     df = spark_queries()["ml_eval_mrr"](spark, sf_dir)
     assert global_windows(df) == []
+
+
+def test_q3_bucketed_colocated_zero_shuffles(spark, sf_dir):
+    """Second bucketed-layout consumer (amortization argument: one twin
+    layout serves every orderkey-keyed join): q3's fact⋈fact join and
+    orderkey-leading groupBy must both ride the bucket partitioning —
+    zero shuffle Exchange, filtered customer dim broadcast only.
+    Results must equal the plain-layout q3 exactly."""
+    from wikipedia_data_pipeline_spark import registry
+
+    qs = registry.spark_queries()
+    df = qs["q3_bucketed_colocated"](spark, sf_dir)
+    ps = plan_summary(df)
+    assert ps.n_shuffles == 0, ps
+    got = [tuple(r) for r in df.collect()]
+    want = [
+        tuple(r) for r in qs["q3_shipping_priority"](spark, sf_dir).collect()
+    ]
+    assert got == want

@@ -156,6 +156,10 @@ PROBE = [
     # the one-time twin write, best-of-3 reads the post-write steady
     # state; compare against q18_large_orders directly above)
     "q18_bucketed_colocated",
+    # r11 session 2: second bucketed consumer (one twin layout serves
+    # every orderkey-keyed join; measured 2.42 -> 1.60 s vs
+    # q3_shipping_priority, zero exchanges)
+    "q3_bucketed_colocated",
 ]
 # quadratic-oracle twins: timing DuckDB here measures the oracle's
 # deliberate brute-force design, not the engine — skip, like bench.py

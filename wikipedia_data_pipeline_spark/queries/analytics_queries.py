@@ -202,6 +202,71 @@ def q18_bucketed_colocated(spark, sf_dir):
 
 
 @register(
+    "q3_bucketed_colocated",
+    oracle=f"""
+SELECT o_orderkey,
+       {sql_cents_sum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY o_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+""",
+    eager=True,
+)
+def q3_bucketed_colocated(spark, sf_dir):
+    """TPC-H Q3 over the BUCKETED twin layout — the second consumer of
+    the maintenance path q18_bucketed_colocated pays for (one bucketed
+    copy serves every orderkey-keyed join; that amortization IS the
+    layout argument). lineitem ⋈ orders co-locates on the bucket
+    hash-partitioning and the orderkey-leading groupBy reuses it, so
+    the two fact-sized exchanges of q3_shipping_priority's plan
+    disappear; the filtered customer dim broadcasts. Predicate
+    pushdown still reaches the twin scans (full-schema parquet tables,
+    pruned columns + pushed filters). Identical results to
+    q3_shipping_priority by construction — same oracle.
+
+    eager=True: construction triggers the lazy first-time twin write
+    (q18_bucketed_colocated note); at 100 TB the write is a scheduled
+    maintenance job, priced separately in SCALE_PROBE's
+    bucketed_join_ab row."""
+    from wikipedia_data_pipeline_spark.sources.maintenance import (
+        ensure_bucketed_twins,
+    )
+
+    twins = ensure_bucketed_twins(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = spark.table(twins["orders"]).filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = spark.table(twins["lineitem"]).filter(
+        F.col("l_shipdate") > "1997-01-01"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            cents_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
     "q22_idle_rich_customers",
     oracle="""
 WITH avg_bal AS (
