@@ -355,3 +355,67 @@ def test_cliffs_delta_matches_python(spark, sf_dir, queries):
         else "medium" if mag < 0.474 else "large"
     )
     assert got["magnitude"] == want
+
+
+def test_spearman_matches_python(spark, sf_dir, queries):
+    rows = duckdb.sql(
+        f"SELECT event_id, value, length(props) FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    r1 = {
+        eid: i + 1
+        for i, (_, eid) in enumerate(
+            sorted(((v, eid) for eid, v, _ in rows))
+        )
+    }
+    r2 = {
+        eid: i + 1
+        for i, (_, eid) in enumerate(
+            sorted(((ln, eid) for eid, _, ln in rows))
+        )
+    }
+    n = len(rows)
+    sum_d2 = sum((r1[eid] - r2[eid]) ** 2 for eid, _, _ in rows)
+    got = queries["ml_eval_spearman_rho"](spark, sf_dir).collect()[0]
+    assert got["n"] == n and got["sum_d2"] == sum_d2
+    assert got["spearman_rho"] == 1.0 - (6 * sum_d2) / (
+        float(n) * (float(n) * float(n) - 1.0)
+    )
+
+
+def test_recs_coverage_matches_python(spark, sf_dir, queries):
+    rows = duckdb.sql(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchall()
+    baskets = defaultdict(set)
+    for ok, pk in rows:
+        baskets[ok].add(pk)
+    ic = Counter(pk for _, pk in rows)
+    co = Counter()
+    for items in baskets.values():
+        its = sorted(items)
+        for i, x in enumerate(its):
+            for y in its[i + 1 :]:
+                co[(x, y)] += 1
+    sim = defaultdict(list)
+    for (x, y), c in co.items():
+        if c < 3:
+            continue
+        cs = c / math.sqrt(float(ic[x]) * ic[y])
+        sim[x].append((cs, y))
+        sim[y].append((cs, x))
+    freq = Counter()
+    for x, lst in sim.items():
+        for _, y in sorted(lst, key=lambda t: (-t[0], t[1]))[:5]:
+            freq[y] += 1
+    got = queries["recs_catalog_coverage"](spark, sf_dir).collect()[0]
+    assert got["n_items"] == len(ic)
+    assert got["n_recommended"] == len(freq)
+    assert got["coverage"] == len(freq) / len(ic)
+    rec_slots = sum(freq.values())
+    assert got["rec_slots"] == rec_slots
+    assert got["max_item_freq"] == max(freq.values())
+    pop_rec_w = sum(ic[y] * f for y, f in freq.items())
+    assert got["avg_pop_recommended"] == pop_rec_w / rec_slots
+    assert got["avg_pop_catalog"] == sum(ic.values()) / len(ic)

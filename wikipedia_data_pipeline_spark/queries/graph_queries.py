@@ -672,3 +672,144 @@ def graph_sssp_3hop(spark, sf_dir):
             .agg(F.min("d").alias("d"))
         )
     return d.select("node", F.col("d").cast("long").alias("dist"))
+
+
+_RECS_COVERAGE_ORACLE = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ic AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM op
+       GROUP BY l_partkey),
+co AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS c
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+),
+sim AS (
+  SELECT pa, pb, c / sqrt(CAST(ia.n AS DOUBLE) * ib.n) AS cosine
+  FROM co JOIN ic ia ON co.pa = ia.l_partkey
+          JOIN ic ib ON co.pb = ib.l_partkey
+  WHERE c >= 3
+),
+topk AS (
+  SELECT pa, pb FROM (
+    SELECT pa, pb,
+           row_number() OVER (PARTITION BY pa
+                              ORDER BY cosine DESC, pb ASC) AS rk
+    FROM sim
+  ) WHERE rk <= 5
+),
+freq AS (SELECT pb, CAST(count(*) AS BIGINT) AS f FROM topk GROUP BY pb),
+stats AS (
+  SELECT CAST((SELECT count(*) FROM ic) AS BIGINT) AS n_items,
+         CAST((SELECT count(*) FROM freq) AS BIGINT) AS n_recommended,
+         CAST((SELECT sum(ic.n * freq.f) FROM freq
+               JOIN ic ON ic.l_partkey = freq.pb) AS BIGINT) AS pop_rec_w,
+         CAST((SELECT sum(f) FROM freq) AS BIGINT) AS rec_slots,
+         CAST((SELECT sum(n) FROM ic) AS BIGINT) AS pop_all,
+         CAST((SELECT max(f) FROM freq) AS BIGINT) AS max_item_freq
+)
+SELECT n_items, n_recommended,
+       CAST(n_recommended AS DOUBLE) / CAST(n_items AS DOUBLE) AS coverage,
+       rec_slots, max_item_freq,
+       CAST(pop_rec_w AS DOUBLE) / CAST(rec_slots AS DOUBLE)
+         AS avg_pop_recommended,
+       CAST(pop_all AS DOUBLE) / CAST(n_items AS DOUBLE) AS avg_pop_catalog,
+       (CAST(pop_rec_w AS DOUBLE) / CAST(rec_slots AS DOUBLE))
+         / (CAST(pop_all AS DOUBLE) / CAST(n_items AS DOUBLE))
+         AS popularity_lift
+FROM stats
+"""
+
+
+@register("recs_catalog_coverage", oracle=_RECS_COVERAGE_ORACLE)
+def recs_catalog_coverage(spark, sf_dir):
+    """Catalog coverage + popularity-bias audit of the item-item
+    recommender (recs_item_item_cosine's sim lists, symmetrized,
+    top-5 per item): what fraction of the purchasable catalog any
+    top-5 list can surface, how hot the recommended items run vs the
+    catalog average (popularity lift — the filter-bubble number), and
+    the hottest single item's slot count. The standard recsys health
+    panel next to accuracy metrics (Herlocker et al.).
+
+    Exactness: counts are BIGINT; cosine ordering inside each top-5
+    is the same correctly-rounded sqrt/divide tree as the sim query
+    with pb as tiebreak, so the selected sets match across engines;
+    three final double divisions. Scale shape: candidate pairs from
+    the per-basket self-join (basket-size²-bounded), top-5 via a
+    PARTITIONED window over per-item sim lists, then item-sized
+    aggregates only."""
+    from pyspark.sql import Window
+
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist()
+    )
+    ic = op.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a, b = op.alias("a"), op.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 3)
+    )
+    ia = ic.select(F.col("l_partkey").alias("pa"), F.col("n").alias("na"))
+    ib = ic.select(F.col("l_partkey").alias("pb"), F.col("n").alias("nb"))
+    sim = (
+        co.join(F.broadcast(ia), "pa")
+        .join(F.broadcast(ib), "pb")
+        .select(
+            "pa",
+            "pb",
+            (
+                F.col("c")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("pa").orderBy(F.desc("cosine"), F.asc("pb"))
+    topk = (
+        sim.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("pa", "pb")
+    )
+    freq = topk.groupBy("pb").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    n_items = ic.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("n").cast("long").alias("pop_all"),
+    )
+    rec = freq.join(
+        ic.withColumnRenamed("l_partkey", "pb"), "pb"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_recommended"),
+        F.sum(F.col("n") * F.col("f")).cast("long").alias("pop_rec_w"),
+        F.sum("f").cast("long").alias("rec_slots"),
+        F.max("f").cast("long").alias("max_item_freq"),
+    )
+    avg_rec = F.col("pop_rec_w").cast("double") / F.col("rec_slots").cast(
+        "double"
+    )
+    avg_all = F.col("pop_all").cast("double") / F.col("n_items").cast(
+        "double"
+    )
+    return rec.crossJoin(F.broadcast(n_items)).select(
+        "n_items",
+        "n_recommended",
+        (
+            F.col("n_recommended").cast("double")
+            / F.col("n_items").cast("double")
+        ).alias("coverage"),
+        "rec_slots",
+        "max_item_freq",
+        avg_rec.alias("avg_pop_recommended"),
+        avg_all.alias("avg_pop_catalog"),
+        (avg_rec / avg_all).alias("popularity_lift"),
+    )

@@ -1596,3 +1596,87 @@ def ml_eval_youden_j_threshold(spark, sf_dir):
             ).alias("youden_j"),
         )
     )
+
+
+_SPEARMAN_ORACLE = """
+WITH s AS (
+  SELECT event_id, value AS x,
+         CAST(length(props) AS BIGINT) AS y
+  FROM events
+),
+rx AS (
+  SELECT event_id,
+         CAST(row_number() OVER (ORDER BY x, event_id) AS BIGINT) AS r1
+  FROM s
+),
+ry AS (
+  SELECT event_id,
+         CAST(row_number() OVER (ORDER BY y, event_id) AS BIGINT) AS r2
+  FROM s
+),
+d AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST((r1 - r2) AS HUGEINT) * (r1 - r2)) AS HUGEINT)
+           AS sum_d2
+  FROM rx JOIN ry ON rx.event_id = ry.event_id
+)
+SELECT n, CAST(sum_d2 AS BIGINT) AS sum_d2,
+       CASE WHEN n > 1 THEN
+         1.0 - CAST(6 * sum_d2 AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                       - 1.0))
+       ELSE 0.0 END AS spearman_rho
+FROM d
+"""
+
+
+@register("ml_eval_spearman_rho", oracle=_SPEARMAN_ORACLE)
+def ml_eval_spearman_rho(spark, sf_dir):
+    """Spearman rank correlation between two per-event scores (the
+    event value vs. the props-payload length — a near-null pairing, so
+    ρ≈0 by construction and the machinery is under audit): ρ = 1 −
+    6Σd²/(n(n²−1)) over TOTAL-ORDER ranks (event_id tiebreak, the
+    ml_eval_auc_events discipline — making every rank, and therefore
+    Σd², an exact integer both engines reproduce bit-for-bit; Σd² sums
+    in DECIMAL(38,0), bounded by n³ ≈ 1e24 at 1e8 rows). The monotone-
+    relationship readout model-eval dashboards pair with Pearson.
+
+    Both rank passes are hierarchical ordered_scans (no single-
+    partition sort); the rank join is keyed on event_id."""
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
+
+    s = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("value").alias("x"),
+        F.length("props").cast("long").alias("y"),
+    )
+    rx = ordered_scan(s, ["x", "event_id"], rank_col="r1").select(
+        "event_id", "r1"
+    )
+    ry = ordered_scan(s, ["y", "event_id"], rank_col="r2").select(
+        "event_id", "r2"
+    )
+    d = (
+        rx.join(ry, "event_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                (F.col("r1") - F.col("r2")).cast("decimal(38,0)")
+                * (F.col("r1") - F.col("r2"))
+            )
+            .cast("decimal(38,0)")
+            .alias("sum_d2"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    rho = F.when(
+        F.col("n") > 1,
+        F.lit(1.0)
+        - (F.lit(6).cast("decimal(38,0)") * F.col("sum_d2")).cast("double")
+        / (n_d * (n_d * n_d - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "n",
+        F.col("sum_d2").cast("long").alias("sum_d2"),
+        rho.alias("spearman_rho"),
+    )
