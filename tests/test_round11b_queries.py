@@ -419,3 +419,54 @@ def test_recs_coverage_matches_python(spark, sf_dir, queries):
     pop_rec_w = sum(ic[y] * f for y, f in freq.items())
     assert got["avg_pop_recommended"] == pop_rec_w / rec_slots
     assert got["avg_pop_catalog"] == sum(ic.values()) / len(ic)
+
+
+def test_hits_matches_python(spark, sf_dir, queries):
+    rows = duckdb.sql(
+        f"SELECT DISTINCT l_suppkey, l_partkey FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchall()
+    by_s = defaultdict(list)
+    by_p = defaultdict(list)
+    for s, p in rows:
+        by_s[s].append(p)
+        by_p[p].append(s)
+    a = {p: len(ss) for p, ss in by_p.items()}
+    for _ in range(2):
+        h = {s: sum(a[p] for p in ps) for s, ps in by_s.items()}
+        a = {p: sum(h[s] for s in ss) for p, ss in by_p.items()}
+    h = {s: sum(a[p] for p in ps) for s, ps in by_s.items()}
+    top_h = sorted(h.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    top_a = sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    want = [("hub", f"s:{s}", float(v)) for s, v in top_h] + [
+        ("authority", f"p:{p}", float(v)) for p, v in top_a
+    ]
+    got = [
+        (r["node_type"], r["node"], r["score"])
+        for r in queries["graph_hits_scores"](spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
+def test_class_balanced_matches_python(spark, sf_dir, queries):
+    rows = duckdb.sql(
+        f"SELECT doc_id, lang, n_chars FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    by_lang = defaultdict(list)
+    for did, lang, nc in rows:
+        by_lang[lang].append((det_hash_py(did), did, nc))
+    n_min = min(len(v) for v in by_lang.values())
+    got = {
+        r["lang"]: r
+        for r in queries["sample_class_balanced_docs"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(by_lang)
+    for lang, docs in by_lang.items():
+        kept = sorted(docs)[:n_min]
+        r = got[lang]
+        assert r["n_kept"] == n_min
+        assert r["chars_kept"] == sum(nc for _, _, nc in kept)
+        assert r["min_rank"] == 1 and r["max_rank"] == n_min

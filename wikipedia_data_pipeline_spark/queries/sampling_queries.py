@@ -327,3 +327,77 @@ def sample_gumbel_topk_docs(spark, sf_dir):
         .over(Window.orderBy(F.desc("key_nano"), F.asc("doc_id")))
         .cast("long"),
     )
+
+
+_BALANCED_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY ({_H}) ASC, doc_id ASC) AS rk
+  FROM documents
+),
+floor_n AS (
+  SELECT CAST(min(cnt) AS BIGINT) AS n_min
+  FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+       CAST(min(rk) AS BIGINT) AS min_rank,
+       CAST(max(rk) AS BIGINT) AS max_rank
+FROM ranked, floor_n
+WHERE rk <= n_min
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("sample_class_balanced_docs", oracle=_BALANCED_ORACLE)
+def sample_class_balanced_docs(spark, sf_dir):
+    """Class-balanced downsampling — the majority-class cut a
+    curation pipeline applies before training a classifier on skewed
+    labels: every language keeps exactly n_min documents (the
+    smallest class's count), selected as the n_min smallest
+    deterministic doc-hash priorities per class — a per-class uniform
+    sample that is REPLAYABLE (same hash stream discipline as
+    sample_holdout_users, so reruns and engines agree row-for-row).
+    Output audits the cut: per-class kept counts (all equal n_min by
+    construction), kept characters, and the rank bounds.
+
+    Scale shape: one hash agg for class counts (broadcast 1-row
+    minimum), one PARTITIONED rank window per class over the hash
+    priority — no global sort; at 1e8 docs per class the window is
+    the standard per-key top-k shape."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(
+                S.det_hash("doc_id").asc(), F.col("doc_id").asc()
+            )
+        )
+        .cast("long")
+        .alias("rk"),
+    )
+    floor_n = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").cast("long").alias("n_min"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(floor_n))
+        .filter(F.col("rk") <= F.col("n_min"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("chars_kept"),
+            F.min("rk").cast("long").alias("min_rank"),
+            F.max("rk").cast("long").alias("max_rank"),
+        )
+        .orderBy("lang")
+    )
