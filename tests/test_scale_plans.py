@@ -666,3 +666,18 @@ def test_q3_bucketed_colocated_zero_shuffles(spark, sf_dir):
         tuple(r) for r in qs["q3_shipping_priority"](spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def test_q5_bucketed_colocated_one_shuffle(spark, sf_dir):
+    """Third bucketed consumer: the fact⋈fact join must ride the
+    bucket partitioning; the only allowed exchange is the 25-group
+    nation-level aggregate AFTER the joins (dims broadcast)."""
+    from wikipedia_data_pipeline_spark import registry
+
+    qs = registry.spark_queries()
+    df = qs["q5_bucketed_colocated"](spark, sf_dir)
+    ps = plan_summary(df)
+    assert ps.n_shuffles <= 1, ps
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, qs["q5_region_revenue"](spark, sf_dir).collect()))
+    assert got == want

@@ -160,6 +160,7 @@ PROBE = [
     # every orderkey-keyed join; measured 2.42 -> 1.60 s vs
     # q3_shipping_priority, zero exchanges)
     "q3_bucketed_colocated",
+    "q5_bucketed_colocated",
 ]
 # quadratic-oracle twins: timing DuckDB here measures the oracle's
 # deliberate brute-force design, not the engine — skip, like bench.py

@@ -267,6 +267,60 @@ def q3_bucketed_colocated(spark, sf_dir):
 
 
 @register(
+    "q5_bucketed_colocated",
+    oracle=f"""
+SELECT r_name, n_name,
+       {sql_cents_sum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY r_name, n_name
+""",
+    eager=True,
+)
+def q5_bucketed_colocated(spark, sf_dir):
+    """TPC-H Q5 over the BUCKETED twin layout — third consumer of the
+    one orderkey layout (q18/q3 notes): the lineitem ⋈ orders fact
+    join rides the bucket partitioning with zero exchange; the
+    customer/nation/region dims broadcast; only the post-join
+    nation-level aggregate shuffles (25 groups). Identical results to
+    q5_region_revenue — same oracle. eager=True for the lazy
+    first-time twin write (maintenance-job pricing note on
+    q18_bucketed_colocated)."""
+    from wikipedia_data_pipeline_spark.sources.maintenance import (
+        ensure_bucketed_twins,
+    )
+
+    twins = ensure_bucketed_twins(spark, sf_dir)
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = spark.table(twins["orders"]).filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = spark.table(twins["lineitem"])
+    dims = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == F.col("c_custkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            cents_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            )
+        )
+    )
+
+
+@register(
     "q22_idle_rich_customers",
     oracle="""
 WITH avg_bal AS (
