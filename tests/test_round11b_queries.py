@@ -470,3 +470,72 @@ def test_class_balanced_matches_python(spark, sf_dir, queries):
         assert r["n_kept"] == n_min
         assert r["chars_kept"] == sum(nc for _, _, nc in kept)
         assert r["min_rank"] == 1 and r["max_rank"] == n_min
+
+
+def test_tokenizer_fertility_matches_python(spark, sf_dir, queries):
+    rows = duckdb.sql(
+        f"SELECT doc_id, lang, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    # train 8 merges exactly like operators.textstats.bpe_train_merges
+    vocab = Counter()
+    for _, _, t in rows:
+        for w in t.split(" "):
+            if w:
+                vocab[tuple(w)] += 1
+    merges = []
+    voc = dict(vocab)
+    for _ in range(8):
+        pairs = Counter()
+        for syms, n in voc.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        nxt = {}
+        for syms, n in voc.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            nxt[key] = nxt.get(key, 0) + n
+        voc = nxt
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def encode_len(word):
+        syms = list(word)
+        while len(syms) > 1:
+            best_i, best_rank = -1, len(ranks)
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]), len(ranks))
+                if r < best_rank:
+                    best_i, best_rank = i, r
+            if best_i < 0:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return len(syms)
+
+    per_lang = defaultdict(lambda: [0, 0, 0])  # docs, tokens, words
+    for _, lang, t in rows:
+        ws = [w for w in t.split(" ") if w]
+        e = per_lang[lang]
+        e[0] += 1
+        e[1] += sum(encode_len(w) for w in ws)
+        e[2] += len(ws)
+    got = {
+        r["lang"]: r
+        for r in queries["text_tokenizer_fertility"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_lang)
+    for lang, (nd, nt, nw) in per_lang.items():
+        r = got[lang]
+        assert r["n_docs"] == nd
+        assert r["n_bpe_tokens"] == nt and r["n_words"] == nw
+        assert r["fertility"] == nt / nw

@@ -253,7 +253,7 @@ def text_segment_dedup(spark, sf_dir):
 _BPE_S = "\x1f"
 
 
-def _bpe_oracle_sql(n_merges: int = 8) -> str:
+def _bpe_oracle_sql(n_merges: int = 8, tail: str | None = None) -> str:
     S = _BPE_S
     parts = [
         f"""
@@ -305,7 +305,11 @@ agg AS (
          CAST(sum(len(string_split(s, ' '))) AS BIGINT) AS n_bpe_tokens,
          CAST(count(*) AS BIGINT) AS n_words
   FROM e{n_merges} GROUP BY doc_id
-)
+)"""
+    )
+    parts.append(
+        tail
+        or """
 SELECT d.doc_id,
        coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
        coalesce(a.n_words, 0) AS n_words,
@@ -333,3 +337,52 @@ def text_bpe_tokenize(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     merges = TS.bpe_train_merges(docs, n_merges=8)
     return TS.bpe_encode(docs, merges)
+
+
+_FERTILITY_TAIL = """
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(coalesce(a.n_bpe_tokens, 0)) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(coalesce(a.n_words, 0)) AS BIGINT) AS n_words,
+       CAST(sum(coalesce(a.n_bpe_tokens, 0)) AS DOUBLE)
+         / CAST(sum(coalesce(a.n_words, 0)) AS DOUBLE) AS fertility
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+GROUP BY d.lang
+ORDER BY fertility DESC, d.lang
+"""
+
+
+# eager: shares text_bpe_tokenize's central trainer (same flag logic)
+@register(
+    "text_tokenizer_fertility",
+    oracle=_bpe_oracle_sql(8, tail=_FERTILITY_TAIL),
+    eager=True,
+)
+def text_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per language — BPE tokens per whitespace
+    word under the corpus-trained 8-merge tokenizer (text_bpe_tokenize's
+    trainer): the multilinguality cost audit (Rust et al. 2021 / Ahia
+    et al. 2023 'language tax') — a language whose fertility runs high
+    pays proportionally more context window and compute per word, which
+    is exactly what a mixture planner needs next to token counts.
+    Per-language BIGINT token/word sums from the distributed encode,
+    one double division per language. Oracle replays the trainer as
+    unrolled CTE levels and aggregates the same encode by lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = TS.bpe_train_merges(docs, n_merges=8)
+    enc = TS.bpe_encode(docs, merges)
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.sum("n_words").cast("long").alias("n_words"),
+        )
+        .withColumn(
+            "fertility",
+            F.col("n_bpe_tokens").cast("double")
+            / F.col("n_words").cast("double"),
+        )
+        .orderBy(F.desc("fertility"), F.asc("lang"))
+    )
