@@ -539,3 +539,43 @@ def test_tokenizer_fertility_matches_python(spark, sf_dir, queries):
         assert r["n_docs"] == nd
         assert r["n_bpe_tokens"] == nt and r["n_words"] == nw
         assert r["fertility"] == nt / nw
+
+
+def test_cross_source_matrix_matches_python(spark, sf_dir, queries):
+    rows = duckdb.sql(
+        f"SELECT doc_id, source, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    sh = {}
+    src = {}
+    for did, source, t in rows:
+        w = t.split(" ")
+        sh[did] = (
+            {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+            if len(w) >= 3
+            else set()
+        )
+        src[did] = source
+    cells = defaultdict(lambda: [0, 0])  # n, j_nano_sum
+    total = 0
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            u = sh[a] | sh[b]
+            if not u:
+                continue
+            j = len(sh[a] & sh[b]) / len(u)
+            if j < 0.5:
+                continue
+            total += 1
+            lo, hi = sorted((src[a], src[b]))
+            c = cells[(lo, hi, src[a] != src[b])]
+            c[0] += 1
+            c[1] += math.floor(j * 1e9 + 0.5)
+    got = queries["dedup_cross_source_matrix"](spark, sf_dir).collect()
+    assert len(got) == len(cells)
+    for r in got:
+        n, jsum = cells[(r["source_lo"], r["source_hi"], r["cross_source"])]
+        assert r["n_pairs"] == n
+        assert r["mean_jaccard"] == jsum / (n * 1e9)
+        assert r["pair_share"] == n / total

@@ -233,3 +233,111 @@ def dedup_lsh_recall_planner(spark, sf_dir):
         ).alias("exp_recall"),
         F.min("p").alias("min_p_detect"),
     )
+
+
+_CROSS_SOURCE_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                 FOR i IN generate_series(1, len(t) - 2)])
+              ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM tok
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+),
+np AS (SELECT * FROM pairs WHERE jaccard >= 0.5),
+lab AS (
+  SELECT least(da.source, db.source) AS source_lo,
+         greatest(da.source, db.source) AS source_hi,
+         da.source <> db.source AS cross_source,
+         CAST(round(np.jaccard * 1000000000) AS BIGINT) AS j_nano
+  FROM np
+  JOIN documents da ON da.doc_id = np.doc_a
+  JOIN documents db ON db.doc_id = np.doc_b
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM lab)
+SELECT source_lo, source_hi, cross_source,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(j_nano) AS DOUBLE) / (count(*) * 1000000000.0)
+         AS mean_jaccard,
+       CAST(count(*) AS DOUBLE) / (SELECT n_total FROM tot) AS pair_share
+FROM lab
+GROUP BY source_lo, source_hi, cross_source
+ORDER BY n_pairs DESC, source_lo, source_hi
+"""
+
+
+@register("dedup_cross_source_matrix", oracle=_CROSS_SOURCE_SQL)
+def dedup_cross_source_matrix(spark, sf_dir):
+    """Cross-source near-duplicate contamination matrix: the TRUE
+    near-dup pairs (exact Jaccard ≥ 0.5 via the zero-false-negative
+    prefix-filter join — dedup_lsh_recall_planner's ground truth)
+    attributed to their (source, source) cell — the audit that tells a
+    curation pipeline WHERE its duplication comes from: mirror sites
+    (cross-source cells), re-crawls (within-source), and which source
+    pair to decontaminate first. Per cell: pair count, mean Jaccard
+    (per-pair nano-quantized once, associative BIGINT sum), and share
+    of all near-dup pairs.
+
+    Scale shape: the heavy work is the prefix-filtered pair join
+    (rare-shingle-posting-bounded, never all-pairs); the source labels
+    join onto the PAIRS relation (near-dup-sized, tiny vs corpus), and
+    the matrix is a |sources|²-bounded aggregate. The quadratic form
+    lives only in the ORACLE (dedup_ngram_jaccard_brute convention)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.prefix_filter_pairs(docs, JACCARD_THRESHOLD)
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "source", "src_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "source", "src_b"
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+            (F.col("src_a") != F.col("src_b")).alias("cross_source"),
+            F.round(F.col("jaccard") * 1_000_000_000)
+            .cast("long")
+            .alias("j_nano"),
+        )
+    )
+    tot = lab.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        lab.groupBy("source_lo", "source_hi", "cross_source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("j_nano").cast("long").alias("j_nano_sum"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source_lo",
+            "source_hi",
+            "cross_source",
+            "n_pairs",
+            (
+                F.col("j_nano_sum").cast("double")
+                / (F.col("n_pairs") * F.lit(1_000_000_000.0))
+            ).alias("mean_jaccard"),
+            (
+                F.col("n_pairs").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("pair_share"),
+        )
+        .orderBy(F.desc("n_pairs"), F.asc("source_lo"), F.asc("source_hi"))
+    )
