@@ -579,3 +579,47 @@ def test_cross_source_matrix_matches_python(spark, sf_dir, queries):
         assert r["n_pairs"] == n
         assert r["mean_jaccard"] == jsum / (n * 1e9)
         assert r["pair_share"] == n / total
+
+
+def test_auc_delong_matches_python(spark, sf_dir, queries):
+    rows = duckdb.sql(
+        f"SELECT user_id, value FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    vals = defaultdict(lambda: [0, 0])
+    for uid, v in rows:
+        vals[v][0 if det_hash_py(uid) % 2 == 1 else 1] += 1
+    order = sorted(vals)
+    npos = sum(c[0] for c in vals.values())
+    nneg = sum(c[1] for c in vals.values())
+    neg_below = 0
+    psi_sum = psi_sq = 0
+    for v in order:
+        cpos, cneg = vals[v]
+        p2 = 2 * neg_below + cneg
+        psi_sum += cpos * p2
+        psi_sq += cpos * p2 * p2
+        neg_below += cneg
+    pos_above = 0
+    phi_sum = phi_sq = 0
+    for v in reversed(order):
+        cpos, cneg = vals[v]
+        f2 = 2 * pos_above + cpos
+        phi_sum += cneg * f2
+        phi_sq += cneg * f2 * f2
+        pos_above += cpos
+    auc = psi_sum / (2.0 * npos * nneg)
+    var10 = (npos * psi_sq - psi_sum * psi_sum) / (
+        npos * (npos - 1.0) * 4.0 * nneg * nneg
+    )
+    var01 = (nneg * phi_sq - phi_sum * phi_sum) / (
+        nneg * (nneg - 1.0) * 4.0 * npos * npos
+    )
+    got = queries["ml_eval_auc_delong_ci"](spark, sf_dir).collect()[0]
+    assert got["npos"] == npos and got["nneg"] == nneg
+    assert got["auc"] == auc
+    assert got["var10"] == var10 and got["var01"] == var01
+    se = math.sqrt(var10 / npos + var01 / nneg)
+    assert got["se"] == se
+    assert got["ci_lo"] == auc - 1.959963984540054 * se
+    assert got["ci_hi"] == auc + 1.959963984540054 * se
+    assert got["ci_lo"] < 0.5 < got["ci_hi"]  # null holds by design

@@ -1680,3 +1680,148 @@ def ml_eval_spearman_rho(spark, sf_dir):
         F.col("sum_d2").cast("long").alias("sum_d2"),
         rho.alias("spearman_rho"),
     )
+
+
+_DELONG_ORACLE = f"""
+WITH scored AS (
+  SELECT value AS v,
+         CAST(({SQL_DET_HASH.format(col="user_id")}) % 2 AS BIGINT) AS label
+  FROM events
+),
+vals AS (
+  SELECT v,
+         CAST(sum(label) AS BIGINT) AS cpos,
+         CAST(count(*) - sum(label) AS BIGINT) AS cneg
+  FROM scored GROUP BY v
+),
+tot AS (
+  SELECT CAST(sum(cpos) AS BIGINT) AS npos,
+         CAST(sum(cneg) AS BIGINT) AS nneg
+  FROM vals
+),
+scan AS (
+  SELECT v, cpos, cneg,
+         COALESCE(sum(cneg) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS neg_below,
+         COALESCE(sum(cpos) OVER (ORDER BY v
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+           AS pos_above
+  FROM vals
+),
+s AS (
+  SELECT
+    CAST(sum(CAST(cpos AS HUGEINT) * (2 * neg_below + cneg)) AS HUGEINT)
+      AS psi_sum,
+    CAST(sum(CAST(cpos AS HUGEINT) * (2 * neg_below + cneg)
+             * (2 * neg_below + cneg)) AS HUGEINT) AS psi_sq,
+    CAST(sum(CAST(cneg AS HUGEINT) * (2 * pos_above + cpos)) AS HUGEINT)
+      AS phi_sum,
+    CAST(sum(CAST(cneg AS HUGEINT) * (2 * pos_above + cpos)
+             * (2 * pos_above + cpos)) AS HUGEINT) AS phi_sq
+  FROM scan
+),
+f AS (
+  SELECT t.npos, t.nneg,
+         CAST(s.psi_sum AS DOUBLE)
+           / (2.0 * CAST(t.npos AS DOUBLE) * CAST(t.nneg AS DOUBLE)) AS auc,
+         CAST(t.npos * s.psi_sq - s.psi_sum * s.psi_sum AS DOUBLE)
+           / (CAST(t.npos AS DOUBLE) * (CAST(t.npos AS DOUBLE) - 1.0)
+              * 4.0 * CAST(t.nneg AS DOUBLE) * CAST(t.nneg AS DOUBLE))
+           AS var10,
+         CAST(t.nneg * s.phi_sq - s.phi_sum * s.phi_sum AS DOUBLE)
+           / (CAST(t.nneg AS DOUBLE) * (CAST(t.nneg AS DOUBLE) - 1.0)
+              * 4.0 * CAST(t.npos AS DOUBLE) * CAST(t.npos AS DOUBLE))
+           AS var01
+  FROM s, tot t
+)
+SELECT npos, nneg, auc, var10, var01,
+       sqrt(var10 / npos + var01 / nneg) AS se,
+       auc - 1.959963984540054 * sqrt(var10 / npos + var01 / nneg) AS ci_lo,
+       auc + 1.959963984540054 * sqrt(var10 / npos + var01 / nneg) AS ci_hi
+FROM f
+"""
+
+
+@register("ml_eval_auc_delong_ci", oracle=_DELONG_ORACLE)
+def ml_eval_auc_delong_ci(spark, sf_dir):
+    """DeLong (1988) confidence interval for AUC — the error bar the
+    point estimate in ml_eval_auc_events needs before two models can
+    be compared honestly. Midrank (tie-correct) AUC plus the
+    structural-component variance: per distinct score v the placement
+    ψ(v) = (#neg<v + ½#neg=v)/n_neg is kept as the exact DOUBLED
+    integer 2·#neg<v + #neg=v (no halves anywhere); Σψ and Σψ² weight
+    by the positive count at v, accumulate in DECIMAL(38,0) (bound
+    n·4n² ≈ 4e32 at 1e8 rows), and the symmetric φ components mirror
+    it for negatives. Var, se, and the Wald 95% CI are one canonical
+    IEEE finale (z frozen full-precision).
+
+    Scale shape: the collapsed distinct-value lineage (MWU/KS/Cliff's
+    precedent) — one hash agg to per-value label counts, forward and
+    backward prefix sums on the distinct-value relation, one 1-row
+    fold. Nothing fact-sized crosses an unpartitioned boundary."""
+    from pyspark.sql import Window
+
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    scored = load_table(spark, sf_dir, "events").select(
+        F.col("value").alias("v"),
+        (det_hash("user_id") % 2).cast("long").alias("label"),
+    )
+    vals = scored.groupBy("v").agg(
+        F.sum("label").cast("long").alias("cpos"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("long").alias("cneg"),
+    )
+    below = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    above = Window.orderBy("v").rowsBetween(1, Window.unboundedFollowing)
+    scan = vals.select(
+        "cpos",
+        "cneg",
+        F.coalesce(F.sum("cneg").over(below), F.lit(0)).alias("neg_below"),
+        F.coalesce(F.sum("cpos").over(above), F.lit(0)).alias("pos_above"),
+    )
+    psi2 = (F.lit(2) * F.col("neg_below") + F.col("cneg")).cast(
+        "decimal(38,0)"
+    )
+    phi2 = (F.lit(2) * F.col("pos_above") + F.col("cpos")).cast(
+        "decimal(38,0)"
+    )
+    s = scan.agg(
+        F.sum(F.col("cpos").cast("decimal(38,0)") * psi2)
+        .cast("decimal(38,0)")
+        .alias("psi_sum"),
+        F.sum(F.col("cpos").cast("decimal(38,0)") * psi2 * psi2)
+        .cast("decimal(38,0)")
+        .alias("psi_sq"),
+        F.sum(F.col("cneg").cast("decimal(38,0)") * phi2)
+        .cast("decimal(38,0)")
+        .alias("phi_sum"),
+        F.sum(F.col("cneg").cast("decimal(38,0)") * phi2 * phi2)
+        .cast("decimal(38,0)")
+        .alias("phi_sq"),
+        F.sum("cpos").cast("long").alias("npos"),
+        F.sum("cneg").cast("long").alias("nneg"),
+    )
+    np_d = F.col("npos").cast("double")
+    nn_d = F.col("nneg").cast("double")
+    auc = F.col("psi_sum").cast("double") / (F.lit(2.0) * np_d * nn_d)
+    var10 = (
+        F.col("npos").cast("decimal(38,0)") * F.col("psi_sq")
+        - F.col("psi_sum") * F.col("psi_sum")
+    ).cast("double") / (np_d * (np_d - F.lit(1.0)) * F.lit(4.0) * nn_d * nn_d)
+    var01 = (
+        F.col("nneg").cast("decimal(38,0)") * F.col("phi_sq")
+        - F.col("phi_sum") * F.col("phi_sum")
+    ).cast("double") / (nn_d * (nn_d - F.lit(1.0)) * F.lit(4.0) * np_d * np_d)
+    se = F.sqrt(var10 / F.col("npos") + var01 / F.col("nneg"))
+    z = F.lit(1.959963984540054)
+    return s.select(
+        "npos",
+        "nneg",
+        auc.alias("auc"),
+        var10.alias("var10"),
+        var01.alias("var01"),
+        se.alias("se"),
+        (auc - z * se).alias("ci_lo"),
+        (auc + z * se).alias("ci_hi"),
+    )
