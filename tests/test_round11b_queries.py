@@ -377,7 +377,7 @@ def test_spearman_matches_python(spark, sf_dir, queries):
     n = len(rows)
     sum_d2 = sum((r1[eid] - r2[eid]) ** 2 for eid, _, _ in rows)
     got = queries["ml_eval_spearman_rho"](spark, sf_dir).collect()[0]
-    assert got["n"] == n and got["sum_d2"] == sum_d2
+    assert got["n"] == n and got["sum_d2"] == float(sum_d2)
     assert got["spearman_rho"] == 1.0 - (6 * sum_d2) / (
         float(n) * (float(n) * float(n) - 1.0)
     )

@@ -161,10 +161,27 @@ PROBE = [
     # q3_shipping_priority, zero exchanges)
     "q3_bucketed_colocated",
     "q5_bucketed_colocated",
+    # r11 session 2 novelties: the ones with fact-scale work
+    "events_sax_symbols",
+    "ml_eval_bleu_corpus",
+    "ml_eval_rouge_n",
+    "ml_eval_spearman_rho",
+    "ml_eval_auc_delong_ci",
+    "ml_eval_youden_j_threshold",
+    "stats_cliffs_delta",
+    "stats_logrank_test",
+    "stats_mantel_haenszel",
+    "privacy_t_closeness",
+    "profiling_fd_violations",
+    "sample_class_balanced_docs",
+    "graph_hits_scores",
+    "recs_catalog_coverage",
+    "text_tokenizer_fertility",
+    "dedup_cross_source_matrix",
 ]
 # quadratic-oracle twins: timing DuckDB here measures the oracle's
 # deliberate brute-force design, not the engine — skip, like bench.py
-DUCK_SKIP = {"dedup_minhash_lsh"}
+DUCK_SKIP = {"dedup_minhash_lsh", "dedup_cross_source_matrix"}  # quadratic oracles
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",

@@ -1620,7 +1620,7 @@ d AS (
            AS sum_d2
   FROM rx JOIN ry ON rx.event_id = ry.event_id
 )
-SELECT n, CAST(sum_d2 AS BIGINT) AS sum_d2,
+SELECT n, CAST(sum_d2 AS DOUBLE) AS sum_d2,
        CASE WHEN n > 1 THEN
          1.0 - CAST(6 * sum_d2 AS DOUBLE)
                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
@@ -1638,7 +1638,9 @@ def ml_eval_spearman_rho(spark, sf_dir):
     6Σd²/(n(n²−1)) over TOTAL-ORDER ranks (event_id tiebreak, the
     ml_eval_auc_events discipline — making every rank, and therefore
     Σd², an exact integer both engines reproduce bit-for-bit; Σd² sums
-    in DECIMAL(38,0), bounded by n³ ≈ 1e24 at 1e8 rows). The monotone-
+    in DECIMAL(38,0), bounded by n³ ≈ 1e24 at 1e8 rows, and is
+    REPORTED as double since n³ exceeds BIGINT past ~2e6 rows —
+    the 100×-probe overflow that motivated this). The monotone-
     relationship readout model-eval dashboards pair with Pearson.
 
     Both rank passes are hierarchical ordered_scans (no single-
@@ -1677,7 +1679,10 @@ def ml_eval_spearman_rho(spark, sf_dir):
     ).otherwise(F.lit(0.0))
     return d.select(
         "n",
-        F.col("sum_d2").cast("long").alias("sum_d2"),
+        # exact in DECIMAL(38,0) internally; REPORTED as double — at 1e8
+        # rows sum_d2 ~ n^3 = 1e24 exceeds BIGINT, and the decimal->double
+        # cast is the same round-to-nearest in both engines
+        F.col("sum_d2").cast("double").alias("sum_d2"),
         rho.alias("spearman_rho"),
     )
 
