@@ -285,44 +285,100 @@ def dedup_cross_source_matrix(spark, sf_dir):
     (per-pair nano-quantized once, associative BIGINT sum), and share
     of all near-dup pairs.
 
-    Scale shape: the heavy work is the prefix-filtered pair join
-    (rare-shingle-posting-bounded, never all-pairs); the source labels
-    join onto the PAIRS relation (near-dup-sized, tiny vs corpus), and
-    the matrix is a |sources|²-bounded aggregate. The quadratic form
-    lives only in the ORACLE (dedup_ngram_jaccard_brute convention)."""
+    Scale design — EXACT-FIRST COLLAPSE (the canonical pipeline
+    ordering): the expensive near-dup join runs over DISTINCT texts
+    only; doc-level pair counts are then reconstructed arithmetically —
+    a text pair (ta, tb, j) contributes cnt_a·cnt_b doc pairs per
+    (source_a, source_b) combination, and a text with c verbatim
+    copies contributes C(c,2) within-source (c_i·c_j cross-source)
+    exact-duplicate pairs at j = 1. Output is bit-identical to the
+    naive per-doc join (the unchanged quadratic oracle proves it), but
+    the join cost no longer scales with the square of the duplication
+    factor — on the 100× verbatim-replica the naive form generates
+    ~10⁴× the candidate pairs and ran unboundedly; this form does the
+    same shingle work ONCE per distinct text. Texts shorter than one
+    shingle (no 3-gram) produce no pairs in either engine and are
+    excluded from the copy decomposition to match.
+
+    Scale shape: heavy work = prefix-filtered pair join over distinct
+    texts (rare-shingle-posting-bounded, never all-pairs); the
+    source-count decomposition joins onto the PAIRS relation, and the
+    matrix is a |sources|²-bounded aggregate. Quadratic form lives
+    only in the ORACLE (dedup_ngram_jaccard_brute convention)."""
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.prefix_filter_pairs(docs, JACCARD_THRESHOLD)
-    src = docs.select("doc_id", "source")
-    lab = (
-        pairs.join(
-            src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-                "source", "src_a"
-            ),
-            "doc_a",
-        )
-        .join(
-            src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                "source", "src_b"
-            ),
-            "doc_b",
-        )
+    # per (distinct text, source): copy counts; per text: stable rep id
+    ts = docs.groupBy("text", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    reps = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    has_sh = F.size(F.split("text", " ")) >= 3
+    pairs = D.prefix_filter_pairs(
+        reps.select("doc_id", "text"), JACCARD_THRESHOLD
+    )
+    tmap = reps.join(ts, "text").select(
+        F.col("doc_id").alias("t_id"), "source", "cnt", has_sh.alias("ok")
+    )
+    # (a) cross-text pairs: decompose over both sides' source counts
+    a = tmap.select(
+        F.col("t_id").alias("doc_a"),
+        F.col("source").alias("src_a"),
+        F.col("cnt").alias("cnt_a"),
+    )
+    b = tmap.select(
+        F.col("t_id").alias("doc_b"),
+        F.col("source").alias("src_b"),
+        F.col("cnt").alias("cnt_b"),
+    )
+    cross_text = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
         .select(
             F.least("src_a", "src_b").alias("source_lo"),
             F.greatest("src_a", "src_b").alias("source_hi"),
             (F.col("src_a") != F.col("src_b")).alias("cross_source"),
+            (F.col("cnt_a") * F.col("cnt_b")).alias("w"),
             F.round(F.col("jaccard") * 1_000_000_000)
             .cast("long")
             .alias("j_nano"),
         )
     )
-    tot = lab.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    # (b) within-text exact-duplicate pairs (j = 1): C(c,2) same-source,
+    # c_i·c_j cross-source — only for texts long enough to shingle
+    tsa = tmap.filter("ok").select(
+        "t_id", F.col("source").alias("src_a"), F.col("cnt").alias("cnt_a")
+    )
+    tsb = tmap.filter("ok").select(
+        "t_id", F.col("source").alias("src_b"), F.col("cnt").alias("cnt_b")
+    )
+    within = (
+        tsa.join(tsb, "t_id")
+        .filter(F.col("src_a") <= F.col("src_b"))
+        .select(
+            F.col("src_a").alias("source_lo"),
+            F.col("src_b").alias("source_hi"),
+            (F.col("src_a") != F.col("src_b")).alias("cross_source"),
+            F.when(
+                F.col("src_a") == F.col("src_b"),
+                F.col("cnt_a") * (F.col("cnt_a") - 1) / 2,
+            )
+            .otherwise(F.col("cnt_a") * F.col("cnt_b"))
+            .cast("long")
+            .alias("w"),
+            F.lit(1_000_000_000).cast("long").alias("j_nano"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    lab = cross_text.unionByName(within)
+    tot = lab.agg(F.sum("w").cast("long").alias("n_total"))
     return (
         lab.groupBy("source_lo", "source_hi", "cross_source")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            F.sum("j_nano").cast("long").alias("j_nano_sum"),
+            F.sum("w").cast("long").alias("n_pairs"),
+            F.sum(F.col("w") * F.col("j_nano"))
+            .cast("long")
+            .alias("j_nano_sum"),
         )
         .crossJoin(F.broadcast(tot))
         .select(
