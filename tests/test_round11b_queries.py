@@ -167,7 +167,10 @@ def _doc_tokens(sf_dir):
     for _d, t in rows:
         toks = t.split(" ")
         clen = max(len(toks) * 4 // 5, 1)
-        out.append((toks[:clen], toks))
+        cand = [
+            "UNK" if (i + 1) % 7 == 0 else toks[i] for i in range(clen)
+        ]
+        out.append((cand, toks))
     return out
 
 
@@ -195,6 +198,7 @@ def test_bleu_corpus_matches_python(spark, sf_dir, queries):
     for n in (1, 2, 3, 4):
         assert got[f"m{n}"] == m[n]
         assert got[f"t{n}"] == t[n]
+        assert m[n] < t[n]  # UNK substitution makes clipping bind
     assert got["cand_tokens"] == cand_tokens
     assert got["ref_tokens"] == ref_tokens
     assert got["brevity_penalty"] == round_half_up_nano(bp) / 1e9

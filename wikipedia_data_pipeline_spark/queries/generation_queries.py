@@ -1,10 +1,20 @@
 """Generation-eval metrics over candidate/reference text pairs:
 corpus BLEU-4 and ROUGE-N recall. Fixture: candidate = each document's
-first 80% of space-split tokens, reference = the full document — a
-deterministic pair set that exercises clipping, sub-1 precisions, and
-the brevity penalty (the machinery-under-audit discipline of
-ml_eval_auc_events). Split from mleval_queries at the 2,000-line
-threshold (round 11)."""
+first 80% of space-split tokens with every 7th token replaced by the
+literal 'UNK' (a deterministic "model error" stream), reference = the
+full document — so clipping binds (UNK n-grams never match), every
+precision sits strictly inside (0,1), and the brevity penalty is
+exercised (the machinery-under-audit discipline of
+ml_eval_auc_events). A pure-prefix candidate would make every clipped
+precision exactly 1 (prefix grams are a sub-multiset of the
+reference's) — the round-11 probe caught that degeneracy.
+
+Plan shape (both metrics): ONE explode emits (n, gram, side) structs
+for candidate and reference together, ONE doc-scoped hash aggregation
+counts both sides, and the clipped overlap is min(c_cnt, r_cnt) — no
+gram-level join at all (the two-agg + join form measured 161 s at the
+100× replica; this halves the shuffled volume and removes the join).
+Split from mleval_queries at the 2,000-line threshold (round 11)."""
 
 from __future__ import annotations
 
@@ -13,42 +23,119 @@ from pyspark.sql import functions as F
 from wikipedia_data_pipeline_spark.registry import register
 from wikipedia_data_pipeline_spark.sources.tables import load_table
 
-_BLEU_ORACLE = """
+
+def _gen_gram_counts(docs, ns):
+    """(doc_id, n, g) -> (c_cnt, r_cnt) for n in ns, one explode + one
+    hash agg. Candidate = UNK-substituted 80% prefix; reference = all
+    tokens."""
+    from wikipedia_data_pipeline_spark.sources.tables import fan_out
+
+    docs = fan_out(docs)
+    toks = F.split(F.col("text"), " ")
+    clen = F.greatest(
+        F.expr("(size(split(text, ' ')) * 4) div 5"), F.lit(1)
+    )
+    d = docs.select(
+        "doc_id", toks.alias("toks"), clen.alias("clen"), F.size(toks).alias("rlen")
+    ).withColumn(
+        "ctoks",
+        F.transform(
+            F.sequence(F.lit(1), F.col("clen")),
+            lambda i: F.when((i % 7) == 0, F.lit("UNK")).otherwise(
+                F.element_at(F.col("toks"), i.cast("int"))
+            ),
+        ),
+    )
+
+    def grams(arr_col, n, flag):
+        return F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size(F.col(arr_col)) - (n - 1), F.lit(0)),
+            ),
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(F.col(arr_col), (i + j).cast("int"))
+                        for j in range(n)
+                    ],
+                ).alias("g"),
+                F.lit(flag).alias("is_c"),
+            ),
+        )
+
+    exploded = d.select(
+        "doc_id",
+        F.explode(
+            F.flatten(
+                F.array(
+                    *(
+                        [grams("ctoks", n, 1) for n in ns]
+                        + [grams("toks", n, 0) for n in ns]
+                    )
+                )
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.n").alias("n"),
+        F.col("s.g").alias("g"),
+        F.col("s.is_c").alias("is_c"),
+    )
+    counts = exploded.groupBy("doc_id", "n", "g").agg(
+        F.sum("is_c").alias("c_cnt"),
+        F.sum(1 - F.col("is_c")).alias("r_cnt"),
+    )
+    return d, counts
+
+
+def _gen_cte(ns_values):
+    """Shared DuckDB CTE prefix mirroring _gen_gram_counts."""
+    return f"""
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ),
 d AS (
   SELECT doc_id, toks,
-         greatest((len(toks) * 4) // 5, 1) AS clen, len(toks) AS rlen
+         greatest((len(toks) * 4) // 5, 1) AS clen, len(toks) AS rlen,
+         list_transform(range(1, greatest((len(toks) * 4) // 5, 1) + 1),
+                        i -> CASE WHEN i % 7 = 0 THEN 'UNK'
+                                  ELSE toks[i] END) AS ctoks
   FROM t
 ),
 cg AS (
-  SELECT doc_id, n, array_to_string(toks[i : i + n - 1], ' ') AS g,
-         count(*) AS c_cnt
+  SELECT doc_id, n, g,
+         CAST(sum(is_c) AS BIGINT) AS c_cnt,
+         CAST(sum(1 - is_c) AS BIGINT) AS r_cnt
   FROM (
-    SELECT d.doc_id, d.toks, nn.n,
-           unnest(range(1, greatest(d.clen - nn.n + 2, 1))) AS i
-    FROM d CROSS JOIN (VALUES (1), (2), (3), (4)) AS nn(n)
+    SELECT doc_id, n, array_to_string(ctoks[i : i + n - 1], ' ') AS g,
+           1 AS is_c
+    FROM (
+      SELECT d.doc_id, d.ctoks, nn.n,
+             unnest(range(1, greatest(len(d.ctoks) - nn.n + 2, 1))) AS i
+      FROM d CROSS JOIN (VALUES {ns_values}) AS nn(n)
+    )
+    UNION ALL
+    SELECT doc_id, n, array_to_string(toks[i : i + n - 1], ' ') AS g,
+           0 AS is_c
+    FROM (
+      SELECT d.doc_id, d.toks, nn.n,
+             unnest(range(1, greatest(len(d.toks) - nn.n + 2, 1))) AS i
+      FROM d CROSS JOIN (VALUES {ns_values}) AS nn(n)
+    )
   )
   GROUP BY doc_id, n, g
-),
-rg AS (
-  SELECT doc_id, n, array_to_string(toks[i : i + n - 1], ' ') AS g,
-         count(*) AS r_cnt
-  FROM (
-    SELECT d.doc_id, d.toks, nn.n,
-           unnest(range(1, greatest(d.rlen - nn.n + 2, 1))) AS i
-    FROM d CROSS JOIN (VALUES (1), (2), (3), (4)) AS nn(n)
-  )
-  GROUP BY doc_id, n, g
-),
+)"""
+
+
+_BLEU_ORACLE = (
+    _gen_cte("(1), (2), (3), (4)")
+    + """,
 m AS (
-  SELECT cg.n,
-         CAST(sum(least(cg.c_cnt, COALESCE(rg.r_cnt, 0))) AS BIGINT)
-           AS matches
-  FROM cg LEFT JOIN rg
-    ON rg.doc_id = cg.doc_id AND rg.n = cg.n AND rg.g = cg.g
-  GROUP BY cg.n
+  SELECT n, CAST(sum(least(c_cnt, r_cnt)) AS BIGINT) AS matches
+  FROM cg GROUP BY n
 ),
 tot AS (
   SELECT CAST(sum(greatest(clen - 1 + 1, 0)) AS BIGINT) AS t1,
@@ -93,6 +180,7 @@ SELECT m1, m2, m3, m4, t1, t2, t3, t4, cand_tokens, ref_tokens,
        CAST(bleu_nano AS DOUBLE) / 1000000000 AS bleu4
 FROM fin
 """
+)
 
 
 @register("ml_eval_bleu_corpus", oracle=_BLEU_ORACLE)
@@ -100,79 +188,27 @@ def ml_eval_bleu_corpus(spark, sf_dir):
     """Corpus BLEU-4 (Papineni et al. 2002) — the generation-eval
     metric an LLM pipeline reports for translation/summarization runs:
     modified (clipped) n-gram precision for n=1..4 aggregated over the
-    corpus, times the brevity penalty. Candidate/reference pairs are a
-    deterministic fixture (candidate = each document's first 80% of
-    space-split tokens, reference = the full document), so clipping,
-    the <1 precisions, and BP are all exercised non-trivially — the
-    machinery is under audit, as in ml_eval_auc_events.
+    corpus, times the brevity penalty. Candidate/reference pairs are
+    the module fixture (UNK-substituted 80% prefix vs full document),
+    so clipping, strictly-interior precisions, and BP are all
+    exercised non-trivially.
 
     Exactness: every clipped-match and total count is a BIGINT; the
     two transcendentals (BP's exp, the ¼Σln geometric mean) run ONCE
     on corpus-level scalars and are quantized to nano-units
-    (privacy_dp_release_counts discipline) — engines never compare
-    unrounded libm bits across more than one row.
+    (privacy_dp_release_counts discipline).
 
     Scale shape: token arrays build per-row in the JVM (higher-order
-    functions, no UDF); the only shuffles are the two (doc, n, gram)
-    hash aggregations and their equi-join — linear in corpus size,
-    gram keys are doc-scoped so no global hot key exists. The totals
-    side collapses in one pass over per-doc lengths."""
+    functions, no UDF); ONE explode + ONE (doc, n, gram) hash
+    aggregation covers both sides — no gram-level join (the join form
+    measured 161 s at the 100× replica; see module doc). Gram keys are
+    doc-scoped so no global hot key exists."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    d = docs.select(
-        "doc_id",
-        toks.alias("toks"),
-        F.greatest(
-            F.expr("(size(split(text, ' ')) * 4) div 5"), F.lit(1)
-        ).alias("clen"),
-        F.size(toks).alias("rlen"),
-    )
-
-    def grams(limit_col, n):
-        # gram windows [i, i+n-1] fully inside the first `limit_col`
-        # tokens; empty when the span is shorter than n
-        return F.transform(
-            F.sequence(
-                F.lit(1),
-                F.greatest(F.col(limit_col) - (n - 1), F.lit(0)),
-            ),
-            lambda i: F.struct(
-                F.lit(n).alias("n"),
-                F.concat_ws(
-                    " ",
-                    *[
-                        F.element_at(F.col("toks"), (i + j).cast("int"))
-                        for j in range(n)
-                    ],
-                ).alias("g"),
-            ),
-        )
-
-    def gram_counts(limit_col, out):
-        exploded = d.select(
-            "doc_id",
-            F.explode(
-                F.flatten(
-                    F.array(*[grams(limit_col, n) for n in (1, 2, 3, 4)])
-                )
-            ).alias("s"),
-        ).select("doc_id", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
-        return exploded.groupBy("doc_id", "n", "g").agg(
-            F.count(F.lit(1)).alias(out)
-        )
-
-    cg = gram_counts("clen", "c_cnt")
-    rg = gram_counts("rlen", "r_cnt")
-    m = (
-        cg.join(rg, ["doc_id", "n", "g"], "left")
-        .groupBy("n")
-        .agg(
-            F.sum(
-                F.least(F.col("c_cnt"), F.coalesce(F.col("r_cnt"), F.lit(0)))
-            )
-            .cast("long")
-            .alias("matches")
-        )
+    d, counts = _gen_gram_counts(docs, (1, 2, 3, 4))
+    m = counts.groupBy("n").agg(
+        F.sum(F.least(F.col("c_cnt"), F.col("r_cnt")))
+        .cast("long")
+        .alias("matches")
     )
     tot = d.agg(
         *[
@@ -229,115 +265,40 @@ def ml_eval_bleu_corpus(spark, sf_dir):
     )
 
 
-_ROUGE_ORACLE = """
-WITH t AS (
-  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-),
-d AS (
-  SELECT doc_id, toks,
-         greatest((len(toks) * 4) // 5, 1) AS clen, len(toks) AS rlen
-  FROM t
-),
-cg AS (
-  SELECT doc_id, n, array_to_string(toks[i : i + n - 1], ' ') AS g,
-         count(*) AS c_cnt
-  FROM (
-    SELECT d.doc_id, d.toks, nn.n,
-           unnest(range(1, greatest(d.clen - nn.n + 2, 1))) AS i
-    FROM d CROSS JOIN (VALUES (1), (2)) AS nn(n)
-  )
-  GROUP BY doc_id, n, g
-),
-rg AS (
-  SELECT doc_id, n, array_to_string(toks[i : i + n - 1], ' ') AS g,
-         count(*) AS r_cnt
-  FROM (
-    SELECT d.doc_id, d.toks, nn.n,
-           unnest(range(1, greatest(d.rlen - nn.n + 2, 1))) AS i
-    FROM d CROSS JOIN (VALUES (1), (2)) AS nn(n)
-  )
-  GROUP BY doc_id, n, g
-),
+_ROUGE_ORACLE = (
+    _gen_cte("(1), (2)")
+    + """,
 m AS (
-  SELECT rg.n,
-         CAST(sum(least(rg.r_cnt, COALESCE(cg.c_cnt, 0))) AS BIGINT)
-           AS matches,
-         CAST(sum(rg.r_cnt) AS BIGINT) AS total_ref
-  FROM rg LEFT JOIN cg
-    ON cg.doc_id = rg.doc_id AND cg.n = rg.n AND cg.g = rg.g
-  GROUP BY rg.n
+  SELECT n,
+         CAST(sum(least(c_cnt, r_cnt)) AS BIGINT) AS matches,
+         CAST(sum(r_cnt) AS BIGINT) AS total_ref
+  FROM cg GROUP BY n
 )
 SELECT CAST(n AS BIGINT) AS n, matches, total_ref,
        CAST(matches AS DOUBLE) / CAST(total_ref AS DOUBLE) AS rouge_n_recall
 FROM m
 ORDER BY n
 """
+)
 
 
 @register("ml_eval_rouge_n", oracle=_ROUGE_ORACLE)
 def ml_eval_rouge_n(spark, sf_dir):
     """Corpus ROUGE-N recall (Lin 2004) for n=1,2 — BLEU's
     recall-oriented twin for summarization eval: clipped n-gram
-    overlap divided by the total REFERENCE n-grams. Shares
-    ml_eval_bleu_corpus's deterministic fixture (candidate = first 80%
-    of tokens, reference = full document), so recall < 1 by
-    construction and the clip path is exercised. Pure rational output
-    (BIGINT counts, one final double division) — no transcendentals at
-    all, bit-identical across engines. Same linear scale shape as the
-    BLEU query: per-row gram arrays in the JVM, two doc-scoped hash
-    aggregations and their equi-join."""
+    overlap divided by the total REFERENCE n-grams, over the module
+    fixture (UNK-substituted 80% prefix vs full document). Pure
+    rational output (BIGINT counts, one final double division) — no
+    transcendentals, bit-identical across engines. Same single-pass
+    scale shape as the BLEU query: one explode, one doc-scoped hash
+    aggregation, no gram-level join."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    d = docs.select(
-        "doc_id",
-        toks.alias("toks"),
-        F.greatest(
-            F.expr("(size(split(text, ' ')) * 4) div 5"), F.lit(1)
-        ).alias("clen"),
-        F.size(toks).alias("rlen"),
-    )
-
-    def grams(limit_col, n):
-        return F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.col(limit_col) - (n - 1), F.lit(0))
-            ),
-            lambda i: F.struct(
-                F.lit(n).alias("n"),
-                F.concat_ws(
-                    " ",
-                    *[
-                        F.element_at(F.col("toks"), (i + j).cast("int"))
-                        for j in range(n)
-                    ],
-                ).alias("g"),
-            ),
-        )
-
-    def gram_counts(limit_col, out):
-        exploded = d.select(
-            "doc_id",
-            F.explode(
-                F.flatten(F.array(*[grams(limit_col, n) for n in (1, 2)]))
-            ).alias("s"),
-        ).select("doc_id", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
-        return exploded.groupBy("doc_id", "n", "g").agg(
-            F.count(F.lit(1)).alias(out)
-        )
-
-    cg = gram_counts("clen", "c_cnt")
-    rg = gram_counts("rlen", "r_cnt")
-    m = (
-        rg.join(cg, ["doc_id", "n", "g"], "left")
-        .groupBy("n")
-        .agg(
-            F.sum(
-                F.least(F.col("r_cnt"), F.coalesce(F.col("c_cnt"), F.lit(0)))
-            )
-            .cast("long")
-            .alias("matches"),
-            F.sum("r_cnt").cast("long").alias("total_ref"),
-        )
+    _d, counts = _gen_gram_counts(docs, (1, 2))
+    m = counts.groupBy("n").agg(
+        F.sum(F.least(F.col("c_cnt"), F.col("r_cnt")))
+        .cast("long")
+        .alias("matches"),
+        F.sum("r_cnt").cast("long").alias("total_ref"),
     )
     return m.select(
         F.col("n").cast("long").alias("n"),
