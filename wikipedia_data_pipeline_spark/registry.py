@@ -124,13 +124,19 @@ _ROTATION = [
     "graph_sssp_3hop",
     # streaming pin (stateful-path hygiene)
     "streaming_stateful_user_stats",
-    # never-verified ml-eval / UDF-surface tail
-    "ml_eval_calibration_bins",
-    "ml_eval_rater_kappa",
-    "ml_eval_fairness_gaps",
-    "ml_eval_conformal_threshold",
-    "ml_eval_ips_value",
-    "ml_eval_pass_at_k",
+    # session-2 paths whose CODE changed after the window was first
+    # set (rewrites + fixes need driver re-verification before stable
+    # never-verified keys, which rotate in r12): the BLEU/ROUGE
+    # single-pass + UNK-fixture rewrite, the cross-source exact-first
+    # collapse, the Spearman overflow fix, the new bucketed consumer,
+    # and SAX as the session's fact-scale novelty
+    "ml_eval_bleu_corpus",
+    "ml_eval_rouge_n",
+    "dedup_cross_source_matrix",
+    "ml_eval_spearman_rho",
+    "q5_bucketed_colocated",
+    "events_sax_symbols",
+    # never-verified UDF-surface tail (the ml-eval tail moved to r12)
     "udf_grouped_agg_median",
     "udf_arrow_long_words",
 ]
