@@ -627,3 +627,29 @@ def test_auc_delong_matches_python(spark, sf_dir, queries):
     assert got["ci_lo"] == auc - 1.959963984540054 * se
     assert got["ci_hi"] == auc + 1.959963984540054 * se
     assert got["ci_lo"] < 0.5 < got["ci_hi"]  # null holds by design
+
+
+def test_g_test_matches_python(spark, sf_dir, queries):
+    rows = duckdb.sql(
+        f"""SELECT event_type,
+               (epoch(CAST(date_trunc('day', ts) AS DATE)) // 86400) % 7,
+               count(*)
+        FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2"""
+    ).fetchall()
+    rt = Counter()
+    ct = Counter()
+    n = 0
+    for et, dow, o in rows:
+        rt[et] += o
+        ct[dow] += o
+        n += o
+    g_nano = 0
+    for et, dow, o in rows:
+        if o > 0:
+            x = 2.0 * o * math.log((o * n) / (float(rt[et]) * ct[dow]))
+            # F.round is half-away-from-zero; terms can be negative
+            g_nano += int(math.copysign(math.floor(abs(x) * 1e9 + 0.5), x))
+    got = queries["stats_g_test_type_dow"](spark, sf_dir).collect()[0]
+    assert got["n_events"] == n
+    assert got["dof"] == (len(rt) - 1) * (len(ct) - 1)
+    assert got["g_stat"] == g_nano / 1e9

@@ -1689,3 +1689,105 @@ def stats_cliffs_delta(spark, sf_dir):
         .otherwise("large")
         .alias("magnitude"),
     )
+
+
+_GTEST_ORACLE = """
+WITH cells AS (
+  SELECT event_type,
+         (epoch(CAST(date_trunc('day', ts) AS DATE)) // 86400) % 7 AS dow,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT c.event_type, c.dow, c.o,
+         CAST(sum(c.o) OVER (PARTITION BY c.event_type) AS BIGINT) AS rt,
+         CAST(sum(c.o) OVER (PARTITION BY c.dow) AS BIGINT) AS ct,
+         CAST(sum(c.o) OVER () AS BIGINT) AS n
+  FROM cells c
+),
+terms AS (
+  SELECT o, rt, ct, n,
+         CAST(round(2.0 * o
+                    * ln((CAST(o AS DOUBLE) * n)
+                         / (CAST(rt AS DOUBLE) * ct))
+                    * 1000000000) AS BIGINT) AS g_nano
+  FROM m WHERE o > 0
+)
+SELECT CAST(sum(g_nano) AS DOUBLE) / 1000000000 AS g_stat,
+       (SELECT CAST((count(DISTINCT event_type) - 1)
+                    * (count(DISTINCT dow) - 1) AS BIGINT) FROM cells)
+         AS dof,
+       CAST(max(n) AS BIGINT) AS n_events
+FROM terms
+"""
+
+
+@register("stats_g_test_type_dow", oracle=_GTEST_ORACLE)
+def stats_g_test_type_dow(spark, sf_dir):
+    """G-test (likelihood-ratio chi-square) of event type ×
+    day-of-week independence — Pearson's asymptotic twin on the SAME
+    35-cell contingency fixture as events_chi2_type_dow, so the two
+    statistics are directly comparable on identical data (they diverge
+    exactly when cell counts run small — the practical reason
+    categorical-analysis texts recommend reporting both). G = 2·Σ O·ln(O/E)
+    with E = rt·ct/n; zero cells contribute zero (lim x·ln x = 0) and
+    are excluded like the Pearson query's missing cells.
+
+    Exactness: each of the ≤35 per-cell transcendentals runs once on
+    exact-integer-derived rationals and quantizes to nano-units
+    (privacy_dp_release_counts discipline); the statistic is an
+    associative BIGINT sum. One fact-table hash agg; margins ride
+    windows over the driver-tiny cell relation."""
+    from pyspark.sql import Window
+
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (
+                F.unix_date(
+                    F.date_trunc(
+                        "day", F.timestamp_micros(F.col("ts"))
+                    ).cast("date")
+                ).cast("long")
+                % 7
+            ).alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    m = cells.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).cast("long").alias("rt"),
+        F.sum("o").over(Window.partitionBy("dow")).cast("long").alias("ct"),
+        F.sum("o").over(
+            Window.partitionBy()
+        ).cast("long").alias("n"),
+    )
+    g_nano = F.round(
+        F.lit(2.0)
+        * F.col("o")
+        * F.log(
+            (F.col("o").cast("double") * F.col("n"))
+            / (F.col("rt").cast("double") * F.col("ct"))
+        )
+        * F.lit(1_000_000_000)
+    ).cast("long")
+    terms = m.filter(F.col("o") > 0).select(g_nano.alias("g_nano"), "n")
+    dof = cells.agg(
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("dow") - 1)
+        )
+        .cast("long")
+        .alias("dof")
+    )
+    return (
+        terms.agg(
+            (F.sum("g_nano").cast("double") / 1_000_000_000).alias("g_stat"),
+            F.max("n").cast("long").alias("n_events"),
+        )
+        .crossJoin(F.broadcast(dof))
+        .select("g_stat", "dof", "n_events")
+    )
