@@ -424,6 +424,15 @@ def test_abc_classification_windows_over_aggregate(spark, sf_dir):
         "sample_pps_systematic_orders",
         "sketch_kmv_distinct_users",
         "incremental_distinct_users_kmv",
+        # round 12: the distinct-value stats lineage — on a near-unique
+        # score column the per-distinct-value relation is fact-sized,
+        # so these must ride ordered_scan, not a global window
+        "ml_eval_auc_delong_ci",
+        "events_ks_test_ab",
+        "events_mannwhitney_ab",
+        "stats_cliffs_delta",
+        "stats_logrank_test",
+        "orders_survival_curve",
     ],
 )
 def test_no_unguarded_global_windows(spark, sf_dir, query_name):

@@ -178,6 +178,12 @@ PROBE = [
     "recs_catalog_coverage",
     "text_tokenizer_fertility",
     "dedup_cross_source_matrix",
+    # r12: distinct-value-lineage members not yet probed (the other
+    # three — delong/cliffs/logrank — are in the r11 block above);
+    # all six now ride ordered_scan instead of unpartitioned windows
+    "events_ks_test_ab",
+    "events_mannwhitney_ab",
+    "orders_survival_curve",
 ]
 # quadratic-oracle twins: timing DuckDB here measures the oracle's
 # deliberate brute-force design, not the engine — skip, like bench.py

@@ -929,11 +929,17 @@ def orders_survival_curve(spark, sf_dir):
     S(t) = Π(1−dᵢ/nᵢ) rides as a prefix sum of nano-nat log terms
     (associative → cluster-size-proof), shipped as the exact integer
     log_survival_nano (S = exp(·/1e9); a NULL marks the d=n collapse
-    to S=0). The
-    fact scan collapses to one row per customer, then one row per
-    distinct duration — the windows never see raw orders.
+    to S=0). The fact scan collapses to one row per customer, then one
+    row per distinct duration; both prefix sums (at-risk depletion,
+    log-survival accumulation) ride hierarchical `ordered_scan`s, so a
+    fine-grained survival clock (seconds instead of months) never
+    serializes through an unpartitioned window — the
+    logrank/KS/MWU/DeLong discipline. The d=0 rows stay in the scan
+    (they contribute exactly ln(1)=0 to the running sum) and drop only
+    at the final projection, which keeps the scan's total order the
+    full duration domain.
     """
-    from pyspark.sql import Window
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
 
     o = load_table(spark, sf_dir, "orders")
     mth = F.year("o_orderdate") * 12 + F.month("o_orderdate")
@@ -952,16 +958,15 @@ def orders_survival_curve(spark, sf_dir):
         F.sum("churned").cast("long").alias("d"),
         F.count(F.lit(1)).cast("long").alias("c"),
     )
-    before = Window.orderBy("duration_m").rowsBetween(
-        Window.unboundedPreceding, -1
+    scan1 = ordered_scan(
+        at_t, ["duration_m"], running=[("run_c", "c", "sum")]
     )
-    risk = at_t.crossJoin(F.broadcast(n_total)).select(
+    risk = scan1.crossJoin(F.broadcast(n_total)).select(
         "duration_m",
         "d",
-        (
-            F.col("n_total")
-            - F.coalesce(F.sum("c").over(before), F.lit(0))
-        ).alias("n_at_risk"),
+        (F.col("n_total") - (F.col("run_c") - F.col("c"))).alias(
+            "n_at_risk"
+        ),
     )
     lg = F.when(
         F.col("d") < F.col("n_at_risk"),
@@ -972,24 +977,28 @@ def orders_survival_curve(spark, sf_dir):
             * 1_000_000_000.0
         ).cast("long"),
     )
-    terms = risk.filter(F.col("d") > 0).select(
-        "duration_m", "d", "n_at_risk", lg.alias("lg_nano")
+    terms = risk.select(
+        "duration_m",
+        "d",
+        "n_at_risk",
+        F.coalesce(lg, F.lit(0)).alias("lg0"),
+        (F.col("d") >= F.col("n_at_risk")).cast("long").alias("dead"),
     )
-    run = Window.orderBy("duration_m").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    scan2 = ordered_scan(
+        terms,
+        ["duration_m"],
+        running=[("run_lg", "lg0", "sum"), ("run_dead", "dead", "sum")],
     )
-    alive = F.min(
-        F.when(F.col("lg_nano").isNull(), 0).otherwise(1)
-    ).over(run)
     # The readout is the EXACT integer nano-nat log-survival (a NULL
-    # marks the S=0 collapse where d reached n). S(t) itself is
+    # marks the S=0 collapse where d reached n — a positive run_dead
+    # means some earlier-or-equal duration collapsed). S(t) itself is
     # exp(log_survival_nano/1e9) — left to the consumer because exp()
     # differs by 1 ULP between Java's and libm's implementations, and
     # this engine only ships bit-reproducible columns.
-    surv = F.when(alive == 0, F.lit(None).cast("long")).otherwise(
-        F.sum("lg_nano").over(run).cast("long")
-    )
-    return terms.select(
+    surv = F.when(
+        F.col("run_dead") > 0, F.lit(None).cast("long")
+    ).otherwise(F.col("run_lg").cast("long"))
+    return scan2.filter(F.col("d") > 0).select(
         "duration_m",
         F.col("d").alias("n_churned"),
         "n_at_risk",

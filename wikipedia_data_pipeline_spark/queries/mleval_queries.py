@@ -1761,12 +1761,17 @@ def ml_eval_auc_delong_ci(spark, sf_dir):
     it for negatives. Var, se, and the Wald 95% CI are one canonical
     IEEE finale (z frozen full-precision).
 
-    Scale shape: the collapsed distinct-value lineage (MWU/KS/Cliff's
-    precedent) — one hash agg to per-value label counts, forward and
-    backward prefix sums on the distinct-value relation, one 1-row
-    fold. Nothing fact-sized crosses an unpartitioned boundary."""
-    from pyspark.sql import Window
-
+    Scale shape: one hash agg to per-value label counts, then BOTH
+    prefix directions from ONE hierarchical `ordered_scan` over the
+    distinct-value relation — neg_below is the exclusive forward prefix
+    (inclusive running sum − current), pos_above the backward suffix
+    (global total − inclusive running sum). A real model-score DOUBLE
+    column is near-unique, so the distinct relation is fact-sized and
+    an unpartitioned window here would serialize it through one task;
+    the scan keeps it range-partitioned (SURVEY §2.5 scale note).
+    Exactness unchanged: running sums are order-insensitive BIGINT, so
+    the two-level scan is bit-identical to the one-pass window."""
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
     from wikipedia_data_pipeline_spark.operators.sampling import det_hash
 
     scored = load_table(spark, sf_dir, "events").select(
@@ -1777,13 +1782,16 @@ def ml_eval_auc_delong_ci(spark, sf_dir):
         F.sum("label").cast("long").alias("cpos"),
         (F.count(F.lit(1)) - F.sum("label")).cast("long").alias("cneg"),
     )
-    below = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    above = Window.orderBy("v").rowsBetween(1, Window.unboundedFollowing)
-    scan = vals.select(
+    scan = ordered_scan(
+        vals,
+        ["v"],
+        running=[("run_cneg", "cneg", "sum"), ("run_cpos", "cpos", "sum")],
+        with_totals=True,
+    ).select(
         "cpos",
         "cneg",
-        F.coalesce(F.sum("cneg").over(below), F.lit(0)).alias("neg_below"),
-        F.coalesce(F.sum("cpos").over(above), F.lit(0)).alias("pos_above"),
+        (F.col("run_cneg") - F.col("cneg")).alias("neg_below"),
+        (F.col("run_cpos_total") - F.col("run_cpos")).alias("pos_above"),
     )
     psi2 = (F.lit(2) * F.col("neg_below") + F.col("cneg")).cast(
         "decimal(38,0)"

@@ -149,12 +149,17 @@ def events_ks_test_ab(spark, sf_dir):
     as the INTEGER |ca·n_b − cb·n_a| until one final division.
 
     Lineage: one hash-agg collapses the fact table to per-distinct-
-    value A/B counts; the cumulative window and the max then run over
-    that collapsed relation. Integer cross-multiplication avoids the
-    per-row double division a naive CDF comparison would do — and makes
-    the max deterministic (no float ties).
+    value A/B counts; the cumulative CDFs and the group totals come
+    from ONE hierarchical `ordered_scan` over that collapsed relation
+    (with_totals — no second scan). The value domain is a model-score
+    shape: on a near-unique DOUBLE column the distinct relation is
+    fact-sized, so the prefix sums must stay range-partitioned rather
+    than serialize through an unpartitioned window. Integer
+    cross-multiplication avoids the per-row double division a naive
+    CDF comparison would do — and makes the max deterministic (no
+    float ties).
     """
-    from pyspark.sql import Window
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
 
     ev = load_table(spark, sf_dir, "events")
     is_a = (F.col("user_id") % 2 == 0).cast("long")
@@ -162,24 +167,25 @@ def events_ks_test_ab(spark, sf_dir):
         F.sum(is_a).alias("ca_v"),
         F.sum(1 - is_a).alias("cb_v"),
     )
-    run = Window.orderBy("value").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    c = ordered_scan(
+        v,
+        ["value"],
+        running=[("ca", "ca_v", "sum"), ("cb", "cb_v", "sum")],
+        with_totals=True,
     )
-    allw = Window.partitionBy()
-    c = v.select(
-        F.sum("ca_v").over(run).alias("ca"),
-        F.sum("cb_v").over(run).alias("cb"),
-        F.sum("ca_v").over(allw).alias("na"),
-        F.sum("cb_v").over(allw).alias("nb"),
+    gap = F.abs(
+        F.col("ca") * F.col("cb_total") - F.col("cb") * F.col("ca_total")
     )
-    gap = F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
     return c.agg(
-        F.max("na").cast("long").alias("n_a"),
-        F.max("nb").cast("long").alias("n_b"),
+        F.max("ca_total").cast("long").alias("n_a"),
+        F.max("cb_total").cast("long").alias("n_b"),
         F.max(gap).cast("long").alias("d_num"),
         (
             F.max(gap).cast("double")
-            / (F.max("na").cast("double") * F.max("nb").cast("double"))
+            / (
+                F.max("ca_total").cast("double")
+                * F.max("cb_total").cast("double")
+            )
         ).alias("ks_stat"),
     )
 
@@ -230,10 +236,12 @@ def events_mannwhitney_ab(spark, sf_dir):
     average 2×rank = 2·cum_before + t + 1, so U arrives as the exact
     BIGINT u2_a = 2·U_a. The tie-corrected normal approximation is one
     fixed double expression over (na, nb, u2_a, Σt³−t). Same collapsed
-    distinct-value lineage as the KS test: one hash-agg + prefix sums
-    over the distinct-value relation.
+    distinct-value lineage as the KS test — one hash-agg, then the
+    exclusive prefix sum (inclusive running sum − current tie-run) from
+    a hierarchical `ordered_scan`, so a near-unique score domain never
+    serializes through an unpartitioned window.
     """
-    from pyspark.sql import Window
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
 
     ev = load_table(spark, sf_dir, "events")
     is_a = (F.col("user_id") % 2 == 0).cast("long")
@@ -241,15 +249,16 @@ def events_mannwhitney_ab(spark, sf_dir):
         F.sum(is_a).alias("ca_v"),
         F.sum(1 - is_a).alias("cb_v"),
     )
-    before = Window.orderBy("value").rowsBetween(
-        Window.unboundedPreceding, -1
+    vt = v.select(
+        "value", "ca_v", "cb_v", (F.col("ca_v") + F.col("cb_v")).alias("t")
     )
-    t = F.col("ca_v") + F.col("cb_v")
-    r = v.select(
+    r = ordered_scan(
+        vt, ["value"], running=[("cum_t", "t", "sum")]
+    ).select(
         "ca_v",
         "cb_v",
-        t.alias("t"),
-        F.coalesce(F.sum(t).over(before), F.lit(0)).alias("cum_before"),
+        "t",
+        (F.col("cum_t") - F.col("t")).alias("cum_before"),
     )
     s = r.agg(
         F.sum("ca_v").cast("long").alias("na"),
@@ -1333,12 +1342,14 @@ def stats_logrank_test(spark, sf_dir):
     BIGINT sums, so the statistic is bit-identical across engines.
 
     Scale shape: the fact scan collapses to one row per customer, then
-    one row per distinct duration (~tens of months); the at-risk
-    windows and the final fold never see raw orders. Reference scope:
-    extends the §2 aggregate family; fixture shared with
-    orders_survival_curve (finance_queries)."""
-    from pyspark.sql import Window
-
+    one row per distinct duration; the at-risk exclusive prefix sums
+    come from a hierarchical `ordered_scan` (inclusive − current), so
+    even if the duration domain were fine-grained (a seconds-resolution
+    survival clock instead of months) nothing serializes through an
+    unpartitioned window, and the final fold never sees raw orders.
+    Reference scope: extends the §2 aggregate family; fixture shared
+    with orders_survival_curve (finance_queries)."""
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
     from wikipedia_data_pipeline_spark.operators.sampling import det_hash
 
     o = load_table(spark, sf_dir, "orders")
@@ -1366,20 +1377,16 @@ def stats_logrank_test(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("c"),
         F.sum("arm").cast("long").alias("c1"),
     )
-    # global window over the per-duration relation: ≤ #distinct months
-    # (driver-tiny, the survival-curve precedent)
-    before = Window.orderBy("duration_m").rowsBetween(
-        Window.unboundedPreceding, -1
+    scan = ordered_scan(
+        at_t,
+        ["duration_m"],
+        running=[("run_c", "c", "sum"), ("run_c1", "c1", "sum")],
     )
-    risk = at_t.crossJoin(F.broadcast(tot)).select(
+    risk = scan.crossJoin(F.broadcast(tot)).select(
         "d",
         "d1",
-        (F.col("n_all") - F.coalesce(F.sum("c").over(before), F.lit(0))).alias(
-            "n"
-        ),
-        (
-            F.col("n1_all") - F.coalesce(F.sum("c1").over(before), F.lit(0))
-        ).alias("n1"),
+        (F.col("n_all") - (F.col("run_c") - F.col("c"))).alias("n"),
+        (F.col("n1_all") - (F.col("run_c1") - F.col("c1"))).alias("n1"),
     )
     num = (
         F.lit(2).cast("decimal(38,0)")
@@ -1640,9 +1647,12 @@ def stats_cliffs_delta(spark, sf_dir):
     integer until the single final division, and the band compare is
     |num|·1000 vs threshold·den (integer, no rounding anywhere).
 
-    The global window rides the DISTINCT-VALUE relation (the MWU
-    precedent — bounded by value cardinality, not fact size)."""
-    from pyspark.sql import Window
+    The prefix sum rides the DISTINCT-VALUE relation via a
+    hierarchical `ordered_scan` (exclusive prefix = inclusive running
+    sum − current) — value cardinality tracks fact size on a
+    near-unique score column, so no unpartitioned window (the
+    MWU/KS/DeLong discipline)."""
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
 
     ev = load_table(spark, sf_dir, "events")
     is_a = (F.col("user_id") % 2 == 0).cast("long")
@@ -1650,15 +1660,12 @@ def stats_cliffs_delta(spark, sf_dir):
         F.sum(is_a).cast("long").alias("ca_v"),
         F.sum(1 - is_a).cast("long").alias("cb_v"),
     )
-    before = Window.orderBy("value").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    r = v.select(
+    r = ordered_scan(
+        v, ["value"], running=[("cum_cb", "cb_v", "sum")]
+    ).select(
         "ca_v",
         "cb_v",
-        F.coalesce(F.sum("cb_v").over(before), F.lit(0)).alias(
-            "cum_b_below"
-        ),
+        (F.col("cum_cb") - F.col("cb_v")).alias("cum_b_below"),
     )
     s = r.agg(
         F.sum("ca_v").cast("long").alias("na"),

@@ -79,66 +79,57 @@ _PINNED = [
     "dedup_exact",
 ]
 
-# Round-11 rotation. Front of the line: every query whose CODE changed
-# this round — the KMV shared-distinct flip, the new bucketed-layout
-# consumer, the new span extractor, BPE (newly exact-oracled), the
-# three ADVICE fixes (integral div, TOST rescale, permutation obs
-# guard — the latter two changed output schema/arithmetic), and the
-# rewritten aHash path. Then the six round-10 cents-flip queries whose
-# implementations changed AFTER the r10 window was set (never
-# driver-re-verified post-flip), the remaining round-10 novelties
-# (16/16 judge-sampled green but never driver-windowed), one streaming
-# pin (stateful-path hygiene — static_enrich + sessionization ride
-# _PINNED), and the never-verified ml-eval/UDF tail. The r10 rotation
-# went driver-green in CORRECTNESS_r10 (50/50) and rotates out with
-# that evidence. Driver-ever before this round: 220/341 oracle keys.
+# Round-12 rotation. Front of the line: the five distinct-value-
+# lineage stats queries whose prefix sums were rewritten onto the
+# hierarchical ordered_scan this round (the r11 verdict's #1 item —
+# code changed, driver must re-verify), then the never-driver-verified
+# backlog (106 oracle keys before this round), oldest cohorts first:
+# the judge-only bucketed q3 consumer, the stats/graph/privacy tail,
+# the r5s3 finance block (largest untouched cohort), and the sequence
+# block. The r11 rotation went driver-green in CORRECTNESS_r11 (50/50)
+# and rotates out with that evidence. Driver-ever before this round:
+# 249/366 oracle keys.
 _ROTATION = [
-    # changed this round — driver must re-verify each touched path
-    "sketch_kmv_distinct_users",
-    "q18_bucketed_colocated",
-    "text_duplicate_spans_extract",
-    "text_bpe_tokenize",
-    "curation_token_mixture_epochs",
-    "stats_tost_equivalence",
-    "stats_permutation_test_ab",
-    "multimodal_image_ahash_groups",
-    # r10 cents flips: implementation changed after the r10 window
-    "q18_large_orders",
-    "agg_grouping_sets",
-    "join_range_periods",
-    "events_daily_gapfill",
-    "events_daily_interpolate",
-    "events_sliding_window",
-    # remaining round-10 novelties: never driver-verified
-    "embedding_hamming_topk",
-    "multimodal_audio_vad_segments",
-    "sample_gumbel_topk_docs",
-    "text_yule_k_diversity",
-    "curation_dsir_importance_weights",
-    "ml_eval_average_precision",
-    "ml_eval_pinball_loss",
-    "ml_eval_isotonic_calibration",
-    "ml_eval_mrr",
-    "ml_eval_krippendorff_alpha",
-    "ml_eval_cochran_q",
-    "graph_sssp_3hop",
-    # streaming pin (stateful-path hygiene)
-    "streaming_stateful_user_stats",
-    # session-2 paths whose CODE changed after the window was first
-    # set (rewrites + fixes need driver re-verification before stable
-    # never-verified keys, which rotate in r12): the BLEU/ROUGE
-    # single-pass + UNK-fixture rewrite, the cross-source exact-first
-    # collapse, the Spearman overflow fix, the new bucketed consumer,
-    # and SAX as the session's fact-scale novelty
-    "ml_eval_bleu_corpus",
-    "ml_eval_rouge_n",
-    "dedup_cross_source_matrix",
-    "ml_eval_spearman_rho",
-    "q5_bucketed_colocated",
-    "events_sax_symbols",
-    # never-verified UDF-surface tail (the ml-eval tail moved to r12)
-    "udf_grouped_agg_median",
-    "udf_arrow_long_words",
+    # changed this round — ordered_scan rewrite of the prefix sums
+    "ml_eval_auc_delong_ci",
+    "events_ks_test_ab",
+    "events_mannwhitney_ab",
+    "stats_cliffs_delta",
+    "stats_logrank_test",
+    "orders_survival_curve",
+    # judge-verified r11 but never in a driver window
+    "q3_bucketed_colocated",
+    # never-verified stats/graph/privacy tail
+    "stats_mantel_haenszel",
+    "stats_g_test_type_dow",
+    "stats_power_sample_size",
+    "stats_poststratified_lift",
+    "privacy_t_closeness",
+    "graph_hits_scores",
+    # never-verified r5s3 finance block (largest untouched cohort)
+    "cohort_value_curves",
+    "orders_dow_seasonality",
+    "revenue_mom_change",
+    "part_brand_return_rates",
+    "orders_open_backlog_daily",
+    "events_cumulative_new_users",
+    "events_time_weighted_avg",
+    "lineitem_weighted_median_price",
+    "nation_revenue_hhi",
+    "orders_seasonal_decompose",
+    "parts_xyz_variability",
+    "orders_repeat_purchase_curve",
+    "lineitem_price_dispersion",
+    "parts_skyline_price_size",
+    "customer_spend_trend",
+    "trade_flow_matrix",
+    "market_basket_pairs",
+    # never-verified sequence block
+    "events_latest_per_key",
+    "events_multi_touch_attribution",
+    "events_peak_event_per_user",
+    "events_path_signatures",
+    "events_burst_users",
 ]
 
 
