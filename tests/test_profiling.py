@@ -294,7 +294,7 @@ def test_bootstrap_ci_brackets_mean(spark, sf_dir):
 
 
 def test_lateness_audit_consistency(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import events_lateness_audit
+    from wikipedia_data_pipeline_spark.queries.opsevents_queries import events_lateness_audit
     from wikipedia_data_pipeline_spark.sources.tables import load_table
 
     rows = events_lateness_audit(spark, sf_dir).collect()
@@ -320,7 +320,7 @@ def test_sparklines_aligned_and_sorted(spark, sf_dir):
 
 def test_checksum_detects_mutation(spark, sf_dir):
     from wikipedia_data_pipeline_spark.operators.sampling import det_hash
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import orders_integrity_checksum
+    from wikipedia_data_pipeline_spark.queries.opsevents_queries import orders_integrity_checksum
     from wikipedia_data_pipeline_spark.sources.tables import load_table
 
     base = orders_integrity_checksum(spark, sf_dir).collect()[0]
@@ -972,7 +972,7 @@ def test_join_cardinality_estimate_replayable(spark, sf_dir):
 
 
 def test_incremental_join_mv_agrees_with_recompute(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+    from wikipedia_data_pipeline_spark.queries.opsevents_queries import (
         incremental_mv_join_pairs,
     )
 
@@ -1041,7 +1041,7 @@ def test_woe_binning_structure(spark, sf_dir):
 
 def test_merkle_segments_roll_up_to_table_totals(spark, sf_dir):
     from wikipedia_data_pipeline_spark.operators.sampling import det_hash
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import (
+    from wikipedia_data_pipeline_spark.queries.opsevents_queries import (
         orders_merkle_segments,
     )
     from wikipedia_data_pipeline_spark.sources.tables import load_table

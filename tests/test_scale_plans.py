@@ -268,7 +268,7 @@ def test_heavy_hitter_recount_broadcasts_candidates(spark, sf_dir):
 
 
 def test_doc_similarity_prunes_high_df_words_before_join(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.textcorpus_queries import doc_similarity_tfidf
+    from wikipedia_data_pipeline_spark.queries.textsearch_queries import doc_similarity_tfidf
 
     plan = (
         doc_similarity_tfidf(spark, sf_dir)
@@ -307,7 +307,7 @@ def test_rolling_active_users_collapses_before_range_join(spark, sf_dir):
     # The fact table must aggregate to the distinct (day, user) state
     # BEFORE the 7-day range join: the join inputs are aggregates, not
     # the raw events scan.
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import events_rolling_active_users
+    from wikipedia_data_pipeline_spark.queries.opsevents_queries import events_rolling_active_users
 
     plan = (
         events_rolling_active_users(spark, sf_dir)
@@ -339,7 +339,7 @@ def test_prefix_filter_join_is_all_equi(spark, sf_dir):
 
 
 def test_text_search_topk_avoids_full_sort(spark, sf_dir):
-    from wikipedia_data_pipeline_spark.queries.textcorpus_queries import text_search_tfidf
+    from wikipedia_data_pipeline_spark.queries.textsearch_queries import text_search_tfidf
 
     ps = plan_summary(text_search_tfidf(spark, sf_dir))
     assert ps.has_take_ordered  # top-20 must be TakeOrdered, not Sort

@@ -303,7 +303,7 @@ def test_pattern_match_counts_on_constructed_history(spark, tmp_path):
         }
     )
     pq.write_table(tbl, str(tmp_path / "events.parquet"))
-    from wikipedia_data_pipeline_spark.queries.profiling_queries import events_pattern_match
+    from wikipedia_data_pipeline_spark.queries.opsevents_queries import events_pattern_match
 
     got = {
         r.pattern: (r.n_matches, r.n_users)

@@ -193,6 +193,10 @@ def _load_all() -> None:
         tpch_queries,
         analytics_queries,
         profiling_queries,
+        # round-12 split of profiling_queries: operational event
+        # analytics / incremental maintenance moved out before the
+        # 2,000-line threshold (keys and oracles unchanged)
+        opsevents_queries,
         timeseries_queries,
         sequence_queries,
         # round-7 split of the former 8.4k-line profiling grab-bag
@@ -200,6 +204,9 @@ def _load_all() -> None:
         # driver prefix is cosmetic — the ~50-slot window is addressed
         # by NAME via _PINNED/_ROTATION):
         textcorpus_queries,
+        # round-12 split of textcorpus_queries: retrieval/search +
+        # curation-mixing moved out before the 2,000-line threshold
+        textsearch_queries,
         sketch_queries,
         stats_queries,
         # round-9 split of stats_queries along screens-vs-tests lines;
