@@ -48,6 +48,14 @@ def _gen_gram_counts(docs, ns):
     )
 
     def grams(arr_col, n, flag):
+        # 8-byte xxhash64 fingerprint of the n tokens, NOT the gram
+        # string: the downstream (doc, n, gram) hash agg only needs
+        # EQUALITY of grams, so the explode+shuffle carries a long
+        # instead of an up-to-n-token string (the r11 verdict's #5 —
+        # same trick as text_span_dedup_stats' 8-byte span keys).
+        # xxhash64 chains per-argument (no concat ambiguity between
+        # ("ab","c") and ("a","bc")); a within-doc same-n collision
+        # needs ~2^64/k² grams, negligible at any real doc length.
         return F.transform(
             F.sequence(
                 F.lit(1),
@@ -55,12 +63,11 @@ def _gen_gram_counts(docs, ns):
             ),
             lambda i: F.struct(
                 F.lit(n).alias("n"),
-                F.concat_ws(
-                    " ",
+                F.xxhash64(
                     *[
                         F.element_at(F.col(arr_col), (i + j).cast("int"))
                         for j in range(n)
-                    ],
+                    ]
                 ).alias("g"),
                 F.lit(flag).alias("is_c"),
             ),
