@@ -735,9 +735,12 @@ def recs_catalog_coverage(spark, sf_dir):
     is the same correctly-rounded sqrt/divide tree as the sim query
     with pb as tiebreak, so the selected sets match across engines;
     three final double divisions. Scale shape: candidate pairs from
-    the per-basket self-join (basket-size²-bounded), top-5 via a
-    PARTITIONED window over per-item sim lists, then item-sized
-    aggregates only."""
+    the per-basket self-join (basket-size²-bounded) computed ONCE per
+    unordered pair (pa < pb — exactly recs_item_item_cosine's sim
+    relation) and symmetrized AFTER the support-filtered aggregate,
+    so the heaviest shuffle (pre-agg pair stream) carries half the
+    rows the naive pa ≠ pb join emits; then top-5 via a PARTITIONED
+    window over per-item sim lists and item-sized aggregates only."""
     from pyspark.sql import Window
 
     op = (
@@ -752,7 +755,7 @@ def recs_catalog_coverage(spark, sf_dir):
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
         .groupBy(
             F.col("a.l_partkey").alias("pa"),
@@ -763,7 +766,7 @@ def recs_catalog_coverage(spark, sf_dir):
     )
     ia = ic.select(F.col("l_partkey").alias("pa"), F.col("n").alias("na"))
     ib = ic.select(F.col("l_partkey").alias("pb"), F.col("n").alias("nb"))
-    sim = (
+    half = (
         co.join(F.broadcast(ia), "pa")
         .join(F.broadcast(ib), "pb")
         .select(
@@ -775,6 +778,24 @@ def recs_catalog_coverage(spark, sf_dir):
             ).alias("cosine"),
         )
     )
+    # cosine is symmetric: emit both orientations from the (much
+    # smaller) post-agg relation instead of shuffling both into it.
+    # explode-of-2 in ONE projection, not a self-union — a union
+    # would instantiate the half-pair subtree twice and recompute the
+    # basket self-join (measured: union form 17.6 s vs 13.1 s for the
+    # naive pa ≠ pb join at 100×; AB_RECS_r12.json)
+    sim = half.select(
+        F.explode(
+            F.array(
+                F.struct("pa", "pb", "cosine"),
+                F.struct(
+                    F.col("pb").alias("pa"),
+                    F.col("pa").alias("pb"),
+                    F.col("cosine"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.pa", "s.pb", "s.cosine")
     w = Window.partitionBy("pa").orderBy(F.desc("cosine"), F.asc("pb"))
     topk = (
         sim.withColumn("rk", F.row_number().over(w))
