@@ -690,3 +690,21 @@ def test_q5_bucketed_colocated_one_shuffle(spark, sf_dir):
     got = sorted(map(tuple, df.collect()))
     want = sorted(map(tuple, qs["q5_region_revenue"](spark, sf_dir).collect()))
     assert got == want
+
+
+def test_sessionization_bucketed_zero_shuffles(spark, sf_dir):
+    """Fourth bucketed consumer, first on the user_id key: the per-user
+    gaps-and-islands windows AND the (user_id, session_id) final
+    aggregate must both ride the events twin's bucket partitioning
+    (user_id is a prefix of the grouping keys) — zero shuffle Exchange
+    in the executed plan. Results must equal plain sessionization
+    exactly."""
+    from wikipedia_data_pipeline_spark import registry
+
+    qs = registry.spark_queries()
+    df = qs["sessionization_bucketed"](spark, sf_dir)
+    ps = plan_summary(df)
+    assert ps.n_shuffles == 0, ps
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, qs["sessionization"](spark, sf_dir).collect()))
+    assert got == want

@@ -895,9 +895,7 @@ def asof_join_last_view(spark, sf_dir):
     )
 
 
-@register(
-    "sessionization",
-    oracle=f"""
+_SESSION_ORACLE = f"""
 WITH ordered AS (
   SELECT user_id, event_id, epoch_us(ts) AS t,
          lag(epoch_us(ts)) OVER (PARTITION BY user_id
@@ -920,14 +918,11 @@ sessions AS (
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        count(*) AS n_events, max(t) - min(t) AS duration_us
 FROM sessions GROUP BY user_id, session_id
-""",
-)
-def sessionization(spark, sf_dir):
-    """Gaps-and-islands sessionization (30-min inactivity gap) — the
-    batch twin of streaming session_window."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", ts_us().alias("t")
-    )
+"""
+
+
+def _sessionize(ev):
+    """Gaps-and-islands over a (user_id, event_id, t) relation."""
     w = Window.partitionBy("user_id").orderBy("t", "event_id")
     flagged = ev.withColumn(
         "new_session",
@@ -947,6 +942,44 @@ def sessionization(spark, sf_dir):
         F.count("*").alias("n_events"),
         (F.max("t") - F.min("t")).alias("duration_us"),
     )
+
+
+@register("sessionization", oracle=_SESSION_ORACLE)
+def sessionization(spark, sf_dir):
+    """Gaps-and-islands sessionization (30-min inactivity gap) — the
+    batch twin of streaming session_window."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", ts_us().alias("t")
+    )
+    return _sessionize(ev)
+
+
+@register("sessionization_bucketed", oracle=_SESSION_ORACLE, eager=True)
+def sessionization_bucketed(spark, sf_dir):
+    """Sessionization over the BUCKETED events twin — the fourth
+    consumer of the maintenance path (sources/maintenance.py), and the
+    first on the user_id key: events is read from a full-schema twin
+    bucketed by user_id and bucket-sorted by (user_id, ts, event_id),
+    so the per-user windows reuse the scan's hash-partitioning and the
+    final (user_id, session_id) aggregation reuses it too (user_id is
+    a prefix of the grouping keys) — ZERO shuffle exchanges in the
+    executed plan, vs sessionization's one fact-sized exchange. Every
+    other user-keyed query (as-of join, rolling actives, per-user
+    stats) can read the same twin, which is the amortization argument.
+    Identical results to sessionization by construction — same oracle.
+
+    eager=True: construction triggers the lazy first-time twin write
+    (q18_bucketed_colocated note); at 100 TB that write is a scheduled
+    maintenance job, priced separately from the query."""
+    from wikipedia_data_pipeline_spark.sources.maintenance import (
+        ensure_bucketed_twins,
+    )
+
+    twins = ensure_bucketed_twins(spark, sf_dir, tables=("events",))
+    ev = spark.table(twins["events"]).select(
+        "user_id", "event_id", ts_us().alias("t")
+    )
+    return _sessionize(ev)
 
 
 # ---------------------------------------------------------------------------

@@ -67,6 +67,16 @@ def compact(
 BUCKET_SPECS: dict[str, list[str]] = {
     "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey"],
+    # the user-behavior family (sessionization, as-of, per-user rollups)
+    # re-shuffles events on user_id every query; one bucketed twin
+    # removes that exchange for all of them (round 12)
+    "events": ["user_id"],
+}
+# within-bucket sort: defaults to the bucket keys; events sorts by the
+# event-time tiebreak order every per-user window uses, so the
+# within-partition sort is over nearly-ordered runs
+SORT_SPECS: dict[str, list[str]] = {
+    "events": ["user_id", "ts", "event_id"],
 }
 DEFAULT_BUCKETS = 32
 
@@ -120,13 +130,20 @@ def ensure_bucketed_twins(
                 write_bucketed,
             )
 
-            df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+            # write from the NORMALIZED relation (events.ts → BIGINT µs,
+            # the engine's event-time domain) so twin consumers see the
+            # exact schema load_table serves
+            from wikipedia_data_pipeline_spark.sources.tables import (
+                load_table,
+            )
+
+            df = load_table(spark, sf_dir, t)
             write_bucketed(
                 df,
                 name,
                 keys,
                 num_buckets,
-                sort_cols=keys,
+                sort_cols=SORT_SPECS.get(t, keys),
                 path=os.path.join(root, name),
             )
         out[t] = name
