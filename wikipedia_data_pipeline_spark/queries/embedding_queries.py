@@ -216,3 +216,73 @@ def embedding_label_outliers(spark, sf_dir):
         .filter(F.col("outlier_rank") <= 3)
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Pairwise-cosine histogram over a hash-deterministic pair sample (r12)
+# ---------------------------------------------------------------------------
+
+_PAIRHIST_MOD = 17  # keeps the sampled subset ~|corpus|/17, pairs bounded
+
+_PAIRHIST_ORACLE = f"""
+WITH s AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % {_PAIRHIST_MOD} = 0
+),
+pairs AS (
+  SELECT least(CAST(floor(({COS_SQL.format(a='a.embedding', b='b.embedding')}
+                + 1.0) * 10.0) AS BIGINT), 19) AS bin
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+)
+SELECT bin, CAST(bin AS DOUBLE) / 10.0 - 1.0 AS cos_lo,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY bin
+ORDER BY bin
+"""
+
+
+@register("embedding_cosine_pair_histogram", oracle=_PAIRHIST_ORACLE)
+def embedding_cosine_pair_histogram(spark, sf_dir):
+    """Embedding-space geometry QA: the distribution of pairwise
+    cosines over a hash-deterministic sample of vector pairs, bucketed
+    into 20 bins on [−1, 1]. A healthy isotropic embedding space puts
+    mass near 0; a collapsed (anisotropic) space — the classic failure
+    mode representation-learning audits screen for (Ethayarajh 2019)
+    — piles up near 1, and this histogram is the cheapest detector.
+
+    Scale shape: the sampled subset (vec_id % {_PAIRHIST_MOD} = 0) is
+    |corpus|/17 rows, broadcast on one side of the < self-join, so the
+    pair count is (|corpus|/17 choose 2) — a DIAGNOSTIC sample, never
+    the |corpus|² all-pairs relation (the same never-all-pairs rule as
+    the LSH dedup family); for 100-TB corpora the modulus is the dial.
+    Cosines are sequential-fold doubles (bit-identical across engines,
+    ann_cosine_topk_brute discipline); binning is floor arithmetic on
+    those doubles; counts are exact BIGINTs."""
+    from wikipedia_data_pipeline_spark.functions import cosine_similarity
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % _PAIRHIST_MOD == 0
+    )
+    a = e.select(
+        F.col("vec_id").alias("ida"), F.col("embedding").alias("ea")
+    )
+    b = e.select(
+        F.col("vec_id").alias("idb"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("ida") < F.col("idb")).select(
+        F.least(
+            F.floor(
+                (cosine_similarity(F.col("ea"), F.col("eb")) + 1.0) * 10.0
+            ).cast("long"),
+            F.lit(19).cast("long"),
+        ).alias("bin")
+    )
+    return (
+        pairs.groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            "bin",
+            (F.col("bin").cast("double") / 10.0 - 1.0).alias("cos_lo"),
+            "n_pairs",
+        )
+        .orderBy("bin")
+    )

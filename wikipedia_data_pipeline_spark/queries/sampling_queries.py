@@ -401,3 +401,87 @@ def sample_class_balanced_docs(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman (optimal stratified) allocation of an annotation budget (r12)
+# ---------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 1000
+
+_NEYMAN_ORACLE = f"""
+WITH st AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS s1,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+  FROM documents GROUP BY lang
+),
+sd AS (
+  SELECT lang, n_docs,
+         CAST(n_docs AS DOUBLE)
+           * sqrt(CAST(s2 AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                    * CAST(s1 AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS w
+  FROM st
+),
+tot AS (SELECT sum(CAST(round(w * 1000000.0) AS BIGINT)) AS w_tot_micro
+        FROM sd)
+SELECT lang, n_docs,
+       CAST(round(w * 1000000.0) AS BIGINT) AS w_micro,
+       CAST(round({_NEYMAN_BUDGET}.0
+                  * CAST(CAST(round(w * 1000000.0) AS BIGINT) AS DOUBLE)
+                  / CAST(w_tot_micro AS DOUBLE)) AS BIGINT) AS alloc_n
+FROM sd, tot
+ORDER BY lang
+"""
+
+
+@register("sample_neyman_allocation", oracle=_NEYMAN_ORACLE)
+def sample_neyman_allocation(spark, sf_dir):
+    """Neyman (optimal) stratified allocation of a fixed annotation
+    budget across language strata: n_h ∝ N_h·S_h, the allocation that
+    minimizes the variance of the stratified mean for a fixed total —
+    the sampling-design step a labeling or eval pipeline runs before
+    `sample_stratified_lang` draws the rows. S_h is the population
+    std-dev of n_chars within the stratum.
+
+    Exactness: per-stratum (N, Σx, Σx²) are exact BIGINTs from one
+    scan; N·S ships micro-quantized so the shares divide two exact
+    integers; allocations round the same double on both engines.
+    Rounded allocations may sum to budget ± |strata| (standard largest
+    -remainder caveat, left to the caller). Scale: one hash agg to
+    |strata| rows; everything after is stratum-count arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    st = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("s2"),
+    )
+    nd = F.col("n_docs").cast("double")
+    w = nd * F.sqrt(
+        F.col("s2").cast("double") / nd
+        - F.col("s1").cast("double") / nd * F.col("s1").cast("double") / nd
+    )
+    sd = st.select(
+        "lang",
+        "n_docs",
+        F.round(w * 1_000_000.0).cast("long").alias("w_micro"),
+    )
+    tot = sd.agg(F.sum("w_micro").cast("long").alias("w_tot_micro"))
+    return (
+        sd.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "w_micro",
+            F.round(
+                F.lit(float(_NEYMAN_BUDGET))
+                * F.col("w_micro").cast("double")
+                / F.col("w_tot_micro").cast("double")
+            )
+            .cast("long")
+            .alias("alloc_n"),
+        )
+        .orderBy("lang")
+    )

@@ -1,0 +1,382 @@
+"""Rank-based and ordered-category hypothesis tests (round 12):
+Kruskal–Wallis k-group rank test, Cochran–Armitage trend test, and the
+Nelson–Aalen cumulative-hazard estimator. All three follow the
+collapsed-lineage + ``ordered_scan`` discipline the round-12 rewrite
+established for KS/MWU/DeLong (statstests_queries / mleval_queries):
+the fact table collapses to a per-distinct-key relation in one hash
+aggregation, every prefix sum rides the hierarchical ``ordered_scan``
+(never an unpartitioned window), and each statistic ships as exact
+BIGINT components plus one fixed double expression both engines
+evaluate identically (nano-quantized where a per-row division is
+unavoidable). New module rather than statstests_queries, which sits at
+~1.8k lines against the 2,000-line split threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikipedia_data_pipeline_spark.registry import register
+from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+_US_PER_DAY = 86_400_000_000
+
+
+# ---------------------------------------------------------------------------
+# Kruskal–Wallis H test: events.value across event_type groups
+# ---------------------------------------------------------------------------
+# Doubled-rank trick (events_mannwhitney_ab): a tied run of t values
+# beginning after cum_before rows has average 2×rank = 2·cum_before +
+# t + 1, so every per-group rank sum arrives as the exact BIGINT
+# s2_g = 2·R_g, and H = 3/(N(N+1))·Σ s2_g²/n_g − 3(N+1). The per-group
+# quotient s2_g²/n_g overflows BIGINT at fact scale, so each term is
+# shipped as round(1e9·s2²/(n_g·N²)) — a deterministic double from
+# BIGINT inputs, exact to summation (k terms, k = |event types|).
+
+_KW_ORACLE = """
+WITH cv AS (
+  SELECT value, event_type, count(*) AS c FROM events GROUP BY 1, 2
+),
+tv AS (SELECT value, CAST(sum(c) AS BIGINT) AS t FROM cv GROUP BY 1),
+sc AS (
+  SELECT value, t,
+         coalesce(sum(t) OVER (ORDER BY value
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM tv
+),
+g AS (
+  SELECT event_type,
+         CAST(sum(c) AS BIGINT) AS n_g,
+         CAST(sum(c * (2 * sc.cum_before + sc.t + 1)) AS BIGINT) AS s2_g
+  FROM cv JOIN sc USING (value) GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_groups,
+         CAST(sum(n_g) AS BIGINT) AS n_total
+  FROM g
+),
+terms AS (
+  SELECT CAST(round(1000000000.0
+               * CAST(s2_g AS DOUBLE) * CAST(s2_g AS DOUBLE)
+               / CAST(n_g AS DOUBLE)
+               / CAST(n_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+          AS BIGINT) AS term_nano
+  FROM g, tot
+),
+tie AS (
+  SELECT CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS DOUBLE) AS tie3
+  FROM tv
+),
+s AS (
+  SELECT tot.k_groups, tot.n_total,
+         CAST(sum(term_nano) AS BIGINT) AS sum_term_nano
+  FROM terms, tot GROUP BY 1, 2
+),
+h AS (
+  SELECT k_groups, n_total, sum_term_nano,
+         3.0 * CAST(n_total AS DOUBLE) / CAST(n_total + 1 AS DOUBLE)
+           * (CAST(sum_term_nano AS DOUBLE) / 1000000000.0)
+           - 3.0 * CAST(n_total + 1 AS DOUBLE) AS h_stat
+  FROM s
+)
+SELECT k_groups, n_total, sum_term_nano, h_stat,
+       h_stat / (1.0 - tie.tie3
+                 / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+                    * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)))
+         AS h_tie_corrected
+FROM h, tie
+"""
+
+
+@register("stats_kruskal_wallis", oracle=_KW_ORACLE)
+def stats_kruskal_wallis(spark, sf_dir):
+    """Kruskal–Wallis H across event_type groups of events.value — the
+    k-group generalization of `events_mannwhitney_ab` (one-way ANOVA
+    on ranks, distribution-free). Tie-averaged ranks stay integral in
+    DOUBLED units; per-group rank sums are exact BIGINTs; the Σ R²/n
+    reduction ships nano-quantized per group (k ≈ 5 terms), and the
+    tie-corrected H divides by 1 − Σ(t³−t)/(N³−N).
+
+    Scale shape: the fact collapses to distinct (value, type) counts
+    in one hash agg; per-value tie totals and the exclusive prefix sum
+    ride a hierarchical `ordered_scan` (near-unique value domains never
+    serialize); everything after the per-group agg is k-row arithmetic.
+    """
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
+
+    ev = load_table(spark, sf_dir, "events")
+    cv = ev.groupBy("value", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tv = cv.groupBy("value").agg(F.sum("c").cast("long").alias("t"))
+    sc = ordered_scan(tv, ["value"], running=[("cum_t", "t", "sum")]).select(
+        "value", "t", (F.col("cum_t") - F.col("t")).alias("cum_before")
+    )
+    g = (
+        cv.join(sc, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("n_g"),
+            F.sum(
+                F.col("c") * (2 * F.col("cum_before") + F.col("t") + 1)
+            )
+            .cast("long")
+            .alias("s2_g"),
+        )
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("n_g").cast("long").alias("n_total"),
+    )
+    nd = F.col("n_total").cast("double")
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        "k_groups",
+        "n_total",
+        F.round(
+            F.lit(1_000_000_000.0)
+            * F.col("s2_g").cast("double")
+            * F.col("s2_g").cast("double")
+            / F.col("n_g").cast("double")
+            / nd
+            / nd
+        )
+        .cast("long")
+        .alias("term_nano"),
+    )
+    tie = tv.agg(
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        )
+        .cast("double")
+        .alias("tie3")
+    )
+    s = terms.groupBy("k_groups", "n_total").agg(
+        F.sum("term_nano").cast("long").alias("sum_term_nano")
+    )
+    np1d = (F.col("n_total") + 1).cast("double")
+    h_stat = (
+        F.lit(3.0) * nd / np1d
+        * (F.col("sum_term_nano").cast("double") / 1_000_000_000.0)
+        - F.lit(3.0) * np1d
+    )
+    h = s.select("k_groups", "n_total", "sum_term_nano", h_stat.alias("h_stat"))
+    return h.crossJoin(F.broadcast(tie)).select(
+        "k_groups",
+        "n_total",
+        "sum_term_nano",
+        "h_stat",
+        (
+            F.col("h_stat")
+            / (F.lit(1.0) - F.col("tie3") / (nd * nd * nd - nd))
+        ).alias("h_tie_corrected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cochran–Armitage trend test: purchase rate across the weekly cycle
+# ---------------------------------------------------------------------------
+
+_CA_ORACLE = f"""
+WITH ev AS (
+  SELECT (epoch_us(ts) // {_US_PER_DAY}) % 7 AS w,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(y) AS BIGINT) AS r_total,
+         CAST(sum(w * y) AS BIGINT) AS swr,
+         CAST(sum(w) AS BIGINT) AS swn,
+         CAST(sum(w * w) AS BIGINT) AS sw2n
+  FROM ev
+)
+SELECT n_total, r_total, swr, swn, sw2n,
+       (CAST(swr AS DOUBLE)
+        - CAST(r_total AS DOUBLE) / CAST(n_total AS DOUBLE)
+          * CAST(swn AS DOUBLE))
+       / sqrt(CAST(r_total AS DOUBLE) / CAST(n_total AS DOUBLE)
+              * (1.0 - CAST(r_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+              * (CAST(sw2n AS DOUBLE)
+                 - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE)
+                   / CAST(n_total AS DOUBLE))) AS z_stat
+FROM s
+"""
+
+
+@register("stats_cochran_armitage_trend", oracle=_CA_ORACLE)
+def stats_cochran_armitage_trend(spark, sf_dir):
+    """Cochran–Armitage test for a linear trend in a binary rate across
+    ORDERED categories — here, purchase rate across the weekly cycle
+    (day-of-week scores w = 0..6 from the epoch-day, timezone-free on
+    both engines). The dose-response upgrade over the unordered
+    `events_chi2_type_dow`: a monotone day-of-week drift that chi²
+    dilutes across 6 degrees of freedom concentrates into one z.
+
+    Z = (Σw·y − p̄·Σw) / √(p̄(1−p̄)(Σw² − (Σw)²/N)). Everything is one
+    fact scan into five BIGINT sums (no per-group relation at all —
+    the scores fold into the aggregate), then one fixed double
+    expression; the scan is embarrassingly partition-parallel."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(f"(ts div {_US_PER_DAY}) % 7").alias("w"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    s = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("y").cast("long").alias("r_total"),
+        F.sum(F.col("w") * F.col("y")).cast("long").alias("swr"),
+        F.sum("w").cast("long").alias("swn"),
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("sw2n"),
+    )
+    nd = F.col("n_total").cast("double")
+    rd = F.col("r_total").cast("double")
+    num = F.col("swr").cast("double") - rd / nd * F.col("swn").cast("double")
+    den = F.sqrt(
+        rd
+        / nd
+        * (F.lit(1.0) - rd / nd)
+        * (
+            F.col("sw2n").cast("double")
+            - F.col("swn").cast("double")
+            * F.col("swn").cast("double")
+            / nd
+        )
+    )
+    return s.select(
+        "n_total", "r_total", "swr", "swn", "sw2n", (num / den).alias("z_stat")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nelson–Aalen cumulative hazard (customer lifetime, right-censored)
+# ---------------------------------------------------------------------------
+# Additive sibling of orders_survival_curve's Kaplan–Meier product:
+# Ĥ(t) = Σ dᵢ/nᵢ with Poisson variance Σ dᵢ/nᵢ² — already a prefix sum,
+# no log transform needed; each per-time quotient ships nano-quantized.
+
+_NA_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         min(year(o_orderdate) * 12 + month(o_orderdate)) AS first_m,
+         max(year(o_orderdate) * 12 + month(o_orderdate)) AS last_m
+  FROM orders GROUP BY o_custkey
+),
+bounds AS (SELECT max(last_m) AS data_end FROM cust),
+obs AS (
+  SELECT last_m - first_m AS duration_m,
+         CASE WHEN data_end - last_m > 6 THEN 1 ELSE 0 END AS churned
+  FROM cust, bounds
+),
+at_t AS (
+  SELECT duration_m,
+         CAST(sum(churned) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM obs GROUP BY duration_m
+),
+risk AS (
+  SELECT duration_m, d,
+         CAST((SELECT count(*) FROM obs)
+           - coalesce(sum(c) OVER (ORDER BY duration_m
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_at_risk
+  FROM at_t
+),
+terms AS (
+  SELECT duration_m, d, n_at_risk,
+         CAST(round(1000000000.0 * CAST(d AS DOUBLE)
+                    / CAST(n_at_risk AS DOUBLE)) AS BIGINT) AS h_nano,
+         CAST(round(1000000000.0 * CAST(d AS DOUBLE)
+                    / CAST(n_at_risk AS DOUBLE)
+                    / CAST(n_at_risk AS DOUBLE)) AS BIGINT) AS v_nano
+  FROM risk
+),
+curve AS (
+  SELECT duration_m, d, n_at_risk,
+         CAST(sum(h_nano) OVER (ORDER BY duration_m
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_hazard_nano,
+         CAST(sum(v_nano) OVER (ORDER BY duration_m
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS var_hazard_nano
+  FROM terms
+)
+SELECT duration_m, d AS n_churned, n_at_risk,
+       cum_hazard_nano, var_hazard_nano
+FROM curve WHERE d > 0
+"""
+
+
+@register("orders_nelson_aalen_hazard", oracle=_NA_ORACLE)
+def orders_nelson_aalen_hazard(spark, sf_dir):
+    """Nelson–Aalen cumulative-hazard curve over the same
+    right-censored customer-lifetime fixture as `orders_survival_curve`
+    (finance_queries.py — duration = months between first and last
+    order, churn = silent for >6 months before dataset end): Ĥ(t) =
+    Σ_{tᵢ≤t} dᵢ/nᵢ with the Poisson variance Σ dᵢ/nᵢ². The additive
+    estimator is what hazard-ratio eyeballing and piecewise-exponential
+    models consume directly; exp(−Ĥ) is the Fleming–Harrington
+    alternative to the KM product.
+
+    Each per-time quotient ships as exact nano-units; both prefix sums
+    (at-risk depletion, hazard accumulation) ride hierarchical
+    `ordered_scan`s — a seconds-resolution clock never serializes
+    (orders_survival_curve discipline). d=0 rows contribute exactly 0
+    and drop only at the final projection."""
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
+
+    o = load_table(spark, sf_dir, "orders")
+    mth = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    cust = o.groupBy("o_custkey").agg(
+        F.min(mth).alias("first_m"), F.max(mth).alias("last_m")
+    )
+    bounds = cust.agg(F.max("last_m").alias("data_end"))
+    obs = cust.crossJoin(F.broadcast(bounds)).select(
+        (F.col("last_m") - F.col("first_m")).alias("duration_m"),
+        F.when(F.col("data_end") - F.col("last_m") > 6, 1)
+        .otherwise(0)
+        .alias("churned"),
+    )
+    n_total = obs.agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    at_t = obs.groupBy("duration_m").agg(
+        F.sum("churned").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    dep = ordered_scan(
+        at_t, ["duration_m"], running=[("cum_c", "c", "sum")]
+    ).crossJoin(F.broadcast(n_total))
+    risk = dep.select(
+        "duration_m",
+        "d",
+        (F.col("n_obs") - (F.col("cum_c") - F.col("c"))).alias("n_at_risk"),
+    )
+    nr = F.col("n_at_risk").cast("double")
+    terms = risk.select(
+        "duration_m",
+        "d",
+        "n_at_risk",
+        F.round(F.lit(1_000_000_000.0) * F.col("d").cast("double") / nr)
+        .cast("long")
+        .alias("h_nano"),
+        F.round(
+            F.lit(1_000_000_000.0) * F.col("d").cast("double") / nr / nr
+        )
+        .cast("long")
+        .alias("v_nano"),
+    )
+    acc = ordered_scan(
+        terms,
+        ["duration_m"],
+        running=[
+            ("cum_hazard_nano", "h_nano", "sum"),
+            ("var_hazard_nano", "v_nano", "sum"),
+        ],
+    )
+    return acc.filter(F.col("d") > 0).select(
+        "duration_m",
+        F.col("d").alias("n_churned"),
+        "n_at_risk",
+        F.col("cum_hazard_nano").cast("long").alias("cum_hazard_nano"),
+        F.col("var_hazard_nano").cast("long").alias("var_hazard_nano"),
+    )

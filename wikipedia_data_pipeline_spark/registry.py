@@ -213,6 +213,9 @@ def _load_all() -> None:
         # round-11 split again along fixed-horizon-vs-drift/sequential
         statstests_queries,
         statsdrift_queries,
+        # round-12: rank-based / ordered-category tests (new module —
+        # statstests sits against the 2,000-line split threshold)
+        statsrank_queries,
         mleval_queries,
         # round-10 split of mleval_queries along family lines
         features_queries,
