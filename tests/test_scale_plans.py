@@ -708,3 +708,21 @@ def test_sessionization_bucketed_zero_shuffles(spark, sf_dir):
     got = sorted(map(tuple, df.collect()))
     want = sorted(map(tuple, qs["sessionization"](spark, sf_dir).collect()))
     assert got == want
+
+
+def test_asof_bucketed_zero_shuffles(spark, sf_dir):
+    """Fifth bucketed consumer, second on the user_id key: the as-of
+    join's per-user window must ride the events twin's bucket
+    partitioning — zero shuffle Exchange. Results must equal the plain
+    as-of join exactly."""
+    from wikipedia_data_pipeline_spark import registry
+
+    qs = registry.spark_queries()
+    df = qs["asof_join_last_view_bucketed"](spark, sf_dir)
+    ps = plan_summary(df)
+    assert ps.n_shuffles == 0, ps
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(
+        map(tuple, qs["asof_join_last_view"](spark, sf_dir).collect())
+    )
+    assert got == want

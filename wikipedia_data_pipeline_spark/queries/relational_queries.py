@@ -866,22 +866,17 @@ def events_hourly_rollup(spark, sf_dir):
     )
 
 
-@register(
-    "asof_join_last_view",
-    oracle="""
+_ASOF_ORACLE = """
 SELECT event_id, user_id, value,
        last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
          OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
          AS last_view_value
 FROM events QUALIFY event_type = 'purchase'
-""",
-)
-def asof_join_last_view(spark, sf_dir):
-    """As-of join expressed as union + ordered last-ignorenulls window:
-    each purchase picks up the most recent earlier 'view' value of the
-    same user. One shuffle on user_id; no per-row probing."""
-    ev = load_table(spark, sf_dir, "events")
+"""
+
+
+def _asof_last_view(ev):
     w = (
         Window.partitionBy("user_id")
         .orderBy(ts_us().alias("ts_us"), "event_id")
@@ -893,6 +888,34 @@ def asof_join_last_view(spark, sf_dir):
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "value", "last_view_value")
     )
+
+
+@register("asof_join_last_view", oracle=_ASOF_ORACLE)
+def asof_join_last_view(spark, sf_dir):
+    """As-of join expressed as union + ordered last-ignorenulls window:
+    each purchase picks up the most recent earlier 'view' value of the
+    same user. One shuffle on user_id; no per-row probing."""
+    return _asof_last_view(load_table(spark, sf_dir, "events"))
+
+
+@register("asof_join_last_view_bucketed", oracle=_ASOF_ORACLE, eager=True)
+def asof_join_last_view_bucketed(spark, sf_dir):
+    """As-of join over the BUCKETED events twin — the fifth bucketed
+    consumer, second on the user_id key (sessionization_bucketed note):
+    the per-user last-ignorenulls window rides the scan's bucket
+    hash-partitioning, so the one fact-sized exchange of
+    asof_join_last_view disappears (zero shuffle exchanges,
+    plan-asserted). Identical results by construction — same oracle.
+
+    eager=True: construction triggers the lazy first-time twin write;
+    at 100 TB that write is a scheduled maintenance job amortized over
+    every user-keyed query."""
+    from wikipedia_data_pipeline_spark.sources.maintenance import (
+        ensure_bucketed_twins,
+    )
+
+    twins = ensure_bucketed_twins(spark, sf_dir, tables=("events",))
+    return _asof_last_view(spark.table(twins["events"]))
 
 
 _SESSION_ORACLE = f"""

@@ -380,3 +380,173 @@ def orders_nelson_aalen_hazard(spark, sf_dir):
         F.col("cum_hazard_nano").cast("long").alias("cum_hazard_nano"),
         F.col("var_hazard_nano").cast("long").alias("var_hazard_nano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b between events.value and the weekly cycle (round 12)
+# ---------------------------------------------------------------------------
+# Exact concordance counting WITHOUT the O(n²) pair join or a
+# sequential merge-sort: the joint distribution collapses to a
+# (distinct value × 7 day-of-week) grid, the 7 per-day counts pivot to
+# columns, and one ordered_scan over the value axis carries 7 running
+# sums. Each grid row then contributes n_xj · (pairs strictly below it
+# in BOTH axes) to C and n_xj · (below in x, above in y) to D — all
+# BIGINT arithmetic over the collapsed relation; no pair is ever
+# materialized. (With both margins continuous the grid is fact-sized
+# but still collapsed and range-partitioned — the same lineage bound
+# as the KS/MWU family.)
+
+_KT_W = list(range(7))
+
+
+def _kt_oracle() -> str:
+    npiv = ",\n         ".join(
+        f"CAST(coalesce(sum(CASE WHEN w = {j} THEN n END), 0) AS BIGINT)"
+        f" AS n{j}"
+        for j in _KT_W
+    )
+    epiv = ",\n         ".join(
+        f"coalesce(sum(n{j}) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED"
+        f" PRECEDING AND 1 PRECEDING), 0) AS e{j}"
+        for j in _KT_W
+    )
+    cx = " + ".join(
+        f"n{j} * ({' + '.join(f'e{i}' for i in _KT_W[:j]) or '0'})"
+        for j in _KT_W
+    )
+    dx = " + ".join(
+        f"n{j} * ({' + '.join(f'e{i}' for i in _KT_W[j + 1:]) or '0'})"
+        for j in _KT_W
+    )
+    nx = " + ".join(f"n{j}" for j in _KT_W)
+    marg = ", ".join(f"CAST(sum(n{j}) AS BIGINT) AS m{j}" for j in _KT_W)
+    tiey = " + ".join(f"m{j} * (m{j} - 1)" for j in _KT_W)
+    return f"""
+WITH ev AS (
+  SELECT value, (epoch_us(ts) // {_US_PER_DAY}) % 7 AS w FROM events
+),
+g AS (SELECT value, w, count(*) AS n FROM ev GROUP BY 1, 2),
+p AS (
+  SELECT value,
+         {npiv}
+  FROM g GROUP BY value
+),
+sc AS (
+  SELECT *,
+         {epiv}
+  FROM p
+),
+rt AS (
+  SELECT CAST({cx} AS HUGEINT) AS cx,
+         CAST({dx} AS HUGEINT) AS dx,
+         CAST({nx} AS BIGINT) AS nx,
+         {", ".join(f"n{j}" for j in _KT_W)}
+  FROM sc
+),
+s AS (
+  SELECT CAST(sum(cx) AS BIGINT) AS conc,
+         CAST(sum(dx) AS BIGINT) AS disc,
+         CAST(sum(nx) AS BIGINT) AS n_total,
+         CAST(sum(CAST(nx AS HUGEINT) * (nx - 1)) AS BIGINT) AS tiex2,
+         {marg}
+  FROM rt
+)
+SELECT n_total, conc, disc, tiex2,
+       CAST({tiey} AS BIGINT) AS tiey2,
+       (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+       / sqrt((CAST(n_total AS DOUBLE) * CAST(n_total - 1 AS DOUBLE) / 2.0
+               - CAST(tiex2 AS DOUBLE) / 2.0)
+              * (CAST(n_total AS DOUBLE) * CAST(n_total - 1 AS DOUBLE) / 2.0
+                 - CAST({tiey} AS DOUBLE) / 2.0)) AS tau_b
+FROM s
+"""
+
+
+@register("stats_kendall_tau_b", oracle=_kt_oracle())
+def stats_kendall_tau_b(spark, sf_dir):
+    """Kendall τ-b between events.value and the day-of-week cycle —
+    the concordance-based dependence measure (the rank cousin of
+    `ml_eval_spearman_rho`, robust to ties on both margins). τ-b =
+    (C − D)/√((T₀−T_x)(T₀−T_y)).
+
+    C and D are counted EXACTLY without materializing any pair: the
+    joint collapses to a (distinct value × 7) grid, the 7 day counts
+    pivot to columns, one hierarchical `ordered_scan` carries the 7
+    exclusive prefix sums up the value axis, and each grid row's
+    strictly-below/strictly-above cross products fold into two BIGINT
+    sums. Tie terms come from the row totals and day marginals; τ-b is
+    one fixed double expression over six exact integers."""
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "value", F.expr(f"(ts div {_US_PER_DAY}) % 7").alias("w")
+    )
+    g = ev.groupBy("value", "w").agg(F.count(F.lit(1)).alias("n"))
+    p = g.groupBy("value").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("w") == j, F.col("n"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"n{j}")
+            for j in _KT_W
+        ]
+    )
+    sc = ordered_scan(
+        p,
+        ["value"],
+        running=[(f"c{j}", f"n{j}", "sum") for j in _KT_W],
+    )
+    # exclusive prefixes e_j = inclusive running sum − current row
+    e = {j: F.col(f"c{j}") - F.col(f"n{j}") for j in _KT_W}
+    zero = F.lit(0).cast("long")
+    cx = sum(
+        (
+            F.col(f"n{j}")
+            * sum((e[i] for i in _KT_W[:j]), zero)
+            for j in _KT_W
+        ),
+        zero,
+    )
+    dx = sum(
+        (
+            F.col(f"n{j}")
+            * sum((e[i] for i in _KT_W[j + 1:]), zero)
+            for j in _KT_W
+        ),
+        zero,
+    )
+    nx = sum((F.col(f"n{j}") for j in _KT_W), zero)
+    rt = sc.select(
+        cx.cast("decimal(38,0)").alias("cx"),
+        dx.cast("decimal(38,0)").alias("dx"),
+        nx.alias("nx"),
+        *[F.col(f"n{j}") for j in _KT_W],
+    )
+    s = rt.agg(
+        F.sum("cx").cast("long").alias("conc"),
+        F.sum("dx").cast("long").alias("disc"),
+        F.sum("nx").cast("long").alias("n_total"),
+        F.sum(F.col("nx").cast("decimal(38,0)") * (F.col("nx") - 1))
+        .cast("long")
+        .alias("tiex2"),
+        *[F.sum(f"n{j}").cast("long").alias(f"m{j}") for j in _KT_W],
+    )
+    tiey = sum(
+        (F.col(f"m{j}") * (F.col(f"m{j}") - 1) for j in _KT_W),
+        F.lit(0).cast("long"),
+    )
+    nd = F.col("n_total").cast("double")
+    t0 = nd * (F.col("n_total") - 1).cast("double") / 2.0
+    tau = (F.col("conc").cast("double") - F.col("disc").cast("double")) / F.sqrt(
+        (t0 - F.col("tiex2").cast("double") / 2.0)
+        * (t0 - tiey.cast("double") / 2.0)
+    )
+    return s.select(
+        "n_total",
+        "conc",
+        "disc",
+        "tiex2",
+        tiey.cast("long").alias("tiey2"),
+        tau.alias("tau_b"),
+    )
