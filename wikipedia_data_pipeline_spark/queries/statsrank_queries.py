@@ -550,3 +550,173 @@ def stats_kendall_tau_b(spark, sf_dir):
         tiey.cast("long").alias("tiey2"),
         tau.alias("tau_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jonckheere–Terpstra ordered-alternative test (round 12)
+# ---------------------------------------------------------------------------
+# Does events.value increase with funnel depth (view < click < signup
+# < purchase)? J-T is the ordered-alternative k-group test — strictly
+# more powerful than Kruskal–Wallis when the alternative is monotone.
+# Same collapsed-grid machinery as stats_kendall_tau_b with the funnel
+# stage as the ordered axis: J = Σ_{g<g'} #{x_i < x_j} arrives as the
+# exact doubled BIGINT j2 = 2·C + T_x-cross (x-ties across groups
+# count ½), and z uses the classic normal approximation
+# μ = (N² − Σn_g²)/4, σ² = (N²(2N+3) − Σn_g²(2n_g+3))/72.
+
+_JT_STAGES = ["view", "click", "signup", "purchase"]
+_JT_K = list(range(len(_JT_STAGES)))
+
+
+def _jt_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN event_type = '{s}' THEN {i}"
+        for i, s in enumerate(_JT_STAGES)
+    )
+    return f"CASE {whens} END"
+
+
+def _jt_oracle() -> str:
+    npiv = ",\n         ".join(
+        f"CAST(coalesce(sum(CASE WHEN g = {j} THEN n END), 0) AS BIGINT)"
+        f" AS n{j}"
+        for j in _JT_K
+    )
+    epiv = ",\n         ".join(
+        f"coalesce(sum(n{j}) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED"
+        f" PRECEDING AND 1 PRECEDING), 0) AS e{j}"
+        for j in _JT_K
+    )
+    cx = " + ".join(
+        f"n{j} * ({' + '.join(f'e{i}' for i in _JT_K[:j]) or '0'})"
+        for j in _JT_K
+    )
+    nx = " + ".join(f"n{j}" for j in _JT_K)
+    sq = " + ".join(f"n{j} * n{j}" for j in _JT_K)
+    marg = ", ".join(f"CAST(sum(n{j}) AS BIGINT) AS m{j}" for j in _JT_K)
+    sng2 = " + ".join(f"CAST(m{j} AS DOUBLE) * CAST(m{j} AS DOUBLE)" for j in _JT_K)
+    sng3 = " + ".join(
+        f"CAST(m{j} AS DOUBLE) * CAST(m{j} AS DOUBLE)"
+        f" * (2.0 * CAST(m{j} AS DOUBLE) + 3.0)"
+        for j in _JT_K
+    )
+    return f"""
+WITH ev AS (
+  SELECT value, {_jt_case_sql()} AS g FROM events
+  WHERE event_type IN ({", ".join(f"'{s}'" for s in _JT_STAGES)})
+),
+grid AS (SELECT value, g, count(*) AS n FROM ev GROUP BY 1, 2),
+p AS (
+  SELECT value,
+         {npiv}
+  FROM grid GROUP BY value
+),
+sc AS (
+  SELECT *,
+         {epiv}
+  FROM p
+),
+rt AS (
+  SELECT CAST({cx} AS HUGEINT) AS cx,
+         CAST({nx} AS BIGINT) AS nx,
+         CAST({nx} AS HUGEINT) * ({nx}) - ({sq}) AS tx,
+         {", ".join(f"n{j}" for j in _JT_K)}
+  FROM sc
+),
+s AS (
+  SELECT CAST(sum(2 * cx + tx) AS BIGINT) AS j2,
+         CAST(sum(nx) AS BIGINT) AS n_total,
+         {marg}
+  FROM rt
+)
+SELECT n_total, j2,
+       (CAST(j2 AS DOUBLE) / 2.0
+        - (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE) - ({sng2}))
+          / 4.0)
+       / sqrt((CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+               * (2.0 * CAST(n_total AS DOUBLE) + 3.0) - ({sng3})) / 72.0)
+         AS z_stat
+FROM s
+"""
+
+
+@register("stats_jonckheere_terpstra", oracle=_jt_oracle())
+def stats_jonckheere_terpstra(spark, sf_dir):
+    """Jonckheere–Terpstra test for a MONOTONE shift in events.value
+    across the ordered funnel stages view < click < signup < purchase
+    — the ordered-alternative k-group test (more powerful than
+    `stats_kruskal_wallis` when the alternative is a trend, the
+    dose-response companion to `stats_cochran_armitage_trend` for a
+    continuous response). J = Σ_{g<g'} #{x_i < x_j} with cross-group
+    x-ties counted ½, shipped as the exact doubled BIGINT j2; z uses
+    the classic normal approximation (ties enter J itself; the
+    variance is the standard no-tie form, stated as such).
+
+    Exactness/scale: identical collapsed-grid lineage as
+    `stats_kendall_tau_b` — pivot the 4 stage counts, one hierarchical
+    `ordered_scan` up the value axis, BIGINT/DECIMAL folds, one fixed
+    double expression at the end. No pair is ever materialized."""
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
+
+    stage = F.create_map(
+        *[
+            x
+            for i, s in enumerate(_JT_STAGES)
+            for x in (F.lit(s), F.lit(i))
+        ]
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_JT_STAGES))
+        .select("value", stage[F.col("event_type")].alias("g"))
+    )
+    grid = ev.groupBy("value", "g").agg(F.count(F.lit(1)).alias("n"))
+    p = grid.groupBy("value").agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("g") == j, F.col("n"))), F.lit(0))
+            .cast("long")
+            .alias(f"n{j}")
+            for j in _JT_K
+        ]
+    )
+    sc = ordered_scan(
+        p, ["value"], running=[(f"c{j}", f"n{j}", "sum") for j in _JT_K]
+    )
+    e = {j: F.col(f"c{j}") - F.col(f"n{j}") for j in _JT_K}
+    zero = F.lit(0).cast("long")
+    cx = sum(
+        (F.col(f"n{j}") * sum((e[i] for i in _JT_K[:j]), zero) for j in _JT_K),
+        zero,
+    )
+    nx = sum((F.col(f"n{j}") for j in _JT_K), zero)
+    sq = sum((F.col(f"n{j}") * F.col(f"n{j}") for j in _JT_K), zero)
+    rt = sc.select(
+        cx.cast("decimal(38,0)").alias("cx"),
+        nx.alias("nx"),
+        (nx.cast("decimal(38,0)") * nx - sq).alias("tx"),
+        *[F.col(f"n{j}") for j in _JT_K],
+    )
+    s = rt.agg(
+        F.sum(F.lit(2) * F.col("cx") + F.col("tx")).cast("long").alias("j2"),
+        F.sum("nx").cast("long").alias("n_total"),
+        *[F.sum(f"n{j}").cast("long").alias(f"m{j}") for j in _JT_K],
+    )
+    nd = F.col("n_total").cast("double")
+    sng2 = sum(
+        (F.col(f"m{j}").cast("double") * F.col(f"m{j}").cast("double")
+         for j in _JT_K),
+        F.lit(0.0),
+    )
+    sng3 = sum(
+        (
+            F.col(f"m{j}").cast("double")
+            * F.col(f"m{j}").cast("double")
+            * (F.lit(2.0) * F.col(f"m{j}").cast("double") + 3.0)
+            for j in _JT_K
+        ),
+        F.lit(0.0),
+    )
+    z = (F.col("j2").cast("double") / 2.0 - (nd * nd - sng2) / 4.0) / F.sqrt(
+        (nd * nd * (F.lit(2.0) * nd + 3.0) - sng3) / 72.0
+    )
+    return s.select("n_total", "j2", z.alias("z_stat"))

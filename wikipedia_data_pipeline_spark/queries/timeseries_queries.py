@@ -1126,3 +1126,123 @@ def events_sax_symbols(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy(F.desc("n_users"), F.asc("sax_word"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Full regression-metrics panel for the seasonal-naive forecast (r12)
+# ---------------------------------------------------------------------------
+
+_REGPANEL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(epoch(CAST(date_trunc('day', ts) AS DATE)) // 86400
+              AS BIGINT) AS d,
+         count(*) AS n
+  FROM events GROUP BY 1
+),
+lagd AS (
+  SELECT d, n, lag(n, 7) OVER (ORDER BY d) AS f
+  FROM daily
+),
+e AS (
+  SELECT n, f, n - f AS err,
+         CAST(round(2000000000.0 * abs(CAST(n - f AS DOUBLE))
+                    / (CAST(n AS DOUBLE) + CAST(f AS DOUBLE)))
+           AS BIGINT) AS smape_nano
+  FROM lagd WHERE f IS NOT NULL
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(err) AS BIGINT) AS s_err,
+         CAST(sum(abs(err)) AS BIGINT) AS s_abs,
+         CAST(sum(err * err) AS BIGINT) AS s_sq,
+         CAST(sum(n) AS BIGINT) AS s_y,
+         CAST(sum(n * n) AS BIGINT) AS s_y2,
+         CAST(sum(smape_nano) AS BIGINT) AS s_smape_nano
+  FROM e
+)
+SELECT n_days, s_err, s_abs, s_sq, s_smape_nano,
+       CAST(s_err AS DOUBLE) / CAST(n_days AS DOUBLE) AS bias,
+       CAST(s_abs AS DOUBLE) / CAST(n_days AS DOUBLE) AS mae,
+       sqrt(CAST(s_sq AS DOUBLE) / CAST(n_days AS DOUBLE)) AS rmse,
+       1.0 - CAST(n_days AS DOUBLE) * CAST(s_sq AS DOUBLE)
+             / (CAST(n_days AS DOUBLE) * CAST(s_y2 AS DOUBLE)
+                - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE)) AS r2,
+       CAST(s_smape_nano AS DOUBLE) / CAST(n_days AS DOUBLE)
+         / 1000000000.0 AS smape
+FROM s
+"""
+
+
+@register("ml_eval_regression_panel", oracle=_REGPANEL_ORACLE)
+def ml_eval_regression_panel(spark, sf_dir):
+    """Full regression-metrics panel for the weekly seasonal-naive
+    forecast of the daily event count: bias, MAE, RMSE, R², sMAPE —
+    the standard scorecard a forecasting/regression eval pipeline
+    reports next to `events_seasonal_naive_eval`'s MASE floor.
+
+    Exactness: integer daily counts make every error sum (Σe, Σ|e|,
+    Σe², Σy, Σy²) an exact BIGINT; R² = 1 − n·Σe²/(n·Σy² − (Σy)²) is
+    one fixed double of exact integers (no rational mean anywhere);
+    the per-day sMAPE quotient is nano-quantized before its exact sum
+    (privacy_dp_release_counts discipline). Scale: the only fact-sized
+    work is the daily count hash agg; the day-spine lag window is
+    driver-tiny (same dense-day note as events_seasonal_naive_eval)."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.unix_date(
+                F.date_trunc("day", F.timestamp_micros(F.col("ts")))
+                .cast("date")
+            ).cast("long").alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("d")
+    lagd = daily.select("d", "n", F.lag("n", 7).over(w).alias("f"))
+    err = F.col("n") - F.col("f")
+    e = lagd.filter(F.col("f").isNotNull()).select(
+        "n",
+        "f",
+        err.alias("err"),
+        F.round(
+            F.lit(2_000_000_000.0)
+            * F.abs(err.cast("double"))
+            / (F.col("n").cast("double") + F.col("f").cast("double"))
+        )
+        .cast("long")
+        .alias("smape_nano"),
+    )
+    s = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("err").cast("long").alias("s_err"),
+        F.sum(F.abs(F.col("err"))).cast("long").alias("s_abs"),
+        F.sum(F.col("err") * F.col("err")).cast("long").alias("s_sq"),
+        F.sum("n").cast("long").alias("s_y"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s_y2"),
+        F.sum("smape_nano").cast("long").alias("s_smape_nano"),
+    )
+    nd = F.col("n_days").cast("double")
+    return s.select(
+        "n_days",
+        "s_err",
+        "s_abs",
+        "s_sq",
+        "s_smape_nano",
+        (F.col("s_err").cast("double") / nd).alias("bias"),
+        (F.col("s_abs").cast("double") / nd).alias("mae"),
+        F.sqrt(F.col("s_sq").cast("double") / nd).alias("rmse"),
+        (
+            F.lit(1.0)
+            - nd
+            * F.col("s_sq").cast("double")
+            / (
+                nd * F.col("s_y2").cast("double")
+                - F.col("s_y").cast("double") * F.col("s_y").cast("double")
+            )
+        ).alias("r2"),
+        (
+            F.col("s_smape_nano").cast("double") / nd / 1_000_000_000.0
+        ).alias("smape"),
+    )
