@@ -500,6 +500,38 @@ def decode_png_pixel_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode, schema=PNG_STATS_SCHEMA)
 
 
+LUMA_HIST_SCHEMA = "bin bigint, n_pixels bigint"
+
+
+def decode_png_luma_histogram(media: DataFrame) -> DataFrame:
+    """REAL pixel decode + integer-luma histogram partials: inflate,
+    defilter, luma = (r + g + b) // 3 (exact integer — no Rec.601
+    float weights, so the SQL twin replays it bit-for-bit), 16 bins of
+    width 16. Each Arrow batch emits its PARTIAL per-bin counts
+    (np.bincount), so the caller's groupBy(bin).sum is a 16-row
+    map-side-combined aggregate — the decode never shuffles pixels."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            counts = np.zeros(16, dtype="int64")
+            for payload in pdf["payload"]:
+                px = png_decode(bytes(payload)).astype("int64")
+                if px.shape[2] >= 3:
+                    luma = (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) // 3
+                else:
+                    luma = px[:, :, 0]
+                counts += np.bincount(
+                    (luma >> 4).ravel(), minlength=16
+                )[:16]
+            yield pd.DataFrame(
+                {"bin": np.arange(16, dtype="int64"), "n_pixels": counts}
+            )
+
+    return media.mapInPandas(decode, schema=LUMA_HIST_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # REAL dependency-free WAV (RIFF/PCM) codec
 # ---------------------------------------------------------------------------

@@ -10,6 +10,8 @@ banding catches any pair within hamming 15 by pigeonhole.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from wikipedia_data_pipeline_spark.operators import dedup as D
 from wikipedia_data_pipeline_spark.registry import register
 from wikipedia_data_pipeline_spark.sources.tables import load_table
@@ -397,3 +399,77 @@ def dedup_cross_source_matrix(spark, sf_dir):
         )
         .orderBy(F.desc("n_pairs"), F.asc("source_lo"), F.asc("source_hi"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Shard-boundary continuation detection (round 12)
+# ---------------------------------------------------------------------------
+
+_CONT_K = 3
+
+_CONT_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, ' '),
+           x -> lower(regexp_replace(x, '[^a-zA-Z]', '', 'g'))),
+           w -> length(w) > 0) AS toks
+  FROM documents
+),
+hk AS (
+  SELECT doc_id,
+         array_to_string(toks[1:{_CONT_K}], ' ') AS head,
+         array_to_string(toks[-{_CONT_K}:], ' ') AS tail
+  FROM t WHERE len(toks) >= {2 * _CONT_K}
+)
+SELECT a.doc_id AS tail_doc, b.doc_id AS head_doc, a.tail AS overlap
+FROM hk a JOIN hk b ON a.tail = b.head AND a.doc_id <> b.doc_id
+"""
+
+
+@register("dedup_doc_continuation", oracle=_CONT_ORACLE)
+def dedup_doc_continuation(spark, sf_dir):
+    """Shard-boundary continuation detection: pairs where one
+    document's last 3 normalized tokens equal another's first 3 —
+    the crawl-pipeline symptom of a single page split across extraction
+    shards (the complement of exact/near dedup: the two halves share NO
+    global fingerprint, only a seam). Candidate pairs for re-stitching
+    or seam-dedup before training.
+
+    Scale shape: one narrow map derives the two 3-token boundary
+    keys per document, then ONE equi-join on the tail→head key — a
+    hash-partitioned short-string join, never all-pairs (boundary keys
+    are near-unique, so the join output is match-sized). Exact oracle:
+    both engines derive identical normalized boundary strings."""
+    from wikipedia_data_pipeline_spark.operators.text import (
+        NORMALIZE_PATTERN,
+        TOKEN_DELIMITER,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.transform(
+            F.split(F.col("text"), TOKEN_DELIMITER),
+            lambda w: F.lower(F.regexp_replace(w, NORMALIZE_PATTERN, "")),
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    hk = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2 * _CONT_K)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice("toks", 1, _CONT_K)).alias("head"),
+            F.concat_ws(" ", F.slice("toks", -_CONT_K, _CONT_K)).alias(
+                "tail"
+            ),
+        )
+    )
+    a = hk.select(
+        F.col("doc_id").alias("tail_doc"), F.col("tail").alias("overlap")
+    )
+    b = hk.select(
+        F.col("doc_id").alias("head_doc"), F.col("head").alias("overlap")
+    )
+    return a.join(b, "overlap").filter(
+        F.col("tail_doc") != F.col("head_doc")
+    ).select("tail_doc", "head_doc", "overlap")

@@ -506,3 +506,58 @@ def multimodal_image_ahash_groups(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.min("doc_id").cast("long").alias("min_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus luminance histogram over REAL-decoded pixels (round 12)
+# ---------------------------------------------------------------------------
+
+_LUMA_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 1 + doc_id % 16 AS w, 1 + doc_id % 12 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i FROM dims
+),
+ch AS (
+  SELECT ((i % w + i // w + doc_id) % 256
+          + (2 * (i % w) + doc_id) % 256
+          + (3 * (i // w) + doc_id) % 256) // 3 AS luma
+  FROM px
+),
+hist AS (
+  SELECT luma // 16 AS bin, CAST(count(*) AS BIGINT) AS n_pixels
+  FROM ch GROUP BY 1
+),
+spine AS (SELECT unnest(generate_series(0, 15)) AS bin)
+SELECT CAST(spine.bin AS BIGINT) AS bin,
+       CAST(coalesce(hist.n_pixels, 0) AS BIGINT) AS n_pixels
+FROM spine LEFT JOIN hist ON spine.bin = hist.bin
+ORDER BY bin
+"""
+
+
+@register("multimodal_image_luma_histogram", oracle=_LUMA_ORACLE)
+def multimodal_image_luma_histogram(spark, sf_dir):
+    """Corpus-level luminance histogram over REAL-decoded PNG pixels —
+    the exposure/brightness screen a multimodal curation pipeline runs
+    before training (all-black / blown-out image detection): encode →
+    decode (inflate + defilter, multimodal_png_pixel_stats round trip)
+    → integer luma (r+g+b)//3 → 16 bins of width 16.
+
+    Exactness: integer luma (no Rec.601 float weights) makes every bin
+    assignment and count exact; the oracle replays the closed-form
+    pixels arithmetically, so the hash matches only if the full codec
+    round trip is bit-exact. Scale shape: each Arrow batch emits its
+    PARTIAL 16-row bincount inside the decoder (operators.multimodal.
+    decode_png_luma_histogram), so the only shuffle is a 16-group
+    map-side-combined sum — pixels never leave their task."""
+    from wikipedia_data_pipeline_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    partials = MM.decode_png_luma_histogram(MM.synth_png_corpus(docs))
+    return (
+        partials.groupBy("bin")
+        .agg(F.sum("n_pixels").cast("long").alias("n_pixels"))
+        .orderBy("bin")
+    )
