@@ -184,6 +184,21 @@ PROBE = [
     "events_ks_test_ab",
     "events_mannwhitney_ab",
     "orders_survival_curve",
+    # r12 session-2 novelties (standing rule: 100x rows + DuckDB twins)
+    "stats_kruskal_wallis",
+    "stats_cochran_armitage_trend",
+    "orders_nelson_aalen_hazard",
+    "sample_neyman_allocation",
+    "embedding_cosine_pair_histogram",
+    "stats_kendall_tau_b",
+    "stats_jonckheere_terpstra",
+    "ml_eval_regression_panel",
+    "multimodal_image_luma_histogram",
+    "dedup_doc_continuation",
+    # r12 bucketed consumers on the user_id twin (eager; run 1 pays
+    # the one-time twin write, best-of pays steady state)
+    "sessionization_bucketed",
+    "asof_join_last_view_bucketed",
 ]
 # quadratic-oracle twins: timing DuckDB here measures the oracle's
 # deliberate brute-force design, not the engine — skip, like bench.py

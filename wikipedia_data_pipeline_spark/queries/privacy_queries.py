@@ -339,3 +339,111 @@ def privacy_dp_release_counts(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# epsilon-DP median release via the exponential mechanism (round 12)
+# ---------------------------------------------------------------------------
+# Candidate outputs = the distinct micro-unit values; utility u(v) =
+# -|#below - #above| (sensitivity 2); selection probability
+# proportional to exp(eps*u/4) is realized with the Gumbel-max trick,
+# whose uniforms come from the engine's portable det_hash of the
+# candidate value -- so the whole "random" release replays
+# bit-for-bit in the SQL twin (privacy_dp_release_counts discipline;
+# a production release would swap the hash for a real CSPRNG draw,
+# which changes ONE expression).
+
+_DPM_EPS = 1.0
+_HASH_MOD = (1 << 31) - 1
+
+
+_DPM_ORACLE = f"""
+WITH v AS (
+  SELECT CAST(round(value * 1000000) AS BIGINT) AS v_u,
+         CAST(count(*) AS BIGINT) AS t
+  FROM events GROUP BY 1
+),
+sc AS (
+  SELECT v_u, t,
+         CAST(sum(t) OVER (ORDER BY v_u
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST(sum(t) OVER () AS BIGINT) AS n
+  FROM v
+),
+scored AS (
+  SELECT v_u, t, cum, n,
+         -abs(2 * cum - t - n) AS u2,
+         CAST({_DPM_EPS} AS DOUBLE) * CAST(-abs(2 * cum - t - n) AS DOUBLE)
+           / 4.0
+         - ln(-ln((CAST({SQL_DET_HASH.format(col='v_u')} AS DOUBLE) + 0.5)
+                  / {_HASH_MOD}.0)) AS g_score
+  FROM sc
+),
+rel AS (
+  SELECT v_u AS released_v_u, cum AS released_cum, t AS released_t, n
+  FROM scored
+  ORDER BY g_score DESC, v_u ASC LIMIT 1
+),
+med AS (
+  SELECT min(v_u) AS true_median_v_u FROM sc
+  WHERE 2 * cum >= n
+)
+SELECT rel.n AS n_total, rel.released_v_u, med.true_median_v_u,
+       abs(2 * rel.released_cum - rel.released_t - rel.n) AS released_gap2
+FROM rel, med
+"""
+
+
+@register("privacy_dp_median_release", oracle=_DPM_ORACLE)
+def privacy_dp_median_release(spark, sf_dir):
+    """ε-differentially-private MEDIAN release of events.value via the
+    exponential mechanism (McSherry–Talwar) — the quantile companion
+    to `privacy_dp_release_counts`: candidates are the distinct
+    micro-unit values, utility −|#below − #above| peaks at the true
+    median, and the Gumbel-max trick realizes the exp(εu/4) selection
+    with the portable det_hash as the uniform source (bit-replayable;
+    one expression swaps in a real CSPRNG for production). Output is
+    the released value, the true median, and the released value's
+    exact rank gap — integers only, so the cross-engine hash is immune
+    to the two transcendentals inside the selection.
+
+    Scale shape: one hash agg to the distinct-value relation, one
+    hierarchical `ordered_scan` for the prefix counts (near-unique
+    value domains never serialize), one TakeOrdered(1) argmax."""
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.groupBy(
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_u")
+    ).agg(F.count(F.lit(1)).cast("long").alias("t"))
+    sc = ordered_scan(
+        v, ["v_u"], running=[("cum", "t", "sum")], with_totals=True
+    ).select("v_u", "t", "cum", F.col("cum_total").alias("n"))
+    gap2 = F.abs(2 * F.col("cum") - F.col("t") - F.col("n"))
+    uni = (
+        F.expr(SQL_DET_HASH.format(col="v_u")).cast("double") + 0.5
+    ) / float(_HASH_MOD)
+    g_score = (
+        F.lit(_DPM_EPS) * (-gap2).cast("double") / 4.0
+        - F.log(-F.log(uni))
+    )
+    scored = sc.select("v_u", "t", "cum", "n", g_score.alias("g_score"))
+    rel = (
+        scored.orderBy(F.desc("g_score"), F.asc("v_u"))
+        .limit(1)
+        .select(
+            F.col("n").alias("n_total"),
+            F.col("v_u").alias("released_v_u"),
+            (F.abs(2 * F.col("cum") - F.col("t") - F.col("n"))).alias(
+                "released_gap2"
+            ),
+        )
+    )
+    med = (
+        sc.filter(2 * F.col("cum") >= F.col("n"))
+        .agg(F.min("v_u").alias("true_median_v_u"))
+    )
+    return rel.crossJoin(F.broadcast(med)).select(
+        "n_total", "released_v_u", "true_median_v_u", "released_gap2"
+    )

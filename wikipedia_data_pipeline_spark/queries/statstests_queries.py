@@ -1798,3 +1798,147 @@ def stats_g_test_type_dow(spark, sf_dir):
         .crossJoin(F.broadcast(dof))
         .select("g_stat", "dof", "n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# Effect-size panel for the A/B fixture (round 12)
+# ---------------------------------------------------------------------------
+
+_EFFECT_ORACLE = """
+WITH ev AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v_c,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_a
+  FROM events
+),
+m AS (
+  SELECT CAST(sum(is_a) AS BIGINT) AS na,
+         CAST(sum(1 - is_a) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN is_a = 1 THEN v_c ELSE 0 END) AS BIGINT) AS sa,
+         CAST(sum(CASE WHEN is_a = 0 THEN v_c ELSE 0 END) AS BIGINT) AS sb,
+         CAST(sum(CASE WHEN is_a = 1 THEN v_c * v_c ELSE 0 END)
+           AS BIGINT) AS qa,
+         CAST(sum(CASE WHEN is_a = 0 THEN v_c * v_c ELSE 0 END)
+           AS BIGINT) AS qb
+  FROM ev
+),
+d AS (
+  SELECT na, nb,
+         CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+           - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS diff,
+         (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+            / CAST(na AS DOUBLE)) AS ssa,
+         (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+            / CAST(nb AS DOUBLE)) AS ssb
+  FROM m
+),
+f AS (
+  SELECT na, nb, diff,
+         diff / sqrt((ssa + ssb)
+                     / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0))
+           AS cohens_d,
+         diff / sqrt(ssb / (CAST(nb AS DOUBLE) - 1.0)) AS glass_delta
+  FROM d
+)
+SELECT na, nb, diff / 100.0 AS mean_diff, cohens_d,
+       cohens_d * (1.0 - 3.0 / (4.0 * (CAST(na AS DOUBLE)
+                                       + CAST(nb AS DOUBLE)) - 9.0))
+         AS hedges_g,
+       glass_delta
+FROM f
+"""
+
+
+@register("stats_effect_size_panel", oracle=_EFFECT_ORACLE)
+def stats_effect_size_panel(spark, sf_dir):
+    """Standardized effect sizes for the A/B fixture — the numbers a
+    test report carries NEXT TO the p-value (`events_ab_test_lift`
+    tells you whether; these tell you how much): Cohen's d on the
+    pooled sd, Hedges' g (small-sample bias correction), and Glass's Δ
+    (control-group sd, for unequal variances).
+
+    Exactness: centi-unit values keep every group moment (n, Σ, Σ²)
+    inside BIGINT — deliberately NOT micro-units: Σv² in micro-units
+    exceeds 2⁵³ and the >64-bit integer→double casts round DIFFERENTLY
+    across engines (measured 1-ulp mismatch), while int64→double is a
+    correctly-rounded hardware conversion in both. The three ratios
+    are fixed double expressions over those integers. Scale: a single
+    map-side-combinable aggregate; past ~1e12 rows Σv² needs the
+    DECIMAL route and this cast caveat returns (documented here)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("is_a"),
+    )
+    m = ev.agg(
+        F.sum("is_a").cast("long").alias("na"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("nb"),
+        F.sum(F.when(F.col("is_a") == 1, F.col("v_c")).otherwise(0))
+        .cast("long")
+        .alias("sa"),
+        F.sum(F.when(F.col("is_a") == 0, F.col("v_c")).otherwise(0))
+        .cast("long")
+        .alias("sb"),
+        F.sum(
+            F.when(
+                F.col("is_a") == 1, F.col("v_c") * F.col("v_c")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("qa"),
+        F.sum(
+            F.when(
+                F.col("is_a") == 0, F.col("v_c") * F.col("v_c")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("qb"),
+    )
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    diff = F.col("sa").cast("double") / nad - F.col("sb").cast("double") / nbd
+    ssa = (
+        F.col("qa").cast("double")
+        - F.col("sa").cast("double") * F.col("sa").cast("double") / nad
+    )
+    ssb = (
+        F.col("qb").cast("double")
+        - F.col("sb").cast("double") * F.col("sb").cast("double") / nbd
+    )
+    d = m.select(
+        "na",
+        "nb",
+        diff.alias("diff"),
+        ssa.alias("ssa"),
+        ssb.alias("ssb"),
+    )
+    nad2 = F.col("na").cast("double")
+    nbd2 = F.col("nb").cast("double")
+    cohens = F.col("diff") / F.sqrt(
+        (F.col("ssa") + F.col("ssb")) / (nad2 + nbd2 - 2.0)
+    )
+    glass = F.col("diff") / F.sqrt(F.col("ssb") / (nbd2 - 1.0))
+    f = d.select(
+        "na",
+        "nb",
+        "diff",
+        cohens.alias("cohens_d"),
+        glass.alias("glass_delta"),
+    )
+    return f.select(
+        "na",
+        "nb",
+        (F.col("diff") / 100.0).alias("mean_diff"),
+        "cohens_d",
+        (
+            F.col("cohens_d")
+            * (
+                F.lit(1.0)
+                - F.lit(3.0)
+                / (
+                    F.lit(4.0)
+                    * (F.col("na").cast("double") + F.col("nb").cast("double"))
+                    - 9.0
+                )
+            )
+        ).alias("hedges_g"),
+        "glass_delta",
+    )
