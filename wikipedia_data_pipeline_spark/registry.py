@@ -79,16 +79,15 @@ _PINNED = [
     "dedup_exact",
 ]
 
-# Round-12 rotation. Front of the line: the five distinct-value-
-# lineage stats queries whose prefix sums were rewritten onto the
-# hierarchical ordered_scan this round (the r11 verdict's #1 item —
-# code changed, driver must re-verify), then the never-driver-verified
-# backlog (106 oracle keys before this round), oldest cohorts first:
-# the judge-only bucketed q3 consumer, the stats/graph/privacy tail,
-# the r5s3 finance block (largest untouched cohort), and the sequence
-# block. The r11 rotation went driver-green in CORRECTNESS_r11 (50/50)
-# and rotates out with that evidence. Driver-ever before this round:
-# 249/366 oracle keys.
+# Round-12 rotation. Priority order inside the ~35 slots: (1) every
+# query whose CODE changed this round — the six ordered_scan prefix-sum
+# rewrites (r11 verdict #1), the BLEU/ROUGE gram fingerprinting, the
+# fused Spearman flip, and the half-pair recs coverage — the driver
+# must re-verify changed code; (2) the round's NEW queries (first-time
+# evidence); (3) the oldest never-driver-verified backlog (the rest of
+# the r5s3 finance/sequence block rotates in r13). The r11 rotation
+# went driver-green in CORRECTNESS_r11 (50/50) and rotates out with
+# that evidence. Driver-ever before this round: 249/366 oracle keys.
 _ROTATION = [
     # changed this round — ordered_scan rewrite of the prefix sums
     "ml_eval_auc_delong_ci",
@@ -97,39 +96,40 @@ _ROTATION = [
     "stats_cliffs_delta",
     "stats_logrank_test",
     "orders_survival_curve",
+    # changed this round — session 2 perf rewrites (same oracles)
+    "ml_eval_bleu_corpus",
+    "ml_eval_rouge_n",
+    "ml_eval_spearman_rho",
+    "recs_catalog_coverage",
     # judge-verified r11 but never in a driver window
     "q3_bucketed_colocated",
-    # never-verified stats/graph/privacy tail
+    # new this round — first-time driver evidence
+    "sessionization_bucketed",
+    "asof_join_last_view_bucketed",
+    "stats_kruskal_wallis",
+    "stats_cochran_armitage_trend",
+    "orders_nelson_aalen_hazard",
+    "sample_neyman_allocation",
+    "embedding_cosine_pair_histogram",
+    "stats_kendall_tau_b",
+    "stats_jonckheere_terpstra",
+    "ml_eval_regression_panel",
+    "multimodal_image_luma_histogram",
+    "dedup_doc_continuation",
+    "privacy_dp_median_release",
+    "stats_effect_size_panel",
+    # never-verified stats/graph/privacy tail (oldest backlog cohort)
     "stats_mantel_haenszel",
     "stats_g_test_type_dow",
     "stats_power_sample_size",
     "stats_poststratified_lift",
     "privacy_t_closeness",
     "graph_hits_scores",
-    # never-verified r5s3 finance block (largest untouched cohort)
+    # never-verified r5s3 finance block (continues in r13)
     "cohort_value_curves",
     "orders_dow_seasonality",
     "revenue_mom_change",
     "part_brand_return_rates",
-    "orders_open_backlog_daily",
-    "events_cumulative_new_users",
-    "events_time_weighted_avg",
-    "lineitem_weighted_median_price",
-    "nation_revenue_hhi",
-    "orders_seasonal_decompose",
-    "parts_xyz_variability",
-    "orders_repeat_purchase_curve",
-    "lineitem_price_dispersion",
-    "parts_skyline_price_size",
-    "customer_spend_trend",
-    "trade_flow_matrix",
-    "market_basket_pairs",
-    # never-verified sequence block
-    "events_latest_per_key",
-    "events_multi_touch_attribution",
-    "events_peak_event_per_user",
-    "events_path_signatures",
-    "events_burst_users",
 ]
 
 
