@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from wikipedia_data_pipeline_spark.operators.sampling import SQL_DET_HASH
 from wikipedia_data_pipeline_spark.registry import register
 from wikipedia_data_pipeline_spark.sources.tables import load_table
 
@@ -222,11 +223,13 @@ def embedding_label_outliers(spark, sf_dir):
 # Pairwise-cosine histogram over a hash-deterministic pair sample (r12)
 # ---------------------------------------------------------------------------
 
-_PAIRHIST_MOD = 17  # keeps the sampled subset ~|corpus|/17, pairs bounded
+_PAIRHIST_K = 128  # FIXED sample size: pairs = K(K-1)/2 at ANY corpus size
 
 _PAIRHIST_ORACLE = f"""
 WITH s AS (
-  SELECT vec_id, embedding FROM embeddings WHERE vec_id % {_PAIRHIST_MOD} = 0
+  SELECT vec_id, embedding FROM embeddings
+  ORDER BY {SQL_DET_HASH.format(col='vec_id')}, vec_id
+  LIMIT {_PAIRHIST_K}
 ),
 pairs AS (
   SELECT least(CAST(floor(({COS_SQL.format(a='a.embedding', b='b.embedding')}
@@ -249,18 +252,23 @@ def embedding_cosine_pair_histogram(spark, sf_dir):
     mode representation-learning audits screen for (Ethayarajh 2019)
     — piles up near 1, and this histogram is the cheapest detector.
 
-    Scale shape: the sampled subset (vec_id % {_PAIRHIST_MOD} = 0) is
-    |corpus|/17 rows, broadcast on one side of the < self-join, so the
-    pair count is (|corpus|/17 choose 2) — a DIAGNOSTIC sample, never
-    the |corpus|² all-pairs relation (the same never-all-pairs rule as
-    the LSH dedup family); for 100-TB corpora the modulus is the dial.
-    Cosines are sequential-fold doubles (bit-identical across engines,
-    ann_cosine_topk_brute discipline); binning is floor arithmetic on
-    those doubles; counts are exact BIGINTs."""
+    Scale shape: the sample is the K = 128 vectors with the SMALLEST
+    portable-hash values — a TakeOrdered selection whose size is fixed
+    at ANY corpus size, so the pair count is K(K−1)/2 = 8,128 forever.
+    (The first cut sampled by vec_id % 17: correct at the fixture, but
+    the subset grows LINEARLY with the corpus and its self-join
+    quadratically — at the 100× replica that was already 69M cosine
+    folds. A diagnostic's cost must be bounded by the diagnostic, not
+    the data.) Cosines are sequential-fold doubles (bit-identical
+    across engines, ann_cosine_topk_brute discipline); binning is
+    floor arithmetic; counts are exact BIGINTs."""
     from wikipedia_data_pipeline_spark.functions import cosine_similarity
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
 
-    e = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") % _PAIRHIST_MOD == 0
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .orderBy(det_hash("vec_id"), F.col("vec_id"))
+        .limit(_PAIRHIST_K)
     )
     a = e.select(
         F.col("vec_id").alias("ida"), F.col("embedding").alias("ea")

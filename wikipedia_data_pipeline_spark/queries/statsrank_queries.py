@@ -114,7 +114,12 @@ def stats_kruskal_wallis(spark, sf_dir):
         "value", "t", (F.col("cum_t") - F.col("t")).alias("cum_before")
     )
     g = (
-        cv.join(sc, "value")
+        # sc is DISTINCT-VALUE-sized (fact lineage on a near-unique
+        # score column) — forbid the planner from broadcasting it: a
+        # multi-million-row broadcast build is a single-threaded
+        # driver-side collect (measured: the unhinted join ran >4 min
+        # at the 100× replica vs seconds shuffled)
+        cv.join(sc.hint("shuffle_hash"), "value")
         .groupBy("event_type")
         .agg(
             F.sum("c").cast("long").alias("n_g"),
