@@ -566,7 +566,8 @@ def stats_kendall_tau_b(spark, sf_dir):
 # Same collapsed-grid machinery as stats_kendall_tau_b with the funnel
 # stage as the ordered axis: J = Σ_{g<g'} #{x_i < x_j} arrives as the
 # exact doubled BIGINT j2 = 2·C + T_x-cross (x-ties across groups
-# count ½), and z uses the classic normal approximation
+# count ½ — ONE unit per UNORDERED cross-group tie pair in the
+# doubled scale), and z uses the classic normal approximation
 # μ = (N² − Σn_g²)/4, σ² = (N²(2N+3) − Σn_g²(2n_g+3))/72.
 
 _JT_STAGES = ["view", "click", "signup", "purchase"]
@@ -624,7 +625,7 @@ sc AS (
 rt AS (
   SELECT CAST({cx} AS HUGEINT) AS cx,
          CAST({nx} AS BIGINT) AS nx,
-         CAST({nx} AS HUGEINT) * ({nx}) - ({sq}) AS tx,
+         (CAST({nx} AS HUGEINT) * ({nx}) - ({sq})) // 2 AS tx,
          {", ".join(f"n{j}" for j in _JT_K)}
   FROM sc
 ),
@@ -698,7 +699,7 @@ def stats_jonckheere_terpstra(spark, sf_dir):
     rt = sc.select(
         cx.cast("decimal(38,0)").alias("cx"),
         nx.alias("nx"),
-        (nx.cast("decimal(38,0)") * nx - sq).alias("tx"),
+        ((nx.cast("decimal(38,0)") * nx - sq) / 2).cast("decimal(38,0)").alias("tx"),
         *[F.col(f"n{j}") for j in _JT_K],
     )
     s = rt.agg(
