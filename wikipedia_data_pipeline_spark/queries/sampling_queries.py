@@ -485,3 +485,95 @@ def sample_neyman_allocation(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixture (round 12)
+# ---------------------------------------------------------------------------
+
+_TEMP_BUDGET = 1_000_000  # tokens drawn per epoch of the mixture
+
+
+_TEMP_ORACLE = f"""
+WITH t AS (
+  SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_tokens,
+         CAST(round(1000000.0 * sqrt(CAST(n_tokens AS DOUBLE)))
+           AS BIGINT) AS w_micro
+  FROM t
+),
+tot AS (SELECT CAST(sum(w_micro) AS BIGINT) AS w_tot FROM w)
+SELECT source, n_tokens, w_micro,
+       CAST(w_micro AS DOUBLE) / CAST(w_tot AS DOUBLE) AS share,
+       CAST(round({_TEMP_BUDGET}.0 * CAST(w_micro AS DOUBLE)
+                  / CAST(w_tot AS DOUBLE)) AS BIGINT) AS budget_tokens,
+       round({_TEMP_BUDGET}.0 * CAST(w_micro AS DOUBLE)
+             / CAST(w_tot AS DOUBLE))
+         / CAST(n_tokens AS DOUBLE) AS epochs_per_pass
+FROM w, tot
+ORDER BY source
+"""
+
+
+@register("sample_mixture_temperature", oracle=_TEMP_ORACLE)
+def sample_mixture_temperature(spark, sf_dir):
+    """Temperature-scaled source mixture at T = 2: sampling share
+    p_s ∝ n_s^(1/T) — the standard upsampling knob multilingual /
+    multi-source LLM training uses to keep small sources from
+    vanishing (α-smoothing in mC4/XLM-R recipes). Reports each
+    source's raw token count, smoothed weight, share, token budget at
+    a 1M-token pass, and the implied epochs over that source (the
+    over-sampling factor the curation plan must sign off on —
+    `curation_token_mixture_epochs`'s cap is the enforcement side).
+
+    Exactness: T = 2 makes the smoothing an IEEE sqrt — correctly
+    rounded in BOTH engines, no transcendental quantization needed;
+    the sqrt is micro-quantized once per source, shares divide two
+    exact BIGINTs. Scale: one token-count agg to |sources| rows."""
+    from wikipedia_data_pipeline_spark.operators.text import (
+        NORMALIZE_PATTERN,
+        TOKEN_DELIMITER,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.transform(
+            F.split(F.col("text"), TOKEN_DELIMITER),
+            lambda w: F.lower(F.regexp_replace(w, NORMALIZE_PATTERN, "")),
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    t = docs.groupBy("source").agg(
+        F.sum(F.size(toks)).cast("long").alias("n_tokens")
+    )
+    w = t.select(
+        "source",
+        "n_tokens",
+        F.round(
+            F.lit(1_000_000.0) * F.sqrt(F.col("n_tokens").cast("double"))
+        )
+        .cast("long")
+        .alias("w_micro"),
+    )
+    tot = w.agg(F.sum("w_micro").cast("long").alias("w_tot"))
+    share = F.col("w_micro").cast("double") / F.col("w_tot").cast("double")
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            "w_micro",
+            share.alias("share"),
+            F.round(F.lit(float(_TEMP_BUDGET)) * share)
+            .cast("long")
+            .alias("budget_tokens"),
+            (
+                F.round(F.lit(float(_TEMP_BUDGET)) * share)
+                / F.col("n_tokens").cast("double")
+            ).alias("epochs_per_pass"),
+        )
+        .orderBy("source")
+    )

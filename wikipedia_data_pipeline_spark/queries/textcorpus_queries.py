@@ -1066,3 +1066,120 @@ def text_yule_k_diversity(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # DSIR importance weights (hashed n-gram importance resampling, round 10)
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty rate across the train/test hash split (round 12)
+# ---------------------------------------------------------------------------
+
+_NOVELTY_SPLIT_SQL = SQL_DET_HASH.format(col="doc_id")
+
+_NOVELTY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, ' '),
+           x -> lower(regexp_replace(x, '[^a-zA-Z]', '', 'g'))),
+           w -> length(w) > 0) AS toks,
+         ({_NOVELTY_SPLIT_SQL}) % 10 < 8 AS is_train
+  FROM documents
+),
+g AS (
+  SELECT 1 AS n, unnest(toks) AS gram, is_train FROM t
+  UNION ALL
+  SELECT 2 AS n, toks[i] || ' ' || toks[i + 1] AS gram, is_train
+  FROM (SELECT toks, is_train,
+               unnest(range(1, greatest(len(toks), 1))) AS i
+        FROM t)
+),
+d AS (
+  SELECT n, gram,
+         max(CASE WHEN is_train THEN 1 ELSE 0 END) AS in_train,
+         max(CASE WHEN is_train THEN 0 ELSE 1 END) AS in_test
+  FROM g GROUP BY n, gram
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(sum(in_test) AS BIGINT) AS n_test_distinct,
+       CAST(sum(CASE WHEN in_test = 1 AND in_train = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(sum(CASE WHEN in_test = 1 AND in_train = 0
+                THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(sum(in_test) AS DOUBLE) AS novelty_rate
+FROM d GROUP BY n ORDER BY n
+"""
+
+
+@register("text_ngram_novelty_rate", oracle=_NOVELTY_ORACLE)
+def text_ngram_novelty_rate(spark, sf_dir):
+    """n-gram novelty of the held-out split against the train split
+    (n = 1, 2): the fraction of distinct test n-grams never seen in
+    training — the memorization-vs-novelty scorecard generation evals
+    report (high novelty = the eval set actually probes generalization;
+    near-zero = contaminated, see `text_decontaminate` for the fix).
+    Split is the engine's deterministic 80/20 doc-id hash.
+
+    Scale shape: grams ride as 8-byte xxhash64 fingerprints (the
+    ml_eval_bleu_corpus trick — presence only needs equality), ONE
+    explode feeds ONE (n, gram) hash agg carrying train/test presence
+    flags as max()-combinable bits — no distinct-set anti-join, no
+    second scan. Exact oracle: same construction over gram STRINGS
+    (counts are hash-invariant under equality)."""
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+    from wikipedia_data_pipeline_spark.operators.text import (
+        NORMALIZE_PATTERN,
+        TOKEN_DELIMITER,
+    )
+    from wikipedia_data_pipeline_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = F.filter(
+        F.transform(
+            F.split(F.col("text"), TOKEN_DELIMITER),
+            lambda w: F.lower(F.regexp_replace(w, NORMALIZE_PATTERN, "")),
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    d = docs.select(
+        toks.alias("toks"),
+        (det_hash("doc_id") % 10 < 8).alias("is_train"),
+    )
+    uni = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(0))),
+        lambda i: F.struct(
+            F.lit(1).alias("n"),
+            F.xxhash64(F.element_at(F.col("toks"), i.cast("int"))).alias(
+                "g"
+            ),
+        ),
+    )
+    bi = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(0))),
+        lambda i: F.struct(
+            F.lit(2).alias("n"),
+            F.xxhash64(
+                F.element_at(F.col("toks"), i.cast("int")),
+                F.element_at(F.col("toks"), (i + 1).cast("int")),
+            ).alias("g"),
+        ),
+    )
+    ex = d.select(
+        "is_train", F.explode(F.concat(uni, bi)).alias("s")
+    ).select("is_train", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
+    dist = ex.groupBy("n", "g").agg(
+        F.max(F.when(F.col("is_train"), 1).otherwise(0)).alias("in_train"),
+        F.max(F.when(F.col("is_train"), 0).otherwise(1)).alias("in_test"),
+    )
+    novel = F.when(
+        (F.col("in_test") == 1) & (F.col("in_train") == 0), 1
+    ).otherwise(0)
+    return (
+        dist.groupBy(F.col("n").cast("long").alias("n"))
+        .agg(
+            F.sum("in_test").cast("long").alias("n_test_distinct"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            (
+                F.sum(novel).cast("double")
+                / F.sum("in_test").cast("double")
+            ).alias("novelty_rate"),
+        )
+        .orderBy("n")
+    )
