@@ -199,6 +199,11 @@ PROBE = [
     # the one-time twin write, best-of pays steady state)
     "sessionization_bucketed",
     "asof_join_last_view_bucketed",
+    # r12 session-3 novelties
+    "privacy_dp_median_release",
+    "stats_effect_size_panel",
+    "sample_mixture_temperature",
+    "text_ngram_novelty_rate",
 ]
 # quadratic-oracle twins: timing DuckDB here measures the oracle's
 # deliberate brute-force design, not the engine — skip, like bench.py
