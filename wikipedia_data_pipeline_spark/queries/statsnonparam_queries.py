@@ -1,0 +1,1020 @@
+"""Nonparametric location/dispersion tests and regression-residual
+diagnostics (round 12, session 4): Friedman's blocked rank test,
+Brown-Forsythe (median-centered Levene), Mood's median test, Wilcoxon
+signed-rank, Brunner-Munzel, the Wald-Wolfowitz runs test, a Ljung-Box
+autocorrelation panel, and the Durbin-Watson statistic.
+
+All eight follow the engine's exactness discipline (registry.py module
+doc): tie-averaged ranks stay integral in DOUBLED units (a tied run of
+t values after cum_before rows has average 2*rank = 2*cum_before + t +
+1); every global prefix sum over an entity- or distinct-value-sized
+relation rides the hierarchical ``ordered_scan`` (never an
+unpartitioned window); bounded-series windows (hourly / per-block /
+per-lag) are either partitioned or sit above a calendar-bounded
+aggregate; each statistic ships exact BIGINT/DECIMAL components plus
+ONE fixed double expression both engines evaluate identically,
+nano-quantizing wherever a per-term double must be re-summed.
+
+New module rather than statstests_queries (~1.9k lines) or
+statsrank_queries — same split rationale as the round-11/12 splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from wikipedia_data_pipeline_spark.registry import register
+from wikipedia_data_pipeline_spark.sources.tables import load_table
+
+_US_PER_DAY = 86_400_000_000
+_US_PER_HOUR = 3_600_000_000
+
+
+# ---------------------------------------------------------------------------
+# Friedman test: daily activity ranks across event types
+# ---------------------------------------------------------------------------
+# Blocks = calendar days, treatments = event types, observation = the
+# day's event count per type. Within-block midranks via the doubled-
+# rank trick keep EVERYTHING integral: with S_j = sum of doubled ranks
+# for treatment j over n complete blocks, the tie-corrected statistic
+# is Q = (k-1) * sum_j (S_j - n(k+1))^2 / (sum_{ij} s2_ij^2 - nk(k+1)^2)
+# (substituting s2 = 2r into the textbook tie-corrected form; for
+# untied data it reduces to 12/(nk(k+1)) * sum (R_j - n(k+1)/2)^2).
+# No quantization anywhere - the only division is the final one.
+
+_FRIEDMAN_ORACLE = f"""
+WITH cell AS (
+  SELECT epoch_us(ts) // {_US_PER_DAY} AS d, event_type,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+k AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k_t FROM events),
+full_days AS (
+  SELECT d FROM cell GROUP BY d HAVING count(*) = (SELECT k_t FROM k)
+),
+obs AS (SELECT cell.* FROM cell JOIN full_days USING (d)),
+tie AS (
+  SELECT d, x, CAST(count(*) AS BIGINT) AS t FROM obs GROUP BY 1, 2
+),
+rk AS (
+  SELECT d, x, t,
+         2 * coalesce(sum(t) OVER (PARTITION BY d ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + t + 1 AS s2
+  FROM tie
+),
+ranked AS (
+  SELECT obs.d, obs.event_type, rk.s2
+  FROM obs JOIN rk ON obs.d = rk.d AND obs.x = rk.x
+),
+per_t AS (
+  SELECT event_type,
+         CAST(sum(s2) AS BIGINT) AS s2_sum,
+         CAST(count(*) AS BIGINT) AS n_blocks
+  FROM ranked GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(s2 * s2) AS BIGINT) AS sum_s2_sq,
+         CAST(count(DISTINCT d) AS BIGINT) AS n,
+         (SELECT k_t FROM k) AS k_t
+  FROM ranked
+),
+q AS (
+  SELECT n, k_t, sum_s2_sq,
+         CAST(k_t - 1 AS DOUBLE)
+           * (SELECT sum(CAST((s2_sum - n * (k_t + 1))
+                              * (s2_sum - n * (k_t + 1)) AS DOUBLE))
+              FROM per_t)
+           / CAST(sum_s2_sq - n * k_t * (k_t + 1) * (k_t + 1) AS DOUBLE)
+           AS q_stat
+  FROM tot
+)
+SELECT per_t.event_type, per_t.s2_sum, q.n AS n_blocks, q.k_t AS k_treatments,
+       q.q_stat
+FROM per_t, q
+"""
+
+
+@register("stats_friedman_test", oracle=_FRIEDMAN_ORACLE)
+def stats_friedman_test(spark, sf_dir):
+    """Friedman's rank test for treatment effects across matched blocks
+    - here "does the mix of activity across event types shift day to
+    day?", with each calendar day a block and the day's per-type event
+    count the observation. The blocked companion to
+    `stats_kruskal_wallis`: KW ranks the pooled sample (between-day
+    volume drift leaks into the statistic), Friedman ranks WITHIN each
+    day, so global traffic swings cancel exactly.
+
+    Doubled within-block midranks keep rank sums integral; the tie-
+    corrected Q is one fixed double division over exact BIGINTs. Scale
+    shape: one hash agg to (day, type) cells, within-day prefix sums
+    partitioned BY DAY (never global), k-row arithmetic after; the
+    blocks relation is calendar-bounded by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.expr(f"ts div {_US_PER_DAY}").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("x"))
+    k = ev.agg(F.countDistinct("event_type").cast("long").alias("k_t"))
+    full_days = (
+        cell.groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
+        .crossJoin(F.broadcast(k))
+        .filter(F.col("n_cells") == F.col("k_t"))
+        .select("d")
+    )
+    obs = cell.join(full_days, "d")
+    tie = obs.groupBy("d", "x").agg(F.count(F.lit(1)).alias("t"))
+    wday = (
+        Window.partitionBy("d")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = tie.select(
+        "d",
+        "x",
+        (2 * F.coalesce(F.sum("t").over(wday), F.lit(0)) + F.col("t") + 1)
+        .cast("long")
+        .alias("s2"),
+    )
+    ranked = obs.join(rk, ["d", "x"]).select("d", "event_type", "s2")
+    per_t = ranked.groupBy("event_type").agg(
+        F.sum("s2").cast("long").alias("s2_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+    )
+    tot = ranked.agg(
+        F.sum(F.col("s2") * F.col("s2")).cast("long").alias("sum_s2_sq"),
+        F.countDistinct("d").cast("long").alias("n"),
+    ).crossJoin(F.broadcast(k))
+    dev = F.col("s2_sum") - F.col("n") * (F.col("k_t") + 1)
+    num = per_t.crossJoin(F.broadcast(tot)).agg(
+        F.sum((dev * dev).cast("double")).alias("num"),
+        F.any_value("n").alias("n"),
+        F.any_value("k_t").alias("k_t"),
+        F.any_value("sum_s2_sq").alias("sum_s2_sq"),
+    )
+    q = num.select(
+        "n",
+        "k_t",
+        "sum_s2_sq",
+        (
+            (F.col("k_t") - 1).cast("double")
+            * F.col("num")
+            / (
+                F.col("sum_s2_sq")
+                - F.col("n")
+                * F.col("k_t")
+                * (F.col("k_t") + 1)
+                * (F.col("k_t") + 1)
+            ).cast("double")
+        ).alias("q_stat"),
+    )
+    return per_t.crossJoin(F.broadcast(q)).select(
+        "event_type",
+        "s2_sum",
+        F.col("n").alias("n_blocks"),
+        F.col("k_t").alias("k_treatments"),
+        "q_stat",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe: variance homogeneity on median-centered deviations
+# ---------------------------------------------------------------------------
+# z_ij = |x_ij - median_j| micro-quantized to BIGINT at the row level
+# (sums become associative -> partitioning-independent); the F ratio's
+# between/within terms are per-group doubles from exact DECIMAL sums,
+# each nano-quantized in UNIT scale before the k-term reduction.
+
+_BF_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med_g
+  FROM events GROUP BY 1
+),
+z AS (
+  SELECT e.event_type,
+         CAST(round(abs(e.value - m.med_g) * 1000000) AS BIGINT) AS z_u
+  FROM events e JOIN med m USING (event_type)
+),
+g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_g,
+         sum(CAST(z_u AS DECIMAL(38,0))) AS zs,
+         sum(CAST(z_u AS DECIMAL(38,0)) * z_u) AS zq
+  FROM z GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(zs) AS DOUBLE) / 1e6 AS zbar_num
+  FROM g
+),
+terms AS (
+  SELECT g.event_type, g.n_g, m.med_g,
+         CAST(g.zs AS DOUBLE) / 1e6 / CAST(g.n_g AS DOUBLE) AS zbar_g,
+         CAST(round(1e9 * (CAST(g.n_g AS DOUBLE) / CAST(t.n AS DOUBLE))
+              * (CAST(g.zs AS DOUBLE) / 1e6 / CAST(g.n_g AS DOUBLE)
+                 - t.zbar_num / CAST(t.n AS DOUBLE))
+              * (CAST(g.zs AS DOUBLE) / 1e6 / CAST(g.n_g AS DOUBLE)
+                 - t.zbar_num / CAST(t.n AS DOUBLE))) AS BIGINT)
+           AS bt_nano,
+         CAST(round(1e9 * (CAST(g.zq AS DOUBLE) / 1e12
+              - (CAST(g.zs AS DOUBLE) / 1e6)
+                * (CAST(g.zs AS DOUBLE) / 1e6) / CAST(g.n_g AS DOUBLE))
+              / CAST(t.n AS DOUBLE)) AS BIGINT) AS wt_nano
+  FROM g JOIN med m USING (event_type), tot t
+),
+f AS (
+  SELECT CAST(sum(bt_nano) AS DOUBLE) / CAST(sum(wt_nano) AS DOUBLE)
+           * CAST(t.n - t.k AS DOUBLE) / CAST(t.k - 1 AS DOUBLE) AS f_stat
+  FROM terms, tot t GROUP BY t.n, t.k
+)
+SELECT terms.event_type, terms.n_g, terms.med_g, terms.zbar_g, f.f_stat
+FROM terms, f
+"""
+
+
+@register("stats_brown_forsythe", oracle=_BF_ORACLE)
+def stats_brown_forsythe(spark, sf_dir):
+    """Brown-Forsythe test (Levene's test with median centers) for
+    homogeneity of variance of events.value across event types - the
+    standard pre-check before pooled-variance tests, robust to the
+    heavy tails `events_skew_kurtosis` diagnoses (mean-centered Levene
+    is not). F = ((N-k)/(k-1)) * between(z) / within(z) on z = |x -
+    median_group|.
+
+    Exactness: per-row z is micro-quantized BIGINT (associative sums);
+    per-group between/within terms are fixed double expressions over
+    DECIMAL sums, nano-quantized in unit scale before the k-term sum
+    (the only reduction whose order Spark does not pin). Scale shape:
+    two scans of the fact (one for medians via percentile, one for
+    deviations), both plain hash aggs, k-row tail arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med_g")
+    )
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.round(F.abs(F.col("value") - F.col("med_g")) * 1_000_000)
+        .cast("long")
+        .alias("z_u"),
+    )
+    dec = "decimal(38,0)"
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(F.col("z_u").cast(dec)).alias("zs"),
+        F.sum(F.col("z_u").cast(dec) * F.col("z_u")).alias("zq"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        (F.sum("zs").cast("double") / 1e6).alias("zbar_num"),
+    )
+    nd = F.col("n").cast("double")
+    zbar_g = F.col("zs").cast("double") / 1e6 / F.col("n_g").cast("double")
+    zbar = F.col("zbar_num") / nd
+    terms = (
+        g.join(F.broadcast(med), "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_g",
+            "med_g",
+            zbar_g.alias("zbar_g"),
+            F.round(
+                1e9
+                * (F.col("n_g").cast("double") / nd)
+                * (zbar_g - zbar)
+                * (zbar_g - zbar)
+            )
+            .cast("long")
+            .alias("bt_nano"),
+            F.round(
+                1e9
+                * (
+                    F.col("zq").cast("double") / 1e12
+                    - (F.col("zs").cast("double") / 1e6)
+                    * (F.col("zs").cast("double") / 1e6)
+                    / F.col("n_g").cast("double")
+                )
+                / nd
+            )
+            .cast("long")
+            .alias("wt_nano"),
+            F.col("n"),
+            F.col("k"),
+        )
+    )
+    f = terms.groupBy("n", "k").agg(
+        (
+            F.sum("bt_nano").cast("double")
+            / F.sum("wt_nano").cast("double")
+            * (F.col("n") - F.col("k")).cast("double")
+            / (F.col("k") - 1).cast("double")
+        ).alias("f_stat")
+    )
+    return terms.crossJoin(F.broadcast(f.select("f_stat"))).select(
+        "event_type", "n_g", "med_g", "zbar_g", "f_stat"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mood's median test: k-group split about the grand median
+# ---------------------------------------------------------------------------
+
+_MOOD_ORACLE = """
+WITH med AS (SELECT quantile_cont(value, 0.5) AS m FROM events),
+g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(CASE WHEN value > (SELECT m FROM med)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS a_g
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(a_g) AS BIGINT) AS a
+  FROM g
+),
+terms AS (
+  SELECT g.event_type, g.n_g, g.a_g,
+         CAST(round(1e9 * (
+           (CAST(g.a_g AS DOUBLE) - CAST(g.n_g AS DOUBLE)
+              * CAST(t.a AS DOUBLE) / CAST(t.n AS DOUBLE))
+           * (CAST(g.a_g AS DOUBLE) - CAST(g.n_g AS DOUBLE)
+              * CAST(t.a AS DOUBLE) / CAST(t.n AS DOUBLE))
+           * (1.0 / (CAST(g.n_g AS DOUBLE) * CAST(t.a AS DOUBLE)
+                     / CAST(t.n AS DOUBLE))
+              + 1.0 / (CAST(g.n_g AS DOUBLE)
+                       * CAST(t.n - t.a AS DOUBLE) / CAST(t.n AS DOUBLE)))
+         )) AS BIGINT) AS chi_nano
+  FROM g, tot t
+),
+s AS (SELECT CAST(sum(chi_nano) AS DOUBLE) / 1e9 AS chi2_stat FROM terms)
+SELECT terms.event_type, terms.n_g, terms.a_g, s.chi2_stat
+FROM terms, s
+"""
+
+
+@register("stats_mood_median_test", oracle=_MOOD_ORACLE)
+def stats_mood_median_test(spark, sf_dir):
+    """Mood's median test: do the event-type groups share a common
+    median value? Counts each group's observations above the GRAND
+    median into a k x 2 contingency table and forms the Pearson chi2
+    about the hypergeometric expectation - cruder but far more
+    outlier-resistant than `stats_kruskal_wallis` (only the side of
+    the median enters, not the rank).
+
+    The (a_g - e_g)^2 * (1/e_g + 1/f_g) identity folds each group's
+    two chi2 cells into one term (the above/below deviations are equal
+    and opposite). Counts are exact BIGINTs; each term is one fixed
+    double expression, nano-quantized before the k-term sum. One fact
+    scan for the grand median, one for the table."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.agg(F.expr("percentile(value, 0.5D)").alias("m"))
+    g = ev.crossJoin(F.broadcast(med)).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum((F.col("value") > F.col("m")).cast("long"))
+        .cast("long")
+        .alias("a_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("a_g").cast("long").alias("a"),
+    )
+    nd = F.col("n").cast("double")
+    ad = F.col("a").cast("double")
+    e_g = F.col("n_g").cast("double") * ad / nd
+    f_g = F.col("n_g").cast("double") * (F.col("n") - F.col("a")).cast(
+        "double"
+    ) / nd
+    dev = F.col("a_g").cast("double") - e_g
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_g",
+        "a_g",
+        F.round(1e9 * dev * dev * (1.0 / e_g + 1.0 / f_g))
+        .cast("long")
+        .alias("chi_nano"),
+    )
+    s = terms.agg(
+        (F.sum("chi_nano").cast("double") / 1e9).alias("chi2_stat")
+    )
+    return terms.crossJoin(F.broadcast(s)).select(
+        "event_type", "n_g", "a_g", "chi2_stat"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank: paired per-user view-vs-click activity
+# ---------------------------------------------------------------------------
+# Pairs are per-user (count(view), count(click)); d = difference is an
+# exact integer, so |d| ranks need no quantization at all. The distinct
+# |d| relation is user-lineage (entity-sized at 100 TB) -> ordered_scan.
+
+_WSR_ORACLE = """
+WITH pairs AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              - sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+  FROM events GROUP BY 1
+),
+nz AS (SELECT d, abs(d) AS ad FROM pairs WHERE d <> 0),
+tie AS (
+  SELECT ad, CAST(count(*) AS BIGINT) AS t,
+         CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_pos
+  FROM nz GROUP BY 1
+),
+rk AS (
+  SELECT ad, t, c_pos,
+         2 * coalesce(sum(t) OVER (ORDER BY ad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + t + 1 AS s2
+  FROM tie
+),
+s AS (
+  SELECT CAST(sum(t) AS BIGINT) AS n,
+         CAST(sum(c_pos * s2) AS BIGINT) AS w2_plus,
+         sum(CAST(t * t * t - t AS DECIMAL(38,0))) AS tie3
+  FROM rk
+)
+SELECT n, w2_plus, CAST(tie3 AS BIGINT) AS tie3,
+       (CAST(w2_plus AS DOUBLE) / 2.0
+        - CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE) / 4.0)
+       / sqrt(CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)
+              * CAST(2 * n + 1 AS DOUBLE) / 24.0
+              - CAST(tie3 AS DOUBLE) / 48.0) AS z_stat
+FROM s
+"""
+
+
+@register("stats_wilcoxon_signed_rank", oracle=_WSR_ORACLE)
+def stats_wilcoxon_signed_rank(spark, sf_dir):
+    """Wilcoxon signed-rank test on paired per-user activity: does a
+    user's view count systematically exceed their click count? The
+    paired companion to `events_mannwhitney_ab` - differencing within
+    user removes the between-user activity scale that MWU would have
+    to rank over.
+
+    d is an exact integer per user, so ranks of |d| (midranks under
+    the doubled-rank trick) are exact BIGINTs with no quantization;
+    the tie-corrected normal z is one fixed double expression with
+    variance n(n+1)(2n+1)/24 - sum(t^3-t)/48. Lineage: one hash agg to
+    per-user pairs (entity-sized), one to distinct |d|, prefix sums on
+    the hierarchical ordered_scan."""
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
+
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "view").cast("long"))
+            - F.sum((F.col("event_type") == "click").cast("long"))
+        )
+        .cast("long")
+        .alias("d")
+    )
+    nz = pairs.filter(F.col("d") != 0).select(
+        "d", F.abs(F.col("d")).alias("ad")
+    )
+    tie = nz.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum((F.col("d") > 0).cast("long")).cast("long").alias("c_pos"),
+    )
+    rk = ordered_scan(tie, ["ad"], running=[("cum_t", "t", "sum")]).select(
+        "t",
+        "c_pos",
+        (2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1).alias("s2"),
+    )
+    s = rk.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.col("c_pos") * F.col("s2")).cast("long").alias("w2_plus"),
+        F.sum(
+            (F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("tie3"),
+    )
+    ndd = F.col("n").cast("double")
+    z = (
+        F.col("w2_plus").cast("double") / 2.0
+        - ndd * (F.col("n") + 1).cast("double") / 4.0
+    ) / F.sqrt(
+        ndd
+        * (F.col("n") + 1).cast("double")
+        * (2 * F.col("n") + 1).cast("double")
+        / 24.0
+        - F.col("tie3").cast("double") / 48.0
+    )
+    return s.select(
+        "n",
+        "w2_plus",
+        F.col("tie3").cast("long").alias("tie3"),
+        z.alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brunner-Munzel: heteroscedasticity-robust two-sample rank test
+# ---------------------------------------------------------------------------
+# MWU's variance assumes exchangeable dispersion; Brunner-Munzel
+# estimates each group's placement variance separately. Placements
+# P_ij = pooled midrank - within-group midrank stay integral in
+# DOUBLED units: p2 = s2_pooled - s2_within (both from ONE
+# ordered_scan carrying pooled and per-group running sums).
+
+_BM_ORACLE = """
+WITH cv AS (
+  SELECT value,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c2
+  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1
+),
+sc AS (
+  SELECT c1, c2, c1 + c2 AS t,
+         coalesce(sum(c1) OVER w, 0) AS cb1,
+         coalesce(sum(c2) OVER w, 0) AS cb2,
+         coalesce(sum(c1 + c2) OVER w, 0) AS cbt
+  FROM cv
+  WINDOW w AS (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+pl AS (
+  SELECT c1, c2,
+         (2 * cbt + t + 1) - (2 * cb1 + c1 + 1) AS p2_1,
+         (2 * cbt + t + 1) - (2 * cb2 + c2 + 1) AS p2_2
+  FROM sc
+),
+g AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+         CAST(sum(c2) AS BIGINT) AS n2,
+         CAST(sum(c1 * p2_1) AS BIGINT) AS sp1,
+         CAST(sum(c2 * p2_2) AS BIGINT) AS sp2,
+         sum(CAST(c1 AS DECIMAL(38,0)) * p2_1 * p2_1) AS spp1,
+         sum(CAST(c2 AS DECIMAL(38,0)) * p2_2 * p2_2) AS spp2
+  FROM pl
+),
+v AS (
+  SELECT n1, n2,
+         CAST(sp2 AS DOUBLE) / 2.0 / CAST(n2 AS DOUBLE)
+           / CAST(n1 AS DOUBLE) AS p_hat,
+         (CAST(spp1 AS DOUBLE) - CAST(sp1 AS DOUBLE) * CAST(sp1 AS DOUBLE)
+            / CAST(n1 AS DOUBLE)) / 4.0 / CAST(n1 - 1 AS DOUBLE) AS s1_sq,
+         (CAST(spp2 AS DOUBLE) - CAST(sp2 AS DOUBLE) * CAST(sp2 AS DOUBLE)
+            / CAST(n2 AS DOUBLE)) / 4.0 / CAST(n2 - 1 AS DOUBLE) AS s2_sq
+  FROM g
+)
+SELECT n1, n2, p_hat, s1_sq, s2_sq,
+       (p_hat - 0.5)
+       / sqrt(s1_sq / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                       * CAST(n2 AS DOUBLE))
+              + s2_sq / (CAST(n2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                         * CAST(n1 AS DOUBLE))) AS w_bm
+FROM v
+"""
+
+
+@register("stats_brunner_munzel", oracle=_BM_ORACLE)
+def stats_brunner_munzel(spark, sf_dir):
+    """Brunner-Munzel test of P(view-value < click-value) + 1/2
+    P(tie) = 1/2 - the heteroscedasticity-robust replacement for
+    `events_mannwhitney_ab` (MWU's variance is wrong when the two
+    groups' dispersions differ; BM estimates each group's placement
+    variance separately, the rank analogue of Welch's t).
+
+    Placements stay integral in doubled units: p2 = pooled midrank2 -
+    within-group midrank2, with pooled AND per-group prefix sums from
+    ONE hierarchical ordered_scan over the distinct-value relation
+    (model-score lineage: near-unique DOUBLEs must never serialize
+    through an unpartitioned window). p_hat, the two placement
+    variances, and W are fixed double expressions over exact
+    BIGINT/DECIMAL sums."""
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    cv = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == "view").cast("long"))
+        .cast("long")
+        .alias("c1"),
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .cast("long")
+        .alias("c2"),
+    )
+    cvt = cv.select("value", "c1", "c2", (F.col("c1") + F.col("c2")).alias("t"))
+    sc = ordered_scan(
+        cvt,
+        ["value"],
+        running=[
+            ("cum1", "c1", "sum"),
+            ("cum2", "c2", "sum"),
+            ("cumt", "t", "sum"),
+        ],
+    )
+    s2p = 2 * (F.col("cumt") - F.col("t")) + F.col("t") + 1
+    s2w1 = 2 * (F.col("cum1") - F.col("c1")) + F.col("c1") + 1
+    s2w2 = 2 * (F.col("cum2") - F.col("c2")) + F.col("c2") + 1
+    pl = sc.select(
+        "c1",
+        "c2",
+        (s2p - s2w1).alias("p2_1"),
+        (s2p - s2w2).alias("p2_2"),
+    )
+    dec = "decimal(38,0)"
+    g = pl.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(F.col("c1") * F.col("p2_1")).cast("long").alias("sp1"),
+        F.sum(F.col("c2") * F.col("p2_2")).cast("long").alias("sp2"),
+        F.sum(F.col("c1").cast(dec) * F.col("p2_1") * F.col("p2_1")).alias(
+            "spp1"
+        ),
+        F.sum(F.col("c2").cast(dec) * F.col("p2_2") * F.col("p2_2")).alias(
+            "spp2"
+        ),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    p_hat = F.col("sp2").cast("double") / 2.0 / n2d / n1d
+    s1_sq = (
+        F.col("spp1").cast("double")
+        - F.col("sp1").cast("double") * F.col("sp1").cast("double") / n1d
+    ) / 4.0 / (F.col("n1") - 1).cast("double")
+    s2_sq = (
+        F.col("spp2").cast("double")
+        - F.col("sp2").cast("double") * F.col("sp2").cast("double") / n2d
+    ) / 4.0 / (F.col("n2") - 1).cast("double")
+    v = g.select(
+        "n1",
+        "n2",
+        p_hat.alias("p_hat"),
+        s1_sq.alias("s1_sq"),
+        s2_sq.alias("s2_sq"),
+    )
+    w = (F.col("p_hat") - 0.5) / F.sqrt(
+        F.col("s1_sq") / (n1d * n2d * n2d)
+        + F.col("s2_sq") / (n2d * n1d * n1d)
+    )
+    return v.select("n1", "n2", "p_hat", "s1_sq", "s2_sq", w.alias("w_bm"))
+
+
+# ---------------------------------------------------------------------------
+# Hourly-series diagnostics: runs test, Ljung-Box panel, Durbin-Watson
+# ---------------------------------------------------------------------------
+# All three reduce the fact table to the hourly series FIRST (one hash
+# agg; the series is calendar-bounded - |hours|, not |events|), so the
+# global order-by-hour windows below run over a bounded relation; the
+# audit triages them agg[h]-safe.
+
+_HOURLY_CNT = f"""
+  SELECT epoch_us(ts) // {_US_PER_HOUR} AS h,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+"""
+
+
+def _hourly_counts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.expr(f"ts div {_US_PER_HOUR}").alias("h")
+    ).agg(F.count(F.lit(1)).alias("x"))
+
+
+_RUNS_ORACLE = f"""
+WITH hc AS ({_HOURLY_CNT}),
+med AS (SELECT quantile_cont(CAST(x AS DOUBLE), 0.5) AS m FROM hc),
+sg AS (
+  SELECT h, CASE WHEN CAST(x AS DOUBLE) > m THEN 1 ELSE 0 END AS s
+  FROM hc, med WHERE CAST(x AS DOUBLE) <> m
+),
+runs AS (
+  SELECT s,
+         CASE WHEN lag(s) OVER (ORDER BY h) IS NULL
+                OR lag(s) OVER (ORDER BY h) <> s
+              THEN 1 ELSE 0 END AS new_run
+  FROM sg
+),
+agg AS (
+  SELECT CAST(sum(s) AS BIGINT) AS n1,
+         CAST(sum(1 - s) AS BIGINT) AS n2,
+         CAST(sum(new_run) AS BIGINT) AS n_runs
+  FROM runs
+)
+SELECT n1, n2, n_runs,
+       (CAST(n_runs AS DOUBLE)
+        - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+           / CAST(n1 + n2 AS DOUBLE) + 1.0))
+       / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+              * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 - CAST(n1 + n2 AS DOUBLE))
+              / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                 * CAST(n1 + n2 - 1 AS DOUBLE))) AS z_stat
+FROM agg
+"""
+
+
+@register("stats_runs_test", oracle=_RUNS_ORACLE)
+def stats_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test for serial dependence in hourly event
+    volume: too FEW runs of above/below-median hours means trending or
+    clustered load (the thing that breaks iid-based capacity models);
+    too many means oscillation. The distribution-free companion to
+    `events_autocorr_lag1`.
+
+    The fact collapses to the calendar-bounded hourly series first;
+    signs, the lag-based run starts, and the exact (n1, n2, R) counts
+    follow, with the normal z one fixed expression. Median-tied hours
+    are excluded (the standard dichotomization)."""
+    hc = _hourly_counts(spark, sf_dir)
+    med = hc.agg(
+        F.expr("percentile(cast(x as double), 0.5D)").alias("m")
+    )
+    sg = (
+        hc.crossJoin(F.broadcast(med))
+        .filter(F.col("x").cast("double") != F.col("m"))
+        .select(
+            "h",
+            (F.col("x").cast("double") > F.col("m")).cast("long").alias("s"),
+        )
+    )
+    wh = Window.orderBy("h")
+    runs = sg.select(
+        "s",
+        F.when(
+            F.lag("s").over(wh).isNull() | (F.lag("s").over(wh) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(1 - F.col("s")).cast("long").alias("n2"),
+        F.sum("new_run").cast("long").alias("n_runs"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    ntd = (F.col("n1") + F.col("n2")).cast("double")
+    mu = 2.0 * n1d * n2d / ntd + 1.0
+    sig = F.sqrt(
+        2.0 * n1d * n2d * (2.0 * n1d * n2d - ntd)
+        / (ntd * ntd * (ntd - 1.0))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "n_runs",
+        ((F.col("n_runs").cast("double") - mu) / sig).alias("z_stat"),
+    )
+
+
+_LB_MAX_LAG = 6
+
+_LB_ORACLE = f"""
+WITH hc AS ({_HOURLY_CNT}),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx
+  FROM hc
+),
+den AS (
+  SELECT sum(CAST(t.n * hc.x - t.sx AS DECIMAL(38,0))
+             * (t.n * hc.x - t.sx)) AS den2
+  FROM hc, tot t
+),
+pairs AS (
+  SELECT lg.lag, a.x AS a, b.x AS b
+  FROM (SELECT unnest(range(1, {_LB_MAX_LAG} + 1)) AS lag) lg
+  JOIN hc a ON true
+  JOIN hc b ON a.h - lg.lag = b.h
+),
+num AS (
+  SELECT lag,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         sum(CAST(t.n * a - t.sx AS DECIMAL(38,0)) * (t.n * b - t.sx))
+           AS num2
+  FROM pairs, tot t GROUP BY lag
+),
+rho AS (
+  SELECT lag, n_pairs,
+         CAST(num2 AS DOUBLE) / CAST(d.den2 AS DOUBLE) AS rho,
+         CAST(round(1e9 * CAST(t.n AS DOUBLE) * CAST(t.n + 2 AS DOUBLE)
+                    * CAST(num2 AS DOUBLE) / CAST(d.den2 AS DOUBLE)
+                    * CAST(num2 AS DOUBLE) / CAST(d.den2 AS DOUBLE)
+                    / CAST(t.n - lag AS DOUBLE)) AS BIGINT) AS term_nano
+  FROM num, den d, tot t
+)
+SELECT CAST(lag AS BIGINT) AS lag, n_pairs, rho,
+       CAST(sum(term_nano) OVER (ORDER BY lag
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e9 AS q_lb
+FROM rho
+ORDER BY lag
+"""
+
+
+@register("stats_ljung_box", oracle=_LB_ORACLE)
+def stats_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau panel on hourly event counts: the
+    autocorrelation function at lags 1..6 plus the cumulative Q
+    statistic testing "white noise through lag k" - the standard
+    residual-whiteness diagnostic after any forecast fit, and the
+    multi-lag generalization of `events_autocorr_lag1`.
+
+    rho_k is exact-rational: with integer counts x and S = sum x, the
+    mean-centered products scale by n to (n*x_t - S)(n*x_{{t-k}} - S),
+    summed as DECIMAL - so each rho is ONE double division of exact
+    integers. The k-term Q sum is nano-quantized per lag. The series
+    is calendar-bounded (one hash agg off the fact) so the order-by-
+    hour lag windows are bounded-relation-safe."""
+    hc = _hourly_counts(spark, sf_dir)
+    tot = hc.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    dec = "decimal(38,0)"
+    hct = hc.crossJoin(F.broadcast(tot))
+    cen = (F.col("n") * F.col("x") - F.col("sx")).cast(dec)
+    den = hct.agg(F.sum(cen * (F.col("n") * F.col("x") - F.col("sx"))).alias("den2"))
+    lags = spark.range(1, _LB_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    # per-lag shifted partner: lag(x, k) needs a constant offset, and a
+    # row-based lag would silently bridge calendar gaps in the series —
+    # join the series to itself on h = h + lag instead (calendar-lag
+    # semantics; the series is bounded, the join is a broadcast hash
+    # join, and gap hours drop out identically on both engines).
+    a = hc.select(F.col("h").alias("ha"), F.col("x").alias("a"))
+    b = hc.select(F.col("h").alias("hb"), F.col("x").alias("b"))
+    pairs = (
+        lags.crossJoin(a)
+        .join(
+            F.broadcast(b),
+            F.col("ha") - F.col("lag") == F.col("hb"),
+            "inner",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    num = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            (F.col("n") * F.col("a") - F.col("sx")).cast(dec)
+            * (F.col("n") * F.col("b") - F.col("sx"))
+        ).alias("num2"),
+    )
+    rho_c = F.col("num2").cast("double") / F.col("den2").cast("double")
+    rho = (
+        num.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lag",
+            "n_pairs",
+            rho_c.alias("rho"),
+            F.round(
+                1e9
+                * F.col("n").cast("double")
+                * (F.col("n") + 2).cast("double")
+                * rho_c
+                * rho_c
+                / (F.col("n") - F.col("lag")).cast("double")
+            )
+            .cast("long")
+            .alias("term_nano"),
+        )
+    )
+    wq = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    return rho.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        "rho",
+        (F.sum("term_nano").over(wq).cast("double") / 1e9).alias("q_lb"),
+    ).orderBy("lag")
+
+
+_DW_ORACLE = f"""
+WITH hv AS (
+  SELECT epoch_us(ts) // {_US_PER_HOUR} AS h,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT h, v, CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS t
+  FROM hv
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(t) AS BIGINT) AS st,
+         CAST(sum(t * t) AS BIGINT) AS stt,
+         sum(CAST(v AS DECIMAL(38,0))) AS sv,
+         sum(CAST(v AS DECIMAL(38,0)) * t) AS stv
+  FROM idx
+),
+fit AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * CAST(stv AS DOUBLE)
+          - CAST(st AS DOUBLE) * CAST(sv AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+            - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b,
+         CAST(sv AS DOUBLE) AS svd, CAST(st AS DOUBLE) AS std_
+  FROM s
+),
+res AS (
+  SELECT idx.t,
+         CAST(round((CAST(idx.v AS DOUBLE) / 1e6
+                     - (f.svd / 1e6 - f.b / 1e6 * f.std_) / CAST(f.n AS DOUBLE)
+                     - f.b / 1e6 * CAST(idx.t AS DOUBLE)) * 1000)
+              AS BIGINT) AS e_milli
+  FROM idx, fit f
+),
+dw AS (
+  SELECT CAST(sum(CASE WHEN de IS NULL THEN 0
+                       ELSE CAST(de AS DECIMAL(38,0)) * de END) AS DOUBLE)
+           / CAST(sum(CAST(e_milli AS DECIMAL(38,0)) * e_milli) AS DOUBLE)
+           AS dw_stat
+  FROM (SELECT e_milli,
+               e_milli - lag(e_milli) OVER (ORDER BY t) AS de
+        FROM res)
+)
+SELECT fit.n AS n_hours, fit.b / 1e6 AS slope_per_hour, dw.dw_stat
+FROM fit, dw
+"""
+
+
+@register("stats_durbin_watson", oracle=_DW_ORACLE)
+def stats_durbin_watson(spark, sf_dir):
+    """Durbin-Watson statistic on the residuals of hourly total value
+    regressed on time - "after removing the linear trend, is what's
+    left serially correlated?" (DW ~ 2 means no; << 2 positive
+    autocorrelation, the classic sign that a trend-only capacity model
+    underfits).
+
+    The OLS fit is closed-form from five exact integer/DECIMAL sums
+    (per-row values micro-quantized before summing so the hourly
+    totals are associative); residuals are a fixed double expression
+    of those sums, milli-quantized back to BIGINT so the DW ratio's
+    numerator and denominator are exact integer sums. Series is
+    calendar-bounded; the only order-by windows run above the hourly
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    hv = ev.groupBy(F.expr(f"ts div {_US_PER_HOUR}").alias("h")).agg(
+        F.sum(F.round(F.col("value") * 1_000_000).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    wh = Window.orderBy("h")
+    idx = hv.select(
+        "h", "v", F.row_number().over(wh).cast("long").alias("t")
+    )
+    dec = "decimal(38,0)"
+    s = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.col("v").cast(dec)).alias("sv"),
+        F.sum(F.col("v").cast(dec) * F.col("t")).alias("stv"),
+    )
+    b = (
+        F.col("n").cast("double") * F.col("stv").cast("double")
+        - F.col("st").cast("double") * F.col("sv").cast("double")
+    ) / (
+        F.col("n").cast("double") * F.col("stt").cast("double")
+        - F.col("st").cast("double") * F.col("st").cast("double")
+    )
+    fit = s.select(
+        "n",
+        b.alias("b"),
+        F.col("sv").cast("double").alias("svd"),
+        F.col("st").cast("double").alias("std_"),
+    )
+    e_unit = (
+        F.col("v").cast("double") / 1e6
+        - (F.col("svd") / 1e6 - F.col("b") / 1e6 * F.col("std_"))
+        / F.col("n").cast("double")
+        - F.col("b") / 1e6 * F.col("t").cast("double")
+    )
+    res = idx.crossJoin(F.broadcast(fit)).select(
+        "t", F.round(e_unit * 1000).cast("long").alias("e_milli")
+    )
+    wt = Window.orderBy("t")
+    de = res.select(
+        "e_milli",
+        (F.col("e_milli") - F.lag("e_milli").over(wt)).alias("de"),
+    )
+    # denominator runs over ALL n residuals (textbook DW); only the
+    # numerator's first difference is undefined on the first row
+    dw = de.agg(
+        (
+            F.sum(
+                F.when(F.col("de").isNull(), F.lit(0).cast(dec)).otherwise(
+                    F.col("de").cast(dec) * F.col("de")
+                )
+            ).cast("double")
+            / F.sum(F.col("e_milli").cast(dec) * F.col("e_milli")).cast(
+                "double"
+            )
+        ).alias("dw_stat")
+    )
+    return fit.crossJoin(F.broadcast(dw)).select(
+        F.col("n").alias("n_hours"),
+        (F.col("b") / 1e6).alias("slope_per_hour"),
+        "dw_stat",
+    )

@@ -216,6 +216,9 @@ def _load_all() -> None:
         # round-12: rank-based / ordered-category tests (new module —
         # statstests sits against the 2,000-line split threshold)
         statsrank_queries,
+        # round-12 session 4: nonparametric location/dispersion tests
+        # and regression-residual diagnostics
+        statsnonparam_queries,
         mleval_queries,
         # round-10 split of mleval_queries along family lines
         features_queries,
