@@ -378,3 +378,83 @@ def bfs_hops(
         fr.unpersist()
     und.unpersist()
     return out
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 15,
+) -> DataFrame:
+    """Hash-min connected components on the undirected view: every
+    node's label converges to the MINIMUM node id in its component —
+    the canonical cluster-canonicalization step (duplicate clusters
+    from near-dup pairs, identity resolution from linkage pairs,
+    fraud rings from shared-attribute edges).
+
+    Iteration: label(v) <- min(label(v), min over neighbors' labels) —
+    pure min-propagation, exact after diameter(G) rounds and detected
+    by an unchanged-label count. Dedup/linkage graphs have tiny
+    diameters (clusters are near-cliques), so the loop terminates in
+    2-3 rounds; for adversarial long-path graphs the same loop takes
+    the large-star/small-star (Kiveris et al.) pointer-doubling form —
+    documented here as the scale escape hatch, not implemented because
+    every consumer graph in this engine is short-diameter.
+
+    Per round: one join of the static (once-shuffled, persisted) edge
+    relation against the node-sized label relation + one min aggregate
+    + one changed-count. Labels are exact min-reductions — associative,
+    partitioning-independent, bit-identical to the oracle's closure.
+
+    EAGER: executes one Spark job per round (the count that caps
+    recomputation and detects the fixpoint). The returned (node, comp)
+    relation is persisted and materialized; intermediates are released
+    before returning. Callers may ``unpersist()`` the result.
+    """
+    und = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+        .distinct()
+        .repartition("nbr")
+        .persist()
+    )
+    labels = (
+        und.select("node")
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_rounds):
+        nbr_min = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("comp").alias("nbr_comp")
+                ),
+                "nbr",
+            )
+            .groupBy("node")
+            .agg(F.min("nbr_comp").alias("m"))
+        )
+        nxt = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("m"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            nxt.join(labels.withColumnRenamed("comp", "old"), "node")
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = nxt
+        if changed == 0:
+            break
+    out = labels
+    und.unpersist()
+    return out

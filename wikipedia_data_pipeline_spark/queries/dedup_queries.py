@@ -473,3 +473,65 @@ def dedup_doc_continuation(spark, sf_dir):
     return a.join(b, "overlap").filter(
         F.col("tail_doc") != F.col("head_doc")
     ).select("tail_doc", "head_doc", "overlap")
+
+
+# ---------------------------------------------------------------------------
+# Connected components over the verified near-dup pair graph (round 12 s4)
+# ---------------------------------------------------------------------------
+# Pairwise near-dup relations are NOT clusters: A~B and B~C without A~C
+# is common at a 0.5 threshold, and deduplication must still drop the
+# whole chain to one representative. Components of the pair graph are
+# the canonical cluster assignment (the step after MinHash-LSH in the
+# standard pipeline); comp_id = min doc_id is the kept representative.
+
+_CC_ORACLE = f"""
+WITH RECURSIVE sp AS (
+  SELECT doc_a, doc_b FROM ({SHINGLE_PAIRS_SQL}) q
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM sp
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM sp
+),
+nodes AS (SELECT DISTINCT u AS n FROM edges),
+reach(n, r) AS (
+  SELECT n, n AS r FROM nodes
+  UNION
+  SELECT e.u AS n, reach.r FROM edges e JOIN reach ON e.v = reach.n
+),
+comp AS (SELECT n AS doc_id, min(r) AS comp_id FROM reach GROUP BY n)
+SELECT c.doc_id, c.comp_id, CAST(s.sz AS BIGINT) AS comp_size
+FROM comp c
+JOIN (SELECT comp_id, count(*) AS sz FROM comp GROUP BY 1) s
+  USING (comp_id)
+"""
+
+
+@register("dedup_connected_components", oracle=_CC_ORACLE, eager=True)
+def dedup_connected_components(spark, sf_dir):
+    """Duplicate-cluster assignment: connected components of the
+    verified near-dup pair graph (3-gram Jaccard >= 0.5 via
+    MinHash-LSH), comp_id = min doc_id in the component. Transitive
+    closure is what turns pairwise similarity into the droppable
+    cluster a dedup pass actually needs — `dedup_cluster_select` does
+    this for byte-exact groups; this is the near-dup generalization.
+
+    Spark side: hash-min label propagation over the once-shuffled edge
+    relation (operators/graph.py:connected_components) — exact in
+    diameter(G) rounds, detected by an unchanged-label count; the
+    oracle is the recursive-CTE transitive closure over the same
+    brute-force pair set. EAGER (one job per round)."""
+    from wikipedia_data_pipeline_spark.operators import dedup as D
+    from wikipedia_data_pipeline_spark.operators import graph as G
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    cc = G.connected_components(pairs, src="doc_a", dst="doc_b")
+    sizes = cc.groupBy("comp").agg(F.count(F.lit(1)).alias("comp_size"))
+    return cc.join(sizes, "comp").select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("comp_id"),
+        F.col("comp_size").cast("long").alias("comp_size"),
+    )

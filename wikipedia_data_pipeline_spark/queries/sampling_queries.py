@@ -577,3 +577,119 @@ def sample_mixture_temperature(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Horvitz-Thompson estimation from the PPS systematic sample (round 12 s4)
+# ---------------------------------------------------------------------------
+# The estimation half that makes `sample_pps_systematic_orders` a
+# survey design rather than just a selector: each selected order
+# carries weight n_slots / (K * p_i) with p_i = cents_i / W, and the
+# HT estimator of any population total is the weighted sample sum.
+# Estimating the per-status ORDER COUNTS (y = 1) makes the demo
+# non-degenerate (estimating total cents returns W exactly - the
+# self-weighting property) and checkable against the true counts,
+# which ship in the same row. Per-item weights are micro-quantized
+# BIGINTs before the per-status sum (the double W/(K*cents_i) is a
+# fixed expression of exact integers; only the re-summation order
+# needs pinning).
+
+_HT_K = 200
+
+_HT_ORACLE = f"""
+WITH w AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+scan AS (
+  SELECT o_orderkey, o_orderstatus, cents,
+         sum(cents) OVER (ORDER BY o_orderkey
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cents) OVER () AS total
+  FROM w
+),
+sel AS (
+  SELECT o_orderstatus, cents, total,
+         (cum * {_HT_K}) // total - ((cum - cents) * {_HT_K}) // total
+           AS n_slots
+  FROM scan
+  WHERE (cum * {_HT_K}) // total > ((cum - cents) * {_HT_K}) // total
+),
+est AS (
+  SELECT o_orderstatus,
+         CAST(count(*) AS BIGINT) AS n_sampled,
+         CAST(sum(CAST(round(1e6 * CAST(n_slots AS DOUBLE)
+                     * CAST(total AS DOUBLE)
+                     / ({_HT_K}.0 * CAST(cents AS DOUBLE))) AS BIGINT))
+              AS BIGINT) AS est_micro
+  FROM sel GROUP BY 1
+),
+tru AS (
+  SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS true_count
+  FROM orders GROUP BY 1
+)
+SELECT tru.o_orderstatus, coalesce(est.n_sampled, 0) AS n_sampled,
+       coalesce(CAST(est.est_micro AS DOUBLE), 0.0) / 1e6 AS ht_count_est,
+       tru.true_count
+FROM tru LEFT JOIN est USING (o_orderstatus)
+"""
+
+
+@register("sample_horvitz_thompson_counts", oracle=_HT_ORACLE)
+def sample_horvitz_thompson_counts(spark, sf_dir):
+    """Horvitz-Thompson estimate of per-status order counts from the
+    K=200 PPS systematic sample (same integer slot selector as
+    `sample_pps_systematic_orders` - see its docstring for why integer
+    floor division, not ln()/pow() keys). HT weight = n_slots * W /
+    (K * cents_i); the per-status weighted sums arrive micro-quantized
+    so the reduction is order-free, and the true counts ride along for
+    a self-contained design-effect read. Lineage: one ordered_scan of
+    orders (range-exchange, no single-partition window) + one
+    broadcast-joined true-count agg."""
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    scan = ordered_scan(
+        w, ["o_orderkey"], running=[("cum", "cents", "sum")],
+        with_totals=True,
+    )
+    slot_hi = F.expr(f"(cum * {_HT_K}) div cum_total")
+    slot_lo = F.expr(f"((cum - cents) * {_HT_K}) div cum_total")
+    sel = scan.select(
+        "o_orderstatus",
+        "cents",
+        F.col("cum_total").alias("total"),
+        (slot_hi - slot_lo).alias("n_slots"),
+    ).filter(F.col("n_slots") > 0)
+    est = sel.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum(
+            F.round(
+                1e6
+                * F.col("n_slots").cast("double")
+                * F.col("total").cast("double")
+                / (float(_HT_K) * F.col("cents").cast("double"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("est_micro"),
+    )
+    tru = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    return tru.join(F.broadcast(est), "o_orderstatus", "left").select(
+        "o_orderstatus",
+        F.coalesce(F.col("n_sampled"), F.lit(0).cast("long")).alias(
+            "n_sampled"
+        ),
+        (
+            F.coalesce(F.col("est_micro").cast("double"), F.lit(0.0)) / 1e6
+        ).alias("ht_count_est"),
+        "true_count",
+    )

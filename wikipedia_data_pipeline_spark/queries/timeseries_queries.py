@@ -1246,3 +1246,186 @@ def ml_eval_regression_panel(spark, sf_dir):
             F.col("s_smape_nano").cast("double") / nd / 1_000_000_000.0
         ).alias("smape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent via rescaled-range (R/S) analysis (round 12 s4)
+# ---------------------------------------------------------------------------
+# Long-memory screen on hourly event volume: H ~ 0.5 means iid-like
+# traffic, H -> 1 means persistent (bursty/trending) load — the thing
+# that decides whether capacity planning can use sqrt(n) pooling. Block
+# R/S stays EXACT-integer right up to the final per-block double:
+# with integer counts x over a w-point block, w*Y_k = w*cumsum_k - k*S
+# is integral, the range R*w = max(w*Y, 0) - min(w*Y, 0) is integral,
+# and R/S = Rw / sqrt(w*SS - S^2) — ONE double from two exact integers
+# per block (population std folds into the same radical). Per-block
+# values are nano-quantized before averaging; the log-log OLS slope
+# over the <=4 (log2 w, log2 mean_rs) points runs on nano-quantized
+# BIGINTs so the 4-term sums are order-free.
+
+_HURST_WINDOWS = [8, 16, 32, 64]
+
+_HURST_ORACLE = f"""
+WITH hc AS (
+  SELECT epoch_us(ts) // 3600000000 AS h, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT x, CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT) AS t
+  FROM hc
+),
+blk AS (
+  SELECT ws.w, idx.t // ws.w AS b, idx.t % ws.w + 1 AS kk, idx.x
+  FROM idx, (SELECT unnest({_HURST_WINDOWS}) AS w) ws
+),
+full_blk AS (SELECT w, b FROM blk GROUP BY w, b HAVING count(*) = w),
+cum AS (
+  SELECT blk.w, blk.b, blk.kk, blk.x,
+         sum(x) OVER (PARTITION BY blk.w, blk.b ORDER BY kk
+                      ROWS UNBOUNDED PRECEDING) AS cx,
+         sum(x) OVER (PARTITION BY blk.w, blk.b) AS s,
+         sum(x * x) OVER (PARTITION BY blk.w, blk.b) AS ss
+  FROM blk JOIN full_blk USING (w, b)
+),
+per_blk AS (
+  SELECT w, b,
+         greatest(max(w * cx - kk * s), 0)
+           - least(min(w * cx - kk * s), 0) AS rw,
+         max(w * ss - s * s) AS rad
+  FROM cum GROUP BY w, b
+),
+rs AS (
+  SELECT w,
+         CAST(round(1e9 * CAST(rw AS DOUBLE) / sqrt(CAST(rad AS DOUBLE)))
+              AS BIGINT) AS rs_nano
+  FROM per_blk WHERE rad > 0
+),
+perw AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(rs_nano) AS BIGINT) AS sum_rs_nano
+  FROM rs GROUP BY w
+),
+pts AS (
+  SELECT w, n_blocks,
+         CAST(sum_rs_nano AS DOUBLE) / CAST(n_blocks AS DOUBLE) / 1e9
+           AS mean_rs,
+         CAST(round(log2(CAST(w AS DOUBLE))) AS BIGINT) AS lx,
+         CAST(round(1e9 * log2(CAST(sum_rs_nano AS DOUBLE)
+                    / CAST(n_blocks AS DOUBLE) / 1e9)) AS BIGINT) AS y_nano
+  FROM perw
+),
+ols AS (
+  SELECT (CAST(count(*) AS DOUBLE) * CAST(sum(lx * y_nano) AS DOUBLE)
+          - CAST(sum(lx) AS DOUBLE) * CAST(sum(y_nano) AS DOUBLE))
+         / (CAST(count(*) AS DOUBLE) * CAST(sum(lx * lx) AS DOUBLE)
+            - CAST(sum(lx) AS DOUBLE) * CAST(sum(lx) AS DOUBLE)) / 1e9
+           AS hurst
+  FROM pts
+)
+SELECT CAST(pts.w AS BIGINT) AS w, pts.n_blocks, pts.mean_rs, ols.hurst
+FROM pts, ols
+"""
+
+
+@register("events_hurst_rs", oracle=_HURST_ORACLE)
+def events_hurst_rs(spark, sf_dir):
+    """Hurst exponent of hourly event volume by rescaled-range (R/S)
+    analysis over block sizes {8,16,32,64}: slope of log2(mean R/S)
+    on log2(w). See the module-level derivation comment: per-block R/S
+    is one double from two exact integers (w*cumdev range over
+    sqrt(w*SS - S^2)), nano-quantized before the block average, and
+    the final OLS runs on quantized BIGINTs. The series is calendar-
+    bounded (one hash agg off the fact); all windows are per-block or
+    above that bounded relation."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(F.expr("ts div 3600000000").alias("h")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    wh = Window.orderBy("h")
+    idx = hc.select(
+        "x", (F.row_number().over(wh) - 1).cast("long").alias("t")
+    )
+    ws = spark.range(len(_HURST_WINDOWS)).select(
+        F.element_at(
+            F.array(*[F.lit(w) for w in _HURST_WINDOWS]),
+            (F.col("id") + 1).cast("int"),
+        )
+        .cast("long")
+        .alias("w")
+    )
+    blk = idx.crossJoin(F.broadcast(ws)).select(
+        "w",
+        F.expr("t div w").alias("b"),
+        (F.col("t") % F.col("w") + 1).alias("kk"),
+        "x",
+    )
+    full_blk = (
+        blk.groupBy("w", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == F.col("w"))
+        .select("w", "b")
+    )
+    wb = Window.partitionBy("w", "b")
+    wbo = wb.orderBy("kk").rowsBetween(Window.unboundedPreceding, 0)
+    cum = blk.join(full_blk, ["w", "b"]).select(
+        "w",
+        "b",
+        "kk",
+        F.sum("x").over(wbo).alias("cx"),
+        F.sum("x").over(wb).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(wb).alias("ss"),
+    )
+    wy = F.col("w") * F.col("cx") - F.col("kk") * F.col("s")
+    per_blk = cum.groupBy("w", "b").agg(
+        (
+            F.greatest(F.max(wy), F.lit(0).cast("long"))
+            - F.least(F.min(wy), F.lit(0).cast("long"))
+        ).alias("rw"),
+        F.max(F.col("w") * F.col("ss") - F.col("s") * F.col("s")).alias(
+            "rad"
+        ),
+    )
+    rs = per_blk.filter(F.col("rad") > 0).select(
+        "w",
+        F.round(
+            1e9 * F.col("rw").cast("double") / F.sqrt(F.col("rad").cast("double"))
+        )
+        .cast("long")
+        .alias("rs_nano"),
+    )
+    perw = rs.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("rs_nano").cast("long").alias("sum_rs_nano"),
+    )
+    mean_rs = (
+        F.col("sum_rs_nano").cast("double")
+        / F.col("n_blocks").cast("double")
+        / 1e9
+    )
+    pts = perw.select(
+        "w",
+        "n_blocks",
+        mean_rs.alias("mean_rs"),
+        F.round(F.log2(F.col("w").cast("double"))).cast("long").alias("lx"),
+        F.round(1e9 * F.log2(mean_rs)).cast("long").alias("y_nano"),
+    )
+    ols = pts.agg(
+        (
+            (
+                F.count(F.lit(1)).cast("double")
+                * F.sum(F.col("lx") * F.col("y_nano")).cast("double")
+                - F.sum("lx").cast("double") * F.sum("y_nano").cast("double")
+            )
+            / (
+                F.count(F.lit(1)).cast("double")
+                * F.sum(F.col("lx") * F.col("lx")).cast("double")
+                - F.sum("lx").cast("double") * F.sum("lx").cast("double")
+            )
+            / 1e9
+        ).alias("hurst")
+    )
+    return pts.crossJoin(F.broadcast(ols)).select(
+        F.col("w").cast("long").alias("w"), "n_blocks", "mean_rs", "hurst"
+    )
