@@ -171,3 +171,50 @@ def test_connected_components_matches_unionfind(spark, sf_dir, queries):
         ).collect()
     }
     assert got == expect
+
+
+def test_chrf_matches_bruteforce(spark, sf_dir, queries):
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    match = Counter()
+    c_total = Counter()
+    r_total = Counter()
+    for _, text in docs:
+        toks = text.split(" ")
+        clen = max(len(toks) * 4 // 5, 1)
+        ctoks = [
+            "UNK" if i % 7 == 0 else toks[i - 1] for i in range(1, clen + 1)
+        ]
+        cstr, rstr = "".join(ctoks), "".join(toks)
+        for n in range(1, 7):
+            cg = Counter(
+                cstr[i : i + n] for i in range(len(cstr) - n + 1)
+            )
+            rg = Counter(
+                rstr[i : i + n] for i in range(len(rstr) - n + 1)
+            )
+            match[n] += sum(min(c, rg[g]) for g, c in cg.items())
+            c_total[n] += max(len(cstr) - n + 1, 0)
+            r_total[n] += max(len(rstr) - n + 1, 0)
+    fs = []
+    beta_sq = 4
+    for n in range(1, 7):
+        p = match[n] / c_total[n]
+        r = match[n] / r_total[n]
+        f = (
+            0.0
+            if match[n] == 0
+            else (1 + beta_sq) * p * r / (beta_sq * p + r)
+        )
+        fs.append((n, p, r, f))
+    avg = sum(_round_half_away(1e9 * f) for _, _, _, f in fs) / 6 / 1e9
+    got = {r["n"]: r for r in queries["ml_eval_chrf"](spark, sf_dir).collect()}
+    for n, p, r, f in fs:
+        assert got[n]["matches"] == match[n]
+        assert got[n]["c_total"] == c_total[n]
+        assert got[n]["r_total"] == r_total[n]
+        _approx(got[n]["chr_p"], p, rel=1e-12)
+        _approx(got[n]["chr_r"], r, rel=1e-12)
+        _approx(got[n]["chr_f"], f, rel=1e-9)
+        _approx(got[n]["chrf_avg"], avg, rel=1e-9)

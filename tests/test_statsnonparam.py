@@ -270,3 +270,100 @@ def test_durbin_watson_matches_bruteforce(spark, sf_dir, queries):
     # the engine milli-quantizes residuals (exactness contract);
     # quantization error on |e|~1e2-1e4 is ~1e-7 relative
     _approx(got["dw_stat"], dw, rel=1e-4)
+
+
+def test_anderson_darling_2s_matches_bruteforce(spark, sf_dir, queries):
+    rows = _events(sf_dir)
+    xa = sorted(v for _, u, _, v, _ in rows if u % 2 == 0)
+    xb = sorted(v for _, u, _, v, _ in rows if u % 2 == 1)
+    n1, n2 = len(xa), len(xb)
+    n = n1 + n2
+    ca, ct = Counter(xa), Counter(xa + xb)
+    cum_a = cum_t = 0
+    total = 0.0
+    n_terms = 0
+    for v in sorted(ct):
+        t = ct[v]
+        ma = ca.get(v, 0)
+        cum_a += ma
+        cum_t += t
+        b2 = 2 * cum_t - t
+        m2a = 2 * cum_a - ma
+        m2b = 2 * (cum_t - cum_a) - (t - ma)
+        den4 = b2 * (2 * n - b2) - n * t
+        if den4 <= 0:
+            continue
+        n_terms += 1
+        da, db = n * m2a - n1 * b2, n * m2b - n2 * b2
+        total += _round_half_away(
+            1e9 * t * (
+                float(da) * da / (n1 * den4) + float(db) * db / (n2 * den4)
+            )
+        )
+    a2 = (n - 1) / (n * n) * total / 1e9
+    got = queries["stats_anderson_darling_2s"](spark, sf_dir).collect()[0]
+    assert (got["n_a"], got["n_b"], got["n_terms"]) == (n1, n2, n_terms)
+    _approx(got["a2_akn"], a2)
+    # H0 sanity: the A/B split is a null comparison, E[A2_akN] ~ 1
+    assert -2.0 < got["a2_akn"] < 10.0
+
+
+def test_page_trend_matches_bruteforce(spark, sf_dir, queries):
+    rows = _events(sf_dir)
+    stages = {"view": 1, "click": 2, "signup": 3, "purchase": 4}
+    cells = Counter(
+        (t_us // US_PER_DAY, g)
+        for _, _, g, _, t_us in rows
+        if g in stages
+    )
+    days = sorted({d for d, _ in cells})
+    full = [d for d in days if all((d, g) in cells for g in stages)]
+    L = 0.0
+    for d in full:
+        obs = {g: cells[(d, g)] for g in stages}
+        mr = _midranks(list(obs.values()))
+        L += sum(stages[g] * mr[obs[g]] for g in stages)
+    n = len(full)
+    mu = n * 4 * 25 / 4.0
+    sig = math.sqrt(n * 16 * 25 * 3 / 144.0)
+    got = queries["stats_page_trend"](spark, sf_dir).collect()[0]
+    assert got["n"] == n
+    _approx(got["l2"], 2.0 * L, rel=1e-12)
+    _approx(got["z_stat"], (L - mu) / sig)
+
+
+def test_ansari_bradley_matches_bruteforce(spark, sf_dir, queries):
+    rows = _events(sf_dir)
+    x1 = [v for _, _, g, v, _ in rows if g == "view"]
+    x2 = [v for _, _, g, v, _ in rows if g == "click"]
+    n1, n2 = len(x1), len(x2)
+    n = n1 + n2
+    mr = _midranks(x1 + x2)
+    score = {v: min(r, n + 1 - r) for v, r in mr.items()}
+    ab = sum(score[v] for v in x1)
+    sa = sum(score[v] for v in x1 + x2)
+    saa = sum(score[v] ** 2 for v in x1 + x2)
+    mu = n1 * sa / n
+    var = n1 * n2 * (n * saa - sa * sa) / (n * n * (n - 1))
+    got = queries["stats_ansari_bradley"](spark, sf_dir).collect()[0]
+    assert (got["n1"], got["n2"]) == (n1, n2)
+    _approx(got["ab2"], 2.0 * ab, rel=1e-12)
+    _approx(got["z_stat"], (ab - mu) / math.sqrt(var))
+
+
+def test_hodges_lehmann_matches_bruteforce(spark, sf_dir, queries):
+    rows = _events(sf_dir)
+    cx = sorted(
+        _round_half_away(v * 100) for _, _, g, v, _ in rows if g == "view"
+    )
+    cy = sorted(
+        _round_half_away(v * 100) for _, _, g, v, _ in rows if g == "click"
+    )
+    diffs = sorted(a - b for a in cx for b in cy)
+    t = len(diffs)
+    d_lo = diffs[(t + 1) // 2 - 1]
+    d_hi = diffs[t // 2]
+    got = queries["stats_hodges_lehmann"](spark, sf_dir).collect()[0]
+    assert (got["n1"], got["n2"], got["t_pairs"]) == (len(cx), len(cy), t)
+    assert got["hl_cents2"] == d_lo + d_hi
+    _approx(got["hl_shift"], (d_lo + d_hi) / 200.0, rel=1e-12)

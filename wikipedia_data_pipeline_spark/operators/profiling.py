@@ -169,7 +169,7 @@ def quantile_summary(
 
 def kmv_min_hashes(
     df: DataFrame,
-    group_col: str,
+    group_col,
     hash_col: str,
     k: int = 32,
     fan: int = 16,
@@ -186,17 +186,21 @@ def kmv_min_hashes(
     hashes); phase 2 ranks the ≤ fan·k survivors per group — bounded
     input by construction. Two-phase min-k equals min-k, so the result
     is the deterministic relation a SQL twin reproduces single-phase.
-    Returns (group, h, rk) with rk in [1, k] ascending by hash."""
-    d = df.select(group_col, hash_col).distinct()
+    Returns (group, h, rk) with rk in [1, k] ascending by hash.
+    ``group_col`` may be a list of column names (composite group —
+    e.g. (slice, day) for per-slice incremental sketches computed in
+    one pass)."""
+    gc = [group_col] if isinstance(group_col, str) else list(group_col)
+    d = df.select(*gc, hash_col).distinct()
     w1 = Window.partitionBy(
-        group_col, F.col(hash_col) % fan
+        *gc, F.col(hash_col) % fan
     ).orderBy(hash_col)
     survivors = (
         d.withColumn("_kmv_r1", F.row_number().over(w1))
         .filter(F.col("_kmv_r1") <= k)
         .drop("_kmv_r1")
     )
-    w2 = Window.partitionBy(group_col).orderBy(hash_col)
+    w2 = Window.partitionBy(*gc).orderBy(hash_col)
     return (
         survivors.withColumn("rk", F.row_number().over(w2).cast("long"))
         .filter(F.col("rk") <= k)

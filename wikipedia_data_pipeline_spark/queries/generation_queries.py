@@ -316,3 +316,206 @@ def ml_eval_rouge_n(spark, sf_dir):
             / F.col("total_ref").cast("double")
         ).alias("rouge_n_recall"),
     ).orderBy("n")
+
+
+# ---------------------------------------------------------------------------
+# chrF: character n-gram F-score (round 12 s4)
+# ---------------------------------------------------------------------------
+# The tokenization-free generation metric (Popovic 2015): character
+# 1..6-gram precision/recall between candidate and reference with
+# F-beta (beta = 2, recall-weighted), whitespace removed. Catches the
+# morphology/partial-word credit BLEU's token grams miss — a candidate
+# "translat" earns chrF credit against "translation", zero BLEU credit.
+# Same fixture and plan shape as BLEU/ROUGE: UNK-substituted 80%-prefix
+# candidate, ONE explode of fingerprinted char-grams for both sides,
+# ONE doc-scoped hash agg, clipped overlap = min(c_cnt, r_cnt); gram
+# totals per n fold into closed forms of the string lengths (no second
+# pass). Corpus aggregation is micro (counts pooled across docs, the
+# sacrebleu default); the 6 per-n F values are nano-quantized before
+# the final average.
+
+_CHRF_NS = (1, 2, 3, 4, 5, 6)
+_CHRF_BETA_SQ = 4  # beta = 2
+
+
+_CHRF_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+d AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+           range(1, greatest((len(toks) * 4) // 5, 1) + 1),
+           i -> CASE WHEN i % 7 = 0 THEN 'UNK' ELSE toks[i] END), '')
+           AS cstr,
+         array_to_string(toks, '') AS rstr
+  FROM t
+),
+cg AS (
+  SELECT doc_id, n, g,
+         CAST(sum(is_c) AS BIGINT) AS c_cnt,
+         CAST(sum(1 - is_c) AS BIGINT) AS r_cnt
+  FROM (
+    SELECT doc_id, n, substr(cstr, CAST(i AS INT), CAST(n AS INT)) AS g,
+           1 AS is_c
+    FROM (
+      SELECT d.doc_id, d.cstr, nn.n,
+             unnest(range(1, greatest(length(d.cstr) - nn.n + 2, 1))) AS i
+      FROM d CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6)) AS nn(n)
+    )
+    UNION ALL
+    SELECT doc_id, n, substr(rstr, CAST(i AS INT), CAST(n AS INT)) AS g,
+           0 AS is_c
+    FROM (
+      SELECT d.doc_id, d.rstr, nn.n,
+             unnest(range(1, greatest(length(d.rstr) - nn.n + 2, 1))) AS i
+      FROM d CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6)) AS nn(n)
+    )
+  )
+  GROUP BY doc_id, n, g
+),
+m AS (
+  SELECT n, CAST(sum(least(c_cnt, r_cnt)) AS BIGINT) AS matches
+  FROM cg GROUP BY n
+),
+tot AS (
+  SELECT nn.n,
+         CAST(sum(greatest(length(d.cstr) - nn.n + 1, 0)) AS BIGINT) AS c_total,
+         CAST(sum(greatest(length(d.rstr) - nn.n + 1, 0)) AS BIGINT) AS r_total
+  FROM d CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6)) AS nn(n)
+  GROUP BY nn.n
+),
+pn AS (
+  SELECT CAST(m.n AS BIGINT) AS n, m.matches, tot.c_total, tot.r_total,
+         CAST(m.matches AS DOUBLE) / CAST(tot.c_total AS DOUBLE) AS chr_p,
+         CAST(m.matches AS DOUBLE) / CAST(tot.r_total AS DOUBLE) AS chr_r,
+         CASE WHEN m.matches = 0 THEN 0.0
+              ELSE (1 + {_CHRF_BETA_SQ})
+                   * (CAST(m.matches AS DOUBLE) / CAST(tot.c_total AS DOUBLE))
+                   * (CAST(m.matches AS DOUBLE) / CAST(tot.r_total AS DOUBLE))
+                   / ({_CHRF_BETA_SQ} * CAST(m.matches AS DOUBLE)
+                        / CAST(tot.c_total AS DOUBLE)
+                      + CAST(m.matches AS DOUBLE)
+                        / CAST(tot.r_total AS DOUBLE)) END AS chr_f
+  FROM m JOIN tot USING (n)
+),
+avgf AS (
+  SELECT CAST(sum(CAST(round(1e9 * chr_f) AS BIGINT)) AS DOUBLE)
+           / count(*) / 1e9 AS chrf_avg
+  FROM pn
+)
+SELECT pn.n, pn.matches, pn.c_total, pn.r_total, pn.chr_p, pn.chr_r,
+       pn.chr_f, avgf.chrf_avg
+FROM pn, avgf
+"""
+
+
+@register("ml_eval_chrf", oracle=_CHRF_ORACLE)
+def ml_eval_chrf(spark, sf_dir):
+    """Corpus chrF (beta=2, char 1..6-grams, whitespace stripped) on
+    the UNK-substituted candidate fixture — see the section comment.
+    One explode of 8-byte xxhash64 char-gram fingerprints for both
+    sides, one doc-scoped hash agg (map-side partial combine absorbs
+    the per-occurrence stream), per-n totals from string-length closed
+    forms, and one fixed double expression per n; per-n F values are
+    nano-quantized before the 6-term average."""
+    from wikipedia_data_pipeline_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    clen = F.greatest(
+        F.expr("(size(split(text, ' ')) * 4) div 5"), F.lit(1)
+    )
+    d = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(1), clen),
+                lambda i: F.when((i % 7) == 0, F.lit("UNK")).otherwise(
+                    F.element_at(toks, i.cast("int"))
+                ),
+            ),
+        ).alias("cstr"),
+        F.concat_ws("", toks).alias("rstr"),
+    )
+
+    def grams(col, n, flag):
+        return F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length(F.col(col)) - (n - 1), F.lit(0)),
+            ),
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.xxhash64(
+                    F.substr(F.col(col), i, F.lit(n))
+                ).alias("g"),
+                F.lit(flag).alias("is_c"),
+            ),
+        )
+
+    exploded = d.select(
+        "doc_id",
+        F.explode(
+            F.flatten(
+                F.array(
+                    *[grams("cstr", n, 1) for n in _CHRF_NS],
+                    *[grams("rstr", n, 0) for n in _CHRF_NS],
+                )
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.n", "e.g", "e.is_c")
+    cg = exploded.groupBy("doc_id", "n", "g").agg(
+        F.sum("is_c").cast("long").alias("c_cnt"),
+        F.sum(1 - F.col("is_c")).cast("long").alias("r_cnt"),
+    )
+    m = cg.groupBy("n").agg(
+        F.sum(F.least(F.col("c_cnt"), F.col("r_cnt")))
+        .cast("long")
+        .alias("matches")
+    )
+    ns = spark.range(1, 7).select(F.col("id").cast("int").alias("n"))
+    tot = (
+        d.crossJoin(F.broadcast(ns))
+        .groupBy("n")
+        .agg(
+            F.sum(
+                F.greatest(
+                    F.length(F.col("cstr")) - F.col("n") + 1, F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("c_total"),
+            F.sum(
+                F.greatest(
+                    F.length(F.col("rstr")) - F.col("n") + 1, F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("r_total"),
+        )
+    )
+    md = F.col("matches").cast("double")
+    p = md / F.col("c_total").cast("double")
+    r = md / F.col("r_total").cast("double")
+    chr_f = F.when(F.col("matches") == 0, F.lit(0.0)).otherwise(
+        (1 + _CHRF_BETA_SQ) * p * r / (_CHRF_BETA_SQ * p + r)
+    )
+    pn = m.join(tot, "n").select(
+        F.col("n").cast("long").alias("n"),
+        "matches",
+        "c_total",
+        "r_total",
+        p.alias("chr_p"),
+        r.alias("chr_r"),
+        chr_f.alias("chr_f"),
+    )
+    avgf = pn.agg(
+        (
+            F.sum(F.round(1e9 * F.col("chr_f")).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / 1e9
+        ).alias("chrf_avg")
+    )
+    return pn.crossJoin(F.broadcast(avgf))

@@ -620,33 +620,30 @@ def incremental_distinct_users_kmv(spark, sf_dir):
     design), deterministic bottom-k on the portable det_hash makes the
     merged sketch EQUAL the sketch of all the data, so the incremental
     path is exactly SQL-checkable end to end. The merge window runs on
-    ≤ 2k rows per day by construction."""
+    ≤ 2k rows per day by construction.
+
+    SINGLE-SCAN form (r12 s4): the per-slice sketches come from ONE
+    composite-group kmv_min_hashes over (slice, day) instead of two
+    separate fact scans — identical result relation (min-k within
+    (slice, day) is min-k regardless of how the slices were scanned),
+    one scan + one distinct instead of two of each. Interleaved A/B at
+    the 100× replica: 3.05 s vs the two-scan form's 9.31 s best-of-3
+    (AB_KMV_INCR_r12.json, results asserted identical)."""
     from pyspark.sql import Window
 
     from wikipedia_data_pipeline_spark.operators.sampling import det_hash
 
     K, MOD = 32, (1 << 31) - 1
+    split_us = 1_705_276_800_000_000  # same slice point as the exact twin
     ev = load_table(spark, sf_dir, "events").select(
+        (F.col("ts") >= split_us).cast("int").alias("slice"),
         F.date_trunc("day", F.timestamp_micros(F.col("ts")))
         .cast("date")
         .alias("day"),
         det_hash("user_id").alias("h"),
-        "ts",
     )
-    split_us = 1_705_276_800_000_000  # same slice point as the exact twin
-    slices = [
-        P.kmv_min_hashes(
-            ev.where(F.col("ts") < split_us), "day", "h", k=K
-        ),
-        P.kmv_min_hashes(
-            ev.where(F.col("ts") >= split_us), "day", "h", k=K
-        ),
-    ]
-    merged = (
-        slices[0].select("day", "h")
-        .unionByName(slices[1].select("day", "h"))
-        .distinct()
-    )
+    sk_slices = P.kmv_min_hashes(ev, ["slice", "day"], "h", k=K)
+    merged = sk_slices.select("day", "h").distinct()
     w = Window.partitionBy("day").orderBy("h")
     sk = (
         merged.withColumn("rk", F.row_number().over(w))

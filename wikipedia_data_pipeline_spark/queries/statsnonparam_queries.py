@@ -1018,3 +1018,503 @@ def stats_durbin_watson(spark, sf_dir):
         (F.col("b") / 1e6).alias("slope_per_hour"),
         "dw_stat",
     )
+
+
+# ---------------------------------------------------------------------------
+# Anderson-Darling two-sample (Scholz-Stephens, tie-adjusted midranks)
+# ---------------------------------------------------------------------------
+# The tail-weighted member of the KS/MWU family: KS sees only the max
+# CDF gap (center-dominated), MWU only the mean rank shift; AD weights
+# every CDF gap by 1/(F(1-F)), so tail divergence - the thing that
+# breaks risk models - dominates. Tie-adjusted A2_akN (Scholz &
+# Stephens 1987, eq. 6, k=2) in DOUBLED units: with per-distinct-value
+# pooled tie count l, mid-cumulative b2 = 2*cum_pooled - l and
+# per-group mid-cumulative m2_i = 2*cum_i - m_i, each j-term is
+#   l * sum_i (N*m2_i - n_i*b2)^2 / (n_i * (b2*(2N-b2) - N*l))
+# - all-integer numerators/denominators from ONE ordered_scan, one
+# fixed double expression per distinct value, nano-quantized before
+# the (fact-sized) re-summation rides a DECIMAL sum.
+
+_AD_ORACLE = """
+WITH v AS (
+  SELECT value,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS ma,
+         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS mb
+  FROM events GROUP BY 1
+),
+sc AS (
+  SELECT ma, mb, ma + mb AS t,
+         sum(ma) OVER w AS cum_a,
+         sum(ma + mb) OVER w AS cum_t,
+         sum(ma) OVER () AS n1,
+         sum(ma + mb) OVER () AS n
+  FROM v
+  WINDOW w AS (ORDER BY value ROWS UNBOUNDED PRECEDING)
+),
+terms AS (
+  SELECT n1, n - n1 AS n2, n,
+         t, 2 * cum_t - t AS b2,
+         2 * cum_a - ma AS m2a,
+         2 * (cum_t - cum_a) - (t - ma) AS m2b,
+         (2 * cum_t - t) * (2 * n - (2 * cum_t - t)) - n * t AS den4
+  FROM sc
+),
+q AS (
+  SELECT n1, n2, n,
+         CAST(round(1e9 * t * (
+           CAST((n * m2a - n1 * b2) AS DOUBLE)
+             * CAST((n * m2a - n1 * b2) AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(den4 AS DOUBLE))
+           + CAST((n * m2b - n2 * b2) AS DOUBLE)
+             * CAST((n * m2b - n2 * b2) AS DOUBLE)
+             / (CAST(n2 AS DOUBLE) * CAST(den4 AS DOUBLE))
+         )) AS BIGINT) AS term_nano
+  FROM terms WHERE den4 > 0
+),
+s AS (
+  SELECT CAST(max(n1) AS BIGINT) AS n_a,
+         CAST(max(n2) AS BIGINT) AS n_b,
+         CAST(max(n) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_terms,
+         sum(CAST(term_nano AS DECIMAL(38,0))) AS tsum
+  FROM q
+)
+SELECT n_a, n_b, n_terms,
+       CAST(n - 1 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+         * CAST(tsum AS DOUBLE) / 1e9 AS a2_akn
+FROM s
+"""
+
+
+@register("stats_anderson_darling_2s", oracle=_AD_ORACLE)
+def stats_anderson_darling_2s(spark, sf_dir):
+    """Tie-adjusted two-sample Anderson-Darling statistic between the
+    A/B variants' value distributions (variant = user_id % 2, the
+    KS/MWU fixture) - see the section comment for the doubled-unit
+    algebra. Under H0 the statistic's mean is ~1; values >> 1 flag
+    distributional divergence with tail sensitivity KS lacks.
+
+    Lineage: one hash agg to per-distinct-value A/B counts, prefix
+    sums + totals from ONE hierarchical `ordered_scan` (model-score
+    lineage - near-unique DOUBLE domains never serialize), per-value
+    fixed double expression nano-quantized into a DECIMAL sum."""
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
+
+    ev = load_table(spark, sf_dir, "events")
+    is_a = (F.col("user_id") % 2 == 0).cast("long")
+    v = ev.groupBy("value").agg(
+        F.sum(is_a).alias("ma"),
+        F.sum(1 - is_a).alias("mb"),
+    )
+    vt = v.select(
+        "ma", "mb", (F.col("ma") + F.col("mb")).alias("t"), "value"
+    )
+    sc = ordered_scan(
+        vt,
+        ["value"],
+        running=[("cum_a", "ma", "sum"), ("cum_t", "t", "sum")],
+        with_totals=True,
+    )
+    n1 = F.col("cum_a_total")
+    n = F.col("cum_t_total")
+    n2 = n - n1
+    b2 = 2 * F.col("cum_t") - F.col("t")
+    m2a = 2 * F.col("cum_a") - F.col("ma")
+    m2b = 2 * (F.col("cum_t") - F.col("cum_a")) - (F.col("t") - F.col("ma"))
+    den4 = b2 * (2 * n - b2) - n * F.col("t")
+    da = (n * m2a - n1 * b2).cast("double")
+    db = (n * m2b - n2 * b2).cast("double")
+    term = F.round(
+        1e9
+        * F.col("t")
+        * (
+            da * da / (n1.cast("double") * den4.cast("double"))
+            + db * db / (n2.cast("double") * den4.cast("double"))
+        )
+    ).cast("long")
+    q = sc.filter(den4 > 0).select(
+        n1.alias("n1"),
+        n2.alias("n2"),
+        n.alias("n"),
+        term.alias("term_nano"),
+    )
+    s = q.agg(
+        F.max("n1").cast("long").alias("n_a"),
+        F.max("n2").cast("long").alias("n_b"),
+        F.max("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(F.col("term_nano").cast("decimal(38,0)")).alias("tsum"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        "n_a",
+        "n_b",
+        "n_terms",
+        (
+            (F.col("n") - 1).cast("double")
+            / (nd * nd)
+            * F.col("tsum").cast("double")
+            / 1e9
+        ).alias("a2_akn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Page's trend test: ordered alternative in the blocked design
+# ---------------------------------------------------------------------------
+# Friedman's ordered sibling (the blocked analogue of what
+# Jonckheere-Terpstra is to Kruskal-Wallis): with funnel stages scored
+# 1..k in their natural order view < click < signup < purchase,
+# L = sum_j c_j R_j concentrates a monotone within-day rank drift into
+# one statistic. Doubled midranks keep L2 = 2L an exact BIGINT; the
+# normal approximation uses the classic untied moments mu = n k (k+1)^2
+# / 4 and sigma^2 = n k^2 (k+1)^2 (k-1) / 144 (ties in the small
+# within-block rank vectors perturb sigma by O(1/k^2); documented).
+
+_PAGE_STAGES = "('view', 'click', 'signup', 'purchase')"
+
+_PAGE_ORACLE = f"""
+WITH cell AS (
+  SELECT epoch_us(ts) // {_US_PER_DAY} AS d, event_type,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                         WHEN 'signup' THEN 3 WHEN 'purchase' THEN 4
+         END AS score,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events WHERE event_type IN {_PAGE_STAGES} GROUP BY 1, 2
+),
+full_days AS (SELECT d FROM cell GROUP BY d HAVING count(*) = 4),
+obs AS (SELECT cell.* FROM cell JOIN full_days USING (d)),
+tie AS (
+  SELECT d, x, CAST(count(*) AS BIGINT) AS t FROM obs GROUP BY 1, 2
+),
+rk AS (
+  SELECT d, x, t,
+         2 * coalesce(sum(t) OVER (PARTITION BY d ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + t + 1 AS s2
+  FROM tie
+),
+ranked AS (
+  SELECT obs.d, obs.score, rk.s2
+  FROM obs JOIN rk ON obs.d = rk.d AND obs.x = rk.x
+),
+s AS (
+  SELECT CAST(count(DISTINCT d) AS BIGINT) AS n,
+         CAST(sum(score * s2) AS BIGINT) AS l2
+  FROM ranked
+)
+SELECT n, l2,
+       (CAST(l2 AS DOUBLE) / 2.0
+        - CAST(n AS DOUBLE) * 4.0 * 25.0 / 4.0)
+       / sqrt(CAST(n AS DOUBLE) * 16.0 * 25.0 * 3.0 / 144.0) AS z_stat
+FROM s
+"""
+
+
+@register("stats_page_trend", oracle=_PAGE_ORACLE)
+def stats_page_trend(spark, sf_dir):
+    """Page's L trend test for a MONOTONE ordering of funnel-stage
+    activity within each day (view < click < signup < purchase) — the
+    blocked, ordered-alternative sibling of `stats_friedman_test`
+    (which would dilute a monotone drift across k-1 df) and of
+    `stats_jonckheere_terpstra` (which pools across blocks). Doubled
+    within-day midranks make L2 exact BIGINT; z is one fixed
+    expression with the classic untied moments (k = 4 hardcoded in
+    both engines: mu = 25n, sigma^2 = 400n/48)."""
+    stages = ["view", "click", "signup", "purchase"]
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(stages)
+    )
+    score = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "signup", 3)
+        .otherwise(4)
+    )
+    cell = ev.groupBy(
+        F.expr(f"ts div {_US_PER_DAY}").alias("d"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("x"), F.any_value(score).alias("score"))
+    full_days = (
+        cell.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == 4)
+        .select("d")
+    )
+    obs = cell.join(full_days, "d")
+    tie = obs.groupBy("d", "x").agg(F.count(F.lit(1)).alias("t"))
+    wday = (
+        Window.partitionBy("d")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = tie.select(
+        "d",
+        "x",
+        (2 * F.coalesce(F.sum("t").over(wday), F.lit(0)) + F.col("t") + 1)
+        .cast("long")
+        .alias("s2"),
+    )
+    ranked = obs.join(rk, ["d", "x"]).select("d", "score", "s2")
+    s = ranked.agg(
+        F.countDistinct("d").cast("long").alias("n"),
+        F.sum(F.col("score") * F.col("s2")).cast("long").alias("l2"),
+    )
+    nd = F.col("n").cast("double")
+    z = (F.col("l2").cast("double") / 2.0 - nd * 25.0) / F.sqrt(
+        nd * 16.0 * 25.0 * 3.0 / 144.0
+    )
+    return s.select("n", "l2", z.alias("z_stat"))
+
+
+# ---------------------------------------------------------------------------
+# Ansari-Bradley: rank test for a DISPERSION difference
+# ---------------------------------------------------------------------------
+# Scores fold the pooled ranking from both ends: a_i = min(r_i, N+1-r_i)
+# - small scores at the extremes, large in the center - so sum of
+# scores in one sample tests scale, not location (the rank complement
+# to stats_brown_forsythe). With doubled midranks r2, the doubled score
+# a2 = min(r2, 2(N+1) - r2) is an exact integer. Inference uses the
+# EXACT general linear-rank-statistic moments (valid under ANY ties):
+# mu = n1 Sa/N, sigma^2 = n1 n2 (N Saa - Sa^2) / (N^2 (N-1)), with Sa
+# and Saa integer sums over the pooled scores.
+
+_ANSARI_ORACLE = """
+WITH cv AS (
+  SELECT value,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c2
+  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1
+),
+sc AS (
+  SELECT c1, c2, c1 + c2 AS t,
+         coalesce(sum(c1 + c2) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before,
+         sum(c1) OVER () AS n1,
+         sum(c1 + c2) OVER () AS n
+  FROM cv
+),
+scored AS (
+  SELECT c1, c2, t, n1, n,
+         least(2 * cum_before + t + 1,
+               2 * (n + 1) - (2 * cum_before + t + 1)) AS a2
+  FROM sc
+),
+s AS (
+  SELECT CAST(max(n1) AS BIGINT) AS n1,
+         CAST(max(n) - max(n1) AS BIGINT) AS n2,
+         CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(c1 * a2) AS BIGINT) AS ab2,
+         CAST(sum(t * a2) AS BIGINT) AS sa2,
+         sum(CAST(t AS DECIMAL(38,0)) * a2 * a2) AS saa4
+  FROM scored
+)
+SELECT n1, n2, ab2,
+       (CAST(ab2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(sa2 AS DOUBLE)
+          / CAST(n AS DOUBLE))
+       / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+              * (CAST(n AS DOUBLE) * CAST(saa4 AS DOUBLE)
+                 - CAST(sa2 AS DOUBLE) * CAST(sa2 AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 * CAST(n - 1 AS DOUBLE))) AS z_stat
+FROM s
+"""
+
+
+@register("stats_ansari_bradley", oracle=_ANSARI_ORACLE)
+def stats_ansari_bradley(spark, sf_dir):
+    """Ansari-Bradley two-sample dispersion test between view and
+    click values — see the section comment for the folded-score
+    algebra and the tie-exact moments. The doubled midrank r2 and
+    doubled score a2 stay integral; the z numerator/denominator are
+    one fixed double expression over five exact BIGINT/DECIMAL sums.
+    Lineage: one hash agg to distinct (value, group) counts, prefix
+    sum + totals from ONE hierarchical ordered_scan."""
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    cv = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == "view").cast("long"))
+        .cast("long")
+        .alias("c1"),
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .cast("long")
+        .alias("c2"),
+    )
+    cvt = cv.select(
+        "value", "c1", "c2", (F.col("c1") + F.col("c2")).alias("t")
+    )
+    sc = ordered_scan(
+        cvt, ["value"], running=[("cum_t", "t", "sum")], with_totals=True
+    )
+    r2 = 2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1
+    n = F.col("cum_t_total")
+    a2 = F.least(r2, 2 * (n + 1) - r2)
+    scored = sc.select(
+        "c1",
+        "c2",
+        "t",
+        a2.alias("a2"),
+        n.alias("n"),
+    )
+    dec = "decimal(38,0)"
+    s = scored.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        (F.max("n") - F.sum("c1")).cast("long").alias("n2"),
+        F.max("n").cast("long").alias("n"),
+        F.sum(F.col("c1") * F.col("a2")).cast("long").alias("ab2"),
+        F.sum(F.col("t") * F.col("a2")).cast("long").alias("sa2"),
+        F.sum(F.col("t").cast(dec) * F.col("a2") * F.col("a2")).alias(
+            "saa4"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    z = (
+        F.col("ab2").cast("double")
+        - F.col("n1").cast("double") * F.col("sa2").cast("double") / nd
+    ) / F.sqrt(
+        F.col("n1").cast("double")
+        * F.col("n2").cast("double")
+        * (
+            nd * F.col("saa4").cast("double")
+            - F.col("sa2").cast("double") * F.col("sa2").cast("double")
+        )
+        / (nd * nd * (nd - 1.0))
+    )
+    return s.select("n1", "n2", "ab2", z.alias("z_stat"))
+
+
+# ---------------------------------------------------------------------------
+# Hodges-Lehmann shift estimator: median of all pairwise differences
+# ---------------------------------------------------------------------------
+# The robust location-shift ESTIMATE that accompanies the MWU/BM tests
+# (they only say "shifted"; HL says BY HOW MUCH): median over all
+# n1*n2 differences x_i - y_j. Materializing the pairs is O(n^2) and
+# dies at scale; but f(d) = #{(i,j): x_i - y_j <= d} is monotone in d,
+# and on this data the value domain is an exact centi-grid - so the
+# median difference is found by INTEGER BINARY SEARCH on cents:
+# ~17 rounds, each ONE broadcast join of the (domain-bounded) view
+# histogram against the click >=-cumulative and one sum. For a
+# near-unique DOUBLE score column the same operator applies after
+# quantizing to a declared grid (the KS/MWU lineage note in reverse:
+# here the GRID, not the distinct relation, bounds the state).
+# Exactness: counts are integers; the answer is (d_lo + d_hi) cents
+# for the two middle order statistics, averaged - no floats anywhere
+# until the final /200.
+
+_HL_GRID_MAX = 60_000  # cents; events.value <= ~500.00
+
+_HL_ORACLE = """
+WITH hx AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+hy AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+diffs AS (
+  SELECT hx.c - hy.c AS d, hx.n * hy.n AS w FROM hx, hy
+),
+dist AS (SELECT d, CAST(sum(w) AS BIGINT) AS w FROM diffs GROUP BY d),
+scan AS (
+  SELECT d, w,
+         sum(w) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(w) OVER () AS t
+  FROM dist
+),
+lo AS (SELECT min(d) AS d_lo FROM scan WHERE cum >= (t + 1) // 2),
+hi AS (SELECT min(d) AS d_hi FROM scan WHERE cum >= t // 2 + 1),
+n1 AS (SELECT CAST(sum(n) AS BIGINT) AS n1 FROM hx),
+n2 AS (SELECT CAST(sum(n) AS BIGINT) AS n2 FROM hy)
+SELECT n1.n1, n2.n2, n1.n1 * n2.n2 AS t_pairs,
+       CAST(lo.d_lo + hi.d_hi AS BIGINT) AS hl_cents2,
+       CAST(lo.d_lo + hi.d_hi AS DOUBLE) / 200.0 AS hl_shift
+FROM lo, hi, n1, n2
+"""
+
+
+@register("stats_hodges_lehmann", oracle=_HL_ORACLE, eager=True)
+def stats_hodges_lehmann(spark, sf_dir):
+    """Hodges-Lehmann estimate of the view-vs-click value shift -
+    median of all n1*n2 pairwise differences, WITHOUT materializing
+    any pair (see the section comment). The oracle pays the O(|X
+    domain| * |Y domain|) convolution; the engine runs the monotone
+    integer binary search: each round counts pairs below the probe via
+    one broadcast join of the bounded cents histogram against the
+    grid's >=-cumulative, converging on the two middle order
+    statistics exactly. EAGER (one tiny Spark job per round,
+    ~log2(grid) = 17 rounds)."""
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hx = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(cents.alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    hy = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(cents.alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    # >=-cumulative of hy on its (domain-bounded) support via one
+    # hierarchical scan, descending
+    cumy = ordered_scan(
+        hy, [F.desc("c")], running=[("nge", "n", "sum")]
+    ).select(F.col("c").alias("yc"), "nge")
+    hx_p = hx.persist()
+    cumy_p = cumy.persist()
+    n1 = hx_p.agg(F.sum("n")).collect()[0][0]
+    n2 = cumy_p.agg(F.max("nge")).collect()[0][0]
+    t_pairs = n1 * n2
+
+    def count_le(d: int) -> int:
+        # pairs with x - y <= d  <=>  y >= x - d; NYge(v) = cumy at the
+        # SMALLEST support >= v. Bounded relations: broadcast join on
+        # a computed as-of key via min() over the qualifying support.
+        joined = hx_p.join(
+            F.broadcast(cumy_p),
+            F.col("yc") >= F.col("c") - F.lit(d),
+            "left",
+        )
+        row = (
+            joined.groupBy("c", "n")
+            .agg(F.max("nge").alias("nge"))
+            .agg(
+                F.sum(
+                    F.col("n") * F.coalesce(F.col("nge"), F.lit(0))
+                ).alias("cnt")
+            )
+            .collect()[0]
+        )
+        return int(row["cnt"] or 0)
+
+    def kth_smallest(k: int) -> int:
+        lo, hi = -_HL_GRID_MAX, _HL_GRID_MAX
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if count_le(mid) >= k:
+                hi = mid
+            else:
+                lo = mid + 1
+        return lo
+
+    d_lo = kth_smallest((t_pairs + 1) // 2)
+    d_hi = kth_smallest(t_pairs // 2 + 1)
+    hx_p.unpersist()
+    cumy_p.unpersist()
+    return spark.createDataFrame(
+        [(n1, n2, t_pairs, d_lo + d_hi, (d_lo + d_hi) / 200.0)],
+        "n1 long, n2 long, t_pairs long, hl_cents2 long, hl_shift double",
+    )
