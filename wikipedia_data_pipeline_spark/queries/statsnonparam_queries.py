@@ -1518,3 +1518,272 @@ def stats_hodges_lehmann(spark, sf_dir):
         [(n1, n2, t_pairs, d_lo + d_hi, (d_lo + d_hi) / 200.0)],
         "n1 long, n2 long, t_pairs long, hl_cents2 long, hl_shift double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall's W: coefficient of concordance across the daily blocks
+# ---------------------------------------------------------------------------
+# Same blocked design as the Friedman test (raters = complete calendar
+# days, items = event types, observation = the day's per-type count),
+# but reported on the [0, 1] concordance scale reviewers actually read:
+# W = 1 means every day ranks the types identically, W = 0 means the
+# daily rankings are mutually random. Doubled within-day midranks keep
+# the rank sums S2_j = sum_d 2*R_dj integral, so with m complete days
+# and n items the tie-corrected coefficient
+#   W = (12 sum_j R_j^2 - 3 m^2 n (n+1)^2)
+#         / (m^2 n (n^2-1) - m sum_d T_d),   T_d = sum_ties (t^3 - t)
+# becomes (3 sum_j S2_j^2 - 3 m^2 n (n+1)^2) / (same denominator) —
+# every term BIGINT, ONE final double division. chi2 = m (n-1) W links
+# it back to the Friedman statistic (its exact algebraic identity).
+
+_KENDALL_W_ORACLE = f"""
+WITH cell AS (
+  SELECT epoch_us(ts) // {_US_PER_DAY} AS d, event_type,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+k AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k_t FROM events),
+full_days AS (
+  SELECT d FROM cell GROUP BY d HAVING count(*) = (SELECT k_t FROM k)
+),
+obs AS (SELECT cell.* FROM cell JOIN full_days USING (d)),
+tie AS (
+  SELECT d, x, CAST(count(*) AS BIGINT) AS t FROM obs GROUP BY 1, 2
+),
+rk AS (
+  SELECT d, x, t,
+         2 * coalesce(sum(t) OVER (PARTITION BY d ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + t + 1 AS s2
+  FROM tie
+),
+ranked AS (
+  SELECT obs.d, obs.event_type, rk.s2
+  FROM obs JOIN rk ON obs.d = rk.d AND obs.x = rk.x
+),
+rsum AS (
+  SELECT event_type, CAST(sum(s2) AS BIGINT) AS s2_j
+  FROM ranked GROUP BY 1
+),
+tcorr AS (
+  SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tsum FROM tie
+),
+dims AS (
+  SELECT CAST(count(*) AS BIGINT) AS m FROM full_days
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(s2_j * s2_j) AS BIGINT) AS ss
+  FROM rsum
+)
+SELECT dims.m, s.n,
+       CAST(3 * s.ss - 3 * dims.m * dims.m * s.n * (s.n + 1) * (s.n + 1)
+            AS DOUBLE)
+         / CAST(dims.m * dims.m * s.n * (s.n * s.n - 1)
+                - dims.m * tcorr.tsum AS DOUBLE) AS w,
+       CAST(dims.m * (s.n - 1) AS DOUBLE)
+         * (CAST(3 * s.ss - 3 * dims.m * dims.m * s.n * (s.n + 1) * (s.n + 1)
+                 AS DOUBLE)
+            / CAST(dims.m * dims.m * s.n * (s.n * s.n - 1)
+                   - dims.m * tcorr.tsum AS DOUBLE)) AS chi2_equiv
+FROM dims, s, tcorr
+"""
+
+
+@register("stats_kendall_w", oracle=_KENDALL_W_ORACLE)
+def stats_kendall_w(spark, sf_dir):
+    """Kendall's coefficient of concordance W over the Friedman fixture
+    (days x event types) — the agreement-strength companion to the
+    Friedman significance test, and the standard multi-rater ranking
+    agreement number for annotation-QA dashboards. See the section
+    comment for the doubled-midrank tie-corrected algebra.
+
+    Scale shape: identical to stats_friedman_test — one hash agg to
+    calendar-bounded (day, type) cells, within-day prefix sums
+    partitioned BY DAY, then k-row arithmetic; nothing global is ever
+    single-partition."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.expr(f"ts div {_US_PER_DAY}").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("x"))
+    k = ev.agg(F.countDistinct("event_type").cast("long").alias("k_t"))
+    full_days = (
+        cell.groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
+        .crossJoin(F.broadcast(k))
+        .filter(F.col("n_cells") == F.col("k_t"))
+        .select("d")
+    )
+    obs = cell.join(full_days, "d")
+    tie = obs.groupBy("d", "x").agg(F.count(F.lit(1)).alias("t"))
+    wday = (
+        Window.partitionBy("d")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = tie.select(
+        "d",
+        "x",
+        "t",
+        (2 * F.coalesce(F.sum("t").over(wday), F.lit(0)) + F.col("t") + 1)
+        .cast("long")
+        .alias("s2"),
+    )
+    ranked = obs.join(rk.select("d", "x", "s2"), ["d", "x"])
+    rsum = ranked.groupBy("event_type").agg(
+        F.sum("s2").cast("long").alias("s2_j")
+    )
+    tcorr = tie.agg(
+        F.sum(
+            F.col("t").cast("long") * F.col("t") * F.col("t") - F.col("t")
+        )
+        .cast("long")
+        .alias("tsum")
+    )
+    dims = full_days.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    s = rsum.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("s2_j") * F.col("s2_j")).cast("long").alias("ss"),
+    )
+    m, n = F.col("m"), F.col("n")
+    num = (3 * F.col("ss") - 3 * m * m * n * (n + 1) * (n + 1)).cast(
+        "double"
+    )
+    den = (m * m * n * (n * n - 1) - m * F.col("tsum")).cast("double")
+    w = num / den
+    return (
+        dims.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(tcorr))
+        .select(
+            "m",
+            "n",
+            w.alias("w"),
+            ((m * (n - 1)).cast("double") * w).alias("chi2_equiv"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramer-von Mises two-sample test: integrated ECDF-gap on the A/B split
+# ---------------------------------------------------------------------------
+# The L2 companion to stats_anderson_darling_2s on the same fixture
+# (variant = user_id % 2): where AD weights the ECDF gap by the inverse
+# pooled variance (tail-sensitive), CvM integrates the squared gap
+# uniformly over the pooled sample,
+#   T = n1*n2/N^2 * sum_pooled (F_A(x) - F_B(x))^2
+# (the tie-friendly ECDF form; on tie-free data it equals the classic
+# rank form U/(n1*n2*N) - (4*n1*n2 - 1)/(6N)). Lineage discipline:
+# per-distinct-value A/B counts from ONE hash agg, prefix sums from ONE
+# hierarchical ordered_scan (never an unpartitioned window — the
+# distinct-value relation is fact-sized when the column is a real
+# model score), a fixed per-value double expression nano-quantized to
+# BIGINT, and a DECIMAL re-sum. Under H0, E[T] = (1 + 1/N)/6 ~ 1/6.
+
+_CVM_ORACLE = """
+WITH v AS (
+  SELECT value,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS ma,
+         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS mb
+  FROM events GROUP BY 1
+),
+sc AS (
+  SELECT ma, mb, ma + mb AS t,
+         sum(ma) OVER w AS cum_a,
+         sum(ma + mb) OVER w AS cum_t,
+         sum(ma) OVER () AS n1,
+         sum(ma + mb) OVER () AS n
+  FROM v
+  WINDOW w AS (ORDER BY value ROWS UNBOUNDED PRECEDING)
+),
+q AS (
+  SELECT n1, n - n1 AS n2, n,
+         CAST(round(1e9 * t *
+           (CAST(cum_a AS DOUBLE) / n1
+              - CAST(cum_t - cum_a AS DOUBLE) / (n - n1))
+           * (CAST(cum_a AS DOUBLE) / n1
+              - CAST(cum_t - cum_a AS DOUBLE) / (n - n1))
+         ) AS BIGINT) AS term_nano
+  FROM sc
+),
+s AS (
+  SELECT CAST(max(n1) AS BIGINT) AS n_a,
+         CAST(max(n2) AS BIGINT) AS n_b,
+         CAST(max(n) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(CAST(term_nano AS DECIMAL(38,0))) AS DECIMAL(38,0))
+           AS tsum
+  FROM q
+)
+SELECT n_a, n_b, n_terms,
+       CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+         * (CAST(tsum AS DOUBLE) / 1e9) AS t_cvm,
+       (1.0 + 1.0 / CAST(n AS DOUBLE)) / 6.0 AS e_t_h0
+FROM s
+"""
+
+
+@register("stats_cvm_2s", oracle=_CVM_ORACLE)
+def stats_cvm_2s(spark, sf_dir):
+    """Tie-adjusted two-sample Cramer-von Mises statistic between the
+    A/B variants' value distributions (the KS/MWU/AD fixture) — the
+    uniformly-weighted integrated ECDF gap; see the section comment.
+
+    Lineage: one hash agg to per-distinct-value A/B counts, prefix
+    sums + totals from ONE hierarchical ordered_scan (model-score
+    lineage — near-unique DOUBLE domains never serialize), a fixed
+    per-value double expression nano-quantized into a DECIMAL sum."""
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
+
+    ev = load_table(spark, sf_dir, "events")
+    is_a = (F.col("user_id") % 2 == 0).cast("long")
+    v = ev.groupBy("value").agg(
+        F.sum(is_a).alias("ma"),
+        F.sum(1 - is_a).alias("mb"),
+    )
+    vt = v.select(
+        "ma", "mb", (F.col("ma") + F.col("mb")).alias("t"), "value"
+    )
+    sc = ordered_scan(
+        vt,
+        ["value"],
+        running=[("cum_a", "ma", "sum"), ("cum_t", "t", "sum")],
+        with_totals=True,
+    )
+    n1 = F.col("cum_a_total")
+    n = F.col("cum_t_total")
+    n2 = n - n1
+    gap = F.col("cum_a").cast("double") / n1 - (
+        F.col("cum_t") - F.col("cum_a")
+    ).cast("double") / n2
+    term = F.round(1e9 * F.col("t") * gap * gap).cast("long")
+    q = sc.select(
+        n1.alias("n1"),
+        n2.alias("n2"),
+        n.alias("n"),
+        term.alias("term_nano"),
+    )
+    s = q.agg(
+        F.max("n1").cast("long").alias("n_a"),
+        F.max("n2").cast("long").alias("n_b"),
+        F.max("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(F.col("term_nano").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("tsum"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        "n_a",
+        "n_b",
+        "n_terms",
+        (
+            F.col("n_a").cast("double")
+            * F.col("n_b").cast("double")
+            / (nd * nd)
+            * (F.col("tsum").cast("double") / 1e9)
+        ).alias("t_cvm"),
+        ((F.lit(1.0) + F.lit(1.0) / nd) / F.lit(6.0)).alias("e_t_h0"),
+    )
