@@ -1076,3 +1076,430 @@ def ml_eval_cochran_q(spark, sf_dir):
             >= F.lit(5_991_465).cast("decimal(38,0)") * F.col("den")
         ).alias("reject_h0"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted Cohen's kappa: ordinal-label agreement on the rater fixture
+# ---------------------------------------------------------------------------
+# ml_eval_rater_kappa's unweighted kappa treats a 0-vs-2 disagreement
+# the same as 0-vs-1; for ORDINAL labels (quality tiers, severity
+# grades) the standard report is weighted kappa with linear or
+# quadratic disagreement weights d_ij = |i-j| or (i-j)^2:
+#   kappa_w = 1 - N * sum_ij d_ij o_ij / sum_ij d_ij n1_i n2_j
+# (the early-division-free form; quadratic-weighted kappa is also the
+# ordinal analogue of an ICC). Same two deterministic pseudo-raters as
+# ml_eval_rater_kappa, so the unweighted/linear/quadratic triple is
+# directly comparable. Everything is exact DECIMAL integers until ONE
+# final double division per variant.
+
+_WKAPPA_ORACLE = f"""
+WITH rated AS (
+  SELECT CAST(({SQL_DET_HASH.format(col="event_id")}) % 3 AS BIGINT) AS r1,
+         CAST(({SQL_DET_HASH.format(col="((event_id % 1000003) * 13 + 5)")}) % 10 AS BIGINT) AS flip,
+         CAST(({SQL_DET_HASH.format(col="((event_id % 1000003) * 31 + 11)")}) % 3 AS BIGINT) AS alt
+  FROM events
+),
+cells AS (
+  SELECT r1, CASE WHEN flip < 7 THEN r1 ELSE alt END AS r2,
+         CAST(count(*) AS BIGINT) AS n_cell
+  FROM rated GROUP BY 1, 2
+),
+m1 AS (SELECT r1 AS k, CAST(sum(n_cell) AS BIGINT) AS n1 FROM cells GROUP BY 1),
+m2 AS (SELECT r2 AS k, CAST(sum(n_cell) AS BIGINT) AS n2 FROM cells GROUP BY 1),
+obs AS (
+  SELECT CAST(sum(n_cell) AS BIGINT) AS n_items,
+         CAST(sum(CAST(abs(r1 - r2) AS DECIMAL(18,0)) * n_cell)
+              AS DECIMAL(38,0)) AS od_lin,
+         CAST(sum(CAST((r1 - r2) * (r1 - r2) AS DECIMAL(18,0)) * n_cell)
+              AS DECIMAL(38,0)) AS od_quad
+  FROM cells
+),
+chance AS (
+  SELECT CAST(sum(CAST(abs(m1.k - m2.k) AS DECIMAL(18,0))
+                  * CAST(m1.n1 AS DECIMAL(18,0)) * m2.n2)
+              AS DECIMAL(38,0)) AS ed_lin,
+         CAST(sum(CAST((m1.k - m2.k) * (m1.k - m2.k) AS DECIMAL(18,0))
+                  * CAST(m1.n1 AS DECIMAL(18,0)) * m2.n2)
+              AS DECIMAL(38,0)) AS ed_quad
+  FROM m1 CROSS JOIN m2
+)
+SELECT n_items,
+       CAST(od_lin AS DOUBLE) / n_items AS mean_lin_disagreement,
+       1.0 - CAST(CAST(n_items AS DECIMAL(18,0)) * od_lin AS DOUBLE)
+               / CAST(ed_lin AS DOUBLE) AS kappa_linear,
+       1.0 - CAST(CAST(n_items AS DECIMAL(18,0)) * od_quad AS DOUBLE)
+               / CAST(ed_quad AS DOUBLE) AS kappa_quadratic
+FROM obs, chance
+"""
+
+
+@register("ml_eval_weighted_kappa", oracle=_WKAPPA_ORACLE)
+def ml_eval_weighted_kappa(spark, sf_dir):
+    """Linear- and quadratic-weighted Cohen's kappa on the
+    ml_eval_rater_kappa pseudo-rater panel — the ordinal-label
+    agreement statistic (severity grades, quality tiers) where the
+    SIZE of a disagreement matters. See the section comment for the
+    division-free algebra.
+
+    Scale shape: one hash agg of the fact table to a 3x3 confusion
+    matrix; marginals and the 9-term chance products are driver-tiny;
+    both kappas are single fixed double divisions over exact DECIMAL
+    integers."""
+    from pyspark import StorageLevel
+
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    rated = ev.select(
+        (det_hash("event_id") % 3).cast("long").alias("r1"),
+        (det_hash((F.col("event_id") % 1000003) * 13 + 5) % 10)
+        .cast("long")
+        .alias("flip"),
+        (det_hash((F.col("event_id") % 1000003) * 31 + 11) % 3)
+        .cast("long")
+        .alias("alt"),
+    )
+    cells = (
+        rated.select(
+            "r1",
+            F.when(F.col("flip") < 7, F.col("r1"))
+            .otherwise(F.col("alt"))
+            .alias("r2"),
+        )
+        .groupBy("r1", "r2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cell"))
+    )
+    # 9-row confusion matrix consumed by three branches — persist so
+    # the fact agg runs once, not per branch
+    cells = track_persisted(cells.persist(StorageLevel.MEMORY_AND_DISK))
+    m1 = cells.groupBy(F.col("r1").alias("k")).agg(
+        F.sum("n_cell").cast("long").alias("n1")
+    )
+    m2 = cells.groupBy(F.col("r2").alias("k")).agg(
+        F.sum("n_cell").cast("long").alias("n2")
+    )
+    dec = "decimal(18,0)"
+    d_lin = F.abs(F.col("r1") - F.col("r2")).cast(dec)
+    d_quad = ((F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2"))).cast(dec)
+    obs = cells.agg(
+        F.sum("n_cell").cast("long").alias("n_items"),
+        F.sum(d_lin * F.col("n_cell")).cast("decimal(38,0)").alias("od_lin"),
+        F.sum(d_quad * F.col("n_cell")).cast("decimal(38,0)").alias("od_quad"),
+    )
+    ka, kb = F.col("a.k"), F.col("b.k")
+    chance = (
+        m1.alias("a")
+        .crossJoin(m2.alias("b"))
+        .agg(
+            F.sum(
+                F.abs(ka - kb).cast(dec)
+                * F.col("a.n1").cast(dec)
+                * F.col("b.n2")
+            )
+            .cast("decimal(38,0)")
+            .alias("ed_lin"),
+            F.sum(
+                ((ka - kb) * (ka - kb)).cast(dec)
+                * F.col("a.n1").cast(dec)
+                * F.col("b.n2")
+            )
+            .cast("decimal(38,0)")
+            .alias("ed_quad"),
+        )
+    )
+    n_dec = F.col("n_items").cast(dec)
+    return obs.crossJoin(F.broadcast(chance)).select(
+        "n_items",
+        (F.col("od_lin").cast("double") / F.col("n_items")).alias(
+            "mean_lin_disagreement"
+        ),
+        (
+            F.lit(1.0)
+            - (n_dec * F.col("od_lin")).cast("double")
+            / F.col("ed_lin").cast("double")
+        ).alias("kappa_linear"),
+        (
+            F.lit(1.0)
+            - (n_dec * F.col("od_quad")).cast("double")
+            / F.col("ed_quad").cast("double")
+        ).alias("kappa_quadratic"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Macro / micro F1: the multi-class classification report
+# ---------------------------------------------------------------------------
+# The per-class precision/recall/F1 panel plus the macro (unweighted
+# class mean) and micro (= accuracy for single-label multi-class)
+# aggregates — the headline numbers of every classifier eval. Fixture:
+# actual = 4-class label from the event-id hash stream; predicted
+# copies actual on ~65% of items and re-draws from a third stream
+# otherwise — so every class has non-trivial FP *and* FN mass and no
+# per-class division degenerates. Counts are exact BIGINTs from ONE
+# hash agg; each per-class F1 is a single fixed double division
+# 2*TP/(2*TP+FP+FN); the macro mean is a fixed left-to-right 4-term
+# expression — no order-dependent reduction anywhere.
+
+_MACRO_F1_ORACLE = f"""
+WITH labeled AS (
+  SELECT CAST(({SQL_DET_HASH.format(col="event_id")}) % 4 AS BIGINT) AS y,
+         CAST(({SQL_DET_HASH.format(col="((event_id % 1000003) * 13 + 5)")}) % 20 AS BIGINT) AS flip,
+         CAST(({SQL_DET_HASH.format(col="((event_id % 1000003) * 31 + 11)")}) % 4 AS BIGINT) AS alt
+  FROM events
+),
+cells AS (
+  SELECT y, CASE WHEN flip < 13 THEN y ELSE alt END AS p,
+         CAST(count(*) AS BIGINT) AS n_cell
+  FROM labeled GROUP BY 1, 2
+),
+per AS (
+  SELECT CAST(sum(n_cell) AS BIGINT) AS n_items,
+         CAST(sum(CASE WHEN y = p THEN n_cell ELSE 0 END) AS BIGINT)
+           AS n_correct,
+         {", ".join(
+             f"CAST(sum(CASE WHEN y = {c} AND p = {c} THEN n_cell ELSE 0 END) AS BIGINT) AS tp{c}, "
+             f"CAST(sum(CASE WHEN y <> {c} AND p = {c} THEN n_cell ELSE 0 END) AS BIGINT) AS fp{c}, "
+             f"CAST(sum(CASE WHEN y = {c} AND p <> {c} THEN n_cell ELSE 0 END) AS BIGINT) AS fn{c}"
+             for c in range(4)
+         )}
+  FROM cells
+),
+f AS (
+  SELECT per.*,
+         {", ".join(
+             f"CAST(2 * tp{c} AS DOUBLE) / (2 * tp{c} + fp{c} + fn{c}) AS f1_{c}"
+             for c in range(4)
+         )}
+  FROM per
+)
+SELECT n_items, n_correct,
+       {", ".join(f"tp{c}, fp{c}, fn{c}, f1_{c}" for c in range(4))},
+       (((f1_0 + f1_1) + f1_2) + f1_3) / 4.0 AS macro_f1,
+       CAST(n_correct AS DOUBLE) / n_items AS micro_f1
+FROM f
+"""
+
+
+@register("ml_eval_macro_f1", oracle=_MACRO_F1_ORACLE)
+def ml_eval_macro_f1(spark, sf_dir):
+    """Multi-class classification report: per-class TP/FP/FN and F1,
+    macro-F1 (unweighted class mean) and micro-F1 (= accuracy in
+    single-label multi-class) over a deterministic 4-class
+    actual/predicted panel. See the section comment.
+
+    Scale shape: scan -> 16-row confusion hash agg -> fixed-width
+    single-row arithmetic. Nothing downstream of the agg depends on
+    data size."""
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    labeled = ev.select(
+        (det_hash("event_id") % 4).cast("long").alias("y"),
+        (det_hash((F.col("event_id") % 1000003) * 13 + 5) % 20)
+        .cast("long")
+        .alias("flip"),
+        (det_hash((F.col("event_id") % 1000003) * 31 + 11) % 4)
+        .cast("long")
+        .alias("alt"),
+    )
+    cells = (
+        labeled.select(
+            "y",
+            F.when(F.col("flip") < 13, F.col("y"))
+            .otherwise(F.col("alt"))
+            .alias("p"),
+        )
+        .groupBy("y", "p")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cell"))
+    )
+    aggs = [
+        F.sum("n_cell").cast("long").alias("n_items"),
+        F.sum(F.when(F.col("y") == F.col("p"), F.col("n_cell")).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+    ]
+    for c in range(4):
+        aggs += [
+            F.sum(
+                F.when(
+                    (F.col("y") == c) & (F.col("p") == c), F.col("n_cell")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"tp{c}"),
+            F.sum(
+                F.when(
+                    (F.col("y") != c) & (F.col("p") == c), F.col("n_cell")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"fp{c}"),
+            F.sum(
+                F.when(
+                    (F.col("y") == c) & (F.col("p") != c), F.col("n_cell")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"fn{c}"),
+        ]
+    per = cells.agg(*aggs)
+    f1 = {
+        c: (2 * F.col(f"tp{c}")).cast("double")
+        / (2 * F.col(f"tp{c}") + F.col(f"fp{c}") + F.col(f"fn{c}"))
+        for c in range(4)
+    }
+    f = per.select("*", *[f1[c].alias(f"f1_{c}") for c in range(4)])
+    out_cols = ["n_items", "n_correct"]
+    for c in range(4):
+        out_cols += [f"tp{c}", f"fp{c}", f"fn{c}", f"f1_{c}"]
+    macro = (
+        ((F.col("f1_0") + F.col("f1_1")) + F.col("f1_2")) + F.col("f1_3")
+    ) / 4.0
+    return f.select(
+        *out_cols,
+        macro.alias("macro_f1"),
+        (F.col("n_correct").cast("double") / F.col("n_items")).alias(
+            "micro_f1"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap: top-weighted similarity of two rankings
+# ---------------------------------------------------------------------------
+# Webber/Moffat/Zobel (TOIS 2010): RBO compares two ranked lists with
+# geometrically decaying depth weights — the standard "how much did the
+# ranking change" number for search/feed/recsys regression dashboards,
+# robust to the lists being indefinite and non-conjoint (unlike
+# Kendall/Spearman, which need both lists to rank the SAME item set).
+#   RBO_trunc(p, D) = (1-p)/p * sum_{d=1..D} p^d * |A_d ∩ B_d| / d
+# with A_d/B_d the depth-d prefixes. Rankings under audit: users by
+# total click cents vs users by total view cents (tie-break user_id),
+# truncated at D = 50, p = 0.9. Every per-depth weight is a Python
+# double literal embedded in BOTH engines' plans; the overlap counts
+# X_d are exact BIGINTs (X_d = #{common users with max(rankA, rankB)
+# <= d}); the weighted sum is a fixed left-to-right 50-term
+# expression — no order-dependent reduction anywhere. rbo_ext adds the
+# standard residual extrapolation p^D * X_D / D.
+
+_RBO_P = 0.9
+_RBO_D = 50
+_RBO_W = [
+    (1.0 - _RBO_P) / _RBO_P * _RBO_P ** d / d for d in range(1, _RBO_D + 1)
+]
+_RBO_PD = _RBO_P ** _RBO_D
+
+_RBO_XS_SQL = ", ".join(
+    f"CAST(sum(CASE WHEN m <= {d} THEN 1 ELSE 0 END) AS BIGINT) AS x{d}"
+    for d in range(1, _RBO_D + 1)
+)
+# CAST each weight literal to DOUBLE: DuckDB parses a bare decimal
+# literal as DECIMAL and would carry exact decimal*BIGINT per-term
+# arithmetic where Spark does double*long — a 1-ulp class divergence.
+_RBO_SUM_SQL = " + ".join(
+    f"CAST({w!r} AS DOUBLE) * x{d}"
+    for d, w in zip(range(1, _RBO_D + 1), _RBO_W)
+)
+
+_RBO_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'click'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN event_type = 'view'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS cb
+  FROM events GROUP BY 1
+),
+ra AS (
+  SELECT user_id, row_number() OVER (ORDER BY ca DESC, user_id) AS r
+  FROM u QUALIFY r <= {_RBO_D}
+),
+rb AS (
+  SELECT user_id, row_number() OVER (ORDER BY cb DESC, user_id) AS r
+  FROM u QUALIFY r <= {_RBO_D}
+),
+j AS (
+  SELECT greatest(ra.r, rb.r) AS m
+  FROM ra JOIN rb USING (user_id)
+),
+xs AS (SELECT {_RBO_XS_SQL} FROM j)
+SELECT CAST({_RBO_D} AS BIGINT) AS depth,
+       x{_RBO_D} AS n_common,
+       CAST(x{_RBO_D} AS DOUBLE) / {_RBO_D} AS overlap_at_d,
+       {_RBO_SUM_SQL} AS rbo_trunc,
+       ({_RBO_SUM_SQL}) + CAST({_RBO_PD!r} AS DOUBLE) * x{_RBO_D}
+         / CAST({float(_RBO_D)!r} AS DOUBLE) AS rbo_ext
+FROM xs
+"""
+
+
+@register("ml_eval_rbo_rankings", oracle=_RBO_ORACLE)
+def ml_eval_rbo_rankings(spark, sf_dir):
+    """Rank-biased overlap (p=0.9, depth 50) between the click-revenue
+    and view-revenue user rankings — the top-weighted list-similarity
+    metric for ranking-regression dashboards. See the section comment
+    for the exactness argument (literal weights, integer overlaps,
+    fixed-order 50-term sum).
+
+    Scale shape: one hash agg to per-user cents; each ranking is
+    orderBy+limit(D) — TakeOrderedAndProject, partial top-D per
+    partition, never a full sort — with the rank window running over
+    the <= D surviving rows (the task1_dictionary W1/W3 pattern); then
+    a D^2-free overlap count via max(rank) bucketing and a
+    driver-sized final row."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", cents).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("event_type") == "view", cents).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    # one fact agg feeds both rankings — persist the entity relation
+    u = track_persisted(u.persist(StorageLevel.MEMORY_AND_DISK))
+
+    def top_rank(col: str, out: str):
+        # TakeOrderedAndProject + rank window over <= D rows
+        w = Window.orderBy(F.desc(col), F.asc("user_id"))
+        return (
+            u.orderBy(F.desc(col), F.asc("user_id"))
+            .limit(_RBO_D)
+            .withColumn(out, F.row_number().over(w).cast("long"))
+            .select("user_id", out)
+        )
+
+    ra = top_rank("ca", "ra")
+    rb = top_rank("cb", "rb")
+    j = ra.join(rb, "user_id").select(
+        F.greatest(F.col("ra"), F.col("rb")).alias("m")
+    )
+    xs = j.agg(
+        *[
+            F.sum(F.when(F.col("m") <= d, 1).otherwise(0))
+            .cast("long")
+            .alias(f"x{d}")
+            for d in range(1, _RBO_D + 1)
+        ]
+    )
+    rbo = None
+    for d, w in zip(range(1, _RBO_D + 1), _RBO_W):
+        term = F.lit(w) * F.col(f"x{d}")
+        rbo = term if rbo is None else rbo + term
+    xd = F.col(f"x{_RBO_D}")
+    return xs.select(
+        F.lit(_RBO_D).cast("long").alias("depth"),
+        xd.alias("n_common"),
+        (xd.cast("double") / _RBO_D).alias("overlap_at_d"),
+        rbo.alias("rbo_trunc"),
+        (rbo + F.lit(_RBO_PD) * xd / F.lit(float(_RBO_D))).alias("rbo_ext"),
+    )
