@@ -519,3 +519,174 @@ def ml_eval_chrf(spark, sf_dir):
         ).alias("chrf_avg")
     )
     return pn.crossJoin(F.broadcast(avgf))
+
+
+# ---------------------------------------------------------------------------
+# Word error rate: token-level edit distance on the candidate/reference
+# fixture
+# ---------------------------------------------------------------------------
+# WER = levenshtein(ref_tokens, hyp_tokens) / |ref_tokens| — the ASR /
+# generation-eval companion to BLEU/ROUGE/chrF on the SAME module
+# fixture (candidate = UNK-substituted 80% prefix, reference = the full
+# token sequence), so deletions (the truncated 20%) and substitutions
+# (the UNK stream) both bind.
+#
+# Exactness trick: token-level edit distance == CHARACTER-level edit
+# distance after encoding each distinct token as one single-byte ASCII
+# character (chr(33)..chr(126), 94 slots — this corpus' vocabulary is
+# 31 words; bound asserted below). Both engines then run their native
+# levenshtein on the encoded strings: Spark's is codepoint-based and
+# DuckDB's is BYTE-based, which agree exactly on ASCII (measured this
+# round: they diverge on multibyte, so the encoding MUST stay
+# single-byte — that's why ranks, not hashes, and why the 94 cap).
+# At a real-corpus vocabulary (> 94), the scale path is the same
+# encoding into the full BMP plus a pandas-UDF token-DP twin; here the
+# oracle-exact ASCII form is the registered query.
+
+_WER_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+d AS (
+  SELECT doc_id, toks, len(toks) AS rlen,
+         list_transform(range(1, greatest((len(toks) * 4) // 5, 1) + 1),
+                        i -> CASE WHEN i % 7 = 0 THEN 'UNK'
+                                  ELSE toks[i] END) AS ctoks
+  FROM t
+),
+vocab AS (
+  SELECT DISTINCT tok FROM (
+    SELECT unnest(toks) AS tok FROM t
+    UNION ALL SELECT 'UNK'
+  )
+),
+vmap AS (
+  SELECT tok,
+         chr(32 + CAST(row_number() OVER (ORDER BY tok) AS INT)) AS ch
+  FROM vocab
+),
+enc AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN side = 0 THEN ch END, '' ORDER BY i)
+           AS enc_r,
+         string_agg(CASE WHEN side = 1 THEN ch END, '' ORDER BY i)
+           AS enc_c
+  FROM (
+    SELECT doc_id, side, i, arr[i] AS tok FROM (
+      SELECT doc_id, 0 AS side, toks AS arr,
+             unnest(range(1, len(toks) + 1)) AS i FROM d
+      UNION ALL
+      SELECT doc_id, 1 AS side, ctoks AS arr,
+             unnest(range(1, len(ctoks) + 1)) AS i FROM d
+    )
+  ) JOIN vmap USING (tok)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(d.rlen AS BIGINT) AS rlen,
+       CAST(len(d.ctoks) AS BIGINT) AS clen,
+       CAST(levenshtein(enc.enc_r, enc.enc_c) AS BIGINT) AS edit_distance,
+       CAST(levenshtein(enc.enc_r, enc.enc_c) AS DOUBLE) / d.rlen AS wer
+FROM d JOIN enc USING (doc_id)
+"""
+
+
+@register("ml_eval_wer", oracle=_WER_ORACLE)
+def ml_eval_wer(spark, sf_dir):
+    """Per-document word error rate between the UNK-substituted 80%
+    prefix candidate and the full reference (the module fixture) via
+    the single-byte token-encoding trick — see the section comment.
+
+    Scale shape: vocabulary is corpus-bounded (Heaps' law) and
+    broadcast; ONE explode of both token sequences, one doc-scoped
+    reassembly agg, then a per-row JVM levenshtein — embarrassingly
+    parallel, no driver loop, no Python in the hot path."""
+    from wikipedia_data_pipeline_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    d = docs.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("rlen")
+    ).withColumn(
+        "ctoks",
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(
+                    F.expr("(size(toks) * 4) div 5"), F.lit(1)
+                ),
+            ),
+            lambda i: F.when((i % 7) == 0, F.lit("UNK")).otherwise(
+                F.element_at(F.col("toks"), i.cast("int"))
+            ),
+        ),
+    )
+    vocab = (
+        d.select(F.explode("toks").alias("tok"))
+        .union(spark.createDataFrame([("UNK",)], "tok string"))
+        .distinct()
+    )
+    # corpus vocabulary rank -> single ASCII byte; the window runs over
+    # the Heaps-bounded vocab relation (31 words on this corpus).
+    from pyspark.sql import Window
+
+    vmap = vocab.select(
+        "tok",
+        F.char(
+            32 + F.row_number().over(Window.orderBy("tok"))
+        ).alias("ch"),
+    )
+    sides = d.select(
+        "doc_id", F.lit(0).alias("side"), F.posexplode("toks").alias("i", "tok")
+    ).unionByName(
+        d.select(
+            "doc_id",
+            F.lit(1).alias("side"),
+            F.posexplode("ctoks").alias("i", "tok"),
+        )
+    )
+    enc = (
+        sides.join(F.broadcast(vmap), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("side") == 0,
+                                F.struct(F.col("i"), F.col("ch")),
+                            )
+                        )
+                    ),
+                    lambda x: x.ch,
+                ),
+                "",
+            ).alias("enc_r"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("side") == 1,
+                                F.struct(F.col("i"), F.col("ch")),
+                            )
+                        )
+                    ),
+                    lambda x: x.ch,
+                ),
+                "",
+            ).alias("enc_c"),
+        )
+    )
+    dist = F.levenshtein("enc_r", "enc_c")
+    return (
+        d.join(enc, "doc_id")
+        .select(
+            "doc_id",
+            F.col("rlen").cast("long").alias("rlen"),
+            F.size("ctoks").cast("long").alias("clen"),
+            dist.cast("long").alias("edit_distance"),
+            (dist.cast("double") / F.col("rlen")).alias("wer"),
+        )
+    )
