@@ -234,3 +234,46 @@ def test_wer_matches_token_dp(spark, sf_dir, queries):
         g = got[doc_id]
         assert g[:3] == (rlen, clen, dist), (doc_id, g, expect[doc_id])
         _approx(g[3], dist / rlen)
+
+
+def test_ks_uniformity_matches_bruteforce(spark, sf_dir, queries):
+    rows = _events(sf_dir)
+    from collections import Counter
+
+    buckets = Counter(det_hash_py(eid) % 100 for eid, *_ in rows)
+    n = sum(buckets.values())
+    cum = 0
+    gaps = []
+    for b in range(100):
+        cum += buckets.get(b, 0)
+        # missing buckets produce no grid row, but their gap is
+        # dominated by the previous present bucket's gap (same cum,
+        # larger uniform CDF) only on the LEFT side; replicate the
+        # query's grid (present buckets only)
+        if buckets.get(b, 0):
+            gaps.append((abs(cum / n - (b + 1) / 100), b))
+    d_stat = max(g for g, _ in gaps)
+    worst = min(b for g, b in gaps if g == d_stat)
+    row = queries["sample_split_ks_uniformity"](spark, sf_dir).collect()[0]
+    assert row["n"] == n
+    _approx(row["d_stat"], d_stat)
+    assert row["worst_bucket"] == worst
+    assert row["uniform_ok"] == (d_stat <= 1.36 / n**0.5)
+
+
+def test_randomized_response_matches_bruteforce(spark, sf_dir, queries):
+    users = sorted({u for _, u, *_ in _events(sf_dir)})
+    n = len(users)
+    n_true = sum(1 for u in users if det_hash_py(u) % 5 == 0)
+    n_yes = 0
+    for u in users:
+        a = 1 if det_hash_py(u) % 5 == 0 else 0
+        truth = det_hash_py((u % PRE_MOD) * 7 + 3) % 4 < 3
+        n_yes += a if truth else 1 - a
+    row = queries["privacy_randomized_response"](spark, sf_dir).collect()[0]
+    assert (row["n"], row["n_yes_reported"]) == (n, n_yes)
+    lam = n_yes / n
+    _approx(row["lambda_hat"], lam)
+    _approx(row["pi_hat"], (lam - 0.25) / 0.5)
+    _approx(row["pi_true"], n_true / n)
+    _approx(row["abs_err"], abs((lam - 0.25) / 0.5 - n_true / n))

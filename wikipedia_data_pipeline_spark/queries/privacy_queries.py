@@ -447,3 +447,92 @@ def privacy_dp_median_release(spark, sf_dir):
     return rel.crossJoin(F.broadcast(med)).select(
         "n_total", "released_v_u", "true_median_v_u", "released_gap2"
     )
+
+
+# ---------------------------------------------------------------------------
+# Randomized response: local-DP prevalence estimation
+# ---------------------------------------------------------------------------
+# Warner (1965), the original local-differential-privacy mechanism and
+# still the building block of RAPPOR-style telemetry: each respondent
+# reports their sensitive bit TRUTHFULLY with probability p = 3/4 and
+# INVERTED otherwise, giving every individual plausible deniability
+# (epsilon = ln(p/(1-p)) = ln 3); the aggregator de-biases the observed
+# yes-rate lambda_hat with pi_hat = (lambda_hat - (1-p)) / (2p - 1).
+# Both the sensitive bit (~20% prevalence) and each respondent's coin
+# are deterministic det_hash streams over the distinct-user relation,
+# so both engines flip the SAME coins and the estimate is exactly
+# reproducible; every reported number is an exact BIGINT count or a
+# single fixed double expression over them (p literals 0.25/0.5 are
+# exact binary doubles).
+
+_RR_ORACLE = f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+resp AS (
+  SELECT CASE WHEN ({SQL_DET_HASH.format(col="user_id")}) % 5 = 0
+              THEN 1 ELSE 0 END AS a,
+         CASE WHEN ({SQL_DET_HASH.format(col="((user_id % 1000003) * 7 + 3)")}) % 4 < 3
+              THEN 1 ELSE 0 END AS truth_coin
+  FROM u
+),
+obs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a) AS BIGINT) AS n_true,
+         CAST(sum(CASE WHEN truth_coin = 1 THEN a ELSE 1 - a END)
+              AS BIGINT) AS n_yes_reported
+  FROM resp
+)
+SELECT n, n_yes_reported,
+       CAST(n_yes_reported AS DOUBLE) / n AS lambda_hat,
+       (CAST(n_yes_reported AS DOUBLE) / n - 0.25) / 0.5 AS pi_hat,
+       CAST(n_true AS DOUBLE) / n AS pi_true,
+       abs((CAST(n_yes_reported AS DOUBLE) / n - 0.25) / 0.5
+           - CAST(n_true AS DOUBLE) / n) AS abs_err
+FROM obs
+"""
+
+
+@register("privacy_randomized_response", oracle=_RR_ORACLE)
+def privacy_randomized_response(spark, sf_dir):
+    """Warner randomized-response release over the distinct-user
+    relation: per-user deterministic truth-coin (p = 3/4, epsilon =
+    ln 3 local DP), observed yes-rate, and the de-biased prevalence
+    estimate next to the true prevalence it may not leak individually.
+    See the section comment.
+
+    Scale shape: one distinct-user agg (shuffle on user_id), one
+    count-sum pass, driver-sized finals. The coins are hash streams —
+    no RNG state, retry- and partitioning-invariant at any scale."""
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+    resp = u.select(
+        F.when(det_hash("user_id") % 5 == 0, 1).otherwise(0).alias("a"),
+        F.when(
+            det_hash((F.col("user_id") % 1000003) * 7 + 3) % 4 < 3, 1
+        )
+        .otherwise(0)
+        .alias("truth_coin"),
+    )
+    obs = resp.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a").cast("long").alias("n_true"),
+        F.sum(
+            F.when(F.col("truth_coin") == 1, F.col("a")).otherwise(
+                1 - F.col("a")
+            )
+        )
+        .cast("long")
+        .alias("n_yes_reported"),
+    )
+    lam = F.col("n_yes_reported").cast("double") / F.col("n")
+    pi_hat = (lam - 0.25) / 0.5
+    pi_true = F.col("n_true").cast("double") / F.col("n")
+    return obs.select(
+        "n",
+        "n_yes_reported",
+        lam.alias("lambda_hat"),
+        pi_hat.alias("pi_hat"),
+        pi_true.alias("pi_true"),
+        F.abs(pi_hat - pi_true).alias("abs_err"),
+    )

@@ -693,3 +693,107 @@ def sample_horvitz_thompson_counts(spark, sf_dir):
         ).alias("ht_count_est"),
         "true_count",
     )
+
+
+# ---------------------------------------------------------------------------
+# One-sample KS uniformity audit of the split hash
+# ---------------------------------------------------------------------------
+# Every split/sample in this engine rides det_hash(key) % B; if that
+# bucket distribution is NOT uniform, every downstream train/val/test
+# ratio silently drifts. This query is the audit: a one-sample
+# Kolmogorov-Smirnov test of the event-key bucket distribution against
+# the uniform CDF, D = max_b |F_n(b) - (b+1)/B|, compared to the
+# asymptotic 5% critical value 1.36/sqrt(n). Counts are exact BIGINTs
+# from ONE hash agg to a B-row (bounded-by-construction) grid; the
+# cumulative window runs over that 100-row grid, never the fact table;
+# D is a max over fixed single-division doubles (no summation-order
+# anywhere).
+
+_KSU_B = 100
+
+_KSU_ORACLE = f"""
+WITH b AS (
+  SELECT ({S.SQL_DET_HASH.format(col="event_id")}) % {_KSU_B} AS bucket,
+         CAST(count(*) AS BIGINT) AS n_b
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT bucket, n_b,
+         sum(n_b) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n_b) OVER () AS n
+  FROM b
+),
+g AS (
+  SELECT bucket, n,
+         abs(CAST(cum AS DOUBLE) / n
+             - CAST(bucket + 1 AS DOUBLE) / {_KSU_B}) AS gap
+  FROM c
+),
+d AS (
+  SELECT CAST(max(n) AS BIGINT) AS n, max(gap) AS d_stat,
+         CAST(min(CASE WHEN gap = (SELECT max(gap) FROM g)
+                       THEN bucket END) AS BIGINT) AS worst_bucket
+  FROM g
+)
+SELECT n, d_stat, worst_bucket,
+       1.36 / sqrt(CAST(n AS DOUBLE)) AS crit_5pct,
+       d_stat <= 1.36 / sqrt(CAST(n AS DOUBLE)) AS uniform_ok
+FROM d
+"""
+
+
+@register("sample_split_ks_uniformity", oracle=_KSU_ORACLE)
+def sample_split_ks_uniformity(spark, sf_dir):
+    """One-sample KS test of det_hash(event_id) % 100 against the
+    uniform distribution — the audit that the split hash every
+    sampler in this engine rides is actually unbiased. See the
+    section comment.
+
+    Scale shape: scan -> 100-row bounded bucket grid -> grid-sized
+    window + max. Nothing after the first agg depends on data size."""
+    from pyspark.sql import Window
+
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        (det_hash("event_id") % _KSU_B).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # the windows run over the 100-row bounded grid, not the fact table
+    c = b.select(
+        "bucket",
+        F.sum("n_b").over(w).alias("cum"),
+        F.sum("n_b").over(wall).alias("n"),
+    )
+    g = c.select(
+        "bucket",
+        "n",
+        F.abs(
+            F.col("cum").cast("double") / F.col("n")
+            - (F.col("bucket") + 1).cast("double") / _KSU_B
+        ).alias("gap"),
+    )
+    g = g.withColumn(
+        "dmax", F.max("gap").over(Window.partitionBy(F.lit(1)))
+    )
+    d = g.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("gap").alias("d_stat"),
+        F.min(F.when(F.col("gap") == F.col("dmax"), F.col("bucket")))
+        .cast("long")
+        .alias("worst_bucket"),
+    )
+    crit = 1.36 / F.sqrt(F.col("n").cast("double"))
+    return d.select(
+        "n",
+        "d_stat",
+        "worst_bucket",
+        crit.alias("crit_5pct"),
+        (F.col("d_stat") <= crit).alias("uniform_ok"),
+    )
