@@ -204,6 +204,32 @@ PROBE = [
     "stats_effect_size_panel",
     "sample_mixture_temperature",
     "text_ngram_novelty_rate",
+    # r12 session-4 nonparametric battery + extensions
+    "stats_friedman_test",
+    "stats_brown_forsythe",
+    "stats_mood_median_test",
+    "stats_wilcoxon_signed_rank",
+    "stats_brunner_munzel",
+    "stats_runs_test",
+    "stats_ljung_box",
+    "stats_durbin_watson",
+    "stats_anderson_darling_2s",
+    "stats_page_trend",
+    "stats_ansari_bradley",
+    "stats_hodges_lehmann",
+    "events_hurst_rs",
+    "sample_horvitz_thompson_counts",
+    "dedup_connected_components",
+    "ml_eval_chrf",
+    # r12 session-5 novelties
+    "stats_kendall_w",
+    "stats_cvm_2s",
+    "ml_eval_weighted_kappa",
+    "ml_eval_macro_f1",
+    "ml_eval_rbo_rankings",
+    "ml_eval_wer",
+    "sample_split_ks_uniformity",
+    "privacy_randomized_response",
 ]
 # quadratic-oracle twins: timing DuckDB here measures the oracle's
 # deliberate brute-force design, not the engine — skip, like bench.py
