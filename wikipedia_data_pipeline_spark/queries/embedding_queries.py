@@ -294,3 +294,111 @@ def embedding_cosine_pair_histogram(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette: per-label clustering quality
+# ---------------------------------------------------------------------------
+# The centroid-based silhouette (Hruschka et al.): for each vector,
+# a = cosine DISTANCE to its own label centroid, b = distance to the
+# nearest OTHER label centroid, s = (b - a) / max(a, b) in [-1, 1] —
+# the O(n*k) label-quality score that replaces the O(n^2) classic
+# silhouette at corpus scale. Per-label mean silhouette near 0 or
+# negative flags labels whose vectors sit closer to a different
+# class's center (merge/relabel candidates). Centroids use the
+# decimal-exact component means shared with embedding_label_outliers;
+# each vector scores against the broadcast |labels|-row centroid set
+# via the deterministic sequential cosine fold; the per-label mean
+# rides a DECIMAL(18,6) sum (order-independent).
+
+_SSIL_ORACLE = f"""
+WITH comp AS (
+  SELECT label, g - 1 AS pos,
+         CAST(sum(CAST(CAST(embedding[g] AS DOUBLE) AS DECIMAL(18,6)))
+              AS DOUBLE) / count(*) AS mean_x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(g)
+  GROUP BY label, pos
+),
+cent AS (
+  SELECT label AS clabel, list(mean_x ORDER BY pos) AS c
+  FROM comp GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         max(CASE WHEN e.label = cent.clabel
+             THEN {COS_SQL.format(a='e.embedding', b='cent.c')} END)
+           AS cos_own,
+         max(CASE WHEN e.label <> cent.clabel
+             THEN {COS_SQL.format(a='e.embedding', b='cent.c')} END)
+           AS cos_other
+  FROM embeddings e CROSS JOIN cent
+  GROUP BY e.vec_id, e.label
+),
+sil AS (
+  SELECT label,
+         ((1.0 - cos_other) - (1.0 - cos_own))
+           / greatest(1.0 - cos_own, 1.0 - cos_other) AS s
+  FROM scored
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+         AS mean_silhouette
+FROM sil GROUP BY label
+"""
+
+
+@register("embedding_simplified_silhouette", oracle=_SSIL_ORACLE)
+def embedding_simplified_silhouette(spark, sf_dir):
+    """Per-label simplified (centroid) silhouette over the embedding
+    corpus — the O(n·k) clustering-quality score. See the section
+    comment.
+
+    Scale shape: one component agg for centroids (d·k rows), ONE scan
+    of the vectors against the broadcast centroid set (never a vector
+    self-join), a per-vector fixed expression, and a DECIMAL per-label
+    mean."""
+    from wikipedia_data_pipeline_spark.functions import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(18,6)"))
+                .cast("double")
+                / F.count("*")
+            ).alias("mean_x")
+        )
+    )
+    cent = comp.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_x"))),
+            lambda s: s["mean_x"],
+        ).alias("c")
+    )
+    cos = cosine_similarity(F.col("embedding"), F.col("c"))
+    scored = (
+        emb.crossJoin(F.broadcast(cent))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.max(
+                F.when(F.col("label") == F.col("clabel"), cos)
+            ).alias("cos_own"),
+            F.max(
+                F.when(F.col("label") != F.col("clabel"), cos)
+            ).alias("cos_other"),
+        )
+    )
+    a = 1.0 - F.col("cos_own")
+    b = 1.0 - F.col("cos_other")
+    sil = scored.select(
+        "label", ((b - a) / F.greatest(a, b)).alias("s")
+    )
+    return sil.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum(F.col("s").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("mean_silhouette"),
+    )

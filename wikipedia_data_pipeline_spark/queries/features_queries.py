@@ -308,3 +308,125 @@ def features_woe_binning(spark, sf_dir):
         )
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump screen: information gain / gain ratio of a feature
+# ---------------------------------------------------------------------------
+# The C4.5 feature-selection primitive: for candidate feature
+# hour-of-day predicting event_type,
+#   IG = H(type) - H(type | hod),  gain_ratio = IG / H(hod),
+# plus the one-level decision stump's training accuracy (sum over hod
+# cells of the majority class share) — the three numbers a feature
+# screen ranks candidates by. The (hod, type) cell relation is
+# 24*k-bounded; entropy terms are fixed double expressions
+# nano-quantized to BIGINT before bounded DECIMAL re-sums; stump
+# accuracy is exact integer counts over the cell grid.
+
+_US_PER_HOUR = 3_600_000_000
+
+_STUMP_ORACLE = f"""
+WITH cell AS (
+  SELECT (epoch_us(ts) // {_US_PER_HOUR}) % 24 AS hod, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+fh AS (SELECT hod, CAST(sum(n) AS BIGINT) AS n_h FROM cell GROUP BY 1),
+fy AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_y FROM cell GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cell),
+h_y AS (
+  SELECT -(CAST(sum(CAST(CAST(round(1e9 * (CAST(n_y AS DOUBLE) / tot.nn)
+            * ln(CAST(n_y AS DOUBLE) / tot.nn)) AS BIGINT)
+            AS DECIMAL(38,0))) AS DOUBLE) / 1e9) AS v
+  FROM fy CROSS JOIN tot
+),
+h_cond AS (
+  SELECT -(CAST(sum(CAST(CAST(round(1e9 * (CAST(cell.n AS DOUBLE) / tot.nn)
+            * ln(CAST(cell.n AS DOUBLE) / fh.n_h)) AS BIGINT)
+            AS DECIMAL(38,0))) AS DOUBLE) / 1e9) AS v
+  FROM cell JOIN fh USING (hod) CROSS JOIN tot
+),
+h_f AS (
+  SELECT -(CAST(sum(CAST(CAST(round(1e9 * (CAST(n_h AS DOUBLE) / tot.nn)
+            * ln(CAST(n_h AS DOUBLE) / tot.nn)) AS BIGINT)
+            AS DECIMAL(38,0))) AS DOUBLE) / 1e9) AS v
+  FROM fh CROSS JOIN tot
+),
+stump AS (
+  SELECT CAST(sum(mx) AS BIGINT) AS n_correct
+  FROM (SELECT hod, max(n) AS mx FROM cell GROUP BY hod)
+)
+SELECT tot.nn AS n, h_y.v AS h_label, h_cond.v AS h_label_given_f,
+       h_f.v AS h_feature,
+       h_y.v - h_cond.v AS info_gain,
+       (h_y.v - h_cond.v) / h_f.v AS gain_ratio,
+       CAST(stump.n_correct AS DOUBLE) / tot.nn AS stump_accuracy
+FROM tot, h_y, h_cond, h_f, stump
+"""
+
+
+@register("features_stump_information_gain", oracle=_STUMP_ORACLE)
+def features_stump_information_gain(spark, sf_dir):
+    """C4.5 feature screen for hour-of-day predicting event_type:
+    label entropy, conditional entropy, feature entropy, information
+    gain, gain ratio, and the one-level decision stump's accuracy. See
+    the section comment for the bounded nano-quantized construction.
+
+    Scale shape: scan -> 24*k-row cell hash agg -> bounded-grid
+    arithmetic. Nothing after the first agg depends on data size."""
+    from pyspark import StorageLevel
+
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        (F.expr(f"ts div {_US_PER_HOUR}") % 24).alias("hod"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cell = track_persisted(cell.persist(StorageLevel.MEMORY_AND_DISK))
+    fh = cell.groupBy("hod").agg(F.sum("n").cast("long").alias("n_h"))
+    fy = cell.groupBy("event_type").agg(F.sum("n").cast("long").alias("n_y"))
+    tot = cell.agg(F.sum("n").cast("long").alias("nn"))
+
+    def _ent(df, num_col, den_col, out):
+        t = F.round(
+            1e9
+            * (F.col(num_col).cast("double") / F.col("nn"))
+            * F.log(F.col(num_col).cast("double") / F.col(den_col))
+        ).cast("long")
+        return df.select(t.alias("t")).agg(
+            (
+                -(F.sum(F.col("t").cast("decimal(38,0)")).cast("double") / 1e9)
+            ).alias(out)
+        )
+
+    h_y = _ent(fy.crossJoin(F.broadcast(tot)), "n_y", "nn", "h_label")
+    h_cond = _ent(
+        cell.join(fh, "hod").crossJoin(F.broadcast(tot)),
+        "n",
+        "n_h",
+        "h_label_given_f",
+    )
+    h_f = _ent(fh.crossJoin(F.broadcast(tot)), "n_h", "nn", "h_feature")
+    stump = (
+        cell.groupBy("hod")
+        .agg(F.max("n").alias("mx"))
+        .agg(F.sum("mx").cast("long").alias("n_correct"))
+    )
+    ig = F.col("h_label") - F.col("h_label_given_f")
+    return (
+        tot.crossJoin(F.broadcast(h_y))
+        .crossJoin(F.broadcast(h_cond))
+        .crossJoin(F.broadcast(h_f))
+        .crossJoin(F.broadcast(stump))
+        .select(
+            F.col("nn").alias("n"),
+            "h_label",
+            "h_label_given_f",
+            "h_feature",
+            ig.alias("info_gain"),
+            (ig / F.col("h_feature")).alias("gain_ratio"),
+            (F.col("n_correct").cast("double") / F.col("nn")).alias(
+                "stump_accuracy"
+            ),
+        )
+    )

@@ -931,3 +931,206 @@ def graph_hits_scores(spark, sf_dir):
         )
     )
     return top_h.unionByName(top_a)
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the part-supplier graph
+# ---------------------------------------------------------------------------
+# Newman (2002): the Pearson correlation of endpoint degrees across
+# edges — do high-degree parts link to high-degree suppliers (r > 0,
+# assortative) or to the long tail (r < 0, disassortative)? The
+# pre-flight skew statistic for any iterative graph job: strongly
+# disassortative graphs concentrate messages on hub reducers. All five
+# moments are exact DECIMAL integers over the distinct edge relation
+# (degrees are BIGINT counts; products ride DECIMAL(18,0) operands);
+# r is one fixed double expression with two sqrts — no
+# summation-order dependence anywhere.
+
+_ASSORT_ORACLE = """
+WITH edges AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+dp AS (SELECT p, CAST(count(*) AS BIGINT) AS deg_p FROM edges GROUP BY p),
+ds AS (SELECT s, CAST(count(*) AS BIGINT) AS deg_s FROM edges GROUP BY s),
+xy AS (
+  SELECT deg_p AS x, deg_s AS y
+  FROM edges JOIN dp USING (p) JOIN ds USING (s)
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS m_edges,
+         CAST(sum(CAST(x AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(18,0)) * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(CAST(y AS DECIMAL(18,0)) * y) AS DECIMAL(38,0)) AS syy,
+         CAST(sum(CAST(x AS DECIMAL(18,0)) * y) AS DECIMAL(38,0)) AS sxy
+  FROM xy
+)
+SELECT m_edges, sx, sy,
+       CAST(CAST(m_edges AS DECIMAL(18,0)) * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(CAST(m_edges AS DECIMAL(18,0)) * sxx - sx * sx
+                      AS DOUBLE))
+            * sqrt(CAST(CAST(m_edges AS DECIMAL(18,0)) * syy - sy * sy
+                        AS DOUBLE))) AS assortativity_r
+FROM m
+"""
+
+
+@register("graph_degree_assortativity", oracle=_ASSORT_ORACLE)
+def graph_degree_assortativity(spark, sf_dir):
+    """Degree assortativity coefficient of the part→supplier edge
+    relation — Pearson correlation of endpoint degrees across edges.
+    See the section comment for the exact-moment construction.
+
+    Scale shape: distinct-edge agg, two degree aggs, two key joins
+    (each shuffle-bounded on its key, degree tables broadcastable when
+    dimension-sized), ONE moments agg, driver-sized final row."""
+    ev = load_table(spark, sf_dir, "lineitem")
+    edges = ev.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    dp = edges.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("deg_p"))
+    ds = edges.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg_s"))
+    xy = (
+        edges.join(dp, "p")
+        .join(ds, "s")
+        .select(F.col("deg_p").alias("x"), F.col("deg_s").alias("y"))
+    )
+    dec = "decimal(18,0)"
+    m = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("m_edges"),
+        F.sum(F.col("x").cast(dec)).cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    me = F.col("m_edges").cast(dec)
+    num = (me * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    d1 = F.sqrt((me * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    d2 = F.sqrt((me * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return m.select(
+        "m_edges",
+        "sx",
+        "sy",
+        (num / (d1 * d2)).alias("assortativity_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Association rules over the co-purchase pairs
+# ---------------------------------------------------------------------------
+# The metric layer market_basket_pairs feeds: for each directed rule
+# a -> b over co-purchased part pairs, support = n_ab / N,
+# confidence = n_ab / n_a, lift = N * n_ab / (n_a * n_b), and
+# leverage = support - supp_a * supp_b — the apriori report a
+# merchandiser reads. Rules are kept at min co-occurrence >= 3 and
+# top-200 by (lift, confidence) with a total tie-break, so the output
+# is deterministic and driver-sized while the pair relation scales
+# with orders x basket^2, never |parts|^2. All counts exact BIGINTs;
+# every metric is a fixed single-division double (lift's integer
+# cross-product rides DECIMAL(18,0) operands).
+
+_RULES_ORACLE = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_orders AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nn FROM op),
+item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_i FROM op GROUP BY 1),
+pair AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+rules AS (
+  SELECT pa AS antecedent, pb AS consequent, n_ab, ia.n_i AS n_a,
+         ib.n_i AS n_b, nn,
+         CAST(n_ab AS DOUBLE) / nn AS support,
+         CAST(n_ab AS DOUBLE) / ia.n_i AS confidence,
+         CAST(CAST(nn AS DECIMAL(18,0)) * n_ab AS DOUBLE)
+           / CAST(CAST(ia.n_i AS DECIMAL(18,0)) * ib.n_i AS DOUBLE) AS lift,
+         CAST(n_ab AS DOUBLE) / nn
+           - (CAST(ia.n_i AS DOUBLE) / nn) * (CAST(ib.n_i AS DOUBLE) / nn)
+           AS leverage
+  FROM pair
+  JOIN item ia ON pair.pa = ia.l_partkey
+  JOIN item ib ON pair.pb = ib.l_partkey
+  CROSS JOIN n_orders
+)
+SELECT antecedent, consequent, n_ab, n_a, n_b,
+       support, confidence, lift, leverage
+FROM rules
+ORDER BY lift DESC, confidence DESC, antecedent, consequent
+LIMIT 200
+"""
+
+
+@register("market_basket_rules", oracle=_RULES_ORACLE)
+def market_basket_rules(spark, sf_dir):
+    """Directed association rules a -> b with support / confidence /
+    lift / leverage over distinct (order, part) baskets — the metric
+    layer above market_basket_pairs. See the section comment.
+
+    Scale shape: basket self-join bounded by basket size (shuffles on
+    l_orderkey), item counts broadcastable, TakeOrdered top-200 — no
+    |parts|^2 relation ever exists."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    from pyspark import StorageLevel
+
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    op = track_persisted(op.persist(StorageLevel.MEMORY_AND_DISK))
+    nn = op.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("nn")
+    )
+    item = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i")
+    )
+    a, b = op.alias("a"), op.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("pa"), F.col("n_i").alias("n_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("pb"), F.col("n_i").alias("n_b")
+    )
+    dec = "decimal(18,0)"
+    rules = (
+        pair.join(F.broadcast(ia), "pa")
+        .join(F.broadcast(ib), "pb")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("pa").alias("antecedent"),
+            F.col("pb").alias("consequent"),
+            "n_ab",
+            "n_a",
+            "n_b",
+            (F.col("n_ab").cast("double") / F.col("nn")).alias("support"),
+            (F.col("n_ab").cast("double") / F.col("n_a")).alias("confidence"),
+            (
+                (F.col("nn").cast(dec) * F.col("n_ab")).cast("double")
+                / (F.col("n_a").cast(dec) * F.col("n_b")).cast("double")
+            ).alias("lift"),
+            (
+                F.col("n_ab").cast("double") / F.col("nn")
+                - (F.col("n_a").cast("double") / F.col("nn"))
+                * (F.col("n_b").cast("double") / F.col("nn"))
+            ).alias("leverage"),
+        )
+    )
+    return rules.orderBy(
+        F.desc("lift"), F.desc("confidence"), "antecedent", "consequent"
+    ).limit(200)

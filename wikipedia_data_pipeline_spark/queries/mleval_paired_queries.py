@@ -1503,3 +1503,128 @@ def ml_eval_rbo_rankings(spark, sf_dir):
         rbo.alias("rbo_trunc"),
         (rbo + F.lit(_RBO_PD) * xd / F.lit(float(_RBO_D))).alias("rbo_ext"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-class Matthews correlation (Gorodkin R_K)
+# ---------------------------------------------------------------------------
+# The single-number summary of the ml_eval_macro_f1 confusion matrix
+# that stays honest under class imbalance (macro-F1 does not):
+#   R_K = (c*s - sum_k t_k p_k)
+#           / (sqrt(s^2 - sum_k p_k^2) * sqrt(s^2 - sum_k t_k^2))
+# with c = total correct, s = total items, t_k / p_k the true /
+# predicted class-k counts (Gorodkin 2004, reducing to binary MCC at
+# K=2). Same deterministic 4-class panel as ml_eval_macro_f1, so the
+# two reports are directly comparable. All sums are exact DECIMAL
+# integers from the 16-row confusion matrix; R_K is one fixed double
+# expression (two sqrts, one division).
+
+_MCC_ORACLE = f"""
+WITH labeled AS (
+  SELECT CAST(({SQL_DET_HASH.format(col="event_id")}) % 4 AS BIGINT) AS y,
+         CAST(({SQL_DET_HASH.format(col="((event_id % 1000003) * 13 + 5)")}) % 20 AS BIGINT) AS flip,
+         CAST(({SQL_DET_HASH.format(col="((event_id % 1000003) * 31 + 11)")}) % 4 AS BIGINT) AS alt
+  FROM events
+),
+cells AS (
+  SELECT y, CASE WHEN flip < 13 THEN y ELSE alt END AS p,
+         CAST(count(*) AS BIGINT) AS n_cell
+  FROM labeled GROUP BY 1, 2
+),
+t AS (SELECT y AS k, CAST(sum(n_cell) AS BIGINT) AS t_k FROM cells GROUP BY 1),
+pr AS (SELECT p AS k, CAST(sum(n_cell) AS BIGINT) AS p_k FROM cells GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(n_cell) AS BIGINT) AS s,
+         CAST(sum(CASE WHEN y = p THEN n_cell ELSE 0 END) AS BIGINT) AS c
+  FROM cells
+),
+cross_m AS (
+  SELECT CAST(sum(CAST(t.t_k AS DECIMAL(18,0)) * pr.p_k) AS DECIMAL(38,0))
+           AS sum_tp,
+         CAST(sum(CAST(pr.p_k AS DECIMAL(18,0)) * pr.p_k) AS DECIMAL(38,0))
+           AS sum_pp,
+         CAST(sum(CAST(t.t_k AS DECIMAL(18,0)) * t.t_k) AS DECIMAL(38,0))
+           AS sum_tt
+  FROM t JOIN pr USING (k)
+)
+SELECT s, c,
+       CAST(CAST(c AS DECIMAL(18,0)) * s - sum_tp AS DOUBLE)
+         / (sqrt(CAST(CAST(s AS DECIMAL(18,0)) * s - sum_pp AS DOUBLE))
+            * sqrt(CAST(CAST(s AS DECIMAL(18,0)) * s - sum_tt AS DOUBLE)))
+         AS mcc
+FROM tot, cross_m
+"""
+
+
+@register("ml_eval_mcc_multiclass", oracle=_MCC_ORACLE)
+def ml_eval_mcc_multiclass(spark, sf_dir):
+    """Gorodkin's multi-class Matthews correlation R_K over the
+    ml_eval_macro_f1 4-class panel — the imbalance-honest single
+    number next to that query's per-class report. See the section
+    comment for the exact-moment construction.
+
+    Scale shape: scan -> 16-row confusion hash agg; marginals and
+    the K-term products are driver-tiny."""
+    from pyspark import StorageLevel
+
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    labeled = ev.select(
+        (det_hash("event_id") % 4).cast("long").alias("y"),
+        (det_hash((F.col("event_id") % 1000003) * 13 + 5) % 20)
+        .cast("long")
+        .alias("flip"),
+        (det_hash((F.col("event_id") % 1000003) * 31 + 11) % 4)
+        .cast("long")
+        .alias("alt"),
+    )
+    cells = (
+        labeled.select(
+            "y",
+            F.when(F.col("flip") < 13, F.col("y"))
+            .otherwise(F.col("alt"))
+            .alias("p"),
+        )
+        .groupBy("y", "p")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cell"))
+    )
+    cells = track_persisted(cells.persist(StorageLevel.MEMORY_AND_DISK))
+    t = cells.groupBy(F.col("y").alias("k")).agg(
+        F.sum("n_cell").cast("long").alias("t_k")
+    )
+    pr = cells.groupBy(F.col("p").alias("k")).agg(
+        F.sum("n_cell").cast("long").alias("p_k")
+    )
+    dec = "decimal(18,0)"
+    cross_m = t.join(pr, "k").agg(
+        F.sum(F.col("t_k").cast(dec) * F.col("p_k"))
+        .cast("decimal(38,0)")
+        .alias("sum_tp"),
+        F.sum(F.col("p_k").cast(dec) * F.col("p_k"))
+        .cast("decimal(38,0)")
+        .alias("sum_pp"),
+        F.sum(F.col("t_k").cast(dec) * F.col("t_k"))
+        .cast("decimal(38,0)")
+        .alias("sum_tt"),
+    )
+    tot = cells.agg(
+        F.sum("n_cell").cast("long").alias("s"),
+        F.sum(F.when(F.col("y") == F.col("p"), F.col("n_cell")).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    sd = F.col("s").cast(dec)
+    cd = F.col("c").cast(dec)
+    return tot.crossJoin(F.broadcast(cross_m)).select(
+        "s",
+        "c",
+        (
+            (cd * F.col("s") - F.col("sum_tp")).cast("double")
+            / (
+                F.sqrt((sd * F.col("s") - F.col("sum_pp")).cast("double"))
+                * F.sqrt((sd * F.col("s") - F.col("sum_tt")).cast("double"))
+            )
+        ).alias("mcc"),
+    )

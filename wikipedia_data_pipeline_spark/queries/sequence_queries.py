@@ -574,3 +574,147 @@ def orders_yoy_growth(spark, sf_dir):
             "yoy_growth"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conditional entropy / information gain of the behavioral chain
+# ---------------------------------------------------------------------------
+# How predictable is the NEXT event type given the current one? The
+# information-theoretic summary of events_markov_transitions:
+#   H(next | cur) = -sum_ab (n_ab / N) ln(n_ab / n_a)
+#   H(next)       = -sum_b  (m_b / N) ln(m_b / N)
+#   info_gain     = H(next) - H(next | cur)   (= their MI)
+# over the same per-user (prev -> cur) pair relation (conditioned on
+# prev IS NOT NULL, so both entropies see the same population). The
+# cell relation is k^2-bounded (k = |event types|); each cell term is
+# one fixed double expression nano-quantized to BIGINT before the
+# (bounded) DECIMAL re-sum, so no float reduction order leaks.
+
+_CENT_ORACLE = """
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type AS cur_type
+  FROM events
+),
+c AS (
+  SELECT prev_type, cur_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, cur_type
+),
+marg_a AS (
+  SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_a FROM c GROUP BY 1
+),
+marg_b AS (
+  SELECT cur_type, CAST(sum(n) AS BIGINT) AS m_b FROM c GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c),
+cond_terms AS (
+  SELECT CAST(round(1e9 * (CAST(c.n AS DOUBLE) / tot.nn)
+              * ln(CAST(c.n AS DOUBLE) / marg_a.n_a)) AS BIGINT) AS t_nano
+  FROM c JOIN marg_a USING (prev_type) CROSS JOIN tot
+),
+marg_terms AS (
+  SELECT CAST(round(1e9 * (CAST(m_b AS DOUBLE) / tot.nn)
+              * ln(CAST(m_b AS DOUBLE) / tot.nn)) AS BIGINT) AS t_nano
+  FROM marg_b CROSS JOIN tot
+),
+h AS (
+  SELECT
+    -(CAST(sum(CAST(t_nano AS DECIMAL(38,0))) AS DOUBLE) / 1e9) AS h_cond
+  FROM cond_terms
+),
+hm AS (
+  SELECT
+    -(CAST(sum(CAST(t_nano AS DECIMAL(38,0))) AS DOUBLE) / 1e9) AS h_marg
+  FROM marg_terms
+)
+SELECT tot.nn AS n_pairs, h.h_cond, hm.h_marg,
+       hm.h_marg - h.h_cond AS info_gain
+FROM tot, h, hm
+"""
+
+
+@register("events_conditional_entropy", oracle=_CENT_ORACLE)
+def events_conditional_entropy(spark, sf_dir):
+    """Conditional entropy H(next|cur), marginal entropy H(next), and
+    their difference (the chain's information gain) over the Markov
+    pair relation. See the section comment for the nano-quantized
+    bounded-sum discipline.
+
+    Scale shape: one per-user ordered window pass to pairs (the
+    events_markov_transitions lineage), one k^2-row hash agg, then
+    bounded-grid arithmetic."""
+    from pyspark import StorageLevel
+
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("cur_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", "cur_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # k^2-row cell relation feeds three branches — persist it
+    c = track_persisted(c.persist(StorageLevel.MEMORY_AND_DISK))
+    marg_a = c.groupBy("prev_type").agg(F.sum("n").cast("long").alias("n_a"))
+    marg_b = c.groupBy("cur_type").agg(F.sum("n").cast("long").alias("m_b"))
+    tot = c.agg(F.sum("n").cast("long").alias("nn"))
+    cond = (
+        c.join(marg_a, "prev_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                1e9
+                * (F.col("n").cast("double") / F.col("nn"))
+                * F.log(F.col("n").cast("double") / F.col("n_a"))
+            )
+            .cast("long")
+            .alias("t_nano")
+        )
+        .agg(
+            (
+                -(
+                    F.sum(F.col("t_nano").cast("decimal(38,0)")).cast(
+                        "double"
+                    )
+                    / 1e9
+                )
+            ).alias("h_cond")
+        )
+    )
+    marg = (
+        marg_b.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                1e9
+                * (F.col("m_b").cast("double") / F.col("nn"))
+                * F.log(F.col("m_b").cast("double") / F.col("nn"))
+            )
+            .cast("long")
+            .alias("t_nano")
+        )
+        .agg(
+            (
+                -(
+                    F.sum(F.col("t_nano").cast("decimal(38,0)")).cast(
+                        "double"
+                    )
+                    / 1e9
+                )
+            ).alias("h_marg")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(cond))
+        .crossJoin(F.broadcast(marg))
+        .select(
+            F.col("nn").alias("n_pairs"),
+            "h_cond",
+            "h_marg",
+            (F.col("h_marg") - F.col("h_cond")).alias("info_gain"),
+        )
+    )

@@ -650,3 +650,101 @@ def events_burstiness_index(spark, sf_dir):
             ((sd_n - sg) / (sd_n + sg)).alias("burstiness"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Peaks-over-threshold mean excess per event type
+# ---------------------------------------------------------------------------
+# The extreme-value-theory screen downstream of events_winsorized's
+# p99 threshold: for exceedances x > u, the mean excess E[x - u | x > u]
+# is the quantity whose linearity in u diagnoses a generalized-Pareto
+# tail (rising mean excess = heavy tail; the capacity-planning
+# companion to stats_hill_tail_index). Thresholds come from the same
+# grouped exact SELECTION as events_winsorized (never a per-type
+# window over the fact table); excesses are exact cents BIGINTs, the
+# mean is one fixed double division.
+
+_POT_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id)
+           AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM events
+),
+p99 AS (
+  SELECT event_type, min(value) AS p99_v, CAST(max(cnt) AS BIGINT) AS n
+  FROM ranked WHERE rn >= CAST(ceil(0.99 * cnt) AS BIGINT)
+  GROUP BY event_type
+),
+exc AS (
+  SELECT e.event_type,
+         CAST(count(*) AS BIGINT) AS n_exceed,
+         CAST(sum(CAST(round(e.value * 100) AS BIGINT)
+                  - CAST(round(p.p99_v * 100) AS BIGINT)) AS BIGINT)
+           AS excess_cents
+  FROM events e JOIN p99 p ON e.event_type = p.event_type
+  WHERE e.value > p.p99_v
+  GROUP BY e.event_type
+)
+SELECT p.event_type, p.n, p.p99_v,
+       coalesce(x.n_exceed, 0) AS n_exceed,
+       CAST(coalesce(x.n_exceed, 0) AS DOUBLE) / p.n AS exceed_rate,
+       CASE WHEN coalesce(x.n_exceed, 0) > 0
+            THEN CAST(x.excess_cents AS DOUBLE) / (100.0 * x.n_exceed)
+            ELSE 0.0 END AS mean_excess
+FROM p99 p LEFT JOIN exc x ON p.event_type = x.event_type
+"""
+
+
+@register("events_mean_excess_pot", oracle=_POT_ORACLE)
+def events_mean_excess_pot(spark, sf_dir):
+    """Peaks-over-threshold mean excess over the per-type discrete p99
+    — the EVT tail screen (rising mean excess with threshold = GPD
+    heavy tail). See the section comment for the selection-not-window
+    threshold discipline."""
+    from wikipedia_data_pipeline_spark.operators.ranks import (
+        grouped_exact_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    p99 = (
+        grouped_exact_quantiles(
+            ev.select("event_type", "value", "event_id"),
+            ["event_type"],
+            [F.asc("value"), F.asc("event_id")],
+            [("p99", 99, 100)],
+            tag_col="_q",
+        )
+        .select("event_type", F.col("value").alias("p99_v"))
+        .join(counts, "event_type")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    ucents = F.round(F.col("p99_v") * 100).cast("long")
+    exc = (
+        ev.join(F.broadcast(p99.select("event_type", "p99_v")), "event_type")
+        .filter(F.col("value") > F.col("p99_v"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exceed"),
+            F.sum(cents - ucents).cast("long").alias("excess_cents"),
+        )
+    )
+    joined = p99.join(exc, "event_type", "left")
+    n_exc = F.coalesce(F.col("n_exceed"), F.lit(0)).cast("long")
+    return joined.select(
+        "event_type",
+        "n",
+        "p99_v",
+        n_exc.alias("n_exceed"),
+        (n_exc.cast("double") / F.col("n")).alias("exceed_rate"),
+        F.when(
+            n_exc > 0,
+            F.col("excess_cents").cast("double") / (100.0 * F.col("n_exceed")),
+        )
+        .otherwise(0.0)
+        .alias("mean_excess"),
+    )

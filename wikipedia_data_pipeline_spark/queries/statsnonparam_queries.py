@@ -1787,3 +1787,220 @@ def stats_cvm_2s(spark, sf_dir):
         ).alias("t_cvm"),
         ((F.lit(1.0) + F.lit(1.0) / nd) / F.lit(6.0)).alias("e_t_h0"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kuiper test: circular uniformity of the hour-of-day profile
+# ---------------------------------------------------------------------------
+# KS's D = max|gap| is blind at the "wrap-around" of a CIRCULAR domain
+# (an hour-of-day profile peaking at 23h-1h splits its evidence across
+# the two ECDF ends); Kuiper's V = D+ + D- is invariant to the choice
+# of origin and is the standard uniformity test for diurnal/periodic
+# load profiles. Discrete convention on the 24-bucket grid (replicated
+# verbatim in the oracle and the pytest brute force): with F_n the
+# right-continuous ECDF and F0(b) = (b+1)/24,
+#   D+ = max_b (F_n(b) - F0(b)),  D- = max_b (F0(b) - F_n(b-)),
+# F_n(b-) = (cum_b - n_b)/N. Counts are exact BIGINTs from ONE hash
+# agg to the 24-row bounded grid; gaps are fixed single-division
+# doubles; V is a max-sum, no float summation anywhere.
+
+_KUIPER_ORACLE = f"""
+WITH b AS (
+  SELECT (epoch_us(ts) // {_US_PER_HOUR}) % 24 AS hod,
+         CAST(count(*) AS BIGINT) AS n_b
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT hod, n_b,
+         sum(n_b) OVER (ORDER BY hod ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n_b) OVER () AS n
+  FROM b
+),
+g AS (
+  SELECT n,
+         CAST(cum AS DOUBLE) / n - CAST(hod + 1 AS DOUBLE) / 24 AS gp,
+         CAST(hod + 1 AS DOUBLE) / 24
+           - CAST(cum - n_b AS DOUBLE) / n AS gm
+  FROM c
+)
+SELECT CAST(max(n) AS BIGINT) AS n,
+       max(gp) AS d_plus,
+       max(gm) AS d_minus,
+       max(gp) + max(gm) AS v_stat,
+       (max(gp) + max(gm)) * sqrt(CAST(max(n) AS DOUBLE)) AS v_scaled
+FROM g
+"""
+
+
+@register("stats_kuiper_hod_uniformity", oracle=_KUIPER_ORACLE)
+def stats_kuiper_hod_uniformity(spark, sf_dir):
+    """Kuiper's V test of hour-of-day uniformity — the
+    origin-invariant circular companion to sample_split_ks_uniformity,
+    for diurnal load profiles. See the section comment for the
+    discrete grid convention. Under H0, V*sqrt(n) concentrates around
+    ~1.6; large values flag a diurnal cycle.
+
+    Scale shape: scan -> 24-row bounded grid -> grid-sized window +
+    max. Nothing after the first agg depends on data size."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        ((F.expr(f"ts div {_US_PER_HOUR}")) % 24).alias("hod")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    w = W.orderBy("hod").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.orderBy("hod").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    # windows over the 24-row bounded grid, never the fact table
+    c = b.select(
+        "hod",
+        "n_b",
+        F.sum("n_b").over(w).alias("cum"),
+        F.sum("n_b").over(wall).alias("n"),
+    )
+    g = c.select(
+        "n",
+        (
+            F.col("cum").cast("double") / F.col("n")
+            - (F.col("hod") + 1).cast("double") / 24
+        ).alias("gp"),
+        (
+            (F.col("hod") + 1).cast("double") / 24
+            - (F.col("cum") - F.col("n_b")).cast("double") / F.col("n")
+        ).alias("gm"),
+    )
+    return g.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("gp").alias("d_plus"),
+        F.max("gm").alias("d_minus"),
+        (F.max("gp") + F.max("gm")).alias("v_stat"),
+        (
+            (F.max("gp") + F.max("gm"))
+            * F.sqrt(F.max("n").cast("double"))
+        ).alias("v_scaled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bartlett's test: parametric variance homogeneity across groups
+# ---------------------------------------------------------------------------
+# The likelihood-ratio companion to stats_brown_forsythe on the same
+# per-type design: Brown-Forsythe stays valid under non-normality but
+# pays power; Bartlett's M = (N-k) ln(s_p^2) - sum_i (n_i-1) ln(s_i^2)
+# over C = 1 + (sum_i 1/(n_i-1) - 1/(N-k)) / (3(k-1)) is the sharper
+# test when the value distributions are near-normal — reporting both
+# is the standard screen. Exactness: group moments are exact BIGINT /
+# DECIMAL cents sums; each s_i^2 is ONE fixed double division of exact
+# integers; the three k-term float sums (pooled SS, ln terms,
+# reciprocals) are quantized to integers (milli / nano / 1e-15) before
+# bounded DECIMAL re-sums, so no reduction order leaks.
+
+_BARTLETT_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_i,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DECIMAL(38,0))
+           AS s_i,
+         CAST(sum(CAST(CAST(round(value * 100) AS BIGINT)
+                       AS DECIMAL(18,0))
+                  * CAST(round(value * 100) AS BIGINT))
+              AS DECIMAL(38,0)) AS q_i
+  FROM events GROUP BY 1
+),
+per AS (
+  SELECT event_type, n_i,
+         CAST(CAST(n_i AS DECIMAL(18,0)) * q_i - s_i * s_i AS DOUBLE)
+           / (CAST(n_i AS DOUBLE) * (n_i - 1)) AS s2_i
+  FROM g
+),
+terms AS (
+  SELECT n_i, s2_i,
+         CAST(round(1e3 * (n_i - 1) * s2_i) AS DECIMAL(38,0)) AS ss_milli,
+         CAST(round(1e9 * (n_i - 1) * ln(s2_i)) AS BIGINT) AS ln_nano,
+         CAST(round(1e15 / (n_i - 1)) AS BIGINT) AS recip_femto
+  FROM per
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n_i) AS BIGINT) AS n,
+         CAST(sum(ss_milli) AS DECIMAL(38,0)) AS ss_sum_milli,
+         CAST(sum(CAST(ln_nano AS DECIMAL(38,0))) AS DECIMAL(38,0))
+           AS ln_sum_nano,
+         CAST(sum(CAST(recip_femto AS DECIMAL(38,0))) AS DECIMAL(38,0))
+           AS recip_sum_femto
+  FROM terms
+)
+SELECT k, n,
+       (CAST(ss_sum_milli AS DOUBLE) / 1e3) / (n - k) AS s2_pooled,
+       (n - k) * ln((CAST(ss_sum_milli AS DOUBLE) / 1e3) / (n - k))
+         - CAST(ln_sum_nano AS DOUBLE) / 1e9 AS m_stat,
+       1.0 + (CAST(recip_sum_femto AS DOUBLE) / 1e15
+              - 1.0 / (n - k)) / (3.0 * (k - 1)) AS c_factor,
+       ((n - k) * ln((CAST(ss_sum_milli AS DOUBLE) / 1e3) / (n - k))
+         - CAST(ln_sum_nano AS DOUBLE) / 1e9)
+         / (1.0 + (CAST(recip_sum_femto AS DOUBLE) / 1e15
+                   - 1.0 / (n - k)) / (3.0 * (k - 1))) AS chi2
+FROM s
+"""
+
+
+@register("stats_bartlett_test", oracle=_BARTLETT_ORACLE)
+def stats_bartlett_test(spark, sf_dir):
+    """Bartlett's variance-homogeneity test across event types — the
+    parametric companion to stats_brown_forsythe (report both; trust
+    Bartlett only when the per-group distributions look normal). See
+    the section comment for the quantized-sum exactness discipline.
+
+    Scale shape: ONE hash agg to k per-group cents moments, k-row
+    arithmetic after; nothing global is ever single-partition."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    dec18 = "decimal(18,0)"
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        F.sum(cents).cast("decimal(38,0)").alias("s_i"),
+        F.sum(cents.cast(dec18) * cents).cast("decimal(38,0)").alias("q_i"),
+    )
+    s2 = (
+        (F.col("n_i").cast(dec18) * F.col("q_i") - F.col("s_i") * F.col("s_i"))
+        .cast("double")
+        / (F.col("n_i").cast("double") * (F.col("n_i") - 1))
+    )
+    per = g.select("event_type", "n_i", s2.alias("s2_i"))
+    terms = per.select(
+        "n_i",
+        "s2_i",
+        F.round(1e3 * (F.col("n_i") - 1) * F.col("s2_i"))
+        .cast("decimal(38,0)")
+        .alias("ss_milli"),
+        F.round(1e9 * (F.col("n_i") - 1) * F.log(F.col("s2_i")))
+        .cast("long")
+        .alias("ln_nano"),
+        F.round(1e15 / (F.col("n_i") - 1)).cast("long").alias("recip_femto"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_i").cast("long").alias("n"),
+        F.sum("ss_milli").cast("decimal(38,0)").alias("ss_sum_milli"),
+        F.sum(F.col("ln_nano").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("ln_sum_nano"),
+        F.sum(F.col("recip_femto").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("recip_sum_femto"),
+    )
+    nk = (F.col("n") - F.col("k")).cast("double")
+    s2p = (F.col("ss_sum_milli").cast("double") / 1e3) / nk
+    m_stat = nk * F.log(s2p) - F.col("ln_sum_nano").cast("double") / 1e9
+    c_factor = 1.0 + (
+        F.col("recip_sum_femto").cast("double") / 1e15 - 1.0 / nk
+    ) / (3.0 * (F.col("k") - 1).cast("double"))
+    return s.select(
+        "k",
+        "n",
+        s2p.alias("s2_pooled"),
+        m_stat.alias("m_stat"),
+        c_factor.alias("c_factor"),
+        (m_stat / c_factor).alias("chi2"),
+    )

@@ -726,3 +726,90 @@ def stats_jonckheere_terpstra(spark, sf_dir):
         (nd * nd * (F.lit(2.0) * nd + 3.0) - sng3) / 72.0
     )
     return s.select("n_total", "j2", z.alias("z_stat"))
+
+
+# ---------------------------------------------------------------------------
+# Hill estimator: heavy-tail index of the order-value distribution
+# ---------------------------------------------------------------------------
+# The standard tail-index estimate for power-law screens (revenue
+# concentration, degree distributions, token frequencies): over the
+# k = 1000 largest order values x_(1) >= ... >= x_(k) and the next
+# order statistic x_(k+1) as threshold,
+#   H = (1/k) sum_i ln(x_(i) / x_(k+1)),  alpha_hat = 1/H
+# (alpha ~ 1-2 = very heavy tail, alpha > 3 ~ finite variance). The
+# top-(k+1) set arrives via orderBy+limit — TakeOrderedAndProject,
+# partial top-k per partition, never a global sort — and the rank
+# window runs over the k+1 surviving rows (the task1_dictionary W1/W3
+# pattern). Values are exact cents; each ln term is one fixed double
+# expression nano-quantized to BIGINT before the bounded k-row DECIMAL
+# re-sum.
+
+_HILL_K = 1000
+
+_HILL_ORACLE = f"""
+WITH top_k AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (ORDER BY round(o_totalprice * 100) DESC,
+                            o_orderkey) AS rn
+  FROM orders
+  QUALIFY rn <= {_HILL_K} + 1
+),
+thr AS (SELECT cents AS xmin FROM top_k WHERE rn = {_HILL_K} + 1),
+terms AS (
+  SELECT CAST(round(1e9 * ln(CAST(cents AS DOUBLE) / thr.xmin))
+              AS BIGINT) AS t_nano
+  FROM top_k CROSS JOIN thr WHERE rn <= {_HILL_K}
+)
+SELECT CAST({_HILL_K} AS BIGINT) AS k,
+       thr.xmin AS xmin_cents,
+       CAST(sum(CAST(t_nano AS DECIMAL(38,0))) AS DOUBLE) / 1e9
+         / {_HILL_K} AS hill_h,
+       1.0 / (CAST(sum(CAST(t_nano AS DECIMAL(38,0))) AS DOUBLE) / 1e9
+              / {_HILL_K}) AS alpha_hat
+FROM terms CROSS JOIN thr
+GROUP BY thr.xmin
+"""
+
+
+@register("stats_hill_tail_index", oracle=_HILL_ORACLE)
+def stats_hill_tail_index(spark, sf_dir):
+    """Hill tail-index estimator over the top-1000 order values — the
+    power-law heaviness screen (alpha_hat < 2 = infinite-variance
+    territory; plan capacity by quantiles, not means). See the section
+    comment for the TakeOrdered + nano-quantized-sum construction."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.orderBy(F.desc("cents"), F.asc("o_orderkey"))
+    top_k = (
+        orders.select(cents.alias("cents"), "o_orderkey")
+        .orderBy(F.desc("cents"), F.asc("o_orderkey"))
+        .limit(_HILL_K + 1)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+    )
+    thr = top_k.filter(F.col("rn") == _HILL_K + 1).select(
+        F.col("cents").alias("xmin")
+    )
+    terms = (
+        top_k.filter(F.col("rn") <= _HILL_K)
+        .crossJoin(F.broadcast(thr))
+        .select(
+            F.round(
+                1e9 * F.log(F.col("cents").cast("double") / F.col("xmin"))
+            )
+            .cast("long")
+            .alias("t_nano"),
+            "xmin",
+        )
+    )
+    h = (
+        F.sum(F.col("t_nano").cast("decimal(38,0)")).cast("double")
+        / 1e9
+        / _HILL_K
+    )
+    return terms.groupBy("xmin").agg(
+        F.lit(_HILL_K).cast("long").alias("k"),
+        h.alias("hill_h"),
+        (1.0 / h).alias("alpha_hat"),
+    ).select("k", F.col("xmin").alias("xmin_cents"), "hill_h", "alpha_hat")

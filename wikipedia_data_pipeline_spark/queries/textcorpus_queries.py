@@ -1183,3 +1183,207 @@ def text_ngram_novelty_rate(spark, sf_dir):
         )
         .orderBy("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence matrix between source unigram distributions
+# ---------------------------------------------------------------------------
+# The mixture-design statistic: how far apart are the sources' token
+# distributions? JS(a,b) = 0.5*KL(p_a || m) + 0.5*KL(p_b || m) with
+# m = (p_a + p_b)/2 — symmetric, finite even on disjoint support
+# (unlike the KL screens in statsdrift), bounded by ln 2. One word
+# count agg per source; each (pair, word) contribution enumerates via
+# a bounded source-pair fan-out (never a vocab self-join); terms are
+# fixed double expressions nano-quantized to BIGINT before the
+# fact-sized DECIMAL re-sum (the AD/CvM discipline — the vocabulary
+# relation is Heaps-bounded but not driver-sized at 100 TB).
+
+_JS_ORACLE = """
+WITH wc AS (
+  SELECT source, x AS word, CAST(count(*) AS BIGINT) AS n
+  FROM documents, unnest(string_split(text, ' ')) AS u(x)
+  GROUP BY 1, 2
+),
+tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_s FROM wc GROUP BY 1),
+pairs AS (
+  SELECT a.source AS sa, a.n_s AS na_tot, b.source AS sb, b.n_s AS nb_tot
+  FROM tot a JOIN tot b ON a.source < b.source
+),
+contrib AS (
+  SELECT p.sa, p.sb, p.na_tot, p.nb_tot, w.word,
+         CAST(sum(CASE WHEN w.source = p.sa THEN w.n ELSE 0 END)
+              AS BIGINT) AS na,
+         CAST(sum(CASE WHEN w.source = p.sb THEN w.n ELSE 0 END)
+              AS BIGINT) AS nb
+  FROM wc w JOIN pairs p ON w.source IN (p.sa, p.sb)
+  GROUP BY 1, 2, 3, 4, 5
+),
+terms AS (
+  SELECT sa, sb,
+         CAST(round(1e9 * (
+           0.5 * (CASE WHEN na > 0 THEN (CAST(na AS DOUBLE) / na_tot)
+             * ln((CAST(na AS DOUBLE) / na_tot)
+                  / ((CAST(na AS DOUBLE) / na_tot
+                      + CAST(nb AS DOUBLE) / nb_tot) / 2)) ELSE 0 END)
+           + 0.5 * (CASE WHEN nb > 0 THEN (CAST(nb AS DOUBLE) / nb_tot)
+             * ln((CAST(nb AS DOUBLE) / nb_tot)
+                  / ((CAST(na AS DOUBLE) / na_tot
+                      + CAST(nb AS DOUBLE) / nb_tot) / 2)) ELSE 0 END)
+         )) AS BIGINT) AS t_nano
+  FROM contrib
+)
+SELECT sa AS source_a, sb AS source_b,
+       CAST(sum(CAST(t_nano AS DECIMAL(38,0))) AS DOUBLE) / 1e9
+         AS js_nats
+FROM terms GROUP BY 1, 2
+"""
+
+
+@register("text_js_divergence_sources", oracle=_JS_ORACLE)
+def text_js_divergence_sources(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between every two sources'
+    unigram distributions — the symmetric, always-finite distance a
+    mixture designer reads before weighting sources. See the section
+    comment for the bounded-fan-out + nano-quantized-sum construction."""
+    from wikipedia_data_pipeline_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    wc = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = wc.groupBy("source").agg(F.sum("n").cast("long").alias("n_s"))
+    a, b = tot.alias("a"), tot.alias("b")
+    pairs = a.join(
+        b, F.col("a.source") < F.col("b.source")
+    ).select(
+        F.col("a.source").alias("sa"),
+        F.col("a.n_s").alias("na_tot"),
+        F.col("b.source").alias("sb"),
+        F.col("b.n_s").alias("nb_tot"),
+    )
+    contrib = (
+        wc.join(
+            F.broadcast(pairs),
+            (F.col("source") == F.col("sa")) | (F.col("source") == F.col("sb")),
+        )
+        .groupBy("sa", "sb", "na_tot", "nb_tot", "word")
+        .agg(
+            F.sum(F.when(F.col("source") == F.col("sa"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("na"),
+            F.sum(F.when(F.col("source") == F.col("sb"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("nb"),
+        )
+    )
+    pa = F.col("na").cast("double") / F.col("na_tot")
+    pb = F.col("nb").cast("double") / F.col("nb_tot")
+    m = (pa + pb) / 2
+    term = (
+        0.5 * F.when(F.col("na") > 0, pa * F.log(pa / m)).otherwise(0.0)
+        + 0.5 * F.when(F.col("nb") > 0, pb * F.log(pb / m)).otherwise(0.0)
+    )
+    terms = contrib.select(
+        "sa",
+        "sb",
+        F.round(1e9 * term).cast("long").alias("t_nano"),
+    )
+    return (
+        terms.groupBy("sa", "sb")
+        .agg(
+            (
+                F.sum(F.col("t_nano").cast("decimal(38,0)")).cast("double")
+                / 1e9
+            ).alias("js_nats")
+        )
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "js_nats",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-word burstiness: variance-to-mean of per-document counts
+# ---------------------------------------------------------------------------
+# Church-Gale: content words are BURSTY (a word that appears once in a
+# document tends to appear again — VMR >> 1), function words are
+# Poisson-like (VMR ~ 1). The per-word VMR over per-document counts,
+# INCLUDING the zero-count documents (handled in closed form: only
+# sufficient statistics over the nonzero postings are ever
+# materialized, so the zero rows never exist):
+#   mean = S/D,  var = (Q - S^2/D) / D   (population, D = corpus docs)
+#   vmr  = var/mean = (D*Q - S^2) / (D*S)
+# with S = sum of counts, Q = sum of squared counts — all exact
+# DECIMAL integers, one final double division per word. Reported for
+# words with document frequency >= 5 to keep the statistic meaningful.
+
+_WBURST_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, x AS word FROM documents, unnest(string_split(text, ' ')) AS u(x)
+),
+per_doc AS (
+  SELECT word, doc_id, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY 1, 2
+),
+d AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+w AS (
+  SELECT word,
+         CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(c) AS DECIMAL(38,0)) AS s,
+         CAST(sum(CAST(c AS DECIMAL(18,0)) * c) AS DECIMAL(38,0)) AS q
+  FROM per_doc GROUP BY 1 HAVING count(*) >= 5
+)
+SELECT word, df, CAST(s AS BIGINT) AS n_occurrences,
+       CAST(CAST(n_docs AS DECIMAL(18,0)) * q - s * s AS DOUBLE)
+         / CAST(CAST(n_docs AS DECIMAL(18,0)) * s AS DOUBLE) AS vmr
+FROM w CROSS JOIN d
+"""
+
+
+@register("text_word_burstiness", oracle=_WBURST_ORACLE)
+def text_word_burstiness(spark, sf_dir):
+    """Church-Gale word burstiness: per-word variance-to-mean ratio of
+    per-document counts (zero-count docs folded in closed form), for
+    words in >= 5 documents. VMR >> 1 = bursty content word, ~1 =
+    Poisson-like function word — the screen that separates topical
+    vocabulary from glue. See the section comment.
+
+    Scale shape: one (word, doc) hash agg over the postings, one
+    per-word moment agg, a broadcast 1-row doc count — never a
+    doc-level pivot or a zero-filled matrix."""
+    from wikipedia_data_pipeline_spark.sources.tables import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = fan_out(docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    per_doc = tok.groupBy("word", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    d = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    dec = "decimal(18,0)"
+    w = (
+        per_doc.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("c").cast("decimal(38,0)").alias("s"),
+            F.sum(F.col("c").cast(dec) * F.col("c"))
+            .cast("decimal(38,0)")
+            .alias("q"),
+        )
+        .filter(F.col("df") >= 5)
+    )
+    nd = F.col("n_docs").cast(dec)
+    return w.crossJoin(F.broadcast(d)).select(
+        "word",
+        "df",
+        F.col("s").cast("long").alias("n_occurrences"),
+        (
+            (nd * F.col("q") - F.col("s") * F.col("s")).cast("double")
+            / (nd * F.col("s")).cast("double")
+        ).alias("vmr"),
+    )
