@@ -27,10 +27,17 @@ from wikipedia_data_pipeline_spark.sources.tables import load_table
 def _gen_gram_counts(docs, ns):
     """(doc_id, n, g) -> (c_cnt, r_cnt) for n in ns, one explode + one
     hash agg. Candidate = UNK-substituted 80% prefix; reference = all
-    tokens."""
-    from wikipedia_data_pipeline_spark.sources.tables import fan_out
+    tokens.
 
-    docs = fan_out(docs)
+    The docs are HASH-repartitioned on doc_id (not round-robin
+    fan_out): hashpartitioning(doc_id) satisfies the downstream
+    (doc_id, n, g) aggregate's clustered distribution, so the
+    per-occurrence gram stream — 10-100x the raw doc bytes after the
+    explode — is aggregated WHERE IT IS PRODUCED and never shuffled;
+    the only exchange moves raw documents (session-5 A/B at the 100x
+    replica: chrF 214 s -> see SCALE_PROBE_r12 re-probe)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(par, "doc_id")
     toks = F.split(F.col("text"), " ")
     clen = F.greatest(
         F.expr("(size(split(text, ' ')) * 4) div 5"), F.lit(1)
@@ -418,10 +425,15 @@ def ml_eval_chrf(spark, sf_dir):
     sides, one doc-scoped hash agg (map-side partial combine absorbs
     the per-occurrence stream), per-n totals from string-length closed
     forms, and one fixed double expression per n; per-n F values are
-    nano-quantized before the 6-term average."""
-    from wikipedia_data_pipeline_spark.sources.tables import fan_out
+    nano-quantized before the 6-term average.
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    Docs are hash-repartitioned on doc_id so the char-gram stream
+    (12x the corpus characters) aggregates shuffle-free — see
+    _gen_gram_counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = F.split(F.col("text"), " ")
     clen = F.greatest(
         F.expr("(size(split(text, ' ')) * 4) div 5"), F.lit(1)
@@ -591,19 +603,22 @@ FROM d JOIN enc USING (doc_id)
 """
 
 
-@register("ml_eval_wer", oracle=_WER_ORACLE)
+@register("ml_eval_wer", oracle=_WER_ORACLE, eager=True)
 def ml_eval_wer(spark, sf_dir):
     """Per-document word error rate between the UNK-substituted 80%
     prefix candidate and the full reference (the module fixture) via
     the single-byte token-encoding trick — see the section comment.
 
-    Scale shape: vocabulary is corpus-bounded (Heaps' law) and
-    broadcast; ONE explode of both token sequences, one doc-scoped
-    reassembly agg, then a per-row JVM levenshtein — embarrassingly
-    parallel, no driver loop, no Python in the hot path."""
-    from wikipedia_data_pipeline_spark.sources.tables import fan_out
-
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    Scale shape: the vocabulary is driver-sized BY THE METHOD'S OWN
+    BOUND (the single-byte encoding admits at most 94 tokens — a
+    larger vocab must switch to the pandas-UDF token-DP, asserted
+    below), so it is collected once (eager) and embedded as a literal
+    map; each document then encodes with a per-row JVM map lookup +
+    concat — NO explode, NO reassembly shuffle, NO join (the
+    explode+collect_list form this replaced measured 38 s at the 100x
+    replica) — and a per-row JVM levenshtein finishes the job.
+    Embarrassingly parallel, no Python in the hot path."""
+    docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     d = docs.select(
         "doc_id", toks.alias("toks"), F.size(toks).alias("rlen")
@@ -621,72 +636,44 @@ def ml_eval_wer(spark, sf_dir):
             ),
         ),
     )
-    vocab = (
-        d.select(F.explode("toks").alias("tok"))
-        .union(spark.createDataFrame([("UNK",)], "tok string"))
-        .distinct()
+    vocab = sorted(
+        {
+            r["tok"]
+            for r in d.select(F.explode("toks").alias("tok"))
+            .distinct()
+            .collect()
+        }
+        | {"UNK"}
     )
-    # corpus vocabulary rank -> single ASCII byte; the window runs over
-    # the Heaps-bounded vocab relation (31 words on this corpus).
-    from pyspark.sql import Window
+    # rank by token sort order == the oracle's row_number(ORDER BY tok)
+    if len(vocab) > 94:
+        raise ValueError(
+            f"single-byte WER encoding supports <= 94 distinct tokens, "
+            f"got {len(vocab)}; switch to the pandas-UDF token DP"
+        )
+    enc_map = F.create_map(
+        *[
+            lit
+            for i, tok in enumerate(vocab)
+            for lit in (F.lit(tok), F.lit(chr(33 + i)))
+        ]
+    )
 
-    vmap = vocab.select(
-        "tok",
-        F.char(
-            32 + F.row_number().over(Window.orderBy("tok"))
-        ).alias("ch"),
-    )
-    sides = d.select(
-        "doc_id", F.lit(0).alias("side"), F.posexplode("toks").alias("i", "tok")
-    ).unionByName(
-        d.select(
-            "doc_id",
-            F.lit(1).alias("side"),
-            F.posexplode("ctoks").alias("i", "tok"),
+    def enc(col):
+        return F.concat_ws(
+            "", F.transform(F.col(col), lambda t: F.element_at(enc_map, t))
         )
+
+    scored = d.select(
+        "doc_id",
+        "rlen",
+        F.size("ctoks").alias("clen"),
+        F.levenshtein(enc("toks"), enc("ctoks")).alias("dist"),
     )
-    enc = (
-        sides.join(F.broadcast(vmap), "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("side") == 0,
-                                F.struct(F.col("i"), F.col("ch")),
-                            )
-                        )
-                    ),
-                    lambda x: x.ch,
-                ),
-                "",
-            ).alias("enc_r"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("side") == 1,
-                                F.struct(F.col("i"), F.col("ch")),
-                            )
-                        )
-                    ),
-                    lambda x: x.ch,
-                ),
-                "",
-            ).alias("enc_c"),
-        )
-    )
-    dist = F.levenshtein("enc_r", "enc_c")
-    return (
-        d.join(enc, "doc_id")
-        .select(
-            "doc_id",
-            F.col("rlen").cast("long").alias("rlen"),
-            F.size("ctoks").cast("long").alias("clen"),
-            dist.cast("long").alias("edit_distance"),
-            (dist.cast("double") / F.col("rlen")).alias("wer"),
-        )
+    return scored.select(
+        "doc_id",
+        F.col("rlen").cast("long").alias("rlen"),
+        F.col("clen").cast("long").alias("clen"),
+        F.col("dist").cast("long").alias("edit_distance"),
+        (F.col("dist").cast("double") / F.col("rlen")).alias("wer"),
     )

@@ -115,11 +115,17 @@ _ROTATION = [
     # novelty, 10 s at the 100x probe — gate + pytest cover it) — plus
     # the late-session-4 additions stats_page_trend,
     # stats_ansari_bradley, and stats_hodges_lehmann (each gated at
-    # two SFs + brute-force-replicated), the session-5 additions
-    # (stats_kendall_w, stats_cvm_2s, ml_eval_weighted_kappa,
-    # ml_eval_macro_f1, ml_eval_rbo_rankings, ml_eval_wer,
-    # sample_split_ks_uniformity, privacy_randomized_response — each
-    # sf0.01-gated + brute-force-replicated in test_round12s5.py),
+    # two SFs + brute-force-replicated), the 20 session-5 additions
+    # (stats_kendall_w, stats_cvm_2s, stats_kuiper_hod_uniformity,
+    # stats_bartlett_test, stats_hill_tail_index,
+    # ml_eval_weighted_kappa, ml_eval_macro_f1, ml_eval_mcc_multiclass,
+    # ml_eval_rbo_rankings, ml_eval_wer, sample_split_ks_uniformity,
+    # privacy_randomized_response, events_conditional_entropy,
+    # events_mean_excess_pot, embedding_simplified_silhouette,
+    # graph_degree_assortativity, market_basket_rules,
+    # features_stump_information_gain, text_js_divergence_sources,
+    # text_word_burstiness — each sf0.01-gated + brute-force-
+    # replicated in test_round12s5*.py),
     # the r5s3 finance block, and the stats/graph/privacy
     # never-verified tail, which continue in r13.
     "stats_kruskal_wallis",
