@@ -748,3 +748,194 @@ def events_mean_excess_pot(spark, sf_dir):
         .otherwise(0.0)
         .alias("mean_excess"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil T inequality index with between/within group decomposition
+# ---------------------------------------------------------------------------
+# The decomposable inequality measure (Theil 1967): T = sum (x/S) ln(x
+# n / S) over rows, which splits EXACTLY into sum_g share_g * T_g
+# (within) + sum_g share_g * ln(mean_g / mean) (between) — the property
+# Gini lacks and the reason mixture/skew audits use Theil to attribute
+# concentration to groups. Scale-invariant, so it is computed on exact
+# integer cents. Per-row x*ln(x) terms are micro-quantized BIGINTs
+# re-summed in DECIMAL (associative, partitioning-proof); every
+# per-group output is ONE fixed double expression over exact integers.
+
+_THEIL_ORACLE = """
+WITH r AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+t AS (
+  SELECT event_type, c,
+         CAST(round((CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) * 1e6)
+              AS BIGINT) AS xlnx_micro
+  FROM r
+),
+g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(c) AS BIGINT) AS s_g,
+         CAST(sum(CAST(xlnx_micro AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS l_g
+  FROM t GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(s_g) AS BIGINT) AS s
+  FROM g
+)
+SELECT g.event_type, g.n_g, g.s_g AS sum_cents,
+       CAST(g.l_g AS DOUBLE) / 1e6 / g.s_g
+         - ln(CAST(g.s_g AS DOUBLE) / g.n_g) AS theil_within,
+       CAST(g.s_g AS DOUBLE) / tot.s AS share_value,
+       (CAST(g.s_g AS DOUBLE) / tot.s)
+         * ln((CAST(g.s_g AS DOUBLE) / CAST(tot.s AS DOUBLE))
+              * (CAST(tot.n AS DOUBLE) / CAST(g.n_g AS DOUBLE)))
+         AS between_term,
+       (CAST(g.s_g AS DOUBLE) / tot.s)
+         * (CAST(g.l_g AS DOUBLE) / 1e6 / g.s_g
+            - ln(CAST(g.s_g AS DOUBLE) / g.n_g)) AS within_term
+FROM g CROSS JOIN tot
+"""
+
+
+@register("events_theil_inequality", oracle=_THEIL_ORACLE)
+def events_theil_inequality(spark, sf_dir):
+    """Theil T inequality of event values, decomposed by event type:
+    per group the within-group Theil, the group's value share, and its
+    between/within contributions (total T = sum of the two term
+    columns — the exact decomposition `events_value_gini` cannot
+    give). See the section comment for the micro-quantized x ln x
+    construction; one fact scan, one k-row group agg, a broadcast
+    1-row totals attach."""
+    ev = load_table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    vd = F.col("c").cast("double")
+    t = ev.select("event_type", c.alias("c")).select(
+        "event_type",
+        "c",
+        F.round((vd * F.log(vd)) * 1e6).cast("long").alias("xlnx_micro"),
+    )
+    g = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("c").cast("long").alias("s_g"),
+        F.sum(F.col("xlnx_micro").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("l_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+    )
+    sg_d = F.col("s_g").cast("double")
+    theil_within = F.col("l_g").cast("double") / 1e6 / F.col("s_g") - F.log(
+        sg_d / F.col("n_g")
+    )
+    share = sg_d / F.col("s")
+    return g.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_g",
+        F.col("s_g").alias("sum_cents"),
+        theil_within.alias("theil_within"),
+        share.alias("share_value"),
+        (
+            share
+            * F.log(
+                (sg_d / F.col("s").cast("double"))
+                * (F.col("n").cast("double") / F.col("n_g").cast("double"))
+            )
+        ).alias("between_term"),
+        (share * theil_within).alias("within_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Capture-recapture (Lincoln-Petersen / Chapman) population estimate
+# ---------------------------------------------------------------------------
+# Treat the first and second halves of the time range as two "capture
+# occasions": n1 users seen in the first half, n2 in the second, m in
+# both. N_hat = n1*n2/m (Lincoln-Petersen) and Chapman's bias-corrected
+# (n1+1)(n2+1)/(m+1) - 1 estimate the TRUE distinct-user population —
+# the estimator a crawl/dedup pipeline uses to ask "how many entities
+# exist that we have NOT seen yet" from overlap alone, with the actual
+# distinct count alongside as ground truth. One fact scan to per-user
+# flags, one global agg; every estimate is a fixed double expression
+# of four exact BIGINTs.
+
+_CAPTURE_ORACLE = """
+WITH b AS (
+  SELECT min(epoch_us(ts)) + (max(epoch_us(ts)) - min(epoch_us(ts))) // 2
+           AS mid
+  FROM events
+),
+u AS (
+  SELECT user_id,
+         max(CASE WHEN epoch_us(ts) < b.mid THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN epoch_us(ts) >= b.mid THEN 1 ELSE 0 END) AS in_b
+  FROM events CROSS JOIN b GROUP BY 1
+),
+cnt AS (
+  SELECT CAST(sum(in_a) AS BIGINT) AS n1,
+         CAST(sum(in_b) AS BIGINT) AS n2,
+         CAST(sum(in_a * in_b) AS BIGINT) AS m,
+         CAST(count(*) AS BIGINT) AS n_true
+  FROM u
+)
+SELECT n1, n2, m, n_true,
+       CAST(n1 * n2 AS DOUBLE) / m AS lp_estimate,
+       CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / (m + 1) - 1 AS chapman_estimate,
+       CAST(n1 + 1 AS DOUBLE) * (n2 + 1) * (n1 - m) * (n2 - m)
+         / (CAST(m + 1 AS DOUBLE) * (m + 1) * (m + 2)) AS chapman_variance
+FROM cnt
+"""
+
+
+@register("events_capture_recapture", oracle=_CAPTURE_ORACLE)
+def events_capture_recapture(spark, sf_dir):
+    """Two-occasion capture-recapture estimate of the distinct-user
+    population from first-half/second-half overlap (Lincoln-Petersen +
+    Chapman, with Chapman's variance), reported next to the true
+    distinct count. See the section comment; the half-split boundary
+    is exact integer microseconds from the broadcast global bounds."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        (
+            F.min("ts") + F.expr("(max(ts) - min(ts)) div 2")
+        ).alias("mid")
+    )
+    u = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("ts") < F.col("mid"), 1).otherwise(0)).alias(
+                "in_a"
+            ),
+            F.max(F.when(F.col("ts") >= F.col("mid"), 1).otherwise(0)).alias(
+                "in_b"
+            ),
+        )
+    )
+    cnt = u.agg(
+        F.sum("in_a").cast("long").alias("n1"),
+        F.sum("in_b").cast("long").alias("n2"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("m"),
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+    )
+    n1, n2, m = F.col("n1"), F.col("n2"), F.col("m")
+    return cnt.select(
+        "n1",
+        "n2",
+        "m",
+        "n_true",
+        ((n1 * n2).cast("double") / m).alias("lp_estimate"),
+        (((n1 + 1) * (n2 + 1)).cast("double") / (m + 1) - 1).alias(
+            "chapman_estimate"
+        ),
+        (
+            (n1 + 1).cast("double")
+            * (n2 + 1)
+            * (n1 - m)
+            * (n2 - m)
+            / ((m + 1).cast("double") * (m + 1) * (m + 2))
+        ).alias("chapman_variance"),
+    )

@@ -979,3 +979,118 @@ def events_sprt_ab(spark, sf_dir):
         .otherwise(F.lit("continue"))
         .alias("decision"),
     ).orderBy("day")
+
+
+# --- Page-Hinkley mean-shift detection (round 12, session 6) -------------
+# The sequential companion to events_changepoint_value's retrospective
+# CUSUM: PH_t = m_t - min_{s<=t} m_s with m_t = sum_{i<=t}(x_i - xbar_i)
+# (xbar_i = running mean through i, delta = 0) — the classic detector a
+# monitoring pipeline evaluates ONLINE, alarm when PH exceeds lambda.
+# Exactness: the daily mean is micro-quantized once (round(u_t/n_t)),
+# each increment x_t - P_t/t is re-quantized to micro after its single
+# exact-rational division (x_t*t - P_t is exact BIGINT), and both the
+# running sum and the running min are over exact BIGINTs — no float
+# accumulates. The day relation is calendar-sized, so its windows are
+# legal single-partition ops (events_changepoint_value discipline).
+
+
+@register(
+    "events_page_hinkley",
+    oracle=f"""
+WITH daily AS (
+  SELECT (epoch_us(ts) - (SELECT min(epoch_us(ts)) FROM events))
+           // {_US_PER_DAY} AS day_idx,
+         CAST(count(*) AS BIGINT) AS n_t,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS u_t
+  FROM events GROUP BY 1
+),
+x AS (
+  SELECT day_idx,
+         CAST(row_number() OVER (ORDER BY day_idx) AS BIGINT) AS t,
+         CAST(round(CAST(u_t AS DOUBLE) / n_t) AS BIGINT) AS x_micro
+  FROM daily
+),
+inc AS (
+  SELECT day_idx, t, x_micro,
+         CAST(sum(x_micro) OVER (ORDER BY day_idx
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p_t
+  FROM x
+),
+m AS (
+  SELECT day_idx, t, x_micro,
+         CAST(sum(CAST(round(CAST(x_micro * t - p_t AS DOUBLE) / t)
+                       AS BIGINT))
+              OVER (ORDER BY day_idx ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS m_t
+  FROM inc
+)
+SELECT day_idx, t, x_micro,
+       m_t AS m_micro,
+       m_t - min(m_t) OVER (ORDER BY day_idx ROWS UNBOUNDED PRECEDING)
+         AS ph_micro,
+       CAST(m_t - min(m_t) OVER (ORDER BY day_idx
+                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         / 1e6 AS ph_value
+FROM m
+""",
+)
+def events_page_hinkley(spark, sf_dir):
+    """Page-Hinkley test statistic per day over the daily mean event
+    value — the ONLINE mean-shift detector (alarm when ph_value
+    exceeds a chosen lambda) next to the retrospective CUSUM
+    change-point. See the section comment: every running aggregate is
+    over exact micro-quantized BIGINTs, and the only fact-sized work
+    is one hash aggregate to the calendar-bounded day relation."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min(F.col("ts").cast("long")).alias("t0"))
+    daily = (
+        ev.crossJoin(F.broadcast(t0))
+        .groupBy(
+            ((F.col("ts").cast("long") - F.col("t0")) / _US_PER_DAY)
+            .cast("long")
+            .alias("day_idx")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_t"),
+            F.sum(F.round(F.col("value") * 1000000).cast("long"))
+            .cast("long")
+            .alias("u_t"),
+        )
+    )
+    w_ord = Window.orderBy("day_idx")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    x = daily.select(
+        "day_idx",
+        F.row_number().over(w_ord).cast("long").alias("t"),
+        F.round(F.col("u_t").cast("double") / F.col("n_t"))
+        .cast("long")
+        .alias("x_micro"),
+    )
+    inc = x.select(
+        "day_idx",
+        "t",
+        "x_micro",
+        F.sum("x_micro").over(w_cum).cast("long").alias("p_t"),
+    )
+    term = F.round(
+        (F.col("x_micro") * F.col("t") - F.col("p_t")).cast("double")
+        / F.col("t")
+    ).cast("long")
+    m = inc.select(
+        "day_idx",
+        "t",
+        "x_micro",
+        F.sum(term).over(w_cum).cast("long").alias("m_t"),
+    )
+    return m.select(
+        "day_idx",
+        "t",
+        "x_micro",
+        F.col("m_t").alias("m_micro"),
+        (F.col("m_t") - F.min("m_t").over(w_cum)).alias("ph_micro"),
+        (
+            (F.col("m_t") - F.min("m_t").over(w_cum)).cast("double") / 1e6
+        ).alias("ph_value"),
+    )

@@ -813,3 +813,177 @@ def stats_hill_tail_index(spark, sf_dir):
         h.alias("hill_h"),
         (1.0 / h).alias("alpha_hat"),
     ).select("k", F.col("xmin").alias("xmin_cents"), "hill_h", "alpha_hat")
+
+
+# ---------------------------------------------------------------------------
+# Restricted mean survival time (RMST) over the KM lifetime fixture
+# ---------------------------------------------------------------------------
+# RMST(tau) = integral_0^tau S(t) dt — "expected months survived out of
+# the first tau", the estimand survival analysts report when the
+# median never falls below 0.5 and hazard ratios are non-proportional.
+# The clock here is integer months and S is the KM step function, so
+# the integral is EXACTLY sum_{u=0}^{tau-1} S(u) with S(u) =
+# exp(sum_{t_i <= u} ln(1 - d_i/n_i)). Each monthly S ships as exact
+# nano-units; the cumulative integral is a 12x12 literal-grid triangle
+# join (window-free, order-free). The step relation joins the
+# broadcast 12-row grid with a <= predicate — a bounded <=12x fan-out,
+# never a window over the duration domain.
+
+_RMST_TAU = 12
+
+_RMST_ORACLE = f"""
+WITH cust AS (
+  SELECT o_custkey,
+         min(year(o_orderdate) * 12 + month(o_orderdate)) AS first_m,
+         max(year(o_orderdate) * 12 + month(o_orderdate)) AS last_m
+  FROM orders GROUP BY o_custkey
+),
+bounds AS (SELECT max(last_m) AS data_end FROM cust),
+obs AS (
+  SELECT last_m - first_m AS duration_m,
+         CASE WHEN data_end - last_m > 6 THEN 1 ELSE 0 END AS churned
+  FROM cust, bounds
+),
+at_t AS (
+  SELECT duration_m,
+         CAST(sum(churned) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM obs GROUP BY duration_m
+),
+risk AS (
+  SELECT duration_m, d,
+         CAST((SELECT count(*) FROM obs)
+           - coalesce(sum(c) OVER (ORDER BY duration_m
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_at_risk
+  FROM at_t
+),
+terms AS (
+  SELECT duration_m,
+         CASE WHEN d < n_at_risk
+              THEN CAST(round(ln(1.0 - CAST(d AS DOUBLE)
+                                     / CAST(n_at_risk AS DOUBLE))
+                              * 1000000000.0) AS BIGINT)
+              ELSE 0 END AS lg_nano,
+         CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END AS dead
+  FROM risk
+),
+grid AS (SELECT CAST(g AS BIGINT) AS month
+         FROM generate_series(0, {_RMST_TAU - 1}) AS t(g)),
+per_u AS (
+  SELECT grid.month,
+         coalesce(sum(terms.lg_nano), 0) AS lg_u,
+         coalesce(max(terms.dead), 0) AS dead_u
+  FROM grid LEFT JOIN terms ON terms.duration_m <= grid.month
+  GROUP BY 1
+),
+s_u AS (
+  SELECT month,
+         CASE WHEN dead_u > 0 THEN 0
+              ELSE CAST(round(1000000000.0
+                              * exp(CAST(lg_u AS DOUBLE) / 1000000000.0))
+                        AS BIGINT) END AS s_nano
+  FROM per_u
+)
+SELECT a.month, a.s_nano,
+       CAST(a.s_nano AS DOUBLE) / 1e9 AS survival,
+       CAST(sum(b.s_nano) AS DOUBLE) / 1e9 AS rmst_cum_months
+FROM s_u a JOIN s_u b ON b.month <= a.month
+GROUP BY a.month, a.s_nano
+"""
+
+
+@register("orders_rmst", oracle=_RMST_ORACLE)
+def orders_rmst(spark, sf_dir):
+    """Restricted mean survival time over the right-censored
+    customer-lifetime fixture (orders_survival_curve's KM estimator,
+    finance_queries.py): per month u < 12 the KM survival S(u) in
+    exact nano-units and the running integral RMST(u+1) = sum_{j<=u}
+    S(j) — 'expected active months out of the first 12'. See the
+    section comment for the grid-join construction; both global prefix
+    sums (at-risk depletion, log-survival) ride `ordered_scan`."""
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
+
+    o = load_table(spark, sf_dir, "orders")
+    mth = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    cust = o.groupBy("o_custkey").agg(
+        F.min(mth).alias("first_m"), F.max(mth).alias("last_m")
+    )
+    bounds = cust.agg(F.max("last_m").alias("data_end"))
+    obs = cust.crossJoin(F.broadcast(bounds)).select(
+        (F.col("last_m") - F.col("first_m")).alias("duration_m"),
+        F.when(F.col("data_end") - F.col("last_m") > 6, 1)
+        .otherwise(0)
+        .alias("churned"),
+    )
+    n_total = obs.agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    at_t = obs.groupBy("duration_m").agg(
+        F.sum("churned").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    dep = ordered_scan(
+        at_t, ["duration_m"], running=[("cum_c", "c", "sum")]
+    ).crossJoin(F.broadcast(n_total))
+    risk = dep.select(
+        "duration_m",
+        "d",
+        (F.col("n_obs") - (F.col("cum_c") - F.col("c"))).alias("n_at_risk"),
+    )
+    terms = risk.select(
+        "duration_m",
+        F.when(
+            F.col("d") < F.col("n_at_risk"),
+            F.round(
+                F.log(
+                    1.0
+                    - F.col("d").cast("double")
+                    / F.col("n_at_risk").cast("double")
+                )
+                * 1_000_000_000.0
+            ).cast("long"),
+        )
+        .otherwise(0)
+        .alias("lg_nano"),
+        (F.col("d") >= F.col("n_at_risk")).cast("int").alias("dead"),
+    )
+    grid = spark.range(0, _RMST_TAU).select(
+        F.col("id").cast("long").alias("month")
+    )
+    contrib = terms.join(
+        F.broadcast(grid), F.col("duration_m") <= F.col("month")
+    ).groupBy("month").agg(
+        F.sum("lg_nano").cast("long").alias("lg_u"),
+        F.max("dead").alias("dead_u"),
+    )
+    per_u = grid.join(F.broadcast(contrib), "month", "left").select(
+        "month",
+        F.coalesce(F.col("lg_u"), F.lit(0)).alias("lg_u"),
+        F.coalesce(F.col("dead_u"), F.lit(0)).alias("dead_u"),
+    )
+    s_u = per_u.select(
+        "month",
+        F.when(F.col("dead_u") > 0, F.lit(0))
+        .otherwise(
+            F.round(
+                1_000_000_000.0
+                * F.exp(F.col("lg_u").cast("double") / 1_000_000_000.0)
+            ).cast("long")
+        )
+        .alias("s_nano"),
+    )
+    a = s_u.alias("a")
+    b = s_u.select(
+        F.col("month").alias("j"), F.col("s_nano").alias("sj")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("j") <= F.col("month"))
+        .groupBy("month", "s_nano")
+        .agg((F.sum("sj").cast("double") / 1e9).alias("rmst_cum_months"))
+        .select(
+            "month",
+            "s_nano",
+            (F.col("s_nano").cast("double") / 1e9).alias("survival"),
+            "rmst_cum_months",
+        )
+    )

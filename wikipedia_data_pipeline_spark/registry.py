@@ -243,11 +243,18 @@ def _load_all() -> None:
         # round-12 session 4: nonparametric location/dispersion tests
         # and regression-residual diagnostics
         statsnonparam_queries,
+        # round-12 session 6: parametric moment-based tests (Grubbs,
+        # Jarque-Bera, Poisson rate ratio) — statstests/statsnonparam
+        # both sit against the 2,000-line split threshold
+        statsparam_queries,
         mleval_queries,
         # round-10 split of mleval_queries along family lines
         features_queries,
         embedding_queries,
         mleval_paired_queries,
+        # round-12 session 6: calibration tests + rater reliability
+        # (mleval_queries / mleval_paired_queries both near threshold)
+        mleval_reliability_queries,
         # round-11 session-2 split: generation metrics (BLEU/ROUGE)
         generation_queries,
         finance_queries,
