@@ -432,3 +432,127 @@ def test_cronbach_matches_bruteforce(spark, sf_dir, queries):
     _approx(row["var_sum_items"], var_sum)
     _approx(row["var_total"], var_tot)
     _approx(row["cronbach_alpha"], alpha)
+
+
+# --- Welch t-test --------------------------------------------------------
+
+
+def test_welch_ttest_matches_bruteforce(spark, sf_dir, queries):
+    arms = {0: [], 1: []}
+    for _, u, _, v, _ in _events(sf_dir):
+        arms[u % 2].append(round(v * 100))
+    n1, n2 = len(arms[0]), len(arms[1])
+    m1, m2 = sum(arms[0]) / n1, sum(arms[1]) / n2
+    v1 = sum((x - m1) ** 2 for x in arms[0]) / (n1 - 1)
+    v2 = sum((x - m2) ** 2 for x in arms[1]) / (n2 - 1)
+    row = queries["stats_welch_ttest"](spark, sf_dir).collect()[0]
+    assert (row["n_a"], row["n_b"]) == (n1, n2)
+    _approx(row["mean_a_cents"], m1)
+    _approx(row["mean_b_cents"], m2)
+    _approx(row["t_welch"], (m1 - m2) / math.sqrt(v1 / n1 + v2 / n2))
+    vn1, vn2 = v1 / n1, v2 / n2
+    _approx(
+        row["df_welch"],
+        (vn1 + vn2) ** 2 / (vn1**2 / (n1 - 1) + vn2**2 / (n2 - 1)),
+    )
+
+
+# --- One-way ANOVA -------------------------------------------------------
+
+
+def test_anova_f_matches_bruteforce(spark, sf_dir, queries):
+    groups = {}
+    for _, _, g, v, _ in _events(sf_dir):
+        groups.setdefault(g, []).append(round(v * 100))
+    k = len(groups)
+    n = sum(len(xs) for xs in groups.values())
+    grand = sum(sum(xs) for xs in groups.values()) / n
+    ssb = sum(len(xs) * (sum(xs) / len(xs) - grand) ** 2 for xs in groups.values())
+    ssw = sum(
+        sum((x - sum(xs) / len(xs)) ** 2 for x in xs)
+        for xs in groups.values()
+    )
+    row = queries["stats_oneway_anova_f"](spark, sf_dir).collect()[0]
+    assert (row["k_groups"], row["n"]) == (k, n)
+    _approx(row["ss_between"], ssb / 10000, rel=1e-6)
+    _approx(row["ss_within"], ssw / 10000, rel=1e-9)
+    _approx(
+        row["f_stat"], (ssb / (k - 1)) / (ssw / (n - k)), rel=1e-6
+    )
+    _approx(row["eta_sq"], ssb / (ssb + ssw), rel=1e-6)
+
+
+# --- Cramer's V ----------------------------------------------------------
+
+
+def test_cramers_v_matches_bruteforce(spark, sf_dir, queries):
+    rows = _events(sf_dir)
+
+    def dow(t):
+        return (t // US_PER_DAY) % 7
+
+    def hod6(t):
+        return ((t // 3_600_000_000) % 24) // 6
+
+    fixtures = {
+        "type_dow": [(g, dow(t)) for _, _, g, _, t in rows],
+        "type_hod6": [(g, hod6(t)) for _, _, g, _, t in rows],
+        "dow_hod6": [(dow(t), hod6(t)) for _, _, g, _, t in rows],
+    }
+    res = {
+        r["pair"]: r
+        for r in queries["events_cramers_v_matrix"](spark, sf_dir).collect()
+    }
+    assert sorted(res) == sorted(fixtures)
+    for name, obs in fixtures.items():
+        cells = Counter(obs)
+        rt = Counter(a for a, _ in obs)
+        ct = Counter(b for _, b in obs)
+        n = len(obs)
+        chi2 = sum(
+            (o - rt[a] * ct[b] / n) ** 2 / (rt[a] * ct[b] / n)
+            for (a, b), o in cells.items()
+        )
+        row = res[name]
+        assert row["n_events"] == n
+        assert (row["n_cat_a"], row["n_cat_b"]) == (len(rt), len(ct))
+        _approx(row["chi2"], chi2, rel=1e-6)
+        _approx(
+            row["cramers_v"],
+            math.sqrt(row["chi2"] / (n * (min(len(rt), len(ct)) - 1))),
+        )
+
+
+# --- GPD moment fit ------------------------------------------------------
+
+
+def test_gpd_fit_matches_bruteforce(spark, sf_dir, queries):
+    per_type = {}
+    for eid, _, g, v, _ in _events(sf_dir):
+        per_type.setdefault(g, []).append((v, eid))
+    expected = {}
+    for g, xs in per_type.items():
+        xs.sort()
+        cnt = len(xs)
+        rn = math.ceil(0.99 * cnt)
+        p99 = xs[rn - 1][0]
+        exc = [round(v * 100) - round(p99 * 100) for v, _ in xs if v > p99]
+        if len(exc) < 2:
+            continue
+        m = sum(exc) / len(exc)
+        var = sum((e - m) ** 2 for e in exc) / (len(exc) - 1)
+        r = m * m / var
+        expected[g] = (p99, len(exc), m / 100, 0.5 * (1 - r),
+                       0.5 * (m / 100) * (r + 1))
+    res = {
+        r["event_type"]: r
+        for r in queries["events_gpd_moment_fit"](spark, sf_dir).collect()
+    }
+    assert sorted(res) == sorted(expected)
+    for g, (p99, n_ex, me, xi, beta) in expected.items():
+        row = res[g]
+        _approx(row["p99_v"], p99)
+        assert row["n_exceed"] == n_ex
+        _approx(row["mean_excess"], me)
+        _approx(row["xi_hat"], xi, rel=1e-9)
+        _approx(row["beta_hat"], beta, rel=1e-9)

@@ -230,6 +230,20 @@ PROBE = [
     "ml_eval_wer",
     "sample_split_ks_uniformity",
     "privacy_randomized_response",
+    # r12 session-6 novelties
+    "text_good_turing_mass",
+    "text_log_odds_sources",
+    "text_hellinger_sources",
+    "events_theil_inequality",
+    "events_capture_recapture",
+    "orders_rmst",
+    "events_page_hinkley",
+    "stats_grubbs_outlier",
+    "stats_jarque_bera",
+    "stats_poisson_rate_ratio",
+    "ml_eval_spiegelhalter_z",
+    "ml_eval_hosmer_lemeshow",
+    "ml_eval_cronbach_alpha",
 ]
 # quadratic-oracle twins: timing DuckDB here measures the oracle's
 # deliberate brute-force design, not the engine — skip, like bench.py

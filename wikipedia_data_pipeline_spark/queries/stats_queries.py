@@ -939,3 +939,123 @@ def events_capture_recapture(spark, sf_dir):
             / ((m + 1).cast("double") * (m + 1) * (m + 2))
         ).alias("chapman_variance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GPD method-of-moments fit to the peaks-over-threshold excesses
+# ---------------------------------------------------------------------------
+# The estimation half of events_mean_excess_pot's EVT screen: fit a
+# Generalized Pareto to the excesses above each type's discrete p99 by
+# moments — xi = (1 - m^2/s^2)/2, beta = m(m^2/s^2 + 1)/2 (Hosking &
+# Wallis 1987). xi > 0 = heavy tail (infinite higher moments
+# eventually), xi < 0 = bounded tail; beta scales the exceedances —
+# the two numbers a tail-risk monitor actually consumes. Excess
+# moments are exact integer cents / DECIMAL cents^2; the estimates are
+# fixed double expressions per type.
+
+_GPD_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id)
+           AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM events
+),
+p99 AS (
+  SELECT event_type, min(value) AS p99_v
+  FROM ranked WHERE rn >= CAST(ceil(0.99 * cnt) AS BIGINT)
+  GROUP BY event_type
+),
+exc AS (
+  SELECT e.event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(e.value * 100) AS BIGINT)
+                  - CAST(round(p.p99_v * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CAST(CAST(round(e.value * 100) AS BIGINT)
+                       - CAST(round(p.p99_v * 100) AS BIGINT)
+                       AS DECIMAL(19,0))
+                  * (CAST(round(e.value * 100) AS BIGINT)
+                     - CAST(round(p.p99_v * 100) AS BIGINT)))
+              AS DECIMAL(38,0)) AS q
+  FROM events e JOIN p99 p ON e.event_type = p.event_type
+  WHERE e.value > p.p99_v
+  GROUP BY e.event_type
+),
+fit AS (
+  SELECT p.event_type, p.p99_v, x.n, x.s, x.q,
+         (CAST(x.s AS DOUBLE) / x.n)
+           * (CAST(x.s AS DOUBLE) / x.n)
+           / (CAST(CAST(x.n AS DECIMAL(38,0)) * x.q
+                   - CAST(x.s AS DECIMAL(38,0)) * x.s AS DOUBLE)
+              / (CAST(x.n AS DOUBLE) * (x.n - 1))) AS m2_over_v
+  FROM p99 p JOIN exc x ON p.event_type = x.event_type
+  WHERE x.n >= 2
+)
+SELECT event_type, p99_v, n AS n_exceed,
+       CAST(s AS DOUBLE) / n / 100.0 AS mean_excess,
+       0.5 * (1 - m2_over_v) AS xi_hat,
+       0.5 * (CAST(s AS DOUBLE) / n / 100.0) * (m2_over_v + 1) AS beta_hat
+FROM fit
+"""
+
+
+@register("events_gpd_moment_fit", oracle=_GPD_ORACLE)
+def events_gpd_moment_fit(spark, sf_dir):
+    """Generalized-Pareto method-of-moments fit (xi, beta) to the
+    excesses above each event type's discrete p99 — the parametric
+    completion of events_mean_excess_pot's rising-mean-excess screen.
+    See the section comment; threshold selection rides the same
+    grouped exact order statistics (never a per-type window), and the
+    excess moments are one hash aggregate."""
+    from wikipedia_data_pipeline_spark.operators.ranks import (
+        grouped_exact_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    p99 = grouped_exact_quantiles(
+        ev.select("event_type", "value", "event_id"),
+        ["event_type"],
+        [F.asc("value"), F.asc("event_id")],
+        [("p99", 99, 100)],
+        tag_col="_q",
+    ).select("event_type", F.col("value").alias("p99_v"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    ucents = F.round(F.col("p99_v") * 100).cast("long")
+    d = cents - ucents
+    exc = (
+        ev.join(F.broadcast(p99), "event_type")
+        .filter(F.col("value") > F.col("p99_v"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(d).cast("long").alias("s"),
+            F.sum(d.cast("decimal(19,0)") * d)
+            .cast("decimal(38,0)")
+            .alias("q"),
+        )
+    )
+    m = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("n").cast("decimal(38,0)") * F.col("q")
+        - F.col("s").cast("decimal(38,0)") * F.col("s")
+    ).cast("double") / (F.col("n").cast("double") * (F.col("n") - 1))
+    fit = (
+        p99.join(exc, "event_type")
+        .filter(F.col("n") >= 2)
+        .select(
+            "event_type",
+            "p99_v",
+            "n",
+            "s",
+            (m * m / var).alias("m2_over_v"),
+        )
+    )
+    me = F.col("s").cast("double") / F.col("n") / 100.0
+    return fit.select(
+        "event_type",
+        "p99_v",
+        F.col("n").alias("n_exceed"),
+        me.alias("mean_excess"),
+        (0.5 * (1 - F.col("m2_over_v"))).alias("xi_hat"),
+        (0.5 * me * (F.col("m2_over_v") + 1)).alias("beta_hat"),
+    )

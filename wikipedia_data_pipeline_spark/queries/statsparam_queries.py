@@ -301,3 +301,344 @@ def stats_poisson_rate_ratio(spark, sf_dir):
             / F.sqrt(1.0 / F.col("c1") + 1.0 / F.col("c2"))
         ).alias("z_wald"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch's unequal-variance t-test between the parity arms
+# ---------------------------------------------------------------------------
+# t = (m1 - m2) / sqrt(s1^2/n1 + s2^2/n2) with the Welch-Satterthwaite
+# df — the mean-difference test that stays valid when the arms' spreads
+# differ (Student's pooled t silently assumes they don't). Sample
+# variances in the cross-multiplied form s^2 = (n*Q - S^2)/(n*(n-1))
+# from exact BIGINT/DECIMAL cents moments; t and df are fixed double
+# expressions — the parametric companion to events_mannwhitney_ab and
+# stats_brunner_munzel on the same split.
+
+_WELCH_ORACLE = """
+WITH r AS (
+  SELECT user_id % 2 AS arm, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+g AS (
+  SELECT arm,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS q
+  FROM r GROUP BY 1
+),
+w AS (
+  SELECT
+    max(CASE WHEN arm = 0 THEN n END) AS n1,
+    max(CASE WHEN arm = 0 THEN s END) AS s1,
+    max(CASE WHEN arm = 0 THEN q END) AS q1,
+    max(CASE WHEN arm = 1 THEN n END) AS n2,
+    max(CASE WHEN arm = 1 THEN s END) AS s2,
+    max(CASE WHEN arm = 1 THEN q END) AS q2
+  FROM g
+),
+v AS (
+  SELECT n1, n2,
+         CAST(s1 AS DOUBLE) / n1 AS m1,
+         CAST(s2 AS DOUBLE) / n2 AS m2,
+         CAST(CAST(n1 AS DECIMAL(38,0)) * q1
+              - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
+           / (CAST(n1 AS DOUBLE) * (n1 - 1)) / n1 AS v1n,
+         CAST(CAST(n2 AS DECIMAL(38,0)) * q2
+              - CAST(s2 AS DECIMAL(38,0)) * s2 AS DOUBLE)
+           / (CAST(n2 AS DOUBLE) * (n2 - 1)) / n2 AS v2n
+  FROM w
+)
+SELECT n1 AS n_a, n2 AS n_b, m1 AS mean_a_cents, m2 AS mean_b_cents,
+       (m1 - m2) / sqrt(v1n + v2n) AS t_welch,
+       (v1n + v2n) * (v1n + v2n)
+         / (v1n * v1n / (n1 - 1) + v2n * v2n / (n2 - 1)) AS df_welch
+FROM v
+"""
+
+
+@register("stats_welch_ttest", oracle=_WELCH_ORACLE)
+def stats_welch_ttest(spark, sf_dir):
+    """Welch's t on mean event value between the user-parity arms —
+    see the section comment. One scan to two-arm moments; every output
+    is a fixed double expression over exact DECIMAL integers."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            (F.col("user_id") % 2).alias("arm"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("s"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+            .cast("decimal(38,0)")
+            .alias("q"),
+        )
+    )
+
+    def pick(col, arm):
+        return F.max(F.when(F.col("arm") == arm, F.col(col))).alias(
+            f"{col}{arm + 1}"
+        )
+
+    w = g.agg(
+        pick("n", 0), pick("s", 0), pick("q", 0),
+        pick("n", 1), pick("s", 1), pick("q", 1),
+    )
+
+    def var_over_n(n, s, q):
+        return (
+            (
+                F.col(n).cast("decimal(38,0)") * F.col(q)
+                - F.col(s).cast("decimal(38,0)") * F.col(s)
+            ).cast("double")
+            / (F.col(n).cast("double") * (F.col(n) - 1))
+            / F.col(n)
+        )
+
+    v = w.select(
+        "n1",
+        "n2",
+        (F.col("s1").cast("double") / F.col("n1")).alias("m1"),
+        (F.col("s2").cast("double") / F.col("n2")).alias("m2"),
+        var_over_n("n1", "s1", "q1").alias("v1n"),
+        var_over_n("n2", "s2", "q2").alias("v2n"),
+    )
+    vsum = F.col("v1n") + F.col("v2n")
+    return v.select(
+        F.col("n1").alias("n_a"),
+        F.col("n2").alias("n_b"),
+        F.col("m1").alias("mean_a_cents"),
+        F.col("m2").alias("mean_b_cents"),
+        ((F.col("m1") - F.col("m2")) / F.sqrt(vsum)).alias("t_welch"),
+        (
+            vsum * vsum
+            / (
+                F.col("v1n") * F.col("v1n") / (F.col("n1") - 1)
+                + F.col("v2n") * F.col("v2n") / (F.col("n2") - 1)
+            )
+        ).alias("df_welch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F across event types
+# ---------------------------------------------------------------------------
+# F = (SSB/(k-1)) / (SSW/(n-k)) with eta^2 = SSB/SST — the classic
+# mean-difference-across-k-groups test next to its rank twin
+# stats_kruskal_wallis and its variance twins Bartlett/Brown-Forsythe.
+# SSB needs per-group S_g^2/n_g: each is ONE double division of exact
+# integers rounded to the nearest cent^2 (ulp-exact at these
+# magnitudes, identical in both engines) and re-summed exactly in
+# DECIMAL — the n-scaled all-integer form would need sum-of-squares
+# products past DECIMAL(38) at the 100x replica.
+
+_ANOVA_ORACLE = """
+WITH r AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events
+),
+g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(c) AS BIGINT) AS s_g,
+         CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS q_g
+  FROM r GROUP BY 1
+),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(sum(s_g) AS BIGINT) AS s,
+         CAST(sum(q_g) AS DECIMAL(38,0)) AS q,
+         CAST(sum(CAST(round(CAST(s_g AS DOUBLE) * s_g / n_g) AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS sq_over_n
+  FROM g
+),
+ss AS (
+  SELECT k, n,
+         CAST(sq_over_n
+              - CAST(round(CAST(s AS DOUBLE) * s / n) AS DECIMAL(38,0))
+              AS DOUBLE) AS ssb,
+         CAST(q - sq_over_n AS DOUBLE) AS ssw
+  FROM t
+)
+SELECT k AS k_groups, n,
+       ssb / 10000 AS ss_between,
+       ssw / 10000 AS ss_within,
+       (ssb / (k - 1)) / (ssw / (n - k)) AS f_stat,
+       ssb / (ssb + ssw) AS eta_sq
+FROM ss
+"""
+
+
+@register("stats_oneway_anova_f", oracle=_ANOVA_ORACLE)
+def stats_oneway_anova_f(spark, sf_dir):
+    """One-way ANOVA on event value across event types: F statistic
+    and eta-squared effect size (sums of squares reported in whole
+    value units). See the section comment. Scale shape: one hash agg
+    to k group-moment rows, one k-row reduction — no second scan."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum("c").cast("long").alias("s_g"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+            .cast("decimal(38,0)")
+            .alias("q_g"),
+        )
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("q_g").cast("decimal(38,0)").alias("q"),
+        F.sum(
+            F.round(
+                F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g")
+            ).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("sq_over_n"),
+    )
+    ss = t.select(
+        "k",
+        "n",
+        (
+            F.col("sq_over_n")
+            - F.round(
+                F.col("s").cast("double") * F.col("s") / F.col("n")
+            ).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("ssb"),
+        (F.col("q") - F.col("sq_over_n")).cast("double").alias("ssw"),
+    )
+    return ss.select(
+        F.col("k").alias("k_groups"),
+        "n",
+        (F.col("ssb") / 10000).alias("ss_between"),
+        (F.col("ssw") / 10000).alias("ss_within"),
+        (
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n") - F.col("k")))
+        ).alias("f_stat"),
+        (F.col("ssb") / (F.col("ssb") + F.col("ssw"))).alias("eta_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramer's V association matrix over categorical pairs
+# ---------------------------------------------------------------------------
+# V = sqrt(chi2 / (n * (min(r,c) - 1))) for each of three categorical
+# pairs (event_type x day-of-week, event_type x 6h-bucket, dow x
+# bucket) — the NORMALIZED association strength the raw chi2 screens
+# (events_chi2_type_dow) cannot compare across tables of different
+# shape. Same cell construction as the chi2 screen: one hash agg per
+# pair to a bounded contingency table, margins via windows over that
+# tiny relation, per-cell terms through DECIMAL(18,6) (observed cells;
+# the fixture's tables are dense).
+
+_V_PAIRS = [
+    ("type_dow", "event_type",
+     "(epoch(CAST(date_trunc('day', ts) AS DATE)) // 86400) % 7"),
+    ("type_hod6", "event_type",
+     "((epoch_us(ts) // 3600000000) % 24) // 6"),
+    ("dow_hod6",
+     "(epoch(CAST(date_trunc('day', ts) AS DATE)) // 86400) % 7",
+     "((epoch_us(ts) // 3600000000) % 24) // 6"),
+]
+
+
+def _v_block(name: str, ea: str, eb: str) -> str:
+    chi2 = """CAST(sum(CAST(
+         (o - CAST(rt * ct AS DOUBLE) / n)
+         * (o - CAST(rt * ct AS DOUBLE) / n)
+         / (CAST(rt * ct AS DOUBLE) / n) AS DECIMAL(18, 6)))
+       AS DOUBLE)"""
+    return f"""
+SELECT '{name}' AS pair,
+       CAST(max(n) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT a) AS BIGINT) AS n_cat_a,
+       CAST(count(DISTINCT b) AS BIGINT) AS n_cat_b,
+       {chi2} AS chi2,
+       sqrt({chi2}
+            / (max(n) * (least(count(DISTINCT a), count(DISTINCT b)) - 1)))
+         AS cramers_v
+FROM (
+  SELECT a, b, o,
+         sum(o) OVER (PARTITION BY a) AS rt,
+         sum(o) OVER (PARTITION BY b) AS ct,
+         sum(o) OVER () AS n
+  FROM (SELECT {ea} AS a, {eb} AS b, count(*) AS o FROM events GROUP BY 1, 2)
+)"""
+
+
+_CRAMERS_ORACLE = "\nUNION ALL\n".join(
+    _v_block(nm, ea, eb) for nm, ea, eb in _V_PAIRS
+)
+
+
+@register("events_cramers_v_matrix", oracle=_CRAMERS_ORACLE)
+def events_cramers_v_matrix(spark, sf_dir):
+    """Cramer's V for three categorical pairs over events — the
+    comparable association matrix behind the chi2 screens. See the
+    section comment; three bounded contingency aggs, unioned."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    dow = (
+        F.unix_date(
+            F.date_trunc("day", F.timestamp_micros(F.col("ts"))).cast("date")
+        ).cast("long")
+        % 7
+    )
+    hod6 = (F.expr("(ts div 3600000000) % 24") / 6).cast("long")
+
+    def block(name, ca, cb):
+        cells = (
+            ev.select(ca.alias("a"), cb.alias("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("o"))
+        )
+        m = (
+            cells.withColumn("rt", F.sum("o").over(Window.partitionBy("a")))
+            .withColumn("ct", F.sum("o").over(Window.partitionBy("b")))
+            .withColumn("n", F.sum("o").over(Window.partitionBy()))
+        )
+        e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+        term = ((F.col("o") - e) * (F.col("o") - e) / e).cast(
+            "decimal(18,6)"
+        )
+        agg = m.agg(
+            F.sum(term).cast("double").alias("chi2"),
+            F.max("n").cast("long").alias("n_events"),
+            F.countDistinct("a").cast("long").alias("n_cat_a"),
+            F.countDistinct("b").cast("long").alias("n_cat_b"),
+        )
+        return agg.select(
+            F.lit(name).alias("pair"),
+            "n_events",
+            "n_cat_a",
+            "n_cat_b",
+            "chi2",
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n_events")
+                    * (F.least(F.col("n_cat_a"), F.col("n_cat_b")) - 1)
+                )
+            ).alias("cramers_v"),
+        )
+
+    hod_cast = hod6.cast("string")  # keep 'b' one comparable type per pair
+    out = block("type_dow", F.col("event_type"), dow.cast("string"))
+    out = out.unionByName(
+        block("type_hod6", F.col("event_type"), hod_cast)
+    )
+    out = out.unionByName(block("dow_hod6", dow.cast("string"), hod_cast))
+    return out

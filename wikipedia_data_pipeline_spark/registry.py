@@ -127,7 +127,15 @@ _ROTATION = [
     # text_word_burstiness — each sf0.01-gated + brute-force-
     # replicated in test_round12s5*.py),
     # the r5s3 finance block, and the stats/graph/privacy
-    # never-verified tail, which continue in r13.
+    # never-verified tail, which continue in r13. The 13 session-6
+    # additions (text_good_turing_mass, text_log_odds_sources,
+    # text_hellinger_sources, events_theil_inequality,
+    # events_capture_recapture, orders_rmst, events_page_hinkley,
+    # stats_grubbs_outlier, stats_jarque_bera,
+    # stats_poisson_rate_ratio, ml_eval_spiegelhalter_z,
+    # ml_eval_hosmer_lemeshow, ml_eval_cronbach_alpha — each
+    # sf0.001+sf0.01-gated and brute-force-replicated in
+    # test_round12s6.py) also queue for the r13 rotation.
     "stats_kruskal_wallis",
     "stats_cochran_armitage_trend",
     "orders_nelson_aalen_hazard",
