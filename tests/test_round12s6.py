@@ -556,3 +556,61 @@ def test_gpd_fit_matches_bruteforce(spark, sf_dir, queries):
         _approx(row["mean_excess"], me)
         _approx(row["xi_hat"], xi, rel=1e-9)
         _approx(row["beta_hat"], beta, rel=1e-9)
+
+
+# --- PACF (Durbin-Levinson) ----------------------------------------------
+
+
+def test_pacf_matches_bruteforce(spark, sf_dir, queries):
+    rows = _events(sf_dir)
+    hourly = Counter(t // 3_600_000_000 for *_, t in rows)
+    n = len(hourly)
+    sx = sum(hourly.values())
+    den = sum((n * x - sx) ** 2 for x in hourly.values())
+    p = {}
+    for k in (1, 2, 3, 4):
+        num = sum(
+            (n * hourly[h] - sx) * (n * hourly[h - k] - sx)
+            for h in hourly
+            if (h - k) in hourly
+        )
+        p[k] = num / den
+    f11 = p[1]
+    f22 = (p[2] - p[1] * p[1]) / (1 - p[1] * p[1])
+    f21 = f11 - f22 * f11
+    f33 = (p[3] - f21 * p[2] - f22 * p[1]) / (1 - f21 * p[1] - f22 * p[2])
+    f31, f32 = f21 - f33 * f22, f22 - f33 * f21
+    f44 = (p[4] - f31 * p[3] - f32 * p[2] - f33 * p[1]) / (
+        1 - f31 * p[1] - f32 * p[2] - f33 * p[3]
+    )
+    expect = {1: f11, 2: f22, 3: f33, 4: f44}
+    res = {
+        r["lag"]: r
+        for r in queries["stats_pacf_durbin_levinson"](spark, sf_dir).collect()
+    }
+    assert sorted(res) == [1, 2, 3, 4]
+    for k in (1, 2, 3, 4):
+        _approx(res[k]["acf"], p[k])
+        _approx(res[k]["pacf"], expect[k])
+
+
+# --- STTR ----------------------------------------------------------------
+
+
+def test_sttr_matches_bruteforce(spark, sf_dir, queries):
+    n_seg = sum_types = n_tok = 0
+    vocab = set()
+    for _, text, _, _ in _docs(sf_dir):
+        ws = text.split(" ")
+        n_tok += len(ws)
+        vocab.update(ws)
+        for i in range(0, len(ws) - len(ws) % 25, 25):
+            chunk = ws[i : i + 25]
+            if len(chunk) == 25:
+                n_seg += 1
+                sum_types += len(set(chunk))
+    row = queries["text_sttr_segments"](spark, sf_dir).collect()[0]
+    assert (row["n_segments"], row["sum_seg_types"]) == (n_seg, sum_types)
+    _approx(row["mean_sttr"], sum_types / (25 * n_seg))
+    assert row["n_tokens"] == n_tok
+    _approx(row["raw_ttr_corpus"], len(vocab) / n_tok)

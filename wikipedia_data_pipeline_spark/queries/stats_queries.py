@@ -764,8 +764,9 @@ def events_mean_excess_pot(spark, sf_dir):
 
 _THEIL_ORACLE = """
 WITH r AS (
-  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
-  FROM events
+  SELECT event_type, c FROM (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events
+  ) WHERE c > 0
 ),
 t AS (
   SELECT event_type, c,
@@ -811,10 +812,18 @@ def events_theil_inequality(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     c = F.round(F.col("value") * 100).cast("long")
     vd = F.col("c").cast("double")
-    t = ev.select("event_type", c.alias("c")).select(
-        "event_type",
-        "c",
-        F.round((vd * F.log(vd)) * 1e6).cast("long").alias("xlnx_micro"),
+    # Theil is defined on POSITIVE values: rows rounding to 0 cents are
+    # excluded on both sides (on this fixture none exist at the gate
+    # SFs; the 100x replica's value perturbation can produce them, and
+    # Spark's ln(0)=NULL would silently drop terms while DuckDB errors)
+    t = (
+        ev.select("event_type", c.alias("c"))
+        .filter(F.col("c") > 0)
+        .select(
+            "event_type",
+            "c",
+            F.round((vd * F.log(vd)) * 1e6).cast("long").alias("xlnx_micro"),
+        )
     )
     g = t.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_g"),

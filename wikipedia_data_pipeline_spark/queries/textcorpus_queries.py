@@ -1692,3 +1692,89 @@ def text_hellinger_sources(spark, sf_dir):
             "hellinger"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Standardized type-token ratio over fixed 25-token segments (r12s6)
+# ---------------------------------------------------------------------------
+# Raw TTR falls with text length (Heaps), so comparing docs or corpora
+# by it is meaningless; STTR fixes the window: cut every document into
+# consecutive 25-token segments, take each FULL segment's TTR, and
+# average. With the segment size fixed at 25, mean STTR is EXACTLY
+# sum(distinct_count) / (25 * n_segments) — pure integers end to end.
+# The corpus-level raw TTR ships alongside for the contrast. One
+# posexplode + two hash aggs; per-segment distinct counting is
+# (doc, segment)-keyed, never a global distinct.
+
+_STTR_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+pos AS (
+  SELECT doc_id, ws[g] AS w, (g - 1) // 25 AS seg,
+         len(ws) AS n_tok
+  FROM t, unnest(generate_series(1, len(ws))) AS u(g)
+),
+seg AS (
+  SELECT doc_id, seg,
+         CAST(count(*) AS BIGINT) AS n_in_seg,
+         CAST(count(DISTINCT w) AS BIGINT) AS n_types
+  FROM pos GROUP BY 1, 2
+),
+full_seg AS (SELECT * FROM seg WHERE n_in_seg = 25),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT w) AS BIGINT) AS n_types_corpus
+  FROM pos
+)
+SELECT CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(f.n_types) AS BIGINT) AS sum_seg_types,
+       CAST(sum(f.n_types) AS DOUBLE) / (25 * count(*)) AS mean_sttr,
+       max(c.n_tokens) AS n_tokens,
+       CAST(max(c.n_types_corpus) AS DOUBLE) / max(c.n_tokens)
+         AS raw_ttr_corpus
+FROM full_seg f CROSS JOIN corpus c
+"""
+
+
+@register("text_sttr_segments", oracle=_STTR_ORACLE)
+def text_sttr_segments(spark, sf_dir):
+    """Standardized type-token ratio: mean TTR over full 25-token
+    segments (the length-invariant lexical-diversity number), with the
+    length-confounded corpus raw TTR alongside. See the section
+    comment — mean STTR is exact integer arithmetic."""
+    from wikipedia_data_pipeline_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("p", "w"),
+    ).select("doc_id", "w", F.expr("p div 25").alias("seg"))
+    seg = pos.groupBy("doc_id", "seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in_seg"),
+        F.countDistinct("w").cast("long").alias("n_types"),
+    )
+    full_seg = seg.filter(F.col("n_in_seg") == 25)
+    corpus = pos.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("w").cast("long").alias("n_types_corpus"),
+    )
+    return (
+        full_seg.agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum("n_types").cast("long").alias("sum_seg_types"),
+        )
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "n_segments",
+            "sum_seg_types",
+            (
+                F.col("sum_seg_types").cast("double")
+                / (25 * F.col("n_segments"))
+            ).alias("mean_sttr"),
+            "n_tokens",
+            (
+                F.col("n_types_corpus").cast("double") / F.col("n_tokens")
+            ).alias("raw_ttr_corpus"),
+        )
+    )

@@ -1429,3 +1429,140 @@ def events_hurst_rs(spark, sf_dir):
     return pts.crossJoin(F.broadcast(ols)).select(
         F.col("w").cast("long").alias("w"), "n_blocks", "mean_rs", "hurst"
     )
+
+
+# ---------------------------------------------------------------------------
+# Partial autocorrelation (Durbin-Levinson) on hourly counts (r12s6)
+# ---------------------------------------------------------------------------
+# PACF phi_kk — the correlation at lag k AFTER removing the shorter
+# lags — is what actually identifies an AR(p) order; the raw ACF that
+# stats_ljung_box reports decays geometrically for ANY AR(1) and so
+# over-reads memory. rho_1..4 reuse the Ljung-Box construction (exact
+# n-scaled DECIMAL cross-products, calendar-lag self-join on the
+# bounded hourly relation, one double division each); the
+# Durbin-Levinson recursion is then FIXED-DEPTH scalar double algebra
+# over those four identical-in-both-engines doubles, unrolled
+# identically in Spark and SQL — no iteration, no quantization.
+
+_PACF_ORACLE = None  # assembled below (needs statsnonparam's CTE)
+
+
+def _pacf_oracle() -> str:
+    from wikipedia_data_pipeline_spark.queries.statsnonparam_queries import (
+        _HOURLY_CNT,
+    )
+
+    return f"""
+WITH hc AS ({_HOURLY_CNT}),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx
+  FROM hc
+),
+den AS (
+  SELECT sum(CAST(t.n * hc.x - t.sx AS DECIMAL(38,0))
+             * (t.n * hc.x - t.sx)) AS den2
+  FROM hc, tot t
+),
+pairs AS (
+  SELECT lg.lag, a.x AS a, b.x AS b
+  FROM (SELECT unnest(range(1, 5)) AS lag) lg
+  JOIN hc a ON true
+  JOIN hc b ON a.h - lg.lag = b.h
+),
+num AS (
+  SELECT lag,
+         sum(CAST(t.n * a - t.sx AS DECIMAL(38,0)) * (t.n * b - t.sx))
+           AS num2
+  FROM pairs, tot t GROUP BY lag
+),
+p AS (
+  SELECT
+    max(CASE WHEN lag = 1 THEN CAST(num2 AS DOUBLE) / CAST(d.den2 AS DOUBLE) END) AS p1,
+    max(CASE WHEN lag = 2 THEN CAST(num2 AS DOUBLE) / CAST(d.den2 AS DOUBLE) END) AS p2,
+    max(CASE WHEN lag = 3 THEN CAST(num2 AS DOUBLE) / CAST(d.den2 AS DOUBLE) END) AS p3,
+    max(CASE WHEN lag = 4 THEN CAST(num2 AS DOUBLE) / CAST(d.den2 AS DOUBLE) END) AS p4
+  FROM num, den d
+),
+l2 AS (SELECT *, (p2 - p1 * p1) / (1 - p1 * p1) AS f22 FROM p),
+l2b AS (SELECT *, p1 - f22 * p1 AS f21 FROM l2),
+l3 AS (SELECT *, (p3 - f21 * p2 - f22 * p1)
+                   / (1 - f21 * p1 - f22 * p2) AS f33 FROM l2b),
+l3b AS (SELECT *, f21 - f33 * f22 AS f31, f22 - f33 * f21 AS f32 FROM l3),
+l4 AS (SELECT *, (p4 - f31 * p3 - f32 * p2 - f33 * p1)
+                   / (1 - f31 * p1 - f32 * p2 - f33 * p3) AS f44 FROM l3b)
+SELECT CAST(1 AS BIGINT) AS lag, p1 AS acf, p1 AS pacf FROM l4
+UNION ALL SELECT CAST(2 AS BIGINT), p2, f22 FROM l4
+UNION ALL SELECT CAST(3 AS BIGINT), p3, f33 FROM l4
+UNION ALL SELECT CAST(4 AS BIGINT), p4, f44 FROM l4
+"""
+
+
+@register("stats_pacf_durbin_levinson", oracle=_pacf_oracle())
+def stats_pacf_durbin_levinson(spark, sf_dir):
+    """ACF and PACF at lags 1..4 on hourly event counts via the
+    Durbin-Levinson recursion — the AR-order identification panel next
+    to stats_ljung_box's whiteness test. See the section comment; the
+    only fact-sized work is the one hourly hash agg."""
+    from wikipedia_data_pipeline_spark.queries.statsnonparam_queries import (
+        _hourly_counts,
+    )
+
+    hc = _hourly_counts(spark, sf_dir)
+    tot = hc.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    dec = "decimal(38,0)"
+    hct = hc.crossJoin(F.broadcast(tot))
+    cen = (F.col("n") * F.col("x") - F.col("sx")).cast(dec)
+    den = hct.agg(
+        F.sum(cen * (F.col("n") * F.col("x") - F.col("sx"))).alias("den2")
+    )
+    lags = spark.range(1, 5).select(F.col("id").cast("int").alias("lag"))
+    a = hc.select(F.col("h").alias("ha"), F.col("x").alias("a"))
+    b = hc.select(F.col("h").alias("hb"), F.col("x").alias("b"))
+    pairs = (
+        lags.crossJoin(a)
+        .join(F.broadcast(b), F.col("ha") - F.col("lag") == F.col("hb"))
+        .crossJoin(F.broadcast(tot))
+    )
+    num = pairs.groupBy("lag").agg(
+        F.sum(
+            (F.col("n") * F.col("a") - F.col("sx")).cast(dec)
+            * (F.col("n") * F.col("b") - F.col("sx"))
+        ).alias("num2")
+    )
+    rho_c = F.col("num2").cast("double") / F.col("den2").cast("double")
+    p = (
+        num.crossJoin(F.broadcast(den))
+        .select("lag", rho_c.alias("rho"))
+        .agg(
+            *[
+                F.max(F.when(F.col("lag") == k, F.col("rho"))).alias(f"p{k}")
+                for k in (1, 2, 3, 4)
+            ]
+        )
+    )
+    p1, p2, p3, p4 = (F.col(f"p{k}") for k in (1, 2, 3, 4))
+    l2 = p.withColumn("f22", (p2 - p1 * p1) / (1 - p1 * p1))
+    l2b = l2.withColumn("f21", p1 - F.col("f22") * p1)
+    f21, f22 = F.col("f21"), F.col("f22")
+    l3 = l2b.withColumn(
+        "f33", (p3 - f21 * p2 - f22 * p1) / (1 - f21 * p1 - f22 * p2)
+    )
+    f33 = F.col("f33")
+    l3b = l3.withColumn("f31", f21 - f33 * f22).withColumn(
+        "f32", f22 - f33 * f21
+    )
+    f31, f32 = F.col("f31"), F.col("f32")
+    l4 = l3b.withColumn(
+        "f44",
+        (p4 - f31 * p3 - f32 * p2 - f33 * p1)
+        / (1 - f31 * p1 - f32 * p2 - f33 * p3),
+    )
+    return l4.selectExpr(
+        "stack(4, CAST(1 AS BIGINT), p1, p1,"
+        " CAST(2 AS BIGINT), p2, f22,"
+        " CAST(3 AS BIGINT), p3, f33,"
+        " CAST(4 AS BIGINT), p4, f44) AS (lag, acf, pacf)"
+    )
