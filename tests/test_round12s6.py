@@ -614,3 +614,75 @@ def test_sttr_matches_bruteforce(spark, sf_dir, queries):
     _approx(row["mean_sttr"], sum_types / (25 * n_seg))
     assert row["n_tokens"] == n_tok
     _approx(row["raw_ttr_corpus"], len(vocab) / n_tok)
+
+
+# --- Burrows' Delta ------------------------------------------------------
+
+
+def test_burrows_delta_matches_bruteforce(spark, sf_dir, queries):
+    per_src = {}
+    corpus = Counter()
+    for _, text, _, src in _docs(sf_dir):
+        ws = text.split(" ")
+        per_src.setdefault(src, Counter()).update(ws)
+        corpus.update(ws)
+    topk = sorted(corpus, key=lambda w: (-corpus[w], w))[:30]
+    srcs = sorted(per_src)
+    tot = {s: sum(per_src[s].values()) for s in srcs}
+
+    def rhu(v):
+        return math.floor(v + 0.5)
+
+    f = {
+        (s, w): rhu(1e6 * per_src[s].get(w, 0) / tot[s])
+        for s in srcs
+        for w in topk
+    }
+    z = {}
+    kept = []
+    ns = len(srcs)
+    for w in topk:
+        xs = [f[(s, w)] for s in srcs]
+        sf_, qf = sum(xs), sum(x * x for x in xs)
+        if ns * qf <= sf_ * sf_:
+            continue
+        kept.append(w)
+        sd = math.sqrt(ns * qf - sf_ * sf_) / ns
+        for s in srcs:
+            z[(s, w)] = (f[(s, w)] - sf_ / ns) / sd
+    rows = queries["text_burrows_delta"](spark, sf_dir).collect()
+    assert len(rows) == len(srcs) * (len(srcs) - 1) // 2
+    for r in rows[:40]:
+        sa, sb = r["source_a"], r["source_b"]
+        gaps = [abs(z[(sa, w)] - z[(sb, w)]) for w in kept]
+        assert r["n_words"] == len(kept)
+        _approx(r["burrows_delta"], sum(gaps) / len(gaps), rel=1e-6)
+
+
+# --- DP top-k words ------------------------------------------------------
+
+
+def test_dp_topk_words_matches_bruteforce(spark, sf_dir, queries):
+    corpus = Counter()
+    for _, text, _, _ in _docs(sf_dir):
+        corpus.update(text.split(" "))
+    words = sorted(corpus)
+    hm = 2147483647
+    scored = []
+    for r, w in enumerate(words, start=1):
+        uni = (det_hash_py(r) + 0.5) / hm
+        g = 0.001 * corpus[w] / 2 - math.log(-math.log(uni))
+        scored.append((w, corpus[w], g))
+    top = sorted(scored, key=lambda t: (-t[2], t[0]))[:10]
+    true_rank = {
+        w: i
+        for i, w in enumerate(
+            sorted(corpus, key=lambda w: (-corpus[w], w)), start=1
+        )
+    }
+    rows = queries["privacy_dp_topk_words"](spark, sf_dir).collect()
+    assert len(rows) == min(10, len(words))
+    for i, (w, c, _) in enumerate(top[: len(rows)], start=1):
+        row = next(r for r in rows if r["release_rank"] == i)
+        assert (row["word"], row["n_occurrences"]) == (w, c)
+        assert row["true_count_rank"] == true_rank[w]

@@ -244,6 +244,12 @@ PROBE = [
     "ml_eval_spiegelhalter_z",
     "ml_eval_hosmer_lemeshow",
     "ml_eval_cronbach_alpha",
+    "stats_welch_ttest",
+    "stats_oneway_anova_f",
+    "events_cramers_v_matrix",
+    "events_gpd_moment_fit",
+    "stats_pacf_durbin_levinson",
+    "text_sttr_segments",
 ]
 # quadratic-oracle twins: timing DuckDB here measures the oracle's
 # deliberate brute-force design, not the engine — skip, like bench.py

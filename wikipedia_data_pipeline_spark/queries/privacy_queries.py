@@ -536,3 +536,100 @@ def privacy_randomized_response(spark, sf_dir):
         pi_true.alias("pi_true"),
         F.abs(pi_hat - pi_true).alias("abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# epsilon-DP top-k release of heavy-hitter words (round 12, session 6)
+# ---------------------------------------------------------------------------
+# One-shot Gumbel top-k (Durfee & Rogers 2019): adding independent
+# Gumbel noise to eps*count/2 and taking the k largest is equivalent
+# to k sequential exponential-mechanism peels — so a single pass
+# releases a DP top-k list. Uniforms come from the portable det_hash
+# of a deterministic per-word rank id (the dp_median discipline: the
+# "random" release replays bit-for-bit in the SQL twin; swapping in a
+# real CSPRNG changes one expression). eps is set low enough that the
+# noise actually reorders the tail at the gate SF, so the query
+# exercises the mechanism, not just argmax-of-counts. The exact count
+# rank of each released word ships alongside (the utility audit).
+
+_DPTOPK_EPS = 0.001
+_DPTOPK_K = 10
+
+
+_DPTOPK_ORACLE = f"""
+WITH wc AS (
+  SELECT x AS word, CAST(count(*) AS BIGINT) AS c
+  FROM documents, unnest(string_split(text, ' ')) AS u(x)
+  GROUP BY 1
+),
+rid AS (
+  SELECT word, c,
+         CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS r,
+         CAST(row_number() OVER (ORDER BY c DESC, word) AS BIGINT)
+           AS true_count_rank
+  FROM wc
+),
+scored AS (
+  SELECT word, c, true_count_rank,
+         CAST({_DPTOPK_EPS} AS DOUBLE) * c / 2.0
+         - ln(-ln((CAST({{dh}} AS DOUBLE) + 0.5) / {_HASH_MOD}.0))
+           AS g_score
+  FROM rid
+)
+SELECT CAST(row_number() OVER (ORDER BY g_score DESC, word) AS BIGINT)
+         AS release_rank,
+       word, c AS n_occurrences, true_count_rank
+FROM scored
+ORDER BY g_score DESC, word
+LIMIT {_DPTOPK_K}
+"""
+
+
+@register(
+    "privacy_dp_topk_words",
+    oracle=_DPTOPK_ORACLE.replace("{dh}", SQL_DET_HASH.format(col="r")),
+)
+def privacy_dp_topk_words(spark, sf_dir):
+    """ε-DP top-10 heavy-hitter word release via one-shot Gumbel top-k
+    over eps·count/2 — the set-valued companion to
+    `privacy_dp_median_release`, with each released word's TRUE count
+    rank alongside as the utility audit. See the section comment.
+
+    Scale shape: one token-count hash agg; ranks over the
+    Heaps-bounded vocab relation ride hierarchical `ordered_scan`s;
+    one TakeOrdered(k)."""
+    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
+    from wikipedia_data_pipeline_spark.operators.sampling import SQL_DET_HASH as _DH
+    from wikipedia_data_pipeline_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    rid = ordered_scan(wc, ["word"], rank_col="r")
+    rid = ordered_scan(
+        rid, [F.desc("c"), F.asc("word")], rank_col="true_count_rank"
+    )
+    uni = (
+        F.expr(_DH.format(col="r")).cast("double") + 0.5
+    ) / float(_HASH_MOD)
+    scored = rid.select(
+        "word",
+        "c",
+        "true_count_rank",
+        (
+            F.lit(_DPTOPK_EPS) * F.col("c") / 2.0 - F.log(-F.log(uni))
+        ).alias("g_score"),
+    )
+    top = scored.orderBy(F.desc("g_score"), F.asc("word")).limit(_DPTOPK_K)
+    from pyspark.sql import Window as W
+
+    wr = W.orderBy(F.desc("g_score"), F.asc("word"))
+    return top.select(
+        F.row_number().over(wr).cast("long").alias("release_rank"),
+        "word",
+        F.col("c").alias("n_occurrences"),
+        "true_count_rank",
+    )

@@ -1448,7 +1448,7 @@ _PACF_ORACLE = None  # assembled below (needs statsnonparam's CTE)
 
 
 def _pacf_oracle() -> str:
-    from wikipedia_data_pipeline_spark.queries.statsnonparam_queries import (
+    from wikipedia_data_pipeline_spark.queries.statsseries_queries import (
         _HOURLY_CNT,
     )
 
@@ -1503,7 +1503,7 @@ def stats_pacf_durbin_levinson(spark, sf_dir):
     Durbin-Levinson recursion — the AR-order identification panel next
     to stats_ljung_box's whiteness test. See the section comment; the
     only fact-sized work is the one hourly hash agg."""
-    from wikipedia_data_pipeline_spark.queries.statsnonparam_queries import (
+    from wikipedia_data_pipeline_spark.queries.statsseries_queries import (
         _hourly_counts,
     )
 

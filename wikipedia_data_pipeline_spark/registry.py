@@ -133,7 +133,11 @@ _ROTATION = [
     # events_capture_recapture, orders_rmst, events_page_hinkley,
     # stats_grubbs_outlier, stats_jarque_bera,
     # stats_poisson_rate_ratio, ml_eval_spiegelhalter_z,
-    # ml_eval_hosmer_lemeshow, ml_eval_cronbach_alpha — each
+    # ml_eval_hosmer_lemeshow, ml_eval_cronbach_alpha, plus the later
+    # session-6 additions stats_welch_ttest, stats_oneway_anova_f,
+    # events_cramers_v_matrix, events_gpd_moment_fit,
+    # stats_pacf_durbin_levinson, text_sttr_segments,
+    # text_burrows_delta, privacy_dp_topk_words — each
     # sf0.001+sf0.01-gated and brute-force-replicated in
     # test_round12s6.py) also queue for the r13 rotation.
     "stats_kruskal_wallis",
@@ -239,6 +243,10 @@ def _load_all() -> None:
         # round-12 split of textcorpus_queries: retrieval/search +
         # curation-mixing moved out before the 2,000-line threshold
         textsearch_queries,
+        # round-12 session-6 split of textcorpus_queries: lexical-
+        # diversity / source-profile statistics moved out before the
+        # 2,000-line threshold (keys and oracles unchanged)
+        textprofile_queries,
         sketch_queries,
         stats_queries,
         # round-9 split of stats_queries along screens-vs-tests lines;
@@ -251,6 +259,10 @@ def _load_all() -> None:
         # round-12 session 4: nonparametric location/dispersion tests
         # and regression-residual diagnostics
         statsnonparam_queries,
+        # round-12 session-6 split of statsnonparam_queries: hourly-
+        # series diagnostics (runs/Ljung-Box/Durbin-Watson) moved out
+        # past the 2,000-line threshold (keys and oracles unchanged)
+        statsseries_queries,
         # round-12 session 6: parametric moment-based tests (Grubbs,
         # Jarque-Bera, Poisson rate ratio) — statstests/statsnonparam
         # both sit against the 2,000-line split threshold
