@@ -250,6 +250,8 @@ PROBE = [
     "events_gpd_moment_fit",
     "stats_pacf_durbin_levinson",
     "text_sttr_segments",
+    "text_burrows_delta",
+    "privacy_dp_topk_words",
 ]
 # quadratic-oracle twins: timing DuckDB here measures the oracle's
 # deliberate brute-force design, not the engine — skip, like bench.py

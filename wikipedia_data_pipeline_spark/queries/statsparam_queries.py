@@ -538,10 +538,12 @@ def stats_oneway_anova_f(spark, sf_dir):
 # pairs (event_type x day-of-week, event_type x 6h-bucket, dow x
 # bucket) — the NORMALIZED association strength the raw chi2 screens
 # (events_chi2_type_dow) cannot compare across tables of different
-# shape. Same cell construction as the chi2 screen: one hash agg per
-# pair to a bounded contingency table, margins via windows over that
-# tiny relation, per-cell terms through DECIMAL(18,6) (observed cells;
-# the fixture's tables are dense).
+# shape. Cell construction follows the chi2 screen (margins via
+# windows over the tiny cell relation, per-cell terms through
+# DECIMAL(18,6), observed cells — the fixture's tables are dense),
+# but all three pairs marginalize ONE (t x d x h) cube aggregate, so
+# the fact is scanned once however many pairs are audited. The oracle
+# keeps the per-pair scans (clarity over speed on the twin side).
 
 _V_PAIRS = [
     ("type_dow", "event_type",
@@ -587,7 +589,11 @@ _CRAMERS_ORACLE = "\nUNION ALL\n".join(
 def events_cramers_v_matrix(spark, sf_dir):
     """Cramer's V for three categorical pairs over events — the
     comparable association matrix behind the chi2 screens. See the
-    section comment; three bounded contingency aggs, unioned."""
+    section comment. Scale shape: ONE fact hash agg to the full
+    (type x dow x 6h-bucket) cube (<= 5*7*4 = 140 cells); each pair's
+    contingency table is a marginalization of that cube, so the three
+    branches share the identical scan+agg subplan (one physical scan
+    via exchange reuse) and everything downstream is cell-bounded."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -598,12 +604,20 @@ def events_cramers_v_matrix(spark, sf_dir):
         % 7
     )
     hod6 = (F.expr("(ts div 3600000000) % 24") / 6).cast("long")
+    cube = (
+        ev.select(
+            F.col("event_type").alias("t"),
+            dow.cast("string").alias("d"),
+            hod6.cast("string").alias("h"),
+        )
+        .groupBy("t", "d", "h")
+        .agg(F.count(F.lit(1)).alias("o3"))
+    )
 
     def block(name, ca, cb):
         cells = (
-            ev.select(ca.alias("a"), cb.alias("b"))
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("o"))
+            cube.groupBy(F.col(ca).alias("a"), F.col(cb).alias("b"))
+            .agg(F.sum("o3").alias("o"))
         )
         m = (
             cells.withColumn("rt", F.sum("o").over(Window.partitionBy("a")))
@@ -635,10 +649,7 @@ def events_cramers_v_matrix(spark, sf_dir):
             ).alias("cramers_v"),
         )
 
-    hod_cast = hod6.cast("string")  # keep 'b' one comparable type per pair
-    out = block("type_dow", F.col("event_type"), dow.cast("string"))
-    out = out.unionByName(
-        block("type_hod6", F.col("event_type"), hod_cast)
-    )
-    out = out.unionByName(block("dow_hod6", dow.cast("string"), hod_cast))
+    out = block("type_dow", "t", "d")
+    out = out.unionByName(block("type_hod6", "t", "h"))
+    out = out.unionByName(block("dow_hod6", "d", "h"))
     return out
