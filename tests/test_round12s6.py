@@ -686,3 +686,40 @@ def test_dp_topk_words_matches_bruteforce(spark, sf_dir, queries):
         row = next(r for r in rows if r["release_rank"] == i)
         assert (row["word"], row["n_occurrences"]) == (w, c)
         assert row["true_count_rank"] == true_rank[w]
+
+
+# --- Moran's I -----------------------------------------------------------
+
+
+def test_moran_i_matches_bruteforce(spark, sf_dir, queries):
+    hm = 2147483647
+    cells = Counter()
+    for eid, u, *_ in _events(sf_dir):
+        x = (det_hash_py(u) % 1000) / 10.0
+        y = (det_hash_py(eid) % 1000) / 10.0
+        cells[(math.floor(x), math.floor(y))] += 1
+    n = len(cells)
+    s = sum(cells.values())
+    cbar = s / n
+    num = w = 0
+    s2 = 0
+    for (cx, cy), ca in cells.items():
+        deg = 0
+        for dx, dy in ((-1, 0), (0, -1), (0, 1), (1, 0)):
+            cb = cells.get((cx + dx, cy + dy))
+            if cb is not None:
+                w += 1
+                deg += 1
+                num += (ca - cbar) * (cb - cbar)
+        s2 += (2 * deg) ** 2
+    den = sum((c - cbar) ** 2 for c in cells.values())
+    i_exp = (n / w) * num / den
+    row = queries["spatial_moran_i_events"](spark, sf_dir).collect()[0]
+    assert (row["n_cells"], row["w_pairs"]) == (n, w)
+    _approx(row["moran_i"], i_exp, rel=1e-9)
+    _approx(row["e_i_null"], -1 / (n - 1))
+    e_i = -1 / (n - 1)
+    var_i = (n * n * (2 * w) - n * s2 + 3 * w * w) / (
+        w * w * (n * n - 1)
+    ) - e_i * e_i
+    _approx(row["z_normality"], (i_exp - e_i) / math.sqrt(var_i), rel=1e-9)

@@ -193,3 +193,157 @@ def spatial_grid_join_events(spark, sf_dir):
             d2.alias("dist2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Moran's I spatial autocorrelation over the event grid (r12s6)
+# ---------------------------------------------------------------------------
+# The global clustering statistic for gridded data: with cell counts
+# c_i, binary rook-neighbor weights over occupied cells,
+#   I = (n/W) * sum_ij w_ij (c_i - cbar)(c_j - cbar) / sum_i (c_i - cbar)^2
+# I > E[I] = -1/(n-1) means hot cells neighbor hot cells (spatial
+# clustering a uniform-hash lattice should NOT show — the null audit).
+# Cross-multiplied exactness: every centered product scales by n to
+# (n*c_i - S)(n*c_j - S), summed as DECIMAL; the normality z uses the
+# standard S1 = 2W / S2 = 4*sum(deg^2) moments, all exact integers,
+# one fixed double expression. Scale shape: one fact hash agg to the
+# grid-bounded cell relation, a 4-offset broadcast neighbor equi-join
+# (never a cell cross join), grid-bounded everything after.
+
+_MORAN_ORACLE = f"""
+WITH pts AS (
+  SELECT CAST(floor({_GEO_X}) AS BIGINT) AS cx,
+         CAST(floor({_GEO_Y}) AS BIGINT) AS cy
+  FROM events
+),
+cells AS (
+  SELECT cx, cy, CAST(count(*) AS BIGINT) AS c FROM pts GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s
+  FROM cells
+),
+pairs AS (
+  SELECT a.c AS ca, b.c AS cb
+  FROM cells a
+  JOIN (SELECT unnest([-1, 0, 0, 1]) AS dx, unnest([0, -1, 1, 0]) AS dy) o
+    ON true
+  JOIN cells b ON a.cx + o.dx = b.cx AND a.cy + o.dy = b.cy
+),
+deg AS (
+  SELECT a.cx, a.cy, CAST(count(*) AS BIGINT) AS d
+  FROM cells a
+  JOIN (SELECT unnest([-1, 0, 0, 1]) AS dx, unnest([0, -1, 1, 0]) AS dy) o
+    ON true
+  JOIN cells b ON a.cx + o.dx = b.cx AND a.cy + o.dy = b.cy
+  GROUP BY 1, 2
+),
+mo AS (
+  SELECT t.n, t.s,
+         (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS w,
+         (SELECT CAST(sum(CAST(t2.n * ca - t2.s AS DECIMAL(38,0))
+                          * (t2.n * cb - t2.s)) AS DECIMAL(38,0))
+          FROM pairs, tot t2) AS num,
+         (SELECT CAST(sum(CAST(t2.n * c - t2.s AS DECIMAL(38,0))
+                          * (t2.n * c - t2.s)) AS DECIMAL(38,0))
+          FROM cells, tot t2) AS den,
+         (SELECT CAST(sum(4 * d * d) AS BIGINT) FROM deg) AS s2
+  FROM tot t
+)
+SELECT n AS n_cells, w AS w_pairs,
+       (CAST(n AS DOUBLE) / w) * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+         AS moran_i,
+       -1.0 / (n - 1) AS e_i_null,
+       ((CAST(n AS DOUBLE) / w) * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+        - (-1.0 / (n - 1)))
+       / sqrt((CAST(n AS DOUBLE) * n * (2.0 * w) - CAST(n AS DOUBLE) * s2
+               + 3.0 * CAST(w AS DOUBLE) * w)
+              / (CAST(w AS DOUBLE) * w * (CAST(n AS DOUBLE) * n - 1))
+              - (1.0 / (n - 1)) * (1.0 / (n - 1))) AS z_normality
+FROM mo
+"""
+
+
+@register("spatial_moran_i_events", oracle=_MORAN_ORACLE)
+def spatial_moran_i_events(spark, sf_dir):
+    """Global Moran's I over per-grid-cell event counts with rook
+    neighbors — the spatial-autocorrelation audit beside the grid
+    distance join (same deterministic 0.1-degree lattice). See the
+    section comment; the statistic, its null mean, and the normality z
+    are fixed double expressions over exact DECIMAL cross-products."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.floor(F.expr(_GEO_X)).cast("long").alias("cx"),
+        F.floor(F.expr(_GEO_Y)).cast("long").alias("cy"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+    )
+    offsets = ev.sparkSession.createDataFrame(
+        [(-1, 0), (0, -1), (0, 1), (1, 0)], "dx long, dy long"
+    )
+    a = cells.select(
+        F.col("cx").alias("ax"), F.col("cy").alias("ay"),
+        F.col("c").alias("ca"),
+    )
+    b = cells.select(
+        F.col("cx").alias("bx"), F.col("cy").alias("by"),
+        F.col("c").alias("cb"),
+    )
+    pairs = a.crossJoin(F.broadcast(offsets)).join(
+        F.broadcast(b),
+        (F.col("ax") + F.col("dx") == F.col("bx"))
+        & (F.col("ay") + F.col("dy") == F.col("by")),
+    )
+    dec = "decimal(38,0)"
+    pstats = pairs.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).cast("long").alias("w"),
+        F.sum(
+            (F.col("n") * F.col("ca") - F.col("s")).cast(dec)
+            * (F.col("n") * F.col("cb") - F.col("s"))
+        )
+        .cast(dec)
+        .alias("num"),
+    )
+    den = cells.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            (F.col("n") * F.col("c") - F.col("s")).cast(dec)
+            * (F.col("n") * F.col("c") - F.col("s"))
+        )
+        .cast(dec)
+        .alias("den")
+    )
+    s2 = (
+        pairs.groupBy("ax", "ay")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .agg(F.sum(4 * F.col("d") * F.col("d")).cast("long").alias("s2"))
+    )
+    mo = (
+        tot.crossJoin(F.broadcast(pstats))
+        .crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(s2))
+    )
+    nd = F.col("n").cast("double")
+    wd = F.col("w").cast("double")
+    i_stat = (nd / F.col("w")) * (
+        F.col("num").cast("double") / F.col("den").cast("double")
+    )
+    e_null = -1.0 / (F.col("n") - 1)
+    var_i = (
+        nd * F.col("n") * (2.0 * F.col("w"))
+        - nd * F.col("s2")
+        + 3.0 * wd * F.col("w")
+    ) / (wd * F.col("w") * (nd * F.col("n") - 1)) - (
+        1.0 / (F.col("n") - 1)
+    ) * (1.0 / (F.col("n") - 1))
+    return mo.select(
+        F.col("n").alias("n_cells"),
+        F.col("w").alias("w_pairs"),
+        i_stat.alias("moran_i"),
+        e_null.alias("e_i_null"),
+        ((i_stat - e_null) / F.sqrt(var_i)).alias("z_normality"),
+    )

@@ -137,7 +137,8 @@ _ROTATION = [
     # session-6 additions stats_welch_ttest, stats_oneway_anova_f,
     # events_cramers_v_matrix, events_gpd_moment_fit,
     # stats_pacf_durbin_levinson, text_sttr_segments,
-    # text_burrows_delta, privacy_dp_topk_words — each
+    # text_burrows_delta, privacy_dp_topk_words,
+    # spatial_moran_i_events — each
     # sf0.001+sf0.01-gated and brute-force-replicated in
     # test_round12s6.py) also queue for the r13 rotation.
     "stats_kruskal_wallis",
