@@ -723,3 +723,47 @@ def test_moran_i_matches_bruteforce(spark, sf_dir, queries):
         w * w * (n * n - 1)
     ) - e_i * e_i
     _approx(row["z_normality"], (i_exp - e_i) / math.sqrt(var_i), rel=1e-9)
+
+
+# --- RAKE keywords -------------------------------------------------------
+
+
+def test_rake_keywords_matches_bruteforce(spark, sf_dir, queries):
+    docs = _docs(sf_dir)
+    corpus = Counter()
+    for _, text, _, _ in docs:
+        corpus.update(text.split(" "))
+    stop = set(sorted(corpus, key=lambda w: (-corpus[w], w))[:20])
+    phrases = []  # (ptext, words)
+    for _, text, _, _ in docs:
+        run = []
+        for w in text.split(" ") + [None]:
+            if w is None or w in stop:
+                if run:
+                    phrases.append((" ".join(run), list(run)))
+                    run = []
+            else:
+                run.append(w)
+    freq, deg = Counter(), Counter()
+    for _, ws in phrases:
+        for w in ws:
+            freq[w] += 1
+            deg[w] += len(ws)
+
+    def rhu(v):
+        return math.floor(v + 0.5)
+
+    scored = {}
+    occ = Counter()
+    for ptext, ws in phrases:
+        s = sum(rhu(1e9 * deg[w] / freq[w]) for w in ws)
+        scored[ptext] = s
+        occ[ptext] += 1
+    top = sorted(scored, key=lambda t: (-scored[t], t))[:20]
+    rows = queries["text_rake_keywords"](spark, sf_dir).collect()
+    assert [r["phrase"] for r in rows] == sorted(
+        top, key=lambda t: (-scored[t], t)
+    )
+    for r in rows:
+        assert r["n_occurrences"] == occ[r["phrase"]]
+        _approx(r["rake_score"], scored[r["phrase"]] / 1e9)

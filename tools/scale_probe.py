@@ -253,6 +253,7 @@ PROBE = [
     "text_burrows_delta",
     "privacy_dp_topk_words",
     "spatial_moran_i_events",
+    "text_rake_keywords",
 ]
 # quadratic-oracle twins: timing DuckDB here measures the oracle's
 # deliberate brute-force design, not the engine — skip, like bench.py

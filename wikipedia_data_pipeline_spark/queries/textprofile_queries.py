@@ -574,3 +574,154 @@ def text_burrows_delta(spark, sf_dir):
         "n_words",
         "burrows_delta",
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction over the corpus (r12s6)
+# ---------------------------------------------------------------------------
+# Rapid Automatic Keyword Extraction (Rose et al. 2010): candidate
+# phrases are maximal runs of non-stopword tokens; each word scores
+# deg/freq (deg = sum of the lengths of the phrases it appears in,
+# freq = its occurrence count over candidates); a phrase scores the
+# sum of its words' scores. Stopwords here are the corpus's top-20
+# words by frequency (deterministic; RAKE's original list is
+# English-specific and this engine is language-agnostic). Top-20
+# distinct phrase TEXTS by score, with occurrence counts.
+# Exactness: deg and freq are exact BIGINTs; each per-(phrase, word)
+# deg/freq term is ONE double division nano-quantized before the
+# phrase sum; phrase text reassembles via an order-preserving
+# aggregation (sorted (position, word) structs), identical in both
+# engines. Scale shape: phrase segmentation is the gaps-islands
+# prefix trick inside PER-DOCUMENT windows (never global), word stats
+# are one vocab-bounded agg broadcast back, and the final top-20 is a
+# TakeOrdered over the distinct-phrase relation.
+
+_RAKE_K_STOP = 20
+_RAKE_TOPK = 20
+
+_RAKE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, u.g AS p, ws[u.g] AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       unnest(generate_series(1, len(ws))) AS u(g)
+),
+stop AS (
+  SELECT w FROM (
+    SELECT w, count(*) AS c FROM tok GROUP BY 1
+    ORDER BY c DESC, w LIMIT {_RAKE_K_STOP}
+  )
+),
+nons AS (
+  SELECT t.doc_id, t.p, t.w,
+         t.p - row_number() OVER (PARTITION BY t.doc_id ORDER BY t.p)
+           AS grp
+  FROM tok t LEFT JOIN stop s ON t.w = s.w
+  WHERE s.w IS NULL
+),
+phrase AS (
+  SELECT doc_id, grp,
+         string_agg(w, ' ' ORDER BY p) AS ptext,
+         CAST(count(*) AS BIGINT) AS plen
+  FROM nons GROUP BY 1, 2
+),
+wstat AS (
+  SELECT w,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(plen) AS BIGINT) AS deg
+  FROM nons n JOIN phrase ph
+    ON n.doc_id = ph.doc_id AND n.grp = ph.grp
+  GROUP BY 1
+),
+pscore AS (
+  SELECT ph.ptext,
+         CAST(sum(CAST(round(1e9 * CAST(ws.deg AS DOUBLE) / ws.freq)
+                       AS BIGINT)) AS BIGINT) AS score_nano
+  FROM nons n
+  JOIN phrase ph ON n.doc_id = ph.doc_id AND n.grp = ph.grp
+  JOIN wstat ws ON n.w = ws.w
+  GROUP BY ph.doc_id, ph.grp, ph.ptext
+),
+dedup AS (
+  SELECT ptext, CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(max(score_nano) AS BIGINT) AS score_nano
+  FROM pscore GROUP BY 1
+)
+SELECT ptext AS phrase, n_occurrences,
+       CAST(score_nano AS DOUBLE) / 1e9 AS rake_score
+FROM dedup
+ORDER BY score_nano DESC, ptext
+LIMIT {_RAKE_TOPK}
+"""
+
+
+@register("text_rake_keywords", oracle=_RAKE_ORACLE)
+def text_rake_keywords(spark, sf_dir):
+    """Top-20 RAKE keyword phrases over the corpus (stopwords = the
+    corpus's top-20 words; phrases = maximal non-stopword runs; score
+    = sum of member words' degree/frequency). The classic unsupervised
+    keyword extractor next to the PMI collocations and TextRank-style
+    graph scores. See the section comment for the per-document
+    gaps-islands segmentation and nano-quantized score construction."""
+    from pyspark.sql import Window
+
+    from wikipedia_data_pipeline_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "w")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "w")
+    stop = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(_RAKE_K_STOP)
+        .select("w")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("p")
+    nons = (
+        tok.join(F.broadcast(stop), "w", "left_anti")
+        .withColumn("grp", F.col("p") - F.row_number().over(w_doc))
+    )
+    phrase = nons.groupBy("doc_id", "grp").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("p"), F.col("w")))
+                ),
+                lambda s: s["w"],
+            ),
+        ).alias("ptext"),
+        F.count(F.lit(1)).cast("long").alias("plen"),
+    )
+    joined = nons.join(phrase, ["doc_id", "grp"])
+    wstat = joined.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+    )
+    pscore = (
+        joined.join(F.broadcast(wstat), "w")
+        .groupBy("doc_id", "grp", "ptext")
+        .agg(
+            F.sum(
+                F.round(
+                    1e9 * F.col("deg").cast("double") / F.col("freq")
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("score_nano")
+        )
+    )
+    dedup = pscore.groupBy("ptext").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.max("score_nano").cast("long").alias("score_nano"),
+    )
+    return (
+        dedup.orderBy(F.desc("score_nano"), "ptext")
+        .limit(_RAKE_TOPK)
+        .select(
+            F.col("ptext").alias("phrase"),
+            "n_occurrences",
+            (F.col("score_nano").cast("double") / 1e9).alias("rake_score"),
+        )
+    )
