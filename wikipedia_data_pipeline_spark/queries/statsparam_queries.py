@@ -612,6 +612,12 @@ def events_cramers_v_matrix(spark, sf_dir):
         )
         .groupBy("t", "d", "h")
         .agg(F.count(F.lit(1)).alias("o3"))
+        # three union branches re-aggregate this <=140-row cube; Spark
+        # does no cross-subtree CSE and exchange reuse does not fire
+        # across the union, so persist the cube to make the fact scan
+        # genuinely happen once (the multiply-referenced-intermediate
+        # rule from the TF-IDF/minhash pipelines)
+        .persist()
     )
 
     def block(name, ca, cb):
