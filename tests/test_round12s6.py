@@ -767,3 +767,29 @@ def test_rake_keywords_matches_bruteforce(spark, sf_dir, queries):
     for r in rows:
         assert r["n_occurrences"] == occ[r["phrase"]]
         _approx(r["rake_score"], scored[r["phrase"]] / 1e9)
+
+
+# --- GroupKFold audit ----------------------------------------------------
+
+
+def test_group_kfold_audit_matches_bruteforce(spark, sf_dir, queries):
+    per = {}
+    for _, u, g, _, _ in _events(sf_dir):
+        fold = det_hash_py(u) % 5
+        users, n, p = per.get(fold, (set(), 0, 0))
+        users.add(u)
+        per[fold] = (users, n + 1, p + (g == "purchase"))
+    n_tot = sum(n for _, n, _ in per.values())
+    rows = {
+        r["fold"]: r
+        for r in queries["sample_group_kfold_audit"](spark, sf_dir).collect()
+    }
+    assert sorted(rows) == sorted(per)
+    # leakage-free by construction: fold user sets are disjoint
+    all_users = [us for us, _, _ in per.values()]
+    assert sum(len(u) for u in all_users) == len(set().union(*all_users))
+    for fold, (users, n, p) in per.items():
+        row = rows[fold]
+        assert (row["n_users"], row["n_events"]) == (len(users), n)
+        _approx(row["event_share"], n / n_tot)
+        _approx(row["purchase_rate"], p / n)

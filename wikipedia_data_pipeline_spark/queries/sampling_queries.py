@@ -797,3 +797,71 @@ def sample_split_ks_uniformity(spark, sf_dir):
         crit.alias("crit_5pct"),
         (F.col("d_stat") <= crit).alias("uniform_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Group k-fold assignment with leakage and balance audit (r12s6)
+# ---------------------------------------------------------------------------
+# Cross-validation on user-generated events MUST fold by USER: a
+# row-level split leaks each user's behavior across folds and inflates
+# every metric. The fold id is det_hash(user_id) % 5 — deterministic,
+# so the assignment is reproducible lineage, and user-keyed, so
+# leakage is zero BY CONSTRUCTION. The audit row per fold reports what
+# a reviewer checks before trusting a CV number: distinct users, event
+# count and share, and the purchase rate (label balance) — imbalanced
+# folds mean the hash or the population is skewed. One fact scan, one
+# 5-row agg; every double is one division of exact BIGINTs.
+
+_GKF_ORACLE = f"""
+WITH f AS (
+  SELECT ({S.SQL_DET_HASH.format(col="user_id")}) % 5 AS fold,
+         user_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events
+),
+per AS (
+  SELECT CAST(fold AS BIGINT) AS fold,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(is_p) AS BIGINT) AS n_purchase
+  FROM f GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS n FROM per)
+SELECT fold, n_users, n_events,
+       CAST(n_events AS DOUBLE) / tot.n AS event_share,
+       CAST(n_purchase AS DOUBLE) / n_events AS purchase_rate
+FROM per CROSS JOIN tot
+"""
+
+
+@register("sample_group_kfold_audit", oracle=_GKF_ORACLE)
+def sample_group_kfold_audit(spark, sf_dir):
+    """Deterministic 5-fold GroupKFold assignment over users with the
+    per-fold audit (distinct users, event share, label balance) — the
+    leakage-safe CV split an event-level split silently is not. See
+    the section comment; one scan, one 5-row aggregate."""
+    from wikipedia_data_pipeline_spark.operators.sampling import det_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.select(
+        (det_hash("user_id") % 5).cast("long").alias("fold"),
+        "user_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "is_p"
+        ),
+    )
+    per = f.groupBy("fold").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("is_p").cast("long").alias("n_purchase"),
+    )
+    tot = per.agg(F.sum("n_events").cast("long").alias("n"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        "n_users",
+        "n_events",
+        (F.col("n_events").cast("double") / F.col("n")).alias("event_share"),
+        (F.col("n_purchase").cast("double") / F.col("n_events")).alias(
+            "purchase_rate"
+        ),
+    )
