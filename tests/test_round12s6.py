@@ -793,3 +793,36 @@ def test_group_kfold_audit_matches_bruteforce(spark, sf_dir, queries):
         assert (row["n_users"], row["n_events"]) == (len(users), n)
         _approx(row["event_share"], n / n_tot)
         _approx(row["purchase_rate"], p / n)
+
+
+# --- Participation ratio -------------------------------------------------
+
+
+def test_participation_ratio_matches_bruteforce(spark, sf_dir, queries):
+    rows = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+        " ORDER BY vec_id"
+    ).fetchall()
+
+    def rhu(v):
+        return math.floor(v + 0.5) if v >= 0 else -math.floor(-v + 0.5)
+
+    q = [[rhu(1e6 * float(x)) for x in (e,)[0]] for (e,) in rows]
+    n, d = len(q), 64
+    s = [sum(v[j] for v in q) for j in range(d)]
+    tr_c = tr_c2 = 0
+    for j in range(d):
+        for k in range(d):
+            pjk = sum(v[j] * v[k] for v in q)
+            cov_nano = rhu(1e9 * ((n * pjk - s[j] * s[k]) / (n * n) / 1e12))
+            if j == k:
+                tr_c += cov_nano
+            tr_c2 += cov_nano * cov_nano
+    tr_c /= 1e9
+    tr_c2 /= 1e18
+    row = queries["embedding_participation_ratio"](spark, sf_dir).collect()[0]
+    assert (row["n_vecs"], row["d"]) == (n, d)
+    _approx(row["trace_cov"], tr_c, rel=1e-9)
+    _approx(row["trace_cov_sq"], tr_c2, rel=1e-9)
+    _approx(row["participation_ratio"], tr_c * tr_c / tr_c2, rel=1e-9)
+    assert 1.0 <= row["participation_ratio"] <= d

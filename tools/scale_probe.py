@@ -254,6 +254,8 @@ PROBE = [
     "privacy_dp_topk_words",
     "spatial_moran_i_events",
     "text_rake_keywords",
+    "sample_group_kfold_audit",
+    "embedding_participation_ratio",
 ]
 # quadratic-oracle twins: timing DuckDB here measures the oracle's
 # deliberate brute-force design, not the engine — skip, like bench.py

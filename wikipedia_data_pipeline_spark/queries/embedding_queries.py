@@ -402,3 +402,155 @@ def embedding_simplified_silhouette(spark, sf_dir):
             / F.count("*")
         ).alias("mean_silhouette"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Participation ratio: effective dimensionality without an eigensolver
+# ---------------------------------------------------------------------------
+# PR = tr(C)^2 / tr(C^2) for the embedding covariance C equals
+# (sum lambda)^2 / sum lambda^2 — the standard effective-rank readout
+# (PR = d for isotropic vectors, ~1 for a collapsed representation) —
+# and BOTH traces are computable from second moments alone:
+# tr(C^2) = ||C||_F^2 = sum_jk cov_jk^2. No eigendecomposition, so
+# unlike embedding_pca_project this has an exact SQL twin.
+# Exactness: embeddings micro-quantized once (q = round(1e6 x), so the
+# cross-moment sums are exact integers in DECIMAL); each of the d^2
+# covariance cells is ONE fixed double expression (n*P_jk - S_j*S_k)
+# / n^2 / 1e12, nano-quantized before the d^2-term trace sums (the
+# n-scaled all-integer squares would overflow DECIMAL(38)).
+# Scale shape: one flat-product explode (d^2 BIGINTs per row — narrow,
+# no strings) into a (j, k)-keyed hash agg with map-side combine;
+# everything after is d^2-bounded.
+
+_PR_D = 64
+
+_PR_ORACLE = f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+                        x -> CAST(round(1e6 * CAST(x AS DOUBLE)) AS BIGINT))
+           AS qv
+  FROM embeddings
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+s AS (
+  SELECT t.j, CAST(sum(qv[t.j]) AS BIGINT) AS sj
+  FROM q, generate_series(1, {_PR_D}) t(j) GROUP BY 1
+),
+p AS (
+  SELECT t1.j, t2.k,
+         CAST(sum(CAST(qv[t1.j] AS DECIMAL(19,0)) * qv[t2.k])
+              AS DECIMAL(38,0)) AS pjk
+  FROM q, generate_series(1, {_PR_D}) t1(j),
+       generate_series(1, {_PR_D}) t2(k)
+  GROUP BY 1, 2
+),
+cell AS (
+  SELECT p.j, p.k,
+         CAST(round(1e9 * ((CAST(n.n AS DOUBLE) * CAST(p.pjk AS DOUBLE)
+                            - CAST(a.sj AS DOUBLE) * CAST(b.sj AS DOUBLE))
+                           / (CAST(n.n AS DOUBLE) * n.n) / 1e12))
+              AS BIGINT) AS cov_nano
+  FROM p JOIN s a ON p.j = a.j JOIN s b ON p.k = b.j CROSS JOIN n
+),
+tr AS (
+  SELECT
+    CAST(sum(CASE WHEN j = k THEN CAST(cov_nano AS DECIMAL(38,0))
+             ELSE 0 END) AS DOUBLE) / 1e9 AS tr_c,
+    CAST(sum(CAST(cov_nano AS DECIMAL(19,0)) * cov_nano)
+         AS DOUBLE) / 1e18 AS tr_c2
+  FROM cell
+)
+SELECT (SELECT n FROM n) AS n_vecs, CAST({_PR_D} AS BIGINT) AS d,
+       tr_c AS trace_cov, tr_c2 AS trace_cov_sq,
+       tr_c * tr_c / tr_c2 AS participation_ratio,
+       tr_c * tr_c / tr_c2 / {_PR_D} AS pr_normalized
+FROM tr
+"""
+
+
+@register("embedding_participation_ratio", oracle=_PR_ORACLE)
+def embedding_participation_ratio(spark, sf_dir):
+    """Effective dimensionality of the embedding space via the
+    participation ratio tr(C)^2 / tr(C^2) — the representation-collapse
+    audit next to embedding_cosine_pair_histogram, exact-oracle because
+    both traces come from second moments (no eigensolver). See the
+    section comment for the micro-quantized moment construction."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(1e6 * x.cast("double")).cast("long"),
+    )
+    q = emb.select(arr.alias("qv"))
+    n = q.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sj = (
+        q.select(F.posexplode("qv").alias("j0", "v"))
+        .groupBy((F.col("j0") + 1).alias("j"))
+        .agg(F.sum("v").cast("long").alias("sj"))
+    )
+    flat = F.flatten(
+        F.transform(
+            F.col("qv"),
+            lambda x: F.transform(F.col("qv"), lambda y: x * y),
+        )
+    )
+    p = (
+        q.select(F.posexplode(flat).alias("pos", "prod"))
+        .groupBy(
+            (F.expr(f"pos div {_PR_D}") + 1).alias("j"),
+            (F.col("pos") % _PR_D + 1).alias("k"),
+        )
+        .agg(
+            F.sum(F.col("prod").cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+            .alias("pjk")
+        )
+    )
+    a = sj.select(F.col("j").alias("aj"), F.col("sj").alias("sa"))
+    b = sj.select(F.col("j").alias("bj"), F.col("sj").alias("sb"))
+    cell = (
+        p.join(F.broadcast(a), F.col("j") == F.col("aj"))
+        .join(F.broadcast(b), F.col("k") == F.col("bj"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "j",
+            "k",
+            F.round(
+                1e9
+                * (
+                    (
+                        F.col("n").cast("double") * F.col("pjk").cast("double")
+                        - F.col("sa").cast("double") * F.col("sb").cast("double")
+                    )
+                    / (F.col("n").cast("double") * F.col("n"))
+                    / 1e12
+                )
+            )
+            .cast("long")
+            .alias("cov_nano"),
+        )
+    )
+    tr = cell.agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("j") == F.col("k"),
+                    F.col("cov_nano").cast("decimal(38,0)"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).cast("double")
+            / 1e9
+        ).alias("tr_c"),
+        (
+            F.sum(F.col("cov_nano").cast("decimal(19,0)") * F.col("cov_nano"))
+            .cast("double")
+            / 1e18
+        ).alias("tr_c2"),
+    )
+    pr = F.col("tr_c") * F.col("tr_c") / F.col("tr_c2")
+    return tr.crossJoin(F.broadcast(n)).select(
+        F.col("n").alias("n_vecs"),
+        F.lit(_PR_D).cast("long").alias("d"),
+        F.col("tr_c").alias("trace_cov"),
+        F.col("tr_c2").alias("trace_cov_sq"),
+        pr.alias("participation_ratio"),
+        (pr / _PR_D).alias("pr_normalized"),
+    )
