@@ -51,122 +51,92 @@ def register(
 
 # The driver's correctness gate walks a bounded prefix (~50 entries) of
 # queries(). Those slots are only useful for oracle-checkable queries, so
-# the exported order is: (1) a PINNED set — the reference surface
-# (TF-IDF / Task 1) plus the event-time family that broke in round 4,
-# which keep driver evidence every round; (2) a per-round ROTATION that
-# cycles the remaining ~35 slots through the least-recently-driver-
-# verified oracle families, so independent verification sweeps the whole
-# registry over rounds instead of re-checking the same prefix; (3) every
-# other oracle-bearing query in registration order; (4) the no-oracle
-# approximate/streaming-only entries (rows-only checks) at the very end.
+# the exported order is: (1) a PINNED set that keeps driver evidence
+# every round; (2) a per-round ROTATION that cycles the remaining slots
+# through the least-recently-driver-verified oracle families, so
+# independent verification sweeps the whole registry over rounds instead
+# of re-checking the same prefix; (3) every other oracle-bearing query
+# in registration order; (4) the no-oracle approximate/streaming-only
+# entries (rows-only checks) at the very end.
+#
+# ROUND 13: the r12 verdict's #2 directive is to spend the whole window
+# on the 155 oracle-bearing keys that have never appeared in a driver
+# window (277/432 ever-green; backlog grew while the registry did).
+# The pinned set is therefore cut to the two flagship reference-surface
+# keys for this round — the usual pinned members (event-time family,
+# TF-IDF stages) all have multi-round driver evidence (r1–r12 green)
+# and rotate back in once the backlog drains.
 _PINNED = [
-    # event-time family (r4 breakage — keeps hard driver evidence)
-    "events_funnel",
-    "window_lag_lead",
-    "window_running_sum",
-    "asof_join_last_view",
-    "sessionization",
-    "streaming_static_enrich",
-    # reference surface: the TF-IDF / Task 1 pipeline itself
-    "doc_tokens",
-    "doc_term_counts",
-    "doc_tf",
-    "idf",
     "tfidf_full",
     "task1_dictionary",
-    "task1_probe",
-    "corpus_doc_count",
-    "dedup_exact",
 ]
 
-# Round-12 rotation. Priority order inside the ~35 slots: (1) every
-# query whose CODE changed this round — the six ordered_scan prefix-sum
-# rewrites (r11 verdict #1), the BLEU/ROUGE gram fingerprinting, the
-# fused Spearman flip, and the half-pair recs coverage — the driver
-# must re-verify changed code; (2) the round's NEW queries (first-time
-# evidence); (3) the oldest never-driver-verified backlog (the rest of
-# the r5s3 finance/sequence block rotates in r13). The r11 rotation
-# went driver-green in CORRECTNESS_r11 (50/50) and rotates out with
-# that evidence. Driver-ever before this round: 249/366 oracle keys.
+# Round-13 rotation: 48 slots, ALL first-time driver keys, drawn from
+# the 155-key never-driver-verified backlog (r12 verdict #2: "point the
+# r13 window's ~50 slots entirely at least-recently-verified keys").
+# Selection: the two bucketed twins the r12 comment promised for r13,
+# then the oldest untouched cohorts in age order — the early relational
+# /window/dedup tail, the r5s3 sequence/events block, the early text-
+# corpus block, and the r5s3 finance block (the largest untouched block
+# per the r12 verdict). The remaining ~107 backlog keys (the r12 stats
+# battery, mleval tail, graph/privacy/spatial, remaining text) queue
+# for the r14–r15 rotations. The r12 rotation went driver-green in
+# CORRECTNESS_r12 (50/50, 28 first-time) and rotates out with that
+# evidence. Driver-ever before this round: 277/432 oracle keys.
 _ROTATION = [
-    # changed this round — ordered_scan rewrite of the prefix sums
-    "ml_eval_auc_delong_ci",
-    "events_ks_test_ab",
-    "events_mannwhitney_ab",
-    "stats_cliffs_delta",
-    "stats_logrank_test",
-    "orders_survival_curve",
-    # changed this round — session 2 perf rewrites (same oracles)
-    "ml_eval_bleu_corpus",
-    "ml_eval_rouge_n",
-    "ml_eval_spearman_rho",
-    "recs_catalog_coverage",
-    # judge-verified r11 but never in a driver window
-    "q3_bucketed_colocated",
-    # new this round — first-time driver evidence. 29 queries were
-    # added across the four r12 sessions; 24 fit the remaining slots.
-    # Deferred to the r13 rotation (each a small variant of machinery
-    # that is ALREADY driver-green, with its own sf0.01 gate + pytest
-    # replication this round): sessionization_bucketed,
-    # asof_join_last_view_bucketed (plan-asserted twins of driver-green
-    # queries), stats_effect_size_panel, sample_mixture_temperature
-    # (siblings of driver-green stats/token-mixture),
-    # ml_eval_regression_panel, and dedup_doc_continuation (heaviest
-    # novelty, 10 s at the 100x probe — gate + pytest cover it) — plus
-    # the late-session-4 additions stats_page_trend,
-    # stats_ansari_bradley, and stats_hodges_lehmann (each gated at
-    # two SFs + brute-force-replicated), the 20 session-5 additions
-    # (stats_kendall_w, stats_cvm_2s, stats_kuiper_hod_uniformity,
-    # stats_bartlett_test, stats_hill_tail_index,
-    # ml_eval_weighted_kappa, ml_eval_macro_f1, ml_eval_mcc_multiclass,
-    # ml_eval_rbo_rankings, ml_eval_wer, sample_split_ks_uniformity,
-    # privacy_randomized_response, events_conditional_entropy,
-    # events_mean_excess_pot, embedding_simplified_silhouette,
-    # graph_degree_assortativity, market_basket_rules,
-    # features_stump_information_gain, text_js_divergence_sources,
-    # text_word_burstiness — each sf0.01-gated + brute-force-
-    # replicated in test_round12s5*.py),
-    # the r5s3 finance block, and the stats/graph/privacy
-    # never-verified tail, which continue in r13. The 13 session-6
-    # additions (text_good_turing_mass, text_log_odds_sources,
-    # text_hellinger_sources, events_theil_inequality,
-    # events_capture_recapture, orders_rmst, events_page_hinkley,
-    # stats_grubbs_outlier, stats_jarque_bera,
-    # stats_poisson_rate_ratio, ml_eval_spiegelhalter_z,
-    # ml_eval_hosmer_lemeshow, ml_eval_cronbach_alpha, plus the later
-    # session-6 additions stats_welch_ttest, stats_oneway_anova_f,
-    # events_cramers_v_matrix, events_gpd_moment_fit,
-    # stats_pacf_durbin_levinson, text_sttr_segments,
-    # text_burrows_delta, privacy_dp_topk_words,
-    # spatial_moran_i_events — each
-    # sf0.001+sf0.01-gated and brute-force-replicated in
-    # test_round12s6.py) also queue for the r13 rotation.
-    "stats_kruskal_wallis",
-    "stats_cochran_armitage_trend",
-    "orders_nelson_aalen_hazard",
-    "sample_neyman_allocation",
-    "embedding_cosine_pair_histogram",
-    "stats_kendall_tau_b",
-    "stats_jonckheere_terpstra",
-    "multimodal_image_luma_histogram",
-    "privacy_dp_median_release",
-    # new in session 3
-    "text_ngram_novelty_rate",
-    # new in session 4 — the nonparametric battery + extensions
-    "stats_friedman_test",
-    "stats_brown_forsythe",
-    "stats_mood_median_test",
-    "stats_wilcoxon_signed_rank",
-    "stats_brunner_munzel",
-    "stats_runs_test",
-    "stats_ljung_box",
-    "stats_durbin_watson",
-    "stats_anderson_darling_2s",
-    "events_hurst_rs",
-    "sample_horvitz_thompson_counts",
-    "dedup_connected_components",
-    "ml_eval_chrf",
-    "incremental_distinct_users_kmv",
+    # bucketed twins of driver-green queries (deferred from r12)
+    "asof_join_last_view_bucketed",
+    "sessionization_bucketed",
+    # oldest never-verified relational / window / dedup tail
+    "sql_interface_top_nations",
+    "task1_probe_reference",
+    "cohort_value_curves",
+    "profiling_fd_violations",
+    "key_skew_events",
+    "window_rank_variants",
+    "window_value_picks",
+    "join_salted_user_enrich",
+    "semantics_null_suite",
+    "order_by_nulls_placement",
+    "dedup_containment",
+    "dedup_doc_continuation",
+    # r5s3 sequence/events block
+    "events_latest_per_key",
+    "incremental_mv_orders",
+    "events_multi_touch_attribution",
+    "events_rolling_active_users",
+    "events_peak_event_per_user",
+    "events_path_signatures",
+    "lineitem_point_in_time_join",
+    "events_burst_users",
+    "orders_integrity_checksum",
+    "events_ewma_value",
+    "orders_dow_seasonality",
+    "lateral_top_orders_per_customer",
+    # early text-corpus block
+    "text_tokenizer_fertility",
+    "heavy_hitter_tokens",
+    "text_trigram_commonness",
+    "text_chunk_documents",
+    "text_word_cooccurrence",
+    "text_unigram_surprisal",
+    "text_infer_stopwords",
+    "text_readability_scores",
+    # r5s3 finance block (largest untouched block, r12 verdict)
+    "orders_priority_transitions",
+    "order_ship_delay_histogram",
+    "revenue_mom_change",
+    "part_brand_return_rates",
+    "orders_open_backlog_daily",
+    "events_cumulative_new_users",
+    "events_time_weighted_avg",
+    "lineitem_weighted_median_price",
+    "nation_revenue_hhi",
+    "orders_seasonal_decompose",
+    "parts_xyz_variability",
+    "orders_repeat_purchase_curve",
+    "lineitem_price_dispersion",
+    "customer_spend_trend",
 ]
 
 
