@@ -485,7 +485,9 @@ def embedding_participation_ratio(spark, sf_dir):
     # <= ~44 significant bits so v + 0.5 is an exact float64 add, and
     # floor(v+0.5) == BigDecimal HALF_UP there), q^T q is an exact
     # int64 matmul (|q| <= ~6e5 -> per-product <= 4e11, safe to ~2e7
-    # rows per Arrow batch; default batches are 10k), and the per-batch
+    # rows per Arrow batch; default batches are 10k, and the kernel
+    # asserts the bound so a raised maxRecordsPerBatch fails loudly
+    # instead of wrapping), and the per-batch
     # partials merge through DECIMAL sums — associative, so the result
     # is bit-identical to the SQL twin under any partitioning.
     def _pr_partials(its):
@@ -502,6 +504,17 @@ def embedding_participation_ratio(spark, sf_dir):
             qm = np.where(
                 v >= 0, np.floor(v + 0.5), -np.floor(-v + 0.5)
             ).astype(np.int64)
+            # The no-overflow bound below assumes the Arrow batch stays
+            # well under ~2e7 rows; numpy int64 wraps SILENTLY past it,
+            # so a session that raises arrow.maxRecordsPerBatch must
+            # fail loudly here rather than ship a plausible wrong PR.
+            if qm.shape[0] > 2_000_000:
+                raise ValueError(
+                    f"participation-ratio Gram batch of {qm.shape[0]} rows "
+                    "exceeds the int64 no-overflow budget (2e6 rows, 10x "
+                    "headroom under the 2e7 wrap point); lower "
+                    "spark.sql.execution.arrow.maxRecordsPerBatch"
+                )
             g = qm.T @ qm
             s = qm.sum(axis=0)
             d = qm.shape[1]

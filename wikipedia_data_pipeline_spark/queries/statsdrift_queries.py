@@ -841,7 +841,10 @@ def events_changepoint_value(spark, sf_dir):
     daily = (
         ev.crossJoin(F.broadcast(t0))
         .groupBy(
-            ((F.col("ts").cast("long") - F.col("t0")) / _US_PER_DAY)
+            # exact integer floor division, matching the oracle's `//`
+            # (see statsparam_queries Grubbs note: float64 ulp > 1 us
+            # beyond ~128-day spans misbins boundary events)
+            F.expr(f"(cast(ts as long) - t0) div {_US_PER_DAY}")
             .cast("long")
             .alias("day_idx")
         )
@@ -1048,7 +1051,10 @@ def events_page_hinkley(spark, sf_dir):
     daily = (
         ev.crossJoin(F.broadcast(t0))
         .groupBy(
-            ((F.col("ts").cast("long") - F.col("t0")) / _US_PER_DAY)
+            # exact integer floor division, matching the oracle's `//`
+            # (see statsparam_queries Grubbs note: float64 ulp > 1 us
+            # beyond ~128-day spans misbins boundary events)
+            F.expr(f"(cast(ts as long) - t0) div {_US_PER_DAY}")
             .cast("long")
             .alias("day_idx")
         )

@@ -76,7 +76,11 @@ def stats_grubbs_outlier(spark, sf_dir):
     daily = (
         ev.crossJoin(F.broadcast(t0))
         .groupBy(
-            ((F.col("ts").cast("long") - F.col("t0")) / _US_PER_DAY)
+            # exact integer floor division, matching the oracle's `//`:
+            # double-divide-then-truncate misbins events within ~1-2 us
+            # of a day boundary once the span exceeds ~128 days (float64
+            # ulp > 1 at those magnitudes)
+            F.expr(f"(cast(ts as long) - t0) div {_US_PER_DAY}")
             .cast("long")
             .alias("day_idx")
         )

@@ -1,11 +1,12 @@
-"""Lexical-diversity and source-profile statistics (split out of
-textcorpus_queries in round 12, session 6, before the 2,000-line
-threshold — keys and oracles unchanged): the Good-Turing smoothing
-table, Monroe log-odds distinguishing terms, the Hellinger source-
-distance matrix, segmented standardized TTR, and Burrows' Delta
+"""Lexical-diversity and source-profile statistics — all NEW queries
+added in round 12, session 6, placed in their own module because
+textcorpus_queries already sat near the 2,000-line split threshold
+(this is an addition, not a split; no keys moved): the Good-Turing
+smoothing table, Monroe log-odds distinguishing terms, the Hellinger
+source-distance matrix, segmented standardized TTR, and Burrows' Delta
 stylometry.
 
-Same conventions as the parent module (registry.py module doc): raw
+Same conventions as the sibling module textcorpus_queries: raw
 whitespace tokenization matching the JS-divergence family, bounded
 source-pair fan-outs, nano-quantized transcendental terms re-summed in
 DECIMAL, and vocabulary relations that are Heaps-bounded but never
