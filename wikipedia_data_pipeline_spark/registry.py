@@ -214,15 +214,19 @@ def _load_all() -> None:
         # round-12 split of textcorpus_queries: retrieval/search +
         # curation-mixing moved out before the 2,000-line threshold
         textsearch_queries,
-        # round-12 session-6 split of textcorpus_queries: lexical-
-        # diversity / source-profile statistics moved out before the
-        # 2,000-line threshold (keys and oracles unchanged)
+        # round-12 session-6 ADDITIONS (not a split — textcorpus was
+        # near the 2,000-line threshold, so the new lexical-diversity /
+        # source-profile queries landed in their own module)
         textprofile_queries,
         sketch_queries,
         stats_queries,
         # round-9 split of stats_queries along screens-vs-tests lines;
         # round-11 split again along fixed-horizon-vs-drift/sequential
         statstests_queries,
+        # round-13 split of statstests_queries at the 2,000-line
+        # threshold: survival / stratified-contingency contrasts and
+        # effect sizes moved out (keys and oracles unchanged)
+        statscontrast_queries,
         statsdrift_queries,
         # round-12: rank-based / ordered-category tests (new module —
         # statstests sits against the 2,000-line split threshold)
