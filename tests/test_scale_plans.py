@@ -726,3 +726,23 @@ def test_asof_bucketed_zero_shuffles(spark, sf_dir):
         map(tuple, qs["asof_join_last_view"](spark, sf_dir).collect())
     )
     assert got == want
+
+
+def test_rolling_active_users_bucketed_no_fact_shuffle(spark, sf_dir):
+    """Sixth bucketed consumer, third on the user_id key: the plain
+    form's only fact-sized exchange is the distinct over
+    (day, user_id); the twin's HashPartitioning(user_id) satisfies
+    that grouping (subset of the keys), so the bucketed plan must
+    drop exactly that exchange — one fewer shuffle than the plain
+    plan, with everything remaining operating on the collapsed
+    day x user state. Results must match the plain form exactly."""
+    from wikipedia_data_pipeline_spark import registry
+
+    qs = registry.spark_queries()
+    plain = qs["events_rolling_active_users"](spark, sf_dir)
+    bucketed = qs["events_rolling_active_users_bucketed"](spark, sf_dir)
+    ps_p, ps_b = plan_summary(plain), plan_summary(bucketed)
+    assert ps_b.n_shuffles == ps_p.n_shuffles - 1, (ps_p, ps_b)
+    got = sorted(map(tuple, bucketed.collect()))
+    want = sorted(map(tuple, plain.collect()))
+    assert got == want

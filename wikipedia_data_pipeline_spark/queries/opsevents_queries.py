@@ -265,6 +265,10 @@ def events_rolling_active_users(spark, sf_dir):
     distinct users per window. The range join fans each state row out
     at most 7x; the fact table is scanned once."""
     ev = load_table(spark, sf_dir, "events")
+    return _rolling_active(ev)
+
+
+def _rolling_active(ev):
     du = (
         ev.select(
             F.date_trunc("day", F.timestamp_micros(F.col("ts")))
@@ -291,6 +295,48 @@ def events_rolling_active_users(spark, sf_dir):
             ).cast("long").alias("dau"),
         )
     )
+
+
+@register(
+    "events_rolling_active_users_bucketed",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM du)
+SELECT d.day,
+       count(DISTINCT u.user_id) AS wau,
+       CAST(count(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END)
+            AS BIGINT) AS dau
+FROM days d JOIN du u
+  ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+GROUP BY d.day
+""",
+    eager=True,
+)
+def events_rolling_active_users_bucketed(spark, sf_dir):
+    """Rolling actives over the BUCKETED events twin — the sixth
+    consumer of the maintenance path (sources/maintenance.py), third
+    on the user_id key: the only fact-sized exchange in the plain form
+    is the distinct over (day, user_id), and HashPartitioning(user_id)
+    from the twin's scan satisfies that grouping's clustered
+    distribution (user_id is a subset of the keys — all rows of a
+    (day, user) pair share a partition), so the distinct aggregates
+    in place and the fact table never shuffles. Everything downstream
+    (day-spine range join, per-day distinct counts) runs on the
+    collapsed day x user state, which is Heaps-small next to the fact.
+    Identical results to events_rolling_active_users — same oracle.
+
+    eager=True: construction triggers the lazy first-time twin write
+    (sessionization_bucketed note); at 100 TB that write is a
+    scheduled maintenance job, priced separately from the query."""
+    from wikipedia_data_pipeline_spark.sources.maintenance import (
+        ensure_bucketed_twins,
+    )
+
+    twins = ensure_bucketed_twins(spark, sf_dir, tables=("events",))
+    return _rolling_active(spark.table(twins["events"]))
 
 
 @register(
