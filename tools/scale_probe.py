@@ -1241,9 +1241,22 @@ def main() -> None:
                     row["duck_100x"] = d100
                     row["duck_floor"] = fd
                     row["duck_adj"] = round(max(d100 - fd, 1e-4), 4)
-                    row["adjusted_ratio"] = round(
-                        row["spark_adj"] / row["duck_adj"], 2
-                    ) if row["duck_adj"] > 0 else None
+                    # A ratio of two near-zero residuals is noise/noise:
+                    # when either engine's data-dependent cost is inside
+                    # measurement jitter the row is adjudicated
+                    # floor-bound, not given a fake ratio.
+                    if row["spark_adj"] < 0.5:
+                        row["verdict"] = "floor_bound_spark"
+                    elif row["duck_adj"] < 0.03:
+                        row["verdict"] = "duck_floor_bound_no_ratio"
+                    else:
+                        row["adjusted_ratio"] = round(
+                            row["spark_adj"] / row["duck_adj"], 2
+                        )
+                        row["verdict"] = (
+                            "plan_bound" if row["adjusted_ratio"] > 2
+                            else "within_2x_adjusted"
+                        )
             floor_section[name] = row
             print(f"floor  {name}: {row}", flush=True)
 
