@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from wikipedia_data_pipeline_spark.operators import dedup as D
 from wikipedia_data_pipeline_spark.operators import profiling as P
+from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
 from wikipedia_data_pipeline_spark.operators.sampling import SQL_DET_HASH
 from wikipedia_data_pipeline_spark.registry import register
 from wikipedia_data_pipeline_spark.sources.tables import load_table
@@ -276,8 +277,17 @@ def spatial_moran_i_events(spark, sf_dir):
         F.floor(F.expr(_GEO_X)).cast("long").alias("cx"),
         F.floor(F.expr(_GEO_Y)).cast("long").alias("cy"),
     )
-    cells = pts.groupBy("cx", "cy").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # The cell relation is referenced eight times downstream (tot twice
+    # via crossJoins, both sides of the neighbor join twice — pstats and
+    # s2 — and den); Spark does no cross-subtree CSE, so without a
+    # persist every reference re-runs the full fact scan + hash agg.
+    # Persist the grid-bounded relation (≤ lattice cells, not events)
+    # so the fact is scanned once — the same multiply-referenced-
+    # intermediate rule as the Cramér's V cube (statsparam_queries).
+    cells = track_persisted(
+        pts.groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
     )
     tot = cells.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
