@@ -333,16 +333,103 @@ def ml_eval_rouge_n(spark, sf_dir):
 # F-beta (beta = 2, recall-weighted), whitespace removed. Catches the
 # morphology/partial-word credit BLEU's token grams miss — a candidate
 # "translat" earns chrF credit against "translation", zero BLEU credit.
-# Same fixture and plan shape as BLEU/ROUGE: UNK-substituted 80%-prefix
-# candidate, ONE explode of fingerprinted char-grams for both sides,
-# ONE doc-scoped hash agg, clipped overlap = min(c_cnt, r_cnt); gram
-# totals per n fold into closed forms of the string lengths (no second
-# pass). Corpus aggregation is micro (counts pooled across docs, the
+# Fixture: UNK-substituted 80%-prefix candidate vs the full document.
+# Corpus aggregation is micro (counts pooled across docs, the
 # sacrebleu default); the 6 per-n F values are nano-quantized before
 # the final average.
+#
+# Execution shape (round-13 flip, AB_CHRF_NUMPY_r13: 301 s -> 13.1 s
+# at the 100x replica, 23x): the r12 explode form pushed ~12x the
+# corpus characters through an exploded fingerprint stream + doc-scoped
+# hash agg — its cost was row overhead on a ~1.6 B-row stream, and two
+# JVM-side reshapes (packed fingerprints, per-row sort+aggregate) had
+# already been A/B-rejected. This form is the participation-ratio
+# pattern instead: an Arrow-batched NumPy kernel over ``mapInPandas``
+# computes every doc's clipped per-n overlap inside the Python worker
+# (rolling polynomial gram codes over UTF-32 codepoints; np.unique +
+# searchsorted multiset intersection) and emits ONLY per-batch partial
+# sums — 6 rows of (n, matches, c_total, r_total) per Arrow batch
+# regardless of batch text volume, then one tiny groupBy(n). When
+# every codepoint fits b bits and 6*b <= 64 (ASCII corpora: b = 7) the
+# gram code is INJECTIVE — exact string equality, strictly stronger
+# than the explode form's xxhash64 no-collision assumption; wider
+# alphabets fall back to a 64-bit odd multiplier in the same collision
+# class. Scale: per-partition work is O(chars log chars) with O(1)
+# emit, no gram ever leaves a worker as a row.
 
 _CHRF_NS = (1, 2, 3, 4, 5, 6)
-_CHRF_BETA_SQ = 4  # beta = 2
+_CHRF_BETA_SQ = 4
+_CHRF_HASH_M = 0x9E3779B97F4A7C15  # fallback multiplier (non-ASCII docs)
+
+
+def _chrf_partials_kernel(batches):
+    """Per-Arrow-batch chrF partials: 6 rows of (n, matches, c_total,
+    r_total) per batch — see the section comment for the design and
+    the injectivity argument. Module-level so Spark pickles it without
+    capturing query-local state."""
+    import numpy as np
+    import pandas as pd
+
+    def clipped(a, b):
+        if a.size == 0 or b.size == 0:
+            return 0
+        ua, ca = np.unique(a, return_counts=True)
+        ub, cb = np.unique(b, return_counts=True)
+        idx = np.searchsorted(ub, ua)
+        idx[idx == ub.size] = 0  # safe: masked below (ua > ub[-1] != ub[0])
+        mask = ub[idx] == ua
+        if not mask.any():
+            return 0
+        return int(np.minimum(ca[mask], cb[idx[mask]]).sum())
+
+    for pdf in batches:
+        matches = np.zeros(7, dtype=np.int64)
+        c_tot = np.zeros(7, dtype=np.int64)
+        r_tot = np.zeros(7, dtype=np.int64)
+        for cs, rs in zip(pdf["cstr"], pdf["rstr"]):
+            ca = np.frombuffer(
+                (cs or "").encode("utf-32-le"), dtype=np.uint32
+            )
+            ra = np.frombuffer(
+                (rs or "").encode("utf-32-le"), dtype=np.uint32
+            )
+            mx = 0
+            if ca.size:
+                mx = int(ca.max())
+            if ra.size:
+                mx = max(mx, int(ra.max()))
+            bits = max(mx.bit_length(), 1)
+            M = (
+                np.uint64(1 << bits)  # injective shift: exact equality
+                if 6 * bits <= 64
+                else np.uint64(_CHRF_HASH_M)
+            )
+            cc = ca.astype(np.uint64)
+            rr = ra.astype(np.uint64)
+            pc, pr = cc, rr
+            for n in _CHRF_NS:
+                if n > 1:
+                    pc = (
+                        pc[: cc.size - n + 1] * M + cc[n - 1:]
+                        if cc.size >= n
+                        else cc[:0]
+                    )
+                    pr = (
+                        pr[: rr.size - n + 1] * M + rr[n - 1:]
+                        if rr.size >= n
+                        else rr[:0]
+                    )
+                matches[n] += clipped(pc, pr)
+                c_tot[n] += max(cc.size - n + 1, 0)
+                r_tot[n] += max(rr.size - n + 1, 0)
+        yield pd.DataFrame(
+            {
+                "n": np.arange(1, 7, dtype=np.int64),
+                "matches": matches[1:7],
+                "c_total": c_tot[1:7],
+                "r_total": r_tot[1:7],
+            }
+        )  # beta = 2
 
 
 _CHRF_ORACLE = f"""
@@ -421,15 +508,16 @@ FROM pn, avgf
 def ml_eval_chrf(spark, sf_dir):
     """Corpus chrF (beta=2, char 1..6-grams, whitespace stripped) on
     the UNK-substituted candidate fixture — see the section comment.
-    One explode of 8-byte xxhash64 char-gram fingerprints for both
-    sides, one doc-scoped hash agg (map-side partial combine absorbs
-    the per-occurrence stream), per-n totals from string-length closed
-    forms, and one fixed double expression per n; per-n F values are
+    Fixture strings are built in Spark SQL (identical to the oracle's
+    CTE by construction); per-doc clipped overlaps are computed in the
+    Arrow-batched NumPy kernel, which emits 6 partial-sum rows per
+    batch; one tiny groupBy(n) pools the micro-average counts, then
+    one fixed double expression per n; per-n F values are
     nano-quantized before the 6-term average.
 
-    Docs are hash-repartitioned on doc_id so the char-gram stream
-    (12x the corpus characters) aggregates shuffle-free — see
-    _gen_gram_counts."""
+    Docs are hash-repartitioned on doc_id so partition text volume is
+    balanced across workers (the scan's natural file-split layout left
+    a long straggler tail in the r13 merge A/B)."""
     docs = load_table(spark, sf_dir, "documents")
     docs = docs.repartition(
         docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
@@ -451,62 +539,14 @@ def ml_eval_chrf(spark, sf_dir):
         ).alias("cstr"),
         F.concat_ws("", toks).alias("rstr"),
     )
-
-    def grams(col, n, flag):
-        return F.transform(
-            F.sequence(
-                F.lit(1),
-                F.greatest(F.length(F.col(col)) - (n - 1), F.lit(0)),
-            ),
-            lambda i: F.struct(
-                F.lit(n).alias("n"),
-                F.xxhash64(
-                    F.substr(F.col(col), i, F.lit(n))
-                ).alias("g"),
-                F.lit(flag).alias("is_c"),
-            ),
-        )
-
-    exploded = d.select(
-        "doc_id",
-        F.explode(
-            F.flatten(
-                F.array(
-                    *[grams("cstr", n, 1) for n in _CHRF_NS],
-                    *[grams("rstr", n, 0) for n in _CHRF_NS],
-                )
-            )
-        ).alias("e"),
-    ).select("doc_id", "e.n", "e.g", "e.is_c")
-    cg = exploded.groupBy("doc_id", "n", "g").agg(
-        F.sum("is_c").cast("long").alias("c_cnt"),
-        F.sum(1 - F.col("is_c")).cast("long").alias("r_cnt"),
+    partials = d.select("cstr", "rstr").mapInPandas(
+        _chrf_partials_kernel,
+        "n long, matches long, c_total long, r_total long",
     )
-    m = cg.groupBy("n").agg(
-        F.sum(F.least(F.col("c_cnt"), F.col("r_cnt")))
-        .cast("long")
-        .alias("matches")
-    )
-    ns = spark.range(1, 7).select(F.col("id").cast("int").alias("n"))
-    tot = (
-        d.crossJoin(F.broadcast(ns))
-        .groupBy("n")
-        .agg(
-            F.sum(
-                F.greatest(
-                    F.length(F.col("cstr")) - F.col("n") + 1, F.lit(0)
-                )
-            )
-            .cast("long")
-            .alias("c_total"),
-            F.sum(
-                F.greatest(
-                    F.length(F.col("rstr")) - F.col("n") + 1, F.lit(0)
-                )
-            )
-            .cast("long")
-            .alias("r_total"),
-        )
+    mt = partials.groupBy("n").agg(
+        F.sum("matches").cast("long").alias("matches"),
+        F.sum("c_total").cast("long").alias("c_total"),
+        F.sum("r_total").cast("long").alias("r_total"),
     )
     md = F.col("matches").cast("double")
     p = md / F.col("c_total").cast("double")
@@ -514,7 +554,7 @@ def ml_eval_chrf(spark, sf_dir):
     chr_f = F.when(F.col("matches") == 0, F.lit(0.0)).otherwise(
         (1 + _CHRF_BETA_SQ) * p * r / (_CHRF_BETA_SQ * p + r)
     )
-    pn = m.join(tot, "n").select(
+    pn = mt.select(
         F.col("n").cast("long").alias("n"),
         "matches",
         "c_total",

@@ -1046,24 +1046,27 @@ def stats_ansari_bradley(spark, sf_dir):
 # for the two middle order statistics, averaged - no floats anywhere
 # until the final /200.
 #
-# Job-count design (round-12 verdict #3): the original form ran TWO
-# sequential 17-round binary searches = ~34 tiny Spark jobs, each
-# paying the ~0.3-0.5 s scheduling floor — the one registered query
-# whose cost was O(jobs), not O(data). Fused form: ONE search loop
-# whose every round evaluates a BATCH of _HL_PROBES evenly spaced
-# probe points in a single job (probes broadcast against the bounded
-# histograms), and the shared counts serve BOTH order statistics
-# (their ranks differ by at most 1, so their intervals practically
-# coincide). Rounds drop from 2*log2(grid)=34 to
-# ~log_{P+1}(grid)=5-6 count jobs; per-job work grows only by the
-# probe factor over the SMALL domain-bounded relations, so at scale
-# the cost is still O(|domains| * log grid) — just amortized across
-# ~6x fewer scheduling floors. _HL_LAST_COUNT_JOBS records the count
-# for the scale probe's note.
+# Job-count design (round-12 verdict #3, finished round 13): the
+# original form ran TWO sequential 17-round binary searches = ~34 tiny
+# Spark jobs; the r13 fused form batched _HL_PROBES probe points per
+# job (~6 count jobs). Both shapes were O(jobs) with every job paying
+# the ~0.3-0.5 s scheduling floor, because the iterative state — the
+# count_le(d) oracle — only ever touches the GRID-BOUNDED histograms,
+# never the fact. Final form takes that argument to its conclusion:
+# ONE combined fact scan builds both cents histograms (<= 2*grid rows
+# by the declared domain, asserted loudly below), they are collected,
+# and the entire integer bisection runs driver-side in NumPy
+# (count_le(d) = one searchsorted against the y suffix-cumulative,
+# microseconds per probe). Distributed work is exactly one hash-agg
+# scan of the fact — O(data) with zero iterative jobs; the driver
+# state is the same <=60k-cent histogram the previous forms already
+# broadcast every round. Same boundary class as the BPE vocab merge
+# loop and the PCA d x d solve: distributed moments, central solve.
+# _HL_LAST_COUNT_JOBS records the Spark job count (now 1) for the
+# scale probe's note.
 
-_HL_GRID_MAX = 60_000  # cents; events.value <= ~500.00
-_HL_PROBES = 8  # probe points evaluated per count job (interval /9 per round)
-_HL_LAST_COUNT_JOBS = 0  # count jobs in the most recent run (probe evidence)
+_HL_GRID_MAX = 60_000  # cents; events.value <= ~500.00 (asserted on collect)
+_HL_LAST_COUNT_JOBS = 0  # Spark jobs in the most recent run (probe evidence)
 
 _HL_ORACLE = """
 WITH hx AS (
@@ -1102,94 +1105,64 @@ def stats_hodges_lehmann(spark, sf_dir):
     """Hodges-Lehmann estimate of the view-vs-click value shift -
     median of all n1*n2 pairwise differences, WITHOUT materializing
     any pair (see the section comment). The oracle pays the O(|X
-    domain| * |Y domain|) convolution; the engine runs the fused
-    multi-probe integer search: each round counts, in ONE job, the
-    pairs below each of ``_HL_PROBES`` evenly spaced probe points
-    (broadcast against the bounded cents histogram and the grid's
-    >=-cumulative), and the shared counts narrow BOTH middle order
-    statistics at once. EAGER (~log_{P+1}(grid) = 5-6 count jobs
-    total; was 2 x 17 sequential single-probe jobs)."""
+    domain| * |Y domain|) convolution; the engine runs ONE combined
+    hash-agg scan of the fact to the two grid-bounded cents
+    histograms, collects them (<= 2*grid rows, asserted), and solves
+    the integer bisection for both middle order statistics driver-side
+    (count_le(d) = searchsorted against the y suffix-cumulative).
+    EAGER; exactly one Spark job over the fact, no iterative jobs."""
     global _HL_LAST_COUNT_JOBS
-    from wikipedia_data_pipeline_spark.operators.ranks import ordered_scan
+    import numpy as np
 
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
-    hx = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy(cents.alias("c"))
+    hist = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("event_type", cents.alias("c"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
     )
-    hy = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy(cents.alias("c"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
-    # >=-cumulative of hy on its (domain-bounded) support via one
-    # hierarchical scan, descending
-    cumy = ordered_scan(
-        hy, [F.desc("c")], running=[("nge", "n", "sum")]
-    ).select(F.col("c").alias("yc"), "nge")
-    hx_p = hx.persist()
-    cumy_p = cumy.persist()
-    n1 = hx_p.agg(F.sum("n")).collect()[0][0]
-    n2 = cumy_p.agg(F.max("nge")).collect()[0][0]
-    t_pairs = n1 * n2
-    jobs = 0
-
-    def count_le_batch(ds: list[int]) -> dict[int, int]:
-        # For every probe d at once: pairs with x - y <= d <=> y >= x-d;
-        # NYge(v) = cumy at the SMALLEST support >= v, i.e. max(nge)
-        # over the qualifying support. probes (<= _HL_PROBES*2 rows)
-        # and cumy are both broadcast; hx never shuffles.
-        nonlocal jobs
-        jobs += 1
-        probes = spark.createDataFrame([(int(d),) for d in ds], "d long")
-        rows = (
-            hx_p.crossJoin(F.broadcast(probes))
-            .join(
-                F.broadcast(cumy_p),
-                F.col("yc") >= F.col("c") - F.col("d"),
-                "left",
-            )
-            .groupBy("d", "c", "n")
-            .agg(F.max("nge").alias("nge"))
-            .groupBy("d")
-            .agg(
-                F.sum(
-                    F.col("n") * F.coalesce(F.col("nge"), F.lit(0))
-                ).alias("cnt")
-            )
-            .collect()
+    _HL_LAST_COUNT_JOBS = 1
+    # Declared-domain guard: the search interval below is only correct
+    # for |c| <= grid; a wider value domain must fail loudly, not
+    # return a clamped estimate (same rule as the Gram batch bound).
+    bad = [r for r in hist if abs(r["c"]) > _HL_GRID_MAX]
+    if bad:
+        raise ValueError(
+            f"events.value outside the declared +-{_HL_GRID_MAX}-cent "
+            f"grid (saw cents={bad[0]['c']}); raise _HL_GRID_MAX"
         )
-        return {int(r["d"]): int(r["cnt"] or 0) for r in rows}
+    hx = sorted((r["c"], r["n"]) for r in hist if r["event_type"] == "view")
+    hy = sorted((r["c"], r["n"]) for r in hist if r["event_type"] == "click")
+    xc = np.array([c for c, _ in hx], dtype=np.int64)
+    xn = np.array([n for _, n in hx], dtype=np.int64)
+    yc = np.array([c for c, _ in hy], dtype=np.int64)
+    yn = np.array([n for _, n in hy], dtype=np.int64)
+    n1 = int(xn.sum()) if xn.size else 0
+    n2 = int(yn.sum()) if yn.size else 0
+    t_pairs = n1 * n2
+    # suffix[i] = #{y >= yc[i]}; NYge(v) = suffix[first support >= v]
+    suffix = np.concatenate(
+        [np.cumsum(yn[::-1])[::-1], np.zeros(1, dtype=np.int64)]
+    )
 
-    # Fused search: answer_k = min d with count_le(d) >= k, invariant
-    # answer_k in [lo_k, hi_k]. The two target ranks differ by at most
-    # one, so one shared probe grid serves both intervals every round.
-    k_lo, k_hi = (t_pairs + 1) // 2, t_pairs // 2 + 1
-    iv = {k_lo: [-_HL_GRID_MAX, _HL_GRID_MAX], k_hi: [-_HL_GRID_MAX, _HL_GRID_MAX]}
-    while any(lo < hi for lo, hi in iv.values()):
-        grid: set[int] = set()
-        for lo, hi in iv.values():
-            if lo < hi:
-                width = hi - lo
-                for i in range(1, _HL_PROBES + 1):
-                    p = lo + (width * i) // (_HL_PROBES + 1)
-                    if lo <= p < hi:
-                        grid.add(p)
-                grid.add((lo + hi) // 2)  # degenerate-width fallback
-        cnts = count_le_batch(sorted(grid))
-        for k, st in iv.items():
-            for p in sorted(grid):
-                if st[0] <= p < st[1]:
-                    if cnts[p] >= k:
-                        st[1] = p
-                    else:
-                        st[0] = p + 1
-    d_lo, d_hi = iv[k_lo][0], iv[k_hi][0]
-    _HL_LAST_COUNT_JOBS = jobs
-    hx_p.unpersist()
-    cumy_p.unpersist()
+    def count_le(d: int) -> int:
+        # pairs with x - y <= d  <=>  y >= x - d
+        idx = np.searchsorted(yc, xc - d, side="left")
+        return int((xn * suffix[idx]).sum())
+
+    def order_stat(k: int) -> int:
+        lo, hi = -_HL_GRID_MAX, _HL_GRID_MAX
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if count_le(mid) >= k:
+                hi = mid
+            else:
+                lo = mid + 1
+        return lo
+
+    d_lo = order_stat((t_pairs + 1) // 2)
+    d_hi = order_stat(t_pairs // 2 + 1)
     return spark.createDataFrame(
         [(n1, n2, t_pairs, d_lo + d_hi, (d_lo + d_hi) / 200.0)],
         "n1 long, n2 long, t_pairs long, hl_cents2 long, hl_shift double",
