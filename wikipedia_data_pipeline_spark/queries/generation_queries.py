@@ -9,12 +9,17 @@ ml_eval_auc_events). A pure-prefix candidate would make every clipped
 precision exactly 1 (prefix grams are a sub-multiset of the
 reference's) — the round-11 probe caught that degeneracy.
 
-Plan shape (both metrics): ONE explode emits (n, gram, side) structs
-for candidate and reference together, ONE doc-scoped hash aggregation
-counts both sides, and the clipped overlap is min(c_cnt, r_cnt) — no
-gram-level join at all (the two-agg + join form measured 161 s at the
-100× replica; this halves the shuffled volume and removes the join).
-Split from mleval_queries at the 2,000-line threshold (round 11)."""
+Plan shape: ROUGE keeps the r11 explode form — ONE explode emits
+(n, gram, side) structs for candidate and reference together, ONE
+doc-scoped hash aggregation counts both sides, clipped overlap =
+min(c_cnt, r_cnt), no gram-level join (the two-agg + join form
+measured 161 s at the 100× replica). BLEU-4 and chrF ride the
+numpy-partials kernel instead (AB_BLEU_NUMPY_r13 / AB_CHRF_NUMPY_r13:
+their wider explode streams — 8 token levels / 12 char levels — made
+the Arrow kernel win decisively; ROUGE's 4-level stream measured
+inside the 20% band, so its explode form stands as evidence both
+shapes were priced). Split from mleval_queries at the 2,000-line
+threshold (round 11)."""
 
 from __future__ import annotations
 
@@ -103,6 +108,107 @@ def _gen_gram_counts(docs, ns):
         F.sum(1 - F.col("is_c")).alias("r_cnt"),
     )
     return d, counts
+
+
+def _token_partials_kernel(ns):
+    """Factory: per-Arrow-batch TOKEN-gram partials (n, matches,
+    c_total, r_total) for the given n levels — the chrF kernel's
+    pattern applied to token grams (AB_BLEU_NUMPY_r13). Tokenization
+    replicates the Spark fixture exactly: split(' ') with empties
+    kept, candidate = ceil-80% prefix with every 7th token (1-indexed)
+    replaced by 'UNK'. Per-doc token ids come from np.unique's inverse
+    — EXACT string equality, no collision assumption at all (stronger
+    than the explode form's xxhash64 fingerprints); rolling codes over
+    the ids are injective while max(ns)*bits(vocab) <= 64 (a doc needs
+    >65k distinct tokens to overflow at n=4; wider docs fall back to
+    the odd-multiplier mix, xxhash64's collision class)."""
+    max_n = max(ns)
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        def clipped(a, b):
+            if a.size == 0 or b.size == 0:
+                return 0
+            ua, ca = np.unique(a, return_counts=True)
+            ub, cb = np.unique(b, return_counts=True)
+            idx = np.searchsorted(ub, ua)
+            idx[idx == ub.size] = 0  # masked below
+            mask = ub[idx] == ua
+            if not mask.any():
+                return 0
+            return int(np.minimum(ca[mask], cb[idx[mask]]).sum())
+
+        for pdf in batches:
+            matches = {n: 0 for n in ns}
+            c_tot = {n: 0 for n in ns}
+            r_tot = {n: 0 for n in ns}
+            for text in pdf["text"]:
+                toks = (text or "").split(" ")
+                clen = max(len(toks) * 4 // 5, 1)
+                ctoks = [
+                    "UNK" if i % 7 == 0 else toks[i - 1]
+                    for i in range(1, clen + 1)
+                ]
+                uniq, inv = np.unique(
+                    np.array(ctoks + toks, dtype=object),
+                    return_inverse=True,
+                )
+                bits = max(int(len(uniq)).bit_length(), 1)
+                M = (
+                    np.uint64(1 << bits)
+                    if max_n * bits <= 64
+                    else np.uint64(0x9E3779B97F4A7C15)
+                )
+                inv = inv.astype(np.uint64) + np.uint64(1)  # ids >= 1
+                cc = inv[: len(ctoks)]
+                rr = inv[len(ctoks):]
+                pc, pr = cc, rr
+                for n in range(1, max_n + 1):
+                    if n > 1:
+                        pc = (
+                            pc[: cc.size - n + 1] * M + cc[n - 1:]
+                            if cc.size >= n
+                            else cc[:0]
+                        )
+                        pr = (
+                            pr[: rr.size - n + 1] * M + rr[n - 1:]
+                            if rr.size >= n
+                            else rr[:0]
+                        )
+                    if n in matches:
+                        matches[n] += clipped(pc, pr)
+                        c_tot[n] += max(cc.size - n + 1, 0)
+                        r_tot[n] += max(rr.size - n + 1, 0)
+            yield pd.DataFrame(
+                {
+                    "n": list(ns),
+                    "matches": [matches[n] for n in ns],
+                    "c_total": [c_tot[n] for n in ns],
+                    "r_total": [r_tot[n] for n in ns],
+                }
+            )
+
+    return kernel
+
+
+def _token_gram_partials(spark, sf_dir, ns):
+    """Pooled (n, matches, c_total, r_total) over the corpus via the
+    token kernel; doc_id-hash repartition balances partition text
+    volume (same rationale as _gen_gram_counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(par, "doc_id")
+    p = docs.select("text").mapInPandas(
+        _token_partials_kernel(ns),
+        "n long, matches long, c_total long, r_total long",
+    )
+    return p.groupBy("n").agg(
+        F.sum("matches").cast("long").alias("matches"),
+        F.sum("c_total").cast("long").alias("c_total"),
+        F.sum("r_total").cast("long").alias("r_total"),
+    )
 
 
 def _gen_cte(ns_values):
@@ -212,35 +318,27 @@ def ml_eval_bleu_corpus(spark, sf_dir):
     on corpus-level scalars and are quantized to nano-units
     (privacy_dp_release_counts discipline).
 
-    Scale shape: token arrays build per-row in the JVM (higher-order
-    functions, no UDF); ONE explode + ONE (doc, n, gram) hash
-    aggregation covers both sides — no gram-level join (the join form
-    measured 161 s at the 100× replica; see module doc). Gram keys are
-    doc-scoped so no global hot key exists."""
-    docs = load_table(spark, sf_dir, "documents")
-    d, counts = _gen_gram_counts(docs, (1, 2, 3, 4))
-    m = counts.groupBy("n").agg(
-        F.sum(F.least(F.col("c_cnt"), F.col("r_cnt")))
-        .cast("long")
-        .alias("matches")
-    )
-    tot = d.agg(
+    Scale shape (round-13 flip, AB_BLEU_NUMPY_r13: 14.05 s -> 6.49 s
+    best-of-3 at the 100x replica): the token-gram numpy-partials
+    kernel (see _token_partials_kernel) computes every doc's clipped
+    overlaps in the Arrow worker and emits 4 partial-sum rows per
+    batch; t_n, cand_tokens, ref_tokens are closed forms of the same
+    partials (t_n = c_total_n; cand/ref = the n=1 totals, since
+    max(len-0, 0) = len). No gram ever leaves a worker as a row."""
+    wide = _token_gram_partials(spark, sf_dir, (1, 2, 3, 4)).agg(
         *[
-            F.sum(F.greatest(F.col("clen") - (n - 1), F.lit(0)))
+            F.max(F.when(F.col("n") == n, F.col(c)))
             .cast("long")
-            .alias(f"t{n}")
+            .alias(f"{a}{n}")
             for n in (1, 2, 3, 4)
+            for c, a in (("matches", "m"), ("c_total", "t"))
         ],
-        F.sum("clen").cast("long").alias("cand_tokens"),
-        F.sum("rlen").cast("long").alias("ref_tokens"),
-    )
-    mp = m.agg(
-        *[
-            F.max(F.when(F.col("n") == n, F.col("matches")))
-            .cast("long")
-            .alias(f"m{n}")
-            for n in (1, 2, 3, 4)
-        ]
+        F.max(F.when(F.col("n") == 1, F.col("c_total")))
+        .cast("long")
+        .alias("cand_tokens"),
+        F.max(F.when(F.col("n") == 1, F.col("r_total")))
+        .cast("long")
+        .alias("ref_tokens"),
     )
     c_d = F.col("cand_tokens").cast("double")
     r_d = F.col("ref_tokens").cast("double")
@@ -263,7 +361,7 @@ def ml_eval_bleu_corpus(spark, sf_dir):
             * F.exp(F.lit(0.25) * (((lp[0] + lp[1]) + lp[2]) + lp[3]))
         ).cast("long"),
     ).otherwise(F.lit(0).cast("long"))
-    return mp.crossJoin(F.broadcast(tot)).select(
+    return wide.select(
         "m1",
         "m2",
         "m3",
