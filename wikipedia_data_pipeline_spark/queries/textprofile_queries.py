@@ -592,10 +592,18 @@ def text_burrows_delta(spark, sf_dir):
 # deg/freq term is ONE double division nano-quantized before the
 # phrase sum; phrase text reassembles via an order-preserving
 # aggregation (sorted (position, word) structs), identical in both
-# engines. Scale shape: phrase segmentation is the gaps-islands
-# prefix trick inside PER-DOCUMENT windows (never global), word stats
-# are one vocab-bounded agg broadcast back, and the final top-20 is a
-# TakeOrdered over the distinct-phrase relation.
+# engines. Scale shape (r13 restructure, AB_RAKE_PHRASE_r13: 21.3 ->
+# 11.8 s best-of-3 at 100x): phrase segmentation is the gaps-islands
+# prefix trick inside PER-DOCUMENT windows (never global); the
+# PERSISTED phrase relation (one row per candidate phrase) then serves
+# both word stats and phrase scores by re-exploding split(ptext, ' ')
+# — exactly the word multiset the r12 nons-join carried, since words
+# cannot contain spaces — so the token-level fact is touched twice
+# total (stopword scan + segmentation) instead of ~6 times (the
+# nons x phrase join was consumed by two aggregations with no
+# cross-subtree CSE). Word stats are one vocab-bounded agg broadcast
+# back; the final top-20 is a TakeOrdered over the distinct-phrase
+# relation.
 
 _RAKE_K_STOP = 20
 _RAKE_TOPK = 20
@@ -662,9 +670,11 @@ def text_rake_keywords(spark, sf_dir):
     = sum of member words' degree/frequency). The classic unsupervised
     keyword extractor next to the PMI collocations and TextRank-style
     graph scores. See the section comment for the per-document
-    gaps-islands segmentation and nano-quantized score construction."""
+    gaps-islands segmentation, the persisted-phrase restructure, and
+    the nano-quantized score construction."""
     from pyspark.sql import Window
 
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
     from wikipedia_data_pipeline_spark.sources.tables import fan_out
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
@@ -683,25 +693,39 @@ def text_rake_keywords(spark, sf_dir):
         tok.join(F.broadcast(stop), "w", "left_anti")
         .withColumn("grp", F.col("p") - F.row_number().over(w_doc))
     )
-    phrase = nons.groupBy("doc_id", "grp").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("p"), F.col("w")))
+    phrase = track_persisted(
+        nons.groupBy("doc_id", "grp")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("p"), F.col("w")))
+                    ),
+                    lambda s: s["w"],
                 ),
-                lambda s: s["w"],
-            ),
-        ).alias("ptext"),
-        F.count(F.lit(1)).cast("long").alias("plen"),
+            ).alias("ptext"),
+            F.count(F.lit(1)).cast("long").alias("plen"),
+        )
+        .persist()
     )
-    joined = nons.join(phrase, ["doc_id", "grp"])
-    wstat = joined.groupBy("w").agg(
+    # re-explode the persisted phrase text: split(' ') recovers each
+    # phrase's exact word multiset (words cannot contain spaces), so
+    # the token-level nons x phrase join the aggregations below used
+    # to consume is never materialized
+    pw = phrase.select(
+        "doc_id",
+        "grp",
+        "ptext",
+        "plen",
+        F.explode(F.split("ptext", " ")).alias("w"),
+    )
+    wstat = pw.groupBy("w").agg(
         F.count(F.lit(1)).cast("long").alias("freq"),
         F.sum("plen").cast("long").alias("deg"),
     )
     pscore = (
-        joined.join(F.broadcast(wstat), "w")
+        pw.join(F.broadcast(wstat), "w")
         .groupBy("doc_id", "grp", "ptext")
         .agg(
             F.sum(
