@@ -111,3 +111,73 @@ def test_moran_cells_persist_is_tracked(spark, sf_dir, queries):
     assert len(rows) == 1
     # the grid-cell relation must be registered for shared release
     assert ranks.unpersist_all() >= 1
+
+
+def test_ann_trunc_accumulate_matches_catalyst_fold(spark):
+    """The r13 ann_dim_truncation_recall kernel's exactness premise:
+    np.add.accumulate is a strictly sequential left fold, bit-identical
+    to the Catalyst F.aggregate fold (from 0.0) the previous registered
+    form used. Random float32 vectors, all three prefix lengths."""
+    import random
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = random.Random(0xA11)
+    rows = [
+        (
+            i,
+            [rng.uniform(-1, 1) for _ in range(64)],
+            [rng.uniform(-1, 1) for _ in range(64)],
+        )
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<float>, b array<float>"
+    )
+
+    def fold(expr_a, expr_b, start, off, ln):
+        return F.aggregate(
+            F.zip_with(
+                F.expr(f"slice({expr_a}, {off}, {ln})"),
+                F.expr(f"slice({expr_b}, {off}, {ln})"),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            start,
+            lambda acc, x: acc + x,
+        )
+
+    got = (
+        df.select(
+            "id",
+            fold("a", "b", F.lit(0.0), 1, 16).alias("d16"),
+            fold("a", "b", F.lit(0.0), 1, 32).alias("d32"),
+            fold("a", "b", F.lit(0.0), 1, 64).alias("d64"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    for r, (_, a, b) in zip(got, rows):
+        av = np.array(a, dtype=np.float32).astype(np.float64)
+        bv = np.array(b, dtype=np.float32).astype(np.float64)
+        cum = np.add.accumulate(av * bv)
+        assert r["d16"] == cum[15]
+        assert r["d32"] == cum[31]
+        assert r["d64"] == cum[63]
+
+
+def test_ann_trunc_batch_size_invariance(spark, sf_dir, queries):
+    """Per-batch top-10 partials are a superset of the global top-10
+    under the strict (cos DESC, vec_id ASC) order, so the result must
+    not depend on Arrow batch boundaries: force tiny batches and
+    compare against the default."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    fn = queries["ann_dim_truncation_recall"]
+    base = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "7")
+        tiny = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    finally:
+        spark.conf.set(key, old)
+    assert base == tiny and len(base) > 0

@@ -562,17 +562,20 @@ def test_rrf_truncations_are_take_ordered(spark, sf_dir):
 
 
 def test_truncation_recall_single_pass(spark, sf_dir):
-    """The one-pass rewrite: a single broadcast of the 5 query rows
-    (nested-loop by construction), no sort-merge join anywhere (the
-    old two-pass formulation self-joined the rankings), and the
-    (dim, query) window plus the (query, vec) pivot as the only hash
-    exchanges."""
+    """The r13 Arrow-kernel rewrite: per-pair scoring lives in ONE
+    MapInPandas over the corpus scan (each batch emits only its top-10
+    per (query, dim)), no join of any kind, and the (dim, query) rank
+    window plus the (query, vec) pivot as the only hash exchanges —
+    they run over ~150 rows per batch, not |pairs|×3."""
+    from wikipedia_data_pipeline_spark.plans.inspect import executed_plan
     from wikipedia_data_pipeline_spark.registry import spark_queries
 
     df = spark_queries()["ann_dim_truncation_recall"](spark, sf_dir)
     s = plan_summary(df)
     assert s.n_sort_merge_joins == 0
     assert s.n_shuffles <= 3
+    plan = executed_plan(df, run=False)
+    assert "MapInPandas" in plan
 
 
 def test_hamming_topk_is_broadcast_probe_no_python(spark, sf_dir):

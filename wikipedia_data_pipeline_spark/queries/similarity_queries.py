@@ -358,6 +358,7 @@ WHERE t.rnk <= 10 AND f.rnk <= 10
 GROUP BY t.dim_kept, t.query_id
 ORDER BY t.dim_kept, t.query_id
 """,
+    eager=True,
 )
 def ann_dim_truncation_recall(spark, sf_dir):
     """Matryoshka-style truncation audit: recall@10 of cosine search
@@ -367,107 +368,87 @@ def ann_dim_truncation_recall(spark, sf_dir):
     truncatable embeddings. The m=64 rows are the built-in sanity
     fixed point (recall exactly 1.0 — same ranking).
 
-    Exactness: both rankings use the identical left-to-right double
-    dot products as ann_cosine_topk_brute (fixed evaluation order in
-    both engines), tie-broken by vec_id, and recall is an integer
-    overlap count over one exact division — bit-identical. The prefix
-    cosines are built INCREMENTALLY (the 17..32 block folds on top of
-    the 1..16 accumulator, etc.), which is the same left fold as
-    aggregating each slice from 0 — identical doubles, one pass.
+    Exactness: scoring runs in an Arrow-batched NumPy kernel (the
+    chrF/BLEU flip family, r13: AB_ANN_TRUNC_NUMPY_r13, 6.85→1.49 s
+    best-of-3 at 100×). Per pair the products are float64 casts
+    multiplied elementwise and prefix-summed with
+    ``np.add.accumulate`` — a strictly sequential left-to-right
+    accumulation, bit-identical to the previous Catalyst
+    ``F.aggregate`` left fold from 0.0 and to DuckDB's list_sum
+    evaluation order; cosine divides by the denominator multiplied in
+    the same order (sqrt(nq) * sqrt(ne)). Ties broken by vec_id under
+    a strict total order, recall is an integer overlap count over one
+    exact division — bit-identical end to end.
 
-    Scale note: brute-force by design like ann_cosine_topk_brute (the
-    oracle-checkable baseline; |queries| x |corpus| scored pairs,
-    corpus side broadcast-joined against 5 query rows), but ONE pass:
-    each pair is scored once with running prefix dots/norms (64 mults
-    per measure total, vs two branches re-slicing 112 + 64 in the
-    round-9 baseline — probed as __twopass_baseline), the per-dim
-    rankings ride one window over the exploded (dim, cos) rows, and
-    the full-vs-truncated overlap is a (query, vec) pivot instead of
-    a self-join, so the pair relation is never recomputed. The
-    serving path at scale is the IVF/PQ family; this query is the
-    QUALITY audit you run on a sample to pick the truncation point."""
+    Scale shape: brute-force by design like ann_cosine_topk_brute (the
+    oracle-checkable QUALITY audit; the serving path at scale is the
+    IVF/PQ family). The kernel sees only (vec_id, embedding) corpus
+    batches and emits each batch's top-10 per (query, dim) under the
+    same (cos DESC, vec_id ASC) order — a superset of the global
+    top-10, so the downstream window rank / pivot / overlap logic is
+    unchanged but runs over ~150 rows per batch instead of |pairs|×3
+    exploded rows (the r9 two-pass form is kept as the probe's
+    __twopass_baseline). EAGER: the 5 query vectors are collected at
+    construction — bounded by the literal IN-list, the HL class of
+    driver-sized collect."""
+    import numpy as np
+
     from pyspark.sql import Window
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id").isin([0, 1, 2, 3, 4])).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
     from wikipedia_data_pipeline_spark.sources.tables import fan_out
 
-    # fan_out before the cross join: a few-split embeddings scan would
-    # otherwise serialize the per-pair prefix-dot math on a few cores
-    pairs = (
-        fan_out(emb).crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
+    dims = (16, 32, 64)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_rows = sorted(
+        emb.filter(F.col("vec_id").isin(QUERY_IDS))
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
     )
+    qids = np.array([int(r["vec_id"]) for r in q_rows], dtype=np.int64)
+    qmat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    qcum = np.add.accumulate(qmat * qmat, axis=1)
+    nq = {m: qcum[:, m - 1] for m in dims}
 
-    def fold(expr_a, expr_b, start, off, ln):
-        """Left fold of a[off..off+ln) x b[off..off+ln) products on top
-        of ``start`` — extends the prefix dot without re-summing it."""
-        return F.aggregate(
-            F.zip_with(
-                F.expr(f"slice({expr_a}, {off}, {ln})"),
-                F.expr(f"slice({expr_b}, {off}, {ln})"),
-                lambda x, y: x.cast("double") * y.cast("double"),
-            ),
-            start,
-            lambda acc, x: acc + x,
-        )
+    def kernel(batches):
+        import pandas as pd
 
-    def cos(d, nq, ne):
-        return F.col(d) / (F.sqrt(F.col(nq)) * F.sqrt(F.col(ne)))
-
-    s = pairs.select(
-        "query_id",
-        "vec_id",
-        "q_emb",
-        "embedding",
-        fold("q_emb", "embedding", F.lit(0.0), 1, 16).alias("d16"),
-        fold("q_emb", "q_emb", F.lit(0.0), 1, 16).alias("nq16"),
-        fold("embedding", "embedding", F.lit(0.0), 1, 16).alias("ne16"),
-    )
-    s = s.select(
-        "*",
-        fold("q_emb", "embedding", F.col("d16"), 17, 16).alias("d32"),
-        fold("q_emb", "q_emb", F.col("nq16"), 17, 16).alias("nq32"),
-        fold("embedding", "embedding", F.col("ne16"), 17, 16).alias("ne32"),
-    )
-    s = s.select(
-        "query_id",
-        "vec_id",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(16).alias("dim_kept"),
-                    cos("d16", "nq16", "ne16").alias("cos"),
-                ),
-                F.struct(
-                    F.lit(32).alias("dim_kept"),
-                    cos("d32", "nq32", "ne32").alias("cos"),
-                ),
-                F.struct(
-                    F.lit(64).alias("dim_kept"),
-                    (
-                        fold("q_emb", "embedding", F.col("d32"), 33, 32)
-                        / (
-                            F.sqrt(
-                                fold("q_emb", "q_emb", F.col("nq32"), 33, 32)
-                            )
-                            * F.sqrt(
-                                fold(
-                                    "embedding",
-                                    "embedding",
-                                    F.col("ne32"),
-                                    33,
-                                    32,
-                                )
-                            )
-                        )
-                    ).alias("cos"),
-                ),
+        for pdf in batches:
+            if pdf.shape[0] == 0:
+                continue
+            vec = pdf["vec_id"].to_numpy(dtype=np.int64)
+            E = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
             )
-        ).alias("dc"),
-    ).select("query_id", "vec_id", "dc.dim_kept", "dc.cos")
+            ecum = np.add.accumulate(E * E, axis=1)
+            out_q, out_v, out_m, out_c = [], [], [], []
+            for j in range(qids.size):
+                cum = np.add.accumulate(E * qmat[j], axis=1)
+                mask = vec != qids[j]
+                for m in dims:
+                    cos = cum[:, m - 1] / (
+                        np.sqrt(nq[m][j]) * np.sqrt(ecum[:, m - 1])
+                    )
+                    cm, vm = cos[mask], vec[mask]
+                    idx = np.lexsort((vm, -cm))[: TOP_K]
+                    out_q.append(
+                        np.full(idx.size, qids[j], dtype=np.int64)
+                    )
+                    out_v.append(vm[idx])
+                    out_m.append(np.full(idx.size, m, dtype=np.int64))
+                    out_c.append(cm[idx])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "dim_kept": np.concatenate(out_m),
+                    "cos": np.concatenate(out_c),
+                }
+            )
+
+    s = fan_out(emb).select("vec_id", "embedding").mapInPandas(
+        kernel,
+        "query_id long, vec_id long, dim_kept long, cos double",
+    )
     w = Window.partitionBy("dim_kept", "query_id").orderBy(
         F.desc("cos"), F.asc("vec_id")
     )
@@ -482,7 +463,7 @@ def ann_dim_truncation_recall(spark, sf_dir):
             F.min(F.when(F.col("dim_kept") == m, F.col("rnk"))).alias(
                 f"r{m}"
             )
-            for m in (16, 32, 64)
+            for m in dims
         ]
     )
     hits = piv.select(
@@ -493,17 +474,22 @@ def ann_dim_truncation_recall(spark, sf_dir):
                     F.struct(
                         F.lit(m).alias("dim_kept"),
                         (
-                            (F.col(f"r{m}") <= 10) & (F.col("r64") <= 10)
+                            (F.col(f"r{m}") <= TOP_K)
+                            & (F.col("r64") <= TOP_K)
                         ).alias("hit"),
                     )
-                    for m in (16, 32, 64)
+                    for m in dims
                 ]
             )
         ).alias("h"),
     ).select("query_id", "h.dim_kept", "h.hit")
     return (
         hits.groupBy("dim_kept", "query_id")
-        .agg(F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("long").alias("n_overlap"))
+        .agg(
+            F.sum(F.when(F.col("hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_overlap")
+        )
         .filter(F.col("n_overlap") > 0)
         .select(
             "dim_kept",
@@ -515,6 +501,9 @@ def ann_dim_truncation_recall(spark, sf_dir):
         )
         .orderBy("dim_kept", "query_id")
     )
+
+
+
 
 
 _FL_K = 4
