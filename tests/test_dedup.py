@@ -234,3 +234,44 @@ def test_minhash_pairs_on_duplicate_heavy_corpus(spark):
     # within-group C(6,2)*3 non-empty groups + cross products 6*6
     assert sum(1 for v in got.values() if v == 1.0) == 3 * 15
     assert sum(1 for v in got.values() if v < 1.0) == 36
+
+
+def test_component_edges_same_components_group_linear(spark):
+    """minhash_lsh_component_edges (r13): identical node set and
+    connected components as the quadratic pair contract, with a
+    group-linear edge count. Corpus crafted so every class fires:
+    a multi-member exact-dup group with a verified cross pair, a
+    singleton with a cross pair, an isolated doc, an empty-shingle
+    duplicate GROUP (must vanish from both edge forms), and an
+    untouched tiny doc."""
+    from wikipedia_data_pipeline_spark.operators import graph as G
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    other = "completely different text with nothing shared at all in any gram"
+    rows = [
+        (1, base),
+        (2, near),        # near-dup of group {1, 4, 6}
+        (3, other),       # isolated: no pairs either way
+        (4, base),        # exact dup of 1
+        (6, base),        # exact dup of 1 (group size 3)
+        (5, "tiny doc"),  # < 3 tokens -> empty shingles, singleton
+        (7, "no sh"),     # empty shingles, duplicate group {7, 8}:
+        (8, "no sh"),     #   jaccard(∅, ∅) = 0 -> NO within pairs and
+                          #   NO star -> absent from components
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def comps(edges):
+        cc = G.connected_components(edges, src="doc_a", dst="doc_b")
+        out = {(r.node, r.comp) for r in cc.collect()}
+        cc.unpersist()
+        return out
+
+    quad = D.minhash_lsh_pairs(docs, 0.5).select("doc_a", "doc_b")
+    star = D.minhash_lsh_component_edges(docs, 0.5)
+    assert comps(quad) == comps(star) == {(1, 1), (2, 1), (4, 1), (6, 1)}
+    # group-linear: {1,4,6} contributes 2 star edges, not C(3,2)=3
+    # within pairs, and the 1~2 relation is one rep edge, not 3 cross
+    # expansions
+    assert star.count() == 3 < quad.count() == 6

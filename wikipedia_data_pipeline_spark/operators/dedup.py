@@ -247,6 +247,67 @@ def verify_pairs_jaccard(
     )
 
 
+def _collapsed_rep_pairs(
+    documents: DataFrame, threshold: float
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared head of the collapsed MinHash-LSH pipeline: byte-identical
+    texts grouped (rep = min doc_id), shingles hashed for the reps only,
+    LSH candidates verified at exact Jaccard ≥ threshold. Returns
+    (groups, sh, rep_pairs); groups and sh are persisted (see
+    minhash_lsh_pairs' docstring for why). Consumed by
+    minhash_lsh_pairs (quadratic pair expansion — the declared pair
+    CONTRACT) and minhash_lsh_component_edges (group-linear star edges
+    — everything connectivity-only callers need)."""
+    groups = (
+        documents.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .persist()
+    )
+    reps = groups.select("doc_id", "text")
+    sh = hashed_shingles(reps).persist()
+    cands = lsh_candidate_pairs(sh)
+    rep_pairs = verify_pairs_jaccard(cands, sh, threshold)
+    return groups, sh, rep_pairs
+
+
+def minhash_lsh_component_edges(
+    documents: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Group-LINEAR edge relation with the same connected components —
+    and the same node set — as ``minhash_lsh_pairs`` (r13,
+    AB_CC_STAR_r13): verified rep-level pairs plus one star per
+    byte-identical duplicate group (rep = min(members) → each other
+    member), instead of the quadratic pair contract (C(k,2)
+    within-group pairs, k_a·k_b cross-group expansions).
+
+    Equivalence argument (connectivity-only callers): a group's
+    members appear in the quadratic relation iff the group has ≥ 2
+    members and a non-empty shingle set (jaccard(hsh, hsh) = 1.0;
+    empty sets are defined 0 and dropped) or its rep has a verified
+    cross pair — the star edges and rep pairs cover both cases under
+    IDENTICAL filters, and every quadratic pair connects two nodes
+    that are already star/rep-connected. So components, min labels and
+    component sizes are bit-identical while the edge count drops from
+    Σ C(k,2) + Σ k_a·k_b to Σ (k-1) + |rep pairs|. Callers that need
+    the pair LIST (jaccard per pair) must keep minhash_lsh_pairs."""
+    groups, sh, rep_pairs = _collapsed_rep_pairs(documents, threshold)
+    stars = (
+        groups.filter(F.size("members") >= 2)
+        .join(sh, "doc_id")
+        .withColumn("jaccard", jaccard(F.col("hsh"), F.col("hsh")))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.explode("members").alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    return rep_pairs.select("doc_a", "doc_b").unionByName(stars)
+
+
 def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline with exact verification.
 
@@ -273,18 +334,7 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
     run three times. The groups relation likewise feeds the rep scan
     and both expansion joins. At cluster scale the persists' role is
     played by checkpointing between stages."""
-    groups = (
-        documents.groupBy("text")
-        .agg(
-            F.min("doc_id").alias("doc_id"),
-            F.sort_array(F.collect_list("doc_id")).alias("members"),
-        )
-        .persist()
-    )
-    reps = groups.select("doc_id", "text")
-    sh = hashed_shingles(reps).persist()
-    cands = lsh_candidate_pairs(sh)
-    rep_pairs = verify_pairs_jaccard(cands, sh, threshold)
+    groups, sh, rep_pairs = _collapsed_rep_pairs(documents, threshold)
     mem = groups.select(F.col("doc_id").alias("rep"), "members")
     cross = (
         rep_pairs.join(

@@ -409,7 +409,12 @@ def connected_components(
     EAGER: executes one Spark job per round (the count that caps
     recomputation and detects the fixpoint). The returned (node, comp)
     relation is persisted and materialized; intermediates are released
-    before returning. Callers may ``unpersist()`` the result.
+    before returning. Callers may ``unpersist()`` the result; it is
+    also registered with ``ranks.track_persisted`` (r13) so
+    ``unpersist_all()`` releases it — without that, every invocation
+    in a long session leaked one cached relation AND
+    plan-canonicalized cache lookup silently served a prior run's
+    result to any identical re-run (contaminating best-of-N timing).
     """
     und = (
         edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
@@ -455,6 +460,8 @@ def connected_components(
         labels = nxt
         if changed == 0:
             break
-    out = labels
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    out = track_persisted(labels)
     und.unpersist()
     return out

@@ -520,15 +520,26 @@ def dedup_connected_components(spark, sf_dir):
     relation (operators/graph.py:connected_components) — exact in
     diameter(G) rounds, detected by an unchanged-label count; the
     oracle is the recursive-CTE transitive closure over the same
-    brute-force pair set. EAGER (one job per round)."""
+    brute-force pair set. EAGER (one job per round).
+
+    r13 (AB_CC_STAR_r13): the propagation rides the GROUP-LINEAR
+    ``minhash_lsh_component_edges`` relation — rep-level verified
+    pairs plus one star per byte-identical duplicate group — instead
+    of the quadratic pair contract, which on a duplication-heavy
+    corpus (the 100× replica: 100 copies per text) shrinks the edge
+    relation by ~the group size. Same node set, same components, same
+    min labels and sizes (equivalence argument in the operator's
+    docstring; equality asserted at sf0.01/sf0.1 in the A/B); the
+    edges are materialized once (persist + count) so the LSH verify
+    lineage does not re-run per undirected-union branch."""
     from wikipedia_data_pipeline_spark.operators import dedup as D
     from wikipedia_data_pipeline_spark.operators import graph as G
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs, JACCARD_THRESHOLD).select(
-        "doc_a", "doc_b"
-    )
+    pairs = D.minhash_lsh_component_edges(docs, JACCARD_THRESHOLD).persist()
+    pairs.count()
     cc = G.connected_components(pairs, src="doc_a", dst="doc_b")
+    pairs.unpersist()
     sizes = cc.groupBy("comp").agg(F.count(F.lit(1)).alias("comp_size"))
     return cc.join(sizes, "comp").select(
         F.col("node").alias("doc_id"),
