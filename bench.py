@@ -77,13 +77,26 @@ HEADLINE = [
 RATIO_EXCLUDE = {"dedup_minhash_lsh"}
 
 
-def run_spark(spark, queries, sf_dir, names, warmups=2, iters=5):
+def run_spark(spark, queries, sf_dir, names, warmups=2, iters=5,
+              with_median=False):
     """Best-of-N end-to-end times. Warm-ups run every plan at the SAME
     sf so JVM/JIT codegen (C2 needs repeat executions), Python/Arrow
     worker startup, and page cache don't land in the timed run —
     steady-state is what a long-lived cluster sees. Best-of-N because
     this VM shares a noisy host; the minimum is the engine's actual
-    cost (the standard defense against neighbor noise)."""
+    cost (the standard defense against neighbor noise). With
+    ``with_median`` also returns the per-query MEDIAN of the same N
+    iterations (r13 verdict #8: ship the median next to the best so
+    run-selection concerns are answerable from one artifact).
+
+    r14 measurement-honesty note: every persist in the package is now
+    registered with ranks.track_persisted, so the unpersist_all below
+    releases ALL plan-internal caches between iterations — previously
+    raw persists (tfidf counts, minhash shingles) survived and Spark's
+    plan-canonicalized cache lookup served them to iterations 2..N,
+    silently excluding those subtrees from the timing."""
+    import statistics
+
     from wikipedia_data_pipeline_spark.operators import ranks
 
     for _ in range(warmups):
@@ -93,19 +106,23 @@ def run_spark(spark, queries, sf_dir, names, warmups=2, iters=5):
             ).save()
             ranks.unpersist_all()
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in names:
-        best = float("inf")
+        runs = []
         for _ in range(iters):
             df = queries[name](spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
             # release plan-internal caches (ordered_scan/semantic_dedup
             # persist per plan INSTANCE, and each iteration builds a
             # fresh plan — without this the loop accumulates one cached
             # relation per iteration for the session lifetime)
             ranks.unpersist_all()
-        timings[name] = round(best, 3)
+        timings[name] = round(min(runs), 3)
+        medians[name] = round(statistics.median(runs), 3)
+    if with_median:
+        return timings, medians
     return timings
 
 
@@ -206,9 +223,15 @@ def main() -> None:
 
     out: dict = {"metric": "headline_queries_total", "unit": "sec"}
     ticks0 = _cpu_ticks()
-    timings = run_spark(spark, queries, SF_DIR, HEADLINE)
+    timings, medians = run_spark(
+        spark, queries, SF_DIR, HEADLINE, with_median=True
+    )
     out["queries"] = timings
     out["value"] = round(sum(timings.values()), 3)
+    # additions-only fields (r13 verdict #8): median of the same 5
+    # iterations, beside the historical best-of-5
+    out["queries_median"] = medians
+    out["value_median"] = round(sum(medians.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
         out["sf"] = float(sf)

@@ -254,11 +254,17 @@ def _collapsed_rep_pairs(
     texts grouped (rep = min doc_id), shingles hashed for the reps only,
     LSH candidates verified at exact Jaccard ≥ threshold. Returns
     (groups, sh, rep_pairs); groups and sh are persisted (see
-    minhash_lsh_pairs' docstring for why). Consumed by
+    minhash_lsh_pairs' docstring for why) and registered with
+    ``ranks.track_persisted`` (r14) so ``unpersist_all()`` releases
+    them — raw persists here put dedup_minhash_lsh's best-of-N bench
+    numbers on plan-canonicalized cache reuse (r13 verdict #1) and
+    leaked one cached relation per invocation. Consumed by
     minhash_lsh_pairs (quadratic pair expansion — the declared pair
     CONTRACT) and minhash_lsh_component_edges (group-linear star edges
     — everything connectivity-only callers need)."""
-    groups = (
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    groups = track_persisted(
         documents.groupBy("text")
         .agg(
             F.min("doc_id").alias("doc_id"),
@@ -267,7 +273,7 @@ def _collapsed_rep_pairs(
         .persist()
     )
     reps = groups.select("doc_id", "text")
-    sh = hashed_shingles(reps).persist()
+    sh = track_persisted(hashed_shingles(reps).persist())
     cands = lsh_candidate_pairs(sh)
     rep_pairs = verify_pairs_jaccard(cands, sh, threshold)
     return groups, sh, rep_pairs
@@ -381,8 +387,10 @@ def incremental_lsh_pairs(
     (band, bhash)), so per-batch cost is batch-sized, not corpus-sized.
     Returns (doc_new, doc_old, jaccard).
     """
-    sh_new = hashed_shingles(batch).persist()
-    sh_old = hashed_shingles(corpus).persist()
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    sh_new = track_persisted(hashed_shingles(batch).persist())
+    sh_old = track_persisted(hashed_shingles(corpus).persist())
     b_new = _band_buckets(sh_new).select(
         F.col("doc_id").alias("doc_new"), "band", "bhash"
     )
@@ -418,7 +426,10 @@ def _band_buckets(
 def brute_force_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
     """All-pairs n-gram Jaccard (the exact path; O(n²) — test scale /
     final verify only)."""
-    sh = shingles(documents).persist()  # referenced by both join sides
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    # referenced by both join sides; tracked so unpersist_all releases it
+    sh = track_persisted(shingles(documents).persist())
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     return (
@@ -524,8 +535,10 @@ def simhash_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
     """SimHash-blocked near-dup pairs with exact-Jaccard verification.
     Persisted intermediates for the same multi-reference reason as
     ``minhash_lsh_pairs``."""
-    sh = hashed_shingles(documents).persist()
-    signed = simhash_signatures(sh).persist()
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    sh = track_persisted(hashed_shingles(documents).persist())
+    signed = track_persisted(simhash_signatures(sh).persist())
     cands = simhash_candidate_pairs(signed)
     return verify_pairs_jaccard(cands, sh, threshold)
 
@@ -763,7 +776,9 @@ def prefix_filter_pairs(
     """
     from pyspark.sql import Window
 
-    sh = hashed_shingles(documents).persist()
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    sh = track_persisted(hashed_shingles(documents).persist())
     toks = sh.select(
         "doc_id", F.size("hsh").alias("sz"), F.explode("hsh").alias("h")
     )
@@ -815,7 +830,9 @@ def containment_pairs(
     """
     from pyspark.sql import Window
 
-    sh = hashed_shingles(documents).persist()
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    sh = track_persisted(hashed_shingles(documents).persist())
     toks = sh.select(
         "doc_id", F.size("hsh").alias("sz"), F.explode("hsh").alias("h")
     )

@@ -550,7 +550,10 @@ def pq_codebooks(
             {"subspace": [key[0]], "code": [key[1]], "c_sub": [mean.tolist()]}
         )
 
-    sub_rows = _subspace_rows(embeddings, dim, m).persist()
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    # tracked (r14): released by ranks.unpersist_all
+    sub_rows = track_persisted(_subspace_rows(embeddings, dim, m).persist())
     w_seed = Window.partitionBy("subspace").orderBy("h", "vec_id")
     cb = (
         sub_rows.withColumn("h", F.xxhash64("vec_id", "subspace"))
@@ -623,10 +626,15 @@ def ann_pq_topk(
     Output: (query_id, vec_id, cos, rnk) — same interface as the other
     ANN paths.
     """
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
     cb = (
         codebooks
         if codebooks is not None
-        else pq_codebooks(embeddings, dim, m, kcode, iters).persist()
+        # tracked (r14): released by ranks.unpersist_all
+        else track_persisted(
+            pq_codebooks(embeddings, dim, m, kcode, iters).persist()
+        )
     )
     if codes is None:
         codes = pq_encode(embeddings, cb, dim, m)

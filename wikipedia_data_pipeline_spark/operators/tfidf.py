@@ -130,9 +130,16 @@ def tfidf(documents: DataFrame) -> DataFrame:
     branch; a pushed-down join-key null filter makes the two subtrees
     non-identical, so Spark's ReusedExchange does NOT unify them —
     persist the counts once instead (the cluster-scale equivalent is
-    checkpointing the term-count relation between stages).
+    checkpointing the term-count relation between stages). Registered
+    with ``ranks.track_persisted`` (r14): a RAW persist here survived
+    ``unpersist_all()``, so best-of-N timing of tfidf_full silently
+    re-read run 1's cached counts on runs 2..N via Spark's
+    plan-canonicalized cache lookup — skipping tokenize+count from the
+    measurement (r13 verdict #1).
     """
-    counts = doc_term_counts(documents).persist()
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    counts = track_persisted(doc_term_counts(documents).persist())
     return tfidf_join(
         doc_tf(documents, counts=counts), idf(documents, counts=counts)
     )
@@ -174,7 +181,9 @@ def tfidf_with_df(
     ``df * k <= n_docs`` (keep words in at most 1/k of documents) on
     the WORD-level relation — |vocab| rows — so the cap costs nothing
     and the big doc_tf side joins an already-pruned broadcast."""
-    counts = doc_term_counts(documents).persist()
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    counts = track_persisted(doc_term_counts(documents).persist())
     df_counts = counts.groupBy("word").agg(F.count("*").alias("df"))
     n_docs = documents.select(F.count("*").alias("n_docs"))
     idf_rel = (

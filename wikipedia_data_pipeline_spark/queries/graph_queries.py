@@ -36,7 +36,9 @@ def market_basket_pairs(spark, sf_dir):
     on the order key with an ordered-pair predicate — per-order
     fan-out is bounded by basket size squared, so the join scales with
     orders, not parts. Top-100 by support via TakeOrdered."""
-    op = (
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    op = track_persisted(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
@@ -440,7 +442,9 @@ def recs_item_item_cosine(spark, sf_dir):
     prunes noise pairs BEFORE ranking. Integer counts + one
     correctly-rounded sqrt/divide ⇒ bit-portable scores; top-100 by
     TakeOrdered."""
-    op = (
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    op = track_persisted(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
@@ -743,7 +747,9 @@ def recs_catalog_coverage(spark, sf_dir):
     window over per-item sim lists and item-sized aggregates only."""
     from pyspark.sql import Window
 
-    op = (
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    op = track_persisted(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()

@@ -300,7 +300,9 @@ def source_wikidoc_roundtrip(spark, sf_dir):
         ).alias("value")
     ).write.mode("overwrite").text(out)
     register_wikidoc(spark)
-    parsed = (
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    parsed = track_persisted(
         spark.read.format("wikidoc")
         .load(out)
         .select(F.col("doc_id").cast("long").alias("doc_id"), "text")

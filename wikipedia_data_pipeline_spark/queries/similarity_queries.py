@@ -390,7 +390,15 @@ def ann_dim_truncation_recall(spark, sf_dir):
     exploded rows (the r9 two-pass form is kept as the probe's
     __twopass_baseline). EAGER: the 5 query vectors are collected at
     construction — bounded by the literal IN-list, the HL class of
-    driver-sized collect."""
+    driver-sized collect.
+
+    Precondition (r13 advice): embeddings must be non-null and
+    nonzero-norm. The kernel is STRICTER than the Catalyst fold on
+    degenerate rows — a NULL embedding makes np.stack raise (the old
+    fold yielded null cos, ranked last) and a zero-norm prefix yields
+    NaN whose lexsort placement differs from Spark's null ordering;
+    the fixture satisfies both, and a violation fails loudly rather
+    than silently reordering."""
     import numpy as np
 
     from pyspark.sql import Window

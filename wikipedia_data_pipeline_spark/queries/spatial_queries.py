@@ -100,7 +100,7 @@ def layout_zorder_pruning_report(spark, sf_dir):
             tmp,
             n_files=16,
         )
-        report = report.cache()
+        report = track_persisted(report.cache())
         report.count()  # materialize before the temp files are removed
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -608,7 +608,9 @@ def events_cramers_v_matrix(spark, sf_dir):
         % 7
     )
     hod6 = (F.expr("(ts div 3600000000) % 24") / 6).cast("long")
-    cube = (
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    cube = track_persisted(
         ev.select(
             F.col("event_type").alias("t"),
             dow.cast("string").alias("d"),
@@ -620,7 +622,8 @@ def events_cramers_v_matrix(spark, sf_dir):
         # does no cross-subtree CSE and exchange reuse does not fire
         # across the union, so persist the cube to make the fact scan
         # genuinely happen once (the multiply-referenced-intermediate
-        # rule from the TF-IDF/minhash pipelines)
+        # rule from the TF-IDF/minhash pipelines); tracked (r14) so
+        # unpersist_all releases it
         .persist()
     )
 

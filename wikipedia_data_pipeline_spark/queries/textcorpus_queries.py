@@ -218,7 +218,9 @@ def text_word_cooccurrence(spark, sf_dir):
     (prefix filter) the similarity join uses."""
     from wikipedia_data_pipeline_spark.operators import text as T3
 
-    dw = (
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    dw = track_persisted(
         T3.tokenize(load_table(spark, sf_dir, "documents"))
         .distinct()
         .persist()

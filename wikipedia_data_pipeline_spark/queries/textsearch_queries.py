@@ -97,7 +97,9 @@ def doc_similarity_tfidf(spark, sf_dir):
     # relation is the rare-word postings only (corpus-proportional
     # but a small fraction; the cluster equivalent is checkpointing
     # the vector table between stages).
-    vec = (
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    vec = track_persisted(
         TT.tfidf_with_df(docs, df_times_le_ndocs=10)
         .select("doc_id", "word", "tf_idf")
         .persist()

@@ -510,6 +510,12 @@ def run_foreach_batch_compaction(
         )
         .cache()
     )
+    # tracked (r14): released by ranks.unpersist_all; the cache is
+    # load-bearing against the removed temp store, and each bench/test
+    # invocation builds a fresh store, so releasing between runs is safe
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    out = track_persisted(out)
     out.count()  # materialize before the temp store can be cleaned up
     if owned:
         shutil.rmtree(store_dir, ignore_errors=True)
@@ -668,10 +674,16 @@ def run_streaming_mv(
         if d.startswith("v")
         and os.path.exists(os.path.join(store_dir, d, "_SUCCESS"))
     )
-    out = I.finalize(
-        spark.read.parquet(os.path.join(store_dir, f"v{versions[-1]}")),
-        keys,
-    ).cache()
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    # tracked (r14): same load-bearing-cache + fresh-store-per-run note
+    # as run_foreach_batch_compaction above
+    out = track_persisted(
+        I.finalize(
+            spark.read.parquet(os.path.join(store_dir, f"v{versions[-1]}")),
+            keys,
+        ).cache()
+    )
     out.count()
     if owned:
         shutil.rmtree(store_dir, ignore_errors=True)
