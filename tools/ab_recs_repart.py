@@ -9,12 +9,15 @@ re-exchanges the 60M-row relation (one physical exchange + reuse).
 
 Candidate: repartition("l_orderkey") BEFORE the distinct. Hash
 partitioning on a subset of the grouping keys satisfies the distinct's
-clustering requirement (no second exchange), and the cached relation
-comes out hash(ok)-partitioned — which is exactly the self-join's
-required distribution, so the join plans with ZERO exchanges over op
-(sorts only). Cached plans keep their partitioning
-(spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=false, the
-default). Same relation, same rows — only the physical layout moves.
+clustering requirement, so the distinct aggregates ONCE, co-located,
+instead of partial-agg -> Exchange(ok,pk) -> final-agg. On ~60M
+near-unique pairs the map-side partial aggregation reduces nothing —
+each scan task builds (and spills) a giant hash table purely as
+overhead — so replacing it with a plain shuffle of the raw 16-byte
+rows is the whole win (measured mechanism; the executed plans show
+the join exchanges above the cache are UNCHANGED — Spark 4 applies
+AQE inside cached plans and does not expose their partitioning to the
+outer join). Same relation, same rows.
 
 Usage: python tools/ab_recs_repart.py [rounds]  (default 3)
 Writes AB_RECS_REPART_r14.json. Flip iff >20% at the 100x replica.
@@ -196,13 +199,6 @@ def main() -> None:
         times["registered"].append(timed(reg))
         times["repart_orderkey"].append(timed(recs_repart_variant))
         print("round:", times, flush=True)
-
-    # plan evidence: exchange counts over the op relation
-    def exchanges(fn):
-        df = fn(spark, dir100)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        ranks.unpersist_all()
-        return plan.count("Exchange ")
 
     out = {
         "metric": "ab_recs_repart_100x_r14",

@@ -38,6 +38,11 @@ def market_basket_pairs(spark, sf_dir):
     orders, not parts. Top-100 by support via TakeOrdered."""
     from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
 
+    # the same repartition-before-distinct flip that ships on
+    # recs_catalog_coverage (AB_RECS_REPART_r14) measured 18-19% here
+    # (AB_BASKET_REPART_r14) - inside the pre-registered 20% band, so
+    # the registered form is kept (the rejected variant stays in the
+    # A/B tool)
     op = track_persisted(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -444,6 +449,11 @@ def recs_item_item_cosine(spark, sf_dir):
     TakeOrdered."""
     from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
 
+    # the same repartition-before-distinct flip that ships on
+    # recs_catalog_coverage (AB_RECS_REPART_r14) measured 18-19% here
+    # (AB_BASKET_REPART_r14) - inside the pre-registered 20% band, so
+    # the registered form is kept (the rejected variant stays in the
+    # A/B tool)
     op = track_persisted(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -749,9 +759,22 @@ def recs_catalog_coverage(spark, sf_dir):
 
     from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
 
+    # repartition BEFORE the distinct (r14, AB_RECS_REPART_r14:
+    # 49.7 -> 13.5 s best-of-3 at 100x). Mechanism (verified in
+    # plans/r14/recs_catalog_coverage_{before,after}100x.txt): the
+    # plain distinct plans partial-HashAggregate -> Exchange(ok, pk)
+    # -> final; on ~60M NEAR-UNIQUE pairs the map-side partial agg
+    # reduces nothing, so each scan task builds (and spills) a giant
+    # hash table purely as overhead. Repartitioning the raw 16-byte
+    # rows first replaces that with a plain shuffle, and the distinct
+    # then aggregates once, co-located (hash(ok) satisfies clustering
+    # on a subset of the group keys - no second exchange). Guide
+    # S2.3's partial-agg rule inverted: pre-aggregation only pays
+    # when it reduces rows. Same rows, same oracle.
     op = track_persisted(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
         .distinct()
         .persist()
     )

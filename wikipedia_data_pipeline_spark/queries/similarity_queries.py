@@ -607,65 +607,116 @@ def curation_coreset_facility_location(spark, sf_dir):
     identical greedy iterates — the oracle unrolls the loop as CTE
     levels, one per step (the graph_pagerank_partsupp pattern).
 
-    Scale shape: per step, ONE corpus scan against the broadcast
-    candidate pool (|cand| x dim multiply-adds per row, fan_out
-    protected), a candidate-sized gains aggregate, and a driver fold
-    of exactly one argmax row (the bounded model-fold pattern);
-    the cover column updates by a broadcast 1-row join and persists
-    between steps. Cost is k scans — never |corpus|^2. Marked eager:
-    construction runs the k greedy jobs."""
+    Scale shape (r14, AB_CORESET_MATRIX_r14: 10.5 → 2.67 s best-of-3
+    at 100×): the pool is FIXED, so every quantity the greedy loop
+    needs is a function of the per-row quantized cosine vector. ONE
+    Arrow-batched NumPy pass computes all |pool| cosines per corpus
+    row — products and norms summed with ``np.add.accumulate``, the
+    strictly sequential order that is bit-identical to the
+    ``F.aggregate`` left fold the r13 form evaluated per row (the
+    ann_dim_truncation_recall precedent, pinned in
+    tests/test_round14.py) — and the JVM applies the registered
+    quantization ``round(cos·1e9) AS BIGINT`` unchanged. The
+    (vec_id, q_0..q_{m-1}) relation is persisted (tracked); each
+    greedy step is then one tiny integer aggregate over the cached
+    matrix: cov = greatest(0, q_selected…) per row, gain_c =
+    Σ (greatest(q_c, cov) − cov) — the same integers the r13
+    per-step corpus scans produced, so the argmax (gain DESC, cid
+    ASC) walks the identical greedy path and the output rows are
+    bit-identical. Cost: one corpus pass + k matrix scans, never
+    |corpus|². Marked eager: construction runs the greedy jobs.
+
+    Precondition (loud, not silent): embeddings must be non-null —
+    the kernel raises on a null row where the Catalyst fold yielded a
+    null cosine that ``greatest`` then skipped (gain contribution 0);
+    the fixture has none."""
+    import numpy as np
     from pyspark import StorageLevel
 
-    from wikipedia_data_pipeline_spark.functions import cosine_similarity
     from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
     from wikipedia_data_pipeline_spark.sources.tables import fan_out
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cand = emb.filter(F.col("vec_id") < _FL_CAND_MAX).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    cand_rows = sorted(
+        emb.filter(F.col("vec_id") < _FL_CAND_MAX)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
     )
-    simq = F.round(
-        cosine_similarity(F.col("cemb"), F.col("embedding"))
-        * 1_000_000_000.0
-    ).cast("long")
-    cover = track_persisted(
-        fan_out(emb)
-        .select("vec_id", "embedding", F.lit(0).cast("long").alias("cov"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    if any(r["embedding"] is None for r in cand_rows):
+        raise ValueError(
+            "curation_coreset_facility_location: null candidate embedding"
+        )
+    cids = [int(r["vec_id"]) for r in cand_rows]
+    cmat = np.array([r["embedding"] for r in cand_rows], dtype=np.float64)
+    # sqrt(na) with na = the sequential left fold of cemb_i^2 — the
+    # registered cosine_similarity evaluation order
+    c_norm = np.sqrt(np.add.accumulate(cmat * cmat, axis=1)[:, -1])
+    m = len(cids)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.shape[0] == 0:
+                continue
+            if pdf["embedding"].isna().any():
+                raise ValueError(
+                    "curation_coreset_facility_location: null corpus "
+                    "embedding (precondition: non-null)"
+                )
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            emat = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            sq_nb = np.sqrt(np.add.accumulate(emat * emat, axis=1)[:, -1])
+            cols = {"vec_id": vids}
+            for j in range(m):
+                dot = np.add.accumulate(emat * cmat[j], axis=1)[:, -1]
+                cols[f"s{j}"] = dot / (c_norm[j] * sq_nb)
+            yield pd.DataFrame(cols)
+
+    schema = "vec_id long, " + ", ".join(f"s{j} double" for j in range(m))
+    smat = (
+        fan_out(emb).select("vec_id", "embedding").mapInPandas(kernel, schema)
     )
-    selected: list[int] = []
+    qmat = track_persisted(
+        smat.select(
+            "vec_id",
+            *[
+                F.round(F.col(f"s{j}") * 1_000_000_000.0)
+                .cast("long")
+                .alias(f"q{j}")
+                for j in range(m)
+            ],
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    sel_idx: list[int] = []
     out: list[tuple[int, int, int, int]] = []
     total = 0
     for step in range(1, _FL_K + 1):
-        pool = (
-            cand.filter(~F.col("cid").isin(selected)) if selected else cand
-        )
-        gains = (
-            cover.crossJoin(F.broadcast(pool))
-            .select(
-                "cid",
-                (F.greatest(simq, F.col("cov")) - F.col("cov")).alias("g"),
+        cov = (
+            F.greatest(
+                F.lit(0).cast("long"), *[F.col(f"q{j}") for j in sel_idx]
             )
-            .groupBy("cid")
-            .agg(F.sum("g").cast("long").alias("gain"))
+            if sel_idx
+            else F.lit(0).cast("long")
         )
-        best = gains.orderBy(F.desc("gain"), F.asc("cid")).limit(1).collect()[
-            0
-        ]
-        selected.append(int(best.cid))
-        total += int(best.gain)
-        out.append((step, int(best.cid), int(best.gain), total))
-        if step < _FL_K:
-            ch = cand.filter(F.col("cid") == int(best.cid)).select("cemb")
-            cover = track_persisted(
-                cover.crossJoin(F.broadcast(ch))
-                .select(
-                    "vec_id",
-                    "embedding",
-                    F.greatest(F.col("cov"), simq).alias("cov"),
-                )
-                .persist(StorageLevel.MEMORY_AND_DISK)
-            )
+        rem = [j for j in range(m) if j not in sel_idx]
+        row = qmat.agg(
+            *[
+                F.sum(F.greatest(F.col(f"q{j}"), cov) - cov)
+                .cast("long")
+                .alias(f"g{j}")
+                for j in rem
+            ]
+        ).collect()[0]
+        best_j = sorted(rem, key=lambda j: (-row[f"g{j}"], cids[j]))[0]
+        gain = int(row[f"g{best_j}"])
+        sel_idx.append(best_j)
+        total += gain
+        out.append((step, cids[best_j], gain, total))
     return spark.createDataFrame(
         out, "step long, vec_id long, gain_nano long, coverage_nano long"
     )
