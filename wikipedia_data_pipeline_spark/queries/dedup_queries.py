@@ -453,7 +453,17 @@ def dedup_doc_continuation(spark, sf_dir):
         ),
         lambda w: F.length(w) > 0,
     )
-    hk = (
+    from pyspark import StorageLevel
+
+    from wikipedia_data_pipeline_spark.operators.ranks import track_persisted
+
+    # persist (tracked) the boundary-key relation: it feeds BOTH sides
+    # of the tail=head self-join and Spark does no cross-subtree CSE,
+    # so the per-token normalization pass (the query's whole cost)
+    # otherwise runs twice (r14, AB_CONTINUATION_r14: 12.16 -> 6.74 s
+    # best-of-3 at 100x; a single whole-text-regex variant measured
+    # 2.7x SLOWER and is kept in the tool as a rejection)
+    hk = track_persisted(
         docs.select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") >= 2 * _CONT_K)
         .select(
@@ -463,6 +473,7 @@ def dedup_doc_continuation(spark, sf_dir):
                 "tail"
             ),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = hk.select(
         F.col("doc_id").alias("tail_doc"), F.col("tail").alias("overlap")
