@@ -71,72 +71,74 @@ _PINNED = [
     "task1_dictionary",
 ]
 
-# Round-13 rotation: 48 slots, ALL first-time driver keys, drawn from
-# the 155-key never-driver-verified backlog (r12 verdict #2: "point the
-# r13 window's ~50 slots entirely at least-recently-verified keys").
-# Selection: the two bucketed twins the r12 comment promised for r13,
-# then the oldest untouched cohorts in age order — the early relational
-# /window/dedup tail, the r5s3 sequence/events block, the early text-
-# corpus block, and the r5s3 finance block (the largest untouched block
-# per the r12 verdict). The remaining ~107 backlog keys (the r12 stats
-# battery, mleval tail, graph/privacy/spatial, remaining text) queue
-# for the r14–r15 rotations. The r12 rotation went driver-green in
-# CORRECTNESS_r12 (50/50, 28 first-time) and rotates out with that
-# evidence. Driver-ever before this round: 277/432 oracle keys.
+# Round-14 rotation: 48 slots. This optimization round REWROTE five
+# query implementations (text_span_dedup_stats, coreset facility
+# location, recs_catalog_coverage, sketch_quantile_summary_events,
+# dedup_doc_continuation — each oracle-equal by the full local gate),
+# so those keys lead the window: the driver's own CORRECTNESS_r14
+# independently re-verifies every rewrite. Next come the
+# measured-this-round keys that have NEVER been driver-verified
+# (ml_eval_wer, the two basket queries, the bucketed rolling-actives
+# twin), then the oldest cohorts of the 108-key never-driver-verified
+# backlog in age order (sampling/curation audits, early corpus-profile
+# text block, sketch/value-histogram tail). 65 backlog keys remain for
+# the r15 rotation. The r13 rotation went driver-green in
+# CORRECTNESS_r13 (50/50, 48 first-time) and rotates out with that
+# evidence. Driver-ever before this round: 331/433 oracle keys.
 _ROTATION = [
-    # bucketed twins of driver-green queries (deferred from r12)
-    "asof_join_last_view_bucketed",
-    "sessionization_bucketed",
-    # oldest never-verified relational / window / dedup tail
-    "sql_interface_top_nations",
-    "task1_probe_reference",
-    "cohort_value_curves",
-    "profiling_fd_violations",
-    "key_skew_events",
-    "window_rank_variants",
-    "window_value_picks",
-    "join_salted_user_enrich",
-    "semantics_null_suite",
-    "order_by_nulls_placement",
-    "dedup_containment",
+    # this round's rewrites (driver re-verification of changed code)
+    "text_span_dedup_stats",
+    "curation_coreset_facility_location",
+    "recs_catalog_coverage",
+    "sketch_quantile_summary_events",
     "dedup_doc_continuation",
-    # r5s3 sequence/events block
-    "events_latest_per_key",
-    "incremental_mv_orders",
-    "events_multi_touch_attribution",
-    "events_rolling_active_users",
-    "events_peak_event_per_user",
-    "events_path_signatures",
-    "lineitem_point_in_time_join",
-    "events_burst_users",
-    "orders_integrity_checksum",
-    "events_ewma_value",
-    "orders_dow_seasonality",
-    "lateral_top_orders_per_customer",
-    # early text-corpus block
-    "text_tokenizer_fertility",
-    "heavy_hitter_tokens",
-    "text_trigram_commonness",
-    "text_chunk_documents",
-    "text_word_cooccurrence",
-    "text_unigram_surprisal",
-    "text_infer_stopwords",
-    "text_readability_scores",
-    # r5s3 finance block (largest untouched block, r12 verdict)
-    "orders_priority_transitions",
-    "order_ship_delay_histogram",
-    "revenue_mom_change",
-    "part_brand_return_rates",
-    "orders_open_backlog_daily",
-    "events_cumulative_new_users",
-    "events_time_weighted_avg",
-    "lineitem_weighted_median_price",
-    "nation_revenue_hhi",
-    "orders_seasonal_decompose",
-    "parts_xyz_variability",
-    "orders_repeat_purchase_curve",
-    "lineitem_price_dispersion",
-    "customer_spend_trend",
+    # measured this round, never driver-verified
+    "ml_eval_wer",
+    "market_basket_pairs",
+    "recs_item_item_cosine",
+    "events_rolling_active_users_bucketed",
+    # oldest never-verified sampling / curation / profiling cohort
+    "dedup_lsh_recall_planner",
+    "sample_class_balanced_docs",
+    "sample_mixture_temperature",
+    "sample_split_ks_uniformity",
+    "sample_group_kfold_audit",
+    "profile_documents",
+    "sample_shuffle_order",
+    "text_quality_percentile_gate",
+    "curation_source_cap",
+    "source_wikidoc_roundtrip",
+    "sample_token_budget_cut",
+    "curation_funnel_report",
+    "sample_token_mask",
+    "sample_contrastive_negatives",
+    "data_quality_report",
+    "dedup_cluster_size_histogram",
+    "dedup_fuzzy_levenshtein",
+    "text_naive_bayes_langid",
+    "ml_eval_regression_panel",
+    "stats_pacf_durbin_levinson",
+    "events_conditional_entropy",
+    # early corpus-profile text block
+    "corpus_snapshot_diff",
+    "text_bigram_surprisal",
+    "corpus_drift_tokens",
+    "documents_vocab_overlap_langs",
+    "text_js_divergence_sources",
+    "text_word_burstiness",
+    "text_phrase_search",
+    "doc_similarity_tfidf",
+    "text_good_turing_mass",
+    "text_log_odds_sources",
+    "text_hellinger_sources",
+    "text_sttr_segments",
+    "text_burrows_delta",
+    "text_rake_keywords",
+    # sketch / value-histogram tail
+    "bloom_prefilter_join_revenue",
+    "incremental_distinct_users",
+    "sketch_count_min_words",
+    "histogram_event_values",
 ]
 
 
